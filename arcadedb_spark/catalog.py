@@ -1,0 +1,172 @@
+"""Type catalog: the Spark analog of the reference schema layer.
+
+Reference mapping (paths under /root/reference/engine/src/main/java/com/arcadedb/):
+- ``schema/LocalSchema.java`` / ``schema/DocumentType.java`` — a *type* owns
+  buckets and may inherit from supertypes.  Here a type is a named, lazily
+  loaded DataFrame; inheritance is a union of the subtype DataFrames.
+- ``database/RID.java:40-47`` — record identity ``#bucketId:offset``.  We
+  synthesize a deterministic ``@rid`` from a per-type bucket id plus a
+  natural-key offset (stable across rewrites, unlike file offsets).
+- ``engine/LocalBucket.java:75`` — physical row pages.  Our "bucket" is the
+  set of parquet files backing the type; ``bucket_id`` is a virtual column.
+
+Scale note: ``@rid`` / ``@type`` are computed expressions, not materialized
+columns — Catalyst's column pruning removes them from the parquet scan when
+a query does not reference them, so metadata costs nothing at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RID_COL = "@rid"
+TYPE_COL = "@type"
+
+
+@dataclass
+class TypeDef:
+    """Schema entry for one document/vertex/edge type."""
+
+    name: str
+    kind: str  # 'document' | 'vertex' | 'edge'
+    bucket_id: int
+    loader: Callable[[], DataFrame]
+    key: str | None = None  # natural-key column used for the RID offset
+    parents: tuple[str, ...] = ()
+    properties: dict[str, str] = field(default_factory=dict)  # declared props
+    _df: DataFrame | None = None
+
+    def df(self) -> DataFrame:
+        if self._df is None:
+            self._df = self.loader()
+        return self._df
+
+
+class Catalog:
+    """Registry of types; resolves a type name to its DataFrame.
+
+    Mirrors ``schema/LocalSchema.java`` (type registry + inheritance) and the
+    virtual ``schema:`` targets of
+    ``query/sql/executor/FetchFromSchemaTypesStep.java:48``.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._types: dict[str, TypeDef] = {}
+        self._next_bucket = 1
+
+    # -- registration -----------------------------------------------------
+    def register(
+        self,
+        name: str,
+        loader: Callable[[], DataFrame] | DataFrame,
+        kind: str = "document",
+        key: str | None = None,
+        parents: tuple[str, ...] = (),
+    ) -> TypeDef:
+        if isinstance(loader, DataFrame):
+            df = loader
+            loader = lambda df=df: df  # noqa: E731
+        tdef = TypeDef(
+            name=name,
+            kind=kind,
+            bucket_id=self._next_bucket,
+            loader=loader,
+            key=key,
+            parents=parents,
+        )
+        self._next_bucket += 1
+        self._types[name.lower()] = tdef
+        return tdef
+
+    def drop(self, name: str) -> None:
+        self._types.pop(name.lower(), None)
+
+    def get(self, name: str) -> TypeDef:
+        try:
+            return self._types[name.lower()]
+        except KeyError:
+            raise KeyError(f"Type '{name}' not found in schema") from None
+
+    def exists(self, name: str) -> bool:
+        return name.lower() in self._types
+
+    def names(self) -> list[str]:
+        return [t.name for t in self._types.values()]
+
+    def subtypes(self, name: str) -> list[TypeDef]:
+        """Direct + transitive subtypes of ``name`` (inheritance closure)."""
+        out: list[TypeDef] = []
+        target = name.lower()
+        for t in self._types.values():
+            stack = [p.lower() for p in t.parents]
+            seen = set()
+            while stack:
+                p = stack.pop()
+                if p in seen:
+                    continue
+                seen.add(p)
+                if p == target:
+                    out.append(t)
+                    break
+                if p in self._types:
+                    stack.extend(q.lower() for q in self._types[p].parents)
+        return out
+
+    # -- resolution -------------------------------------------------------
+    def _with_metadata(self, tdef: TypeDef) -> DataFrame:
+        df = tdef.df()
+        if tdef.key is not None and tdef.key in df.columns:
+            offset = F.col(tdef.key).cast("long")
+        else:
+            # No natural key: fall back to a partition-stable synthetic id.
+            offset = F.monotonically_increasing_id()
+        rid = F.concat(F.lit(f"#{tdef.bucket_id}:"), offset.cast("string"))
+        return df.withColumn(RID_COL, rid).withColumn(TYPE_COL, F.lit(tdef.name))
+
+    def table(self, name: str, polymorphic: bool = True) -> DataFrame:
+        """DataFrame for a type, including subtype rows when polymorphic.
+
+        Equivalent of ``FetchFromTypeExecutionStep.java:42`` (scan type +
+        subtypes).  Subtype union uses ``unionByName(allowMissingColumns)``
+        so schema-flexible subtypes align.
+        """
+        if name.lower().startswith("schema:"):
+            return self._schema_table(name.split(":", 1)[1])
+        tdef = self.get(name)
+        df = self._with_metadata(tdef)
+        if polymorphic:
+            for sub in self.subtypes(name):
+                df = df.unionByName(self._with_metadata(sub), allowMissingColumns=True)
+        return df
+
+    def _schema_table(self, which: str) -> DataFrame:
+        """Virtual metadata tables: ``select from schema:types`` etc.
+
+        Reference: FetchFromSchema{Types,Buckets,Database}Step.java.
+        """
+        which = which.lower()
+        if which == "types":
+            rows = [
+                (t.name, t.kind, t.bucket_id, list(t.parents))
+                for t in self._types.values()
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, kind string, bucket_id int, parents array<string>"
+            )
+        if which == "buckets":
+            rows = [(t.bucket_id, t.name) for t in self._types.values()]
+            return self.spark.createDataFrame(rows, "bucket_id int, type string")
+        if which == "database":
+            return self.spark.createDataFrame(
+                [(len(self._types),)], "types int"
+            )
+        if which == "indexes":
+            # Indexes are unnecessary on Spark (scan + pushdown replaces
+            # them); the virtual table exists for API parity and is empty.
+            return self.spark.createDataFrame([], "name string, type string")
+        raise KeyError(f"Unknown schema table 'schema:{which}'")

@@ -1,0 +1,132 @@
+"""Database facade: session + catalog + query engines.
+
+Mirrors ``database/LocalDatabase.java:186`` (a database owns the schema and
+dispatches queries per language via ``query/QueryEngineManager.java:60``)
+without any of its storage concerns — storage is parquet, transactions are
+out of scope (analytical engine), and the statement cache
+(``query/sql/parser/StatementCache.java:59``) becomes a dict of translated
+DataFrames keyed by query text.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arcadedb_spark.catalog import Catalog
+
+# Natural keys for the driver testdata tables (TESTDATA.md) — used for
+# deterministic RID offsets (database/RID.java:40-47).
+_TESTDATA_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,  # composite key; synthetic offset is fine
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# LINK columns (foreign keys) of the testdata star schema.  The reference's
+# LINK type (schema/Type.java:82) dereferences via dot navigation
+# (`customer.c_nationkey.n_name`); we declare the link graph so the
+# translator can expand chains into broadcast-able equi-joins.
+_TESTDATA_LINKS = {
+    "nation": {"n_regionkey": "region"},
+    "customer": {"c_nationkey": "nation"},
+    "supplier": {"s_nationkey": "nation"},
+    "orders": {"o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"user_id": "customer"},
+}
+
+
+class Database:
+    """One analytical database = SparkSession + type catalog."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.schema = Catalog(spark)
+        self._plan_cache: dict[str, object] = {}
+        self._graph = None
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Database":
+        """Open a directory of parquet files as document types.
+
+        Every ``<name>.parquet`` file (or directory) becomes a type named
+        ``<name>`` — the analog of opening an ArcadeDB database directory
+        (``database/DatabaseFactory.java``).
+        """
+        db = cls(spark)
+        for entry in sorted(os.listdir(path)):
+            if not entry.endswith(".parquet"):
+                continue
+            name = entry[: -len(".parquet")]
+            full = os.path.join(path, entry)
+            tdef = db.schema.register(
+                name,
+                loader=lambda full=full: spark.read.parquet(full),
+                key=_TESTDATA_KEYS.get(name),
+            )
+            if name in _TESTDATA_LINKS:
+                tdef.properties["links"] = _TESTDATA_LINKS[name]
+        return db
+
+    def register_type(
+        self,
+        name: str,
+        df: DataFrame,
+        kind: str = "document",
+        key: str | None = None,
+        parents: tuple[str, ...] = (),
+    ) -> None:
+        self.schema.register(name, df, kind=kind, key=key, parents=parents)
+
+    # -- query entry points ----------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.schema.table(name)
+
+    def query(self, text: str, **params) -> DataFrame:
+        """ArcadeDB-SQL dialect → DataFrame.
+
+        Pipeline analog of SQLQueryEngine.java:85: parse (cached) →
+        translate to a DataFrame program → Catalyst plans/executes.
+        """
+        from arcadedb_spark.sql.parser import parse
+        from arcadedb_spark.sql.translator import Translator
+
+        key = text
+        stmt = self._plan_cache.get(key)
+        if stmt is None:
+            stmt = parse(text)
+            self._plan_cache[key] = stmt
+        return Translator(self, params=params).translate(stmt)
+
+    def select(self, type_name: str | None = None):
+        """Fluent native query API (query/select/Select.java:78)."""
+        from arcadedb_spark.select.builder import SelectBuilder
+
+        return SelectBuilder(self, type_name)
+
+    # -- graph ------------------------------------------------------------
+    def graph(self):
+        """Property-graph view over registered vertex/edge types.
+
+        For the driver testdata, builds the FIXTURES.md §B2 social-style
+        graph lazily on first use.
+        """
+        if self._graph is None:
+            from arcadedb_spark.graph.model import GraphModel
+
+            self._graph = GraphModel.from_database(self)
+        return self._graph

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: these configs are chosen for a real cluster (AQE on, skew
+join handling, partition coalescing) and only the master/local bits differ
+in tests.  On a 1000-executor cluster the same code runs unchanged; only
+``spark.sql.shuffle.partitions`` should be raised (or left to AQE's
+coalescing with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults match the driver harness: local[32], 32 shuffle partitions.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "arcadedb-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - UTC session timezone (oracle comparisons are UTC-naive).
+    - AQE enabled: runtime join re-planning, skew-join splitting and
+      post-shuffle partition coalescing — this is what replaces the
+      reference's hand-rolled cost model
+      (query/opencypher/optimizer/CypherOptimizer.java:93).
+    - Arrow enabled for the few Pandas-UDF code paths.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{_DEFAULT_CPUS}]")
+    return builder.getOrCreate()

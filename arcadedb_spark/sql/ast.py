@@ -1,0 +1,315 @@
+"""AST node definitions for the ArcadeDB-SQL dialect.
+
+Unlike the reference (one Java class per parser production,
+engine/src/main/java/com/arcadedb/query/sql/parser/*.java), we use a small
+set of dataclasses and treat boolean conditions as ordinary expressions —
+Spark ``Column``s unify scalar and boolean expressions, so the translator
+needs no separate condition hierarchy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Union
+
+
+class Expr:
+    """Base class for expressions."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    value: Any  # python literal; None == SQL NULL
+
+
+@dataclass(frozen=True)
+class Star(Expr):
+    pass
+
+
+@dataclass(frozen=True)
+class Chain(Expr):
+    """Dot-separated identifier chain: ``a`` or ``a.b.c``.
+
+    A chain longer than one element is either nested-struct access or a
+    LINK dereference (parser/BaseExpression dot navigation); the translator
+    decides per the catalog's declared links.
+    """
+
+    parts: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Var(Expr):
+    """``$name`` — LET variable or context variable ($parent, $current)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class Param(Expr):
+    """Input parameter ``:name`` / ``?`` / ``$1``."""
+
+    name: str  # positional params get "0", "1", ...
+
+
+@dataclass(frozen=True)
+class RidLit(Expr):
+    bucket: int
+    position: int
+
+
+@dataclass(frozen=True)
+class FuncCall(Expr):
+    name: str
+    args: tuple[Expr, ...]
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class Method(Expr):
+    """Postfix method: ``expr.name(args)`` (query/sql/method/**)."""
+
+    base: Expr
+    name: str
+    args: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class Unary(Expr):
+    op: str  # '-', '+', 'NOT'
+    operand: Expr
+
+
+@dataclass(frozen=True)
+class Bin(Expr):
+    """Binary op: arithmetic, comparison, boolean, ``??``, ``||``."""
+
+    op: str
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class In(Expr):
+    needle: Expr
+    items: Optional[tuple[Expr, ...]] = None  # IN (a, b, c)
+    subquery: Optional["SelectStmt"] = None  # IN (SELECT ...)
+    collection: Optional[Expr] = None  # IN some_array_field
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Like(Expr):
+    operand: Expr
+    pattern: Expr
+    case_insensitive: bool = False
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class IsDefined(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Contains(Expr):
+    """CONTAINS / CONTAINSALL / CONTAINSANY / CONTAINSKEY / CONTAINSVALUE /
+    CONTAINSTEXT (parser/Contains*Condition.java)."""
+
+    operand: Expr
+    rhs: Expr
+    mode: str  # 'contains' | 'all' | 'any' | 'key' | 'value' | 'text'
+
+
+@dataclass(frozen=True)
+class Matches(Expr):
+    operand: Expr
+    pattern: Expr
+
+
+@dataclass(frozen=True)
+class InstanceOf(Expr):
+    operand: Expr
+    type_name: str
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    operand: Optional[Expr]  # extended CASE has a test expression
+    whens: tuple[tuple[Expr, Expr], ...]
+    else_: Optional[Expr]
+
+
+@dataclass(frozen=True)
+class ArrayLit(Expr):
+    items: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class MapLit(Expr):
+    entries: tuple[tuple[str, Expr], ...]
+
+
+@dataclass(frozen=True)
+class Index(Expr):
+    """Array selector ``base[i]`` or map access ``base['k']``."""
+
+    base: Expr
+    index: Expr
+
+
+@dataclass(frozen=True)
+class Slice(Expr):
+    base: Expr
+    low: Optional[Expr]
+    high: Optional[Expr]
+
+
+@dataclass(frozen=True)
+class Subquery(Expr):
+    stmt: "SelectStmt"
+
+
+# ---------------------------------------------------------------------------
+# Statements
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ProjItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+# FROM targets
+@dataclass(frozen=True)
+class TypeTarget:
+    name: str
+
+
+@dataclass(frozen=True)
+class BucketTarget:
+    name: str
+
+
+@dataclass(frozen=True)
+class SchemaTarget:
+    name: str  # 'types', 'buckets', ...
+
+
+@dataclass(frozen=True)
+class RidTarget:
+    rids: tuple[RidLit, ...]
+
+
+@dataclass(frozen=True)
+class SubqueryTarget:
+    stmt: "Statement"
+    alias: Optional[str] = None
+
+
+Target = Union[TypeTarget, BucketTarget, SchemaTarget, RidTarget, SubqueryTarget, None]
+
+
+@dataclass(frozen=True)
+class LetItem:
+    name: str
+    expr: Optional[Expr] = None
+    subquery: Optional["Statement"] = None
+
+
+@dataclass(frozen=True)
+class OrderItem:
+    expr: Expr
+    ascending: bool = True
+
+
+@dataclass(frozen=True)
+class UnwindItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class SelectStmt:
+    projections: tuple[ProjItem, ...] = ()
+    distinct: bool = False
+    target: Target = None
+    lets: tuple[LetItem, ...] = ()
+    where: Optional[Expr] = None
+    group_by: tuple[Expr, ...] = ()
+    order_by: tuple[OrderItem, ...] = ()
+    unwind: tuple[UnwindItem, ...] = ()
+    skip: Optional[Expr] = None
+    limit: Optional[Expr] = None
+
+
+# MATCH (query/sql/executor/MatchExecutionPlanner.java:59)
+@dataclass(frozen=True)
+class MatchFilter:
+    """One ``{type: X, as: a, where: (...), optional: true}`` block."""
+
+    type_name: Optional[str] = None
+    alias: Optional[str] = None
+    where: Optional[Expr] = None
+    optional: bool = False
+    while_: Optional[Expr] = None
+    maxdepth: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class MatchStep:
+    """One traversal method in a path: ``.out('E'){...}`` etc."""
+
+    method: str  # out | in | both | outE | inE | bothE | outV | inV | bothV
+    edge_types: tuple[str, ...] = ()
+    filter: MatchFilter = field(default_factory=MatchFilter)
+
+
+@dataclass(frozen=True)
+class MatchPath:
+    root: MatchFilter
+    steps: tuple[MatchStep, ...] = ()
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class MatchStmt:
+    paths: tuple[MatchPath, ...]
+    returns: tuple[ProjItem, ...] = ()
+    distinct: bool = False
+    group_by: tuple[Expr, ...] = ()
+    order_by: tuple[OrderItem, ...] = ()
+    skip: Optional[Expr] = None
+    limit: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class TraverseStmt:
+    projections: tuple[Expr, ...] = ()  # traversal functions: out('E'), ...
+    target: Target = None
+    max_depth: Optional[int] = None
+    while_: Optional[Expr] = None
+    limit: Optional[Expr] = None
+    strategy: str = "BREADTH_FIRST"
+
+
+Statement = Union[SelectStmt, MatchStmt, TraverseStmt]

@@ -1,0 +1,449 @@
+"""SQL function registry: ArcadeDB function name → pyspark Column builder.
+
+Reference surface: 149 registrations in
+engine/src/main/java/com/arcadedb/function/sql/DefaultSQLFunctionFactory.java
+(+ function/sql/** implementations).  Design rule (SURVEY.md §M2): map to
+JVM-side built-ins first — Python UDFs only where Spark has no equivalent,
+so the hot path stays inside whole-stage codegen at 100 TB.
+
+Aggregates are listed separately: the translator must know which calls
+force a groupBy (the reference splits projections the same way in
+query/sql/executor/SelectExecutionPlanner.java:921).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# name (lowercase) → aggregate builder(args, distinct) -> Column
+AGGREGATES: dict[str, Callable[..., Column]] = {}
+# name (lowercase) → scalar builder(args) -> Column
+SCALARS: dict[str, Callable[..., Column]] = {}
+
+
+def agg(name: str):
+    def deco(fn):
+        AGGREGATES[name.lower()] = fn
+        return fn
+
+    return deco
+
+
+def scalar(name: str, *aliases: str):
+    def deco(fn):
+        SCALARS[name.lower()] = fn
+        for a in aliases:
+            SCALARS[a.lower()] = fn
+        return fn
+
+    return deco
+
+
+def is_aggregate(name: str) -> bool:
+    return name.lower() in AGGREGATES
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (function/sql/math/SQLFunction{Count,Min,Max,Sum,Average,...}.java,
+# function/sql/coll/SQLFunction{List,Set,Map,...}.java)
+# ---------------------------------------------------------------------------
+
+
+@agg("count")
+def _count(args, distinct=False):
+    if not args:  # count(*) parses to zero args or Star
+        return F.count(F.lit(1))
+    if distinct:
+        return F.countDistinct(*args)
+    return F.count(args[0])
+
+
+@agg("min")
+def _min(args, distinct=False):
+    return F.least(*args) if len(args) > 1 else F.min(args[0])
+
+
+@agg("max")
+def _max(args, distinct=False):
+    return F.greatest(*args) if len(args) > 1 else F.max(args[0])
+
+
+@agg("sum")
+def _sum(args, distinct=False):
+    return F.sum_distinct(args[0]) if distinct else F.sum(args[0])
+
+
+@agg("avg")
+def _avg(args, distinct=False):
+    return F.avg(args[0])
+
+
+@agg("median")
+def _median(args, distinct=False):
+    return F.median(args[0])
+
+
+@agg("percentile")
+def _percentile(args, distinct=False):
+    # percentile(field, q [, q2…]) — exact, matches SQLFunctionPercentile
+    if len(args) == 2:
+        return F.percentile(args[0], args[1])
+    return F.percentile(args[0], F.array(*args[1:]))
+
+
+@agg("mode")
+def _mode(args, distinct=False):
+    return F.mode(args[0])
+
+
+@agg("stddev")
+def _stddev(args, distinct=False):
+    return F.stddev_samp(args[0])
+
+
+@agg("stddevpop")
+def _stddevpop(args, distinct=False):
+    return F.stddev_pop(args[0])
+
+
+@agg("variance")
+def _variance(args, distinct=False):
+    return F.var_samp(args[0])
+
+
+@agg("variancepop")
+def _variancepop(args, distinct=False):
+    return F.var_pop(args[0])
+
+
+@agg("first")
+def _first(args, distinct=False):
+    return F.first(args[0], ignorenulls=False)
+
+
+@agg("last")
+def _last(args, distinct=False):
+    return F.last(args[0], ignorenulls=False)
+
+
+@agg("list")
+def _list(args, distinct=False):
+    return F.collect_list(args[0])
+
+
+@agg("set")
+def _set(args, distinct=False):
+    return F.collect_set(args[0])
+
+
+@agg("unionall")
+def _unionall(args, distinct=False):
+    # unionall(collectionField) over a group = flatten of all collections
+    return F.flatten(F.collect_list(args[0]))
+
+
+@agg("bool_and")
+def _bool_and(args, distinct=False):
+    return F.bool_and(args[0])
+
+
+@agg("bool_or")
+def _bool_or(args, distinct=False):
+    return F.bool_or(args[0])
+
+
+@agg("approx_count_distinct")
+def _approx_cd(args, distinct=False):
+    return F.approx_count_distinct(args[0])
+
+
+# ---------------------------------------------------------------------------
+# Scalar: misc (function/sql/misc/*.java)
+# ---------------------------------------------------------------------------
+
+
+@scalar("coalesce")
+def _coalesce(args):
+    return F.coalesce(*args)
+
+
+@scalar("if")
+def _if(args):
+    out = F.when(args[0], args[1])
+    return out.otherwise(args[2]) if len(args) > 2 else out
+
+
+@scalar("ifnull")
+def _ifnull(args):
+    return F.coalesce(args[0], args[1])
+
+
+@scalar("ifempty")
+def _ifempty(args):
+    return F.when(
+        args[0].isNull() | (F.length(args[0].cast("string")) == 0), args[1]
+    ).otherwise(args[0])
+
+
+@scalar("uuid")
+def _uuid(args):
+    return F.expr("uuid()")
+
+
+@scalar("md5")
+def _md5(args):
+    return F.md5(args[0].cast("binary"))
+
+
+@scalar("sha1")
+def _sha1(args):
+    return F.sha1(args[0].cast("binary"))
+
+
+@scalar("sha256")
+def _sha256(args):
+    return F.sha2(args[0].cast("binary"), 256)
+
+
+@scalar("encode")
+def _encode(args):
+    return F.base64(args[0].cast("binary"))
+
+
+@scalar("decode")
+def _decode(args):
+    return F.unbase64(args[0])
+
+
+# ---------------------------------------------------------------------------
+# Scalar: math (function/sql/math/*.java, function/math/*.java)
+# ---------------------------------------------------------------------------
+
+for _name, _fn in {
+    "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "log": F.log10, "ln": F.log,
+    "floor": F.floor, "ceil": F.ceil, "sign": F.signum, "sin": F.sin,
+    "cos": F.cos, "tan": F.tan, "asin": F.asin, "acos": F.acos,
+    "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "degrees": F.degrees, "radians": F.radians, "isnan": F.isnan,
+}.items():
+    SCALARS[_name] = (lambda f: lambda args: f(args[0]))(_fn)
+
+
+@scalar("pow")
+def _pow(args):
+    return F.pow(args[0], args[1])
+
+
+@scalar("atan2")
+def _atan2(args):
+    return F.atan2(args[0], args[1])
+
+
+@scalar("round")
+def _round(args):
+    return F.round(args[0], 0 if len(args) < 2 else _as_py_int(args[1]))
+
+
+def _as_py_int(col_or_lit):
+    # round() scale must be a python int in pyspark; literals arrive as
+    # Columns — recover the value via the litreg side channel.
+    from arcadedb_spark.sql.litreg import value_of
+
+    v = value_of(col_or_lit)
+    if v is None:
+        raise ValueError("argument must be a literal integer")
+    return int(v)
+
+
+@scalar("rand")
+def _rand(args):
+    return F.rand()
+
+
+@scalar("pi")
+def _pi(args):
+    return F.lit(3.141592653589793)
+
+
+@scalar("sigmoid")
+def _sigmoid(args):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-args[0]))
+
+
+# ---------------------------------------------------------------------------
+# Scalar: strings (function/sql/text/*.java, function/text/*.java)
+# ---------------------------------------------------------------------------
+
+
+@scalar("concat")
+def _concat(args):
+    return F.concat(*[a.cast("string") for a in args])
+
+
+@scalar("format")
+def _format(args):
+    # format('%s - %d', a, b) — printf-style (SQLFunctionFormat)
+    return F.format_string(_lit_str(args[0]), *args[1:])
+
+
+def _lit_str(col) -> str:
+    from arcadedb_spark.sql.litreg import value_of
+
+    v = value_of(col)
+    if v is None:
+        raise ValueError("argument must be a literal string")
+    return str(v)
+
+
+@scalar("strcmpci")
+def _strcmpci(args):
+    return F.when(F.lower(args[0]) == F.lower(args[1]), 0).otherwise(
+        F.when(F.lower(args[0]) < F.lower(args[1]), -1).otherwise(1)
+    )
+
+
+@scalar("levenshtein")
+def _levenshtein(args):
+    return F.levenshtein(args[0], args[1])
+
+
+@scalar("length")
+def _length(args):
+    return F.length(args[0])
+
+
+# ---------------------------------------------------------------------------
+# Scalar: date/time (function/sql/time/*.java, function/date/*.java)
+# ---------------------------------------------------------------------------
+
+
+@scalar("sysdate")
+def _sysdate(args):
+    return F.current_timestamp()
+
+
+@scalar("date")
+def _date(args):
+    if not args:
+        return F.current_date()
+    if len(args) == 1:
+        return F.to_timestamp(args[0])
+    return F.to_timestamp(args[0], _lit_str(args[1]))
+
+
+@scalar("date_format")
+def _date_format(args):
+    return F.date_format(args[0], _lit_str(args[1]))
+
+
+@scalar("year")
+def _year(args):
+    return F.year(args[0])
+
+
+@scalar("month")
+def _month(args):
+    return F.month(args[0])
+
+
+@scalar("day")
+def _day(args):
+    return F.dayofmonth(args[0])
+
+
+@scalar("hour")
+def _hour(args):
+    return F.hour(args[0])
+
+
+@scalar("minute")
+def _minute(args):
+    return F.minute(args[0])
+
+
+@scalar("second")
+def _second(args):
+    return F.second(args[0])
+
+
+@scalar("date_trunc")
+def _date_trunc(args):
+    # date_trunc('month', ts)
+    return F.date_trunc(_lit_str(args[0]), args[1])
+
+
+# ---------------------------------------------------------------------------
+# Scalar: collections (function/coll/*.java)
+# ---------------------------------------------------------------------------
+
+
+@scalar("flatten")
+def _flatten(args):
+    return F.flatten(args[0])
+
+
+@scalar("sort")
+def _sort(args):
+    return F.sort_array(args[0])
+
+
+@scalar("range")
+def _range(args):
+    return F.sequence(args[0], args[1], *args[2:3])
+
+
+@scalar("size")
+def _size(args):
+    return F.size(args[0])
+
+
+@scalar("intersect")
+def _intersect(args):
+    return F.array_intersect(args[0], args[1])
+
+
+@scalar("difference")
+def _difference(args):
+    return F.array_except(args[0], args[1])
+
+
+@scalar("symmetricdifference")
+def _symdiff(args):
+    return F.array_union(
+        F.array_except(args[0], args[1]), F.array_except(args[1], args[0])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar: maps (function/map/*.java)
+# ---------------------------------------------------------------------------
+
+
+@scalar("keys")
+def _keys(args):
+    return F.map_keys(args[0])
+
+
+@scalar("values")
+def _values(args):
+    return F.map_values(args[0])
+
+
+# ---------------------------------------------------------------------------
+# Namespaced: ts.* time-series functions (function/sql/time/SQLFunction*.java)
+# Scalar members only — windowed members (lag/lead/rank/…) are handled by
+# the translator because they need a Window spec (see translator._TS_WINDOW).
+# ---------------------------------------------------------------------------
+
+
+@scalar("ts.timebucket")
+def _ts_timebucket(args):
+    # ts.timeBucket(ts, interval_ms) → bucket start timestamp
+    # (function/sql/time/SQLFunctionTimeBucket.java:40)
+    interval_ms = args[1] if len(args) > 1 else F.lit(60000)
+    epoch_ms = F.unix_millis(args[0])
+    bucket = (epoch_ms / interval_ms).cast("long") * interval_ms.cast("long")
+    return F.timestamp_millis(bucket)

@@ -1,0 +1,761 @@
+"""Recursive-descent parser for the ArcadeDB-SQL dialect.
+
+Grammar parity target:
+engine/src/main/antlr4/com/arcadedb/query/sql/grammar/SQLParser.g4
+(selectStatement :202, matchStatement :236, traverseStatement :222,
+whereClause/conditionBlock :1226, mathExpression :1370).
+
+The reference parses with ANTLR into per-production Java classes; we use a
+hand-written Pratt-style parser (no ANTLR runtime in this environment) that
+produces the compact AST of :mod:`arcadedb_spark.sql.ast`.  Boolean
+conditions sit inside the ordinary precedence ladder (OR < AND < NOT <
+comparison < ``||`` < ``??`` < additive < multiplicative < unary <
+postfix), which mirrors the grammar's orBlock/andBlock/conditionBlock
+nesting.
+"""
+
+from __future__ import annotations
+
+from arcadedb_spark.sql import ast
+from arcadedb_spark.sql.lexer import Token, tokenize
+
+_CMP_OPS = {"=", "==", "!=", "<>", "<", "<=", ">", ">=", "<=>"}
+_TRAVERSE_METHODS = {
+    "out", "in", "both", "oute", "ine", "bothe", "outv", "inv", "bothv",
+}
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, text: str) -> None:
+        self.text = text
+        self.tokens = tokenize(text)
+        self.i = 0
+        self._positional = 0
+
+    # -- token helpers ----------------------------------------------------
+    @property
+    def cur(self) -> Token:
+        return self.tokens[self.i]
+
+    def peek(self, offset: int = 1) -> Token:
+        j = min(self.i + offset, len(self.tokens) - 1)
+        return self.tokens[j]
+
+    def advance(self) -> Token:
+        tok = self.tokens[self.i]
+        if tok.kind != "EOF":
+            self.i += 1
+        return tok
+
+    def at_kw(self, *kws: str) -> bool:
+        return self.cur.kind == "KEYWORD" and self.cur.value in kws
+
+    def eat_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.advance()
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.eat_kw(kw):
+            raise ParseError(f"Expected {kw} at {self.cur!r} (pos {self.cur.pos})")
+
+    def at_op(self, *ops: str) -> bool:
+        return self.cur.kind == "OP" and self.cur.value in ops
+
+    def eat_op(self, *ops: str) -> bool:
+        if self.at_op(*ops):
+            self.advance()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.eat_op(op):
+            raise ParseError(f"Expected '{op}' at {self.cur!r} (pos {self.cur.pos})")
+
+    def ident(self) -> str:
+        tok = self.cur
+        if tok.kind == "IDENT":
+            self.advance()
+            return tok.value
+        # Soft keywords usable as identifiers in name positions.
+        if tok.kind == "KEYWORD":
+            self.advance()
+            return tok.value.lower()
+        raise ParseError(f"Expected identifier at {tok!r} (pos {tok.pos})")
+
+    # -- statements -------------------------------------------------------
+    def parse_statement(self) -> ast.Statement:
+        if self.at_kw("SELECT"):
+            return self.parse_select()
+        if self.at_kw("MATCH"):
+            return self.parse_match()
+        if self.at_kw("TRAVERSE"):
+            return self.parse_traverse()
+        raise ParseError(f"Unsupported statement start: {self.cur!r}")
+
+    # SELECT --------------------------------------------------------------
+    def parse_select(self) -> ast.SelectStmt:
+        self.expect_kw("SELECT")
+        distinct = self.eat_kw("DISTINCT")
+        projections: list[ast.ProjItem] = []
+        if not self.at_kw("FROM") and self.cur.kind != "EOF" and not self.at_op(")"):
+            projections = self.parse_projection_list()
+        # OrientDB-legacy `SELECT distinct(x)` means row-level DISTINCT.
+        if (
+            len(projections) == 1
+            and isinstance(projections[0].expr, ast.FuncCall)
+            and projections[0].expr.name.lower() == "distinct"
+            and len(projections[0].expr.args) == 1
+        ):
+            distinct = True
+            projections = [
+                ast.ProjItem(projections[0].expr.args[0], projections[0].alias)
+            ]
+
+        target: ast.Target = None
+        if self.eat_kw("FROM"):
+            target = self.parse_target()
+
+        lets: list[ast.LetItem] = []
+        if self.eat_kw("LET"):
+            lets.append(self.parse_let_item())
+            while self.eat_op(","):
+                lets.append(self.parse_let_item())
+
+        where = None
+        if self.eat_kw("WHERE"):
+            where = self.parse_expr()
+
+        group_by: list[ast.Expr] = []
+        order_by: list[ast.OrderItem] = []
+        unwind: list[ast.UnwindItem] = []
+        skip = None
+        limit = None
+        while True:
+            if self.at_kw("GROUP"):
+                self.advance()
+                self.expect_kw("BY")
+                group_by.append(self.parse_expr())
+                while self.eat_op(","):
+                    group_by.append(self.parse_expr())
+            elif self.at_kw("ORDER"):
+                self.advance()
+                self.expect_kw("BY")
+                order_by.append(self.parse_order_item())
+                while self.eat_op(","):
+                    order_by.append(self.parse_order_item())
+            elif self.at_kw("UNWIND"):
+                self.advance()
+                unwind.append(self.parse_unwind_item())
+                while self.eat_op(","):
+                    unwind.append(self.parse_unwind_item())
+            elif self.at_kw("SKIP", "OFFSET"):
+                self.advance()
+                skip = self.parse_expr()
+            elif self.at_kw("LIMIT"):
+                self.advance()
+                limit = self.parse_expr()
+            elif self.at_kw("TIMEOUT"):
+                self.advance()
+                self.parse_expr()  # accepted, ignored (no-op on Spark)
+            elif self.at_kw("PARALLEL"):
+                self.advance()  # Spark is always parallel
+            else:
+                break
+
+        return ast.SelectStmt(
+            projections=tuple(projections),
+            distinct=distinct,
+            target=target,
+            lets=tuple(lets),
+            where=where,
+            group_by=tuple(group_by),
+            order_by=tuple(order_by),
+            unwind=tuple(unwind),
+            skip=skip,
+            limit=limit,
+        )
+
+    def parse_projection_list(self) -> list[ast.ProjItem]:
+        items = [self.parse_projection_item()]
+        while self.eat_op(","):
+            items.append(self.parse_projection_item())
+        return items
+
+    def parse_projection_item(self) -> ast.ProjItem:
+        if self.at_op("*"):
+            self.advance()
+            return ast.ProjItem(ast.Star())
+        expr = self.parse_expr()
+        alias = None
+        if self.eat_kw("AS"):
+            alias = self.ident()
+        elif self.cur.kind == "IDENT":
+            alias = self.ident()
+        return ast.ProjItem(expr, alias)
+
+    def parse_target(self) -> ast.Target:
+        tok = self.cur
+        if tok.kind == "RID":
+            rids = [self._rid_value(self.advance().value)]
+            while self.eat_op(","):
+                rids.append(self._rid_value(self.advance().value))
+            return ast.RidTarget(tuple(rids))
+        if self.at_op("["):
+            self.advance()
+            rids = []
+            while not self.at_op("]"):
+                rids.append(self._rid_value(self.advance().value))
+                self.eat_op(",")
+            self.expect_op("]")
+            return ast.RidTarget(tuple(rids))
+        if self.at_op("("):
+            self.advance()
+            stmt = self.parse_statement()
+            self.expect_op(")")
+            alias = None
+            if self.eat_kw("AS"):
+                alias = self.ident()
+            elif self.cur.kind == "IDENT":
+                alias = self.ident()
+            return ast.SubqueryTarget(stmt, alias)
+        if tok.kind == "IDENT" and self.peek().kind == "PARAM":
+            # `bucket:name` / `schema:types` / `index:name` lex as
+            # IDENT PARAM — recombine (grammar tokens BUCKET_IDENTIFIER etc.)
+            prefix = self.advance().value.lower()
+            name = self.advance().value
+            if prefix == "bucket":
+                return ast.BucketTarget(name)
+            if prefix == "schema":
+                return ast.SchemaTarget(name)
+            raise ParseError(f"Unsupported FROM prefix '{prefix}:'")
+        name = self.ident()
+        if self.eat_kw("AS"):
+            self.ident()
+        return ast.TypeTarget(name)
+
+    @staticmethod
+    def _rid_value(raw: str) -> ast.RidLit:
+        body = raw.lstrip("#")
+        bucket, pos = body.split(":")
+        return ast.RidLit(int(bucket), int(pos))
+
+    def parse_let_item(self) -> ast.LetItem:
+        if self.cur.kind == "VAR":
+            name = self.advance().value
+        else:
+            name = self.ident()
+        self.expect_op("=")
+        if self.at_op("(") and self.peek().kind == "KEYWORD" and self.peek().value in (
+            "SELECT", "MATCH", "TRAVERSE",
+        ):
+            self.advance()
+            stmt = self.parse_statement()
+            self.expect_op(")")
+            return ast.LetItem(name, subquery=stmt)
+        return ast.LetItem(name, expr=self.parse_expr())
+
+    def parse_order_item(self) -> ast.OrderItem:
+        expr = self.parse_expr()
+        asc = True
+        if self.eat_kw("DESC"):
+            asc = False
+        else:
+            self.eat_kw("ASC")
+        return ast.OrderItem(expr, asc)
+
+    def parse_unwind_item(self) -> ast.UnwindItem:
+        expr = self.parse_expr()
+        alias = None
+        if self.eat_kw("AS"):
+            alias = self.ident()
+        elif self.cur.kind == "IDENT":
+            alias = self.ident()
+        return ast.UnwindItem(expr, alias)
+
+    # MATCH ---------------------------------------------------------------
+    def parse_match(self) -> ast.MatchStmt:
+        self.expect_kw("MATCH")
+        paths = [self.parse_match_path(False)]
+        while self.eat_op(","):
+            negated = self.eat_kw("NOT")
+            paths.append(self.parse_match_path(negated))
+        self.expect_kw("RETURN")
+        distinct = self.eat_kw("DISTINCT")
+        returns = self.parse_projection_list()
+        group_by: list[ast.Expr] = []
+        order_by: list[ast.OrderItem] = []
+        skip = None
+        limit = None
+        while True:
+            if self.at_kw("GROUP"):
+                self.advance()
+                self.expect_kw("BY")
+                group_by.append(self.parse_expr())
+                while self.eat_op(","):
+                    group_by.append(self.parse_expr())
+            elif self.at_kw("ORDER"):
+                self.advance()
+                self.expect_kw("BY")
+                order_by.append(self.parse_order_item())
+                while self.eat_op(","):
+                    order_by.append(self.parse_order_item())
+            elif self.at_kw("SKIP", "OFFSET"):
+                self.advance()
+                skip = self.parse_expr()
+            elif self.at_kw("LIMIT"):
+                self.advance()
+                limit = self.parse_expr()
+            else:
+                break
+        return ast.MatchStmt(
+            paths=tuple(paths),
+            returns=tuple(returns),
+            distinct=distinct,
+            group_by=tuple(group_by),
+            order_by=tuple(order_by),
+            skip=skip,
+            limit=limit,
+        )
+
+    def parse_match_path(self, negated: bool) -> ast.MatchPath:
+        root = self.parse_match_filter()
+        steps: list[ast.MatchStep] = []
+        while self.at_op("."):
+            self.advance()
+            method = self.ident()
+            if method.lower() not in _TRAVERSE_METHODS:
+                raise ParseError(f"Unsupported MATCH method '{method}'")
+            edge_types: list[str] = []
+            self.expect_op("(")
+            while not self.at_op(")"):
+                tok = self.advance()
+                if tok.kind in ("STRING", "IDENT"):
+                    edge_types.append(tok.value)
+                self.eat_op(",")
+            self.expect_op(")")
+            filt = ast.MatchFilter()
+            if self.at_op("{"):
+                filt = self.parse_match_filter()
+            steps.append(
+                ast.MatchStep(
+                    method=method.lower(), edge_types=tuple(edge_types), filter=filt
+                )
+            )
+        return ast.MatchPath(root=root, steps=tuple(steps), negated=negated)
+
+    def parse_match_filter(self) -> ast.MatchFilter:
+        self.expect_op("{")
+        type_name = None
+        alias = None
+        where = None
+        optional = False
+        while_ = None
+        maxdepth = None
+        while not self.at_op("}"):
+            # Keys lex as IDENT or PARAM (`as: x` → IDENT(as)… but `as`
+            # is a KEYWORD; `where: (...)` → KEYWORD(WHERE) then PARAM-like).
+            tok = self.cur
+            if tok.kind == "KEYWORD":
+                key = self.advance().value.lower()
+            elif tok.kind == "IDENT":
+                key = self.advance().value.lower()
+            else:
+                raise ParseError(f"Bad match filter key {tok!r}")
+            self.expect_op(":")
+            if key == "type":
+                if self.cur.kind in ("IDENT", "STRING"):
+                    type_name = self.advance().value
+                else:
+                    raise ParseError(f"Bad type value {self.cur!r}")
+            elif key == "as":
+                alias = self.ident()
+            elif key == "where":
+                self.expect_op("(")
+                where = self.parse_expr()
+                self.expect_op(")")
+            elif key == "while":
+                self.expect_op("(")
+                while_ = self.parse_expr()
+                self.expect_op(")")
+            elif key == "optional":
+                optional = self.advance().value.upper() == "TRUE"
+            elif key == "maxdepth":
+                maxdepth = int(self.advance().value)
+            else:
+                raise ParseError(f"Unsupported match filter key '{key}'")
+            self.eat_op(",")
+        self.expect_op("}")
+        return ast.MatchFilter(
+            type_name=type_name,
+            alias=alias,
+            where=where,
+            optional=optional,
+            while_=while_,
+            maxdepth=maxdepth,
+        )
+
+    # TRAVERSE ------------------------------------------------------------
+    def parse_traverse(self) -> ast.TraverseStmt:
+        self.expect_kw("TRAVERSE")
+        projections: list[ast.Expr] = []
+        if not self.at_kw("FROM"):
+            if self.at_op("*"):
+                self.advance()
+                projections.append(ast.Star())
+            else:
+                projections.append(self.parse_expr())
+            while self.eat_op(","):
+                projections.append(self.parse_expr())
+        self.expect_kw("FROM")
+        target = self.parse_target()
+        max_depth = None
+        while_ = None
+        limit = None
+        strategy = "BREADTH_FIRST"
+        while True:
+            if self.at_kw("MAXDEPTH"):
+                self.advance()
+                max_depth = int(self.advance().value)
+            elif self.at_kw("WHILE"):
+                self.advance()
+                while_ = self.parse_expr()
+            elif self.at_kw("LIMIT"):
+                self.advance()
+                limit = self.parse_expr()
+            elif self.at_kw("STRATEGY"):
+                self.advance()
+                strategy = self.advance().value.upper()
+            else:
+                break
+        return ast.TraverseStmt(
+            projections=tuple(projections),
+            target=target,
+            max_depth=max_depth,
+            while_=while_,
+            limit=limit,
+            strategy=strategy,
+        )
+
+    # -- expressions ------------------------------------------------------
+    def parse_expr(self) -> ast.Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> ast.Expr:
+        left = self.parse_and()
+        while self.at_kw("OR"):
+            self.advance()
+            left = ast.Bin("OR", left, self.parse_and())
+        return left
+
+    def parse_and(self) -> ast.Expr:
+        left = self.parse_not()
+        while self.at_kw("AND"):
+            self.advance()
+            left = ast.Bin("AND", left, self.parse_not())
+        return left
+
+    def parse_not(self) -> ast.Expr:
+        if self.at_kw("NOT"):
+            self.advance()
+            return ast.Unary("NOT", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> ast.Expr:
+        left = self.parse_concat()
+        if self.cur.kind == "OP" and self.cur.value in _CMP_OPS:
+            op = self.advance().value
+            right = self.parse_concat()
+            if op == "==":
+                op = "="
+            if op == "<>":
+                op = "!="
+            return ast.Bin(op, left, right)
+        if self.at_kw("IS"):
+            self.advance()
+            negated = self.eat_kw("NOT")
+            if self.eat_kw("NULL"):
+                return ast.IsNull(left, negated)
+            if self.eat_kw("DEFINED"):
+                return ast.IsDefined(left, negated)
+            raise ParseError(f"Expected NULL or DEFINED after IS at {self.cur!r}")
+        negated = False
+        if self.at_kw("NOT") and self.peek().kind == "KEYWORD" and self.peek().value in (
+            "IN", "BETWEEN", "LIKE", "ILIKE",
+        ):
+            self.advance()
+            negated = True
+        if self.at_kw("IN"):
+            self.advance()
+            return self._parse_in(left, negated)
+        if self.at_kw("BETWEEN"):
+            self.advance()
+            low = self.parse_concat()
+            self.expect_kw("AND")
+            high = self.parse_concat()
+            return ast.Between(left, low, high, negated)
+        if self.at_kw("LIKE"):
+            self.advance()
+            return ast.Like(left, self.parse_concat(), False, negated)
+        if self.at_kw("ILIKE"):
+            self.advance()
+            return ast.Like(left, self.parse_concat(), True, negated)
+        if self.at_kw("MATCHES"):
+            self.advance()
+            return ast.Matches(left, self.parse_concat())
+        if self.at_kw("INSTANCEOF"):
+            self.advance()
+            tok = self.advance()
+            return ast.InstanceOf(left, tok.value)
+        for kw, mode in (
+            ("CONTAINSALL", "all"),
+            ("CONTAINSANY", "any"),
+            ("CONTAINSKEY", "key"),
+            ("CONTAINSVALUE", "value"),
+            ("CONTAINSTEXT", "text"),
+            ("CONTAINS", "contains"),
+        ):
+            if self.at_kw(kw):
+                self.advance()
+                return ast.Contains(left, self.parse_concat(), mode)
+        return left
+
+    def _parse_in(self, left: ast.Expr, negated: bool) -> ast.Expr:
+        if self.at_op("("):
+            if self.peek().kind == "KEYWORD" and self.peek().value in (
+                "SELECT", "MATCH", "TRAVERSE",
+            ):
+                self.advance()
+                stmt = self.parse_statement()
+                self.expect_op(")")
+                return ast.In(left, subquery=stmt, negated=negated)
+            self.advance()
+            items = []
+            if not self.at_op(")"):
+                items.append(self.parse_expr())
+                while self.eat_op(","):
+                    items.append(self.parse_expr())
+            self.expect_op(")")
+            return ast.In(left, items=tuple(items), negated=negated)
+        if self.at_op("["):
+            arr = self.parse_primary()
+            assert isinstance(arr, ast.ArrayLit)
+            return ast.In(left, items=arr.items, negated=negated)
+        return ast.In(left, collection=self.parse_concat(), negated=negated)
+
+    def parse_concat(self) -> ast.Expr:
+        left = self.parse_coalesce()
+        while self.at_op("||"):
+            self.advance()
+            left = ast.Bin("||", left, self.parse_coalesce())
+        return left
+
+    def parse_coalesce(self) -> ast.Expr:
+        left = self.parse_additive()
+        while self.at_op("??"):
+            self.advance()
+            left = ast.Bin("??", left, self.parse_additive())
+        return left
+
+    def parse_additive(self) -> ast.Expr:
+        left = self.parse_multiplicative()
+        while self.at_op("+", "-"):
+            op = self.advance().value
+            left = ast.Bin(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self) -> ast.Expr:
+        left = self.parse_unary()
+        while self.at_op("*", "/", "%"):
+            op = self.advance().value
+            left = ast.Bin(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self) -> ast.Expr:
+        if self.at_op("-", "+"):
+            op = self.advance().value
+            return ast.Unary(op, self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> ast.Expr:
+        expr = self.parse_primary()
+        while True:
+            if self.at_op("."):
+                self.advance()
+                name = self.ident()
+                if self.at_op("("):
+                    self.advance()
+                    args = []
+                    if not self.at_op(")"):
+                        args.append(self.parse_expr())
+                        while self.eat_op(","):
+                            args.append(self.parse_expr())
+                    self.expect_op(")")
+                    expr = ast.Method(expr, name, tuple(args))
+                elif isinstance(expr, ast.Chain):
+                    expr = ast.Chain(expr.parts + (name,))
+                else:
+                    expr = ast.Index(expr, ast.Lit(name))
+            elif self.at_op("["):
+                self.advance()
+                if self.at_op(".."):  # [..n] open slice
+                    self.advance()
+                    high = self.parse_expr()
+                    self.expect_op("]")
+                    expr = ast.Slice(expr, None, high)
+                    continue
+                first = self.parse_expr()
+                if self.at_op("..", "..."):
+                    self.advance()
+                    high = None
+                    if not self.at_op("]"):
+                        high = self.parse_expr()
+                    self.expect_op("]")
+                    expr = ast.Slice(expr, first, high)
+                else:
+                    self.expect_op("]")
+                    expr = ast.Index(expr, first)
+            else:
+                break
+        return expr
+
+    def parse_primary(self) -> ast.Expr:
+        tok = self.cur
+        if tok.kind == "INT":
+            self.advance()
+            return ast.Lit(int(tok.value))
+        if tok.kind == "FLOAT":
+            self.advance()
+            return ast.Lit(float(tok.value))
+        if tok.kind == "STRING":
+            self.advance()
+            return ast.Lit(tok.value)
+        if tok.kind == "RID":
+            self.advance()
+            return self._rid_literal(tok.value)
+        if tok.kind == "PARAM":
+            self.advance()
+            return ast.Param(tok.value)
+        if tok.kind == "VAR":
+            self.advance()
+            return ast.Var(tok.value)
+        if tok.kind == "KEYWORD":
+            if tok.value == "NULL":
+                self.advance()
+                return ast.Lit(None)
+            if tok.value == "TRUE":
+                self.advance()
+                return ast.Lit(True)
+            if tok.value == "FALSE":
+                self.advance()
+                return ast.Lit(False)
+            if tok.value == "CASE":
+                return self.parse_case()
+            if tok.value == "NOT":
+                self.advance()
+                return ast.Unary("NOT", self.parse_not())
+            # Soft keywords as identifiers/functions (e.g. `in()` traversal)
+            if self.peek().kind == "OP" and self.peek().value == "(":
+                return self._parse_func_call()
+            self.advance()
+            return ast.Chain((tok.value.lower(),))
+        if tok.kind == "IDENT":
+            if self.peek().kind == "OP" and self.peek().value == "(":
+                return self._parse_func_call()
+            self.advance()
+            return ast.Chain((tok.value,))
+        if tok.kind == "OP":
+            if tok.value == "(":
+                self.advance()
+                if self.cur.kind == "KEYWORD" and self.cur.value in (
+                    "SELECT", "MATCH", "TRAVERSE",
+                ):
+                    stmt = self.parse_statement()
+                    self.expect_op(")")
+                    return ast.Subquery(stmt)
+                inner = self.parse_expr()
+                self.expect_op(")")
+                return inner
+            if tok.value == "[":
+                self.advance()
+                items = []
+                if not self.at_op("]"):
+                    items.append(self.parse_expr())
+                    while self.eat_op(","):
+                        items.append(self.parse_expr())
+                self.expect_op("]")
+                return ast.ArrayLit(tuple(items))
+            if tok.value == "{":
+                self.advance()
+                entries = []
+                if not self.at_op("}"):
+                    entries.append(self._parse_map_entry())
+                    while self.eat_op(","):
+                        entries.append(self._parse_map_entry())
+                self.expect_op("}")
+                return ast.MapLit(tuple(entries))
+            if tok.value == "*":
+                self.advance()
+                return ast.Star()
+            if tok.value == "?":
+                self.advance()
+                name = str(self._positional)
+                self._positional += 1
+                return ast.Param(name)
+        raise ParseError(f"Unexpected token {tok!r} (pos {tok.pos})")
+
+    def parse_case(self) -> ast.Expr:
+        self.expect_kw("CASE")
+        operand = None
+        if not self.at_kw("WHEN"):
+            operand = self.parse_expr()
+        whens: list[tuple[ast.Expr, ast.Expr]] = []
+        while self.eat_kw("WHEN"):
+            cond = self.parse_expr()
+            self.expect_kw("THEN")
+            whens.append((cond, self.parse_expr()))
+        else_ = None
+        if self.eat_kw("ELSE"):
+            else_ = self.parse_expr()
+        self.expect_kw("END")
+        return ast.Case(operand, tuple(whens), else_)
+
+    def _parse_map_entry(self) -> tuple[str, ast.Expr]:
+        tok = self.advance()
+        if tok.kind not in ("IDENT", "STRING", "KEYWORD"):
+            raise ParseError(f"Bad map key {tok!r}")
+        key = tok.value
+        self.expect_op(":")
+        return (key, self.parse_expr())
+
+    def _parse_func_call(self) -> ast.Expr:
+        name = self.ident()
+        self.expect_op("(")
+        distinct = self.eat_kw("DISTINCT")
+        args: list[ast.Expr] = []
+        if not self.at_op(")"):
+            args.append(self.parse_expr())
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+        self.expect_op(")")
+        return ast.FuncCall(name, tuple(args), distinct)
+
+    @staticmethod
+    def _rid_literal(raw: str) -> ast.RidLit:
+        body = raw.lstrip("#")
+        bucket, pos = body.split(":")
+        return ast.RidLit(int(bucket), int(pos))
+
+
+def parse(text: str) -> ast.Statement:
+    """Parse one ArcadeDB-SQL statement."""
+    p = Parser(text)
+    stmt = p.parse_statement()
+    if p.cur.kind != "EOF":
+        raise ParseError(f"Trailing input at {p.cur!r} (pos {p.cur.pos})")
+    return stmt

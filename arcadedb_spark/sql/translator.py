@@ -1,0 +1,791 @@
+"""AST → DataFrame translator.
+
+This is the Spark replacement for the reference's planner + step executor
+(query/sql/executor/SelectExecutionPlanner.java:217 builds a chain of
+pull-based ExecutionSteps; we emit one declarative DataFrame program and
+let Catalyst plan it).  Mapping per SURVEY.md §2/§4:
+
+- scan           → parquet scan (predicate/column pushdown is Catalyst's)
+- FilterStep     → df.filter(Column)
+- Projection     → df.select(aliased Columns)
+- AggregateProjectionCalculationStep → df.groupBy().agg() (Tungsten spills;
+  the reference's maxGroupsAllowed heap cap is intentionally NOT replicated)
+- OrderByStep / Skip / Limit → orderBy / offset / limit
+  (LIMIT+ORDER BY becomes TakeOrderedAndProject automatically)
+- DistinctExecutionStep → df.distinct()
+- UnwindStep     → explode_outer
+- LET split (SelectExecutionPlanner.java:745) → global LETs evaluated once
+  (subquery → DataFrame, constant → literal), per-record LETs → withColumn
+- IN (subquery)  → left_semi / left_anti join
+- LINK dot-navigation → equi-join on the catalog's declared links
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arcadedb_spark.catalog import RID_COL, TYPE_COL
+from arcadedb_spark.sql import ast
+from arcadedb_spark.sql.functions import AGGREGATES, SCALARS, is_aggregate
+from arcadedb_spark.sql.litreg import register as _reg_lit
+from arcadedb_spark.sql.litreg import value_of
+from arcadedb_spark.sql.methods import METHODS
+
+
+class TranslateError(ValueError):
+    pass
+
+
+@dataclass
+class VarBinding:
+    kind: str  # 'col' | 'df' | 'value'
+    col: Optional[Column] = None
+    df: Optional[DataFrame] = None
+    value: Any = None
+
+
+@dataclass
+class Ctx:
+    """Compilation context for one statement."""
+
+    db: Any
+    params: dict[str, Any] = field(default_factory=dict)
+    vars: dict[str, VarBinding] = field(default_factory=dict)
+    colmap: dict[tuple[str, ...], str] = field(default_factory=dict)  # link path → qualified col
+    columns: tuple[str, ...] = ()
+    # aggregation state
+    agg_mode: bool = False
+    group_map: dict[ast.Expr, str] = field(default_factory=dict)
+    agg_cols: list[Column] = field(default_factory=list)
+    agg_names: dict[ast.Expr, str] = field(default_factory=dict)
+
+
+def _lit(v: Any) -> Column:
+    return _reg_lit(F.lit(v), v)
+
+
+# ---------------------------------------------------------------------------
+# Expression compiler
+# ---------------------------------------------------------------------------
+
+
+class ExprCompiler:
+    def __init__(self, ctx: Ctx) -> None:
+        self.ctx = ctx
+
+    def compile(self, e: ast.Expr) -> Column:
+        ctx = self.ctx
+        if ctx.agg_mode and e in ctx.group_map:
+            return F.col(ctx.group_map[e])
+        if ctx.agg_mode and e in ctx.agg_names:
+            return F.col(ctx.agg_names[e])
+        m = getattr(self, f"_c_{type(e).__name__.lower()}", None)
+        if m is None:
+            raise TranslateError(f"Cannot compile {type(e).__name__}")
+        return m(e)
+
+    # -- leaves -----------------------------------------------------------
+    def _c_lit(self, e: ast.Lit) -> Column:
+        return _lit(e.value)
+
+    def _c_star(self, e: ast.Star) -> Column:
+        return F.lit(1)  # only meaningful inside count(*)
+
+    def _c_param(self, e: ast.Param) -> Column:
+        if e.name not in self.ctx.params:
+            raise TranslateError(f"Missing query parameter :{e.name}")
+        return _lit(self.ctx.params[e.name])
+
+    def _c_var(self, e: ast.Var) -> Column:
+        b = self.ctx.vars.get(e.name)
+        if b is None:
+            raise TranslateError(f"Unknown variable ${e.name}")
+        if b.kind == "col":
+            return b.col
+        if b.kind == "value":
+            return _lit(b.value)
+        raise TranslateError(
+            f"Variable ${e.name} holds a result set; only IN / FROM usage is supported"
+        )
+
+    def _c_ridlit(self, e: ast.RidLit) -> Column:
+        return _lit(f"#{e.bucket}:{e.position}")
+
+    def _c_chain(self, e: ast.Chain) -> Column:
+        parts = e.parts
+        # longest link-path prefix resolved by the join planner
+        for k in range(len(parts), 1, -1):
+            prefix = tuple(p.lower() for p in parts[:k])
+            if prefix in self.ctx.colmap:
+                col = F.col(self.ctx.colmap[prefix])
+                for p in parts[k:]:
+                    col = col.getField(p)
+                return col
+        head = parts[0]
+        if head in ("$parent", "$current", "@this"):
+            raise TranslateError(f"Context variable {head} not supported here")
+        col = F.col(head)
+        for p in parts[1:]:
+            col = col.getField(p)
+        return col
+
+    # -- composites -------------------------------------------------------
+    def _c_bin(self, e: ast.Bin) -> Column:
+        op = e.op
+        le, ri = e.left, e.right
+        # null-literal comparisons follow SQL 3-valued logic naturally
+        l = self.compile(le)
+        r = self.compile(ri)
+        if op == "AND":
+            return l & r
+        if op == "OR":
+            return l | r
+        if op == "=":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "<=>":
+            return l.eqNullSafe(r)
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "??":
+            return F.coalesce(l, r)
+        if op == "||":
+            return F.concat(l, r)
+        raise TranslateError(f"Unknown operator {op}")
+
+    def _c_unary(self, e: ast.Unary) -> Column:
+        c = self.compile(e.operand)
+        if e.op == "-":
+            return -c
+        if e.op == "+":
+            return c
+        if e.op == "NOT":
+            return ~c
+        raise TranslateError(f"Unknown unary {e.op}")
+
+    def _c_in(self, e: ast.In) -> Column:
+        needle = self.compile(e.needle)
+        if e.items is not None:
+            vals = [self.compile(i) for i in e.items]
+            lit_vals = [value_of(v) for v in vals]
+            if all(v is not None for v in lit_vals):
+                cond = needle.isin(lit_vals)
+            else:
+                cond = F.lit(False)
+                for v in vals:
+                    cond = cond | (needle == v)
+            return ~cond if e.negated else cond
+        if e.collection is not None:
+            coll = e.collection
+            if isinstance(coll, ast.Var):
+                b = self.ctx.vars.get(coll.name)
+                if b is not None and b.kind == "df":
+                    vals = [row[0] for row in b.df.collect()]
+                    cond = needle.isin(vals)
+                    return ~cond if e.negated else cond
+            cond = F.array_contains(self.compile(coll), needle)
+            return ~cond if e.negated else cond
+        if e.subquery is not None:
+            # Reached only when nested under OR/NOT — the translator handles
+            # conjunct-level IN-subqueries as semi-joins.  Fallback:
+            # materialize the (small) subquery result driver-side.
+            from arcadedb_spark.sql.translator import Translator
+
+            sub = Translator(self.ctx.db, params=self.ctx.params).translate(e.subquery)
+            if len(sub.columns) != 1:
+                raise TranslateError("IN subquery must project exactly one column")
+            vals = [row[0] for row in sub.collect()]
+            cond = needle.isin(vals)
+            return ~cond if e.negated else cond
+        raise TranslateError("Malformed IN")
+
+    def _c_between(self, e: ast.Between) -> Column:
+        c = self.compile(e.operand).between(self.compile(e.low), self.compile(e.high))
+        return ~c if e.negated else c
+
+    def _c_like(self, e: ast.Like) -> Column:
+        operand = self.compile(e.operand)
+        pat = value_of(self.compile(e.pattern))
+        if pat is None:
+            raise TranslateError("LIKE pattern must be a literal")
+        c = operand.ilike(pat) if e.case_insensitive else operand.like(pat)
+        return ~c if e.negated else c
+
+    def _c_isnull(self, e: ast.IsNull) -> Column:
+        c = self.compile(e.operand)
+        return c.isNotNull() if e.negated else c.isNull()
+
+    def _c_isdefined(self, e: ast.IsDefined) -> Column:
+        # With a fixed schema, "defined" = the property exists in the schema
+        # (DocumentType declared or present in the DataFrame).
+        if isinstance(e.operand, ast.Chain):
+            defined = e.operand.parts[0] in self.ctx.columns
+            return F.lit(not defined if e.negated else defined)
+        return F.lit(not e.negated)
+
+    def _c_contains(self, e: ast.Contains) -> Column:
+        operand = self.compile(e.operand)
+        rhs = self.compile(e.rhs)
+        if e.mode == "contains":
+            return F.array_contains(operand, rhs)
+        if e.mode == "any":
+            return F.arrays_overlap(operand, rhs)
+        if e.mode == "all":
+            return F.size(F.array_except(rhs, operand)) == 0
+        if e.mode == "key":
+            return F.map_contains_key(operand, rhs)
+        if e.mode == "value":
+            return F.array_contains(F.map_values(operand), rhs)
+        if e.mode == "text":
+            return F.instr(F.lower(operand), F.lower(rhs)) > 0
+        raise TranslateError(f"Unknown CONTAINS mode {e.mode}")
+
+    def _c_matches(self, e: ast.Matches) -> Column:
+        return F.regexp_like(self.compile(e.operand), self.compile(e.pattern))
+
+    def _c_instanceof(self, e: ast.InstanceOf) -> Column:
+        names = [e.type_name]
+        try:
+            names += [t.name for t in self.ctx.db.schema.subtypes(e.type_name)]
+        except Exception:
+            pass
+        return F.col(TYPE_COL).isin(names)
+
+    def _c_case(self, e: ast.Case) -> Column:
+        out = None
+        for cond, then in e.whens:
+            c = (
+                self.compile(e.operand) == self.compile(cond)
+                if e.operand is not None
+                else self.compile(cond)
+            )
+            out = F.when(c, self.compile(then)) if out is None else out.when(c, self.compile(then))
+        if e.else_ is not None:
+            out = out.otherwise(self.compile(e.else_))
+        return out
+
+    def _c_arraylit(self, e: ast.ArrayLit) -> Column:
+        return F.array(*[self.compile(i) for i in e.items])
+
+    def _c_maplit(self, e: ast.MapLit) -> Column:
+        cols: list[Column] = []
+        for k, v in e.entries:
+            cols.append(F.lit(k))
+            cols.append(self.compile(v))
+        return F.create_map(*cols)
+
+    def _c_index(self, e: ast.Index) -> Column:
+        base = self.compile(e.base)
+        idx = self.compile(e.index)
+        v = value_of(idx)
+        if v is not None:
+            return base.getItem(v)  # 0-based for arrays, key for maps/structs
+        return F.element_at(base, idx + 1)
+
+    def _c_slice(self, e: ast.Slice) -> Column:
+        base = self.compile(e.base)
+        low = self.compile(e.low) if e.low is not None else F.lit(0)
+        if e.high is not None:
+            length = self.compile(e.high) - low
+        else:
+            length = F.size(base)
+        return F.slice(base, low + 1, length)
+
+    def _c_subquery(self, e: ast.Subquery) -> Column:
+        # Scalar subquery: evaluated once, driver-side (global-LET semantics).
+        from arcadedb_spark.sql.translator import Translator
+
+        sub = Translator(self.ctx.db, params=self.ctx.params).translate(e.stmt)
+        rows = sub.limit(2).collect()
+        if len(sub.columns) != 1 or len(rows) > 1:
+            raise TranslateError("Scalar subquery must return one column, ≤1 row")
+        return _lit(rows[0][0] if rows else None)
+
+    def _c_funccall(self, e: ast.FuncCall) -> Column:
+        name = e.name.lower()
+        if is_aggregate(name):
+            return self._compile_aggregate(e)
+        if name in SCALARS:
+            args = [self.compile(a) for a in e.args]
+            return SCALARS[name](args)
+        raise TranslateError(f"Unknown function '{e.name}'")
+
+    def _compile_aggregate(self, e: ast.FuncCall) -> Column:
+        ctx = self.ctx
+        if not ctx.agg_mode:
+            raise TranslateError(
+                f"Aggregate {e.name}() outside aggregation context"
+            )
+        if e.args and not isinstance(e.args[0], ast.Star):
+            # Aggregate args are compiled against the pre-agg frame: no
+            # group placeholders inside.
+            inner = ExprCompiler(
+                Ctx(
+                    db=ctx.db,
+                    params=ctx.params,
+                    vars=ctx.vars,
+                    colmap=ctx.colmap,
+                    columns=ctx.columns,
+                )
+            )
+            args = [inner.compile(a) for a in e.args]
+        else:
+            args = []
+        agg_col = AGGREGATES[e.name.lower()](args, e.distinct)
+        name = f"__agg{len(ctx.agg_cols)}"
+        ctx.agg_cols.append(agg_col.alias(name))
+        ctx.agg_names[e] = name
+        return F.col(name)
+
+    def _c_method(self, e: ast.Method) -> Column:
+        # Namespaced function call: ts.lag(...) / vector.cosine(...) parse as
+        # Method(base=Chain(('ts',)), name='lag').
+        if isinstance(e.base, ast.Chain) and len(e.base.parts) == 1:
+            ns = e.base.parts[0].lower()
+            qual = f"{ns}.{e.name.lower()}"
+            if qual in SCALARS:
+                args = [self.compile(a) for a in e.args]
+                return SCALARS[qual](args)
+            if is_aggregate(qual):
+                return self._compile_aggregate(
+                    ast.FuncCall(qual, e.args, False)
+                )
+        name = e.name.lower()
+        if name in METHODS:
+            base = self.compile(e.base)
+            args = [self.compile(a) for a in e.args]
+            return METHODS[name](base, args)
+        raise TranslateError(f"Unknown method '.{e.name}()'")
+
+
+# ---------------------------------------------------------------------------
+# AST walking helpers
+# ---------------------------------------------------------------------------
+
+
+def walk(e: Any):
+    """Yield every Expr node reachable from e (statements not descended)."""
+    if isinstance(e, ast.Expr):
+        yield e
+        for f_ in getattr(e, "__dataclass_fields__", {}):
+            yield from walk(getattr(e, f_))
+    elif isinstance(e, (tuple, list)):
+        for item in e:
+            yield from walk(item)
+
+
+def _contains_aggregate(e: ast.Expr) -> bool:
+    for node in walk(e):
+        if isinstance(node, ast.FuncCall) and is_aggregate(node.name):
+            return True
+        if (
+            isinstance(node, ast.Method)
+            and isinstance(node.base, ast.Chain)
+            and len(node.base.parts) == 1
+            and is_aggregate(f"{node.base.parts[0].lower()}.{node.name.lower()}")
+        ):
+            return True
+    return False
+
+
+def _head_names(e: ast.Expr) -> set[str]:
+    return {n.parts[0] for n in walk(e) if isinstance(n, ast.Chain)}
+
+
+def _split_conjuncts(e: ast.Expr) -> list[ast.Expr]:
+    if isinstance(e, ast.Bin) and e.op == "AND":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+# ---------------------------------------------------------------------------
+# Translator
+# ---------------------------------------------------------------------------
+
+
+class Translator:
+    def __init__(self, db, params: dict | None = None) -> None:
+        self.db = db
+        self.params = params or {}
+        self._uid = itertools.count()
+
+    def translate(self, stmt: ast.Statement) -> DataFrame:
+        if isinstance(stmt, ast.SelectStmt):
+            return self.translate_select(stmt)
+        if isinstance(stmt, ast.MatchStmt):
+            from arcadedb_spark.graph.match import translate_match
+
+            return translate_match(self.db, stmt, self.params)
+        if isinstance(stmt, ast.TraverseStmt):
+            from arcadedb_spark.graph.traverse import translate_traverse
+
+            return translate_traverse(self.db, stmt, self.params)
+        raise TranslateError(f"Unsupported statement {type(stmt).__name__}")
+
+    # -- target resolution -------------------------------------------------
+    def _resolve_target(self, target: ast.Target) -> tuple[DataFrame, Optional[str]]:
+        """Returns (df, type_name-or-None)."""
+        if target is None:
+            return self.db.spark.range(1).select(F.lit(1).alias("__one")), None
+        if isinstance(target, ast.TypeTarget):
+            return self.db.schema.table(target.name), target.name
+        if isinstance(target, ast.BucketTarget):
+            return self.db.schema.table(target.name, polymorphic=False), target.name
+        if isinstance(target, ast.SchemaTarget):
+            return self.db.schema.table(f"schema:{target.name}"), None
+        if isinstance(target, ast.RidTarget):
+            # Point lookups by RID (FetchFromRidsStep.java:32): group by
+            # bucket, filter each type's table on the rid column.
+            by_bucket: dict[int, list[str]] = {}
+            for r in target.rids:
+                by_bucket.setdefault(r.bucket, []).append(f"#{r.bucket}:{r.position}")
+            dfs = []
+            for bucket_id, rids in by_bucket.items():
+                tdef = next(
+                    (t for t in self.db.schema._types.values() if t.bucket_id == bucket_id),
+                    None,
+                )
+                if tdef is None:
+                    raise TranslateError(f"No bucket {bucket_id}")
+                dfs.append(
+                    self.db.schema.table(tdef.name, polymorphic=False).filter(
+                        F.col(RID_COL).isin(rids)
+                    )
+                )
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out, None
+        if isinstance(target, ast.SubqueryTarget):
+            return self.translate(target.stmt), None
+        raise TranslateError(f"Unsupported FROM target {target}")
+
+    # -- link joins ---------------------------------------------------------
+    def _link_paths(self, stmt: ast.SelectStmt, type_name: Optional[str]) -> list[tuple[str, ...]]:
+        """Collect all dot-chains that traverse declared LINK columns."""
+        if type_name is None or not self.db.schema.exists(type_name):
+            return []
+        links = self.db.schema.get(type_name).properties.get("links", {})
+        if not links:
+            return []
+        paths: set[tuple[str, ...]] = set()
+        exprs: list[ast.Expr] = [p.expr for p in stmt.projections]
+        if stmt.where is not None:
+            exprs.append(stmt.where)
+        exprs += list(stmt.group_by)
+        exprs += [o.expr for o in stmt.order_by]
+        exprs += [let.expr for let in stmt.lets if let.expr is not None]
+        for e in exprs:
+            for node in walk(e):
+                if isinstance(node, ast.Chain) and len(node.parts) > 1:
+                    path = self._resolve_link_path(type_name, node.parts)
+                    if path:
+                        paths.add(path)
+        return sorted(paths, key=len)
+
+    def _resolve_link_path(self, type_name: str, parts: tuple[str, ...]) -> Optional[tuple[str, ...]]:
+        """Longest prefix of ``parts`` that walks LINK columns."""
+        cur_type = type_name
+        path: list[str] = []
+        for p in parts[:-1]:
+            links = self.db.schema.get(cur_type).properties.get("links", {})
+            hit = next((k for k in links if k.lower() == p.lower()), None)
+            if hit is None:
+                break
+            path.append(p.lower())
+            cur_type = links[hit]
+        return tuple(path) if path else None
+
+    def _apply_link_joins(
+        self, df: DataFrame, stmt: ast.SelectStmt, type_name: Optional[str], ctx: Ctx
+    ) -> DataFrame:
+        paths = self._link_paths(stmt, type_name)
+        if not paths:
+            return df
+        base_alias = "__t0"
+        df = df.alias(base_alias)
+        alias_of: dict[tuple[str, ...], str] = {(): base_alias}
+        type_of: dict[tuple[str, ...], str] = {(): type_name}
+        for path in paths:
+            parent = path[:-1]
+            if path in alias_of:
+                continue
+            parent_alias = alias_of[parent]
+            parent_type = type_of[parent]
+            links = self.db.schema.get(parent_type).properties.get("links", {})
+            link_col = next(k for k in links if k.lower() == path[-1])
+            child_type = links[link_col]
+            child_tdef = self.db.schema.get(child_type)
+            child_key = child_tdef.key
+            if child_key is None:
+                raise TranslateError(f"Link target {child_type} has no key")
+            a = f"__l{next(self._uid)}"
+            child_df = self.db.schema.table(child_type).alias(a)
+            df = df.join(
+                child_df,
+                F.col(f"{parent_alias}.{link_col}") == F.col(f"{a}.{child_key}"),
+                "left",
+            )
+            alias_of[path] = a
+            type_of[path] = child_type
+        # chain prefix → qualified column resolution map
+        for path, a in alias_of.items():
+            if not path:
+                continue
+            t = type_of[path]
+            for c in self.db.schema.get(t).df().columns:
+                ctx.colmap[path + (c.lower(),)] = f"{a}.{c}"
+        return df
+
+    # -- SELECT -------------------------------------------------------------
+    def translate_select(self, stmt: ast.SelectStmt) -> DataFrame:
+        df, type_name = self._resolve_target(stmt.target)
+        ctx = Ctx(db=self.db, params=self.params)
+        ctx.columns = tuple(df.columns)
+
+        df = self._apply_link_joins(df, stmt, type_name, ctx)
+
+        # LET split: global vs per-record (SelectExecutionPlanner.java:745)
+        for let in stmt.lets:
+            if let.subquery is not None:
+                sub = Translator(self.db, self.params).translate(let.subquery)
+                ctx.vars[let.name] = VarBinding("df", df=sub)
+            else:
+                refs = _head_names(let.expr)
+                col_refs = refs & set(ctx.columns)
+                compiler = ExprCompiler(ctx)
+                c = compiler.compile(let.expr)
+                if col_refs:
+                    internal = f"__let_{let.name}"
+                    df = df.withColumn(internal, c)
+                    ctx.columns = tuple(df.columns)
+                    ctx.vars[let.name] = VarBinding("col", col=F.col(internal))
+                else:
+                    ctx.vars[let.name] = VarBinding("col", col=c)
+
+        # WHERE — conjunct-level IN-subquery → semi/anti join
+        if stmt.where is not None:
+            residual: list[ast.Expr] = []
+            for conj in _split_conjuncts(stmt.where):
+                df, handled = self._try_semi_join(df, conj, ctx)
+                if not handled:
+                    residual.append(conj)
+            if residual:
+                compiler = ExprCompiler(ctx)
+                cond = compiler.compile(residual[0])
+                for c in residual[1:]:
+                    cond = cond & compiler.compile(c)
+                df = df.filter(cond)
+
+        # Aggregate?
+        is_agg = any(_contains_aggregate(p.expr) for p in stmt.projections) or bool(
+            stmt.group_by
+        )
+        if is_agg:
+            df = self._translate_aggregate(df, stmt, ctx)
+        else:
+            df = self._translate_plain(df, stmt, ctx)
+
+        # UNWIND
+        for uw in stmt.unwind:
+            name = uw.alias
+            if name is None and isinstance(uw.expr, ast.Chain):
+                name = uw.expr.parts[-1]
+            if name is None:
+                name = f"unwind{next(self._uid)}"
+            col = ExprCompiler(Ctx(db=self.db, params=self.params, columns=tuple(df.columns))).compile(uw.expr)
+            df = df.withColumn(name, F.explode_outer(col))
+
+        if stmt.skip is not None:
+            df = df.offset(self._int_of(stmt.skip, ctx))
+        if stmt.limit is not None:
+            df = df.limit(self._int_of(stmt.limit, ctx))
+        return df
+
+    def _int_of(self, e: ast.Expr, ctx: Ctx) -> int:
+        v = value_of(ExprCompiler(ctx).compile(e))
+        if v is None:
+            raise TranslateError("SKIP/LIMIT must be literal")
+        return int(v)
+
+    def _try_semi_join(
+        self, df: DataFrame, conj: ast.Expr, ctx: Ctx
+    ) -> tuple[DataFrame, bool]:
+        """IN (subquery) / IN $letvar at conjunct level → semi/anti join.
+
+        At 100 TB this is the only scalable form — the fallback in
+        ExprCompiler._c_in materializes values driver-side.
+        """
+        e = conj
+        negated = False
+        if isinstance(e, ast.Unary) and e.op == "NOT":
+            e = e.operand
+            negated = True
+        if not isinstance(e, ast.In):
+            return df, False
+        negated = negated != e.negated
+        sub_df = None
+        if e.subquery is not None:
+            sub_df = Translator(self.db, self.params).translate(e.subquery)
+        elif e.collection is not None and isinstance(e.collection, ast.Var):
+            b = ctx.vars.get(e.collection.name)
+            if b is not None and b.kind == "df":
+                sub_df = b.df
+        if sub_df is None:
+            return df, False
+        if len(sub_df.columns) != 1:
+            raise TranslateError("IN subquery must project exactly one column")
+        needle = ExprCompiler(ctx).compile(e.needle)
+        sub_alias = f"__in{next(self._uid)}"
+        sub_df = sub_df.alias(sub_alias)
+        key = sub_df.columns[0]
+        how = "left_anti" if negated else "left_semi"
+        return df.join(sub_df, needle == F.col(f"{sub_alias}.{key}"), how), True
+
+    # -- plain (non-aggregate) projection -----------------------------------
+    def _proj_name(self, item: ast.ProjItem, i: int) -> str:
+        if item.alias:
+            return item.alias
+        e = item.expr
+        if isinstance(e, ast.Chain):
+            return e.parts[-1]
+        if isinstance(e, ast.FuncCall):
+            return e.name
+        if isinstance(e, ast.Method):
+            return e.name
+        return f"_expr{i}"
+
+    def _translate_plain(self, df: DataFrame, stmt: ast.SelectStmt, ctx: Ctx) -> DataFrame:
+        projections = list(stmt.projections)
+        star_only = not projections or (
+            len(projections) == 1 and isinstance(projections[0].expr, ast.Star)
+        )
+        compiler = ExprCompiler(ctx)
+
+        if star_only:
+            # `SELECT *` / `SELECT FROM t`: all data columns, metadata hidden
+            out_cols = [c for c in df.columns if not c.startswith(("__", "@"))]
+            proj_cols = [F.col(c) for c in out_cols]
+            out_names = out_cols
+        else:
+            proj_cols = []
+            out_names = []
+            for i, p in enumerate(projections):
+                if isinstance(p.expr, ast.Star):
+                    for c in df.columns:
+                        if not c.startswith(("__", "@")):
+                            proj_cols.append(F.col(c))
+                            out_names.append(c)
+                    continue
+                name = self._proj_name(p, i)
+                proj_cols.append(compiler.compile(p.expr).alias(name))
+                out_names.append(name)
+
+        # ORDER BY: sort on projected names when possible, else hidden cols
+        # (the reference adds "hidden projections" the same way,
+        # SelectExecutionPlanner.java:799)
+        hidden: list[Column] = []
+        hidden_names: list[str] = []
+        sort_cols: list[Column] = []
+        for oi in stmt.order_by:
+            expr = oi.expr
+            if isinstance(expr, ast.Chain) and len(expr.parts) == 1 and expr.parts[0] in out_names:
+                c = F.col(expr.parts[0])
+            else:
+                hname = f"__ord{next(self._uid)}"
+                hidden.append(compiler.compile(expr).alias(hname))
+                hidden_names.append(hname)
+                c = F.col(hname)
+            sort_cols.append(c.asc() if oi.ascending else c.desc())
+
+        if hidden and stmt.distinct:
+            raise TranslateError(
+                "ORDER BY on non-projected expression with DISTINCT is unsupported"
+            )
+        df = df.select(*proj_cols, *hidden)
+        if stmt.distinct:
+            df = df.distinct()
+        if sort_cols:
+            df = df.orderBy(*sort_cols)
+        if hidden:
+            df = df.drop(*hidden_names)
+        return df
+
+    # -- aggregate projection ------------------------------------------------
+    def _translate_aggregate(self, df: DataFrame, stmt: ast.SelectStmt, ctx: Ctx) -> DataFrame:
+        compiler = ExprCompiler(ctx)
+        # 1) group keys compiled pre-agg
+        key_cols: list[Column] = []
+        for i, g in enumerate(stmt.group_by):
+            name = f"__gk{i}"
+            key_cols.append(compiler.compile(g).alias(name))
+            ctx.group_map[g] = name
+        # 2) compile projections in agg mode: aggregates become __aggN refs
+        ctx.agg_mode = True
+        post_exprs: list[Column] = []  # aliased, for the final select
+        bare_exprs: list[Column] = []  # unaliased copies, usable in orderBy
+        out_names: list[str] = []
+        for i, p in enumerate(stmt.projections):
+            name = self._proj_name(p, i)
+            bare = compiler.compile(p.expr)
+            bare_exprs.append(bare)
+            post_exprs.append(bare.alias(name))
+            out_names.append(name)
+
+        if key_cols:
+            grouped = df.groupBy(*key_cols)
+        else:
+            grouped = df.groupBy()
+        if not ctx.agg_cols:
+            # GROUP BY without aggregates == DISTINCT on keys
+            agged = grouped.agg(F.count(F.lit(1)).alias("__cnt"))
+        else:
+            agged = grouped.agg(*ctx.agg_cols)
+
+        # ORDER BY over the agged frame (where __gk/__agg live).  An alias
+        # reference sorts by that projection's defining expression.
+        sort_cols: list[Column] = []
+        for oi in stmt.order_by:
+            expr = oi.expr
+            if (
+                isinstance(expr, ast.Chain)
+                and len(expr.parts) == 1
+                and expr.parts[0] in out_names
+            ):
+                c = bare_exprs[out_names.index(expr.parts[0])]
+            else:
+                c = compiler.compile(expr)  # agg-mode: resolves via maps
+            sort_cols.append(c.asc() if oi.ascending else c.desc())
+
+        if sort_cols:
+            agged = agged.orderBy(*sort_cols)
+        out = agged.select(*post_exprs)
+        if stmt.distinct:
+            out = out.distinct()
+        return out
+
+
+def translate(db, stmt: ast.Statement, params: dict | None = None) -> DataFrame:
+    return Translator(db, params).translate(stmt)
