@@ -49,6 +49,34 @@ _TESTDATA_LINKS = {
 }
 
 
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
+    type (reference DATETIME_NANOS, schema/Type.java:96), so the session
+    reads them as long and the loader converts to micros (documented
+    precision loss, SURVEY.md §1.2)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return tuple(
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+    except Exception:
+        return ()
+
+
+def _load_parquet(spark: SparkSession, path: str, nanos_cols: tuple[str, ...]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
 class Database:
     """One analytical database = SparkSession + type catalog."""
 
@@ -73,9 +101,10 @@ class Database:
                 continue
             name = entry[: -len(".parquet")]
             full = os.path.join(path, entry)
+            nanos_cols = _nanos_timestamp_columns(full)
             tdef = db.schema.register(
                 name,
-                loader=lambda full=full: spark.read.parquet(full),
+                loader=lambda full=full, nc=nanos_cols: _load_parquet(spark, full, nc),
                 key=_TESTDATA_KEYS.get(name),
             )
             if name in _TESTDATA_LINKS:

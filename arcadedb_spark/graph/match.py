@@ -1,0 +1,193 @@
+"""MATCH statement → join-chain translation.
+
+Reference: query/sql/executor/MatchExecutionPlanner.java:59 plans a
+topological traversal schedule with root-cardinality estimation (:115,
+:263) and executes via MatchStep/MatchEdgeTraverser record-at-a-time.
+Spark re-expression: each pattern path becomes a chain of equi-joins
+vertexDF ⋈ edgeDF ⋈ vertexDF…; join ordering and broadcast choices are
+left to Catalyst CBO + AQE (replacing the reference's hand cost model).
+
+Pattern aliases become struct columns, so RETURN expressions compile with
+the ordinary expression compiler (``c.c_name`` → ``col("c").getField``).
+
+- optional step   → left_outer join (OptionalMatchStep.java:24)
+- NOT pattern     → left_anti join (FilterNotMatchPatternStep.java:26)
+- multiple paths  → join on shared aliases; cross-join when disjoint
+  (CartesianProductStep.java:31)
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcadedb_spark.sql import ast
+from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError, Translator
+
+_uid = itertools.count()
+
+
+def _vertex_df(db, type_name: str | None) -> DataFrame:
+    g = db.graph()
+    if type_name is None:
+        # anonymous node: all vertices, properties unavailable
+        return g.all_vertices()
+    return g.vertices(type_name)
+
+
+def _structify(df: DataFrame, alias: str) -> DataFrame:
+    """Collapse all columns into one struct column named ``alias``."""
+    return df.select(F.struct(*[F.col(c) for c in df.columns]).alias(alias))
+
+
+def _apply_where(db, df: DataFrame, where: ast.Expr | None, params: dict) -> DataFrame:
+    if where is None:
+        return df
+    ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+    return df.filter(ExprCompiler(ctx).compile(where))
+
+
+def _expand(
+    db,
+    current: DataFrame,
+    from_alias: str,
+    step: ast.MatchStep,
+    params: dict,
+    alias: str,
+) -> tuple[DataFrame, str]:
+    """Join one traversal step; returns (df, new_alias)."""
+    g = db.graph()
+    method = step.method
+    e = g.edges(*step.edge_types) if step.edge_types else g.edges()
+    if method in ("out", "oute", "outv"):
+        src_col, dst_col = "src", "dst"
+        directions = [("src", "dst")]
+    elif method in ("in", "ine", "inv"):
+        directions = [("dst", "src")]
+    else:  # both
+        directions = [("src", "dst"), ("dst", "src")]
+
+    # edge frame with normalized (from_vid, to_vid)
+    parts = []
+    for a, b in directions:
+        parts.append(
+            e.select(F.col(a).alias("__from"), F.col(b).alias("__to"))
+        )
+    edge = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    # infer the target vertex type from edge metadata when the pattern
+    # leaves it anonymous (the reference resolves it from the edge type's
+    # schema constraints the same way)
+    target_type = step.filter.type_name
+    if target_type is None and len(step.edge_types) == 1:
+        meta = g.edge_meta.get(step.edge_types[0])
+        if meta is not None:
+            if method in ("out", "oute", "outv"):
+                target_type = meta[1]
+            elif method in ("in", "ine", "inv"):
+                target_type = meta[0]
+            elif meta[0] == meta[1]:
+                target_type = meta[0]
+
+    target = _vertex_df(db, target_type)
+    target = _apply_where(db, target, step.filter.where, params)
+    target_s = _structify(target, alias)
+
+    right = edge.join(
+        target_s, edge["__to"] == F.col(f"{alias}.vid"), "inner"
+    ).drop("__to")
+
+    how = "left_outer" if step.filter.optional else "inner"
+    out = current.join(
+        right, F.col(f"{from_alias}.vid") == right["__from"], how
+    ).drop("__from")
+    return out, alias
+
+
+def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, list[str]]:
+    root_alias = path.root.alias or f"__m{next(_uid)}"
+    df = _vertex_df(db, path.root.type_name)
+    df = _apply_where(db, df, path.root.where, params)
+    df = _structify(df, root_alias)
+    aliases = [root_alias]
+    cur = root_alias
+    for step in path.steps:
+        alias = step.filter.alias or f"__m{next(_uid)}"
+        df, cur = _expand(db, df, cur, step, params, alias)
+        aliases.append(cur)
+    return df, aliases
+
+
+def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
+    positive = [p for p in stmt.paths if not p.negated]
+    negative = [p for p in stmt.paths if p.negated]
+    if not positive:
+        raise TranslateError("MATCH requires at least one positive pattern")
+
+    df, aliases = translate_path(db, positive[0], params)
+    seen = set(aliases)
+    for path in positive[1:]:
+        pdf, paliases = translate_path(db, path, params)
+        shared = [a for a in paliases if a in seen]
+        if shared:
+            # join on shared alias vids; drop duplicate struct cols from right
+            rename = {a: f"__r_{a}" for a in shared}
+            for a, r in rename.items():
+                pdf = pdf.withColumnRenamed(a, r)
+            cond = None
+            for a in shared:
+                c = F.col(f"{a}.vid") == F.col(f"{rename[a]}.vid")
+                cond = c if cond is None else (cond & c)
+            df = df.join(pdf, cond, "inner").drop(*rename.values())
+        else:
+            df = df.crossJoin(pdf)  # CartesianProductStep.java:31
+        seen.update(paliases)
+
+    for path in negative:
+        pdf, paliases = translate_path(db, path, params)
+        shared = [a for a in paliases if a in seen]
+        if not shared:
+            raise TranslateError("NOT pattern must share an alias with the match")
+        rename = {a: f"__r_{a}" for a in shared}
+        for a, r in rename.items():
+            pdf = pdf.withColumnRenamed(a, r)
+        cond = None
+        for a in shared:
+            c = F.col(f"{a}.vid") == F.col(f"{rename[a]}.vid")
+            cond = c if cond is None else (cond & c)
+        df = df.join(pdf, cond, "left_anti")
+
+    # RETURN via the SELECT machinery over the struct-column frame
+    select = ast.SelectStmt(
+        projections=stmt.returns,
+        distinct=stmt.distinct,
+        group_by=stmt.group_by,
+        order_by=stmt.order_by,
+        skip=stmt.skip,
+        limit=stmt.limit,
+    )
+    tr = Translator(db, params)
+    ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+    is_agg = any(
+        True
+        for p in select.projections
+        for _ in [0]
+        if _has_agg(p.expr)
+    ) or bool(select.group_by)
+    if is_agg:
+        out = tr._translate_aggregate(df, select, ctx)
+    else:
+        out = tr._translate_plain(df, select, ctx)
+    if select.skip is not None:
+        out = out.offset(tr._int_of(select.skip, ctx))
+    if select.limit is not None:
+        out = out.limit(tr._int_of(select.limit, ctx))
+    return out
+
+
+def _has_agg(e: ast.Expr) -> bool:
+    from arcadedb_spark.sql.translator import _contains_aggregate
+
+    return _contains_aggregate(e)

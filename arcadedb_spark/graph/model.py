@@ -1,0 +1,235 @@
+"""Property-graph model: vertices + edges as DataFrames.
+
+Reference mapping:
+- graph/GraphEngine.java:66 — adjacency as per-vertex edge linked lists;
+  here adjacency is the ``edges`` DataFrame and expansion is an equi-join.
+- graph/olap/CSRBuilder.java — the OLAP CSR view; our analog is
+  ``edges_by_src()``: the edge DataFrame repartitioned+sorted by source
+  vid and cached, so repeated expansions reuse one shuffle.
+- FIXTURES.md §B2 defines the derived graph over the driver testdata
+  (Customer/Order/Part/Supplier/Nation vertices; PLACED/CONTAINS/
+  SUPPLIED_BY/LOCATED_IN/INTERACTED edges).
+
+Scale posture: vid is a dense long (bucket_id << 40 | natural key) — joins
+on longs, never on strings; per-label vertex DataFrames keep property
+pruning effective (a MATCH touching only Customer never scans part
+properties); edge unions are lazy so Catalyst prunes unused edge types via
+the ``etype`` filter before the scan union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# vid = (bucket_id << 40) | key — collision-free while keys < 2^40
+_VID_SHIFT = 40
+
+
+def make_vid(bucket_id: int, key_col) -> F.Column:
+    return (F.lit(bucket_id).cast("long") * F.lit(1 << _VID_SHIFT)) + key_col.cast(
+        "long"
+    )
+
+
+class GraphModel:
+    """vertices: dict label → DataFrame(vid, …props); edges: DataFrame
+    (etype, src, dst, …props)."""
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+        self.vertex_dfs: dict[str, DataFrame] = {}
+        self._edge_dfs: list[DataFrame] = []
+        self._edges: DataFrame | None = None
+        self._edges_by_src: DataFrame | None = None
+        # etype → (src_label, dst_label); None entries = heterogeneous
+        self.edge_meta: dict[str, tuple[str | None, str | None]] = {}
+
+    # -- construction -----------------------------------------------------
+    def add_vertices(self, label: str, df: DataFrame, vid_col: str) -> None:
+        self.vertex_dfs[label.lower()] = df.withColumn(
+            "vid", F.col(vid_col).cast("long")
+        )
+
+    def add_edges(
+        self,
+        etype: str,
+        df: DataFrame,
+        src_col: str,
+        dst_col: str,
+        props: list[str] = (),
+        src_label: str | None = None,
+        dst_label: str | None = None,
+    ) -> None:
+        prev = self.edge_meta.get(etype)
+        meta = (
+            src_label.lower() if src_label else None,
+            dst_label.lower() if dst_label else None,
+        )
+        if prev is not None and prev != meta:
+            meta = (None, None)  # heterogeneous endpoints (e.g. LOCATED_IN)
+        self.edge_meta[etype] = meta
+        cols = [
+            F.lit(etype).alias("etype"),
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        ]
+        for p in props:
+            cols.append(F.col(p))
+        self._edge_dfs.append(df.select(*cols))
+        self._edges = None
+        self._edges_by_src = None
+
+    # -- access ------------------------------------------------------------
+    def vertices(self, label: str) -> DataFrame:
+        return self.vertex_dfs[label.lower()]
+
+    def all_vertices(self) -> DataFrame:
+        """Union of (vid, label) across labels — the minimal vertex set."""
+        out = None
+        for label, df in self.vertex_dfs.items():
+            part = df.select(F.col("vid"), F.lit(label).alias("label"))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def edges(self, *etypes: str) -> DataFrame:
+        if self._edges is None:
+            out = None
+            for df in self._edge_dfs:
+                out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+            self._edges = out
+        df = self._edges
+        if etypes:
+            df = df.filter(F.col("etype").isin(list(etypes)))
+        return df
+
+    def edges_by_src(self) -> DataFrame:
+        """CSR analog: edges hash-partitioned by src and cached, so every
+        out()-expansion joins without reshuffling the edge side."""
+        if self._edges_by_src is None:
+            self._edges_by_src = (
+                self.edges().repartition("src").sortWithinPartitions("src").cache()
+            )
+        return self._edges_by_src
+
+    def degrees(self, direction: str = "out") -> DataFrame:
+        e = self.edges()
+        if direction == "out":
+            return e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("degree"))
+        if direction == "in":
+            return e.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("degree"))
+        both = e.select(F.col("src").alias("vid")).unionAll(
+            e.select(F.col("dst").alias("vid"))
+        )
+        return both.groupBy("vid").agg(F.count("*").alias("degree"))
+
+    # -- testdata fixture ---------------------------------------------------
+    @classmethod
+    def from_database(cls, db) -> "GraphModel":
+        """FIXTURES.md §B2 graph over the driver tables."""
+        g = cls(db.spark)
+        s = db.schema
+
+        def vid_of(type_name: str, col: str):
+            return make_vid(s.get(type_name).bucket_id, F.col(col))
+
+        customer = s.get("customer").df()
+        orders = s.get("orders").df()
+        part = s.get("part").df()
+        supplier = s.get("supplier").df()
+        nation = s.get("nation").df()
+        lineitem = s.get("lineitem").df()
+        events = s.get("events").df()
+
+        g.add_vertices(
+            "Customer",
+            customer.withColumn("__vid", vid_of("customer", "c_custkey")),
+            "__vid",
+        )
+        g.add_vertices(
+            "Order", orders.withColumn("__vid", vid_of("orders", "o_orderkey")), "__vid"
+        )
+        g.add_vertices(
+            "Part", part.withColumn("__vid", vid_of("part", "p_partkey")), "__vid"
+        )
+        g.add_vertices(
+            "Supplier",
+            supplier.withColumn("__vid", vid_of("supplier", "s_suppkey")),
+            "__vid",
+        )
+        g.add_vertices(
+            "Nation", nation.withColumn("__vid", vid_of("nation", "n_nationkey")), "__vid"
+        )
+
+        g.add_edges(
+            "PLACED",
+            orders.withColumn("__src", vid_of("customer", "o_custkey")).withColumn(
+                "__dst", vid_of("orders", "o_orderkey")
+            ),
+            "__src",
+            "__dst",
+            src_label="Customer",
+            dst_label="Order",
+        )
+        g.add_edges(
+            "CONTAINS",
+            lineitem.withColumn("__src", vid_of("orders", "l_orderkey")).withColumn(
+                "__dst", vid_of("part", "l_partkey")
+            ),
+            "__src",
+            "__dst",
+            props=["l_quantity", "l_extendedprice"],
+            src_label="Order",
+            dst_label="Part",
+        )
+        g.add_edges(
+            "SUPPLIED_BY",
+            lineitem.withColumn("__src", vid_of("part", "l_partkey")).withColumn(
+                "__dst", vid_of("supplier", "l_suppkey")
+            ).dropDuplicates(["__src", "__dst"]),
+            "__src",
+            "__dst",
+            src_label="Part",
+            dst_label="Supplier",
+        )
+        g.add_edges(
+            "LOCATED_IN",
+            customer.withColumn("__src", vid_of("customer", "c_custkey")).withColumn(
+                "__dst", vid_of("nation", "c_nationkey")
+            ),
+            "__src",
+            "__dst",
+            src_label="Customer",
+            dst_label="Nation",
+        )
+        g.add_edges(
+            "LOCATED_IN",
+            supplier.withColumn("__src", vid_of("supplier", "s_suppkey")).withColumn(
+                "__dst", vid_of("nation", "s_nationkey")
+            ),
+            "__src",
+            "__dst",
+            src_label="Supplier",
+            dst_label="Nation",
+        )
+        # INTERACTED: globally consecutive user pairs by ts — a cyclic,
+        # weighted social-like graph (FIXTURES B2).  NOTE: the global
+        # window is a total order (single-partition sort) — acceptable for
+        # the fixture build only; a 100 TB event stream would derive
+        # sessions per time-bucket partition instead.
+        w = Window.orderBy("ts", "event_id")
+        inter = (
+            events.withColumn("__next_user", F.lead("user_id").over(w))
+            .filter(F.col("__next_user").isNotNull())
+            .filter(F.col("user_id") != F.col("__next_user"))
+            .groupBy("user_id", "__next_user")
+            .agg(F.count("*").cast("double").alias("weight"))
+        )
+        inter = inter.withColumn(
+            "__src", vid_of("customer", "user_id")
+        ).withColumn("__dst", vid_of("customer", "__next_user"))
+        g.add_edges(
+            "INTERACTED", inter, "__src", "__dst", props=["weight"],
+            src_label="Customer", dst_label="Customer",
+        )
+        return g

@@ -35,9 +35,14 @@ def get_spark(app_name: str = "arcadedb-spark", master: str | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # TIMESTAMP(NANOS) parquet (reference type DATETIME_NANOS,
+        # schema/Type.java:96) is read as long and converted to micros by
+        # the catalog loader — Spark has no nanos timestamp type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if master is not None:
         builder = builder.master(master)

@@ -369,7 +369,7 @@ class Parser:
                 raise ParseError(f"Bad match filter key {tok!r}")
             self.expect_op(":")
             if key == "type":
-                if self.cur.kind in ("IDENT", "STRING"):
+                if self.cur.kind in ("IDENT", "STRING", "KEYWORD"):
                     type_name = self.advance().value
                 else:
                     raise ParseError(f"Bad type value {self.cur!r}")

@@ -736,11 +736,25 @@ class Translator:
     # -- aggregate projection ------------------------------------------------
     def _translate_aggregate(self, df: DataFrame, stmt: ast.SelectStmt, ctx: Ctx) -> DataFrame:
         compiler = ExprCompiler(ctx)
+        # GROUP BY may reference a projection alias (GROUP BY name where
+        # `c.c_name AS name` is projected) — substitute the defining expr.
+        alias_map = {
+            p.alias: p.expr for p in stmt.projections if p.alias is not None
+        }
         # 1) group keys compiled pre-agg
         key_cols: list[Column] = []
         for i, g in enumerate(stmt.group_by):
             name = f"__gk{i}"
-            key_cols.append(compiler.compile(g).alias(name))
+            resolved = g
+            if (
+                isinstance(g, ast.Chain)
+                and len(g.parts) == 1
+                and g.parts[0] not in ctx.columns
+                and g.parts[0] in alias_map
+            ):
+                resolved = alias_map[g.parts[0]]
+                ctx.group_map[resolved] = name
+            key_cols.append(compiler.compile(resolved).alias(name))
             ctx.group_map[g] = name
         # 2) compile projections in agg mode: aggregates become __aggN refs
         ctx.agg_mode = True
