@@ -1,0 +1,140 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline (shingle → minhash → band → bucket-join → verify), the standard
+large-corpus shape:
+
+1. k-token shingles, hashed with xxhash64 (codegen).
+2. ``num_hashes`` minhash values via the (a·x + b) mod p permutation
+   family — computed per row with ``F.transform``/``array_min`` over the
+   shingle-hash array; no Python.
+3. Signatures split into bands; docs sharing a band bucket are candidates
+   (equi-join on (band, band_hash) — shuffle bounded by bucket sizes).
+4. Candidate pairs verified by estimated Jaccard = matching minhashes /
+   num_hashes; pairs ≥ threshold survive.
+
+Determinism: fixed seeds so the oracle can re-derive identical pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcadedb_spark.text.fulltext import tokenize
+
+# 31-bit Mersenne prime: keeps a·x+b < 2^62 (no long overflow in codegen)
+_MERSENNE = (1 << 31) - 1
+
+
+def _shingle_hashes(text_col, shingle_size: int) -> F.Column:
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size))
+    )
+    # non-negative 61-bit hash values
+    return F.array_distinct(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    )
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes])."""
+    params = _hash_params(num_hashes, seed)
+    sh = _shingle_hashes(text_col, shingle_size)
+
+    def _perm(a: int, b: int):
+        # closure factory: pyspark reads the lambda arity, so default-arg
+        # tricks break — the returned lambda must be unary
+        return lambda x: F.pmod(a * x + b, F.lit(_MERSENNE))
+
+    sigs = F.array(
+        *[F.array_min(F.transform(sh, _perm(a, b))) for a, b in params]
+    )
+    return docs.select(F.col(id_col).alias("id"), sigs.alias("sig"))
+
+
+def minhash_duplicate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, est_jaccard ≥ threshold)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_size, seed
+    ).cache()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("__sa", "__sb", lambda a, b: a == b), lambda m: m
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return verified
