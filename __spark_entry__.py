@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the arcadedb_spark engine (SQL dialect, MATCH/TRAVERSE, graph
+algorithms, ts windows, text/vector/dedup operators); ``oracle_sql()``
+holds the equivalent ANSI SQL for the DuckDB side-by-side check.
+
+Numeric parity rules (so value hashes match):
+- SUM over doubles goes through DECIMAL(25,6) in BOTH engines (exact
+  accumulation, then exact cast to double) — double summation order
+  differs between engines otherwise.
+- AVG/stddev stay double but are rounded (error ≪ rounding grid).
+- Timestamps are returned as epoch millis (BIGINT) to dodge tz/precision
+  stringification differences.
+- Every computed column is aliased identically in both dialects.
 """
 
 from __future__ import annotations
@@ -12,27 +20,53 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DBS: dict[tuple[int, str], object] = {}
+
+
+def _db(spark: SparkSession, sf_dir: str):
+    from arcadedb_spark.database import Database
+
+    key = (id(spark), sf_dir)
+    if key not in _DBS:
+        _DBS[key] = Database.open(spark, sf_dir)
+    return _DBS[key]
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query (driver runs at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """TPC-H Q1 shape through the full parse→translate→Catalyst pipeline."""
+    db = _db(spark, "/root/testdata/sf0.001")
+    return db.query(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity.asDecimal()) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= date('1998-09-02')
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry — the suite lives in arcadedb_spark.driver_queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from arcadedb_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from arcadedb_spark.driver_queries import ORACLES
+
+    return ORACLES

@@ -30,7 +30,14 @@ def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def dedup_exact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Docs with duplicates removed (minimum id survives per group)."""
-    fp = docs.withColumn("__fp", exact_fingerprint(text_col))
-    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return docs.join(keep, id_col, "left_semi")
+    """Docs with duplicates removed — exactly one survivor (minimum id)
+    per content fingerprint, even when duplicate rows share an id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        docs.withColumn("__fp", exact_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )

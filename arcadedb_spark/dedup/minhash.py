@@ -57,19 +57,30 @@ def minhash_signatures(
     shingle_size: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes])."""
+    """(id, sig: array<long>[num_hashes]).
+
+    Shape: explode shingle hashes to rows, then ONE groupBy computing all
+    ``num_hashes`` permutation minima (map-side combinable — each shingle
+    hash is materialized once, not re-derived per permutation).  Docs with
+    zero shingles produce no signature (can't be near-dup candidates).
+    """
     params = _hash_params(num_hashes, seed)
-    sh = _shingle_hashes(text_col, shingle_size)
-
-    def _perm(a: int, b: int):
-        # closure factory: pyspark reads the lambda arity, so default-arg
-        # tricks break — the returned lambda must be unary
-        return lambda x: F.pmod(a * x + b, F.lit(_MERSENNE))
-
-    sigs = F.array(
-        *[F.array_min(F.transform(sh, _perm(a, b))) for a, b in params]
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingle_hashes(text_col, shingle_size)).alias("h"),
     )
-    return docs.select(F.col(id_col).alias("id"), sigs.alias("sig"))
+    aggs = [
+        F.min(F.pmod(a * F.col("h") + b, F.lit(_MERSENNE))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_duplicate_pairs(

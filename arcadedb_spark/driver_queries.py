@@ -1,0 +1,1038 @@
+"""Driver correctness suite: one entry per SURVEY.md §2 operator family.
+
+Each ``@query(name, oracle=...)`` pair runs the engine (Spark) side and an
+equivalent DuckDB SQL — the driver hash-compares them at sf0.01.
+
+Numeric parity rules (why the SQL looks the way it does):
+- SUMs over doubles go through DECIMAL(25,6) in BOTH engines: decimal
+  accumulation is exact, so engine-dependent double summation order can't
+  flip a rounded digit.
+- AVG/STDDEV/window arithmetic stay double and are rounded: per-row double
+  ops are bit-identical across engines (IEEE), and accumulation error is
+  orders of magnitude below the rounding grid.
+- Timestamps are emitted as epoch millis (BIGINT) — identical integers
+  beat timezone/precision stringification quirks.
+- Cosine similarity is written as dot/(sqrt·sqrt) in both engines (same
+  association order), on DOUBLE[] casts of the float vectors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_DEC = "decimal(25,6)"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _db(spark: SparkSession, sf_dir: str):
+    from __spark_entry__ import _db as shared
+
+    return shared(spark, sf_dir)
+
+
+def _dsum(col) -> F.Column:
+    """Exact double sum: decimal accumulation, double result."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+# ===========================================================================
+# Relational core (scan/filter/project/agg/sort/limit/distinct/subquery)
+# ===========================================================================
+
+
+@query(
+    "q_scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount < 0.05
+    """,
+)
+def q_scan_filter_project(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05"
+    )
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity.convert('decimal(25,6)')).asDouble() AS sum_qty,
+               sum(l_extendedprice.convert('decimal(25,6)')).asDouble() AS sum_base_price,
+               sum((l_extendedprice * (1 - l_discount)).convert('decimal(25,6)')).asDouble() AS sum_disc_price,
+               sum((l_extendedprice * (1 - l_discount) * (1 + l_tax)).convert('decimal(25,6)')).asDouble() AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= date('1998-09-02')
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q_topk_skip_limit",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey OFFSET 5 LIMIT 10
+    """,
+)
+def q_topk_skip_limit(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "ORDER BY c_acctbal DESC, c_custkey ASC SKIP 5 LIMIT 10"
+    )
+
+
+@query("q_distinct", oracle="SELECT DISTINCT c_mktsegment FROM customer")
+def q_distinct(spark, sf_dir):
+    return _db(spark, sf_dir).query("SELECT DISTINCT c_mktsegment FROM customer")
+
+
+@query("q_count_star", oracle="SELECT count(*) AS n FROM lineitem")
+def q_count_star(spark, sf_dir):
+    return _db(spark, sf_dir).query("SELECT count(*) AS n FROM lineitem")
+
+
+@query(
+    "q_agg_suite",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(min(c_acctbal), 4) AS min_bal,
+           round(max(c_acctbal), 4) AS max_bal,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_agg_suite(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n,
+               round(min(c_acctbal), 4) AS min_bal,
+               round(max(c_acctbal), 4) AS max_bal,
+               round(avg(c_acctbal), 4) AS avg_bal,
+               sum(c_acctbal.convert('decimal(25,6)')).asDouble() AS sum_bal,
+               round(stddev(c_acctbal), 4) AS sd_bal
+        FROM customer GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q_in_subquery",
+    oracle="""
+    SELECT count(*) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def q_in_subquery(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT count(*) AS n FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"
+    )
+
+
+@query(
+    "q_not_in_subquery",
+    oracle="""
+    SELECT count(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def q_not_in_subquery(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT count(*) AS n FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+    )
+
+
+@query(
+    "q_like_between_in",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority LIKE '%URGENT%'
+      AND o_totalprice BETWEEN 50000 AND 250000
+      AND o_orderstatus IN ('F', 'O')
+    """,
+)
+def q_like_between_in(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT count(*) AS n,
+               sum(o_totalprice.convert('decimal(25,6)')).asDouble() AS total
+        FROM orders
+        WHERE o_orderpriority LIKE '%URGENT%'
+          AND o_totalprice BETWEEN 50000 AND 250000
+          AND o_orderstatus IN ('F', 'O')
+        """
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def q_case_when(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS band,
+               count(*) AS n
+        FROM customer GROUP BY band
+        """
+    )
+
+
+@query(
+    "q_string_methods",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substring(c_name, 10, 5) AS frag,
+           CAST(length(c_name) AS INTEGER) AS len,
+           replace(c_name, 'Customer', 'C') AS short
+    FROM customer WHERE c_custkey < 20
+    """,
+)
+def q_string_methods(spark, sf_dir):
+    # dialect: postfix methods (Java-style 0-based substring(begin, end))
+    return _db(spark, sf_dir).query(
+        """
+        SELECT c_custkey,
+               c_name.toUpperCase() AS uname,
+               c_name.substring(9, 14) AS frag,
+               c_name.length() AS len,
+               c_name.replace('Customer', 'C') AS short
+        FROM customer WHERE c_custkey < 20
+        """
+    )
+
+
+@query(
+    "q_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_date_functions(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n "
+        "FROM orders GROUP BY y, m"
+    )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+    SELECT count(*) AS n_null,
+           round(coalesce(avg(CASE WHEN value > 100 THEN value END), -1), 4) AS avg_high
+    FROM events WHERE value <= 100 OR value > 100
+    """,
+)
+def q_null_handling(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT count(*) AS n_null,
+               round(coalesce(avg(if(value > 100, value, null)), -1), 4) AS avg_high
+        FROM events WHERE value <= 100 OR value > 100
+        """
+    )
+
+
+@query(
+    "q_unwind",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def q_unwind(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT doc_id, text.split(' ') AS word FROM documents "
+        "WHERE doc_id < 20 UNWIND word"
+    )
+
+
+@query(
+    "q_link_2hop",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_link_2hop(spark, sf_dir):
+    # LINK dot-navigation (reference: dot deref across RID links)
+    return _db(spark, sf_dir).query(
+        "SELECT c_nationkey.n_name AS nation, count(*) AS n_cust "
+        "FROM customer GROUP BY nation"
+    )
+
+
+@query(
+    "q_link_3hop",
+    oracle="""
+    SELECT r.r_name AS region, count(*) AS n_cust
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def q_link_3hop(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT c_nationkey.n_regionkey.r_name AS region, count(*) AS n_cust "
+        "FROM customer GROUP BY region"
+    )
+
+
+@query(
+    "q_let_per_record",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS adjusted
+    FROM orders WHERE o_totalprice * 1.1 > 400000
+    """,
+)
+def q_let_per_record(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT o_orderkey, round($adj, 4) AS adjusted FROM orders "
+        "LET adj = o_totalprice * 1.1 WHERE $adj > 400000"
+    )
+
+
+@query("q_schema_types")  # catalog virtual table — no SQL oracle
+def q_schema_types(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT name, kind, bucket_id FROM schema:types ORDER BY bucket_id"
+    )
+
+
+# ===========================================================================
+# Graph: MATCH / TRAVERSE / algorithms
+# ===========================================================================
+
+
+@query(
+    "q_match_2hop",
+    oracle="""
+    SELECT c.c_mktsegment AS seg, count(*) AS n
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_match_2hop(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH {type: Customer, as: c}.out('PLACED'){as: o} "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n GROUP BY seg"
+    )
+
+
+@query(
+    "q_match_3hop",
+    oracle="""
+    SELECT c.c_mktsegment AS seg, count(*) AS n
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size > 40
+    GROUP BY 1
+    """,
+)
+def q_match_3hop(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH {type: Customer, as: c}.out('PLACED'){as: o}"
+        ".out('CONTAINS'){as: p, where: (p_size > 40)} "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n GROUP BY seg"
+    )
+
+
+@query(
+    "q_match_optional",
+    oracle="""
+    SELECT n.n_name AS nation, count(s.s_suppkey) AS n_sup
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_match_optional(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH {type: Nation, as: n}"
+        ".in('LOCATED_IN'){type: Supplier, as: s, optional: true} "
+        "RETURN n.n_name AS nation, count(s.s_suppkey) AS n_sup GROUP BY nation"
+    )
+
+
+@query(
+    "q_match_not",
+    oracle="""
+    SELECT count(*) AS n FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def q_match_not(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH {type: Customer, as: c}, "
+        "NOT {as: c}.out('PLACED'){type: Order, where: (o_totalprice > 300000)} "
+        "RETURN count(*) AS n"
+    )
+
+
+@query(
+    "q_traverse_bfs",
+    oracle="""
+    WITH roots AS (SELECT c_custkey FROM customer WHERE c_custkey < 5),
+    d1 AS (SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM roots)),
+    d2 AS (SELECT DISTINCT l_partkey FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM d1))
+    SELECT 'customer' AS label, 0 AS depth, count(*) AS n FROM roots
+    UNION ALL SELECT 'order', 1, count(*) FROM d1
+    UNION ALL SELECT 'part', 2, count(*) FROM d2
+    """,
+)
+def q_traverse_bfs(spark, sf_dir):
+    from arcadedb_spark.graph.traverse import traverse
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    roots = g.vertices("Customer").filter(F.col("c_custkey") < 5).select("vid")
+    edges = g.edges("PLACED", "CONTAINS").select(
+        F.col("src").alias("__from"), F.col("dst").alias("__to")
+    )
+    visited = traverse(db, roots, edges, max_depth=2)
+    labeled = visited.join(g.all_vertices(), "vid", "left")
+    return labeled.groupBy("label", "depth").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_graph_bfs_hops",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e AS (SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d),
+    bfs AS (
+      WITH RECURSIVE walk(vid, depth) AS (
+        SELECT CAST(7 AS BIGINT), 0
+        UNION
+        SELECT e.d, walk.depth + 1 FROM walk JOIN e ON e.s = walk.vid
+        WHERE walk.depth < 3
+      ) SELECT vid, min(depth) AS depth FROM walk GROUP BY vid
+    )
+    SELECT depth, count(*) AS n FROM bfs GROUP BY depth
+    """,
+)
+def q_graph_bfs_hops(spark, sf_dir):
+    from arcadedb_spark.graph.traverse import traverse
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    roots = spark.createDataFrame([(base + 7,)], "vid long")
+    edges = g.edges("INTERACTED").select(
+        F.col("src").alias("__from"), F.col("dst").alias("__to")
+    )
+    visited = traverse(db, roots, edges, max_depth=3)
+    return visited.groupBy("depth").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_degree_centrality",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e AS (SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d)
+    SELECT s AS user_id, count(*) AS degree FROM e GROUP BY s
+    ORDER BY degree DESC, user_id LIMIT 5
+    """,
+)
+def q_degree_centrality(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import degree_centrality
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    deg = degree_centrality(g.edges("INTERACTED"), direction="out")
+    return (
+        deg.select((F.col("vid") - base).alias("user_id"), "degree")
+        .orderBy(F.desc("degree"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS (
+      SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+      FROM pairs WHERE d IS NOT NULL AND s <> d
+    )
+    SELECT count(*) AS n_triangles
+    FROM e0 x JOIN e0 y ON y.a = x.a AND y.b > x.b
+              JOIN e0 z ON z.a = x.b AND z.b = y.b
+    """,
+)
+def q_triangle_count(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import triangle_count
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    tc = triangle_count(g.edges("INTERACTED"))
+    return tc.agg((F.sum("triangles") / 3).cast("long").alias("n_triangles"))
+
+
+@query("q_pagerank")  # iterative float accumulation — rows-only check
+def q_pagerank(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import pagerank
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    pr = pagerank(g.edges("INTERACTED"), iterations=10)
+    return (
+        pr.select((F.col("vid") - base).alias("user_id"), F.round("rank", 4).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query("q_wcc")  # no closed-form SQL oracle — rows-only check
+def q_wcc(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import connected_components
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    cc = connected_components(g.edges("INTERACTED"))
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
+        F.desc("size"), F.asc("component")
+    )
+
+
+# ===========================================================================
+# Time-series
+# ===========================================================================
+
+
+@query(
+    "q_time_bucket",
+    oracle="""
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bucket(spark, sf_dir):
+    from arcadedb_spark.timeseries import time_bucket
+
+    ev = _db(spark, sf_dir).table("events")
+    return ev.groupBy(
+        F.unix_millis(time_bucket("ts", 3600000)).alias("bucket_ms"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("total"))
+
+
+@query(
+    "q_ts_lag_delta",
+    oracle="""
+    SELECT event_id,
+           round(value - lag(value) OVER w, 4) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_ts_lag_delta(spark, sf_dir):
+    from arcadedb_spark.timeseries import delta
+
+    ev = _db(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.round(delta("value", "user_id", ["ts", "event_id"]), 4).alias("delta"),
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma
+    FROM events
+    """,
+)
+def q_moving_avg(spark, sf_dir):
+    from arcadedb_spark.timeseries import moving_avg
+
+    ev = _db(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.round(moving_avg("value", "user_id", ["ts", "event_id"], 3), 4).alias("ma"),
+    )
+
+
+@query(
+    "q_ts_rank",
+    oracle="""
+    SELECT event_id,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+    FROM events
+    """,
+)
+def q_ts_rank(spark, sf_dir):
+    from arcadedb_spark.timeseries import ts_rank
+
+    ev = _db(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        ts_rank("user_id", [F.desc("value"), F.asc("event_id")]).alias("rnk"),
+    )
+
+
+@query(
+    "q_ts_rate",
+    oracle="""
+    SELECT event_id,
+           round(CASE WHEN (epoch_ms(ts) - lag(epoch_ms(ts)) OVER w) / 1000.0 > 0
+                 THEN (value - lag(value) OVER w)
+                      / ((epoch_ms(ts) - lag(epoch_ms(ts)) OVER w) / 1000.0)
+                 END, 4) + 0.0 AS rate
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_ts_rate(spark, sf_dir):
+    from arcadedb_spark.timeseries.functions import rate
+
+    ev = _db(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        (F.round(rate("value", "ts", "user_id", ["ts", "event_id"]), 4) + 0.0).alias("rate"),
+    )
+
+
+@query(
+    "q_continuous_aggregate",
+    oracle="""
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS bucket_ms,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_continuous_aggregate(spark, sf_dir):
+    from arcadedb_spark.streaming import ContinuousAggregate
+
+    ev = _db(spark, sf_dir).table("events")
+    ca = ContinuousAggregate(
+        "ca_events",
+        "ts",
+        "1 minute",
+        ["event_type"],
+        {"n": F.count(F.lit(1)), "total": _dsum("value")},
+    )
+    out = ca.refresh_batch(ev)
+    return out.select(
+        F.unix_millis("bucket").alias("bucket_ms"), "event_type", "n", "total"
+    )
+
+
+# ===========================================================================
+# Text analysis / full-text
+# ===========================================================================
+
+
+@query(
+    "q_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                   x -> length(x) > 0)) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    from arcadedb_spark.text.analysis import token_count
+
+    docs = _db(spark, sf_dir).table("documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@query(
+    "q_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                         x -> length(x) > 0) AS toks,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars, alpha, punct,
+             length(toks) AS n_tok,
+             length(list_distinct(toks)) AS n_distinct
+      FROM t
+    )
+    SELECT doc_id,
+           round(
+             (CASE WHEN n_tok >= 20 THEN 1.0 ELSE n_tok / 20.0 END) * 0.3
+             + (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) * 0.3
+             + (CASE WHEN n_chars > 0
+                THEN 1.0 - least(1.0, 10.0 * punct / n_chars) ELSE 0.0 END) * 0.2
+             + (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END) * 0.2,
+           4) AS quality
+    FROM m
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    from arcadedb_spark.text.analysis import quality_score
+
+    docs = _db(spark, sf_dir).table("documents")
+    return docs.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+
+
+@query(
+    "q_exact_dedup",
+    oracle=r"""
+    SELECT count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique,
+           count(*) AS n_total
+    FROM documents
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    from arcadedb_spark.text.analysis import exact_fingerprint
+
+    docs = _db(spark, sf_dir).table("documents")
+    return docs.agg(
+        F.countDistinct(exact_fingerprint("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "q_bm25",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> length(x) > 0) AS t
+      FROM documents
+    ), lens AS (SELECT doc_id, length(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+    ),
+    q(term) AS (SELECT unnest(['fast', 'join', 'stream'])),
+    hits AS (SELECT p.doc_id, p.term, p.tf FROM postings p JOIN q USING (term)),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    idf AS (
+      SELECT term,
+             ln((((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) + 1.0) AS idf
+      FROM dfreq
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             sum(idf.idf * (h.tf * 2.2)
+                 / (h.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))) AS score
+      FROM hits h JOIN idf USING (term) JOIN lens USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 4) AS score
+    FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+    """,
+)
+def q_bm25(spark, sf_dir):
+    from arcadedb_spark.text.fulltext import bm25_search
+
+    docs = _db(spark, sf_dir).table("documents")
+    out = bm25_search(docs, "doc_id", "text", "fast join stream")
+    return (
+        out.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> length(x) > 0) AS t
+      FROM documents
+    ), gramsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks
+    ), inv AS (SELECT doc_id, unnest(g) AS gram FROM gramsets),
+    rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 1000),
+    inv2 AS (SELECT i.doc_id, i.gram FROM inv i JOIN rare USING (gram)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv2 a JOIN inv2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), j AS (
+      SELECT c.id_a, c.id_b,
+             length(list_intersect(ga.g, gb.g)) AS inter,
+             length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g)) AS uni
+      FROM cand c
+      JOIN gramsets ga ON ga.doc_id = c.id_a
+      JOIN gramsets gb ON gb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
+    FROM j WHERE inter / uni >= 0.3
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    from arcadedb_spark.dedup import ngram_jaccard_pairs
+
+    docs = _db(spark, sf_dir).table("documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("q_minhash_dedup")  # xxhash64 signatures — no DuckDB equivalent
+def q_minhash_dedup(spark, sf_dir):
+    from arcadedb_spark.dedup import minhash_duplicate_pairs
+
+    docs = _db(spark, sf_dir).table("documents")
+    return minhash_duplicate_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+@query("q_simhash_dedup")  # xxhash64 signatures — no DuckDB equivalent
+def q_simhash_dedup(spark, sf_dir):
+    from arcadedb_spark.dedup import simhash_duplicate_pairs
+
+    docs = _db(spark, sf_dir).table("documents")
+    return simhash_duplicate_pairs(docs, "doc_id", "text", max_hamming=6, bands=8)
+
+
+@query(
+    "q_language_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+               x -> length(x) > 0)) AS toks
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+        length(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','a'])) AS s_en,
+        length(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS s_de,
+        length(list_intersect(toks, ['le','la','les','et','est','pas','un','une','dans','pour'])) AS s_fr,
+        length(list_intersect(toks, ['el','la','los','las','es','no','un','una','en','por'])) AS s_es,
+        length(list_intersect(toks, ['il','la','che','e','è','non','un','una','per','con'])) AS s_it
+      FROM t
+    ), lang AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_it) < 2 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+             ELSE 'it' END AS lang
+      FROM hits
+    )
+    SELECT lang, count(*) AS n FROM lang GROUP BY lang
+    """,
+)
+def q_language_id(spark, sf_dir):
+    from arcadedb_spark.text.analysis import language_id
+
+    docs = _db(spark, sf_dir).table("documents")
+    return docs.select(language_id("text").alias("lang")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# Vector search
+# ===========================================================================
+
+_COS = (
+    "list_inner_product(CAST(e.embedding AS DOUBLE[]), q.v) / "
+    "(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) "
+    "* sqrt(list_inner_product(q.v, q.v)))"
+)
+
+
+@query(
+    "q_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(score, 6) AS score FROM (
+      SELECT e.vec_id, {_COS} AS score
+      FROM embeddings e, q
+      ORDER BY score DESC, e.vec_id LIMIT 10
+    )
+    """,
+)
+def q_knn_cosine(spark, sf_dir):
+    from arcadedb_spark.vector import cosine_similarity
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qcol = F.array(*[F.lit(v) for v in qv])
+    return (
+        emb.select(
+            "vec_id",
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"), qcol
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+
+
+@query(
+    "q_knn_l2",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(dist, 5) AS dist FROM (
+      SELECT e.vec_id,
+             list_distance(CAST(e.embedding AS DOUBLE[]), q.v) AS dist
+      FROM embeddings e, q
+      ORDER BY dist ASC, e.vec_id LIMIT 10
+    )
+    """,
+)
+def q_knn_l2(spark, sf_dir):
+    from arcadedb_spark.vector import l2_distance
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qcol = F.array(*[F.lit(v) for v in qv])
+    return (
+        emb.select(
+            "vec_id",
+            l2_distance(F.col("embedding").cast("array<double>"), qcol).alias("dist"),
+        )
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("dist", 5).alias("dist"))
+    )
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.3
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    from arcadedb_spark.vector import cosine_similarity
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("__la"),
+        F.col("embedding").cast("array<double>").alias("__va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("__lb"),
+        F.col("embedding").cast("array<double>").alias("__vb"),
+    )
+    pairs = a.join(
+        b, (F.col("__la") == F.col("__lb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.filter(
+        cosine_similarity(F.col("__va"), F.col("__vb")) >= 0.3
+    ).select("id_a", "id_b")
+
+
+@query("q_knn_lsh")  # approximate — recall vs exact is data-dependent
+def q_knn_lsh(spark, sf_dir):
+    from arcadedb_spark.vector import knn_lsh
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return knn_lsh(
+        queries_df, emb, "vec_id", "embedding", "vec_id", "embedding", k=5
+    ).select("q_id", "d_id", F.round("score", 5).alias("score"))
+
+
+@query("q_multimodal_features")  # stubbed decode — rows-only check
+def q_multimodal_features(spark, sf_dir):
+    from arcadedb_spark.multimodal import extract_features
+
+    docs = _db(spark, sf_dir).table("documents")
+    media = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return extract_features(media, "blob", "doc_id", dim=8).select(
+        "id", F.size("features").alias("n_features")
+    )

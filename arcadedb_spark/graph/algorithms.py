@@ -259,10 +259,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         ["v", "w"],
         "inner",
     )
-    # each oriented triangle appears twice in the wedge enumeration (x,y swap)
+    # exactly one of the (v,w)/(w,v) wedge orders closes per triangle, so
+    # each triangle appears once in `closed` — credit all three corners
     tri = closed.select(
         F.explode(F.array("u", "v", "w")).alias("vid")
-    ).groupBy("vid").agg((F.count("*") / 2).cast("long").alias("triangles"))
+    ).groupBy("vid").agg(F.count("*").cast("long").alias("triangles"))
     verts = _vertices_of(edges)
     return verts.join(tri, "vid", "left").fillna(0, ["triangles"])
 

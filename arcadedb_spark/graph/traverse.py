@@ -81,6 +81,9 @@ def traverse(
     depth = first-visit hop count (roots at depth 0).
     """
     params = params or {}
+    # the edge frame is joined every hop — cache it once (for derived edge
+    # sets like INTERACTED the derivation is itself a query)
+    edges = edges.cache()
     visited = roots.select("vid").distinct().withColumn("depth", F.lit(0))
     frontier = visited
     for depth in range(1, max_depth + 1):
@@ -101,6 +104,10 @@ def traverse(
             nxt = nxt.filter(ExprCompiler(ctx).compile(while_))
         if depth % _CHECKPOINT_EVERY == 0:
             nxt = nxt.localCheckpoint(eager=True)
+        else:
+            # each hop is re-read by the emptiness check, the next hop's
+            # join and the visited union — cache instead of recomputing
+            nxt = nxt.cache()
         # emptiness check drives the loop — one count() action per hop
         if nxt.limit(1).count() == 0:
             break

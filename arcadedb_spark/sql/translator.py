@@ -524,6 +524,10 @@ class Translator:
         paths = self._link_paths(stmt, type_name)
         if not paths:
             return df
+        # every prefix of a multi-hop path needs its own join
+        paths = sorted(
+            {p[:k] for p in paths for k in range(1, len(p) + 1)}, key=len
+        )
         base_alias = "__t0"
         df = df.alias(base_alias)
         alias_of: dict[tuple[str, ...], str] = {(): base_alias}

@@ -18,7 +18,7 @@ from arcadedb_spark.text.fulltext import tokenize
 # Deliberately small: language ID at pipeline scale is a ratio test, not a
 # classifier — ambiguous docs fall through to 'und'.
 _STOPWORDS = {
-    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "a"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
     "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"],
     "es": ["el", "la", "los", "las", "es", "no", "un", "una", "en", "por"],

@@ -1,0 +1,103 @@
+"""Graph layer tests: MATCH, TRAVERSE, algorithms (sf0.001)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_match_two_hop_counts(db):
+    rows = db.query(
+        "MATCH {type: Customer, as: c}.out('PLACED'){as: o} "
+        "RETURN count(*) AS n"
+    ).collect()
+    assert rows[0]["n"] == 1500  # every order placed by exactly one customer
+
+
+def test_match_where_pushdown(db):
+    rows = db.query(
+        "MATCH {type: Customer, as: c, where: (c_mktsegment = 'BUILDING')}"
+        ".out('PLACED'){as: o} RETURN c.c_custkey AS k, o.o_orderkey AS ok"
+    ).collect()
+    assert rows
+    segs = {
+        r["c_mktsegment"]
+        for r in db.table("customer")
+        .filter(F.col("c_custkey").isin([r["k"] for r in rows]))
+        .collect()
+    }
+    assert segs == {"BUILDING"}
+
+
+def test_match_optional_keeps_unmatched(db):
+    rows = db.query(
+        "MATCH {type: Nation, as: n}"
+        ".in('LOCATED_IN'){type: Supplier, as: s, optional: true} "
+        "RETURN n.n_name AS nation, count(s.s_suppkey) AS ns GROUP BY nation"
+    ).collect()
+    assert len(rows) == 25  # all nations present even without suppliers
+    assert any(r["ns"] == 0 for r in rows)
+
+
+def test_match_not_pattern(db):
+    n = db.query(
+        "MATCH {type: Customer, as: c}, "
+        "NOT {as: c}.out('PLACED'){type: Order, where: (o_totalprice > 100000)} "
+        "RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    # equals customers whose every order is <= 100000
+    placed_big = (
+        db.table("orders").filter(F.col("o_totalprice") > 100000).select("o_custkey").distinct()
+    )
+    expect = db.table("customer").join(
+        placed_big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).count()
+    assert n == expect
+
+
+def test_traverse_depth_semantics(db):
+    df = db.query("TRAVERSE out('PLACED') FROM customer MAXDEPTH 1")
+    by_label = {r["label"]: r["n"] for r in df.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert by_label["customer"] == 150
+    assert by_label["order"] == 1500
+
+
+def test_pagerank_mass_conservation(db):
+    from arcadedb_spark.graph.algorithms import pagerank
+
+    g = db.graph()
+    e = g.edges("INTERACTED")
+    pr = pagerank(e, iterations=5)
+    n = pr.count()
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - n) / n < 1e-6  # rank mass conserved
+
+
+def test_wcc_single_component(db):
+    from arcadedb_spark.graph.algorithms import connected_components
+
+    g = db.graph()
+    cc = connected_components(g.edges("INTERACTED"))
+    # the INTERACTED graph is one connected blob on the fixture
+    assert cc.select("component").distinct().count() == 1
+
+
+def test_sssp_distances(db):
+    from arcadedb_spark.graph.algorithms import dijkstra_sssp
+
+    g = db.graph()
+    e = g.edges("INTERACTED")
+    src = e.select("src").first()[0]
+    d = dijkstra_sssp(e, src)
+    rows = {r["vid"]: r["distance"] for r in d.collect()}
+    assert rows[src] == 0.0
+    assert all(v >= 0 for v in rows.values())
+
+
+def test_degree_centrality(db):
+    from arcadedb_spark.graph.algorithms import degree_centrality
+
+    g = db.graph()
+    deg = degree_centrality(g.edges("PLACED"), direction="out")
+    # PLACED out-degree per customer == orders per customer
+    total = deg.agg(F.sum("degree")).collect()[0][0]
+    assert total == 1500

@@ -1,0 +1,123 @@
+"""SELECT translator end-to-end tests against the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_scan_filter(db):
+    rows = db.query(
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 9000"
+    ).collect()
+    assert rows
+    base = db.table("customer").filter(F.col("c_acctbal") > 9000).count()
+    assert len(rows) == base
+
+
+def test_projection_alias_and_methods(db):
+    r = db.query(
+        "SELECT c_name.toUpperCase() AS u, c_name.length() AS l "
+        "FROM customer WHERE c_custkey = 1"
+    ).collect()[0]
+    assert r["u"].startswith("CUSTOMER#") and r["l"] == 18
+
+
+def test_group_by_agg(db):
+    rows = db.query(
+        "SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS a "
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ).collect()
+    assert sum(r["n"] for r in rows) == 150
+    assert rows == sorted(rows, key=lambda r: r["c_mktsegment"])
+
+
+def test_agg_whole_table(db):
+    r = db.query("SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer").collect()[0]
+    assert r["lo"] < r["hi"]
+
+
+def test_order_by_hidden_projection(db):
+    # ORDER BY column not in projection → hidden sort column
+    rows = db.query(
+        "SELECT c_name FROM customer ORDER BY c_acctbal DESC LIMIT 3"
+    ).collect()
+    top = (
+        db.table("customer").orderBy(F.desc("c_acctbal")).limit(3).collect()
+    )
+    assert [r["c_name"] for r in rows] == [r["c_name"] for r in top]
+
+
+def test_skip_limit(db):
+    rows = db.query(
+        "SELECT c_custkey FROM customer ORDER BY c_custkey SKIP 10 LIMIT 5"
+    ).collect()
+    assert [r[0] for r in rows] == [10, 11, 12, 13, 14]
+
+
+def test_distinct(db):
+    rows = db.query("SELECT DISTINCT c_mktsegment FROM customer").collect()
+    assert len(rows) == 5
+
+
+def test_in_subquery_semi_join(db):
+    n = db.query(
+        "SELECT count(*) AS n FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    ).collect()[0]["n"]
+    assert n > 0
+
+
+def test_link_navigation(db):
+    r = db.query(
+        "SELECT c_name, c_nationkey.n_regionkey.r_name AS region "
+        "FROM customer WHERE c_custkey = 0"
+    ).collect()[0]
+    assert r["region"] in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+
+def test_let_global_and_per_record(db):
+    rows = db.query(
+        "SELECT o_orderkey FROM orders LET t = o_totalprice * 2 WHERE $t > 700000"
+    ).collect()
+    check = db.table("orders").filter(F.col("o_totalprice") * 2 > 700000).count()
+    assert len(rows) == check
+
+
+def test_unwind(db):
+    rows = db.query(
+        "SELECT doc_id, text.split(' ') AS w FROM documents WHERE doc_id = 0 UNWIND w"
+    ).collect()
+    assert len(rows) > 10
+    assert all(isinstance(r["w"], str) for r in rows)
+
+
+def test_rid_target(db):
+    rows = db.query("SELECT @rid, c_name FROM #1:5").collect()
+    assert len(rows) == 1 and rows[0]["@rid"] == "#1:5"
+
+
+def test_params(db):
+    rows = db.query(
+        "SELECT c_name FROM customer WHERE c_custkey = :k", k=7
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_schema_virtual_tables(db):
+    names = {r["name"] for r in db.query("SELECT name FROM schema:types").collect()}
+    assert "customer" in names and "lineitem" in names
+
+
+def test_fluent_builder(db):
+    rows = (
+        db.select()
+        .from_type("customer")
+        .property("c_mktsegment")
+        .eq("BUILDING")
+        .order_by("c_acctbal", ascending=False)
+        .limit(2)
+        .df()
+        .collect()
+    )
+    assert len(rows) == 2
+    assert rows[0]["c_acctbal"] >= rows[1]["c_acctbal"]
