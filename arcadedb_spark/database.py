@@ -141,6 +141,23 @@ class Database:
             self._plan_cache[key] = stmt
         return Translator(self, params=params).translate(stmt)
 
+    def command(self, text: str, **params) -> DataFrame:
+        """DML/DDL entry point (LocalDatabase.command :1738).
+
+        SELECT/MATCH/TRAVERSE are also accepted (dispatch parity with the
+        reference, which routes idempotent statements through query()).
+        """
+        from arcadedb_spark.sql import ast as _ast
+        from arcadedb_spark.sql.commands import execute_command
+        from arcadedb_spark.sql.parser import parse
+
+        stmt = parse(text)
+        if isinstance(stmt, (_ast.SelectStmt, _ast.MatchStmt, _ast.TraverseStmt)):
+            from arcadedb_spark.sql.translator import Translator
+
+            return Translator(self, params=params).translate(stmt)
+        return execute_command(self, stmt, params)
+
     def select(self, type_name: str | None = None):
         """Fluent native query API (query/select/Select.java:78)."""
         from arcadedb_spark.select.builder import SelectBuilder

@@ -1036,3 +1036,288 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, "blob", "doc_id", dim=8).select(
         "id", F.size("features").alias("n_features")
     )
+
+
+# ===========================================================================
+# Round-1 extensions: expand, dialect ts.*, hybrid scoring, interpolation,
+# CONTAINS family, math/conversion surfaces, DML roundtrip
+# ===========================================================================
+
+
+@query(
+    "q_expand",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+           o.o_orderdate, o.o_orderpriority
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 3
+    """,
+)
+def q_expand(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "SELECT expand(out('PLACED')) FROM Customer WHERE c_custkey < 3"
+    )
+
+
+@query(
+    "q_ts_sql_bucket",
+    oracle="""
+    SELECT ((epoch_ms(ts) // 3600000) * 3600000) // 1000 AS bucket_s,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY 1
+    """,
+)
+def q_ts_sql_bucket(spark, sf_dir):
+    # reference syntax: ts.timeBucket('1h', ts) (WindowFunctionTest.java)
+    return _db(spark, sf_dir).query(
+        "SELECT ts.timeBucket('1h', ts).asLong() AS bucket_s, count(*) AS cnt, "
+        "sum(value.convert('decimal(25,6)')).asDouble() AS sum_val "
+        "FROM events GROUP BY bucket_s"
+    )
+
+
+@query(
+    "q_ts_sql_lag_grouped",
+    oracle="""
+    SELECT event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS d
+    FROM events
+    """,
+)
+def q_ts_sql_lag_grouped(spark, sf_dir):
+    # GROUP BY doubles as PARTITION BY for windowed ts functions
+    # (reference GroupedDelta test shape)
+    return _db(spark, sf_dir).query(
+        "SELECT event_id, round(ts.delta(value, ts), 4) AS d "
+        "FROM events GROUP BY user_id"
+    )
+
+
+@query(
+    "q_rrf_hybrid",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> length(x) > 0) AS t
+      FROM documents
+    ), lens AS (SELECT doc_id, length(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+    ),
+    q(term) AS (SELECT unnest(['fast', 'join', 'stream'])),
+    hits AS (SELECT p.doc_id, p.term, p.tf FROM postings p JOIN q USING (term)),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+    idf AS (
+      SELECT term, ln((((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) + 1.0) AS idf
+      FROM dfreq
+    ),
+    text_scored AS (
+      SELECT h.doc_id,
+             sum(idf.idf * (h.tf * 2.2)
+                 / (h.tf + 1.2 * (0.25 + 0.75 * lens.dl / (SELECT avgdl FROM stats)))) AS score
+      FROM hits h JOIN idf USING (term) JOIN lens USING (doc_id) GROUP BY 1
+    ),
+    text_rank AS (
+      SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM text_scored ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    vec_scored AS (
+      SELECT e.vec_id,
+             list_inner_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+             / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(qv.v, qv.v))) AS score
+      FROM embeddings e, qv
+    ),
+    vec_rank AS (
+      SELECT vec_id AS id, row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+      FROM vec_scored ORDER BY score DESC, vec_id LIMIT 20
+    ),
+    fused AS (
+      SELECT id, CAST(sum(1.0 / (60 + rnk)) AS DOUBLE) AS rrf_score
+      FROM (SELECT * FROM text_rank UNION ALL SELECT * FROM vec_rank)
+      GROUP BY id
+    )
+    SELECT id, round(rrf_score, 6) AS rrf_score
+    FROM (SELECT * FROM fused ORDER BY rrf_score DESC, id LIMIT 10)
+    """,
+)
+def q_rrf_hybrid(spark, sf_dir):
+    from arcadedb_spark.text.fulltext import bm25_search
+    from arcadedb_spark.vector import cosine_similarity, rrf_fuse
+
+    db = _db(spark, sf_dir)
+    docs = db.table("documents")
+    emb = db.table("embeddings")
+    text_rank = (
+        bm25_search(docs, "doc_id", "text", "fast join stream")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ))
+            .alias("rank"),
+        )
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qcol = F.array(*[F.lit(v) for v in qv])
+    from pyspark.sql import Window
+
+    vec_rank = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding").cast("array<double>"), qcol).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+    fused = rrf_fuse(text_rank, vec_rank, id_col="doc_id", rank_col="rank", k=60)
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(10)
+        .select("id", F.round("rrf_score", 6).alias("rrf_score"))
+    )
+
+
+@query(
+    "q_interpolate",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 <> 0 THEN value END AS v
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS t, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN epoch_ms(ts) END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN v IS NOT NULL THEN epoch_ms(ts) END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM s
+    )
+    SELECT event_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * (CASE WHEN nt <> pt
+                                        THEN (t - pt) / (nt - pt) ELSE 0.0 END)
+                 END, 4) AS interp
+    FROM w
+    """,
+)
+def q_interpolate(spark, sf_dir):
+    from arcadedb_spark.timeseries.functions import interpolate_linear
+
+    ev = _db(spark, sf_dir).table("events")
+    sparse = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("v"),
+    )
+    interp = interpolate_linear(sparse, "v", "ts", "user_id")
+    return sparse.select("event_id", F.round(interp, 4).alias("interp"))
+
+
+@query(
+    "q_contains_ops",
+    oracle="""
+    SELECT count(CASE WHEN list_contains(string_split(text, ' '), 'fast')
+                 THEN 1 END) AS n_contains,
+           count(CASE WHEN length(list_intersect(string_split(text, ' '),
+                                                 ['fast', 'slow'])) > 0
+                 THEN 1 END) AS n_any,
+           count(CASE WHEN text ILIKE '%fast%join%' THEN 1 END) AS n_liketext
+    FROM documents
+    """,
+)
+def q_contains_ops(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT count(if(text.split(' ') CONTAINS 'fast', 1, null)) AS n_contains,
+               count(if(text.split(' ') CONTAINSANY ['fast', 'slow'], 1, null)) AS n_any,
+               count(if(text ILIKE '%fast%join%', 1, null)) AS n_liketext
+        FROM documents
+        """
+    )
+
+
+@query(
+    "q_math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           round(sqrt(o_totalprice), 6) AS sq,
+           round(abs(o_totalprice - 200000), 6) AS ab,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS fl,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS ce,
+           round(sign(o_totalprice - 200000), 1) AS sg
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def q_math_functions(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT o_orderkey,
+               round(sqrt(o_totalprice), 6) AS sq,
+               round(abs(o_totalprice - 200000), 6) AS ab,
+               floor(o_totalprice / 1000) AS fl,
+               ceil(o_totalprice / 1000) AS ce,
+               round(sign(o_totalprice - 200000), 1) AS sg
+        FROM orders WHERE o_orderkey < 100
+        """
+    )
+
+
+@query(
+    "q_conversion_methods",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS BIGINT) AS as_long,
+           CAST(o_totalprice AS VARCHAR) AS as_str,
+           CAST(o_orderkey AS DOUBLE) AS as_dbl
+    FROM orders WHERE o_orderkey < 50
+    """,
+)
+def q_conversion_methods(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT o_orderkey,
+               o_totalprice.asLong() AS as_long,
+               o_totalprice.asString() AS as_str,
+               o_orderkey.asDouble() AS as_dbl
+        FROM orders WHERE o_orderkey < 50
+        """
+    )
+
+
+@query(
+    "q_dml_roundtrip",
+    oracle="""
+    SELECT name, CAST(score AS DOUBLE) AS score FROM (VALUES ('a', 99.0), ('c', 3.0)) AS t(name, score)
+    """,
+)
+def q_dml_roundtrip(spark, sf_dir):
+    db = _db(spark, sf_dir)
+    db.command("DROP TYPE DmlScratch IF EXISTS")
+    db.command("CREATE DOCUMENT TYPE DmlScratch")
+    db.command(
+        "INSERT INTO DmlScratch (name, score) VALUES ('a', 1.0), ('b', 2.0), ('c', 3.0)"
+    )
+    db.command("UPDATE DmlScratch SET score = 99.0 WHERE name = 'a'")
+    db.command("DELETE FROM DmlScratch WHERE name = 'b'")
+    return db.query("SELECT name, score FROM DmlScratch ORDER BY name")

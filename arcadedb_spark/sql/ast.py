@@ -313,3 +313,71 @@ class TraverseStmt:
 
 
 Statement = Union[SelectStmt, MatchStmt, TraverseStmt]
+
+
+# ---------------------------------------------------------------------------
+# DML / DDL statements (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class InsertStmt:
+    type_name: str
+    fields: tuple[str, ...] = ()
+    values_rows: tuple[tuple[Expr, ...], ...] = ()  # VALUES (...), (...)
+    set_items: tuple[tuple[str, Expr], ...] = ()  # SET f = e, ...
+    content: Optional[MapLit] = None  # CONTENT {...}
+    from_select: Optional["SelectStmt"] = None  # INSERT ... FROM SELECT
+
+
+@dataclass(frozen=True)
+class UpdateStmt:
+    type_name: str
+    set_items: tuple[tuple[str, Expr], ...] = ()
+    remove_fields: tuple[str, ...] = ()
+    content: Optional[MapLit] = None
+    upsert: bool = False
+    where: Optional[Expr] = None
+    limit: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class DeleteStmt:
+    type_name: str
+    where: Optional[Expr] = None
+    limit: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class CreateTypeStmt:
+    kind: str  # 'document' | 'vertex' | 'edge'
+    name: str
+    if_not_exists: bool = False
+    extends: Optional[str] = None
+    buckets: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class DropTypeStmt:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class CreatePropertyStmt:
+    type_name: str
+    prop: str
+    dtype: str
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class CreateIndexStmt:
+    type_name: Optional[str]
+    props: tuple[str, ...] = ()
+    index_kind: Optional[str] = None  # recorded; indexes are no-ops on Spark
+
+
+@dataclass(frozen=True)
+class TruncateTypeStmt:
+    name: str

@@ -1,0 +1,210 @@
+"""DML / DDL execution: catalog-mutating table rewrites.
+
+Reference: query/sql/executor/{InsertExecutionPlanner.java:37,
+UpdateExecutionPlanner.java:40, DeleteExecutionPlanner.java:38} and the
+DDL statements (parser/Create*Statement.java).
+
+Semantics on Spark (documented deviations, SURVEY.md §4.3): this is an
+analytical engine — DML is a read-modify-write of the whole table
+expression with **no transactions/WAL**; the new state replaces the
+type's DataFrame in the catalog (and is cached, since the rewrite would
+otherwise be recomputed by every later query).  At scale the same code
+writes back to a table format with overwrite/merge semantics instead of
+caching — the DataFrame program is identical.
+
+Each command returns a small result DataFrame (`count` = affected rows),
+mirroring the reference's update/delete result sets.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcadedb_spark.sql import ast
+from arcadedb_spark.sql.litreg import value_of
+from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError, Translator
+
+
+def _literal_value(db, e: ast.Expr, params: dict) -> Any:
+    ctx = Ctx(db=db, params=params)
+    col = ExprCompiler(ctx).compile(e)
+    v = value_of(col)
+    return v
+
+
+def _result(db, n: int) -> DataFrame:
+    return db.spark.createDataFrame([(n,)], "count long")
+
+
+def execute_command(db, stmt, params: dict) -> DataFrame:
+    if isinstance(stmt, ast.InsertStmt):
+        return _insert(db, stmt, params)
+    if isinstance(stmt, ast.UpdateStmt):
+        return _update(db, stmt, params)
+    if isinstance(stmt, ast.DeleteStmt):
+        return _delete(db, stmt, params)
+    if isinstance(stmt, ast.CreateTypeStmt):
+        return _create_type(db, stmt)
+    if isinstance(stmt, ast.DropTypeStmt):
+        return _drop_type(db, stmt)
+    if isinstance(stmt, ast.CreatePropertyStmt):
+        return _create_property(db, stmt)
+    if isinstance(stmt, ast.CreateIndexStmt):
+        return _result(db, 0)  # indexes are no-ops: scan+pushdown replaces them
+    if isinstance(stmt, ast.TruncateTypeStmt):
+        return _truncate(db, stmt)
+    raise TranslateError(f"Unsupported command {type(stmt).__name__}")
+
+
+def _replace_df(db, name: str, df: DataFrame) -> None:
+    """Swap the type's backing DataFrame (cached: later queries reuse the
+    rewritten state instead of replaying the mutation lineage)."""
+    tdef = db.schema.get(name)
+    new_df = df.cache()
+    tdef._df = new_df
+    db._plan_cache.clear()
+
+
+# -- INSERT -----------------------------------------------------------------
+
+
+def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
+    name = stmt.type_name
+    rows: list[dict] = []
+    if stmt.values_rows:
+        if not stmt.fields:
+            raise TranslateError("INSERT VALUES requires a field list")
+        for vr in stmt.values_rows:
+            rows.append(
+                {f: _literal_value(db, e, params) for f, e in zip(stmt.fields, vr)}
+            )
+    elif stmt.set_items:
+        rows.append({f: _literal_value(db, e, params) for f, e in stmt.set_items})
+    elif stmt.content is not None:
+        rows.append(
+            {k: _literal_value(db, v, params) for k, v in stmt.content.entries}
+        )
+
+    if stmt.from_select is not None:
+        new_df = Translator(db, params).translate(stmt.from_select)
+    else:
+        new_df = db.spark.createDataFrame([tuple(r.values()) for r in rows],
+                                          list(rows[0].keys()))
+
+    if db.schema.exists(name) and db.schema.get(name)._df is not None:
+        base = db.schema.get(name).df()
+        merged = base.unionByName(new_df, allowMissingColumns=True)
+    elif db.schema.exists(name):
+        merged = new_df
+    else:
+        db.schema.register(name, new_df)
+        merged = new_df
+    n = new_df.count()
+    _replace_df(db, name, merged)
+    return _result(db, n)
+
+
+# -- UPDATE -----------------------------------------------------------------
+
+
+def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
+    name = stmt.type_name
+    base = db.schema.get(name).df()
+    ctx = Ctx(db=db, params=params, columns=tuple(base.columns))
+    compiler = ExprCompiler(ctx)
+    cond = compiler.compile(stmt.where) if stmt.where is not None else F.lit(True)
+
+    matched = base.filter(cond).count()
+    set_items = list(stmt.set_items)
+    if stmt.content is not None:
+        set_items += list(stmt.content.entries)
+
+    new_df = base
+    for prop, e in set_items:
+        val = compiler.compile(e) if isinstance(e, ast.Expr) else F.lit(e)
+        if prop in new_df.columns:
+            new_df = new_df.withColumn(prop, F.when(cond, val).otherwise(F.col(prop)))
+        else:
+            new_df = new_df.withColumn(prop, F.when(cond, val))
+    for prop in stmt.remove_fields:
+        # REMOVE on a fixed schema nulls the property for matched rows
+        if prop in new_df.columns:
+            new_df = new_df.withColumn(
+                prop, F.when(cond, F.lit(None)).otherwise(F.col(prop))
+            )
+
+    if matched == 0 and stmt.upsert:
+        # UPSERT: no match → insert one document from the SET items
+        # (UpsertStep.java:37)
+        row = {p: _literal_value(db, e, params) for p, e in set_items}
+        ins = db.spark.createDataFrame([tuple(row.values())], list(row.keys()))
+        new_df = base.unionByName(ins, allowMissingColumns=True)
+        matched = 1
+
+    _replace_df(db, name, new_df)
+    return _result(db, matched)
+
+
+# -- DELETE -----------------------------------------------------------------
+
+
+def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
+    name = stmt.type_name
+    base = db.schema.get(name).df()
+    if stmt.where is None:
+        n = base.count()
+        _replace_df(db, name, base.limit(0))
+        return _result(db, n)
+    ctx = Ctx(db=db, params=params, columns=tuple(base.columns))
+    cond = ExprCompiler(ctx).compile(stmt.where)
+    n = base.filter(cond).count()
+    _replace_df(db, name, base.filter(~cond | cond.isNull()))
+    return _result(db, n)
+
+
+# -- DDL --------------------------------------------------------------------
+
+
+def _create_type(db, stmt: ast.CreateTypeStmt) -> DataFrame:
+    if db.schema.exists(stmt.name):
+        if stmt.if_not_exists:
+            return _result(db, 0)
+        raise TranslateError(f"Type '{stmt.name}' already exists")
+    parents = (stmt.extends,) if stmt.extends else ()
+    tdef = db.schema.register(
+        stmt.name,
+        loader=lambda: db.spark.createDataFrame([], "dummy string").limit(0).drop("dummy"),
+        kind=stmt.kind,
+        parents=parents,
+    )
+    tdef._df = None
+    return _result(db, 1)
+
+
+def _drop_type(db, stmt: ast.DropTypeStmt) -> DataFrame:
+    if not db.schema.exists(stmt.name):
+        if stmt.if_exists:
+            return _result(db, 0)
+        raise TranslateError(f"Type '{stmt.name}' does not exist")
+    db.schema.drop(stmt.name)
+    db._plan_cache.clear()
+    return _result(db, 1)
+
+
+def _create_property(db, stmt: ast.CreatePropertyStmt) -> DataFrame:
+    tdef = db.schema.get(stmt.type_name)
+    declared = tdef.properties.setdefault("declared", {})
+    if stmt.prop in declared and stmt.if_not_exists:
+        return _result(db, 0)
+    declared[stmt.prop] = stmt.dtype.lower()
+    return _result(db, 1)
+
+
+def _truncate(db, stmt: ast.TruncateTypeStmt) -> DataFrame:
+    base = db.schema.get(stmt.name).df()
+    n = base.count()
+    _replace_df(db, stmt.name, base.limit(0))
+    return _result(db, n)

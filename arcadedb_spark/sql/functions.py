@@ -434,16 +434,138 @@ def _values(args):
 
 # ---------------------------------------------------------------------------
 # Namespaced: ts.* time-series functions (function/sql/time/SQLFunction*.java)
-# Scalar members only — windowed members (lag/lead/rank/…) are handled by
-# the translator because they need a Window spec (see translator._TS_WINDOW).
+#
+# Scalar: ts.timeBucket('1h', ts)  (interval first — reference arg order,
+# engine/src/test/java/.../timeseries/WindowFunctionTest.java usage).
+# Windowed (lag/lead/delta/rate/movingAvg/rank/rowNumber): registered in
+# TS_WINDOW — the translator supplies the partition keys (GROUP BY keys
+# double as PARTITION BY for these, per the reference's GroupedDelta test).
+# Aggregated (ts.first/ts.last): ordinary aggregates via min_by/max_by.
 # ---------------------------------------------------------------------------
+
+_DURATION_UNITS = {
+    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000,
+    "w": 604_800_000,
+}
+
+
+def parse_duration_ms(spec) -> int:
+    """'1h' / '60s' / '5m' / 1500 (ms) → milliseconds."""
+    from arcadedb_spark.sql.litreg import value_of
+
+    v = value_of(spec)
+    if v is None:
+        v = spec
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = str(v).strip().lower()
+    for unit in ("ms", "w", "d", "h", "m", "s"):
+        if s.endswith(unit):
+            return int(float(s[: -len(unit)])) * _DURATION_UNITS[unit]
+    return int(s)
 
 
 @scalar("ts.timebucket")
 def _ts_timebucket(args):
-    # ts.timeBucket(ts, interval_ms) → bucket start timestamp
+    # ts.timeBucket(interval, ts) → bucket start timestamp
     # (function/sql/time/SQLFunctionTimeBucket.java:40)
-    interval_ms = args[1] if len(args) > 1 else F.lit(60000)
-    epoch_ms = F.unix_millis(args[0])
-    bucket = (epoch_ms / interval_ms).cast("long") * interval_ms.cast("long")
+    interval_ms = parse_duration_ms(args[0])
+    epoch_ms = F.unix_millis(args[1])
+    bucket = (epoch_ms / F.lit(interval_ms)).cast("long") * F.lit(interval_ms)
     return F.timestamp_millis(bucket)
+
+
+# name → builder(args: list[Column], partition: list[Column]) -> Column
+TS_WINDOW: dict[str, Callable[..., Column]] = {}
+
+
+def ts_window(name: str):
+    def deco(fn):
+        TS_WINDOW[name.lower()] = fn
+        return fn
+
+    return deco
+
+
+def _w(partition, order_col):
+    from pyspark.sql import Window
+
+    return Window.partitionBy(*partition).orderBy(order_col)
+
+
+def _lit_int(col, default=None) -> int:
+    from arcadedb_spark.sql.litreg import value_of
+
+    v = value_of(col)
+    if v is None:
+        if default is not None:
+            return default
+        raise ValueError("expected a literal integer argument")
+    return int(v)
+
+
+@ts_window("ts.lag")
+def _ts_lag(args, partition):
+    # ts.lag(value, offset, ts[, default]) — SQLFunctionLag.java:39
+    from arcadedb_spark.sql.litreg import value_of
+
+    value, offset, order = args[0], _lit_int(args[1]), args[2]
+    default = value_of(args[3]) if len(args) > 3 else None
+    return F.lag(value, offset, default).over(_w(partition, order))
+
+
+@ts_window("ts.lead")
+def _ts_lead(args, partition):
+    from arcadedb_spark.sql.litreg import value_of
+
+    value, offset, order = args[0], _lit_int(args[1]), args[2]
+    default = value_of(args[3]) if len(args) > 3 else None
+    return F.lead(value, offset, default).over(_w(partition, order))
+
+
+@ts_window("ts.delta")
+def _ts_delta(args, partition):
+    # ts.delta(value, ts) — value − previous value
+    value, order = args[0], args[1]
+    return value - F.lag(value, 1).over(_w(partition, order))
+
+
+@ts_window("ts.rate")
+def _ts_rate(args, partition):
+    # ts.rate(value, ts) — per-second rate vs previous sample
+    value, order = args[0], args[1]
+    w = _w(partition, order)
+    dv = value - F.lag(value, 1).over(w)
+    dt = (F.unix_millis(order) - F.unix_millis(F.lag(order, 1).over(w))) / 1000.0
+    return F.when(dt > 0, dv / dt)
+
+
+@ts_window("ts.movingavg")
+def _ts_moving_avg(args, partition):
+    # ts.movingAvg(value, n[, ts]) — trailing n-row mean
+    value, n = args[0], _lit_int(args[1])
+    order = args[2] if len(args) > 2 else F.col("ts")
+    w = _w(partition, order).rowsBetween(-(n - 1), 0)
+    return F.avg(value).over(w)
+
+
+@ts_window("ts.rank")
+def _ts_rank_fn(args, partition):
+    # ts.rank(orderExpr) — rank with gaps (SQLFunctionRank.java:31-33)
+    return F.rank().over(_w(partition, args[0]))
+
+
+@ts_window("ts.rownumber")
+def _ts_rownumber(args, partition):
+    return F.row_number().over(_w(partition, args[0]))
+
+
+@agg("ts.first")
+def _ts_first(args, distinct=False):
+    # ts.first(value, ts) — value at minimum timestamp
+    return F.min_by(args[0], args[1])
+
+
+@agg("ts.last")
+def _ts_last(args, distinct=False):
+    return F.max_by(args[0], args[1])

@@ -96,7 +96,227 @@ class Parser:
             return self.parse_match()
         if self.at_kw("TRAVERSE"):
             return self.parse_traverse()
+        if self.at_kw("INSERT"):
+            return self.parse_insert()
+        if self.at_kw("UPDATE"):
+            return self.parse_update()
+        if self.at_kw("DELETE"):
+            return self.parse_delete()
+        if self.at_kw("CREATE"):
+            return self.parse_create()
+        if self.at_kw("DROP"):
+            return self.parse_drop()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRUNCATE":
+            return self.parse_truncate()
         raise ParseError(f"Unsupported statement start: {self.cur!r}")
+
+    # DML ------------------------------------------------------------------
+    def parse_insert(self) -> ast.InsertStmt:
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        name = self.ident()
+        fields: list[str] = []
+        values_rows: list[tuple] = []
+        set_items: list[tuple] = []
+        content = None
+        from_select = None
+        if self.at_op("("):
+            self.advance()
+            fields.append(self.ident())
+            while self.eat_op(","):
+                fields.append(self.ident())
+            self.expect_op(")")
+        if self.at_kw("VALUES"):
+            self.advance()
+            while True:
+                self.expect_op("(")
+                row = [self.parse_expr()]
+                while self.eat_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+                values_rows.append(tuple(row))
+                if not self.eat_op(","):
+                    break
+        elif self.at_kw("SET"):
+            self.advance()
+            set_items.append(self._parse_set_item())
+            while self.eat_op(","):
+                set_items.append(self._parse_set_item())
+        elif self.at_kw("CONTENT"):
+            self.advance()
+            m = self.parse_primary()
+            if not isinstance(m, ast.MapLit):
+                raise ParseError("CONTENT requires a JSON object")
+            content = m
+        elif self.at_kw("FROM"):
+            self.advance()
+            if self.at_op("("):
+                self.advance()
+                from_select = self.parse_statement()
+                self.expect_op(")")
+            else:
+                from_select = self.parse_statement()
+        return ast.InsertStmt(
+            type_name=name,
+            fields=tuple(fields),
+            values_rows=tuple(values_rows),
+            set_items=tuple(set_items),
+            content=content,
+            from_select=from_select,
+        )
+
+    def _parse_set_item(self) -> tuple[str, ast.Expr]:
+        prop = self.ident()
+        self.expect_op("=")
+        return (prop, self.parse_expr())
+
+    def parse_update(self) -> ast.UpdateStmt:
+        self.expect_kw("UPDATE")
+        name = self.ident()
+        set_items: list[tuple] = []
+        remove_fields: list[str] = []
+        content = None
+        upsert = False
+        where = None
+        limit = None
+        while True:
+            if self.at_kw("SET"):
+                self.advance()
+                set_items.append(self._parse_set_item())
+                while self.eat_op(","):
+                    set_items.append(self._parse_set_item())
+            elif self.at_kw("REMOVE"):
+                self.advance()
+                remove_fields.append(self.ident())
+                while self.eat_op(","):
+                    remove_fields.append(self.ident())
+            elif self.at_kw("CONTENT", "MERGE"):
+                self.advance()
+                m = self.parse_primary()
+                if not isinstance(m, ast.MapLit):
+                    raise ParseError("CONTENT/MERGE requires a JSON object")
+                content = m
+            elif self.at_kw("UPSERT"):
+                self.advance()
+                upsert = True
+            elif self.at_kw("WHERE"):
+                self.advance()
+                where = self.parse_expr()
+            elif self.at_kw("LIMIT"):
+                self.advance()
+                limit = self.parse_expr()
+            else:
+                break
+        return ast.UpdateStmt(
+            type_name=name,
+            set_items=tuple(set_items),
+            remove_fields=tuple(remove_fields),
+            content=content,
+            upsert=upsert,
+            where=where,
+            limit=limit,
+        )
+
+    def parse_delete(self) -> ast.DeleteStmt:
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        name = self.ident()
+        where = None
+        limit = None
+        while True:
+            if self.at_kw("WHERE"):
+                self.advance()
+                where = self.parse_expr()
+            elif self.at_kw("LIMIT"):
+                self.advance()
+                limit = self.parse_expr()
+            else:
+                break
+        return ast.DeleteStmt(type_name=name, where=where, limit=limit)
+
+    # DDL ------------------------------------------------------------------
+    def parse_create(self) -> ast.Statement:
+        self.expect_kw("CREATE")
+        if self.at_kw("DOCUMENT", "VERTEX", "EDGE", "TYPE"):
+            kind = "document"
+            if self.at_kw("DOCUMENT", "VERTEX", "EDGE"):
+                kind = self.advance().value.lower()
+            self.expect_kw("TYPE")
+            name = self.ident()
+            if_not_exists = self._eat_if_not_exists()
+            extends = None
+            buckets = None
+            while True:
+                if self.at_kw("EXTENDS"):
+                    self.advance()
+                    extends = self.ident()
+                elif self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKETS":
+                    self.advance()
+                    buckets = int(self.advance().value)
+                else:
+                    break
+            return ast.CreateTypeStmt(
+                kind=kind, name=name, if_not_exists=if_not_exists,
+                extends=extends, buckets=buckets,
+            )
+        if self.at_kw("PROPERTY"):
+            self.advance()
+            tname = self.ident()
+            self.expect_op(".")
+            prop = self.ident()
+            if_not_exists = self._eat_if_not_exists()
+            dtype = self.ident()
+            return ast.CreatePropertyStmt(
+                type_name=tname, prop=prop, dtype=dtype,
+                if_not_exists=if_not_exists,
+            )
+        if self.at_kw("INDEX"):
+            self.advance()
+            # lenient: indexes are catalog no-ops on Spark — record target
+            tname = None
+            props: list[str] = []
+            while self.cur.kind != "EOF":
+                tok = self.advance()
+                if tok.kind == "KEYWORD" and tok.value == "ON":
+                    pass
+                elif tok.kind == "OP" and tok.value == "(":
+                    while not self.at_op(")"):
+                        props.append(self.ident())
+                        self.eat_op(",")
+                    self.expect_op(")")
+                elif tok.kind == "IDENT" and tname is None:
+                    tname = tok.value
+            return ast.CreateIndexStmt(type_name=tname, props=tuple(props))
+        raise ParseError(f"Unsupported CREATE statement at {self.cur!r}")
+
+    def _eat_if_not_exists(self) -> bool:
+        if self.at_kw("IF"):
+            self.advance()
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            return True
+        return False
+
+    def parse_drop(self) -> ast.DropTypeStmt:
+        self.expect_kw("DROP")
+        self.expect_kw("TYPE")
+        name = self.ident()
+        if_exists = False
+        if self.at_kw("IF"):
+            self.advance()
+            self.expect_kw("EXISTS")
+            if_exists = True
+        while self.cur.kind == "KEYWORD":  # UNSAFE etc.
+            self.advance()
+        return ast.DropTypeStmt(name=name, if_exists=if_exists)
+
+    def parse_truncate(self) -> ast.TruncateTypeStmt:
+        self.advance()  # TRUNCATE
+        self.expect_kw("TYPE")
+        name = self.ident()
+        while self.cur.kind == "KEYWORD":  # POLYMORPHIC / UNSAFE
+            self.advance()
+        return ast.TruncateTypeStmt(name=name)
 
     # SELECT --------------------------------------------------------------
     def parse_select(self) -> ast.SelectStmt:
@@ -579,7 +799,11 @@ class Parser:
     def parse_unary(self) -> ast.Expr:
         if self.at_op("-", "+"):
             op = self.advance().value
-            return ast.Unary(op, self.parse_unary())
+            operand = self.parse_unary()
+            # constant-fold signed numeric literals so they stay literals
+            if isinstance(operand, ast.Lit) and isinstance(operand.value, (int, float)):
+                return ast.Lit(-operand.value if op == "-" else operand.value)
+            return ast.Unary(op, operand)
         return self.parse_postfix()
 
     def parse_postfix(self) -> ast.Expr:

@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from arcadedb_spark.catalog import RID_COL, TYPE_COL
 from arcadedb_spark.sql import ast
-from arcadedb_spark.sql.functions import AGGREGATES, SCALARS, is_aggregate
+from arcadedb_spark.sql.functions import (
+    AGGREGATES,
+    SCALARS,
+    TS_WINDOW,
+    is_aggregate,
+)
 from arcadedb_spark.sql.litreg import register as _reg_lit
 from arcadedb_spark.sql.litreg import value_of
 from arcadedb_spark.sql.methods import METHODS
@@ -58,6 +63,10 @@ class Ctx:
     vars: dict[str, VarBinding] = field(default_factory=dict)
     colmap: dict[tuple[str, ...], str] = field(default_factory=dict)  # link path → qualified col
     columns: tuple[str, ...] = ()
+    # ts.* window functions: partition keys (GROUP BY doubles as
+    # PARTITION BY for windowed ts functions, per the reference's
+    # GroupedDelta semantics)
+    ts_partition: list = field(default_factory=list)
     # aggregation state
     agg_mode: bool = False
     group_map: dict[ast.Expr, str] = field(default_factory=dict)
@@ -365,6 +374,9 @@ class ExprCompiler:
         if isinstance(e.base, ast.Chain) and len(e.base.parts) == 1:
             ns = e.base.parts[0].lower()
             qual = f"{ns}.{e.name.lower()}"
+            if qual in TS_WINDOW:
+                args = [self.compile(a) for a in e.args]
+                return TS_WINDOW[qual](args, self.ctx.ts_partition)
             if qual in SCALARS:
                 args = [self.compile(a) for a in e.args]
                 return SCALARS[qual](args)
@@ -564,7 +576,68 @@ class Translator:
         return df
 
     # -- SELECT -------------------------------------------------------------
+    def _try_expand(self, stmt: ast.SelectStmt) -> Optional[DataFrame]:
+        """``SELECT expand(out('E')) FROM V [WHERE …]`` — replace each row
+        with the records its edges point to (ExpandStep.java:36).  One row
+        per traversed edge (duplicates preserved, like the reference)."""
+        if len(stmt.projections) != 1 or not isinstance(stmt.target, ast.TypeTarget):
+            return None
+        e = stmt.projections[0].expr
+        if not (isinstance(e, ast.FuncCall) and e.name.lower() == "expand" and e.args):
+            return None
+        inner = e.args[0]
+        if not (
+            isinstance(inner, ast.FuncCall)
+            and inner.name.lower() in ("out", "in", "both")
+        ):
+            return None
+        g = self.db.graph()
+        label = stmt.target.name.lower()
+        if label not in g.vertex_dfs:
+            raise TranslateError(f"expand(): '{stmt.target.name}' is not a vertex type")
+        etypes = tuple(
+            a.value for a in inner.args if isinstance(a, ast.Lit)
+        )
+        src = g.vertices(label)
+        if stmt.where is not None:
+            ctx = Ctx(db=self.db, params=self.params, columns=tuple(src.columns))
+            src = src.filter(ExprCompiler(ctx).compile(stmt.where))
+        edges = g.edges(*etypes) if etypes else g.edges()
+        direction = inner.name.lower()
+        frames = []
+        if direction in ("out", "both"):
+            frames.append(
+                edges.select(F.col("src").alias("__f"), F.col("dst").alias("__t"))
+            )
+        if direction in ("in", "both"):
+            frames.append(
+                edges.select(F.col("dst").alias("__f"), F.col("src").alias("__t"))
+            )
+        edge = frames[0]
+        for fr in frames[1:]:
+            edge = edge.unionByName(fr)
+        # infer the target label for full-row output
+        target_label = None
+        if len(etypes) == 1 and etypes[0] in g.edge_meta:
+            meta = g.edge_meta[etypes[0]]
+            target_label = meta[1] if direction == "out" else meta[0]
+        hop = src.select("vid").join(edge, src["vid"] == edge["__f"]).select("__t")
+        if target_label is not None:
+            tgt = g.vertices(target_label)
+        else:
+            tgt = g.all_vertices()
+        out = hop.join(tgt, hop["__t"] == tgt["vid"]).drop("__t", "vid")
+        out = out.drop(*[c for c in out.columns if c.startswith("__")])
+        if stmt.skip is not None:
+            out = out.offset(self._int_of(stmt.skip, Ctx(db=self.db, params=self.params)))
+        if stmt.limit is not None:
+            out = out.limit(self._int_of(stmt.limit, Ctx(db=self.db, params=self.params)))
+        return out
+
     def translate_select(self, stmt: ast.SelectStmt) -> DataFrame:
+        expanded = self._try_expand(stmt)
+        if expanded is not None:
+            return expanded
         df, type_name = self._resolve_target(stmt.target)
         ctx = Ctx(db=self.db, params=self.params)
         ctx.columns = tuple(df.columns)
@@ -603,9 +676,24 @@ class Translator:
                     cond = cond & compiler.compile(c)
                 df = df.filter(cond)
 
+        # ts.* window functions make this a per-row query; GROUP BY keys
+        # become the Window partition instead of aggregation keys
+        has_ts_window = any(
+            isinstance(n, ast.Method)
+            and isinstance(n.base, ast.Chain)
+            and len(n.base.parts) == 1
+            and f"{n.base.parts[0].lower()}.{n.name.lower()}" in TS_WINDOW
+            for p in stmt.projections
+            for n in walk(p.expr)
+        )
+        if has_ts_window:
+            key_compiler = ExprCompiler(ctx)
+            ctx.ts_partition = [key_compiler.compile(g) for g in stmt.group_by]
+
         # Aggregate?
-        is_agg = any(_contains_aggregate(p.expr) for p in stmt.projections) or bool(
-            stmt.group_by
+        is_agg = not has_ts_window and (
+            any(_contains_aggregate(p.expr) for p in stmt.projections)
+            or bool(stmt.group_by)
         )
         if is_agg:
             df = self._translate_aggregate(df, stmt, ctx)

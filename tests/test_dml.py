@@ -1,0 +1,95 @@
+"""DML / DDL command tests — run on a scratch Database (sf0.001 copy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def scratch(spark):
+    from arcadedb_spark.database import Database
+
+    return Database.open(spark, "/root/testdata/sf0.001")
+
+
+def test_create_insert_select_roundtrip(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE Person")
+    db.command("INSERT INTO Person SET name = 'Ann', age = 34")
+    db.command("INSERT INTO Person (name, age) VALUES ('Bob', 41), ('Cid', 28)")
+    db.command("INSERT INTO Person CONTENT {name: 'Dee', age: 55}")
+    rows = db.query("SELECT name, age FROM Person ORDER BY age").collect()
+    assert [r["name"] for r in rows] == ["Cid", "Ann", "Bob", "Dee"]
+
+
+def test_insert_from_select(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE RichCustomer")
+    n = db.command(
+        "INSERT INTO RichCustomer FROM (SELECT c_name, c_acctbal FROM customer WHERE c_acctbal > 9000)"
+    ).collect()[0]["count"]
+    assert n == db.table("customer").filter(F.col("c_acctbal") > 9000).count()
+    assert db.query("SELECT count(*) AS n FROM RichCustomer").collect()[0]["n"] == n
+
+
+def test_update_where(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE P2")
+    db.command("INSERT INTO P2 (name, score) VALUES ('a', 1), ('b', 2)")
+    n = db.command("UPDATE P2 SET score = 99 WHERE name = 'a'").collect()[0]["count"]
+    assert n == 1
+    rows = {r["name"]: r["score"] for r in db.query("SELECT name, score FROM P2").collect()}
+    assert rows == {"a": 99, "b": 2}
+
+
+def test_update_upsert_inserts_when_missing(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE P3")
+    db.command("INSERT INTO P3 (name, v) VALUES ('x', 1)")
+    db.command("UPDATE P3 SET name = 'y', v = 7 UPSERT WHERE name = 'y'")
+    rows = {r["name"]: r["v"] for r in db.query("SELECT name, v FROM P3").collect()}
+    assert rows == {"x": 1, "y": 7}
+    # second time: match exists → update, not insert
+    db.command("UPDATE P3 SET name = 'y', v = 8 UPSERT WHERE name = 'y'")
+    assert db.query("SELECT count(*) AS n FROM P3").collect()[0]["n"] == 2
+
+
+def test_delete(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE P4")
+    db.command("INSERT INTO P4 (k) VALUES (1), (2), (3)")
+    n = db.command("DELETE FROM P4 WHERE k >= 2").collect()[0]["count"]
+    assert n == 2
+    assert db.query("SELECT k FROM P4").collect()[0]["k"] == 1
+
+
+def test_truncate_and_drop(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE P5")
+    db.command("INSERT INTO P5 (k) VALUES (1)")
+    db.command("TRUNCATE TYPE P5")
+    assert db.query("SELECT count(*) AS n FROM P5").collect()[0]["n"] == 0
+    db.command("DROP TYPE P5")
+    assert not db.schema.exists("P5")
+    db.command("DROP TYPE P5 IF EXISTS")  # idempotent
+
+
+def test_create_property_and_index_noop(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE P6")
+    db.command("CREATE PROPERTY P6.name STRING")
+    assert db.schema.get("P6").properties["declared"]["name"] == "string"
+    r = db.command("CREATE INDEX ON P6 (name) UNIQUE").collect()
+    assert r[0]["count"] == 0  # no-op by design
+
+
+def test_inheritance_polymorphic_scan(scratch):
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE Animal")
+    db.command("CREATE DOCUMENT TYPE Dog EXTENDS Animal")
+    db.command("INSERT INTO Animal SET name = 'generic'")
+    db.command("INSERT INTO Dog SET name = 'rex', breed = 'lab'")
+    rows = db.query("SELECT name FROM Animal ORDER BY name").collect()
+    assert [r["name"] for r in rows] == ["generic", "rex"]
+    assert db.query("SELECT count(*) AS n FROM Dog").collect()[0]["n"] == 1
