@@ -125,12 +125,17 @@ class Database:
     def table(self, name: str) -> DataFrame:
         return self.schema.table(name)
 
-    def query(self, text: str, **params) -> DataFrame:
-        """ArcadeDB-SQL dialect → DataFrame.
+    def query(self, text: str, language: str = "sql", **params) -> DataFrame:
+        """Query entry point with language dispatch
+        (query/QueryEngineManager.java:60): 'sql' (default) or 'cypher'.
 
         Pipeline analog of SQLQueryEngine.java:85: parse (cached) →
         translate to a DataFrame program → Catalyst plans/executes.
         """
+        if language.lower() in ("cypher", "opencypher"):
+            from arcadedb_spark.graph.cypher import cypher_query
+
+            return cypher_query(self, text, params)
         from arcadedb_spark.sql.parser import parse
         from arcadedb_spark.sql.translator import Translator
 

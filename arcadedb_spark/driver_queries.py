@@ -1321,3 +1321,167 @@ def q_dml_roundtrip(spark, sf_dir):
     db.command("UPDATE DmlScratch SET score = 99.0 WHERE name = 'a'")
     db.command("DELETE FROM DmlScratch WHERE name = 'b'")
     return db.query("SELECT name, score FROM DmlScratch ORDER BY name")
+
+
+_EVENTS_UND_ADJ = """
+    pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), adj AS (
+      SELECT DISTINCT v, n FROM (
+        SELECT s AS v, d AS n FROM e0 UNION ALL SELECT d AS v, s AS n FROM e0
+      ) WHERE v <> n
+    )
+"""
+
+
+@query(
+    "q_common_neighbors",
+    oracle=f"""
+    WITH {_EVENTS_UND_ADJ}
+    SELECT l.v AS a, r.v AS b, count(*) AS n_common
+    FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
+    GROUP BY 1, 2
+    ORDER BY n_common DESC, a, b LIMIT 20
+    """,
+)
+def q_common_neighbors(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import common_neighbors
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    cn = common_neighbors(g.edges("INTERACTED"))
+    return (
+        cn.select(
+            (F.col("a") - base).alias("a"), (F.col("b") - base).alias("b"), "n_common"
+        )
+        .orderBy(F.desc("n_common"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_jaccard_link_prediction",
+    oracle=f"""
+    WITH {_EVENTS_UND_ADJ},
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    cn AS (
+      SELECT l.v AS a, r.v AS b, count(*) AS n_common
+      FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(n_common / (da.d + db.d - n_common), 4) AS jaccard
+    FROM cn JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+    ORDER BY jaccard DESC, a, b LIMIT 20
+    """,
+)
+def q_jaccard_link_prediction(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import jaccard_similarity
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    j = jaccard_similarity(g.edges("INTERACTED"))
+    return (
+        j.select(
+            (F.col("a") - base).alias("a"),
+            (F.col("b") - base).alias("b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH {_EVENTS_UND_ADJ},
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    w AS (SELECT adj.v, adj.n, deg.d AS dn FROM adj JOIN deg ON deg.v = adj.n
+          WHERE deg.d > 1)
+    SELECT l.v AS a, r.v AS b,
+           round(sum(1.0 / ln(l.dn)), 4) AS score
+    FROM w l JOIN w r ON l.n = r.n AND l.v < r.v
+    GROUP BY 1, 2
+    ORDER BY score DESC, a, b LIMIT 20
+    """,
+)
+def q_adamic_adar(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import adamic_adar
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    aa = adamic_adar(g.edges("INTERACTED"))
+    return (
+        aa.select(
+            (F.col("a") - base).alias("a"),
+            (F.col("b") - base).alias("b"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query("q_k_core")  # iterative peeling — no closed-form SQL oracle
+def q_k_core(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import k_core
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    core = k_core(g.edges("INTERACTED"), k=4)
+    return core.select((F.col("vid") - base).alias("user_id")).orderBy("user_id")
+
+
+@query(
+    "q_cypher_match",
+    oracle="""
+    SELECT c.c_mktsegment AS seg, count(*) AS n
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    GROUP BY 1
+    """,
+)
+def q_cypher_match(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH (c:Customer)-[:PLACED]->(o:`Order`) WHERE o.o_totalprice > 100000 "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n",
+        language="cypher",
+    )
+
+
+@query(
+    "q_cypher_optional",
+    oracle="""
+    SELECT n.n_name AS nation, count(s.s_suppkey) AS ns
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_cypher_optional(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:LOCATED_IN]-(s:Supplier) "
+        "RETURN n.n_name AS nation, count(s.s_suppkey) AS ns",
+        language="cypher",
+    )
+
+
+@query(
+    "q_cypher_string_preds",
+    oracle="""
+    SELECT c_name AS name FROM customer
+    WHERE c_name LIKE 'Customer#00000001%' AND c_name LIKE '%4'
+    """,
+)
+def q_cypher_string_preds(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH (c:Customer) WHERE c.c_name STARTS WITH 'Customer#00000001' "
+        "AND c.c_name ENDS WITH '4' RETURN c.c_name AS name",
+        language="cypher",
+    )

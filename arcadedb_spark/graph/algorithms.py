@@ -309,3 +309,85 @@ def degree_centrality(edges: DataFrame, direction: str = "both") -> DataFrame:
     for s in sel[1:]:
         out = out.unionByName(s)
     return out.groupBy("vid").agg(F.count("*").alias("degree"))
+
+
+def common_neighbors(edges: DataFrame, undirected: bool = True) -> DataFrame:
+    """Link-prediction: common-neighbor counts for vertex pairs ≥1 shared
+    neighbor (AlgoCommonNeighbors.java parity).  Returns (a, b, n_common)
+    with a < b.
+
+    Join shape: adjacency self-join on the shared neighbor — shuffle
+    bounded by Σ deg², the standard scalable form (skew guard = drop
+    super-hub neighbors upstream if needed)."""
+    adj = _undirected_adj(edges) if undirected else edges.select(
+        F.col("src").alias("v"), F.col("dst").alias("n")
+    )
+    l, r = adj.alias("l"), adj.alias("r")
+    return (
+        l.join(r, (F.col("l.n") == F.col("r.n")) & (F.col("l.v") < F.col("r.v")))
+        .groupBy(F.col("l.v").alias("a"), F.col("r.v").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
+def _undirected_adj(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .filter(F.col("v") != F.col("n"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(edges: DataFrame) -> DataFrame:
+    """Link-prediction: neighbor-set Jaccard per candidate pair
+    (AlgoJaccard.java parity).  Returns (a, b, jaccard), a < b."""
+    adj = _undirected_adj(edges)
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    cn = common_neighbors(edges)
+    return (
+        cn.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a", "b",
+            (F.col("n_common") / (F.col("da") + F.col("db") - F.col("n_common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def adamic_adar(edges: DataFrame) -> DataFrame:
+    """Link-prediction: Adamic-Adar index Σ 1/ln(deg(shared neighbor))
+    (AlgoAdamicAdar.java parity).  Returns (a, b, score), a < b."""
+    adj = _undirected_adj(edges)
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    weighted = adj.join(
+        deg.select(F.col("v").alias("n"), F.col("d").alias("dn")), "n"
+    ).filter(F.col("dn") > 1)
+    l, r = weighted.alias("l"), weighted.alias("r")
+    return (
+        l.join(r, (F.col("l.n") == F.col("r.n")) & (F.col("l.v") < F.col("r.v")))
+        .groupBy(F.col("l.v").alias("a"), F.col("r.v").alias("b"))
+        .agg(F.sum(1.0 / F.log(F.col("l.dn"))).alias("score"))
+    )
+
+
+def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
+    """Vertices of the k-core (AlgoKCore.java parity): iteratively peel
+    vertices with degree < k until fixpoint.  Returns (vid,)."""
+    adj = _undirected_adj(edges).cache()
+    alive = adj.select("v").distinct()
+    for i in range(max_iterations):
+        cur = adj.join(alive.withColumnRenamed("v", "n"), "n", "left_semi").join(
+            alive, "v", "left_semi"
+        )
+        deg = cur.groupBy("v").agg(F.count("*").alias("d"))
+        nxt = deg.filter(F.col("d") >= k).select("v")
+        if i % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        removed = alive.count() - nxt.count()
+        alive = nxt
+        if removed == 0:
+            break
+    return alive.select(F.col("v").alias("vid"))

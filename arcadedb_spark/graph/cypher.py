@@ -1,0 +1,223 @@
+"""openCypher front end (pragmatic subset) lowered to the MATCH translator.
+
+Reference: query/opencypher/ — a full Cypher 25 engine (grammar
+Cypher25Parser.g4, planner query/opencypher/planner/CypherExecutionPlanner.java:44,
+cost-based optimizer CypherOptimizer.java:93).  On Spark the same queries
+are join programs, so this front end parses a practical Cypher subset and
+lowers it onto :func:`arcadedb_spark.graph.match.translate_match` —
+Catalyst then does what CypherOptimizer's rules (IndexSelection,
+FilterPushdown, ExpandInto, JoinOrder) do natively.
+
+Supported subset (round 1):
+  MATCH (a:Label {p: v})-[r:TYPE]->(b) [, pattern…]
+  OPTIONAL MATCH …                      → left_outer joined path
+  WHERE <expr over alias.prop>          → post-join filter (pushed down by
+                                           Catalyst through the join)
+  RETURN [DISTINCT] expr [AS x], …      → aggregates detected per SQL rules
+  ORDER BY / SKIP / LIMIT
+  UNION [ALL]                           → DataFrame union (UnionStep.java:52)
+Cypher-only operators: STARTS WITH, ENDS WITH, CONTAINS (substring), =~.
+Not yet: variable-length paths, WITH chains, CREATE/MERGE (round 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from arcadedb_spark.sql import ast
+from arcadedb_spark.sql.lexer import Token
+from arcadedb_spark.sql.parser import ParseError, Parser
+
+
+class CypherParser(Parser):
+    """Extends the SQL expression parser with Cypher pattern syntax."""
+
+    def __init__(self, text: str) -> None:
+        super().__init__(text)
+        self.cypher = True
+
+    # -- entry -------------------------------------------------------------
+    def parse_query(self) -> list[ast.MatchStmt]:
+        """Returns one MatchStmt per UNION branch."""
+        self._union_all = False
+        stmts = [self._parse_single()]
+        while self._at_ident("UNION"):
+            self.advance()
+            if self._at_ident("ALL"):
+                self.advance()
+                self._union_all = True
+            stmts.append(self._parse_single())
+        return stmts
+
+    def _at_ident(self, word: str) -> bool:
+        t = self.cur
+        return (
+            (t.kind == "IDENT" and t.value.upper() == word)
+            or (t.kind == "KEYWORD" and t.value == word)
+        )
+
+    def _parse_single(self) -> ast.MatchStmt:
+        paths: list[ast.MatchPath] = []
+        where = None
+        while True:
+            optional = False
+            if self._at_ident("OPTIONAL"):
+                self.advance()
+                optional = True
+                self.expect_kw("MATCH")
+            elif self.at_kw("MATCH"):
+                self.advance()
+            else:
+                break
+            paths.append(self._parse_pattern(optional))
+            while self.eat_op(","):
+                paths.append(self._parse_pattern(optional))
+            if self.at_kw("WHERE"):
+                self.advance()
+                w = self.parse_expr()
+                where = w if where is None else ast.Bin("AND", where, w)
+        if not paths:
+            raise ParseError("Cypher query must start with MATCH")
+        self.expect_kw("RETURN")
+        distinct = self.eat_kw("DISTINCT")
+        returns = self.parse_projection_list()
+        order_by: list[ast.OrderItem] = []
+        skip = None
+        limit = None
+        while True:
+            if self.at_kw("ORDER"):
+                self.advance()
+                self.expect_kw("BY")
+                order_by.append(self.parse_order_item())
+                while self.eat_op(","):
+                    order_by.append(self.parse_order_item())
+            elif self.at_kw("SKIP"):
+                self.advance()
+                skip = self.parse_expr()
+            elif self.at_kw("LIMIT"):
+                self.advance()
+                limit = self.parse_expr()
+            else:
+                break
+        # Cypher implicit grouping: when RETURN mixes aggregates and plain
+        # expressions, the plain ones are the grouping keys.
+        from arcadedb_spark.sql.translator import _contains_aggregate
+
+        group_by: tuple = ()
+        if any(_contains_aggregate(p.expr) for p in returns):
+            group_by = tuple(
+                p.expr for p in returns if not _contains_aggregate(p.expr)
+            )
+        return ast.MatchStmt(
+            paths=tuple(paths),
+            returns=tuple(returns),
+            distinct=distinct,
+            where=where,
+            group_by=group_by,
+            order_by=tuple(order_by),
+            skip=skip,
+            limit=limit,
+        )
+
+    # -- patterns ----------------------------------------------------------
+    def _parse_pattern(self, optional: bool) -> ast.MatchPath:
+        root = self._parse_node()
+        steps: list[ast.MatchStep] = []
+        while self.at_op("-", "<"):
+            direction, etypes = self._parse_rel()
+            node = self._parse_node()
+            method = {"out": "out", "in": "in", "both": "both"}[direction]
+            steps.append(
+                ast.MatchStep(method=method, edge_types=etypes, filter=node)
+            )
+        return ast.MatchPath(
+            root=root, steps=tuple(steps), optional=optional
+        )
+
+    def _parse_node(self) -> ast.MatchFilter:
+        self.expect_op("(")
+        alias = None
+        type_name = None
+        where = None
+        # NOTE: ':Label' lexes as a single PARAM token (the SQL lexer's
+        # ':name' input-parameter rule) — both spellings are handled.
+        if self.cur.kind == "IDENT" and not self.at_op(")"):
+            alias = self.ident()
+        if self.cur.kind == "PARAM":
+            type_name = self.advance().value
+        elif self.at_op(":"):
+            self.advance()
+            type_name = self.ident()
+        if self.at_op("{"):
+            # inline property map {k: v, …} → equality conjunction
+            self.advance()
+            conds = []
+            while not self.at_op("}"):
+                key = self.ident()
+                if self.cur.kind == "PARAM":
+                    # colon-fused identifier value: {status:active}
+                    val: ast.Expr = ast.Chain((self.advance().value,))
+                else:
+                    self.expect_op(":")
+                    val = self.parse_expr()
+                conds.append(ast.Bin("=", ast.Chain((key,)), val))
+                self.eat_op(",")
+            self.expect_op("}")
+            for c in conds:
+                where = c if where is None else ast.Bin("AND", where, c)
+        self.expect_op(")")
+        return ast.MatchFilter(type_name=type_name, alias=alias, where=where)
+
+    def _parse_rel(self) -> tuple[str, tuple[str, ...]]:
+        # -[:T]-> | <-[:T]- | -[:T]- | --> | <-- | --
+        direction = "both"
+        if self.at_op("<"):
+            self.advance()
+            self.expect_op("-")
+            direction = "in"
+        else:
+            self.expect_op("-")
+        etypes: list[str] = []
+        if self.at_op("["):
+            self.advance()
+            if self.cur.kind == "IDENT":
+                self.ident()  # relationship variable (unused round 1)
+            if self.cur.kind == "PARAM":  # ':TYPE' lexes as one PARAM token
+                etypes.append(self.advance().value)
+            elif self.at_op(":"):
+                self.advance()
+                etypes.append(self.ident())
+            while self.at_op("|"):
+                self.advance()
+                if self.cur.kind == "PARAM":
+                    etypes.append(self.advance().value)
+                else:
+                    self.eat_op(":")
+                    etypes.append(self.ident())
+            self.expect_op("]")
+        self.expect_op("-")
+        if self.at_op(">"):
+            self.advance()
+            if direction == "in":
+                raise ParseError("Relationship cannot be both <- and ->")
+            direction = "out"
+        return direction, tuple(etypes)
+
+
+def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
+    """Run a Cypher query → DataFrame (OpenCypherQueryEngine.query analog,
+    query/opencypher/query/OpenCypherQueryEngine.java:150)."""
+    from arcadedb_spark.graph.match import translate_match
+
+    p = CypherParser(text)
+    stmts = p.parse_query()
+    if p.cur.kind != "EOF":
+        raise ParseError(f"Trailing input at {p.cur!r}")
+    out = None
+    union_all = getattr(p, "_union_all", False)
+    for stmt in stmts:
+        df = translate_match(db, stmt, params or {})
+        out = df if out is None else out.unionByName(df)
+    if out is not None and len(stmts) > 1 and not union_all:
+        out = out.distinct()
+    return out

@@ -140,10 +140,18 @@ def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
             for a in shared:
                 c = F.col(f"{a}.vid") == F.col(f"{rename[a]}.vid")
                 cond = c if cond is None else (cond & c)
-            df = df.join(pdf, cond, "inner").drop(*rename.values())
+            # Cypher OPTIONAL MATCH → left_outer (OptionalMatchStep.java:24)
+            how = "left_outer" if path.optional else "inner"
+            df = df.join(pdf, cond, how).drop(*rename.values())
         else:
             df = df.crossJoin(pdf)  # CartesianProductStep.java:31
         seen.update(paliases)
+
+    # global WHERE over bound aliases (Cypher); Catalyst pushes the
+    # predicate down through the joins where possible
+    if stmt.where is not None:
+        wctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+        df = df.filter(ExprCompiler(wctx).compile(stmt.where))
 
     for path in negative:
         pdf, paliases = translate_path(db, path, params)

@@ -289,6 +289,7 @@ class MatchPath:
     root: MatchFilter
     steps: tuple[MatchStep, ...] = ()
     negated: bool = False
+    optional: bool = False  # Cypher OPTIONAL MATCH: joined left_outer
 
 
 @dataclass(frozen=True)
@@ -296,6 +297,7 @@ class MatchStmt:
     paths: tuple[MatchPath, ...]
     returns: tuple[ProjItem, ...] = ()
     distinct: bool = False
+    where: Optional[Expr] = None  # global WHERE over bound aliases (Cypher)
     group_by: tuple[Expr, ...] = ()
     order_by: tuple[OrderItem, ...] = ()
     skip: Optional[Expr] = None
@@ -381,3 +383,22 @@ class CreateIndexStmt:
 @dataclass(frozen=True)
 class TruncateTypeStmt:
     name: str
+
+
+@dataclass(frozen=True)
+class CreateMaterializedViewStmt:
+    name: str
+    select: "SelectStmt"
+    refresh_mode: str = "MANUAL"  # MANUAL | INCREMENTAL | EVERY n unit
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class RefreshMaterializedViewStmt:
+    name: str
+
+
+@dataclass(frozen=True)
+class DropMaterializedViewStmt:
+    name: str
+    if_exists: bool = False

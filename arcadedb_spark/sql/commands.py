@@ -56,7 +56,52 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _result(db, 0)  # indexes are no-ops: scan+pushdown replaces them
     if isinstance(stmt, ast.TruncateTypeStmt):
         return _truncate(db, stmt)
+    if isinstance(stmt, ast.CreateMaterializedViewStmt):
+        return _create_mv(db, stmt, params)
+    if isinstance(stmt, ast.RefreshMaterializedViewStmt):
+        return _refresh_mv(db, stmt, params)
+    if isinstance(stmt, ast.DropMaterializedViewStmt):
+        return _drop_mv(db, stmt)
     raise TranslateError(f"Unsupported command {type(stmt).__name__}")
+
+
+# -- materialized views -----------------------------------------------------
+# (schema/MaterializedViewRefreshMode.java:21-25; ContinuousAggregate
+# shares the machinery — its streaming path is
+# arcadedb_spark.streaming.ContinuousAggregate)
+
+
+def _create_mv(db, stmt: ast.CreateMaterializedViewStmt, params: dict) -> DataFrame:
+    if db.schema.exists(stmt.name):
+        if stmt.if_not_exists:
+            return _result(db, 0)
+        raise TranslateError(f"Type/view '{stmt.name}' already exists")
+    df = Translator(db, params).translate(stmt.select).cache()
+    tdef = db.schema.register(stmt.name, df, kind="view")
+    tdef.properties["mv_select"] = stmt.select
+    tdef.properties["mv_refresh"] = stmt.refresh_mode
+    return _result(db, df.count())
+
+
+def _refresh_mv(db, stmt: ast.RefreshMaterializedViewStmt, params: dict) -> DataFrame:
+    tdef = db.schema.get(stmt.name)
+    select = tdef.properties.get("mv_select")
+    if select is None:
+        raise TranslateError(f"'{stmt.name}' is not a materialized view")
+    df = Translator(db, params).translate(select).cache()
+    tdef._df = df
+    db._plan_cache.clear()
+    return _result(db, df.count())
+
+
+def _drop_mv(db, stmt: ast.DropMaterializedViewStmt) -> DataFrame:
+    if not db.schema.exists(stmt.name):
+        if stmt.if_exists:
+            return _result(db, 0)
+        raise TranslateError(f"View '{stmt.name}' does not exist")
+    db.schema.drop(stmt.name)
+    db._plan_cache.clear()
+    return _result(db, 1)
 
 
 def _replace_df(db, name: str, df: DataFrame) -> None:

@@ -134,6 +134,13 @@ def _list(args, distinct=False):
     return F.collect_list(args[0])
 
 
+@agg("collect")
+def _collect(args, distinct=False):
+    # Cypher collect() — null-ignoring, like Spark's collect_list/_set
+    # (function/agg/CollectFunction.java, CollectDistinctFunction.java)
+    return F.collect_set(args[0]) if distinct else F.collect_list(args[0])
+
+
 @agg("set")
 def _set(args, distinct=False):
     return F.collect_set(args[0])

@@ -35,6 +35,7 @@ class Parser:
         self.tokens = tokenize(text)
         self.i = 0
         self._positional = 0
+        self.cypher = False  # Cypher dialect mode (CONTAINS = substring…)
 
     # -- token helpers ----------------------------------------------------
     @property
@@ -108,6 +109,11 @@ class Parser:
             return self.parse_drop()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRUNCATE":
             return self.parse_truncate()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "REFRESH":
+            self.advance()
+            self.advance()  # MATERIALIZED / CONTINUOUS
+            self.advance()  # VIEW / AGGREGATE
+            return ast.RefreshMaterializedViewStmt(name=self.ident())
         raise ParseError(f"Unsupported statement start: {self.cur!r}")
 
     # DML ------------------------------------------------------------------
@@ -270,6 +276,28 @@ class Parser:
                 type_name=tname, prop=prop, dtype=dtype,
                 if_not_exists=if_not_exists,
             )
+        if self.cur.kind == "IDENT" and self.cur.value.upper() in (
+            "MATERIALIZED", "CONTINUOUS",
+        ):
+            # CREATE MATERIALIZED VIEW name AS select [REFRESH …]
+            # CREATE CONTINUOUS AGGREGATE name AS select
+            kind = self.advance().value.upper()
+            self.advance()  # VIEW / AGGREGATE
+            name = self.ident()
+            if_not_exists = self._eat_if_not_exists()
+            self.expect_kw("AS")
+            select = self.parse_select()
+            refresh = "MANUAL"
+            if self.cur.kind == "IDENT" and self.cur.value.upper() == "REFRESH":
+                self.advance()
+                parts = []
+                while self.cur.kind in ("IDENT", "INT", "KEYWORD") and self.cur.kind != "EOF":
+                    parts.append(self.advance().value)
+                refresh = " ".join(str(p) for p in parts)
+            return ast.CreateMaterializedViewStmt(
+                name=name, select=select, refresh_mode=refresh,
+                if_not_exists=if_not_exists,
+            )
         if self.at_kw("INDEX"):
             self.advance()
             # lenient: indexes are catalog no-ops on Spark — record target
@@ -297,8 +325,20 @@ class Parser:
             return True
         return False
 
-    def parse_drop(self) -> ast.DropTypeStmt:
+    def parse_drop(self):
         self.expect_kw("DROP")
+        if self.cur.kind == "IDENT" and self.cur.value.upper() in (
+            "MATERIALIZED", "CONTINUOUS",
+        ):
+            self.advance()
+            self.advance()  # VIEW / AGGREGATE
+            name = self.ident()
+            if_exists = False
+            if self.at_kw("IF"):
+                self.advance()
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropMaterializedViewStmt(name=name, if_exists=if_exists)
         self.expect_kw("TYPE")
         name = self.ident()
         if_exists = False
@@ -728,6 +768,18 @@ class Parser:
         if self.at_kw("MATCHES"):
             self.advance()
             return ast.Matches(left, self.parse_concat())
+        if self.at_op("=~"):  # Cypher regex operator
+            self.advance()
+            return ast.Matches(left, self.parse_concat())
+        if self.cypher and self.cur.kind == "IDENT" and self.cur.value.upper() in (
+            "STARTS", "ENDS",
+        ):
+            which = self.advance().value.upper()
+            tok = self.advance()  # WITH
+            if tok.value.upper() != "WITH":
+                raise ParseError(f"Expected WITH after {which}")
+            mode = "startswith" if which == "STARTS" else "endswith"
+            return ast.Contains(left, self.parse_concat(), mode)
         if self.at_kw("INSTANCEOF"):
             self.advance()
             tok = self.advance()
@@ -738,7 +790,7 @@ class Parser:
             ("CONTAINSKEY", "key"),
             ("CONTAINSVALUE", "value"),
             ("CONTAINSTEXT", "text"),
-            ("CONTAINS", "contains"),
+            ("CONTAINS", "substr" if self.cypher else "contains"),
         ):
             if self.at_kw(kw):
                 self.advance()

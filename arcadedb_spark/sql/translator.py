@@ -269,6 +269,12 @@ class ExprCompiler:
             return F.array_contains(F.map_values(operand), rhs)
         if e.mode == "text":
             return F.instr(F.lower(operand), F.lower(rhs)) > 0
+        if e.mode == "substr":  # Cypher CONTAINS: case-sensitive substring
+            return operand.contains(rhs)
+        if e.mode == "startswith":  # Cypher STARTS WITH
+            return operand.startswith(rhs)
+        if e.mode == "endswith":  # Cypher ENDS WITH
+            return operand.endswith(rhs)
         raise TranslateError(f"Unknown CONTAINS mode {e.mode}")
 
     def _c_matches(self, e: ast.Matches) -> Column:

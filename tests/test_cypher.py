@@ -1,0 +1,78 @@
+"""openCypher front-end tests (subset, lowered to MATCH joins)."""
+
+from __future__ import annotations
+
+
+def cy(db, text):
+    return db.query(text, language="cypher")
+
+
+def test_basic_match_count(db):
+    n = cy(db, "MATCH (c:Customer)-[:PLACED]->(o:`Order`) RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 1500
+
+
+def test_implicit_grouping(db):
+    rows = cy(
+        db,
+        "MATCH (c:Customer)-[:PLACED]->(o:`Order`) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n ORDER BY seg",
+    ).collect()
+    assert len(rows) == 5 and sum(r["n"] for r in rows) == 1500
+
+
+def test_inline_props(db):
+    n = cy(
+        db, "MATCH (c:Customer {c_mktsegment: 'BUILDING'}) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    base = db.table("customer").filter("c_mktsegment = 'BUILDING'").count()
+    assert n == base
+
+
+def test_optional_match(db):
+    rows = cy(
+        db,
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[:LOCATED_IN]-(s:Supplier) "
+        "RETURN n.n_name AS nation, count(s.s_suppkey) AS ns ORDER BY nation",
+    ).collect()
+    assert len(rows) == 25 and any(r["ns"] == 0 for r in rows)
+
+
+def test_string_predicates(db):
+    rows = cy(
+        db,
+        "MATCH (c:Customer) WHERE c.c_name STARTS WITH 'Customer#00000001' "
+        "AND c.c_name ENDS WITH '4' RETURN c.c_name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Customer#000000014"]
+
+
+def test_regex_operator(db):
+    rows = cy(
+        db,
+        "MATCH (c:Customer) WHERE c.c_name =~ '.*00000000[12]$' "
+        "RETURN c.c_name AS name ORDER BY name",
+    ).collect()
+    assert [r["name"] for r in rows] == ["Customer#000000001", "Customer#000000002"]
+
+
+def test_union_all(db):
+    rows = cy(
+        db,
+        "MATCH (c:Customer) WHERE c.c_acctbal > 9500 RETURN c.c_custkey AS k "
+        "UNION ALL "
+        "MATCH (c:Customer) WHERE c.c_acctbal < -900 RETURN c.c_custkey AS k",
+    ).collect()
+    hi = db.table("customer").filter("c_acctbal > 9500").count()
+    lo = db.table("customer").filter("c_acctbal < -900").count()
+    assert len(rows) == hi + lo
+
+
+def test_collect(db):
+    rows = cy(
+        db,
+        "MATCH (c:Customer)-[:LOCATED_IN]->(nt:Nation) "
+        "RETURN nt.n_name AS nation, collect(c.c_custkey) AS custs ORDER BY nation",
+    ).collect()
+    assert len(rows) == 25
+    assert sum(len(r["custs"]) for r in rows) == 150

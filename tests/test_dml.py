@@ -93,3 +93,33 @@ def test_inheritance_polymorphic_scan(scratch):
     rows = db.query("SELECT name FROM Animal ORDER BY name").collect()
     assert [r["name"] for r in rows] == ["generic", "rex"]
     assert db.query("SELECT count(*) AS n FROM Dog").collect()[0]["n"] == 1
+
+
+def test_materialized_view_lifecycle(scratch):
+    db = scratch
+    db.command(
+        "CREATE MATERIALIZED VIEW seg_stats AS "
+        "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment"
+    )
+    rows = db.query("SELECT c_mktsegment, n FROM seg_stats ORDER BY c_mktsegment").collect()
+    assert len(rows) == 5 and sum(r["n"] for r in rows) == 150
+    # base-table change then refresh recomputes
+    db.command("DELETE FROM customer WHERE c_mktsegment = 'BUILDING'")
+    stale = db.query("SELECT count(*) AS n FROM seg_stats").collect()[0]["n"]
+    assert stale == 5  # MANUAL refresh: still stale
+    db.command("REFRESH MATERIALIZED VIEW seg_stats")
+    fresh = db.query("SELECT c_mktsegment FROM seg_stats").collect()
+    assert len(fresh) == 4
+    db.command("DROP MATERIALIZED VIEW seg_stats")
+    assert not db.schema.exists("seg_stats")
+
+
+def test_continuous_aggregate_ddl(scratch):
+    db = scratch
+    db.command(
+        "CREATE CONTINUOUS AGGREGATE ev_minute AS "
+        "SELECT ts.timeBucket('1m', ts) AS bucket, event_type, count(*) AS n "
+        "FROM events GROUP BY bucket, event_type"
+    )
+    n = db.query("SELECT count(*) AS n FROM ev_minute").collect()[0]["n"]
+    assert n > 0
