@@ -163,6 +163,13 @@ class Database:
             return Translator(self, params=params).translate(stmt)
         return execute_command(self, stmt, params)
 
+    def script(self, text: str, **params):
+        """SQL-script execution (SQLScriptQueryEngine.java analog):
+        multi-statement scripts with LET/IF/WHILE/FOREACH/RETURN."""
+        from arcadedb_spark.sql.script import run_script
+
+        return run_script(self, text, params)
+
     def select(self, type_name: str | None = None):
         """Fluent native query API (query/select/Select.java:78)."""
         from arcadedb_spark.select.builder import SelectBuilder

@@ -1485,3 +1485,57 @@ def q_cypher_string_preds(spark, sf_dir):
         "AND c.c_name ENDS WITH '4' RETURN c.c_name AS name",
         language="cypher",
     )
+
+
+@query(
+    "q_geo_distance",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 180) - 90 + 0.5 AS lat,
+             (c_custkey % 360) - 180 + 0.5 AS lon
+      FROM customer
+    )
+    SELECT c_custkey,
+           round(2 * 6371.0 * asin(sqrt(
+             sin(radians(lat - 48.85) / 2) * sin(radians(lat - 48.85) / 2)
+             + cos(radians(48.85)) * cos(radians(lat))
+               * sin(radians(lon - 2.35) / 2) * sin(radians(lon - 2.35) / 2)
+           )), 2) AS dist_km,
+           (lat >= 0 AND lat <= 60 AND lon >= -30 AND lon <= 60) AS in_bbox
+    FROM pts WHERE c_custkey < 100
+    """,
+)
+def q_geo_distance(spark, sf_dir):
+    # haversine distance + bbox predicate (function/sql/geo/* v1 subset);
+    # note the oracle spells lat1=48.85 lon1=2.35 as the SECOND point —
+    # haversine is symmetric, matched formula shape on both sides
+    return _db(spark, sf_dir).query(
+        """
+        SELECT c_custkey,
+               round(distance((c_custkey % 180) - 90 + 0.5,
+                              (c_custkey % 360) - 180 + 0.5,
+                              48.85, 2.35), 2) AS dist_km,
+               geo.bboxContains(0, -30, 60, 60,
+                                (c_custkey % 180) - 90 + 0.5,
+                                (c_custkey % 360) - 180 + 0.5) AS in_bbox
+        FROM customer WHERE c_custkey < 100
+        """
+    )
+
+
+@query(
+    "q_json_dynamic_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_dynamic_props(spark, sf_dir):
+    # schema-flexible dynamic properties: events.props is a JSON string
+    # (FIXTURES.md B1 — the dynamic-properties test)
+    return _db(spark, sf_dir).query(
+        "SELECT json_extract(props, '$.k').asLong() % 10 AS k_mod, count(*) AS n "
+        "FROM events GROUP BY k_mod"
+    )

@@ -215,6 +215,14 @@ def _sha256(args):
     return F.sha2(args[0].cast("binary"), 256)
 
 
+@scalar("json_extract")
+def _json_extract(args):
+    # json_extract(jsonString, '$.path') → string value
+    # (query/sql/method/misc/SQLMethodToJSON + ConvertFromJsonMap analog —
+    # schema-flexible dynamic properties arrive as JSON strings)
+    return F.get_json_object(args[0], _lit_str(args[1]))
+
+
 @scalar("encode")
 def _encode(args):
     return F.base64(args[0].cast("binary"))
@@ -437,6 +445,49 @@ def _keys(args):
 @scalar("values")
 def _values(args):
     return F.map_values(args[0])
+
+
+# ---------------------------------------------------------------------------
+# Geo (function/sql/geo/*.java — v1 subset per SURVEY §2.9: haversine
+# distance + bbox predicates as built-in Column math; full JTS-grade
+# geometry is round-2 work)
+# ---------------------------------------------------------------------------
+
+_EARTH_KM = 6371.0
+
+
+@scalar("distance")
+def _geo_distance(args):
+    """distance(lat1, lon1, lat2, lon2 [, 'km'|'mi']) — haversine
+    (SQLFunctionDistance legacy signature)."""
+    lat1, lon1, lat2, lon2 = (a.cast("double") for a in args[:4])
+    unit = 1.0
+    if len(args) > 4:
+        from arcadedb_spark.sql.litreg import value_of
+
+        if str(value_of(args[4])).lower() == "mi":
+            unit = 0.621371192
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2 * _EARTH_KM * unit) * F.asin(F.sqrt(a))
+
+
+@scalar("geo.point")
+def _geo_point(args):
+    return F.struct(
+        args[0].cast("double").alias("lat"), args[1].cast("double").alias("lon")
+    )
+
+
+@scalar("geo.bboxcontains")
+def _geo_bbox_contains(args):
+    # geo.bboxContains(minLat, minLon, maxLat, maxLon, lat, lon)
+    min_lat, min_lon, max_lat, max_lon, lat, lon = (a.cast("double") for a in args)
+    return (
+        (lat >= min_lat) & (lat <= max_lat) & (lon >= min_lon) & (lon <= max_lon)
+    )
 
 
 # ---------------------------------------------------------------------------
