@@ -1539,3 +1539,42 @@ def q_json_dynamic_props(spark, sf_dir):
         "SELECT json_extract(props, '$.k').asLong() % 10 AS k_mod, count(*) AS n "
         "FROM events GROUP BY k_mod"
     )
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(median(c_acctbal), 4) AS med,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+           bool_and(c_acctbal > -1000) AS all_above,
+           bool_or(c_acctbal > 9900) AS any_rich
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_agg_percentiles(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        """
+        SELECT c_mktsegment,
+               round(median(c_acctbal), 4) AS med,
+               round(percentile(c_acctbal, 0.9), 4) AS p90,
+               bool_and(c_acctbal > -1000) AS all_above,
+               bool_or(c_acctbal > 9900) AS any_rich
+        FROM customer GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q_collect_sorted",
+    oracle="""
+    SELECT n_regionkey AS rk, list_sort(list(n_name)) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_collect_sorted(spark, sf_dir):
+    # collect_list order is nondeterministic — sort() makes it comparable
+    return _db(spark, sf_dir).query(
+        "SELECT n_regionkey AS rk, sort(list(n_name)) AS names "
+        "FROM nation GROUP BY rk"
+    )

@@ -325,6 +325,55 @@ def _levenshtein(args):
     return F.levenshtein(args[0], args[1])
 
 
+@scalar("levenshteinsimilarity")
+def _levenshtein_similarity(args):
+    # 1 − lev/max(len) (function/text/LevenshteinSimilarityFunction.java)
+    a, b = args[0].cast("string"), args[1].cast("string")
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, 1.0).otherwise(1.0 - F.levenshtein(a, b) / mx)
+
+
+@scalar("hamming")
+def _hamming(args):
+    # differing positions + length difference (function/text/HammingFunction)
+    a, b = args[0].cast("string"), args[1].cast("string")
+    ca = F.split(a, "(?!^)")
+    cb = F.split(b, "(?!^)")
+    diff = F.size(
+        F.filter(F.zip_with(ca, cb, lambda x, y: x.eqNullSafe(y)), lambda m: ~m)
+    )
+    return diff
+
+
+def _words(col) -> Column:
+    return F.filter(
+        F.split(F.lower(col.cast("string")), r"[^\p{L}\p{N}]+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+@scalar("camelcase")
+def _camel_case(args):
+    # helloWorld (function/text/CamelCaseFunction.java)
+    w = _words(args[0])
+    return F.concat(
+        F.element_at(w, 1),
+        F.array_join(
+            F.transform(F.slice(w, 2, F.size(w)), lambda t: F.initcap(t)), ""
+        ),
+    )
+
+
+@scalar("snakecase")
+def _snake_case(args):
+    return F.array_join(_words(args[0]), "_")
+
+
+@scalar("slug")
+def _slug(args):
+    return F.array_join(_words(args[0]), "-")
+
+
 @scalar("length")
 def _length(args):
     return F.length(args[0])

@@ -121,3 +121,25 @@ def test_fluent_builder(db):
     )
     assert len(rows) == 2
     assert rows[0]["c_acctbal"] >= rows[1]["c_acctbal"]
+
+
+def test_text_function_tail(db):
+    r = db.query(
+        "SELECT camelCase('hello big world') AS c, snakeCase('Hello World') AS s, "
+        "slug('Hello, World!') AS g, hamming('karolin', 'kathrin') AS h, "
+        "levenshteinSimilarity('kitten', 'sitting') AS ls FROM customer LIMIT 1"
+    ).collect()[0]
+    assert r["c"] == "helloBigWorld"
+    assert r["s"] == "hello_world"
+    assert r["g"] == "hello-world"
+    assert r["h"] == 3
+    assert abs(r["ls"] - (1 - 3 / 7)) < 1e-9
+
+
+def test_geo_functions(db):
+    r = db.query(
+        "SELECT round(distance(48.85, 2.35, 51.5, -0.12), 0) AS paris_london, "
+        "geo.bboxContains(40, -10, 60, 10, 48.85, 2.35) AS in_europe FROM customer LIMIT 1"
+    ).collect()[0]
+    assert 330 <= r["paris_london"] <= 350  # ~343 km
+    assert r["in_europe"] is True
