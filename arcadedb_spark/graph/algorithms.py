@@ -391,3 +391,67 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
         if removed == 0:
             break
     return alive.select(F.col("v").alias("vid"))
+
+
+def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
+    """Power-iteration eigenvector centrality (AlgoEigenvector.java parity:
+    normalized so max = 1).  Returns (vid, centrality)."""
+    verts = _vertices_of(edges).cache()
+    e = edges.select("src", "dst").distinct().repartition("dst").cache()
+    x = verts.withColumn("x", F.lit(1.0))
+    for i in range(1, iterations + 1):
+        nxt = (
+            e.join(x, e["src"] == x["vid"], "inner")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("x").alias("x"))
+        )
+        nxt = verts.join(nxt, "vid", "left").fillna(0.0, ["x"])
+        norm = nxt.agg(F.max("x")).collect()[0][0] or 1.0
+        x = nxt.select("vid", (F.col("x") / F.lit(norm)).alias("x"))
+        if i % _CHECKPOINT_EVERY == 0:
+            x = x.localCheckpoint(eager=True)
+    return x.select("vid", F.col("x").alias("centrality"))
+
+
+def katz_centrality(
+    edges: DataFrame, alpha: float = 0.1, beta: float = 1.0, iterations: int = 20
+) -> DataFrame:
+    """Katz centrality x = α·Aᵀx + β (AlgoKatz.java parity).
+    Returns (vid, centrality)."""
+    verts = _vertices_of(edges).cache()
+    e = edges.select("src", "dst").distinct().repartition("dst").cache()
+    x = verts.withColumn("x", F.lit(beta))
+    for i in range(1, iterations + 1):
+        nxt = (
+            e.join(x, e["src"] == x["vid"], "inner")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("x").alias("s"))
+        )
+        x = (
+            verts.join(nxt, "vid", "left")
+            .select(
+                "vid",
+                (F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(beta)).alias("x"),
+            )
+        )
+        if i % _CHECKPOINT_EVERY == 0:
+            x = x.localCheckpoint(eager=True)
+    return x.select("vid", F.col("x").alias("centrality"))
+
+
+def closeness_centrality(
+    edges: DataFrame, landmarks: list[int] | None = None, max_depth: int = 10
+) -> DataFrame:
+    """Closeness 1/Σd(v,·) — exact when ``landmarks`` is None and the
+    graph is small; landmark-sampled at scale (AlgoCloseness.java computes
+    exact single-node BFS per vertex; all-pairs is infeasible at 100 TB,
+    so the scalable form samples).  Returns (vid, closeness)."""
+    if landmarks is None:
+        landmarks = [r[0] for r in _vertices_of(edges).collect()]
+    dist = shortest_paths(edges, landmarks, max_depth=max_depth)
+    agg = dist.filter(F.col("distance") > 0).groupBy("vid").agg(
+        F.sum("distance").alias("total"), F.count("*").alias("n")
+    )
+    return agg.select(
+        "vid", (F.col("n") / F.col("total")).alias("closeness")
+    )

@@ -124,11 +124,14 @@ class CypherParser(Parser):
         root = self._parse_node()
         steps: list[ast.MatchStep] = []
         while self.at_op("-", "<"):
-            direction, etypes = self._parse_rel()
+            direction, etypes, min_h, max_h = self._parse_rel()
             node = self._parse_node()
             method = {"out": "out", "in": "in", "both": "both"}[direction]
             steps.append(
-                ast.MatchStep(method=method, edge_types=etypes, filter=node)
+                ast.MatchStep(
+                    method=method, edge_types=etypes, filter=node,
+                    min_hops=min_h, max_hops=max_h,
+                )
             )
         return ast.MatchPath(
             root=root, steps=tuple(steps), optional=optional
@@ -168,7 +171,7 @@ class CypherParser(Parser):
         self.expect_op(")")
         return ast.MatchFilter(type_name=type_name, alias=alias, where=where)
 
-    def _parse_rel(self) -> tuple[str, tuple[str, ...]]:
+    def _parse_rel(self) -> tuple[str, tuple[str, ...], int, int]:
         # -[:T]-> | <-[:T]- | -[:T]- | --> | <-- | --
         direction = "both"
         if self.at_op("<"):
@@ -194,14 +197,35 @@ class CypherParser(Parser):
                 else:
                     self.eat_op(":")
                     etypes.append(self.ident())
+            min_h = max_h = 1
+            if self.at_op("*"):
+                # variable-length: *, *n, *n..m, *..m (Cypher's unbounded
+                # upper end is capped — walk reachability, bounded hops)
+                self.advance()
+                min_h, max_h = 1, 5
+                if self.cur.kind == "INT":
+                    min_h = int(self.advance().value)
+                    max_h = min_h
+                if self.at_op(".."):
+                    self.advance()
+                    max_h = 10
+                    if self.cur.kind == "INT":
+                        max_h = int(self.advance().value)
             self.expect_op("]")
+            self.expect_op("-")
+            if self.at_op(">"):
+                self.advance()
+                if direction == "in":
+                    raise ParseError("Relationship cannot be both <- and ->")
+                direction = "out"
+            return direction, tuple(etypes), min_h, max_h
         self.expect_op("-")
         if self.at_op(">"):
             self.advance()
             if direction == "in":
                 raise ParseError("Relationship cannot be both <- and ->")
             direction = "out"
-        return direction, tuple(etypes)
+        return direction, tuple(etypes), 1, 1
 
 
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:

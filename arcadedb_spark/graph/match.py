@@ -77,6 +77,36 @@ def _expand(
         )
     edge = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
+    if step.max_hops > 1 or step.min_hops > 1:
+        # Variable-length relationship (Cypher -[:T*min..max]->, reference
+        # ExpandPathStep.java:57): bounded walk reachability — iterate
+        # distinct (from, to) pair joins, union hops in [min, max].
+        # Deviation (documented): walk semantics, not Cypher trail
+        # semantics (repeated edges on multigraphs are not excluded).
+        one = edge.distinct().cache()
+        reach = one
+        hops = {1: one}
+        for h in range(2, step.max_hops + 1):
+            reach = (
+                reach.alias("r")
+                .join(one.alias("s"), F.col("r.__to") == F.col("s.__from"))
+                .select(
+                    F.col("r.__from").alias("__from"),
+                    F.col("s.__to").alias("__to"),
+                )
+                .distinct()
+            )
+            if h % 4 == 0:
+                reach = reach.localCheckpoint(eager=True)
+            hops[h] = reach
+        selected = [
+            hops[h] for h in range(step.min_hops, step.max_hops + 1) if h in hops
+        ]
+        edge = selected[0]
+        for fr in selected[1:]:
+            edge = edge.unionByName(fr)
+        edge = edge.distinct()
+
     # infer the target vertex type from edge metadata when the pattern
     # leaves it anonymous (the reference resolves it from the edge type's
     # schema constraints the same way)

@@ -277,11 +277,16 @@ class MatchFilter:
 
 @dataclass(frozen=True)
 class MatchStep:
-    """One traversal method in a path: ``.out('E'){...}`` etc."""
+    """One traversal method in a path: ``.out('E'){...}`` etc.
+
+    min_hops/max_hops > 1 express Cypher variable-length relationships
+    (``-[:T*1..3]->``) — expanded as bounded walk reachability."""
 
     method: str  # out | in | both | outE | inE | bothE | outV | inV | bothV
     edge_types: tuple[str, ...] = ()
     filter: MatchFilter = field(default_factory=MatchFilter)
+    min_hops: int = 1
+    max_hops: int = 1
 
 
 @dataclass(frozen=True)
@@ -371,6 +376,7 @@ class CreatePropertyStmt:
     prop: str
     dtype: str
     if_not_exists: bool = False
+    constraints: tuple = ()  # (mandatory/notnull/default/min/max/regexp)
 
 
 @dataclass(frozen=True)

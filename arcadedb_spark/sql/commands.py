@@ -136,6 +136,8 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     if stmt.from_select is not None:
         new_df = Translator(db, params).translate(stmt.from_select)
     else:
+        if db.schema.exists(name):
+            rows = [_validate_row(db, name, r) for r in rows]
         new_df = db.spark.createDataFrame([tuple(r.values()) for r in rows],
                                           list(rows[0].keys()))
 
@@ -244,8 +246,47 @@ def _create_property(db, stmt: ast.CreatePropertyStmt) -> DataFrame:
     declared = tdef.properties.setdefault("declared", {})
     if stmt.prop in declared and stmt.if_not_exists:
         return _result(db, 0)
-    declared[stmt.prop] = stmt.dtype.lower()
+    declared[stmt.prop] = {
+        "type": stmt.dtype.lower(),
+        **{k: v for k, v in stmt.constraints},
+    }
     return _result(db, 1)
+
+
+def _validate_row(db, type_name: str, row: dict) -> dict:
+    """Apply declared defaults and constraints to one document
+    (DocumentValidator.java + ApplyDefaultsStep.java:35 semantics)."""
+    tdef = db.schema.get(type_name)
+    declared = tdef.properties.get("declared", {})
+    for prop, spec in declared.items():
+        if not isinstance(spec, dict):
+            continue
+        if prop not in row or row[prop] is None:
+            if "default" in spec and prop not in row:
+                row[prop] = spec["default"]
+        val = row.get(prop)
+        if spec.get("mandatory") and prop not in row:
+            raise TranslateError(f"Property '{prop}' is mandatory")
+        if spec.get("notnull") and prop in row and val is None:
+            raise TranslateError(f"Property '{prop}' cannot be null")
+        if val is not None:
+            if "min" in spec and val < spec["min"]:
+                raise TranslateError(
+                    f"Property '{prop}' value {val} below minimum {spec['min']}"
+                )
+            if "max" in spec and val > spec["max"]:
+                raise TranslateError(
+                    f"Property '{prop}' value {val} above maximum {spec['max']}"
+                )
+            if "regexp" in spec:
+                import re
+
+                if not re.fullmatch(str(spec["regexp"]), str(val)):
+                    raise TranslateError(
+                        f"Property '{prop}' value {val!r} does not match "
+                        f"{spec['regexp']!r}"
+                    )
+    return row
 
 
 def _truncate(db, stmt: ast.TruncateTypeStmt) -> DataFrame:

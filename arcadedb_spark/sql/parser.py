@@ -272,9 +272,20 @@ class Parser:
             prop = self.ident()
             if_not_exists = self._eat_if_not_exists()
             dtype = self.ident()
+            constraints: dict = {}
+            if self.at_op("("):
+                # (MANDATORY true, NOTNULL true, DEFAULT x, MIN n, MAX n,
+                # REGEXP 'p') — DocumentValidator.java constraint set
+                self.advance()
+                while not self.at_op(")"):
+                    key = self.ident().lower()
+                    val = self.parse_expr()
+                    constraints[key] = val.value if isinstance(val, ast.Lit) else val
+                    self.eat_op(",")
+                self.expect_op(")")
             return ast.CreatePropertyStmt(
                 type_name=tname, prop=prop, dtype=dtype,
-                if_not_exists=if_not_exists,
+                if_not_exists=if_not_exists, constraints=tuple(constraints.items()),
             )
         if self.cur.kind == "IDENT" and self.cur.value.upper() in (
             "MATERIALIZED", "CONTINUOUS",

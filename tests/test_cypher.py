@@ -76,3 +76,25 @@ def test_collect(db):
     ).collect()
     assert len(rows) == 25
     assert sum(len(r["custs"]) for r in rows) == 150
+
+
+def test_variable_length_path(db):
+    # 1..2 hops equals distinct(1-hop ∪ 2-hop) walk reachability
+    from pyspark.sql import functions as F
+
+    n = cy(
+        db,
+        "MATCH (a:Customer {c_custkey: 7})-[:INTERACTED*1..2]->(b:Customer) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    g = db.graph()
+    e = g.edges("INTERACTED").select("src", "dst").distinct()
+    base = db.schema.get("customer").bucket_id << 40
+    r1 = e.filter(F.col("src") == base + 7).select("dst")
+    r2 = (
+        e.filter(F.col("src") == base + 7)
+        .select(F.col("dst").alias("mid"))
+        .join(e, F.col("mid") == e["src"])
+        .select("dst")
+    )
+    assert n == r1.unionByName(r2).distinct().count()

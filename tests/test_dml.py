@@ -79,7 +79,7 @@ def test_create_property_and_index_noop(scratch):
     db = scratch
     db.command("CREATE DOCUMENT TYPE P6")
     db.command("CREATE PROPERTY P6.name STRING")
-    assert db.schema.get("P6").properties["declared"]["name"] == "string"
+    assert db.schema.get("P6").properties["declared"]["name"]["type"] == "string"
     r = db.command("CREATE INDEX ON P6 (name) UNIQUE").collect()
     assert r[0]["count"] == 0  # no-op by design
 
@@ -123,3 +123,22 @@ def test_continuous_aggregate_ddl(scratch):
     )
     n = db.query("SELECT count(*) AS n FROM ev_minute").collect()[0]["n"]
     assert n > 0
+
+
+def test_property_constraints_and_defaults(scratch):
+    import pytest as _pytest
+    from arcadedb_spark.sql.translator import TranslateError
+
+    db = scratch
+    db.command("CREATE DOCUMENT TYPE Validated")
+    db.command("CREATE PROPERTY Validated.name STRING (MANDATORY true, REGEXP '[a-z]+')")
+    db.command("CREATE PROPERTY Validated.age INTEGER (MIN 0, MAX 150, DEFAULT 18)")
+    db.command("INSERT INTO Validated SET name = 'ann'")
+    row = db.query("SELECT name, age FROM Validated").collect()[0]
+    assert row["age"] == 18  # default applied
+    with _pytest.raises(TranslateError):
+        db.command("INSERT INTO Validated SET age = 30")  # mandatory name
+    with _pytest.raises(TranslateError):
+        db.command("INSERT INTO Validated SET name = 'bob', age = 200")  # > max
+    with _pytest.raises(TranslateError):
+        db.command("INSERT INTO Validated SET name = 'BOB'")  # regexp

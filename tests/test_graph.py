@@ -101,3 +101,26 @@ def test_degree_centrality(db):
     # PLACED out-degree per customer == orders per customer
     total = deg.agg(F.sum("degree")).collect()[0][0]
     assert total == 1500
+
+
+def test_eigenvector_and_katz(db):
+    from arcadedb_spark.graph.algorithms import (
+        eigenvector_centrality, katz_centrality,
+    )
+    from pyspark.sql import functions as F
+
+    e = db.graph().edges("INTERACTED")
+    ev = eigenvector_centrality(e, iterations=6)
+    mx = ev.agg(F.max("centrality")).collect()[0][0]
+    assert abs(mx - 1.0) < 1e-9  # normalized
+    kz = katz_centrality(e, iterations=6)
+    assert kz.filter(F.col("centrality") < 1.0).count() == 0  # β floor
+
+
+def test_closeness(db):
+    from arcadedb_spark.graph.algorithms import closeness_centrality
+
+    e = db.graph().edges("INTERACTED")
+    cl = closeness_centrality(e, landmarks=[e.select("src").first()[0]])
+    rows = cl.collect()
+    assert rows and all(0 < r["closeness"] <= 1.0 for r in rows)
