@@ -1578,3 +1578,48 @@ def q_collect_sorted(spark, sf_dir):
         "SELECT n_regionkey AS rk, sort(list(n_name)) AS names "
         "FROM nation GROUP BY rk"
     )
+
+
+@query(
+    "q_cypher_varlength",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e AS (SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d),
+    r1 AS (SELECT d AS v FROM e WHERE s = 7),
+    r2 AS (SELECT e2.d AS v FROM r1 JOIN e e2 ON e2.s = r1.v)
+    SELECT count(*) AS n FROM (SELECT v FROM r1 UNION SELECT v FROM r2)
+    """,
+)
+def q_cypher_varlength(spark, sf_dir):
+    # Cypher variable-length relationship over the INTERACTED graph
+    return _db(spark, sf_dir).query(
+        "MATCH (a:Customer {c_custkey: 7})-[:INTERACTED*1..2]->(b:Customer) "
+        "RETURN count(*) AS n",
+        language="cypher",
+    )
+
+
+@query("q_scc")  # iterative peeling — rows-only check
+def q_scc(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import strongly_connected_components
+
+    db = _db(spark, sf_dir)
+    scc = strongly_connected_components(db.graph().edges("INTERACTED"))
+    return scc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
+        F.desc("size"), F.asc("component")
+    )
+
+
+@query("q_fastrp")  # hash-seeded embeddings — rows-only check
+def q_fastrp(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import fastrp_embeddings
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    emb = fastrp_embeddings(db.graph().edges("INTERACTED"), dim=8, iterations=2)
+    return emb.select(
+        (F.col("vid") - base).alias("user_id"),
+        F.transform("embedding", lambda v: F.round(v, 4)).alias("embedding"),
+    ).orderBy("user_id")

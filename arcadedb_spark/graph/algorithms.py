@@ -455,3 +455,172 @@ def closeness_centrality(
     return agg.select(
         "vid", (F.col("n") / F.col("total")).alias("closeness")
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 10, max_inner: int = 30
+) -> DataFrame:
+    """SCC via the coloring algorithm (AlgoSCC.java parity — same
+    components, different discovery order).
+
+    Each outer round: propagate max-vid colors forward to fixpoint, then
+    mark the backward-reachable set of each color root (within the color)
+    as one SCC and peel it.  Scales as O(rounds · diameter) supersteps —
+    the standard distributed SCC shape (vs Tarjan's inherently sequential
+    stack walk in the reference).
+    Returns (vid, component)."""
+    e_all = edges.select("src", "dst").distinct().cache()
+    remaining = _vertices_of(edges).cache()
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "vid long, component long")
+    for _ in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            break
+        e = (
+            e_all.join(remaining.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            .cache()
+        )
+        # 1) forward max-color propagation to fixpoint
+        color = remaining.withColumn("color", F.col("vid"))
+        for i in range(max_inner):
+            prop = (
+                e.join(color, e["src"] == color["vid"], "inner")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.max("color").alias("nc"))
+            )
+            new_color = (
+                color.join(prop, "vid", "left")
+                .select(
+                    "vid",
+                    F.greatest(
+                        F.col("color"), F.coalesce(F.col("nc"), F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            if i % _CHECKPOINT_EVERY == 0:
+                new_color = new_color.localCheckpoint(eager=True)
+            changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), "vid")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            color = new_color
+            if changed == 0:
+                break
+        # 2) backward reachability from each color root, within the color
+        roots = color.filter(F.col("vid") == F.col("color")).select(
+            "vid", "color"
+        )
+        scc = roots
+        frontier = roots
+        back = e.select(F.col("dst").alias("from"), F.col("src").alias("to"))
+        for i in range(max_inner):
+            nxt = (
+                frontier.join(back, frontier["vid"] == back["from"], "inner")
+                .select(F.col("to").alias("vid"), "color")
+                .distinct()
+            )
+            # stay within the same color and don't revisit
+            nxt = nxt.join(
+                color.withColumnRenamed("color", "c2"), "vid"
+            ).filter(F.col("color") == F.col("c2")).select("vid", "color")
+            nxt = nxt.join(scc.select("vid"), "vid", "left_anti")
+            if i % _CHECKPOINT_EVERY == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            if nxt.limit(1).count() == 0:
+                break
+            scc = scc.unionByName(nxt)
+            frontier = nxt
+        assigned = assigned.unionByName(
+            scc.select("vid", F.col("color").alias("component"))
+        ).localCheckpoint(eager=True)
+        remaining = remaining.join(scc.select("vid"), "vid", "left_anti").cache()
+    return assigned
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    dim: int = 16,
+    iterations: int = 3,
+    weights: tuple[float, ...] = (0.0, 1.0, 1.0),
+    seed: int = 42,
+) -> DataFrame:
+    """FastRP graph embeddings (AlgoFastRP.java parity in shape: sparse
+    random projection init + iterative neighbor averaging, weighted sum of
+    per-hop states).  Deterministic: the initial projection is derived
+    from xxhash64(vid, dim_index) — no RNG state to distribute.
+    Returns (vid, embedding: array<double>)."""
+    verts = _vertices_of(edges).cache()
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().repartition("src").cache()
+    deg = und.groupBy("src").agg(F.count("*").alias("__d"))
+
+    # sparse signed init: hash → {-1, 0, +1} with p(±1) = 1/4 each
+    def _init_col(i: int):
+        h = F.xxhash64(F.col("vid"), F.lit(seed + i))
+        bucket = F.pmod(h, F.lit(4))
+        return (
+            F.when(bucket == 0, 1.0).when(bucket == 1, -1.0).otherwise(0.0)
+        )
+
+    x = verts.select(
+        "vid", F.array(*[_init_col(i) for i in range(dim)]).alias("emb")
+    )
+    acc = x.select(
+        "vid",
+        F.transform("emb", lambda v: v * F.lit(weights[0])).alias("acc"),
+    ) if weights and weights[0] else verts.select(
+        "vid", F.array(*[F.lit(0.0)] * dim).alias("acc")
+    )
+    for it in range(1, iterations + 1):
+        # neighbor mean: sum over in-neighbors / degree
+        msgs = (
+            und.join(x, und["dst"] == x["vid"], "inner")
+            .groupBy(F.col("src").alias("vid"))
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.element_at("emb", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("sums")
+            )
+        )
+        x = (
+            verts.join(msgs, "vid", "left")
+            .join(deg.withColumnRenamed("src", "vid"), "vid", "left")
+            .select(
+                "vid",
+                F.coalesce(
+                    F.transform("sums", lambda s: s / F.col("__d")),
+                    F.array(*[F.lit(0.0)] * dim),
+                ).alias("emb"),
+            )
+        )
+        w = weights[it] if it < len(weights) else 1.0
+        acc = (
+            acc.join(x, "vid")
+            .select(
+                "vid",
+                F.zip_with("acc", "emb", lambda a, b: a + b * F.lit(w)).alias("acc"),
+                F.col("emb"),
+            )
+            .select("vid", "acc", "emb")
+        )
+        x = acc.select("vid", "emb")
+        acc = acc.select("vid", "acc")
+        if it % 2 == 0:
+            acc = acc.localCheckpoint(eager=True)
+            x = x.localCheckpoint(eager=True)
+    # L2 normalize
+    norm = F.sqrt(F.aggregate("acc", F.lit(0.0), lambda s, v: s + v * v))
+    return acc.select(
+        "vid",
+        F.when(
+            norm > 0, F.transform("acc", lambda v: v / norm)
+        ).otherwise(F.col("acc")).alias("embedding"),
+    )

@@ -124,3 +124,28 @@ def test_closeness(db):
     cl = closeness_centrality(e, landmarks=[e.select("src").first()[0]])
     rows = cl.collect()
     assert rows and all(0 < r["closeness"] <= 1.0 for r in rows)
+
+
+def test_scc_two_cycles_and_bridge(db, spark):
+    from arcadedb_spark.graph.algorithms import strongly_connected_components
+
+    # cycle {1,2,3} → bridge → cycle {10,11}, plus isolated path 20→21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10), (20, 21)],
+        "src long, dst long",
+    )
+    scc = strongly_connected_components(edges)
+    comp = {r["vid"]: r["component"] for r in scc.collect()}
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[10] == comp[11]
+    assert comp[1] != comp[10]
+    assert comp[20] != comp[21]  # path vertices are singleton SCCs
+
+
+def test_fastrp_deterministic(db):
+    from arcadedb_spark.graph.algorithms import fastrp_embeddings
+
+    e = db.graph().edges("INTERACTED")
+    a = {r["vid"]: tuple(r["embedding"]) for r in fastrp_embeddings(e, dim=8, iterations=2).collect()}
+    b = {r["vid"]: tuple(r["embedding"]) for r in fastrp_embeddings(e, dim=8, iterations=2).collect()}
+    assert a == b  # hash-seeded init → reproducible
