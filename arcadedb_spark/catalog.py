@@ -58,6 +58,10 @@ class Catalog:
         self.spark = spark
         self._types: dict[str, TypeDef] = {}
         self._next_bucket = 1
+        # index registry: name → {type, props, kind}.  Indexes are
+        # execution no-ops on Spark (scan+pushdown replaces them) but
+        # full-text entries resolve search_index() to their fields.
+        self.indexes: dict[str, dict] = {}
 
     # -- registration -----------------------------------------------------
     def register(
@@ -166,7 +170,13 @@ class Catalog:
                 [(len(self._types),)], "types int"
             )
         if which == "indexes":
-            # Indexes are unnecessary on Spark (scan + pushdown replaces
-            # them); the virtual table exists for API parity and is empty.
-            return self.spark.createDataFrame([], "name string, type string")
+            # Indexes are execution no-ops on Spark (scan + pushdown
+            # replaces them); registered entries are catalog metadata only.
+            rows = [
+                (name, meta["type"], list(meta["props"]), meta.get("kind", ""))
+                for name, meta in self.indexes.items()
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, type string, props array<string>, kind string"
+            )
         raise KeyError(f"Unknown schema table 'schema:{which}'")

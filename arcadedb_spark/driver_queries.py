@@ -1623,3 +1623,21 @@ def q_fastrp(spark, sf_dir):
         (F.col("vid") - base).alias("user_id"),
         F.transform("embedding", lambda v: F.round(v, 4)).alias("embedding"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_search_predicate",
+    oracle=r"""
+    SELECT count(*) AS n FROM documents
+    WHERE length(list_intersect(
+      list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                  x -> length(x) > 0),
+      ['stream', 'vector'])) > 0
+    """,
+)
+def q_search_predicate(spark, sf_dir):
+    # BM25 hit set == docs containing ≥1 query term (idf > 0 always)
+    return _db(spark, sf_dir).query(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE search_fields(['text'], 'stream vector')"
+    )

@@ -624,3 +624,55 @@ def fastrp_embeddings(
             norm > 0, F.transform("acc", lambda v: v / norm)
         ).otherwise(F.col("acc")).alias("embedding"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 5,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic uniform random walks (DeepWalk/Node2Vec p=q=1
+    precursor; AlgoNode2Vec.java's walk phase).  Neighbor choice is
+    xxhash64(current, walk_id, step) mod degree — reproducible with no
+    distributed RNG state.  Returns (start, walk_id, path: array<long>).
+
+    Scale: neighbors are indexed once per src via row_number; each step is
+    one equi-join on (vid, chosen index).
+    """
+    adj = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    indexed = adj.withColumn("__i", F.row_number().over(w) - 1)
+    degs = adj.groupBy("src").agg(F.count("*").alias("__deg"))
+    indexed = indexed.join(degs, "src").repartition("src").cache()
+
+    verts = _vertices_of(edges)
+    walks = verts.crossJoin(
+        verts.sparkSession.range(walks_per_vertex).select(
+            F.col("id").alias("walk_id")
+        )
+    ).select(
+        F.col("vid").alias("start"), "walk_id",
+        F.array(F.col("vid")).alias("path"),
+        F.col("vid").alias("cur"),
+    )
+    for step in range(walk_length):
+        choice = F.pmod(
+            F.xxhash64(F.col("cur"), F.col("walk_id"), F.lit(step), F.lit(seed)),
+            F.col("__deg"),
+        )
+        walks = (
+            walks.join(indexed, walks["cur"] == indexed["src"], "left")
+            .filter((F.col("__i").isNull()) | (F.col("__i") == choice))
+            .select(
+                "start", "walk_id",
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.concat(F.col("path"), F.array(F.col("dst"))),
+                ).otherwise(F.col("path")).alias("path"),
+                F.coalesce(F.col("dst"), F.col("cur")).alias("cur"),
+            )
+        )
+        if (step + 1) % 3 == 0:
+            walks = walks.localCheckpoint(eager=True)
+    return walks.select("start", "walk_id", "path")

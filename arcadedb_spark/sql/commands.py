@@ -53,7 +53,14 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
     if isinstance(stmt, ast.CreatePropertyStmt):
         return _create_property(db, stmt)
     if isinstance(stmt, ast.CreateIndexStmt):
-        return _result(db, 0)  # indexes are no-ops: scan+pushdown replaces them
+        if stmt.type_name:
+            name = f"{stmt.type_name}[{','.join(stmt.props)}]"
+            db.schema.indexes[name] = {
+                "type": stmt.type_name,
+                "props": stmt.props,
+                "kind": (stmt.index_kind or "").lower(),
+            }
+        return _result(db, 0)  # execution no-op: scan+pushdown replaces it
     if isinstance(stmt, ast.TruncateTypeStmt):
         return _truncate(db, stmt)
     if isinstance(stmt, ast.CreateMaterializedViewStmt):

@@ -311,21 +311,30 @@ class Parser:
             )
         if self.at_kw("INDEX"):
             self.advance()
-            # lenient: indexes are catalog no-ops on Spark — record target
+            # CREATE INDEX [name] [IF NOT EXISTS] ON type (props) [kind]
             tname = None
             props: list[str] = []
+            kind = None
+            saw_on = False
             while self.cur.kind != "EOF":
-                tok = self.advance()
-                if tok.kind == "KEYWORD" and tok.value == "ON":
-                    pass
-                elif tok.kind == "OP" and tok.value == "(":
+                if self.at_op("("):
+                    self.advance()
                     while not self.at_op(")"):
                         props.append(self.ident())
                         self.eat_op(",")
                     self.expect_op(")")
-                elif tok.kind == "IDENT" and tname is None:
+                    continue
+                tok = self.advance()
+                word = tok.value.upper() if tok.kind in ("IDENT", "KEYWORD") else ""
+                if word == "ON":
+                    saw_on = True
+                elif saw_on and tname is None and tok.kind in ("IDENT", "KEYWORD"):
                     tname = tok.value
-            return ast.CreateIndexStmt(type_name=tname, props=tuple(props))
+                elif props and tok.kind in ("IDENT", "KEYWORD"):
+                    kind = tok.value  # UNIQUE / FULL_TEXT / NOTUNIQUE …
+            return ast.CreateIndexStmt(
+                type_name=tname, props=tuple(props), index_kind=kind
+            )
         raise ParseError(f"Unsupported CREATE statement at {self.cur!r}")
 
     def _eat_if_not_exists(self) -> bool:

@@ -741,6 +741,12 @@ class Translator:
         if isinstance(e, ast.Unary) and e.op == "NOT":
             e = e.operand
             negated = True
+        # full-text predicates: WHERE search_fields(['f'], 'q') /
+        # search_index('Type[f]', 'q')  (SQLFunctionSearchIndex.java)
+        if isinstance(e, ast.FuncCall) and e.name.lower() in (
+            "search_fields", "search_index", "search_class",
+        ):
+            return self._fulltext_filter(df, e, negated, ctx), True
         if not isinstance(e, ast.In):
             return df, False
         negated = negated != e.negated
@@ -761,6 +767,47 @@ class Translator:
         key = sub_df.columns[0]
         how = "left_anti" if negated else "left_semi"
         return df.join(sub_df, needle == F.col(f"{sub_alias}.{key}"), how), True
+
+    def _fulltext_filter(
+        self, df: DataFrame, e: ast.FuncCall, negated: bool, ctx: Ctx
+    ) -> DataFrame:
+        """BM25 full-text predicate → semi/anti join on matching rows.
+
+        The inverted-index build + scoring is the DataFrame pipeline of
+        text/fulltext.py; "the index" is virtual (index/fulltext/
+        LSMTreeFullTextIndex.java is replaced by scan-time scoring — at
+        100 TB the postings frame would be persisted and reused).
+        """
+        from arcadedb_spark.text.fulltext import bm25_search
+
+        name = e.name.lower()
+        if name == "search_index":
+            if len(e.args) < 2 or not isinstance(e.args[0], ast.Lit):
+                raise TranslateError("search_index(indexName, query) expected")
+            idx = self.db.schema.indexes.get(str(e.args[0].value))
+            if idx is None:
+                raise TranslateError(f"Unknown index '{e.args[0].value}'")
+            fields = list(idx["props"])
+            query_arg = e.args[1]
+        else:
+            if len(e.args) < 2 or not isinstance(e.args[0], ast.ArrayLit):
+                raise TranslateError("search_fields(['f'], query) expected")
+            fields = [
+                a.value for a in e.args[0].items if isinstance(a, ast.Lit)
+            ]
+            query_arg = e.args[1]
+        if not isinstance(query_arg, ast.Lit):
+            raise TranslateError("full-text query must be a literal string")
+        text_col = (
+            F.col(fields[0])
+            if len(fields) == 1
+            else F.concat_ws(" ", *[F.col(f_) for f_ in fields])
+        )
+        base = df.withColumn("__ft_text", text_col)
+        hits = bm25_search(base, RID_COL, "__ft_text", str(query_arg.value))
+        hit_ids = hits.select(F.col("doc_id").alias("__ft_rid"))
+        how = "left_anti" if negated else "left_semi"
+        return df.join(hit_ids, F.col(RID_COL) == F.col("__ft_rid"), how)
 
     # -- plain (non-aggregate) projection -----------------------------------
     def _proj_name(self, item: ast.ProjItem, i: int) -> str:

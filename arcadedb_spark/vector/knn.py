@@ -166,3 +166,52 @@ def rrf_fuse(
         .agg(F.sum("s").alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), F.asc("id"))
     )
+
+
+def mmr_rerank(
+    scored: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_col: str = "score",
+    k: int = 10,
+    lambda_: float = 0.5,
+    pool: int = 50,
+) -> list:
+    """Maximal-marginal-relevance re-ranking
+    (SQLFunctionVectorMMRScore.java parity): greedily pick argmax of
+    λ·relevance − (1−λ)·max-similarity-to-selected.
+
+    The greedy loop is inherently sequential over k picks, so it runs on
+    the driver over a bounded candidate ``pool`` (collected once) — the
+    heavy scoring stays distributed upstream.  Returns ordered
+    [(id, mmr_score)].
+    """
+    import numpy as np
+
+    rows = (
+        scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(pool).collect()
+    )
+    if not rows:
+        return []
+    ids = [r[id_col] for r in rows]
+    rel = np.array([float(r[score_col]) for r in rows])
+    vecs = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    sim = unit @ unit.T
+
+    selected: list[int] = []
+    out = []
+    candidates = set(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        best_i, best_v = None, -float("inf")
+        for i in sorted(candidates):
+            penalty = max((sim[i][j] for j in selected), default=0.0)
+            v = lambda_ * rel[i] - (1 - lambda_) * penalty
+            if v > best_v:
+                best_i, best_v = i, v
+        selected.append(best_i)
+        candidates.discard(best_i)
+        out.append((ids[best_i], float(best_v)))
+    return out

@@ -164,3 +164,55 @@ def test_continuous_aggregate_batch_equals_stream(db, spark):
     stream_rows = spark.sql("SELECT * FROM ca_t_out").count()
     # append mode withholds the final open bucket — stream ≤ batch
     assert 0 < stream_rows <= batch.count()
+
+
+def test_search_fields_predicate(db):
+    from arcadedb_spark.text.fulltext import tokenize
+    from pyspark.sql import functions as F
+
+    n = db.query(
+        "SELECT count(*) AS n FROM documents WHERE search_fields(['text'], 'stream')"
+    ).collect()[0]["n"]
+    expect = (
+        db.table("documents")
+        .filter(F.array_contains(tokenize("text"), "stream"))
+        .count()
+    )
+    assert n == expect
+
+
+def test_search_index_predicate(db):
+    db.command("CREATE INDEX ON documents (text) FULL_TEXT")
+    n = db.query(
+        "SELECT count(*) AS n FROM documents WHERE search_index('documents[text]', 'stream')"
+    ).collect()[0]["n"]
+    assert n > 0
+
+
+def test_mmr_rerank_diversifies(db):
+    from arcadedb_spark.vector import cosine_similarity
+    from arcadedb_spark.vector.knn import mmr_rerank
+    from pyspark.sql import functions as F
+
+    emb = db.table("embeddings")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    qcol = F.array(*[F.lit(v) for v in qv])
+    scored = emb.select(
+        "vec_id", "embedding",
+        cosine_similarity(F.col("embedding").cast("array<double>"), qcol).alias("score"),
+    )
+    out = mmr_rerank(scored, "vec_id", "embedding", k=5, lambda_=0.5)
+    assert len(out) == 5
+    assert out[0][0] == emb.first()["vec_id"]  # most relevant picked first
+    assert len({i for i, _ in out}) == 5  # no repeats
+
+
+def test_random_walks_shape(db):
+    from arcadedb_spark.graph.algorithms import random_walks
+
+    e = db.graph().edges("INTERACTED")
+    walks = random_walks(e, walk_length=4, walks_per_vertex=3)
+    rows = walks.collect()
+    n_verts = e.select("src").unionByName(e.select("dst").withColumnRenamed("dst","src")).distinct().count()
+    assert len(rows) == n_verts * 3
+    assert all(len(r["path"]) == 5 for r in rows)  # start + 4 hops (cyclic graph)
