@@ -163,6 +163,12 @@ class Database:
             return Translator(self, params=params).translate(stmt)
         return execute_command(self, stmt, params)
 
+    def g(self):
+        """Gremlin-style traversal source (gremlin module analog)."""
+        from arcadedb_spark.graph.gremlin import GraphTraversalSource
+
+        return GraphTraversalSource(self)
+
     def script(self, text: str, **params):
         """SQL-script execution (SQLScriptQueryEngine.java analog):
         multi-statement scripts with LET/IF/WHILE/FOREACH/RETURN."""

@@ -149,3 +149,37 @@ def test_fastrp_deterministic(db):
     a = {r["vid"]: tuple(r["embedding"]) for r in fastrp_embeddings(e, dim=8, iterations=2).collect()}
     b = {r["vid"]: tuple(r["embedding"]) for r in fastrp_embeddings(e, dim=8, iterations=2).collect()}
     assert a == b  # hash-seeded init → reproducible
+
+
+def test_gremlin_traversal(db):
+    g = db.g()
+    n = g.V().hasLabel("Customer").has("c_mktsegment", "BUILDING").out("PLACED").count()
+    from pyspark.sql import functions as F
+
+    expect = (
+        db.table("orders")
+        .join(
+            db.table("customer").filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert n == expect
+    orders = (
+        g.V("Customer").has("c_custkey", 3).out("PLACED").values("o_orderkey").collect()
+    )
+    expect_orders = db.table("orders").filter(F.col("o_custkey") == 3).count()
+    assert len(orders) == expect_orders
+    # heterogeneous edge types fall back to (vid, label) — label still works
+    locs = g.V("Customer").has("c_custkey", 3).out("LOCATED_IN").values("label").collect()
+    assert [r["label"] for r in locs] == ["nation"]
+
+
+def test_betweenness_path_graph(db, spark):
+    from arcadedb_spark.graph.algorithms import betweenness_centrality
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    bc = {r["vid"]: r["betweenness"] for r in betweenness_centrality(
+        edges, sources=[1, 2, 3, 4], max_depth=5
+    ).collect()}
+    assert bc == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
