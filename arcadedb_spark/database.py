@@ -85,6 +85,19 @@ class Database:
         self.schema = Catalog(spark)
         self._plan_cache: dict[str, object] = {}
         self._graph = None
+        # user functions: DEFINE FUNCTION macros + registered Python UDFs
+        self._functions: dict[str, dict] = {}
+
+    def register_function(self, name: str, fn, return_type: str = "string") -> None:
+        """Register a Python UDF callable from queries as ``name(args…)``
+        (Python replaces the reference's GraalVM-JS function surface,
+        function/polyglot/JavascriptFunctionDefinition.java)."""
+        from pyspark.sql import functions as F
+
+        self._functions[name.lower()] = {
+            "language": "python",
+            "udf": F.udf(fn, return_type),
+        }
 
     # -- construction -----------------------------------------------------
     @classmethod

@@ -765,3 +765,39 @@ def betweenness_centrality(
         return _vertices_of(edges).withColumn("betweenness", F.lit(0.0))
     bc = acc.groupBy("vid").agg(F.sum("delta").alias("betweenness"))
     return _vertices_of(edges).join(bc, "vid", "left").fillna(0.0, ["betweenness"])
+
+
+def node2vec_embeddings(
+    edges: DataFrame,
+    dim: int = 16,
+    walk_length: int = 5,
+    walks_per_vertex: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Node2Vec-style embeddings (AlgoNode2Vec.java parity in shape,
+    p=q=1 i.e. DeepWalk): hash-seeded uniform random walks fed to MLlib
+    Word2Vec (skip-gram).  Returns (vid, embedding: array<float>).
+
+    Scale: the walk corpus is |V|·walks_per_vertex rows built by
+    ``random_walks`` (equi-joins only); Word2Vec training is MLlib's
+    distributed implementation.
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    walks = random_walks(
+        edges, walk_length=walk_length, walks_per_vertex=walks_per_vertex,
+        seed=seed,
+    )
+    sentences = walks.select(
+        F.transform("path", lambda v: v.cast("string")).alias("walk")
+    )
+    w2v = Word2Vec(
+        vectorSize=dim, minCount=0, inputCol="walk", outputCol="__vec",
+        seed=seed, maxIter=1,
+    )
+    model = w2v.fit(sentences)
+    return model.getVectors().select(
+        F.col("word").cast("long").alias("vid"),
+        vector_to_array(F.col("vector")).alias("embedding"),
+    )

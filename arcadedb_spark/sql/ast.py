@@ -408,3 +408,15 @@ class RefreshMaterializedViewStmt:
 class DropMaterializedViewStmt:
     name: str
     if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class DefineFunctionStmt:
+    """DEFINE FUNCTION lib.name "body" [PARAMETERS [a,b]] [LANGUAGE lang]
+    (parser/DefineFunctionStatement.java:22)."""
+
+    lib: str
+    name: str
+    body: str
+    parameters: tuple[str, ...] = ()
+    language: str = "sql"

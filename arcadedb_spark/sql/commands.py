@@ -69,7 +69,33 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _refresh_mv(db, stmt, params)
     if isinstance(stmt, ast.DropMaterializedViewStmt):
         return _drop_mv(db, stmt)
+    if isinstance(stmt, ast.DefineFunctionStmt):
+        return _define_function(db, stmt)
     raise TranslateError(f"Unsupported command {type(stmt).__name__}")
+
+
+def _define_function(db, stmt: ast.DefineFunctionStmt) -> DataFrame:
+    """DEFINE FUNCTION lib.name "expr" — SQL expression macros
+    (parser/DefineFunctionStatement.java:22; the reference also accepts
+    LANGUAGE js via GraalVM — we expose Python via
+    Database.register_function instead, documented deviation)."""
+    if stmt.language != "sql":
+        raise TranslateError(
+            f"LANGUAGE {stmt.language} not supported; use LANGUAGE sql or "
+            "Database.register_function for Python"
+        )
+    from arcadedb_spark.sql.parser import Parser
+
+    p = Parser(stmt.body)
+    expr = p.parse_expr()
+    if p.cur.kind != "EOF":
+        raise TranslateError(f"Trailing input in function body: {stmt.body!r}")
+    db._functions[f"{stmt.lib.lower()}.{stmt.name.lower()}"] = {
+        "language": "sql",
+        "params": tuple(x.lower() for x in stmt.parameters),
+        "expr": expr,
+    }
+    return _result(db, 1)
 
 
 # -- materialized views -----------------------------------------------------

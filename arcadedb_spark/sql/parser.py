@@ -109,6 +109,8 @@ class Parser:
             return self.parse_drop()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRUNCATE":
             return self.parse_truncate()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "DEFINE":
+            return self.parse_define_function()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "REFRESH":
             self.advance()
             self.advance()  # MATERIALIZED / CONTINUOUS
@@ -369,6 +371,38 @@ class Parser:
         while self.cur.kind == "KEYWORD":  # UNSAFE etc.
             self.advance()
         return ast.DropTypeStmt(name=name, if_exists=if_exists)
+
+    def parse_define_function(self) -> ast.DefineFunctionStmt:
+        self.advance()  # DEFINE
+        tok = self.advance()  # FUNCTION
+        if tok.value.upper() != "FUNCTION":
+            raise ParseError("Expected FUNCTION after DEFINE")
+        lib = self.ident()
+        self.expect_op(".")
+        name = self.ident()
+        body_tok = self.advance()
+        if body_tok.kind != "STRING":
+            raise ParseError("DEFINE FUNCTION body must be a string literal")
+        parameters: list[str] = []
+        language = "sql"
+        while self.cur.kind != "EOF":
+            word = self.cur.value.upper() if self.cur.kind in ("IDENT", "KEYWORD") else ""
+            if word == "PARAMETERS":
+                self.advance()
+                self.expect_op("[")
+                while not self.at_op("]"):
+                    parameters.append(self.ident())
+                    self.eat_op(",")
+                self.expect_op("]")
+            elif word == "LANGUAGE":
+                self.advance()
+                language = self.ident().lower()
+            else:
+                break
+        return ast.DefineFunctionStmt(
+            lib=lib, name=name, body=body_tok.value,
+            parameters=tuple(parameters), language=language,
+        )
 
     def parse_truncate(self) -> ast.TruncateTypeStmt:
         self.advance()  # TRUNCATE

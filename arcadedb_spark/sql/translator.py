@@ -345,7 +345,21 @@ class ExprCompiler:
         if name in SCALARS:
             args = [self.compile(a) for a in e.args]
             return SCALARS[name](args)
+        custom = self._custom_fn(name)
+        if custom is not None:
+            return self._compile_custom(custom, e.args)
         raise TranslateError(f"Unknown function '{e.name}'")
+
+    def _custom_fn(self, qual_name: str):
+        fns = getattr(self.ctx.db, "_functions", None)
+        return fns.get(qual_name) if fns else None
+
+    def _compile_custom(self, spec: dict, args: tuple) -> Column:
+        if spec["language"] == "python":
+            return spec["udf"](*[self.compile(a) for a in args])
+        # SQL macro: substitute parameter names with argument ASTs
+        mapping = {p: a for p, a in zip(spec["params"], args)}
+        return self.compile(_substitute_ast(spec["expr"], mapping))
 
     def _compile_aggregate(self, e: ast.FuncCall) -> Column:
         ctx = self.ctx
@@ -390,6 +404,12 @@ class ExprCompiler:
                 return self._compile_aggregate(
                     ast.FuncCall(qual, e.args, False)
                 )
+        if isinstance(e.base, ast.Chain) and len(e.base.parts) == 1:
+            # user-defined lib.name macro / UDF
+            qual = f"{e.base.parts[0].lower()}.{e.name.lower()}"
+            custom = self._custom_fn(qual)
+            if custom is not None:
+                return self._compile_custom(custom, e.args)
         name = e.name.lower()
         if name in METHODS:
             base = self.compile(e.base)
@@ -401,6 +421,21 @@ class ExprCompiler:
 # ---------------------------------------------------------------------------
 # AST walking helpers
 # ---------------------------------------------------------------------------
+
+
+def _substitute_ast(e: Any, mapping: dict[str, ast.Expr]) -> Any:
+    """Replace single-part Chains matching macro parameter names with the
+    call-site argument ASTs (DEFINE FUNCTION expansion)."""
+    if isinstance(e, ast.Chain) and len(e.parts) == 1 and e.parts[0].lower() in mapping:
+        return mapping[e.parts[0].lower()]
+    if isinstance(e, ast.Expr):
+        kwargs = {}
+        for f_ in e.__dataclass_fields__:
+            kwargs[f_] = _substitute_ast(getattr(e, f_), mapping)
+        return type(e)(**kwargs)
+    if isinstance(e, tuple):
+        return tuple(_substitute_ast(x, mapping) for x in e)
+    return e
 
 
 def walk(e: Any):

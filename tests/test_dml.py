@@ -142,3 +142,24 @@ def test_property_constraints_and_defaults(scratch):
         db.command("INSERT INTO Validated SET name = 'bob', age = 200")  # > max
     with _pytest.raises(TranslateError):
         db.command("INSERT INTO Validated SET name = 'BOB'")  # regexp
+
+
+def test_define_function_sql_macro(scratch):
+    db = scratch
+    db.command(
+        "DEFINE FUNCTION math.discounted \"price * (1 - disc)\" "
+        "PARAMETERS [price, disc] LANGUAGE sql"
+    )
+    r = db.query(
+        "SELECT round(math.discounted(l_extendedprice, l_discount), 4) AS net "
+        "FROM lineitem LIMIT 1"
+    ).collect()[0]
+    base = db.table("lineitem").limit(1).collect()[0]
+    assert abs(r["net"] - round(base["l_extendedprice"] * (1 - base["l_discount"]), 4)) < 1e-9
+
+
+def test_register_python_function(scratch):
+    db = scratch
+    db.register_function("shout", lambda s: (s or "").upper() + "!", "string")
+    r = db.query("SELECT shout(c_name) AS s FROM customer WHERE c_custkey = 1").collect()[0]
+    assert r["s"].endswith("!") and r["s"].startswith("CUSTOMER#")

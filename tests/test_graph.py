@@ -183,3 +183,12 @@ def test_betweenness_path_graph(db, spark):
         edges, sources=[1, 2, 3, 4], max_depth=5
     ).collect()}
     assert bc == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
+
+
+def test_node2vec_embeddings(db):
+    from arcadedb_spark.graph.algorithms import node2vec_embeddings
+
+    e = db.graph().edges("INTERACTED")
+    emb = node2vec_embeddings(e, dim=8, walk_length=4, walks_per_vertex=2)
+    rows = emb.collect()
+    assert rows and all(len(r["embedding"]) == 8 for r in rows)
