@@ -8,16 +8,21 @@ lowers it onto :func:`arcadedb_spark.graph.match.translate_match` —
 Catalyst then does what CypherOptimizer's rules (IndexSelection,
 FilterPushdown, ExpandInto, JoinOrder) do natively.
 
-Supported subset (round 1):
+Supported subset:
   MATCH (a:Label {p: v})-[r:TYPE]->(b) [, pattern…]
+  -[:T*min..max]->                      → variable-length (walk reachability)
   OPTIONAL MATCH …                      → left_outer joined path
   WHERE <expr over alias.prop>          → post-join filter (pushed down by
                                            Catalyst through the join)
+  WITH items [WHERE …] [MATCH …]        → pipeline stages; post-WITH WHERE
+                                           gives HAVING semantics; bare
+                                           aliases stay bound for later
+                                           MATCH segments
   RETURN [DISTINCT] expr [AS x], …      → aggregates detected per SQL rules
   ORDER BY / SKIP / LIMIT
   UNION [ALL]                           → DataFrame union (UnionStep.java:52)
 Cypher-only operators: STARTS WITH, ENDS WITH, CONTAINS (substring), =~.
-Not yet: variable-length paths, WITH chains, CREATE/MERGE (round 2).
+Not yet: CREATE/MERGE/SET/DELETE write clauses (round 2).
 """
 
 from __future__ import annotations
@@ -37,8 +42,8 @@ class CypherParser(Parser):
         self.cypher = True
 
     # -- entry -------------------------------------------------------------
-    def parse_query(self) -> list[ast.MatchStmt]:
-        """Returns one MatchStmt per UNION branch."""
+    def parse_query(self) -> list:
+        """Returns one (MatchStmt, with_stages) per UNION branch."""
         self._union_all = False
         stmts = [self._parse_single()]
         while self._at_ident("UNION"):
@@ -56,7 +61,7 @@ class CypherParser(Parser):
             or (t.kind == "KEYWORD" and t.value == word)
         )
 
-    def _parse_single(self) -> ast.MatchStmt:
+    def _parse_match_segment(self) -> tuple[list, "ast.Expr | None"]:
         paths: list[ast.MatchPath] = []
         where = None
         while True:
@@ -76,7 +81,25 @@ class CypherParser(Parser):
                 self.advance()
                 w = self.parse_expr()
                 where = w if where is None else ast.Bin("AND", where, w)
-        if not paths:
+        return paths, where
+
+    def _parse_single(self) -> ast.MatchStmt:
+        paths, where = self._parse_match_segment()
+        # WITH pipeline stages: (MATCH… WITH items [WHERE])* MATCH… RETURN
+        self._stages: list[dict] = []
+        while self._at_ident("WITH"):
+            self.advance()
+            items = self.parse_projection_list()
+            with_where = None
+            if self.at_kw("WHERE"):
+                self.advance()
+                with_where = self.parse_expr()
+            self._stages.append(
+                {"paths": paths, "where": where, "with_items": items,
+                 "with_where": with_where}
+            )
+            paths, where = self._parse_match_segment()
+        if not paths and not self._stages:
             raise ParseError("Cypher query must start with MATCH")
         self.expect_kw("RETURN")
         distinct = self.eat_kw("DISTINCT")
@@ -108,7 +131,7 @@ class CypherParser(Parser):
             group_by = tuple(
                 p.expr for p in returns if not _contains_aggregate(p.expr)
             )
-        return ast.MatchStmt(
+        stmt = ast.MatchStmt(
             paths=tuple(paths),
             returns=tuple(returns),
             distinct=distinct,
@@ -118,6 +141,7 @@ class CypherParser(Parser):
             skip=skip,
             limit=limit,
         )
+        return (stmt, self._stages)
 
     # -- patterns ----------------------------------------------------------
     def _parse_pattern(self, optional: bool) -> ast.MatchPath:
@@ -228,19 +252,72 @@ class CypherParser(Parser):
         return direction, tuple(etypes), 1, 1
 
 
+def _bare_alias(item: ast.ProjItem) -> str | None:
+    """WITH item that re-binds a pattern alias unchanged (keeps its struct)."""
+    e = item.expr
+    if isinstance(e, ast.Chain) and len(e.parts) == 1:
+        if item.alias is None or item.alias == e.parts[0]:
+            return e.parts[0]
+    return None
+
+
+def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> DataFrame:
+    """Lower a WITH pipeline: each stage joins its patterns over the
+    previous frame, projects the WITH items (implicit grouping like
+    RETURN), and filters (Cypher's post-WITH WHERE ≈ HAVING)."""
+    from arcadedb_spark.sql.translator import _contains_aggregate
+    from arcadedb_spark.graph.match import (
+        combine_paths, project_stage, translate_match,
+    )
+
+    if not stages:
+        return translate_match(db, stmt, params)
+    df = None
+    aliases: set[str] = set()
+    for stage in stages:
+        df, aliases = combine_paths(
+            db, stage["paths"], stage["where"], params,
+            base=df, base_aliases=aliases,
+        )
+        items = [
+            ast.ProjItem(it.expr, it.alias or _bare_alias(it) or f"__w{i}")
+            for i, it in enumerate(stage["with_items"])
+        ]
+        group_by: tuple = ()
+        if any(_contains_aggregate(it.expr) for it in items):
+            group_by = tuple(
+                it.expr for it in items if not _contains_aggregate(it.expr)
+            )
+        df = project_stage(db, df, items, params, group_by=group_by)
+        if stage["with_where"] is not None:
+            from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+            ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+            df = df.filter(ExprCompiler(ctx).compile(stage["with_where"]))
+        aliases = {
+            a for a in (_bare_alias(it) for it in stage["with_items"]) if a
+        }
+    df, _ = combine_paths(
+        db, stmt.paths, stmt.where, params, base=df, base_aliases=aliases
+    )
+    return project_stage(
+        db, df, stmt.returns, params,
+        distinct=stmt.distinct, group_by=stmt.group_by,
+        order_by=stmt.order_by, skip=stmt.skip, limit=stmt.limit,
+    )
+
+
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
     """Run a Cypher query → DataFrame (OpenCypherQueryEngine.query analog,
     query/opencypher/query/OpenCypherQueryEngine.java:150)."""
-    from arcadedb_spark.graph.match import translate_match
-
     p = CypherParser(text)
     stmts = p.parse_query()
     if p.cur.kind != "EOF":
         raise ParseError(f"Trailing input at {p.cur!r}")
     out = None
     union_all = getattr(p, "_union_all", False)
-    for stmt in stmts:
-        df = translate_match(db, stmt, params or {})
+    for stmt, stages in stmts:
+        df = _translate_pipeline(db, stmt, stages, params or {})
         out = df if out is None else out.unionByName(df)
     if out is not None and len(stmts) > 1 and not union_all:
         out = out.distinct()

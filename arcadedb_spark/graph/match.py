@@ -150,70 +150,93 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
     return df, aliases
 
 
-def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
-    positive = [p for p in stmt.paths if not p.negated]
-    negative = [p for p in stmt.paths if p.negated]
-    if not positive:
+def _join_on_shared(
+    df: DataFrame, pdf: DataFrame, shared: list[str], how: str
+) -> DataFrame:
+    """Join two pattern frames on the vids of their shared alias structs."""
+    rename = {a: f"__r_{a}" for a in shared}
+    for a, r in rename.items():
+        pdf = pdf.withColumnRenamed(a, r)
+    cond = None
+    for a in shared:
+        c = F.col(f"{a}.vid") == F.col(f"{rename[a]}.vid")
+        cond = c if cond is None else (cond & c)
+    out = df.join(pdf, cond, how)
+    if how != "left_anti":
+        out = out.drop(*rename.values())
+    return out
+
+
+def combine_paths(
+    db,
+    paths,
+    where,
+    params: dict,
+    base: DataFrame | None = None,
+    base_aliases: set[str] | None = None,
+) -> tuple[DataFrame, set[str]]:
+    """Join a list of MatchPaths (over an optional pre-bound frame from a
+    WITH stage) and apply the global WHERE.  Returns (df, bound aliases)."""
+    positive = [p for p in paths if not p.negated]
+    negative = [p for p in paths if p.negated]
+    if base is None and not positive:
         raise TranslateError("MATCH requires at least one positive pattern")
 
-    df, aliases = translate_path(db, positive[0], params)
-    seen = set(aliases)
-    for path in positive[1:]:
+    df = base
+    seen: set[str] = set(base_aliases or ())
+    for path in positive:
         pdf, paliases = translate_path(db, path, params)
         shared = [a for a in paliases if a in seen]
-        if shared:
-            # join on shared alias vids; drop duplicate struct cols from right
-            rename = {a: f"__r_{a}" for a in shared}
-            for a, r in rename.items():
-                pdf = pdf.withColumnRenamed(a, r)
-            cond = None
-            for a in shared:
-                c = F.col(f"{a}.vid") == F.col(f"{rename[a]}.vid")
-                cond = c if cond is None else (cond & c)
+        if df is None:
+            df = pdf
+        elif shared:
             # Cypher OPTIONAL MATCH → left_outer (OptionalMatchStep.java:24)
             how = "left_outer" if path.optional else "inner"
-            df = df.join(pdf, cond, how).drop(*rename.values())
+            df = _join_on_shared(df, pdf, shared, how)
         else:
             df = df.crossJoin(pdf)  # CartesianProductStep.java:31
         seen.update(paliases)
 
     # global WHERE over bound aliases (Cypher); Catalyst pushes the
     # predicate down through the joins where possible
-    if stmt.where is not None:
+    if where is not None:
         wctx = Ctx(db=db, params=params, columns=tuple(df.columns))
-        df = df.filter(ExprCompiler(wctx).compile(stmt.where))
+        df = df.filter(ExprCompiler(wctx).compile(where))
 
     for path in negative:
         pdf, paliases = translate_path(db, path, params)
         shared = [a for a in paliases if a in seen]
         if not shared:
             raise TranslateError("NOT pattern must share an alias with the match")
-        rename = {a: f"__r_{a}" for a in shared}
-        for a, r in rename.items():
-            pdf = pdf.withColumnRenamed(a, r)
-        cond = None
-        for a in shared:
-            c = F.col(f"{a}.vid") == F.col(f"{rename[a]}.vid")
-            cond = c if cond is None else (cond & c)
-        df = df.join(pdf, cond, "left_anti")
+        df = _join_on_shared(df, pdf, shared, "left_anti")
+    return df, seen
 
-    # RETURN via the SELECT machinery over the struct-column frame
+
+def project_stage(
+    db,
+    df: DataFrame,
+    returns,
+    params: dict,
+    distinct: bool = False,
+    group_by=(),
+    order_by=(),
+    skip=None,
+    limit=None,
+) -> DataFrame:
+    """RETURN/WITH projection over a pattern frame via the SELECT machinery."""
     select = ast.SelectStmt(
-        projections=stmt.returns,
-        distinct=stmt.distinct,
-        group_by=stmt.group_by,
-        order_by=stmt.order_by,
-        skip=stmt.skip,
-        limit=stmt.limit,
+        projections=tuple(returns),
+        distinct=distinct,
+        group_by=tuple(group_by),
+        order_by=tuple(order_by),
+        skip=skip,
+        limit=limit,
     )
     tr = Translator(db, params)
     ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
-    is_agg = any(
-        True
-        for p in select.projections
-        for _ in [0]
-        if _has_agg(p.expr)
-    ) or bool(select.group_by)
+    is_agg = any(_has_agg(p.expr) for p in select.projections) or bool(
+        select.group_by
+    )
     if is_agg:
         out = tr._translate_aggregate(df, select, ctx)
     else:
@@ -223,6 +246,15 @@ def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
     if select.limit is not None:
         out = out.limit(tr._int_of(select.limit, ctx))
     return out
+
+
+def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
+    df, _ = combine_paths(db, stmt.paths, stmt.where, params)
+    return project_stage(
+        db, df, stmt.returns, params,
+        distinct=stmt.distinct, group_by=stmt.group_by,
+        order_by=stmt.order_by, skip=stmt.skip, limit=stmt.limit,
+    )
 
 
 def _has_agg(e: ast.Expr) -> bool:

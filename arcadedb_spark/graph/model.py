@@ -228,6 +228,9 @@ class GraphModel:
         inter = inter.withColumn(
             "__src", vid_of("customer", "user_id")
         ).withColumn("__dst", vid_of("customer", "__next_user"))
+        # INTERACTED is derived (global window over events) — cache the
+        # result so algorithms/traversals don't replay the derivation
+        inter = inter.cache()
         g.add_edges(
             "INTERACTED", inter, "__src", "__dst", props=["weight"],
             src_label="Customer", dst_label="Customer",

@@ -64,13 +64,15 @@ def bm25_search(
     ordering (function/sql/text/SQLFunctionSearchIndex.java).
     """
     if postings is None:
-        postings = build_postings(docs, id_col, text_col)
+        # one tokenize scan: lengths and stats derive from the postings
+        # (dl = Σ tf per doc; docs with zero tokens contribute dl 0 to the
+        # average, matching doc_lengths over the full corpus)
+        postings = build_postings(docs, id_col, text_col).cache()
     if lengths is None:
-        lengths = doc_lengths(docs, id_col, text_col)
-    stats = lengths.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["avgdl"]
+        lengths = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = docs.count()
+    total_tokens = postings.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = total_tokens / n_docs if n_docs else 1.0
 
     terms = [t for t in set(query.lower().split()) if t]
     qterms = postings.sparkSession.createDataFrame(

@@ -41,6 +41,10 @@ def main() -> None:
     spark = get_spark("arcadedb-spark-bench")
     qs = entrymod.queries()
 
+    # Warm the JVM/codegen path with a trivial action against the smallest
+    # table so per-query timings measure the engine, not session startup.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
     sf = None
     try:
         base = os.path.basename(SF_DIR.rstrip("/"))

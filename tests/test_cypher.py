@@ -98,3 +98,42 @@ def test_variable_length_path(db):
         .select("dst")
     )
     assert n == r1.unionByName(r2).distinct().count()
+
+
+def test_with_having_semantics(db):
+    rows = cy(
+        db,
+        "MATCH (c:Customer)-[:PLACED]->(o:`Order`) "
+        "WITH c, count(o.o_orderkey) AS n WHERE n > 12 "
+        "RETURN c.c_name AS name, n ORDER BY n DESC, name",
+    ).collect()
+    assert rows and all(r["n"] > 12 for r in rows)
+    # equivalent via plain aggregation + filter
+    from pyspark.sql import functions as F
+
+    expect = (
+        db.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 12)
+        .count()
+    )
+    assert len(rows) == expect
+
+
+def test_with_then_match(db):
+    rows = cy(
+        db,
+        "MATCH (c:Customer)-[:PLACED]->(o:`Order`) WHERE o.o_totalprice > 400000 "
+        "WITH c MATCH (c)-[:LOCATED_IN]->(nt:Nation) "
+        "RETURN count(*) AS n",
+    ).collect()
+    from pyspark.sql import functions as F
+
+    expect = (
+        db.table("orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .join(db.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .count()  # every customer has exactly one nation
+    )
+    assert rows[0]["n"] == expect
