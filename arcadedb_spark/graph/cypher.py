@@ -84,6 +84,13 @@ class CypherParser(Parser):
         return paths, where
 
     def _parse_single(self) -> ast.MatchStmt:
+        self._writes: list[dict] = []
+        paths: list = []
+        where = None
+        if self.at_kw("CREATE", "MERGE") or self._at_ident("MERGE"):
+            # standalone write query (no leading MATCH)
+            self._parse_writes()
+            return (None, [])
         paths, where = self._parse_match_segment()
         # WITH pipeline stages: (MATCH… WITH items [WHERE])* MATCH… RETURN
         self._stages: list[dict] = []
@@ -101,6 +108,11 @@ class CypherParser(Parser):
             paths, where = self._parse_match_segment()
         if not paths and not self._stages:
             raise ParseError("Cypher query must start with MATCH")
+        if self.at_kw("CREATE", "MERGE") or self._at_ident("MERGE"):
+            # MATCH … CREATE (a)-[:T]->(b)
+            self._match_for_write = (paths, where)
+            self._parse_writes()
+            return (None, [])
         self.expect_kw("RETURN")
         distinct = self.eat_kw("DISTINCT")
         returns = self.parse_projection_list()
@@ -143,6 +155,15 @@ class CypherParser(Parser):
         )
         return (stmt, self._stages)
 
+    def _parse_writes(self) -> None:
+        while self.at_kw("CREATE", "MERGE") or self._at_ident("MERGE"):
+            kind = "merge" if self._at_ident("MERGE") or self.at_kw("MERGE") else "create"
+            self.advance()
+            patterns = [self._parse_pattern(False)]
+            while self.eat_op(","):
+                patterns.append(self._parse_pattern(False))
+            self._writes.append({"kind": kind, "patterns": patterns})
+
     # -- patterns ----------------------------------------------------------
     def _parse_pattern(self, optional: bool) -> ast.MatchPath:
         root = self._parse_node()
@@ -175,8 +196,10 @@ class CypherParser(Parser):
         elif self.at_op(":"):
             self.advance()
             type_name = self.ident()
+        props: list[tuple] = []
         if self.at_op("{"):
-            # inline property map {k: v, …} → equality conjunction
+            # inline property map {k: v, …} → equality conjunction;
+            # literal pairs also retained for CREATE/MERGE
             self.advance()
             conds = []
             while not self.at_op("}"):
@@ -188,12 +211,15 @@ class CypherParser(Parser):
                     self.expect_op(":")
                     val = self.parse_expr()
                 conds.append(ast.Bin("=", ast.Chain((key,)), val))
+                props.append((key, val))
                 self.eat_op(",")
             self.expect_op("}")
             for c in conds:
                 where = c if where is None else ast.Bin("AND", where, c)
         self.expect_op(")")
-        return ast.MatchFilter(type_name=type_name, alias=alias, where=where)
+        return ast.MatchFilter(
+            type_name=type_name, alias=alias, where=where, props=tuple(props)
+        )
 
     def _parse_rel(self) -> tuple[str, tuple[str, ...], int, int]:
         # -[:T]-> | <-[:T]- | -[:T]- | --> | <-- | --
@@ -307,6 +333,90 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
     )
 
 
+def _literal_props(db, props, params) -> dict:
+    from arcadedb_spark.sql.litreg import value_of
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+    out = {}
+    for k, e in props:
+        col = ExprCompiler(Ctx(db=db, params=params or {})).compile(e)
+        out[k] = value_of(col)
+    return out
+
+
+def _apply_write(db, g, kind: str, path: ast.MatchPath, df, aliases, params) -> int:
+    """One CREATE/MERGE pattern: create/match each node, then one edge per
+    step (per match row when endpoints are bound).  Reference:
+    query/opencypher/executor/steps/CreateStep.java:60 / MergeStep.java:73
+    (subset: node MERGE by inline props; no ON CREATE/ON MATCH yet).
+
+    Deviation (documented): a literal node inside MATCH…CREATE is created
+    ONCE and shared across match rows — vids are content-derived hashes,
+    so per-row copies with identical props would collapse anyway; Cypher
+    proper would mint one anonymous node per row."""
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.sql.translator import TranslateError
+
+    nodes = [path.root] + [s.filter for s in path.steps]
+    resolved: list[tuple[str, object]] = []  # ('bound', alias) | ('vid', vid)
+    created = 0
+    for node in nodes:
+        if node.alias and node.alias in (aliases or ()):
+            resolved.append(("bound", node.alias))
+            continue
+        if node.type_name is None:
+            raise TranslateError("CREATE/MERGE node needs a label")
+        props = _literal_props(db, node.props, params)
+        if kind == "merge" and node.type_name.lower() in g.vertex_dfs:
+            vdf = g.vertices(node.type_name)
+            cond = F.lit(True)
+            for k, v in props.items():
+                cond = cond & (F.col(k) == F.lit(v))
+            hit = vdf.filter(cond).select("vid").limit(1).collect()
+            if hit:
+                resolved.append(("vid", hit[0][0]))
+                continue
+        vid = g.add_vertex_rows(node.type_name, [props])[0]
+        created += 1
+        resolved.append(("vid", vid))
+    for i, step in enumerate(path.steps):
+        etype = step.edge_types[0] if step.edge_types else "RELATED"
+        a, b = resolved[i], resolved[i + 1]
+        if step.method == "in":
+            a, b = b, a
+        if ("bound" in (a[0], b[0])) and df is not None:
+            sel_a = (
+                F.col(f"{a[1]}.vid") if a[0] == "bound" else F.lit(a[1]).cast("long")
+            )
+            sel_b = (
+                F.col(f"{b[1]}.vid") if b[0] == "bound" else F.lit(b[1]).cast("long")
+            )
+            frame = df.select(sel_a.alias("src"), sel_b.alias("dst"))
+            created += g.add_edges_from_frame(etype, frame)
+        elif a[0] == "vid" and b[0] == "vid":
+            created += g.add_edge_rows(etype, [(a[1], b[1])])
+        else:
+            raise TranslateError("CREATE edge endpoints must be bound or literal")
+    return created
+
+
+def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
+    from arcadedb_spark.graph.match import combine_paths
+
+    g = db.graph()
+    df = None
+    aliases: set[str] = set()
+    if getattr(p, "_match_for_write", None):
+        paths, where = p._match_for_write
+        df, aliases = combine_paths(db, paths, where, params or {})
+    n = 0
+    for w in p._writes:
+        for path in w["patterns"]:
+            n += _apply_write(db, g, w["kind"], path, df, aliases, params)
+    return db.spark.createDataFrame([(n,)], "count long")
+
+
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
     """Run a Cypher query → DataFrame (OpenCypherQueryEngine.query analog,
     query/opencypher/query/OpenCypherQueryEngine.java:150)."""
@@ -314,6 +424,10 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
     stmts = p.parse_query()
     if p.cur.kind != "EOF":
         raise ParseError(f"Trailing input at {p.cur!r}")
+    if any(stmt is None for stmt, _ in stmts):
+        if len(stmts) > 1:
+            raise ParseError("Write clauses cannot be combined with UNION")
+        return _execute_writes(db, p, params)
     out = None
     union_all = getattr(p, "_union_all", False)
     for stmt, stages in stmts:

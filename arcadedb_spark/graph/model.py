@@ -123,6 +123,49 @@ class GraphModel:
         )
         return both.groupBy("vid").agg(F.count("*").alias("degree"))
 
+    # -- mutation (Cypher CREATE/MERGE support) -----------------------------
+    def add_vertex_rows(self, label: str, rows: list[dict]) -> list[int]:
+        """Append literal vertex rows; returns their vids.
+
+        vids are content-derived hashes with bit 62 set (disjoint from
+        catalog bucket vids) — deterministic, no counter state.
+        """
+        import hashlib
+        import json
+
+        enriched = []
+        vids = []
+        for i, r in enumerate(rows):
+            key = json.dumps([label.lower(), i, sorted(r.items())], default=str)
+            vid = (
+                int.from_bytes(hashlib.sha256(key.encode()).digest()[:7], "big")
+                | (1 << 62)
+            )
+            vids.append(vid)
+            enriched.append({**r, "vid": vid})
+        new_df = self.spark.createDataFrame(enriched)
+        key_l = label.lower()
+        if key_l in self.vertex_dfs:
+            self.vertex_dfs[key_l] = self.vertex_dfs[key_l].unionByName(
+                new_df, allowMissingColumns=True
+            )
+        else:
+            self.vertex_dfs[key_l] = new_df
+        return vids
+
+    def add_edge_rows(self, etype: str, pairs: list[tuple[int, int]]) -> int:
+        if not pairs:
+            return 0
+        df = self.spark.createDataFrame(pairs, "src long, dst long")
+        self.add_edges(etype, df, "src", "dst")
+        return len(pairs)
+
+    def add_edges_from_frame(self, etype: str, frame: DataFrame) -> int:
+        """Append one edge per row of (src, dst) — e.g. from a MATCH."""
+        n = frame.count()
+        self.add_edges(etype, frame, "src", "dst")
+        return n
+
     # -- testdata fixture ---------------------------------------------------
     @classmethod
     def from_database(cls, db) -> "GraphModel":

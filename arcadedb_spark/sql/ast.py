@@ -273,6 +273,8 @@ class MatchFilter:
     optional: bool = False
     while_: Optional[Expr] = None
     maxdepth: Optional[int] = None
+    # literal inline property map, kept for Cypher CREATE/MERGE
+    props: tuple = ()
 
 
 @dataclass(frozen=True)

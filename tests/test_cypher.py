@@ -137,3 +137,21 @@ def test_with_then_match(db):
         .count()  # every customer has exactly one nation
     )
     assert rows[0]["n"] == expect
+
+
+def test_create_and_merge(db):
+    cy(db, "CREATE (a:Proj {name: 'apollo'})-[:OWNED_BY]->(b:Team {name: 'core'})")
+    rows = cy(db, "MATCH (p:Proj)-[:OWNED_BY]->(t:Team) RETURN p.name AS p, t.name AS t").collect()
+    assert [(r["p"], r["t"]) for r in rows] == [("apollo", "core")]
+    # MERGE: idempotent on existing, creates when absent
+    assert cy(db, "MERGE (a:Proj {name: 'apollo'})").collect()[0]["count"] == 0
+    assert cy(db, "MERGE (a:Proj {name: 'gemini'})").collect()[0]["count"] == 1
+    names = sorted(r["n"] for r in cy(db, "MATCH (p:Proj) RETURN p.name AS n").collect())
+    assert names == ["apollo", "gemini"]
+
+
+def test_match_create_edges_per_row(db):
+    cy(db, "MATCH (c:Customer) WHERE c.c_custkey < 3 "
+           "CREATE (c)-[:TAGGED]->(x:Tag {kind: 'vip'})")
+    n = cy(db, "MATCH (c:Customer)-[:TAGGED]->(t:Tag) RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 3  # one edge per matched customer (shared literal node)

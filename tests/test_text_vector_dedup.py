@@ -216,3 +216,28 @@ def test_random_walks_shape(db):
     n_verts = e.select("src").unionByName(e.select("dst").withColumnRenamed("dst","src")).distinct().count()
     assert len(rows) == n_verts * 3
     assert all(len(r["path"]) == 5 for r in rows)  # start + 4 hops (cyclic graph)
+
+
+def test_downsampling_tiers(db):
+    from arcadedb_spark.timeseries.downsample import DownsamplingTier, downsample
+    from pyspark.sql import functions as F
+
+    ev = db.table("events")
+    tiers = [
+        DownsamplingTier(after_ms=3600_000, granularity_ms=3600_000),   # >1h old → 1h buckets
+        DownsamplingTier(after_ms=24 * 3600_000, granularity_ms=86400_000),  # >1d old → 1d
+    ]
+    out = downsample(
+        ev, "ts", tiers,
+        {"n": F.count(F.lit(1)), "avg_v": F.round(F.avg("value"), 4)},
+        group_by=["event_type"],
+        base_granularity_ms=60_000,
+    )
+    rows = out.collect()
+    assert rows
+    grans = {r["granularity_ms"] for r in rows}
+    assert 86400000 in grans  # old data rolled to daily
+    # bucket alignment: bucket_ms divisible by its granularity
+    assert all(r["bucket_ms"] % r["granularity_ms"] == 0 for r in rows)
+    # row conservation: total event count preserved
+    assert sum(r["n"] for r in rows) == ev.count()
