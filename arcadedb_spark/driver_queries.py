@@ -1641,3 +1641,14 @@ def q_search_predicate(spark, sf_dir):
         "SELECT count(*) AS n FROM documents "
         "WHERE search_fields(['text'], 'stream vector')"
     )
+
+
+@query("q_louvain")  # iterative community detection — rows-only check
+def q_louvain(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms import louvain
+
+    db = _db(spark, sf_dir)
+    comm = louvain(db.graph().edges("INTERACTED"))
+    return comm.groupBy("community").agg(F.count(F.lit(1)).alias("size")).orderBy(
+        F.desc("size"), F.asc("community")
+    )

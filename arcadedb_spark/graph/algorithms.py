@@ -801,3 +801,123 @@ def node2vec_embeddings(
         F.col("word").cast("long").alias("vid"),
         vector_to_array(F.col("vector")).alias("embedding"),
     )
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> float:
+    """Newman modularity Q of an undirected view of ``edges`` under the
+    (vid, community) assignment — Σ_c [ in_c/(2m) − (tot_c/(2m))² ].
+    (AlgoModularity.java analog; evaluation metric for Louvain/LP.)"""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = und.count()
+    if m == 0:
+        return 0.0
+    ca = communities.select(F.col("vid").alias("a"), F.col("community").alias("__ca"))
+    cb = communities.select(F.col("vid").alias("b"), F.col("community").alias("__cb"))
+    tagged = und.join(ca, "a").join(cb, "b")
+    in_c = (
+        tagged.filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("c"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("d"))
+    )
+    tot = (
+        communities.join(deg, "vid", "left")
+        .fillna(0, ["d"])
+        .groupBy(F.col("community").alias("c"))
+        .agg(F.sum("d").alias("tot"))
+    )
+    parts = tot.join(in_c, "c", "left").fillna(0, ["in_edges"])
+    row = parts.agg(
+        F.sum(
+            F.col("in_edges") / F.lit(float(m))
+            - (F.col("tot") / F.lit(2.0 * m)) * (F.col("tot") / F.lit(2.0 * m))
+        ).alias("q")
+    ).collect()[0]
+    return float(row["q"])
+
+
+def louvain(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Parallel Louvain, phase-1 (synchronous local moving — the
+    distributed Louvain variant; AlgoLouvain.java parity in objective, not
+    in visit order).  Each superstep every vertex moves to the neighboring
+    community with the best modularity gain (ties → smaller id);
+    convergence when no vertex moves.  Returns (vid, community).
+
+    Note: synchronous moving can oscillate on bipartite-ish structures —
+    the iteration cap plus min-id tie-breaking keeps it stable in
+    practice; the aggregation phase (community contraction) is round-2.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .repartition("v")
+        .cache()
+    )
+    m2 = 2.0 * und.count()  # 2m
+    deg = adj.groupBy("v").agg(F.count("*").alias("k")).cache()
+    comm = deg.select(F.col("v").alias("vid"), F.col("v").alias("community"))
+    for i in range(1, max_iterations + 1):
+        cmap = comm.select(F.col("vid").alias("n"), F.col("community").alias("nc"))
+        ctot = (
+            comm.join(deg.withColumnRenamed("v", "vid"), "vid")
+            .groupBy("community")
+            .agg(F.sum("k").alias("tot"))
+        )
+        # links from v to each neighboring community
+        v2c = (
+            adj.join(cmap, "n")
+            .groupBy("v", "nc")
+            .agg(F.count("*").alias("w"))
+        )
+        cand = (
+            v2c.join(deg, "v")
+            .join(ctot.withColumnRenamed("community", "nc"), "nc")
+            .withColumn(
+                # ΔQ ∝ w/m2·2 − k·tot/(m2²)·2 up to constants; comparing
+                # candidates for one v, the shared terms cancel
+                "gain",
+                F.col("w") / F.lit(m2) - F.col("k") * F.col("tot") / F.lit(m2 * m2),
+            )
+        )
+        w_best = Window.partitionBy("v").orderBy(F.desc("gain"), F.asc("nc"))
+        best = (
+            cand.withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("v").alias("vid"), F.col("nc").alias("new_c"), "gain")
+        )
+        new_comm = (
+            comm.join(best, "vid", "left")
+            .select(
+                "vid",
+                F.when(
+                    F.col("gain") > 0, F.col("new_c")
+                ).otherwise(F.col("community")).alias("community"),
+            )
+        )
+        if i % _CHECKPOINT_EVERY == 0:
+            new_comm = new_comm.localCheckpoint(eager=True)
+        moved = (
+            new_comm.alias("n")
+            .join(comm.alias("o"), "vid")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+            .count()
+        )
+        comm = new_comm
+        if moved == 0:
+            break
+    return comm

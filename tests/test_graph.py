@@ -192,3 +192,17 @@ def test_node2vec_embeddings(db):
     emb = node2vec_embeddings(e, dim=8, walk_length=4, walks_per_vertex=2)
     rows = emb.collect()
     assert rows and all(len(r["embedding"]) == 8 for r in rows)
+
+
+def test_louvain_two_cliques(db, spark):
+    from arcadedb_spark.graph.algorithms import louvain, modularity
+
+    tri = lambda base: [(base + i, base + j) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(tri(0) + tri(10) + [(0, 10)], "src long, dst long")
+    comm = louvain(edges)
+    rows = {r["vid"]: r["community"] for r in comm.collect()}
+    assert len({rows[v] for v in (0, 1, 2, 3)}) == 1
+    assert len({rows[v] for v in (10, 11, 12, 13)}) == 1
+    assert rows[0] != rows[10]
+    q = modularity(edges, comm)
+    assert q > 0.4  # clean 2-community split of bridged cliques
