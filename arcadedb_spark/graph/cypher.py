@@ -92,19 +92,28 @@ class CypherParser(Parser):
             self._parse_writes()
             return (None, [])
         paths, where = self._parse_match_segment()
-        # WITH pipeline stages: (MATCH… WITH items [WHERE])* MATCH… RETURN
+        # pipeline stages: (MATCH… (WITH items [WHERE] | UNWIND e AS x))*
         self._stages: list[dict] = []
-        while self._at_ident("WITH"):
-            self.advance()
-            items = self.parse_projection_list()
-            with_where = None
-            if self.at_kw("WHERE"):
+        while self._at_ident("WITH") or self._at_ident("UNWIND"):
+            if self._at_ident("UNWIND"):
                 self.advance()
-                with_where = self.parse_expr()
-            self._stages.append(
-                {"paths": paths, "where": where, "with_items": items,
-                 "with_where": with_where}
-            )
+                expr = self.parse_expr()
+                self.expect_kw("AS")
+                alias = self.ident()
+                self._stages.append(
+                    {"paths": paths, "where": where, "unwind": (expr, alias)}
+                )
+            else:
+                self.advance()
+                items = self.parse_projection_list()
+                with_where = None
+                if self.at_kw("WHERE"):
+                    self.advance()
+                    with_where = self.parse_expr()
+                self._stages.append(
+                    {"paths": paths, "where": where, "with_items": items,
+                     "with_where": with_where}
+                )
             paths, where = self._parse_match_segment()
         if not paths and not self._stages:
             raise ParseError("Cypher query must start with MATCH")
@@ -301,10 +310,25 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
     df = None
     aliases: set[str] = set()
     for stage in stages:
-        df, aliases = combine_paths(
-            db, stage["paths"], stage["where"], params,
-            base=df, base_aliases=aliases,
-        )
+        if stage["paths"] or stage["where"] is not None:
+            df, aliases = combine_paths(
+                db, stage["paths"], stage["where"], params,
+                base=df, base_aliases=aliases,
+            )
+        if "unwind" in stage:
+            from pyspark.sql import functions as F
+
+            from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+            expr, alias = stage["unwind"]
+            if df is None:
+                df = db.spark.range(1).select(F.lit(1).alias("__one"))
+            ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+            df = df.withColumn(
+                alias, F.explode(ExprCompiler(ctx).compile(expr))
+            )
+            aliases = set(aliases)  # unwound alias is a scalar column
+            continue
         items = [
             ast.ProjItem(it.expr, it.alias or _bare_alias(it) or f"__w{i}")
             for i, it in enumerate(stage["with_items"])

@@ -155,3 +155,17 @@ def test_match_create_edges_per_row(db):
            "CREATE (c)-[:TAGGED]->(x:Tag {kind: 'vip'})")
     n = cy(db, "MATCH (c:Customer)-[:TAGGED]->(t:Tag) RETURN count(*) AS n").collect()[0]["n"]
     assert n == 3  # one edge per matched customer (shared literal node)
+
+
+def test_unwind_literal(db):
+    rows = cy(db, "UNWIND [1, 2, 3] AS x RETURN x ORDER BY x").collect()
+    assert [r["x"] for r in rows] == [1, 2, 3]
+
+
+def test_collect_unwind_roundtrip(db):
+    n = cy(
+        db,
+        "MATCH (n:Nation)<-[:LOCATED_IN]-(s:Supplier) "
+        "WITH n, collect(s.s_suppkey) AS ks UNWIND ks AS k RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert n == 10  # all supplier rows come back after collect→unwind
