@@ -1,0 +1,68 @@
+"""Custom source/sink format tests (GloVe / Word2Vec / N-Triples / JSONL)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+TMP = "/root/repo/.tmp"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tmpdir():
+    os.makedirs(TMP, exist_ok=True)
+    yield TMP
+
+
+def test_read_glove(spark):
+    from arcadedb_spark.sources import read_glove
+
+    path = f"{TMP}/glove.txt"
+    with open(path, "w") as f:
+        f.write("king 0.1 0.2 0.3\nqueen 0.4 0.5 0.6\n")
+    df = read_glove(spark, path)
+    rows = {r["token"]: r["vector"] for r in df.collect()}
+    assert set(rows) == {"king", "queen"}
+    assert [round(v, 1) for v in rows["king"]] == [0.1, 0.2, 0.3]
+
+
+def test_read_word2vec_skips_header(spark):
+    from arcadedb_spark.sources import read_word2vec
+
+    path = f"{TMP}/w2v.txt"
+    with open(path, "w") as f:
+        f.write("2 3\nking 0.1 0.2 0.3\nqueen 0.4 0.5 0.6\n")
+    df = read_word2vec(spark, path)
+    assert df.count() == 2
+    assert {r["token"] for r in df.collect()} == {"king", "queen"}
+
+
+def test_read_ntriples(spark):
+    from arcadedb_spark.sources import read_ntriples
+
+    path = f"{TMP}/data.nt"
+    with open(path, "w") as f:
+        f.write(
+            "# comment line\n"
+            "<http://ex/a> <http://ex/knows> <http://ex/b> .\n"
+            '<http://ex/a> <http://ex/name> "Alice" .\n'
+            "malformed junk\n"
+        )
+    df = read_ntriples(spark, path)
+    rows = sorted(
+        (r["predicate"], r["object"], r["is_literal"]) for r in df.collect()
+    )
+    assert rows == [
+        ("http://ex/knows", "http://ex/b", False),
+        ("http://ex/name", "Alice", True),
+    ]
+
+
+def test_export_jsonl_roundtrip(spark, db):
+    from arcadedb_spark.sources import export_jsonl
+
+    path = f"{TMP}/nation_out"
+    export_jsonl(db.table("nation").select("n_nationkey", "n_name"), path)
+    back = spark.read.json(path)
+    assert back.count() == 25
