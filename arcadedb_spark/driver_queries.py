@@ -1652,3 +1652,35 @@ def q_louvain(spark, sf_dir):
     return comm.groupBy("community").agg(F.count(F.lit(1)).alias("size")).orderBy(
         F.desc("size"), F.asc("community")
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    from arcadedb_spark.timeseries.functions import sessionize
+
+    ev = _db(spark, sf_dir).table("events")
+    s = sessionize(ev, "ts", "user_id", gap_ms=30 * 60 * 1000)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -117,8 +117,12 @@ class CypherParser(Parser):
             paths, where = self._parse_match_segment()
         if not paths and not self._stages:
             raise ParseError("Cypher query must start with MATCH")
-        if self.at_kw("CREATE", "MERGE") or self._at_ident("MERGE"):
-            # MATCH … CREATE (a)-[:T]->(b)
+        if (
+            self.at_kw("CREATE", "MERGE", "SET", "DELETE")
+            or self._at_ident("MERGE")
+            or self._at_ident("DETACH")
+        ):
+            # MATCH … CREATE/SET/DELETE …
             self._match_for_write = (paths, where)
             self._parse_writes()
             return (None, [])
@@ -165,7 +169,35 @@ class CypherParser(Parser):
         return (stmt, self._stages)
 
     def _parse_writes(self) -> None:
-        while self.at_kw("CREATE", "MERGE") or self._at_ident("MERGE"):
+        while (
+            self.at_kw("CREATE", "MERGE", "SET", "DELETE")
+            or self._at_ident("MERGE")
+            or self._at_ident("DETACH")
+        ):
+            if self.at_kw("SET"):
+                self.advance()
+                assignments = []  # (alias, prop, expr)
+                while True:
+                    chain = self.parse_postfix()
+                    if not (isinstance(chain, ast.Chain) and len(chain.parts) == 2):
+                        raise ParseError("SET expects alias.prop = expr")
+                    self.expect_op("=")
+                    assignments.append(
+                        (chain.parts[0], chain.parts[1], self.parse_expr())
+                    )
+                    if not self.eat_op(","):
+                        break
+                self._writes.append({"kind": "set", "assignments": assignments})
+                continue
+            if self._at_ident("DETACH") or self.at_kw("DELETE"):
+                if self._at_ident("DETACH"):
+                    self.advance()
+                self.expect_kw("DELETE")
+                targets = [self.ident()]
+                while self.eat_op(","):
+                    targets.append(self.ident())
+                self._writes.append({"kind": "delete", "targets": targets})
+                continue
             kind = "merge" if self._at_ident("MERGE") or self.at_kw("MERGE") else "create"
             self.advance()
             patterns = [self._parse_pattern(False)]
@@ -425,17 +457,67 @@ def _apply_write(db, g, kind: str, path: ast.MatchPath, df, aliases, params) -> 
     return created
 
 
+def _strip_alias(e, alias: str):
+    """Rewrite ``alias.prop`` chains to bare ``prop`` (for compiling a SET
+    value against the vertex DataFrame itself)."""
+    if isinstance(e, ast.Chain) and len(e.parts) > 1 and e.parts[0] == alias:
+        return ast.Chain(e.parts[1:])
+    if isinstance(e, ast.Expr):
+        kwargs = {
+            f_: _strip_alias(getattr(e, f_), alias)
+            for f_ in e.__dataclass_fields__
+        }
+        return type(e)(**kwargs)
+    if isinstance(e, tuple):
+        return tuple(_strip_alias(x, alias) for x in e)
+    return e
+
+
 def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from arcadedb_spark.graph.match import combine_paths
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
 
     g = db.graph()
     df = None
     aliases: set[str] = set()
+    alias_label: dict[str, str] = {}
     if getattr(p, "_match_for_write", None):
         paths, where = p._match_for_write
+        for path in paths:
+            for node in [path.root] + [s.filter for s in path.steps]:
+                if node.alias and node.type_name:
+                    alias_label[node.alias] = node.type_name
         df, aliases = combine_paths(db, paths, where, params or {})
     n = 0
     for w in p._writes:
+        if w["kind"] == "set":
+            # group assignments per alias → one vertex-table rewrite each
+            per_alias: dict[str, list] = {}
+            for alias, prop, expr in w["assignments"]:
+                per_alias.setdefault(alias, []).append((prop, expr))
+            for alias, assigns in per_alias.items():
+                label = alias_label.get(alias)
+                if label is None or df is None:
+                    raise TranslateError(f"SET target '{alias}' is not a labeled match alias")
+                matched = df.select(F.col(f"{alias}.vid").alias("vid"))
+                vdf = g.vertices(label)
+                ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))
+                compiled = [
+                    (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
+                    for prop, e in assigns
+                ]
+                n += g.update_vertices(label, matched, compiled)
+            continue
+        if w["kind"] == "delete":
+            for alias in w["targets"]:
+                label = alias_label.get(alias)
+                if label is None or df is None:
+                    raise TranslateError(f"DELETE target '{alias}' is not a labeled match alias")
+                matched = df.select(F.col(f"{alias}.vid").alias("vid"))
+                n += g.remove_vertices(label, matched)
+            continue
         for path in w["patterns"]:
             n += _apply_write(db, g, w["kind"], path, df, aliases, params)
     return db.spark.createDataFrame([(n,)], "count long")

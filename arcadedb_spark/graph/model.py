@@ -166,6 +166,42 @@ class GraphModel:
         self.add_edges(etype, frame, "src", "dst")
         return n
 
+    def update_vertices(self, label: str, matched_vids: DataFrame, assignments) -> int:
+        """Conditional property rewrite for matched vids.
+        assignments: list of (prop, Column-valued-for-this-df)."""
+        vdf = self.vertex_dfs[label.lower()]
+        m = matched_vids.select(F.col("vid").alias("__mv")).distinct()
+        n = m.count()
+        joined = vdf.join(m, vdf["vid"] == m["__mv"], "left")
+        for prop, val in assignments:
+            if prop in vdf.columns:
+                joined = joined.withColumn(
+                    prop, F.when(F.col("__mv").isNotNull(), val).otherwise(F.col(prop))
+                )
+            else:
+                joined = joined.withColumn(
+                    prop, F.when(F.col("__mv").isNotNull(), val)
+                )
+        self.vertex_dfs[label.lower()] = joined.drop("__mv").cache()
+        return n
+
+    def remove_vertices(self, label: str, matched_vids: DataFrame) -> int:
+        """Remove matched vertices and their incident edges (Cypher
+        DETACH DELETE semantics)."""
+        vdf = self.vertex_dfs[label.lower()]
+        m = matched_vids.select("vid").distinct().cache()
+        n = m.count()
+        self.vertex_dfs[label.lower()] = vdf.join(m, "vid", "left_anti").cache()
+        new_frames = []
+        for e in self._edge_dfs:
+            e2 = e.join(m.withColumnRenamed("vid", "src"), "src", "left_anti")
+            e2 = e2.join(m.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            new_frames.append(e2.select(*e.columns))
+        self._edge_dfs = new_frames
+        self._edges = None
+        self._edges_by_src = None
+        return n
+
     # -- testdata fixture ---------------------------------------------------
     @classmethod
     def from_database(cls, db) -> "GraphModel":

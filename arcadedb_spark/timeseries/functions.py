@@ -96,3 +96,27 @@ def interpolate_linear(df, value_col: str, ts_col: str, partition_by) -> "Column
         next_t != prev_t, (t - prev_t) / (next_t - prev_t)
     ).otherwise(F.lit(0.0))
     return F.when(v.isNotNull(), v).otherwise(prev_v + (next_v - prev_v) * frac)
+
+
+def sessionize(
+    df, ts_col: str, partition_by, gap_ms: int, session_col: str = "session_id"
+):
+    """Assign session ids: a new session starts when the gap to the
+    previous event exceeds ``gap_ms`` (classic lag+cumsum sessionization;
+    the streaming analog is ``session_window`` — SURVEY §2.12 notes the
+    reference has no session windows, this is a beyond-reference op).
+
+    Returns df + (session_col: per-partition session ordinal starting 1).
+    """
+    pb = partition_by if isinstance(partition_by, (list, tuple)) else [partition_by]
+    w = Window.partitionBy(*pb).orderBy(ts_col)
+    prev = F.lag(F.unix_millis(F.col(ts_col))).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.unix_millis(F.col(ts_col)) - prev > gap_ms), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )

@@ -169,3 +169,18 @@ def test_collect_unwind_roundtrip(db):
         "WITH n, collect(s.s_suppkey) AS ks UNWIND ks AS k RETURN count(*) AS n",
     ).collect()[0]["n"]
     assert n == 10  # all supplier rows come back after collect→unwind
+
+
+def test_set_and_detach_delete(db):
+    cy(db, "CREATE (a:Widget {name: 'w1', price: 10.0}), (b:Widget {name: 'w2', price: 20.0})")
+    n = cy(db, "MATCH (i:Widget) WHERE i.price > 15 SET i.price = i.price * 2").collect()[0]["count"]
+    assert n == 1
+    prices = {r["n"]: r["p"] for r in cy(db, "MATCH (i:Widget) RETURN i.name AS n, i.price AS p").collect()}
+    assert prices == {"w1": 10.0, "w2": 40.0}
+    cy(db, "CREATE (x:Widget {name: 'junk', price: 1.0})-[:WREL]->(y:Widget {name: 'keep', price: 2.0})")
+    nd = cy(db, "MATCH (i:Widget) WHERE i.name = 'junk' DETACH DELETE i").collect()[0]["count"]
+    assert nd == 1
+    remaining = sorted(r["n"] for r in cy(db, "MATCH (i:Widget) RETURN i.name AS n").collect())
+    assert remaining == ["keep", "w1", "w2"]
+    # incident edge removed with the vertex
+    assert cy(db, "MATCH (a:Widget)-[:WREL]->(b:Widget) RETURN count(*) AS n").collect()[0]["n"] == 0
