@@ -1684,3 +1684,23 @@ def q_sessionize(spark, sf_dir):
         F.max("session_id").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_match_edge_props",
+    oracle="""
+    SELECT p.p_brand AS brand, count(*) AS n,
+           round(avg(l.l_quantity), 2) AS avg_q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity > 45
+    GROUP BY 1
+    """,
+)
+def q_match_edge_props(spark, sf_dir):
+    # edge-record steps: filter on edge properties, then complete the hop
+    return _db(spark, sf_dir).query(
+        "MATCH {type: `Order`, as: o}"
+        ".outE('CONTAINS'){as: e, where: (l_quantity > 45)}.inV(){as: p} "
+        "RETURN p.p_brand AS brand, count(*) AS n, "
+        "round(avg(e.l_quantity), 2) AS avg_q GROUP BY brand"
+    )

@@ -56,15 +56,74 @@ def _expand(
     step: ast.MatchStep,
     params: dict,
     alias: str,
+    prev_step: ast.MatchStep | None = None,
 ) -> tuple[DataFrame, str]:
     """Join one traversal step; returns (df, new_alias)."""
     g = db.graph()
     method = step.method
     e = g.edges(*step.edge_types) if step.edge_types else g.edges()
-    if method in ("out", "oute", "outv"):
-        src_col, dst_col = "src", "dst"
+
+    # Edge step (.outE/.inE/.bothE{as: e, where: (edge props…)}):
+    # the step alias binds to the EDGE record; a following .inV()/.outV()
+    # completes the hop (MatchEdgeTraverser edge-record semantics).
+    if method in ("oute", "ine", "bothe"):
+        edge_filtered = _apply_where(db, e, step.filter.where, params)
+        frames = []
+        if method in ("oute", "bothe"):
+            frames.append(
+                edge_filtered.select(
+                    F.col("src").alias("__efrom"),
+                    F.col("dst").alias("__eto"),
+                    F.struct(*[F.col(c) for c in edge_filtered.columns]).alias(alias),
+                )
+            )
+        if method in ("ine", "bothe"):
+            frames.append(
+                edge_filtered.select(
+                    F.col("dst").alias("__efrom"),
+                    F.col("src").alias("__eto"),
+                    F.struct(*[F.col(c) for c in edge_filtered.columns]).alias(alias),
+                )
+            )
+        edge_side = frames[0]
+        for fr in frames[1:]:
+            edge_side = edge_side.unionByName(fr)
+        how = "left_outer" if step.filter.optional else "inner"
+        out = current.join(
+            edge_side, F.col(f"{from_alias}.vid") == edge_side["__efrom"], how
+        ).drop("__efrom")
+        # __eto_<alias> carries the pending endpoint for .inV()/.outV()
+        out = out.withColumnRenamed("__eto", f"__eto_{alias}")
+        return out, alias
+
+    if method in ("outv", "inv", "bothv"):
+        # complete a preceding edge step: join the vertex at the pending
+        # endpoint (from_alias is the edge alias)
+        pending = f"__eto_{from_alias}"
+        if pending not in current.columns:
+            raise TranslateError(
+                f".{method}() must follow an edge step (.outE/.inE)"
+            )
+        target_type = step.filter.type_name
+        if target_type is None and prev_step is not None and len(prev_step.edge_types) == 1:
+            meta = g.edge_meta.get(prev_step.edge_types[0])
+            if meta is not None:
+                # the pending endpoint follows the edge-step direction
+                target_type = meta[1] if prev_step.method == "oute" else (
+                    meta[0] if prev_step.method == "ine" else None
+                )
+        target = _vertex_df(db, target_type)
+        target = _apply_where(db, target, step.filter.where, params)
+        target_s = _structify(target, alias)
+        how = "left_outer" if step.filter.optional else "inner"
+        out = current.join(
+            target_s, F.col(pending) == F.col(f"{alias}.vid"), how
+        ).drop(pending)
+        return out, alias
+
+    if method in ("out", "outv"):
         directions = [("src", "dst")]
-    elif method in ("in", "ine", "inv"):
+    elif method in ("in", "inv"):
         directions = [("dst", "src")]
     else:  # both
         directions = [("src", "dst"), ("dst", "src")]
@@ -143,10 +202,12 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
     df = _structify(df, root_alias)
     aliases = [root_alias]
     cur = root_alias
+    prev = None
     for step in path.steps:
         alias = step.filter.alias or f"__m{next(_uid)}"
-        df, cur = _expand(db, df, cur, step, params, alias)
+        df, cur = _expand(db, df, cur, step, params, alias, prev_step=prev)
         aliases.append(cur)
+        prev = step
     return df, aliases
 
 

@@ -31,6 +31,9 @@ HEADLINE = [
     "q_knn_cosine",         # vector brute-force top-k
     "q_minhash_dedup",      # shingle→minhash→LSH join
     "q_exact_dedup",        # hash-groupBy dedup
+    "q_cypher_match",       # openCypher front end
+    "q_sessionize",         # lag+cumsum sessionization
+    "q_ngram_jaccard",      # inverted-index similarity join
 ]
 
 

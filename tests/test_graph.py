@@ -206,3 +206,19 @@ def test_louvain_two_cliques(db, spark):
     assert rows[0] != rows[10]
     q = modularity(edges, comm)
     assert q > 0.4  # clean 2-community split of bridged cliques
+
+
+def test_edge_step_with_properties(db):
+    rows = db.query(
+        "MATCH {type: `Order`, as: o}"
+        ".outE('CONTAINS'){as: e, where: (l_quantity > 45)}.inV(){as: p} "
+        "RETURN p.p_brand AS brand, count(*) AS n GROUP BY brand ORDER BY brand"
+    ).collect()
+    expect = (
+        db.table("lineitem").filter(F.col("l_quantity") > 45)
+        .join(db.table("part"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand").count().orderBy("p_brand").collect()
+    )
+    assert [(r["brand"], r["n"]) for r in rows] == [
+        (r["p_brand"], r["count"]) for r in expect
+    ]
