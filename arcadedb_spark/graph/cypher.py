@@ -83,6 +83,59 @@ class CypherParser(Parser):
                 where = w if where is None else ast.Bin("AND", where, w)
         return paths, where
 
+    def parse_call(self) -> dict:
+        """CALL ns.name(args) [YIELD c1, c2] [RETURN … ORDER BY/SKIP/LIMIT]
+        (CallStep.java:71; procedures from ProcedureRegistry)."""
+        self.advance()  # CALL
+        ns = self.ident()
+        self.expect_op(".")
+        name = self.ident()
+        args: list = []
+        if self.at_op("("):
+            self.advance()
+            while not self.at_op(")"):
+                e = self.parse_expr()
+                if isinstance(e, ast.Lit):
+                    args.append(e.value)
+                elif isinstance(e, ast.Chain) and len(e.parts) == 1:
+                    args.append(e.parts[0])
+                else:
+                    raise ParseError("CALL arguments must be literals")
+                self.eat_op(",")
+            self.expect_op(")")
+        yields: list[str] = []
+        if self._at_ident("YIELD"):
+            self.advance()
+            yields.append(self.ident())
+            while self.eat_op(","):
+                yields.append(self.ident())
+        ret = None
+        if self.at_kw("RETURN"):
+            self.advance()
+            distinct = self.eat_kw("DISTINCT")
+            items = self.parse_projection_list()
+            order_by: list[ast.OrderItem] = []
+            skip = limit = None
+            while True:
+                if self.at_kw("ORDER"):
+                    self.advance()
+                    self.expect_kw("BY")
+                    order_by.append(self.parse_order_item())
+                    while self.eat_op(","):
+                        order_by.append(self.parse_order_item())
+                elif self.at_kw("SKIP"):
+                    self.advance()
+                    skip = self.parse_expr()
+                elif self.at_kw("LIMIT"):
+                    self.advance()
+                    limit = self.parse_expr()
+                else:
+                    break
+            ret = {"items": items, "distinct": distinct, "order_by": order_by,
+                   "skip": skip, "limit": limit}
+        return {"proc": f"{ns}.{name}", "args": args, "yields": yields,
+                "return": ret}
+
     def _parse_single(self) -> ast.MatchStmt:
         self._writes: list[dict] = []
         paths: list = []
@@ -527,6 +580,30 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
     """Run a Cypher query → DataFrame (OpenCypherQueryEngine.query analog,
     query/opencypher/query/OpenCypherQueryEngine.java:150)."""
     p = CypherParser(text)
+    if p._at_ident("CALL"):
+        from arcadedb_spark.graph.match import project_stage
+        from arcadedb_spark.graph.procedures import call_procedure
+        from arcadedb_spark.sql.translator import _contains_aggregate
+
+        spec = p.parse_call()
+        if p.cur.kind != "EOF":
+            raise ParseError(f"Trailing input at {p.cur!r}")
+        df = call_procedure(db, spec["proc"], spec["args"])
+        if spec["yields"]:
+            df = df.select(*spec["yields"])
+        ret = spec["return"]
+        if ret is None:
+            return df
+        group_by: tuple = ()
+        if any(_contains_aggregate(i.expr) for i in ret["items"]):
+            group_by = tuple(
+                i.expr for i in ret["items"] if not _contains_aggregate(i.expr)
+            )
+        return project_stage(
+            db, df, ret["items"], params or {}, distinct=ret["distinct"],
+            group_by=group_by, order_by=ret["order_by"],
+            skip=ret["skip"], limit=ret["limit"],
+        )
     stmts = p.parse_query()
     if p.cur.kind != "EOF":
         raise ParseError(f"Trailing input at {p.cur!r}")

@@ -1,0 +1,140 @@
+"""CALL procedure registry: the ``CALL algo.*`` surface.
+
+Reference: query/opencypher/procedures/algo/Algo*.java (~70 procedures
+invoked as ``CALL algo.pageRank(...) YIELD ...``) registered through
+function/procedure/ProcedureRegistry.java and executed by CallStep.java:71.
+
+Here each procedure is a function (db, args) → DataFrame over the graph's
+edge frames; the Cypher front end parses ``CALL ns.name(args) [YIELD c1,
+c2] [RETURN …]`` and hands the result to the normal projection machinery.
+Procedure names are case-insensitive; the first argument selects the edge
+type(s) (default: all edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROCEDURES = {}
+
+
+def procedure(name: str):
+    def deco(fn):
+        PROCEDURES[name.lower()] = fn
+        return fn
+
+    return deco
+
+
+def _edges(db, args):
+    g = db.graph()
+    etypes = [a for a in args if isinstance(a, str)]
+    return g.edges(*etypes) if etypes else g.edges()
+
+
+def _num(args, idx, default):
+    nums = [a for a in args if isinstance(a, (int, float))]
+    return nums[idx] if idx < len(nums) else default
+
+
+@procedure("algo.pageRank")
+def _p_pagerank(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import pagerank
+
+    return pagerank(
+        _edges(db, args), iterations=int(_num(args, 0, 20))
+    ).select("vid", F.col("rank"))
+
+
+@procedure("algo.wcc")
+def _p_wcc(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import connected_components
+
+    return connected_components(_edges(db, args))
+
+
+@procedure("algo.scc")
+def _p_scc(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import strongly_connected_components
+
+    return strongly_connected_components(_edges(db, args))
+
+
+@procedure("algo.labelPropagation")
+def _p_lp(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import label_propagation
+
+    return label_propagation(_edges(db, args), iterations=int(_num(args, 0, 10)))
+
+
+@procedure("algo.louvain")
+def _p_louvain(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import louvain
+
+    return louvain(_edges(db, args))
+
+
+@procedure("algo.triangleCount")
+def _p_triangles(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import triangle_count
+
+    return triangle_count(_edges(db, args))
+
+
+@procedure("algo.degreeCentrality")
+def _p_degree(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import degree_centrality
+
+    return degree_centrality(_edges(db, args))
+
+
+@procedure("algo.betweenness")
+def _p_betweenness(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import betweenness_centrality
+
+    return betweenness_centrality(_edges(db, args))
+
+
+@procedure("algo.eigenvector")
+def _p_eigen(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import eigenvector_centrality
+
+    return eigenvector_centrality(_edges(db, args))
+
+
+@procedure("algo.kCore")
+def _p_kcore(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import k_core
+
+    return k_core(_edges(db, args), k=int(_num(args, 0, 2)))
+
+
+@procedure("algo.jaccard")
+def _p_jaccard(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import jaccard_similarity
+
+    return jaccard_similarity(_edges(db, args))
+
+
+@procedure("algo.adamicAdar")
+def _p_adamic(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import adamic_adar
+
+    return adamic_adar(_edges(db, args))
+
+
+@procedure("algo.fastRP")
+def _p_fastrp(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import fastrp_embeddings
+
+    return fastrp_embeddings(_edges(db, args), dim=int(_num(args, 0, 16)))
+
+
+def call_procedure(db, name: str, args: list) -> DataFrame:
+    fn = PROCEDURES.get(name.lower())
+    if fn is None:
+        raise KeyError(
+            f"Unknown procedure '{name}' (available: {sorted(PROCEDURES)})"
+        )
+    return fn(db, args)

@@ -497,6 +497,38 @@ def _values(args):
 
 
 # ---------------------------------------------------------------------------
+# Namespaced: vector.* (function/sql/vector/*.java — distances, normalize)
+# ---------------------------------------------------------------------------
+
+
+def _vec_scalar(name: str, impl_name: str):
+    def builder(args):
+        from arcadedb_spark.vector import distance as vd
+
+        impl = getattr(vd, impl_name)
+        return impl(args[0].cast("array<double>"), args[1].cast("array<double>"))
+
+    SCALARS[name] = builder
+
+
+for _n, _i in {
+    "vector.cosinesimilarity": "cosine_similarity",
+    "vector.l2distance": "l2_distance",
+    "vector.l1distance": "l1_distance",
+    "vector.linfdistance": "linf_distance",
+    "vector.dotproduct": "dot_product",
+}.items():
+    _vec_scalar(_n, _i)
+
+
+@scalar("vector.normalize")
+def _vector_normalize(args):
+    from arcadedb_spark.vector.distance import normalize
+
+    return normalize(args[0].cast("array<double>"))
+
+
+# ---------------------------------------------------------------------------
 # Geo (function/sql/geo/*.java — v1 subset per SURVEY §2.9: haversine
 # distance + bbox predicates as built-in Column math; full JTS-grade
 # geometry is round-2 work)

@@ -184,3 +184,31 @@ def test_set_and_detach_delete(db):
     assert remaining == ["keep", "w1", "w2"]
     # incident edge removed with the vertex
     assert cy(db, "MATCH (a:Widget)-[:WREL]->(b:Widget) RETURN count(*) AS n").collect()[0]["n"] == 0
+
+
+def test_call_procedures(db):
+    rows = cy(
+        db,
+        "CALL algo.degreeCentrality('PLACED') YIELD vid, degree "
+        "RETURN count(*) AS n, max(degree) AS mx",
+    ).collect()
+    assert rows[0]["n"] == 1650  # both-direction: 150 customers + 1500 orders
+    tri = cy(
+        db, "CALL algo.triangleCount('INTERACTED') RETURN sum(triangles) AS t"
+    ).collect()[0]["t"]
+    assert tri == 3 * 455  # corner-credited count on the fixture graph
+    pr = cy(
+        db,
+        "CALL algo.pageRank('INTERACTED', 5) YIELD vid, rank "
+        "RETURN vid, rank ORDER BY rank DESC, vid LIMIT 3",
+    ).collect()
+    assert len(pr) == 3
+
+
+def test_vector_sql_namespace(db):
+    r = db.query(
+        "SELECT round(vector.cosineSimilarity(embedding, embedding), 4) AS s, "
+        "round(vector.l2Distance(embedding, embedding), 4) AS d "
+        "FROM embeddings LIMIT 1"
+    ).collect()[0]
+    assert r["s"] == 1.0 and r["d"] == 0.0
