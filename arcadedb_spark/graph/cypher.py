@@ -174,8 +174,9 @@ class CypherParser(Parser):
             self.at_kw("CREATE", "MERGE", "SET", "DELETE")
             or self._at_ident("MERGE")
             or self._at_ident("DETACH")
+            or self._at_ident("REMOVE")
         ):
-            # MATCH … CREATE/SET/DELETE …
+            # MATCH … CREATE/SET/REMOVE/DELETE …
             self._match_for_write = (paths, where)
             self._parse_writes()
             return (None, [])
@@ -226,6 +227,7 @@ class CypherParser(Parser):
             self.at_kw("CREATE", "MERGE", "SET", "DELETE")
             or self._at_ident("MERGE")
             or self._at_ident("DETACH")
+            or self._at_ident("REMOVE")
         ):
             if self.at_kw("SET"):
                 self.advance()
@@ -237,6 +239,21 @@ class CypherParser(Parser):
                     self.expect_op("=")
                     assignments.append(
                         (chain.parts[0], chain.parts[1], self.parse_expr())
+                    )
+                    if not self.eat_op(","):
+                        break
+                self._writes.append({"kind": "set", "assignments": assignments})
+                continue
+            if self._at_ident("REMOVE"):
+                # REMOVE a.prop — null the property (RemoveStep.java:53)
+                self.advance()
+                assignments = []
+                while True:
+                    chain = self.parse_postfix()
+                    if not (isinstance(chain, ast.Chain) and len(chain.parts) == 2):
+                        raise ParseError("REMOVE expects alias.prop")
+                    assignments.append(
+                        (chain.parts[0], chain.parts[1], ast.Lit(None))
                     )
                     if not self.eat_op(","):
                         break

@@ -63,6 +63,8 @@ class Ctx:
     vars: dict[str, VarBinding] = field(default_factory=dict)
     colmap: dict[tuple[str, ...], str] = field(default_factory=dict)  # link path → qualified col
     columns: tuple[str, ...] = ()
+    # FROM type name (search_class index resolution)
+    type_name: "str | None" = None
     # ts.* window functions: partition keys (GROUP BY doubles as
     # PARTITION BY for windowed ts functions, per the reference's
     # GroupedDelta semantics)
@@ -682,6 +684,7 @@ class Translator:
         df, type_name = self._resolve_target(stmt.target)
         ctx = Ctx(db=self.db, params=self.params)
         ctx.columns = tuple(df.columns)
+        ctx.type_name = type_name
 
         df = self._apply_link_joins(df, stmt, type_name, ctx)
 
@@ -816,7 +819,25 @@ class Translator:
         from arcadedb_spark.text.fulltext import bm25_search
 
         name = e.name.lower()
-        if name == "search_index":
+        if name == "search_class":
+            # search_class(query): use the target type's full-text index
+            # (SQLFunctionSearchClass semantics)
+            idx = next(
+                (
+                    m for m in self.db.schema.indexes.values()
+                    if ctx.type_name
+                    and m["type"].lower() == ctx.type_name.lower()
+                    and m.get("kind") in ("full_text", "fulltext")
+                ),
+                None,
+            )
+            if idx is None:
+                raise TranslateError(
+                    f"No full-text index registered for type {ctx.type_name!r}"
+                )
+            fields = list(idx["props"])
+            query_arg = e.args[0]
+        elif name == "search_index":
             if len(e.args) < 2 or not isinstance(e.args[0], ast.Lit):
                 raise TranslateError("search_index(indexName, query) expected")
             idx = self.db.schema.indexes.get(str(e.args[0].value))

@@ -212,3 +212,10 @@ def test_vector_sql_namespace(db):
         "FROM embeddings LIMIT 1"
     ).collect()[0]
     assert r["s"] == 1.0 and r["d"] == 0.0
+
+
+def test_remove_property(db):
+    cy(db, "CREATE (a:Gizmo {name: 'g1', color: 'red'})")
+    cy(db, "MATCH (g:Gizmo) REMOVE g.color")
+    r = cy(db, "MATCH (g:Gizmo) RETURN g.name AS n, g.color AS c").collect()[0]
+    assert r["n"] == "g1" and r["c"] is None

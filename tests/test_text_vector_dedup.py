@@ -241,3 +241,14 @@ def test_downsampling_tiers(db):
     assert all(r["bucket_ms"] % r["granularity_ms"] == 0 for r in rows)
     # row conservation: total event count preserved
     assert sum(r["n"] for r in rows) == ev.count()
+
+
+def test_search_class_uses_type_index(db):
+    db.command("CREATE INDEX ON documents (text) FULL_TEXT")
+    n = db.query(
+        "SELECT count(*) AS n FROM documents WHERE search_class('stream')"
+    ).collect()[0]["n"]
+    m = db.query(
+        "SELECT count(*) AS n FROM documents WHERE search_fields(['text'], 'stream')"
+    ).collect()[0]["n"]
+    assert n == m > 0
