@@ -21,8 +21,10 @@ Supported subset:
   RETURN [DISTINCT] expr [AS x], …      → aggregates detected per SQL rules
   ORDER BY / SKIP / LIMIT
   UNION [ALL]                           → DataFrame union (UnionStep.java:52)
+  CALL algo.name(args) [YIELD …] [RETURN …] → procedure registry
+  CREATE / MERGE / SET / REMOVE / DETACH DELETE → graph writes
 Cypher-only operators: STARTS WITH, ENDS WITH, CONTAINS (substring), =~.
-Not yet: CREATE/MERGE/SET/DELETE write clauses (round 2).
+Not yet: FOREACH, ON CREATE/ON MATCH, relationship property writes.
 """
 
 from __future__ import annotations
