@@ -20,22 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from arcadedb_spark.text.fulltext import tokenize
+from arcadedb_spark.parallel import ensure_min_partitions
 
 # 31-bit Mersenne prime: keeps a·x+b < 2^62 (no long overflow in codegen)
 _MERSENNE = (1 << 31) - 1
 
 
 def _shingle_hashes(text_col, shingle_size: int) -> F.Column:
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_size))
-    )
-    # non-negative 61-bit hash values
-    return F.array_distinct(
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    """Non-negative 61-bit shingle-hash set (zip-of-slices shape — no
+    outer-ref inside the lambda; see ngram.ngram_hashes)."""
+    from arcadedb_spark.dedup.ngram import ngram_hashes
+
+    return F.transform(
+        ngram_hashes(text_col, shingle_size), lambda h: F.pmod(h, F.lit(_MERSENNE))
     )
 
 
@@ -65,9 +62,10 @@ def minhash_signatures(
     zero shingles produce no signature (can't be near-dup candidates).
     """
     params = _hash_params(num_hashes, seed)
-    ex = docs.select(
+    src = ensure_min_partitions(docs.select(id_col, text_col))
+    ex = src.select(
         F.col(id_col).alias("id"),
-        F.explode(_shingle_hashes(text_col, shingle_size)).alias("h"),
+        F.explode(_shingle_hashes(F.col(text_col), shingle_size)).alias("h"),
     )
     aggs = [
         F.min(F.pmod(a * F.col("h") + b, F.lit(_MERSENNE))).alias(f"__m{i}")

@@ -17,8 +17,19 @@ from arcadedb_spark.text.fulltext import tokenize
 
 
 def simhash(text_col) -> F.Column:
-    """64-bit SimHash of the token multiset (returns long)."""
+    """64-bit SimHash of the token multiset (returns long).
+
+    NOTE: this inline form re-tokenizes per bit-vote aggregate; prefer
+    ``simhash_from_hashes`` over a materialized token-hash column in hot
+    paths (64× tokenizer fan-out otherwise)."""
     hashes = F.transform(tokenize(text_col), lambda t: F.xxhash64(t))
+    return simhash_from_hashes(hashes)
+
+
+def simhash_from_hashes(hashes) -> F.Column:
+    """SimHash from a token-hash array column (materialize the array via
+    withColumn first so the 64 per-bit aggregates read an attribute, not a
+    re-evaluated expression)."""
     # vote per bit: +1 if set, −1 if not; bit in result = vote > 0
     def _vote(mask):
         # closure factory keeps the merge lambda binary (pyspark arity)
@@ -60,9 +71,13 @@ def simhash_duplicate_pairs(
     """
     assert bands > max_hamming, "need bands > max_hamming for full recall"
     bits_per = 64 // bands
-    sigs = docs.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sig")
-    ).cache()
+    from arcadedb_spark.parallel import ensure_min_partitions
+
+    src = ensure_min_partitions(docs.select(id_col, text_col))
+    sigs = src.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokenize(text_col), lambda t: F.xxhash64(t)).alias("__h"),
+    ).select("id", simhash_from_hashes(F.col("__h")).alias("sig")).cache()
     chunks = sigs.select(
         "id",
         "sig",

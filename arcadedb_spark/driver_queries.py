@@ -830,19 +830,18 @@ def q_bm25(spark, sf_dir):
     ), inv AS (SELECT doc_id, unnest(g) AS gram FROM gramsets),
     rare AS (SELECT gram FROM inv GROUP BY gram HAVING count(*) <= 1000),
     inv2 AS (SELECT i.doc_id, i.gram FROM inv i JOIN rare USING (gram)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    sizes AS (SELECT doc_id, count(*) AS sz FROM inv2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM inv2 a JOIN inv2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
-    ), j AS (
-      SELECT c.id_a, c.id_b,
-             length(list_intersect(ga.g, gb.g)) AS inter,
-             length(ga.g) + length(gb.g) - length(list_intersect(ga.g, gb.g)) AS uni
-      FROM cand c
-      JOIN gramsets ga ON ga.doc_id = c.id_a
-      JOIN gramsets gb ON gb.doc_id = c.id_b
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT id_a, id_b, round(inter / uni, 4) AS jaccard
-    FROM j WHERE inter / uni >= 0.3
+    SELECT id_a, id_b,
+           round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.3
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):

@@ -34,8 +34,11 @@ def tokenize(col) -> F.Column:
 
 def build_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(term, doc_id, tf) postings — the inverted-index DataFrame."""
+    from arcadedb_spark.parallel import ensure_min_partitions
+
+    src = ensure_min_partitions(docs.select(id_col, text_col))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks"))
+        src.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__toks"))
         .select("doc_id", F.explode("__toks").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
