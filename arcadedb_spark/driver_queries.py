@@ -1024,6 +1024,149 @@ def q_knn_lsh(spark, sf_dir):
     ).select("q_id", "d_id", F.round("score", 5).alias("score"))
 
 
+@query(
+    "q_vector_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id, e,
+             list_min(e) AS mn, list_max(e) AS mx
+      FROM v
+    ), dq AS (
+      SELECT vec_id, e,
+             list_transform(e, x ->
+               (round((x - mn) / (mx - mn) * 255) - 128 + 128) / 255.0
+                 * (mx - mn) + mn) AS back
+      FROM q
+    )
+    SELECT vec_id,
+           round(list_max(list_transform(range(1, len(e) + 1),
+                 i -> abs(e[i] - back[i]))), 8) AS max_err
+    FROM dq ORDER BY vec_id LIMIT 50
+    """,
+)
+def q_vector_quantize(spark, sf_dir):
+    """int8 min-max quantization roundtrip error per vector
+    (SQLFunctionVectorQuantizeInt8/DequantizeInt8 parity)."""
+    from arcadedb_spark.vector import dequantize_int8, quantize_int8
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            dequantize_int8(quantize_int8("embedding")).alias("back"),
+        )
+        .select(
+            "vec_id",
+            F.round(
+                F.array_max(
+                    F.zip_with("e", "back", lambda a, b: F.abs(a - b))
+                ),
+                8,
+            ).alias("max_err"),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@query(
+    "q_binary_quantize_hamming",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), m AS (
+      SELECT vec_id, e,
+             (list_sort(e)[len(e) // 2] + list_sort(e)[len(e) // 2 + 1]) / 2.0 AS med
+      FROM v
+    ), q AS (SELECT e AS qe, med AS qmed FROM m WHERE vec_id = 0)
+    SELECT vec_id,
+           len(list_filter(range(1, len(e) + 1),
+               i -> (e[i] >= med) != (qe[i] >= qmed))) AS hamming
+    FROM m, q
+    ORDER BY hamming, vec_id LIMIT 20
+    """,
+)
+def q_binary_quantize_hamming(spark, sf_dir):
+    """Binary (median-threshold) quantization + Hamming distance to the
+    vec_id=0 signature — the fast-scan path of
+    SQLFunctionVectorQuantizeBinary / BinaryQuantizationResult.hammingDistance.
+    The oracle counts sign-vs-median disagreements, which equals the
+    packed-bit Hamming distance iff the bit packing is correct."""
+    from arcadedb_spark.vector import binary_hamming, quantize_binary
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        quantize_binary("embedding").alias("qsig")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            binary_hamming(quantize_binary("embedding"), F.col("qsig")).alias(
+                "hamming"
+            ),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_sparse_dot",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_reverse(CAST(embedding AS DOUBLE[])) AS r
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(range(1, len(e) + 1), i ->
+             (CASE WHEN abs(e[i]) > 0.1 THEN e[i] ELSE 0 END) *
+             (CASE WHEN abs(r[i]) > 0.1 THEN r[i] ELSE 0 END))), 6) AS dot,
+           len(list_filter(e, x -> abs(x) <= 0.1)) AS n_dropped
+    FROM v ORDER BY vec_id LIMIT 50
+    """,
+)
+def q_sparse_dot(spark, sf_dir):
+    """Sparse-vector dot product (SparseVector.dotProduct / vector.sparseDot):
+    sparsify at |v| > 0.1, dot each embedding with its reverse."""
+    from arcadedb_spark.vector import dense_to_sparse, sparse_dot
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(
+                sparse_dot(
+                    dense_to_sparse(e, 0.1), dense_to_sparse(F.reverse(e), 0.1)
+                ),
+                6,
+            ).alias("dot"),
+            F.size(F.filter(e, lambda x: F.abs(x) <= 0.1)).alias("n_dropped"),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@query("q_knn_ivf")  # KMeans cells aren't SQL-replicable — rows-only
+def q_knn_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (the Spark-scale stand-in for the reference's
+    HNSW LSMVectorIndex): probe half the cells for the vec_id=0 query."""
+    from arcadedb_spark.vector import ivf_build, ivf_search
+
+    emb = _db(spark, sf_dir).table("embeddings")
+    idx = ivf_build(emb, "vec_id", "embedding", n_lists=8, seed=42)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_search(idx, q, k=10, nprobe=4).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
 @query("q_multimodal_features")  # stubbed decode — rows-only check
 def q_multimodal_features(spark, sf_dir):
     from arcadedb_spark.multimodal import extract_features

@@ -528,6 +528,38 @@ def _vector_normalize(args):
     return normalize(args[0].cast("array<double>"))
 
 
+def _vec_unary(name: str, module: str, impl_name: str, *extra):
+    def builder(args, _m=module, _i=impl_name):
+        import importlib
+
+        impl = getattr(importlib.import_module(_m), _i)
+        return impl(args[0], *[a for a in args[1:]], *extra)
+
+    SCALARS[name] = builder
+
+
+# quantization (SQLFunctionVectorQuantize{Int8,Binary} + dequantize)
+for _n, _i in {
+    "vector.quantizeint8": "quantize_int8",
+    "vector.dequantizeint8": "dequantize_int8",
+    "vector.quantizebinary": "quantize_binary",
+    "vector.dequantizebinary": "dequantize_binary",
+}.items():
+    _vec_unary(_n, "arcadedb_spark.vector.quantize", _i)
+
+# sparse vectors (SQLFunctionVectorSparse*, SparseVector.java)
+for _n, _i in {
+    "vector.densetosparse": "dense_to_sparse",
+    "vector.sparsetodense": "sparse_to_dense",
+    "vector.sparsedot": "sparse_dot",
+    "vector.sparsecosine": "sparse_cosine",
+    "vector.sparsemagnitude": "sparse_magnitude",
+    "vector.sparsenormalize": "sparse_normalize",
+    "vector.sparsity": "sparsity",
+}.items():
+    _vec_unary(_n, "arcadedb_spark.vector.sparse", _i)
+
+
 # ---------------------------------------------------------------------------
 # Geo (function/sql/geo/*.java — v1 subset per SURVEY §2.9: haversine
 # distance + bbox predicates as built-in Column math; full JTS-grade
