@@ -258,6 +258,31 @@ def q_string_methods(spark, sf_dir):
 
 
 @query(
+    "q_array_selectors",
+    oracle="""
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x > 'm') AS late_words,
+           string_split(text, ' ')[1:3] AS head,
+           string_split(text, ' ')[2] AS second
+    FROM documents ORDER BY doc_id LIMIT 50
+    """,
+)
+def q_array_selectors(spark, sf_dir):
+    """Array condition/filter selectors + ranges
+    (SQLParser.g4 arraySelector: arrayFilterSelector, arrayRangeSelector,
+    arraySingleSelector) compiled to F.filter / F.slice / element_at."""
+    return _db(spark, sf_dir).query(
+        """
+        SELECT doc_id,
+               text.split(' ')[> 'm'] AS late_words,
+               text.split(' ')[0..3] AS head,
+               text.split(' ')[1] AS second
+        FROM documents ORDER BY doc_id LIMIT 50
+        """
+    )
+
+
+@query(
     "q_date_functions",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS y,

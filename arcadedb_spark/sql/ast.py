@@ -184,6 +184,34 @@ class Slice(Expr):
 
 
 @dataclass(frozen=True)
+class ArrayFilter(Expr):
+    """Condition array selector ``base[f = 'x']`` / ``base[> 5]``
+    (SQLParser.g4:1450-1457 arrayConditionSelector / arrayFilterSelector).
+
+    ``cond`` is evaluated per element; bare property chains inside it
+    resolve against the element (struct fields), and the pseudo-chain
+    ``@value`` refers to the element itself (scalar-element filters).
+    """
+
+    base: Expr
+    cond: Expr
+
+
+@dataclass(frozen=True)
+class NestedProj(Expr):
+    """Nested projection ``expr:{a, b}`` / ``expr:{*, !secret}``
+    (SQLParser.g4:322-327, parser/NestedProjection.java).
+
+    ``include`` of ("*",) with ``exclude`` names keeps all struct fields
+    but the excluded; otherwise only the named fields are kept.
+    """
+
+    base: Expr
+    include: tuple[str, ...]
+    exclude: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class Subquery(Expr):
     stmt: "SelectStmt"
 

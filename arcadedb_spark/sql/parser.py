@@ -506,12 +506,34 @@ class Parser:
             self.advance()
             return ast.ProjItem(ast.Star())
         expr = self.parse_expr()
+        if self.at_op(":") and self.peek().value == "{":
+            expr = self._parse_nested_projection(expr)
         alias = None
         if self.eat_kw("AS"):
             alias = self.ident()
         elif self.cur.kind == "IDENT":
             alias = self.ident()
         return ast.ProjItem(expr, alias)
+
+    def _parse_nested_projection(self, base: ast.Expr) -> ast.NestedProj:
+        """``expr:{a, b}`` / ``expr:{*, !x}`` (SQLParser.g4:322-327)."""
+        self.expect_op(":")
+        self.expect_op("{")
+        include: list[str] = []
+        exclude: list[str] = []
+        while True:
+            if self.at_op("*"):
+                self.advance()
+                include.append("*")
+            elif self.at_op("!"):
+                self.advance()
+                exclude.append(self.ident())
+            else:
+                include.append(self.ident())
+            if not self.eat_op(","):
+                break
+        self.expect_op("}")
+        return ast.NestedProj(base, tuple(include), tuple(exclude))
 
     def parse_target(self) -> ast.Target:
         tok = self.cur
@@ -939,6 +961,28 @@ class Parser:
                     self.expect_op("]")
                     expr = ast.Slice(expr, None, high)
                     continue
+                # scalar-element filter [> 5] / [LIKE 'x%'] / [IN [..]]
+                # (SQLParser.g4 arrayFilter/arrayLike/arrayIn selectors)
+                elem = ast.Chain(("@value",))
+                if self.at_op("=", "<>", "!=", "<", "<=", ">", ">=", "<=>"):
+                    op = self.advance().value
+                    cond = ast.Bin("=" if op == "==" else op, elem, self.parse_expr())
+                    self.expect_op("]")
+                    expr = ast.ArrayFilter(expr, cond)
+                    continue
+                if self.at_kw("LIKE"):
+                    self.advance()
+                    cond = ast.Like(elem, self.parse_expr(), False, False)
+                    self.expect_op("]")
+                    expr = ast.ArrayFilter(expr, cond)
+                    continue
+                if self.at_kw("IN") or (self.at_kw("NOT") and self.peek().value == "IN"):
+                    neg = self.eat_kw("NOT")
+                    self.expect_kw("IN")
+                    cond = self._parse_in(elem, neg)
+                    self.expect_op("]")
+                    expr = ast.ArrayFilter(expr, cond)
+                    continue
                 first = self.parse_expr()
                 if self.at_op("..", "..."):
                     self.advance()
@@ -947,12 +991,38 @@ class Parser:
                         high = self.parse_expr()
                     self.expect_op("]")
                     expr = ast.Slice(expr, first, high)
+                elif self._is_condition(first):
+                    # [name = 'x' AND n > 2] — per-element condition over
+                    # struct fields (arrayConditionSelector)
+                    self.expect_op("]")
+                    expr = ast.ArrayFilter(expr, first)
                 else:
                     self.expect_op("]")
                     expr = ast.Index(expr, first)
             else:
                 break
         return expr
+
+    _COND_OPS = {"=", "<>", "!=", "<", "<=", ">", ">=", "<=>", "AND", "OR"}
+
+    @classmethod
+    def _is_condition(cls, e: ast.Expr) -> bool:
+        """Whether a bracketed expression is a per-element filter rather
+        than an index (mirrors whereClause vs expression in
+        SQLParser.g4 arraySelector)."""
+        if isinstance(
+            e,
+            (
+                ast.Like, ast.In, ast.Between, ast.IsNull, ast.IsDefined,
+                ast.Contains, ast.Matches, ast.InstanceOf,
+            ),
+        ):
+            return True
+        if isinstance(e, ast.Bin) and e.op.upper() in cls._COND_OPS:
+            return True
+        if isinstance(e, ast.Unary) and e.op.upper() == "NOT":
+            return True
+        return False
 
     def parse_primary(self) -> ast.Expr:
         tok = self.cur

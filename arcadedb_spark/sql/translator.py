@@ -330,6 +330,35 @@ class ExprCompiler:
             length = F.size(base)
         return F.slice(base, low + 1, length)
 
+    def _c_arrayfilter(self, e: ast.ArrayFilter) -> Column:
+        """``base[cond]`` → F.filter with the condition compiled against
+        the array element (arrayConditionSelector; the reference iterates
+        the collection per row — here it stays one codegen expression)."""
+        base = self.compile(e.base)
+
+        def cond_fn(x: Column) -> Column:
+            return _ElementCompiler(self.ctx, x).compile(e.cond)
+
+        return F.filter(base, cond_fn)
+
+    def _c_nestedproj(self, e: ast.NestedProj) -> Column:
+        """``expr:{a,b}`` / ``expr:{*, !x}`` → struct rebuild
+        (parser/NestedProjection.java semantics on embedded documents)."""
+        base = self.compile(e.base)
+        if "*" in e.include:
+            out = base
+            for name in e.exclude:
+                out = out.dropFields(name)
+            return out
+        if e.exclude and not e.include:
+            out = base
+            for name in e.exclude:
+                out = out.dropFields(name)
+            return out
+        return F.struct(
+            *[base.getField(name).alias(name) for name in e.include]
+        )
+
     def _c_subquery(self, e: ast.Subquery) -> Column:
         # Scalar subquery: evaluated once, driver-side (global-LET semantics).
         from arcadedb_spark.sql.translator import Translator
@@ -418,6 +447,31 @@ class ExprCompiler:
             args = [self.compile(a) for a in e.args]
             return METHODS[name](base, args)
         raise TranslateError(f"Unknown method '.{e.name}()'")
+
+
+class _ElementCompiler(ExprCompiler):
+    """Compiles an array-selector condition against a lambda element.
+
+    Bare chains resolve to struct fields of the element; the pseudo-chain
+    ``@value`` (also ``$value``) is the element itself — the scalar form
+    used by ``[> 5]`` / ``[LIKE 'x%']`` selectors.
+    """
+
+    def __init__(self, ctx: Ctx, elem: Column) -> None:
+        super().__init__(ctx)
+        self.elem = elem
+
+    def _c_chain(self, e: ast.Chain) -> Column:
+        head = e.parts[0].lower()
+        if head in ("@value", "$value", "@this"):
+            col = self.elem
+            rest = e.parts[1:]
+        else:
+            col = self.elem[e.parts[0]]
+            rest = e.parts[1:]
+        for p in rest:
+            col = col.getField(p)
+        return col
 
 
 # ---------------------------------------------------------------------------

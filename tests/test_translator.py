@@ -143,3 +143,44 @@ def test_geo_functions(db):
     ).collect()[0]
     assert 330 <= r["paris_london"] <= 350  # ~343 km
     assert r["in_europe"] is True
+
+
+def test_array_condition_selectors(db, spark):
+    df = spark.createDataFrame(
+        [
+            (1, [{"city": "Rome", "n": 2}, {"city": "Oslo", "n": 5}], [1, 5, 9]),
+            (2, [{"city": "Rome", "n": 7}], [2, 3]),
+        ],
+        "id long, addresses array<struct<city:string,n:int>>, nums array<int>",
+    )
+    db.register_type("sel_persons", df, key="id")
+    try:
+        rows = db.query(
+            "SELECT id, addresses[city = 'Rome' AND n > 2] AS busy, "
+            "nums[> 2] AS big, nums[0..2] AS head, nums[0] AS first "
+            "FROM sel_persons ORDER BY id"
+        ).collect()
+        assert [len(r["busy"]) for r in rows] == [0, 1]
+        assert rows[0]["big"] == [5, 9]
+        assert rows[0]["head"] == [1, 5]
+        assert rows[0]["first"] == 1
+        like = db.query(
+            "SELECT addresses[city LIKE 'R%'] AS r FROM sel_persons WHERE id = 1"
+        ).collect()[0]["r"]
+        assert [x["city"] for x in like] == ["Rome"]
+    finally:
+        db.schema.drop("sel_persons")
+
+
+def test_nested_projection(db, spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2, "c": 3})], "id long, emb struct<a:int,b:int,c:int>"
+    )
+    db.register_type("np_t", df, key="id")
+    try:
+        r = db.query("SELECT emb:{a, c} AS ac FROM np_t").collect()[0]["ac"]
+        assert r.asDict() == {"a": 1, "c": 3}
+        r2 = db.query("SELECT emb:{*, !b} AS nob FROM np_t").collect()[0]["nob"]
+        assert r2.asDict() == {"a": 1, "c": 3}
+    finally:
+        db.schema.drop("np_t")
