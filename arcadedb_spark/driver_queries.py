@@ -1607,6 +1607,177 @@ def q_k_core(spark, sf_dir):
 
 
 @query(
+    "q_preferential_attachment",
+    oracle=f"""
+    WITH {_EVENTS_UND_ADJ},
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    cn AS (
+      SELECT l.v AS a, r.v AS b
+      FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(da.d * db.d AS BIGINT) AS score
+    FROM cn JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+    ORDER BY score DESC, a, b LIMIT 20
+    """,
+)
+def q_preferential_attachment(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms_more import preferential_attachment
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    pa = preferential_attachment(db.graph().edges("INTERACTED"))
+    return (
+        pa.select((F.col("a") - base).alias("a"), (F.col("b") - base).alias("b"), "score")
+        .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_total_neighbors",
+    oracle=f"""
+    WITH {_EVENTS_UND_ADJ},
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    cn AS (
+      SELECT l.v AS a, r.v AS b, count(*) AS n_common
+      FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(da.d + db.d - n_common AS BIGINT) AS total
+    FROM cn JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+    ORDER BY total DESC, a, b LIMIT 20
+    """,
+)
+def q_total_neighbors(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms_more import total_neighbors
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    tn = total_neighbors(db.graph().edges("INTERACTED"))
+    return (
+        tn.select((F.col("a") - base).alias("a"), (F.col("b") - base).alias("b"), "total")
+        .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_resource_allocation",
+    oracle=f"""
+    WITH {_EVENTS_UND_ADJ},
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    w AS (SELECT adj.v, adj.n, deg.d AS dn FROM adj JOIN deg ON deg.v = adj.n)
+    SELECT l.v AS a, r.v AS b, round(sum(1.0 / l.dn), 4) AS score
+    FROM w l JOIN w r ON l.n = r.n AND l.v < r.v
+    GROUP BY 1, 2
+    ORDER BY score DESC, a, b LIMIT 20
+    """,
+)
+def q_resource_allocation(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms_more import resource_allocation
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    ra = resource_allocation(db.graph().edges("INTERACTED"))
+    return (
+        ra.select(
+            (F.col("a") - base).alias("a"),
+            (F.col("b") - base).alias("b"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle=f"""
+    WITH {_EVENTS_UND_ADJ},
+    und AS (SELECT DISTINCT v AS a, n AS b FROM adj WHERE v < n),
+    deg AS (SELECT v, count(*) AS d FROM adj GROUP BY v),
+    tri AS (
+      SELECT x.v, count(*) AS t
+      FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+      JOIN und e ON e.a = x.n AND e.b = y.n
+      GROUP BY x.v
+    )
+    SELECT deg.v AS user_id,
+           round(CASE WHEN deg.d >= 2
+                 THEN 2.0 * coalesce(tri.t, 0) / (deg.d * (deg.d - 1))
+                 ELSE 0.0 END, 4) AS lcc
+    FROM deg LEFT JOIN tri ON tri.v = deg.v
+    ORDER BY lcc DESC, user_id LIMIT 30
+    """,
+)
+def q_clustering_coefficient(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms_more import local_clustering_coefficient
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    lcc = local_clustering_coefficient(db.graph().edges("INTERACTED"))
+    return (
+        lcc.select(
+            (F.col("vid") - base).alias("user_id"), F.round("lcc", 4).alias("lcc")
+        )
+        .orderBy(F.desc("lcc"), F.asc("user_id"))
+        .limit(30)
+    )
+
+
+@query("q_harmonic_centrality")  # multi-source BFS — no closed-form SQL oracle
+def q_harmonic_centrality(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms_more import harmonic_centrality
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    edges = db.graph().edges("INTERACTED")
+    landmarks = [
+        r[0] for r in edges.select(F.col("src").alias("v")).distinct()
+        .orderBy("v").limit(32).collect()
+    ]
+    h = harmonic_centrality(edges, landmarks=landmarks, max_depth=6)
+    return (
+        h.select((F.col("vid") - base).alias("user_id"), F.round("harmonic", 4).alias("harmonic"))
+        .orderBy(F.desc("harmonic"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query("q_hits")  # power iteration — rows-only check
+def q_hits(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms_more import hits
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    h = hits(db.graph().edges("INTERACTED"), iterations=8)
+    return (
+        h.select(
+            (F.col("vid") - base).alias("user_id"),
+            F.round("hub", 4).alias("hub"),
+            F.round("authority", 4).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query("q_article_rank")  # damped power iteration — rows-only check
+def q_article_rank(spark, sf_dir):
+    from arcadedb_spark.graph.algorithms_more import article_rank
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    ar = article_rank(db.graph().edges("INTERACTED"), iterations=10)
+    return (
+        ar.select((F.col("vid") - base).alias("user_id"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
     "q_cypher_match",
     oracle="""
     SELECT c.c_mktsegment AS seg, count(*) AS n

@@ -131,6 +131,116 @@ def _p_fastrp(db, args) -> DataFrame:
     return fastrp_embeddings(_edges(db, args), dim=int(_num(args, 0, 16)))
 
 
+# -- long-tail procedures (graph/algorithms_more.py) ----------------------
+
+
+def _simple(name: str, impl_name: str, *extra_builder):
+    """Register a procedure that forwards (edges [, numeric args…])."""
+
+    def fn(db, args, _i=impl_name):
+        import importlib
+
+        impl = getattr(
+            importlib.import_module("arcadedb_spark.graph.algorithms_more"), _i
+        )
+        return impl(_edges(db, args))
+
+    PROCEDURES[name.lower()] = fn
+
+
+for _n, _i in {
+    "algo.harmonic": "harmonic_centrality",
+    "algo.eccentricity": "eccentricity",
+    "algo.apsp": "apsp",
+    "algo.topologicalSort": "topological_sort",
+    "algo.cycleDetection": "cycle_detection",
+    "algo.longestPathDAG": "longest_path_dag",
+    "algo.localClusteringCoefficient": "local_clustering_coefficient",
+    "algo.graphSummary": "graph_summary",
+    "algo.preferentialAttachment": "preferential_attachment",
+    "algo.totalNeighbors": "total_neighbors",
+    "algo.resourceAllocation": "resource_allocation",
+    "algo.articleRank": "article_rank",
+    "algo.hits": "hits",
+    "algo.slpa": "slpa",
+    "algo.simRank": "simrank",
+    "algo.mst": "mst",
+}.items():
+    _simple(_n, _i)
+
+
+@procedure("algo.commonNeighbors")
+def _p_common_neighbors(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import common_neighbors
+
+    return common_neighbors(_edges(db, args))
+
+
+@procedure("algo.closeness")
+def _p_closeness(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import closeness_centrality
+
+    return closeness_centrality(_edges(db, args))
+
+
+@procedure("algo.katz")
+def _p_katz(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import katz_centrality
+
+    return katz_centrality(_edges(db, args))
+
+
+@procedure("algo.kTruss")
+def _p_ktruss(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms_more import k_truss
+
+    return k_truss(_edges(db, args), k=int(_num(args, 0, 3)))
+
+
+@procedure("algo.personalizedPageRank")
+def _p_ppr(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms_more import personalized_pagerank
+
+    sources = [int(a) for a in args if isinstance(a, (int, float))]
+    if not sources:
+        raise ValueError("algo.personalizedPageRank needs ≥1 source vertex id")
+    return personalized_pagerank(_edges(db, args), sources)
+
+
+@procedure("algo.node2Vec")
+def _p_node2vec(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import node2vec_embeddings
+
+    return node2vec_embeddings(_edges(db, args), dim=int(_num(args, 0, 16)))
+
+
+@procedure("algo.randomWalk")
+def _p_randomwalk(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import random_walks
+
+    return random_walks(_edges(db, args))
+
+
+@procedure("algo.shortestPath")
+def _p_shortest(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import shortest_paths
+
+    landmarks = [int(a) for a in args if isinstance(a, (int, float))]
+    if not landmarks:
+        raise ValueError("algo.shortestPath needs ≥1 landmark vertex id")
+    return shortest_paths(_edges(db, args), landmarks)
+
+
+@procedure("algo.sssp")
+def _p_sssp(db, args) -> DataFrame:
+    from arcadedb_spark.graph.algorithms import dijkstra_sssp
+
+    src = [int(a) for a in args if isinstance(a, (int, float))]
+    if not src:
+        raise ValueError("algo.sssp needs a source vertex id")
+    return dijkstra_sssp(_edges(db, args), src[0])
+
+
 def call_procedure(db, name: str, args: list) -> DataFrame:
     fn = PROCEDURES.get(name.lower())
     if fn is None:
