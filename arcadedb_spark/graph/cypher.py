@@ -23,8 +23,12 @@ Supported subset:
   UNION [ALL]                           → DataFrame union (UnionStep.java:52)
   CALL algo.name(args) [YIELD …] [RETURN …] → procedure registry
   CREATE / MERGE / SET / REMOVE / DETACH DELETE → graph writes
+  MERGE … ON CREATE SET … ON MATCH SET …  → conditional post-merge writes
+  FOREACH (x IN list | <updates>)         → driver-side loop, x substituted
+  -[r:T {k: v}]-> in CREATE/MERGE         → edge property writes; MERGE
+                                            relationships are idempotent
 Cypher-only operators: STARTS WITH, ENDS WITH, CONTAINS (substring), =~.
-Not yet: FOREACH, ON CREATE/ON MATCH, relationship property writes.
+Not yet: SET on relationship variables, nested FOREACH over path aliases.
 """
 
 from __future__ import annotations
@@ -142,7 +146,11 @@ class CypherParser(Parser):
         self._writes: list[dict] = []
         paths: list = []
         where = None
-        if self.at_kw("CREATE", "MERGE") or self._at_ident("MERGE"):
+        if (
+            self.at_kw("CREATE", "MERGE")
+            or self._at_ident("MERGE")
+            or self._at_ident("FOREACH")
+        ):
             # standalone write query (no leading MATCH)
             self._parse_writes()
             return (None, [])
@@ -177,8 +185,9 @@ class CypherParser(Parser):
             or self._at_ident("MERGE")
             or self._at_ident("DETACH")
             or self._at_ident("REMOVE")
+            or self._at_ident("FOREACH")
         ):
-            # MATCH … CREATE/SET/REMOVE/DELETE …
+            # MATCH … CREATE/SET/REMOVE/DELETE/FOREACH …
             self._match_for_write = (paths, where)
             self._parse_writes()
             return (None, [])
@@ -224,27 +233,56 @@ class CypherParser(Parser):
         )
         return (stmt, self._stages)
 
+    def _parse_set_list(self) -> list:
+        """Comma list of ``alias.prop = expr`` (after SET / ON CREATE SET /
+        ON MATCH SET)."""
+        assignments = []  # (alias, prop, expr)
+        while True:
+            chain = self.parse_postfix()
+            if not (isinstance(chain, ast.Chain) and len(chain.parts) == 2):
+                raise ParseError("SET expects alias.prop = expr")
+            self.expect_op("=")
+            assignments.append((chain.parts[0], chain.parts[1], self.parse_expr()))
+            if not self.eat_op(","):
+                break
+        return assignments
+
     def _parse_writes(self) -> None:
         while (
             self.at_kw("CREATE", "MERGE", "SET", "DELETE")
             or self._at_ident("MERGE")
             or self._at_ident("DETACH")
             or self._at_ident("REMOVE")
+            or self._at_ident("FOREACH")
         ):
             if self.at_kw("SET"):
                 self.advance()
-                assignments = []  # (alias, prop, expr)
-                while True:
-                    chain = self.parse_postfix()
-                    if not (isinstance(chain, ast.Chain) and len(chain.parts) == 2):
-                        raise ParseError("SET expects alias.prop = expr")
-                    self.expect_op("=")
-                    assignments.append(
-                        (chain.parts[0], chain.parts[1], self.parse_expr())
-                    )
-                    if not self.eat_op(","):
-                        break
-                self._writes.append({"kind": "set", "assignments": assignments})
+                self._writes.append(
+                    {"kind": "set", "assignments": self._parse_set_list()}
+                )
+                continue
+            if self._at_ident("FOREACH"):
+                # FOREACH (x IN list | <writes>) — ForeachStep.java:53
+                self.advance()
+                self.expect_op("(")
+                var = self.ident()
+                if not self._at_ident("IN"):
+                    raise ParseError("FOREACH expects 'x IN list'")
+                self.advance()
+                lst = self.parse_expr()
+                if not self.at_op("|"):
+                    raise ParseError("FOREACH expects '|' before its updates")
+                self.advance()
+                outer = self._writes
+                self._writes = []
+                self._parse_writes()
+                inner, self._writes = self._writes, outer
+                if not inner:
+                    raise ParseError("FOREACH body must contain update clauses")
+                self.expect_op(")")
+                self._writes.append(
+                    {"kind": "foreach", "var": var, "list": lst, "body": inner}
+                )
                 continue
             if self._at_ident("REMOVE"):
                 # REMOVE a.prop — null the property (RemoveStep.java:53)
@@ -261,6 +299,35 @@ class CypherParser(Parser):
                         break
                 self._writes.append({"kind": "set", "assignments": assignments})
                 continue
+            if self._at_ident("MERGE") or self.at_kw("MERGE"):
+                self.advance()
+                patterns = [self._parse_pattern(False)]
+                while self.eat_op(","):
+                    patterns.append(self._parse_pattern(False))
+                on_create: list = []
+                on_match: list = []
+                # ON CREATE SET … / ON MATCH SET … (MergeStep.java:73)
+                while self._at_ident("ON"):
+                    self.advance()
+                    if self._at_ident("CREATE"):
+                        self.advance()
+                        self.expect_kw("SET")
+                        on_create.extend(self._parse_set_list())
+                    elif self._at_ident("MATCH"):
+                        self.advance()
+                        self.expect_kw("SET")
+                        on_match.extend(self._parse_set_list())
+                    else:
+                        raise ParseError("Expected ON CREATE SET or ON MATCH SET")
+                self._writes.append(
+                    {
+                        "kind": "merge",
+                        "patterns": patterns,
+                        "on_create": on_create,
+                        "on_match": on_match,
+                    }
+                )
+                continue
             if self._at_ident("DETACH") or self.at_kw("DELETE"):
                 if self._at_ident("DETACH"):
                     self.advance()
@@ -270,25 +337,25 @@ class CypherParser(Parser):
                     targets.append(self.ident())
                 self._writes.append({"kind": "delete", "targets": targets})
                 continue
-            kind = "merge" if self._at_ident("MERGE") or self.at_kw("MERGE") else "create"
-            self.advance()
+            self.expect_kw("CREATE")
             patterns = [self._parse_pattern(False)]
             while self.eat_op(","):
                 patterns.append(self._parse_pattern(False))
-            self._writes.append({"kind": kind, "patterns": patterns})
+            self._writes.append({"kind": "create", "patterns": patterns})
 
     # -- patterns ----------------------------------------------------------
     def _parse_pattern(self, optional: bool) -> ast.MatchPath:
         root = self._parse_node()
         steps: list[ast.MatchStep] = []
         while self.at_op("-", "<"):
-            direction, etypes, min_h, max_h = self._parse_rel()
+            direction, etypes, min_h, max_h, ealias, eprops = self._parse_rel()
             node = self._parse_node()
             method = {"out": "out", "in": "in", "both": "both"}[direction]
             steps.append(
                 ast.MatchStep(
                     method=method, edge_types=etypes, filter=node,
                     min_hops=min_h, max_hops=max_h,
+                    edge_alias=ealias, edge_props=eprops,
                 )
             )
         return ast.MatchPath(
@@ -344,10 +411,12 @@ class CypherParser(Parser):
         else:
             self.expect_op("-")
         etypes: list[str] = []
+        ealias = None
+        eprops: list[tuple] = []
         if self.at_op("["):
             self.advance()
             if self.cur.kind == "IDENT":
-                self.ident()  # relationship variable (unused round 1)
+                ealias = self.ident()  # relationship variable
             if self.cur.kind == "PARAM":  # ':TYPE' lexes as one PARAM token
                 etypes.append(self.advance().value)
             elif self.at_op(":"):
@@ -374,6 +443,20 @@ class CypherParser(Parser):
                     max_h = 10
                     if self.cur.kind == "INT":
                         max_h = int(self.advance().value)
+            if self.at_op("{"):
+                # inline relationship property map {k: v, …} — kept for
+                # CREATE/MERGE edge writes (CreateStep.java:60)
+                self.advance()
+                while not self.at_op("}"):
+                    key = self.ident()
+                    if self.cur.kind == "PARAM":
+                        val: ast.Expr = ast.Chain((self.advance().value,))
+                    else:
+                        self.expect_op(":")
+                        val = self.parse_expr()
+                    eprops.append((key, val))
+                    self.eat_op(",")
+                self.expect_op("}")
             self.expect_op("]")
             self.expect_op("-")
             if self.at_op(">"):
@@ -381,14 +464,14 @@ class CypherParser(Parser):
                 if direction == "in":
                     raise ParseError("Relationship cannot be both <- and ->")
                 direction = "out"
-            return direction, tuple(etypes), min_h, max_h
+            return direction, tuple(etypes), min_h, max_h, ealias, tuple(eprops)
         self.expect_op("-")
         if self.at_op(">"):
             self.advance()
             if direction == "in":
                 raise ParseError("Relationship cannot be both <- and ->")
             direction = "out"
-        return direction, tuple(etypes), 1, 1
+        return direction, tuple(etypes), 1, 1, None, ()
 
 
 def _bare_alias(item: ast.ProjItem) -> str | None:
@@ -472,11 +555,16 @@ def _literal_props(db, props, params) -> dict:
     return out
 
 
-def _apply_write(db, g, kind: str, path: ast.MatchPath, df, aliases, params) -> int:
+def _apply_write(
+    db, g, kind: str, path: ast.MatchPath, df, aliases, params,
+    on_create=(), on_match=(),
+) -> int:
     """One CREATE/MERGE pattern: create/match each node, then one edge per
     step (per match row when endpoints are bound).  Reference:
-    query/opencypher/executor/steps/CreateStep.java:60 / MergeStep.java:73
-    (subset: node MERGE by inline props; no ON CREATE/ON MATCH yet).
+    query/opencypher/executor/steps/CreateStep.java:60 / MergeStep.java:73.
+    MERGE supports ON CREATE SET / ON MATCH SET on the pattern's own
+    (non-bound) node aliases, and is idempotent for relationships
+    (existing (src,dst) pairs of the edge type are not re-created).
 
     Deviation (documented): a literal node inside MATCH…CREATE is created
     ONCE and shared across match rows — vids are content-derived hashes,
@@ -484,10 +572,11 @@ def _apply_write(db, g, kind: str, path: ast.MatchPath, df, aliases, params) -> 
     proper would mint one anonymous node per row."""
     from pyspark.sql import functions as F
 
-    from arcadedb_spark.sql.translator import TranslateError
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
 
     nodes = [path.root] + [s.filter for s in path.steps]
     resolved: list[tuple[str, object]] = []  # ('bound', alias) | ('vid', vid)
+    node_state: list[tuple] = []  # (alias, label, vid, 'created'|'matched')
     created = 0
     for node in nodes:
         if node.alias and node.alias in (aliases or ()):
@@ -504,12 +593,31 @@ def _apply_write(db, g, kind: str, path: ast.MatchPath, df, aliases, params) -> 
             hit = vdf.filter(cond).select("vid").limit(1).collect()
             if hit:
                 resolved.append(("vid", hit[0][0]))
+                node_state.append((node.alias, node.type_name, hit[0][0], "matched"))
                 continue
         vid = g.add_vertex_rows(node.type_name, [props])[0]
         created += 1
         resolved.append(("vid", vid))
+        node_state.append((node.alias, node.type_name, vid, "created"))
+    # ON CREATE SET / ON MATCH SET over the pattern's own aliases
+    for assignments, want in ((on_create, "created"), (on_match, "matched")):
+        per_alias: dict[str, list] = {}
+        for alias, prop, expr in assignments:
+            per_alias.setdefault(alias, []).append((prop, expr))
+        for alias, label, vid, state in node_state:
+            if state != want or alias is None or alias not in per_alias:
+                continue
+            vdf = g.vertices(label)
+            ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))
+            compiled = [
+                (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
+                for prop, e in per_alias[alias]
+            ]
+            matched = db.spark.createDataFrame([(vid,)], "vid long")
+            g.update_vertices(label, matched, compiled)
     for i, step in enumerate(path.steps):
         etype = step.edge_types[0] if step.edge_types else "RELATED"
+        eprops = _literal_props(db, step.edge_props, params)
         a, b = resolved[i], resolved[i + 1]
         if step.method == "in":
             a, b = b, a
@@ -521,12 +629,44 @@ def _apply_write(db, g, kind: str, path: ast.MatchPath, df, aliases, params) -> 
                 F.col(f"{b[1]}.vid") if b[0] == "bound" else F.lit(b[1]).cast("long")
             )
             frame = df.select(sel_a.alias("src"), sel_b.alias("dst"))
+            if kind == "merge":
+                frame = g.filter_new_edges(etype, frame)
+            for k, v in eprops.items():
+                frame = frame.withColumn(k, F.lit(v))
             created += g.add_edges_from_frame(etype, frame)
         elif a[0] == "vid" and b[0] == "vid":
-            created += g.add_edge_rows(etype, [(a[1], b[1])])
+            if kind == "merge" and etype in g.edge_meta:
+                exists = (
+                    g.edges(etype)
+                    .filter((F.col("src") == a[1]) & (F.col("dst") == b[1]))
+                    .limit(1)
+                    .count()
+                )
+                if exists:
+                    continue
+            created += g.add_edge_rows(etype, [(a[1], b[1])], props=eprops)
         else:
             raise TranslateError("CREATE edge endpoints must be bound or literal")
     return created
+
+
+def _subst_var(e, name: str, value):
+    """Replace a bare identifier (FOREACH loop variable) with a literal.
+    Recurses through expression AND pattern dataclasses (MatchPath etc.)."""
+    if isinstance(e, ast.Chain) and e.parts and e.parts[0] == name:
+        if len(e.parts) == 1:
+            return ast.Lit(value)
+        if isinstance(value, dict):  # x.prop over a map element
+            return ast.Lit(value.get(e.parts[1]))
+    if hasattr(e, "__dataclass_fields__"):
+        kwargs = {
+            f_: _subst_var(getattr(e, f_), name, value)
+            for f_ in e.__dataclass_fields__
+        }
+        return type(e)(**kwargs)
+    if isinstance(e, tuple):
+        return tuple(_subst_var(x, name, value) for x in e)
+    return e
 
 
 def _strip_alias(e, alias: str):
@@ -562,8 +702,39 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 if node.alias and node.type_name:
                     alias_label[node.alias] = node.type_name
         df, aliases = combine_paths(db, paths, where, params or {})
-    n = 0
-    for w in p._writes:
+    def subst_write(w: dict, var: str, elem) -> dict:
+        """Substitute a FOREACH loop variable through one write clause."""
+        out = {}
+        for k, v in w.items():
+            if k == "body":
+                out[k] = [subst_write(x, var, elem) for x in v]
+            elif k in ("assignments", "on_create", "on_match"):
+                out[k] = [(a, prop, _subst_var(e, var, elem)) for a, prop, e in v]
+            elif k in ("patterns", "list"):
+                out[k] = _subst_var(v, var, elem) if k == "list" else [
+                    _subst_var(x, var, elem) for x in v
+                ]
+            else:
+                out[k] = v
+        return out
+
+    def run_one(w) -> int:
+        from arcadedb_spark.sql.litreg import value_of
+
+        if w["kind"] == "foreach":
+            # ForeachStep.java:53 — driver-side loop over the evaluated
+            # list, loop variable substituted as a literal per element
+            ctx = Ctx(db=db, params=params or {})
+            col = ExprCompiler(ctx).compile(w["list"])
+            lst = value_of(col)
+            if lst is None:  # not a registered literal — evaluate on a 1-row frame
+                lst = db.spark.range(1).select(col.alias("__l")).collect()[0][0]
+            return sum(
+                run_one(subst_write(inner, w["var"], elem))
+                for elem in (lst or [])
+                for inner in w["body"]
+            )
+        n = 0
         if w["kind"] == "set":
             # group assignments per alias → one vertex-table rewrite each
             per_alias: dict[str, list] = {}
@@ -581,7 +752,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     for prop, e in assigns
                 ]
                 n += g.update_vertices(label, matched, compiled)
-            continue
+            return n
         if w["kind"] == "delete":
             for alias in w["targets"]:
                 label = alias_label.get(alias)
@@ -589,9 +760,15 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     raise TranslateError(f"DELETE target '{alias}' is not a labeled match alias")
                 matched = df.select(F.col(f"{alias}.vid").alias("vid"))
                 n += g.remove_vertices(label, matched)
-            continue
+            return n
         for path in w["patterns"]:
-            n += _apply_write(db, g, w["kind"], path, df, aliases, params)
+            n += _apply_write(
+                db, g, w["kind"], path, df, aliases, params,
+                on_create=w.get("on_create", ()), on_match=w.get("on_match", ()),
+            )
+        return n
+
+    n = sum(run_one(w) for w in p._writes)
     return db.spark.createDataFrame([(n,)], "count long")
 
 

@@ -153,18 +153,34 @@ class GraphModel:
             self.vertex_dfs[key_l] = new_df
         return vids
 
-    def add_edge_rows(self, etype: str, pairs: list[tuple[int, int]]) -> int:
+    def add_edge_rows(
+        self, etype: str, pairs: list[tuple[int, int]], props: dict | None = None
+    ) -> int:
+        """Append literal edges; ``props`` (same values for every pair)
+        become edge property columns."""
         if not pairs:
             return 0
         df = self.spark.createDataFrame(pairs, "src long, dst long")
-        self.add_edges(etype, df, "src", "dst")
+        for k, v in (props or {}).items():
+            df = df.withColumn(k, F.lit(v))
+        self.add_edges(etype, df, "src", "dst", props=list(props or ()))
         return len(pairs)
 
     def add_edges_from_frame(self, etype: str, frame: DataFrame) -> int:
-        """Append one edge per row of (src, dst) — e.g. from a MATCH."""
+        """Append one edge per row of (src, dst [, prop…]) — e.g. from a
+        MATCH; non-endpoint columns ride along as edge properties."""
         n = frame.count()
-        self.add_edges(etype, frame, "src", "dst")
+        props = [c for c in frame.columns if c not in ("src", "dst")]
+        self.add_edges(etype, frame, "src", "dst", props=props)
         return n
+
+    def filter_new_edges(self, etype: str, frame: DataFrame) -> DataFrame:
+        """Drop (src, dst) rows that already exist as ``etype`` edges —
+        the MERGE-relationship idempotency check (MergeStep.java:73)."""
+        if etype not in self.edge_meta:
+            return frame
+        existing = self.edges(etype).select("src", "dst")
+        return frame.join(existing, ["src", "dst"], "left_anti")
 
     def update_vertices(self, label: str, matched_vids: DataFrame, assignments) -> int:
         """Conditional property rewrite for matched vids.

@@ -317,6 +317,10 @@ class MatchStep:
     filter: MatchFilter = field(default_factory=MatchFilter)
     min_hops: int = 1
     max_hops: int = 1
+    # Cypher relationship variable + inline literal props, kept for
+    # CREATE/MERGE edge-property writes: -[r:T {k: v}]->
+    edge_alias: Optional[str] = None
+    edge_props: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -219,3 +219,46 @@ def test_remove_property(db):
     cy(db, "MATCH (g:Gizmo) REMOVE g.color")
     r = cy(db, "MATCH (g:Gizmo) RETURN g.name AS n, g.color AS c").collect()[0]
     assert r["n"] == "g1" and r["c"] is None
+
+
+def test_merge_on_create_on_match(db):
+    # first MERGE creates → ON CREATE fires
+    cy(db, "MERGE (a:Acct {name: 'alice'}) "
+           "ON CREATE SET a.visits = 1 ON MATCH SET a.visits = a.visits + 1")
+    r = cy(db, "MATCH (a:Acct) RETURN a.visits AS v").collect()[0]
+    assert r["v"] == 1
+    # second MERGE matches → ON MATCH fires
+    cy(db, "MERGE (a:Acct {name: 'alice'}) "
+           "ON CREATE SET a.visits = 1 ON MATCH SET a.visits = a.visits + 1")
+    r = cy(db, "MATCH (a:Acct) RETURN a.visits AS v").collect()[0]
+    assert r["v"] == 2
+
+
+def test_create_edge_properties(db):
+    cy(db, "CREATE (a:City {name: 'rome'})-[r:ROAD {km: 540, kind: 'hwy'}]->"
+           "(b:City {name: 'milan'})")
+    g = db.graph()
+    e = g.edges("ROAD").collect()
+    assert len(e) == 1 and e[0]["km"] == 540 and e[0]["kind"] == "hwy"
+
+
+def test_merge_edge_idempotent(db):
+    cy(db, "CREATE (a:Srv {name: 's1'}), (b:Srv {name: 's2'})")
+    n1 = cy(db, "MERGE (a:Srv {name: 's1'})-[:LINKS]->(b:Srv {name: 's2'})").collect()[0]["count"]
+    assert n1 == 1  # nodes matched, one edge created
+    n2 = cy(db, "MERGE (a:Srv {name: 's1'})-[:LINKS]->(b:Srv {name: 's2'})").collect()[0]["count"]
+    assert n2 == 0  # second MERGE is a no-op
+    assert db.graph().edges("LINKS").count() == 1
+
+
+def test_foreach_literal(db):
+    cy(db, "FOREACH (x IN [1, 2, 3] | CREATE (n:Seq {pos: x}))")
+    rows = cy(db, "MATCH (n:Seq) RETURN n.pos AS p ORDER BY p").collect()
+    assert [r["p"] for r in rows] == [1, 2, 3]
+
+
+def test_foreach_set_over_match(db):
+    cy(db, "CREATE (a:Dial {name: 'd1', lvl: 0})")
+    cy(db, "MATCH (d:Dial) FOREACH (x IN [1, 2] | SET d.lvl = d.lvl + x)")
+    r = cy(db, "MATCH (d:Dial) RETURN d.lvl AS l").collect()[0]
+    assert r["l"] == 3  # 0 + 1 + 2
