@@ -1863,6 +1863,36 @@ def q_geo_distance(spark, sf_dir):
 
 
 @query(
+    "q_geo_polygon",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 50 AS DOUBLE) AS x,
+             CAST((c_custkey * 7) % 50 AS DOUBLE) AS y
+      FROM customer
+    )
+    SELECT c_custkey,
+           (x >= 0 AND y >= 0 AND x + y <= 40) AS in_triangle,
+           (x >= 5 AND x <= 30 AND y >= 5 AND y <= 30) AS in_rect
+    FROM pts WHERE c_custkey < 120 ORDER BY c_custkey
+    """,
+)
+def q_geo_polygon(spark, sf_dir):
+    """Ray-cast point-in-polygon + rectangle containment through the WKT
+    geometry kernel (function/sql/geo/SQLFunctionGeoWithin.java)."""
+    return _db(spark, sf_dir).query(
+        """
+        SELECT c_custkey,
+               geo.within(geo.point(c_custkey % 50, (c_custkey * 7) % 50),
+                          geo.polygon([[0, 0], [40, 0], [0, 40]])) AS in_triangle,
+               geo.within(geo.point(c_custkey % 50, (c_custkey * 7) % 50),
+                          geo.rectangle(5, 5, 30, 30)) AS in_rect
+        FROM customer WHERE c_custkey < 120 ORDER BY c_custkey
+        """
+    )
+
+
+@query(
     "q_json_dynamic_props",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

@@ -379,6 +379,43 @@ def _length(args):
     return F.length(args[0])
 
 
+@scalar("sorensendicesimilarity", "sorensendice")
+def _sorensen_dice(args):
+    """2·|bigrams∩| / (|A|+|B|) over lowercased bigram SETS
+    (function/text/TextSorensenDiceSimilarity.java:69-81) — pure Column
+    ops: Column.substr accepts Column offsets, so the bigram arrays stay
+    inside whole-stage codegen."""
+    a, b = args[0].cast("string"), args[1].cast("string")
+
+    def bigrams(c):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(c) - 1, F.lit(0))),
+                lambda i: F.lower(c.substr(i, F.lit(2))),
+            )
+        )
+
+    ba, bb = bigrams(a), bigrams(b)
+    both_short = (F.length(a) < 2) | (F.length(b) < 2)
+    return (
+        F.when(a == b, F.lit(1.0))
+        .when(both_short, F.lit(0.0))
+        .otherwise(
+            2.0 * F.size(F.array_intersect(ba, bb)) / (F.size(ba) + F.size(bb))
+        )
+    )
+
+
+@scalar("jarowinklerdistance", "jarowinkler")
+def _jaro_winkler(args):
+    """Jaro-Winkler similarity 0-1, prefix weight 0.1, prefix cap 4
+    (function/text/TextJaroWinklerDistance.java) — iterative matching
+    window, so a pandas UDF."""
+    from arcadedb_spark.text.similarity import jaro_winkler_udf
+
+    return jaro_winkler_udf()(args[0].cast("string"), args[1].cast("string"))
+
+
 # ---------------------------------------------------------------------------
 # Scalar: date/time (function/sql/time/*.java, function/date/*.java)
 # ---------------------------------------------------------------------------
@@ -561,37 +598,42 @@ for _n, _i in {
 
 
 # ---------------------------------------------------------------------------
-# Geo (function/sql/geo/*.java — v1 subset per SURVEY §2.9: haversine
-# distance + bbox predicates as built-in Column math; full JTS-grade
-# geometry is round-2 work)
+# Geo (function/sql/geo/*.java — WKT-string geometry; point ops stay JVM
+# Column math, polygon/line work goes through Arrow-batched pandas UDFs
+# over arcadedb_spark.geo.core.  See geo/core.py for parity notes.
 # ---------------------------------------------------------------------------
 
 _EARTH_KM = 6371.0
 
 
 @scalar("distance")
+@scalar("geo.distance")
 def _geo_distance(args):
-    """distance(lat1, lon1, lat2, lon2 [, 'km'|'mi']) — haversine
-    (SQLFunctionDistance legacy signature)."""
-    lat1, lon1, lat2, lon2 = (a.cast("double") for a in args[:4])
-    unit = 1.0
-    if len(args) > 4:
-        from arcadedb_spark.sql.litreg import value_of
+    """geo.distance(p1_wkt, p2_wkt [, 'm'|'km'|'mi'|'nmi']) — haversine,
+    meters default (SQLFunctionGeoDistance.java).  The legacy 4-argument
+    numeric form distance(lat1, lon1, lat2, lon2 [, unit]) is kept."""
+    from arcadedb_spark.geo import udfs as gu
+    from arcadedb_spark.sql.litreg import value_of
 
-        if str(value_of(args[4])).lower() == "mi":
+    if len(args) >= 4:  # legacy numeric signature (km; 'mi' opt-in)
+        lat1, lon1, lat2, lon2 = (a.cast("double") for a in args[:4])
+        unit = 1.0
+        if len(args) > 4 and str(value_of(args[4])).lower() == "mi":
             unit = 0.621371192
-    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
-    dlat = F.radians(lat2 - lat1) / 2
-    dlon = F.radians(lon2 - lon1) / 2
-    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
-    return F.lit(2 * _EARTH_KM * unit) * F.asin(F.sqrt(a))
-
-
-@scalar("geo.point")
-def _geo_point(args):
-    return F.struct(
-        args[0].cast("double").alias("lat"), args[1].cast("double").alias("lon")
-    )
+        rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+        dlat = F.radians(lat2 - lat1) / 2
+        dlon = F.radians(lon2 - lon1) / 2
+        a = (
+            F.sin(dlat) * F.sin(dlat)
+            + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+        )
+        return F.lit(2 * _EARTH_KM * unit) * F.asin(F.sqrt(a))
+    unit_lit = value_of(args[2]) if len(args) > 2 else "m"
+    if isinstance(unit_lit, str):
+        # WKT points → pure Column math; non-point WKT would extract as
+        # null coords, so this fast path is for the common point case
+        return gu.haversine_distance(args[0], args[1], unit_lit)
+    return gu.distance_any(args[0], args[1], args[2])
 
 
 @scalar("geo.bboxcontains")
@@ -601,6 +643,151 @@ def _geo_bbox_contains(args):
     return (
         (lat >= min_lat) & (lat <= max_lat) & (lon >= min_lon) & (lon <= max_lon)
     )
+
+
+@scalar("point")
+@scalar("geo.point")
+def _geo_point(args):
+    """'POINT (x y)' WKT (SQLFunctionGeoPoint.java; x = longitude)."""
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.point_wkt(args[0], args[1])
+
+
+@scalar("rectangle")
+@scalar("geo.rectangle")
+def _geo_rectangle(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.rectangle_wkt(*args[:4])
+
+
+@scalar("linestring")
+@scalar("geo.linestring")
+def _geo_linestring(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.linestring_wkt(*args)
+
+
+@scalar("circle")
+@scalar("geo.circle")
+def _geo_circle(args):
+    """circle(x, y, r) → buffered point polygon (SQLFunctionCircle.java:
+    'deprecated: use geo.buffer(geo.point(x,y), radius)')."""
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.buffer(gu.point_wkt(args[0], args[1]), args[2])
+
+
+@scalar("polygon")
+@scalar("geo.polygon")
+def _geo_polygon(args):
+    """geo.polygon([[x1,y1],[x2,y2],…]) → closed POLYGON WKT
+    (SQLFunctionGeoPolygon.java)."""
+    pts = args[0].cast("array<array<double>>")
+    first = F.element_at(pts, 1)
+    # auto-close the ring when the input doesn't repeat the first point
+    closed = F.when(
+        F.element_at(pts, -1) == first, pts
+    ).otherwise(F.concat(pts, F.array(first)))
+    body = F.array_join(
+        F.transform(
+            closed,
+            lambda p: F.concat_ws(" ",
+                F.element_at(p, 1).cast("string"),
+                F.element_at(p, 2).cast("string")),
+        ),
+        ", ",
+    )
+    return F.format_string("POLYGON ((%s))", body)
+
+
+@scalar("geo.x")
+def _geo_x(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.point_x(args[0])
+
+
+@scalar("geo.y")
+def _geo_y(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.point_y(args[0])
+
+
+def _geo_pred(name: str, kernel: str):
+    def builder(args, _k=kernel):
+        from arcadedb_spark.geo import udfs as gu
+
+        return gu.predicate(_k, args[0], args[1])
+
+    SCALARS[name] = builder
+
+
+for _n, _k in {
+    "geo.contains": "contains",
+    "geo.within": "within",
+    "geo.intersects": "intersects",
+    "geo.disjoint": "disjoint",
+    "geo.equals": "equals",
+    "geo.touches": "touches",
+    "geo.crosses": "crosses",
+    "geo.overlaps": "overlaps",
+}.items():
+    _geo_pred(_n, _k)
+
+
+@scalar("geo.dwithin")
+def _geo_dwithin(args):
+    """geo.dWithin(g1, g2, distDegrees) — planar threshold in degrees
+    (SQLFunctionGeoDWithin.java)."""
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.dwithin(args[0], args[1], args[2])
+
+
+@scalar("geo.area")
+def _geo_area(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.area(args[0])
+
+
+@scalar("geo.envelope")
+def _geo_envelope(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.envelope(args[0])
+
+
+@scalar("geo.buffer")
+def _geo_buffer(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.buffer(args[0], args[1])
+
+
+@scalar("geo.geomfromtext")
+def _geo_geomfromtext(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.geom_from_text(args[0])
+
+
+@scalar("geo.astext")
+def _geo_astext(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.geom_from_text(args[0])  # normalize via parse→format
+
+
+@scalar("geo.asgeojson")
+def _geo_asgeojson(args):
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.as_geojson(args[0])
 
 
 # ---------------------------------------------------------------------------

@@ -276,3 +276,34 @@ def _str(col_or_lit) -> str:
     if v is None:
         raise ValueError("argument must be a literal string")
     return str(v)
+
+
+# -- geo methods (query/sql/method/geo/*.java) -------------------------------
+
+
+@method("isWithin")
+def _is_within(base, args):
+    """wkt.isWithin(other_wkt) — SQLMethodIsWithin.java."""
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.predicate("within", base, args[0])
+
+
+@method("intersectsWith")
+def _intersects_with(base, args):
+    """wkt.intersectsWith(other_wkt) — SQLMethodIntersectsWith.java."""
+    from arcadedb_spark.geo import udfs as gu
+
+    return gu.predicate("intersects", base, args[0])
+
+
+@method("normalize")
+def _normalize(base, args):
+    """str.normalize(['NFD'|'NFC'|…][, removeRegex]) — Unicode normalize
+    then optional regex strip (SQLMethodNormalize.java; accent removal is
+    .normalize('NFD', '\\p{M}'))."""
+    from arcadedb_spark.text.similarity import normalize_udf
+
+    form = _str(args[0]) if args else "NFD"
+    remove = _str(args[1]) if len(args) > 1 else None
+    return normalize_udf(form, remove)(base.cast("string"))

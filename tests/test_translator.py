@@ -184,3 +184,25 @@ def test_nested_projection(db, spark):
         assert r2.asDict() == {"a": 1, "c": 3}
     finally:
         db.schema.drop("np_t")
+
+
+def test_text_similarity_tail(db):
+    r = db.query(
+        "SELECT round(jaroWinklerDistance('MARTHA', 'MARHTA'), 4) AS jw, "
+        "round(jaroWinklerDistance('DIXON', 'DICKSONX'), 4) AS jw2, "
+        "round(sorensenDiceSimilarity('night', 'nacht'), 4) AS sd, "
+        "sorensenDiceSimilarity('abc', 'abc') AS sd_eq, "
+        "sorensenDiceSimilarity('a', 'b') AS sd_short "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert r["jw"] == 0.9611 and r["jw2"] == 0.8133  # canonical JW values
+    assert r["sd"] == 0.25  # bigram sets {ni,ig,gh,ht} vs {na,ac,ch,ht}
+    assert r["sd_eq"] == 1.0 and r["sd_short"] == 0.0
+
+
+def test_normalize_method(db):
+    r = db.query(
+        r"SELECT 'café'.normalize('NFD', '\\p{M}') AS plain "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert r["plain"] == "cafe"
