@@ -179,4 +179,56 @@ class Catalog:
             return self.spark.createDataFrame(
                 rows, "name string, type string, props array<string>, kind string"
             )
+        if which == "stats":
+            # FetchFromSchemaStatsStep — per-type row counts; parquet
+            # footer metadata makes count() a metadata-only scan
+            rows = [
+                (t.name, t.kind, t.df().count(), len(t.df().columns))
+                for t in self._types.values()
+                if t.kind != "view"
+            ]
+            return self.spark.createDataFrame(
+                rows, "type string, kind string, row_count long, columns int"
+            )
+        if which == "dictionary":
+            # FetchFromSchemaDictionaryStep — the interned property-name
+            # dictionary (engine/Dictionary.java); here: column name →
+            # stable id across every registered type
+            names: list[str] = []
+            seen = set()
+            for t in self._types.values():
+                for c in t.df().columns:
+                    if c not in seen:
+                        seen.add(c)
+                        names.append(c)
+            return self.spark.createDataFrame(
+                list(enumerate(names)), "id int, name string"
+            )
+        if which == "materializedviews":
+            rows = [
+                (t.name, str(t.properties.get("mv_refresh", "MANUAL")))
+                for t in self._types.values()
+                if t.kind == "view" and "mv_select" in t.properties
+            ]
+            return self.spark.createDataFrame(rows, "name string, refresh_mode string")
+        if which == "continuousaggregates":
+            rows = [
+                (t.name, str(t.properties.get("ca_bucket", "")),
+                 str(t.properties.get("ca_watermark", "")))
+                for t in self._types.values()
+                if t.kind == "view" and t.properties.get("mv_refresh") == "CONTINUOUS"
+            ]
+            return self.spark.createDataFrame(rows, "name string, bucket string, watermark string")
+        if which == "graphanalyticalviews":
+            # GAV ≈ the cached src-partitioned edge frame (graph/model.py
+            # edges_by_src); report registered edge types
+            rows = [
+                (etype, src or "", dst or "")
+                for etype, (src, dst) in getattr(
+                    getattr(self, "_graph_ref", None), "edge_meta", {}
+                ).items()
+            ]
+            return self.spark.createDataFrame(
+                rows, "edge_type string, src_type string, dst_type string"
+            )
         raise KeyError(f"Unknown schema table 'schema:{which}'")

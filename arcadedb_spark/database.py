@@ -140,7 +140,8 @@ class Database:
 
     def query(self, text: str, language: str = "sql", **params) -> DataFrame:
         """Query entry point with language dispatch
-        (query/QueryEngineManager.java:60): 'sql' (default) or 'cypher'.
+        (query/QueryEngineManager.java:60): 'sql' (default), 'cypher',
+        or 'gremlin'.
 
         Pipeline analog of SQLQueryEngine.java:85: parse (cached) →
         translate to a DataFrame program → Catalyst plans/executes.
@@ -149,6 +150,10 @@ class Database:
             from arcadedb_spark.graph.cypher import cypher_query
 
             return cypher_query(self, text, params)
+        if language.lower() == "gremlin":
+            from arcadedb_spark.graph.gremlin import gremlin_query
+
+            return gremlin_query(self, text)
         from arcadedb_spark.sql.parser import parse
         from arcadedb_spark.sql.translator import Translator
 
@@ -206,4 +211,6 @@ class Database:
             from arcadedb_spark.graph.model import GraphModel
 
             self._graph = GraphModel.from_database(self)
+            # lets `select from schema:graphAnalyticalViews` see edge types
+            self.schema._graph_ref = self._graph
         return self._graph

@@ -617,6 +617,40 @@ def q_time_bucket(spark, sf_dir):
 
 
 @query(
+    "q_promql_range_avg",
+    oracle="""
+    WITH m AS (SELECT event_type, epoch_ms(ts) AS tsm, value FROM events),
+    mx AS (SELECT max(tsm) AS t FROM m)
+    SELECT event_type, round(avg(value), 4) AS avg_v
+    FROM m, mx WHERE tsm >= t - 3600000 AND tsm <= t
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_promql_range_avg(spark, sf_dir):
+    """PromQL avg_over_time over a metrics frame derived from events
+    (engine/timeseries/promql/PromQLEvaluator.java parity; series
+    identity = label map {event_type})."""
+    from arcadedb_spark.timeseries.promql import promql_instant
+
+    ev = _db(spark, sf_dir).table("events")
+    metrics = ev.select(
+        F.lit("ev").alias("metric"),
+        F.create_map(F.lit("event_type"), F.col("event_type")).alias("labels"),
+        F.unix_millis("ts").alias("ts_millis"),
+        F.col("value").cast("double").alias("value"),
+    )
+    t_end = metrics.agg(F.max("ts_millis")).collect()[0][0]
+    out = promql_instant(metrics, "avg_over_time(ev[1h])", t_end)
+    return (
+        out.select(
+            F.col("labels").getItem("event_type").alias("event_type"),
+            F.round("value", 4).alias("avg_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q_ts_lag_delta",
     oracle="""
     SELECT event_id,

@@ -111,11 +111,44 @@ class GraphTraversal:
             self.db, self._df.dropDuplicates(["vid"]), self._label
         )
 
+    def order(self) -> "_Ordered":
+        return _Ordered(self)
+
+    def groupCount(self) -> "_GroupCount":
+        return _GroupCount(self)
+
+    group_count = groupCount
+
     def toDF(self) -> DataFrame:
         return self._df
 
     def toList(self) -> list:
         return self._df.collect()
+
+
+class _Ordered:
+    """``.order().by(prop[, 'desc'])`` modulator."""
+
+    def __init__(self, t: GraphTraversal) -> None:
+        self._t = t
+
+    def by(self, prop: str, direction: str = "asc") -> GraphTraversal:
+        col = F.desc(prop) if direction.lower() in ("desc", "decr") else F.asc(prop)
+        return GraphTraversal(self._t.db, self._t._df.orderBy(col), self._t._label)
+
+
+class _GroupCount:
+    """``.groupCount().by(prop)`` — histogram DataFrame (key, count)."""
+
+    def __init__(self, t: GraphTraversal) -> None:
+        self._t = t
+
+    def by(self, prop: str) -> DataFrame:
+        return (
+            self._t._df.groupBy(F.col(prop).alias("key"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("key"))
+        )
 
 
 class GraphTraversalSource:
@@ -132,3 +165,77 @@ class GraphTraversalSource:
 
     def E(self, *etypes: str) -> DataFrame:
         return self.db.graph().edges(*etypes)
+
+
+# ---------------------------------------------------------------------------
+# Gremlin string front end (GremlinQueryEngine.java:33 — the reference
+# accepts Gremlin text through the same query() dispatch; here a chain
+# grammar over the fluent builder above, so the DataFrame program is
+# identical to hand-written fluent calls)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_CALL_RE = _re.compile(r"\.?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(([^()]*)\)")
+
+
+def _parse_args(raw: str) -> list:
+    args: list = []
+    for part in filter(None, (p.strip() for p in raw.split(","))):
+        if (part.startswith("'") and part.endswith("'")) or (
+            part.startswith('"') and part.endswith('"')
+        ):
+            args.append(part[1:-1])
+        elif _re.fullmatch(r"-?\d+", part):
+            args.append(int(part))
+        elif _re.fullmatch(r"-?\d+\.\d+", part):
+            args.append(float(part))
+        elif part in ("true", "false"):
+            args.append(part == "true")
+        else:
+            raise ValueError(f"Unsupported Gremlin argument: {part!r}")
+    return args
+
+
+def gremlin_query(db, text: str) -> DataFrame:
+    """``g.V().hasLabel('X').has('p', v).out('E')…`` string → DataFrame.
+
+    Terminal steps: values(...) → projection, count() → 1-row count,
+    groupCount().by(p) → histogram; otherwise the vertex frame.
+    """
+    s = text.strip()
+    if not s.startswith("g."):
+        raise ValueError("Gremlin query must start with 'g.'")
+    pos = 1  # skip 'g'
+    calls: list[tuple[str, list]] = []
+    rest = s[1:]
+    for m in _CALL_RE.finditer(rest):
+        if rest[pos:m.start()].strip(" ."):
+            raise ValueError(f"Bad Gremlin syntax near: {rest[pos:m.start()]!r}")
+        calls.append((m.group(1), _parse_args(m.group(2))))
+        pos = m.end()
+    if rest[pos:].strip(" ."):
+        raise ValueError(f"Trailing Gremlin input: {rest[pos:]!r}")
+    if not calls or calls[0][0] not in ("V", "E"):
+        raise ValueError("Gremlin chain must start with g.V() or g.E()")
+
+    src = GraphTraversalSource(db)
+    head, head_args = calls[0]
+    if head == "E":
+        df = src.E(*head_args)
+        if len(calls) > 1:
+            raise ValueError("g.E() supports no further steps")
+        return df
+    cur: object = src.V(*head_args)
+    for name, args in calls[1:]:
+        if name == "in":
+            name = "in_"
+        if name == "count":
+            return db.spark.createDataFrame([(cur.count(),)], "count long")
+        if name == "values":
+            return cur.values(*args)
+        step = getattr(cur, name, None)
+        if step is None:
+            raise ValueError(f"Unsupported Gremlin step: {name}()")
+        cur = step(*args)
+    return cur.toDF() if isinstance(cur, GraphTraversal) else cur

@@ -222,3 +222,30 @@ def test_edge_step_with_properties(db):
     assert [(r["brand"], r["n"]) for r in rows] == [
         (r["p_brand"], r["count"]) for r in expect
     ]
+
+
+def test_gremlin_string_queries(db):
+    n = db.query(
+        "g.V().hasLabel('Customer').has('c_mktsegment', 'BUILDING')"
+        ".out('PLACED').count()", language="gremlin",
+    ).collect()[0]["count"]
+    # fluent equivalent must agree
+    fluent = (
+        db.g().V().hasLabel("Customer").has("c_mktsegment", "BUILDING")
+        .out("PLACED").count()
+    )
+    assert n == fluent and n > 0
+    vals = db.query(
+        "g.V('Customer').order().by('c_acctbal', 'desc').limit(3)"
+        ".values('c_name', 'c_acctbal')", language="gremlin",
+    ).collect()
+    assert len(vals) == 3 and vals[0]["c_acctbal"] >= vals[1]["c_acctbal"]
+    hist = db.query(
+        "g.V('Customer').groupCount().by('c_mktsegment')", language="gremlin",
+    ).collect()
+    assert sum(r["count"] for r in hist) == 150 and len(hist) == 5
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        db.query("g.V().teleport()", language="gremlin").collect()
+    with _pt.raises(ValueError):
+        db.query("x.V()", language="gremlin")

@@ -206,3 +206,20 @@ def test_normalize_method(db):
         "FROM region LIMIT 1"
     ).collect()[0]
     assert r["plain"] == "cafe"
+
+
+def test_schema_virtual_tables_full(db):
+    # FetchFromSchema*Step variants (9 in the reference; GAV/MV/CA/stats/
+    # dictionary added alongside types/buckets/indexes/database)
+    stats = {r["type"]: r["row_count"] for r in
+             db.query("SELECT type, row_count FROM schema:stats").collect()}
+    assert stats["lineitem"] > 0 and stats["region"] == 5
+    d = db.query("SELECT id, name FROM schema:dictionary").collect()
+    assert {r["name"] for r in d} >= {"r_name", "l_quantity", "c_custkey"}
+    assert len({r["id"] for r in d}) == len(d)  # stable unique ids
+    mv = db.query("SELECT name FROM schema:materializedViews").collect()
+    assert mv == []  # none registered on the shared fixture db
+    db.graph()  # registers edge types for the GAV listing
+    gav = {r["edge_type"] for r in
+           db.query("SELECT edge_type FROM schema:graphAnalyticalViews").collect()}
+    assert {"PLACED", "INTERACTED"} <= gav
