@@ -200,6 +200,44 @@ class Database:
 
         return SelectBuilder(self, type_name)
 
+    # -- promql ------------------------------------------------------------
+    def register_metrics(self, metric: str, df) -> None:
+        """Register a metric series for :meth:`promql` — ``df`` needs
+        (labels map<string,string>, ts_millis long, value double); the
+        reference maps each TimeSeries type to a metric name
+        (SQLFunctionPromQL.java:54, promql(<expr>[, <evalTimeMs>]))."""
+        if not hasattr(self, "_metrics"):
+            self._metrics = {}
+        self._metrics[metric] = df
+
+    def promql(self, query: str, time_ms: int | None = None, *,
+               start_ms: int | None = None, end_ms: int | None = None,
+               step_ms: int | None = None):
+        """Evaluate PromQL over the registered metric frames
+        (engine/timeseries/promql/PromQLEvaluator.java analog)."""
+        from pyspark.sql import functions as F
+
+        from arcadedb_spark.timeseries.promql import (
+            promql_instant, promql_range,
+        )
+
+        frames = getattr(self, "_metrics", {})
+        if not frames:
+            raise ValueError(
+                "No metrics registered — call register_metrics(name, df)"
+            )
+        union = None
+        for name, df in frames.items():
+            part = df.select(
+                F.lit(name).alias("metric"), "labels", "ts_millis", "value"
+            )
+            union = part if union is None else union.unionByName(part)
+        if start_ms is not None:
+            return promql_range(union, query, start_ms, end_ms, step_ms)
+        if time_ms is None:
+            time_ms = union.agg(F.max("ts_millis")).collect()[0][0]
+        return promql_instant(union, query, time_ms)
+
     # -- graph ------------------------------------------------------------
     def graph(self):
         """Property-graph view over registered vertex/edge types.

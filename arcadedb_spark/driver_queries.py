@@ -1897,6 +1897,33 @@ def q_geo_distance(spark, sf_dir):
 
 
 @query(
+    "q_agg_tail",
+    oracle="""
+    SELECT c_mktsegment,
+           round(product(1.0 + c_acctbal / 1000000), 6) AS prod,
+           round(quantile_cont(c_acctbal, 0.5), 2) AS pcont,
+           quantile_disc(c_acctbal, 0.5) AS pdisc,
+           round(stddev_samp(c_acctbal), 2) AS sd
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_agg_tail(spark, sf_dir):
+    """Aggregate-function tail: product / percentileCont / percentileDisc
+    / statistics (function/agg/{AggProduct,PercentileCont,
+    PercentileDisc,AggStatistics}.java)."""
+    return _db(spark, sf_dir).query(
+        """
+        SELECT c_mktsegment,
+               round(product(1.0 + c_acctbal / 1000000), 6) AS prod,
+               round(percentileCont(c_acctbal, 0.5), 2) AS pcont,
+               percentileDisc(c_acctbal, 0.5) AS pdisc,
+               round(statistics(c_acctbal).stddev, 2) AS sd
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@query(
     "q_geo_polygon",
     oracle="""
     WITH pts AS (

@@ -122,6 +122,24 @@ class SelectBuilder:
     def parallel(self) -> "SelectBuilder":
         return self  # Spark is always parallel (SelectParallelIterator analog)
 
+    # -- vector k-NN branch (Select.java:66-69 vectorProperty/vectorQuery/
+    # vectorK/vectorApproximate) ------------------------------------------
+    def vector_property(self, prop: str) -> "SelectBuilder":
+        self._vector_prop = prop
+        return self
+
+    def vector_query(self, query: list[float]) -> "SelectBuilder":
+        self._vector_query = list(query)
+        return self
+
+    def vector_k(self, k: int) -> "SelectBuilder":
+        self._vector_k = int(k)
+        return self
+
+    def vector_approximate(self, approx: bool = True) -> "SelectBuilder":
+        self._vector_approx = bool(approx)
+        return self
+
     # -- execution ---------------------------------------------------------
     def df(self) -> DataFrame:
         if self._type is None:
@@ -129,6 +147,27 @@ class SelectBuilder:
         df = self.db.schema.table(self._type)
         for c in self._conds:
             df = df.filter(c)
+        if getattr(self, "_vector_prop", None) is not None:
+            # kNN branch: score + top-k ordering replaces ORDER BY
+            # (exact = crossJoin-free Column math + TakeOrderedAndProject;
+            # approximate = LSH-bucketed candidate pruning)
+            if getattr(self, "_vector_query", None) is None:
+                raise ValueError("vector_property() needs vector_query()")
+            k = getattr(self, "_vector_k", 10)
+            q = F.array(*[F.lit(float(v)) for v in self._vector_query])
+            # vector_approximate() is accepted for API parity
+            # (Select.java:69 toggles the HNSW index); without a
+            # prebuilt index the exact scan IS the plan — use
+            # arcadedb_spark.vector.ivf for the indexed ANN path.
+            from arcadedb_spark.vector.distance import cosine_similarity
+
+            df = (
+                df.withColumn(
+                    "score", cosine_similarity(F.col(self._vector_prop), q)
+                )
+                .orderBy(F.desc("score"))
+                .limit(k)
+            )
         if self._projections:
             df = df.select(*self._projections)
         if self._order:

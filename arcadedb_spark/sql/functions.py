@@ -167,6 +167,91 @@ def _approx_cd(args, distinct=False):
     return F.approx_count_distinct(args[0])
 
 
+@agg("map")
+def _map_agg(args, distinct=False):
+    """map(k, v) aggregate — one map per group
+    (function/sql/coll/SQLFunctionMap.java)."""
+    return F.map_from_entries(
+        F.collect_list(F.struct(args[0].alias("key"), args[1].alias("value")))
+    )
+
+
+@agg("intersect")
+def _intersect_agg(args, distinct=False):
+    """Set intersection of per-row collections across the group
+    (SQLFunctionIntersect.java aggregate mode) — collect then fold with
+    array_intersect, all JVM-side."""
+    lists = F.collect_list(args[0])
+    return F.aggregate(
+        F.slice(lists, 2, F.greatest(F.size(lists) - 1, F.lit(0))),
+        F.element_at(lists, 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
+
+
+@agg("difference")
+def _difference_agg(args, distinct=False):
+    """First collection minus every later one
+    (SQLFunctionDifference.java aggregate mode)."""
+    lists = F.collect_list(args[0])
+    return F.aggregate(
+        F.slice(lists, 2, F.greatest(F.size(lists) - 1, F.lit(0))),
+        F.element_at(lists, 1),
+        lambda acc, x: F.array_except(acc, x),
+    )
+
+
+@agg("product")
+def _product_agg(args, distinct=False):
+    """Π of values (function/agg/AggProduct.java) — fold over the
+    collected values, exact for zeros/negatives unlike exp∘sum∘ln."""
+    return F.aggregate(
+        F.collect_list(args[0].cast("double")),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+
+
+@agg("nth")
+def _nth_agg(args, distinct=False):
+    """nth(value, n) in group iteration order
+    (function/agg/AggNth.java; 0-based like the reference)."""
+    from arcadedb_spark.sql.litreg import value_of
+
+    n = int(value_of(args[1]) or 0)
+    return F.element_at(F.collect_list(args[0]), n + 1)
+
+
+@agg("percentilecont")
+def _percentile_cont(args, distinct=False):
+    """Cypher percentileCont — continuous (interpolated) percentile
+    (function/agg/PercentileContFunction.java)."""
+    return F.percentile(args[0], args[1])
+
+
+@agg("percentiledisc")
+def _percentile_disc(args, distinct=False):
+    """Cypher percentileDisc — nearest-rank (discrete) percentile
+    (function/agg/PercentileDiscFunction.java)."""
+    lists = F.array_sort(F.collect_list(args[0]))
+    idx = F.ceil(args[1] * F.size(lists)).cast("int")
+    return F.element_at(lists, F.greatest(idx, F.lit(1)))
+
+
+@agg("statistics")
+def _statistics_agg(args, distinct=False):
+    """One-struct summary (function/agg/AggStatistics.java)."""
+    c = args[0]
+    return F.struct(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.avg(c).alias("mean"),
+        F.sum(c).alias("sum"),
+        F.stddev_samp(c).alias("stddev"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar: misc (function/sql/misc/*.java)
 # ---------------------------------------------------------------------------
@@ -927,3 +1012,16 @@ def _ts_first(args, distinct=False):
 @agg("ts.last")
 def _ts_last(args, distinct=False):
     return F.max_by(args[0], args[1])
+
+
+@agg("ts.correlate")
+def _ts_correlate(args, distinct=False):
+    """Pearson correlation of two series in the group
+    (SQLFunctionCorrelate.java — ts.correlate(a, b))."""
+    return F.corr(args[0].cast("double"), args[1].cast("double"))
+
+
+@agg("ts.percentile")
+def _ts_percentile(args, distinct=False):
+    """Approximate percentile 0..1 (SQLFunctionTsPercentile.java)."""
+    return F.percentile_approx(args[0], args[1])

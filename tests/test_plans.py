@@ -51,3 +51,47 @@ def test_count_star_prunes_all_columns(db):
     plan = _plan(df)
     scan = [line for line in plan.splitlines() if "FileScan" in line][0]
     assert "ReadSchema: struct<>" in scan  # metadata-only count
+
+
+def test_point_geo_ops_stay_jvm_side(db):
+    # point construction/extraction/haversine must not enter Python:
+    # no ArrowEvalPython/BatchEvalPython node in the plan
+    df = db.query(
+        "SELECT geo.x(geo.point(c_custkey, 1)) AS x, "
+        "geo.distance(geo.point(0, 0), geo.point(1, 1), 'km') AS d, "
+        "sorensenDiceSimilarity(c_name, c_mktsegment) AS sd "
+        "FROM customer"
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    # higher-order exprs (transform lambdas) sit outside codegen but stay
+    # JVM-side; the scan itself must still be inside a codegen stage
+    assert "*(" in plan
+
+
+def test_polygon_geo_ops_are_arrow_batched(db):
+    # polygon predicates go through pandas UDFs — Arrow-batched, never
+    # row-at-a-time pickled Python
+    df = db.query(
+        "SELECT geo.within(geo.point(c_custkey, 1), geo.rectangle(0, 0, 50, 50)) AS w "
+        "FROM customer"
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_promql_grid_broadcasts(db, spark):
+    from pyspark.sql import functions as F
+    from arcadedb_spark.timeseries.promql import promql_instant
+
+    ev = db.table("events")
+    m = ev.select(
+        F.lit("ev").alias("metric"),
+        F.create_map(F.lit("event_type"), F.col("event_type")).alias("labels"),
+        F.unix_millis("ts").alias("ts_millis"),
+        F.col("value").cast("double").alias("value"),
+    )
+    df = promql_instant(m, "ev", 1_700_000_000_000)
+    plan = _plan(df)
+    # the eval grid joins broadcast — samples never shuffle for the join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

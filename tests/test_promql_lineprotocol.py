@@ -148,3 +148,30 @@ def test_range_query(metrics):
     ).collect()
     assert len(out) == 3  # three eval points
     assert all(49.5 <= r["value"] <= 51.5 for r in out)
+
+
+def test_db_promql_surface(db):
+    from pyspark.sql import functions as F
+
+    ev = db.table("events")
+    db.register_metrics(
+        "ev",
+        ev.select(
+            F.create_map(F.lit("event_type"), F.col("event_type")).alias("labels"),
+            F.unix_millis("ts").alias("ts_millis"),
+            F.col("value").cast("double").alias("value"),
+        ),
+    )
+    out = db.promql("sum by (event_type) (avg_over_time(ev[24h]))").collect()
+    assert len(out) >= 1
+    assert all(r["labels"]["event_type"] for r in out)
+
+
+def test_ts_correlate_percentile(db):
+    r = db.query(
+        "SELECT round(ts.correlate(value, value), 4) AS self_corr, "
+        "ts.percentile(value, 0.5) AS p50 "
+        "FROM events"
+    ).collect()[0]
+    assert r["self_corr"] == 1.0
+    assert r["p50"] is not None

@@ -223,3 +223,33 @@ def test_schema_virtual_tables_full(db):
     gav = {r["edge_type"] for r in
            db.query("SELECT edge_type FROM schema:graphAnalyticalViews").collect()}
     assert {"PLACED", "INTERACTED"} <= gav
+
+
+def test_aggregate_tail(db):
+    r = db.query(
+        "SELECT doc_id % 2 AS g, intersect(text.split(' ')) AS common, "
+        "map(doc_id.asString(), lang) AS m, product(doc_id + 1) AS p, "
+        "nth(doc_id, 1) AS second "
+        "FROM documents WHERE doc_id < 6 GROUP BY g ORDER BY g"
+    ).collect()
+    assert len(r) == 2
+    assert all(len(row["m"]) == 3 for row in r)
+    assert r[0]["p"] == 1 * 3 * 5 and r[1]["p"] == 2 * 4 * 6
+    assert r[0]["second"] == 2 and r[1]["second"] == 3
+    assert all(isinstance(row["common"], list) for row in r)
+
+
+def test_fluent_vector_search(db):
+    q = [0.1] * 64
+    rows = (
+        db.select()
+        .from_type("embeddings")
+        .vector_property("embedding")
+        .vector_query(q)
+        .vector_k(5)
+        .df()
+        .collect()
+    )
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
