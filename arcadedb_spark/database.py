@@ -154,6 +154,10 @@ class Database:
             from arcadedb_spark.graph.gremlin import gremlin_query
 
             return gremlin_query(self, text)
+        if language.lower() in ("mongo", "mongodb"):
+            from arcadedb_spark.sql.mongo import mongo_query
+
+            return mongo_query(self, text)
         from arcadedb_spark.sql.parser import parse
         from arcadedb_spark.sql.translator import Translator
 

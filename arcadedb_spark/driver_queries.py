@@ -1897,6 +1897,36 @@ def q_geo_distance(spark, sf_dir):
 
 
 @query(
+    "q_mongo_find",
+    oracle="""
+    SELECT c_name, c_acctbal FROM customer
+    WHERE (c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY')
+      AND c_acctbal > 1000 AND c_acctbal <= 9000
+    ORDER BY c_acctbal DESC, c_name LIMIT 25
+    """,
+)
+def q_mongo_find(spark, sf_dir):
+    """MongoDB QL skin (mongodbw/MongoDBToSqlTranslator.java) — the
+    filter document compiles to one Column tree, pushed into the scan."""
+    import json
+
+    return _db(spark, sf_dir).query(
+        json.dumps({
+            "collection": "customer",
+            "query": {
+                "$or": [{"c_mktsegment": "BUILDING"},
+                        {"c_mktsegment": "MACHINERY"}],
+                "c_acctbal": {"$gt": 1000, "$lte": 9000},
+                "$orderby": {"c_acctbal": -1, "c_name": 1},
+            },
+            "projection": {"c_name": 1, "c_acctbal": 1},
+            "numberToReturn": 25,
+        }),
+        language="mongo",
+    )
+
+
+@query(
     "q_agg_tail",
     oracle="""
     SELECT c_mktsegment,
