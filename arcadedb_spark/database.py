@@ -158,6 +158,10 @@ class Database:
             from arcadedb_spark.sql.mongo import mongo_query
 
             return mongo_query(self, text)
+        if language.lower() == "graphql":
+            from arcadedb_spark.graphql.engine import graphql_query
+
+            return graphql_query(self, text)
         from arcadedb_spark.sql.parser import parse
         from arcadedb_spark.sql.translator import Translator
 
@@ -168,12 +172,18 @@ class Database:
             self._plan_cache[key] = stmt
         return Translator(self, params=params).translate(stmt)
 
-    def command(self, text: str, **params) -> DataFrame:
+    def command(self, text: str, language: str = "sql", **params) -> DataFrame:
         """DML/DDL entry point (LocalDatabase.command :1738).
 
         SELECT/MATCH/TRAVERSE are also accepted (dispatch parity with the
         reference, which routes idempotent statements through query()).
+        ``language='graphql'`` registers an SDL schema
+        (GraphQLBasicTest: command('graphql', typeDefs)).
         """
+        if language.lower() == "graphql":
+            from arcadedb_spark.graphql.engine import graphql_command
+
+            return graphql_command(self, text)
         from arcadedb_spark.sql import ast as _ast
         from arcadedb_spark.sql.commands import execute_command
         from arcadedb_spark.sql.parser import parse

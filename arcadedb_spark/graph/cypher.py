@@ -27,8 +27,10 @@ Supported subset:
   FOREACH (x IN list | <updates>)         → driver-side loop, x substituted
   -[r:T {k: v}]-> in CREATE/MERGE         → edge property writes; MERGE
                                             relationships are idempotent
+  MATCH ()-[r:T]->() SET r.p = expr       → edge property updates (rewrite
+                                            keyed by matched endpoint pairs)
 Cypher-only operators: STARTS WITH, ENDS WITH, CONTAINS (substring), =~.
-Not yet: SET on relationship variables, nested FOREACH over path aliases.
+Not yet: FOREACH over path aliases.
 """
 
 from __future__ import annotations
@@ -695,12 +697,24 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     df = None
     aliases: set[str] = set()
     alias_label: dict[str, str] = {}
+    # rel alias → (etype, src_node_alias, dst_node_alias, direction)
+    rel_alias: dict[str, tuple] = {}
     if getattr(p, "_match_for_write", None):
         paths, where = p._match_for_write
         for path in paths:
             for node in [path.root] + [s.filter for s in path.steps]:
                 if node.alias and node.type_name:
                     alias_label[node.alias] = node.type_name
+            prev = path.root
+            for s in path.steps:
+                if s.edge_alias and s.edge_types and s.max_hops == 1:
+                    etype = s.edge_types[0]
+                    if s.method == "in":
+                        ends = (s.filter.alias, prev.alias)
+                    else:
+                        ends = (prev.alias, s.filter.alias)
+                    rel_alias[s.edge_alias] = (etype, *ends, s.method)
+                prev = s.filter
         df, aliases = combine_paths(db, paths, where, params or {})
     def subst_write(w: dict, var: str, elem) -> dict:
         """Substitute a FOREACH loop variable through one write clause."""
@@ -741,6 +755,29 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             for alias, prop, expr in w["assignments"]:
                 per_alias.setdefault(alias, []).append((prop, expr))
             for alias, assigns in per_alias.items():
+                if alias in rel_alias and df is not None:
+                    # SET on a relationship variable → edge rewrite keyed
+                    # by the matched endpoint pairs
+                    etype, a_src, a_dst, direction = rel_alias[alias]
+                    if a_src is None or a_dst is None:
+                        raise TranslateError(
+                            f"SET on '{alias}' needs both endpoints aliased"
+                        )
+                    pairs = df.select(
+                        F.col(f"{a_src}.vid").alias("src"),
+                        F.col(f"{a_dst}.vid").alias("dst"),
+                    )
+                    ecols = tuple(g.edges(etype).columns)
+                    ctx = Ctx(db=db, params=params or {}, columns=ecols)
+                    compiled = [
+                        (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
+                        for prop, e in assigns
+                    ]
+                    n += g.update_edges(
+                        etype, pairs, compiled,
+                        both_directions=(direction == "both"),
+                    )
+                    continue
                 label = alias_label.get(alias)
                 if label is None or df is None:
                     raise TranslateError(f"SET target '{alias}' is not a labeled match alias")

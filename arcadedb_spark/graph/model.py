@@ -201,6 +201,41 @@ class GraphModel:
         self.vertex_dfs[label.lower()] = joined.drop("__mv").cache()
         return n
 
+    def update_edges(
+        self, etype: str, matched_pairs: DataFrame, assignments,
+        both_directions: bool = False,
+    ) -> int:
+        """Property rewrite on edges of ``etype`` whose (src, dst) is in
+        ``matched_pairs`` — Cypher ``MATCH ()-[r:T]->() SET r.p = v``
+        (SetStep.java relationship branch).  assignments: (prop, Column)."""
+        all_e = self.edges()
+        m = matched_pairs.select(
+            F.col("src").alias("__ms"), F.col("dst").alias("__md")
+        ).distinct()
+        if both_directions:
+            m = m.unionByName(
+                m.select(F.col("__md").alias("__ms"), F.col("__ms").alias("__md"))
+            ).distinct()
+        joined = all_e.join(
+            m,
+            (all_e["src"] == m["__ms"]) & (all_e["dst"] == m["__md"])
+            & (all_e["etype"] == F.lit(etype)),
+            "left",
+        )
+        cond = F.col("__ms").isNotNull()
+        n = joined.filter(cond).count()
+        for prop, val in assignments:
+            if prop in all_e.columns:
+                joined = joined.withColumn(
+                    prop, F.when(cond, val).otherwise(F.col(prop))
+                )
+            else:
+                joined = joined.withColumn(prop, F.when(cond, val))
+        self._edge_dfs = [joined.drop("__ms", "__md").cache()]
+        self._edges = None
+        self._edges_by_src = None
+        return n
+
     def remove_vertices(self, label: str, matched_vids: DataFrame) -> int:
         """Remove matched vertices and their incident edges (Cypher
         DETACH DELETE semantics)."""

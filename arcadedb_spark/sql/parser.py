@@ -1159,3 +1159,13 @@ def parse(text: str) -> ast.Statement:
     if p.cur.kind != "EOF":
         raise ParseError(f"Trailing input at {p.cur!r} (pos {p.cur.pos})")
     return stmt
+
+
+def parse_expression(text: str) -> ast.Expr:
+    """Parse a standalone boolean/scalar expression (used by the GraphQL
+    skin's ``where: "<expr>"`` argument)."""
+    p = Parser(text)
+    e = p.parse_expr()
+    if p.cur.kind != "EOF":
+        raise ParseError(f"Trailing input at {p.cur!r} (pos {p.cur.pos})")
+    return e

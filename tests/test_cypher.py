@@ -262,3 +262,14 @@ def test_foreach_set_over_match(db):
     cy(db, "MATCH (d:Dial) FOREACH (x IN [1, 2] | SET d.lvl = d.lvl + x)")
     r = cy(db, "MATCH (d:Dial) RETURN d.lvl AS l").collect()[0]
     assert r["l"] == 3  # 0 + 1 + 2
+
+
+def test_set_relationship_property(db):
+    cy(db, "CREATE (a:Hub {name: 'h1'})-[r:WIRE {cap: 10}]->(b:Hub {name: 'h2'})")
+    n = cy(db, "MATCH (a:Hub {name: 'h1'})-[r:WIRE]->(b:Hub) SET r.cap = r.cap * 5, r.checked = true")
+    assert n.collect()[0]["count"] == 1
+    e = db.graph().edges("WIRE").collect()
+    assert len(e) == 1 and e[0]["cap"] == 50 and e[0]["checked"] is True
+    # other edge types untouched
+    assert "cap" not in [c for c in db.graph().edges("PLACED").columns if c == "cap"] or \
+        db.graph().edges("PLACED").filter("cap is not null").count() == 0
