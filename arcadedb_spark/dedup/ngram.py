@@ -20,7 +20,7 @@ Execution shape (100 TB-ready):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from arcadedb_spark.parallel import ensure_min_partitions
@@ -64,32 +64,81 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int = 1000,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """Pairs (id_a < id_b, jaccard ≥ threshold) on rare-n-gram sets."""
+    """Pairs (id_a < id_b, jaccard ≥ threshold) on rare-n-gram sets.
+
+    With ``prefix_filter`` (AllPairs/PPJoin prefix principle): only the
+    ``s − ⌈t·s⌉ + 1`` globally-rarest grams of each document enter the
+    candidate self-join — any pair with jaccard ≥ t is guaranteed to
+    collide inside these prefixes, so the result is EXACT while the
+    quadratic join shrinks by ~(1−t)².  Intersections are then computed
+    once per surviving candidate from the full gram arrays.
+
+    Default (None) is adaptive: the prefix path costs an extra window
+    sort + distinct + two array joins, and only prunes the self-join by
+    factor (1−t)² — measured break-even is around t ≈ 0.5, so it
+    auto-enables for high thresholds (the near-dup regime) and stays on
+    the one-shot inverted-index join for low ones.
+    """
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.5
     src = ensure_min_partitions(docs.select(id_col, text_col))
     sets = ngram_sets(src, id_col, text_col, n)
     inv = sets.select("id", F.explode("grams").alias("g")).cache()
     # skew guard: stop-shingles (df > max_df) leave the similarity space
-    rare = F.broadcast(
-        inv.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("g")
-    )
-    inv2 = inv.join(rare, "g")
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
+    rare = F.broadcast(dfreq.filter(F.col("df") <= max_df))
+    inv2 = inv.join(rare.select("g"), "g")
     sizes = F.broadcast(inv2.groupBy("id").agg(F.count("*").alias("sz")))
-    l, r = inv2.alias("l"), inv2.alias("r")
-    inter = (
+
+    if not prefix_filter:
+        l, r = inv2.alias("l"), inv2.alias("r")
+        inter = (
+            l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "__sa"}), "id_a")
+            .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "__sb"}), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("__sa") + F.col("__sb") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # rare-gram array per doc, sorted by (global df, g): the SAME order
+    # for every doc, so the prefix principle applies
+    with_df = inv2.join(rare, "g")
+    ranked = with_df.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+        ),
+    ).join(sizes, "id")
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "g")
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cands = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
     )
+    arrays = inv2.groupBy("id").agg(F.collect_list("g").alias("grams"))
+    ga = arrays.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = arrays.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "__sa"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "__sb"}), "id_b")
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("__ga", "__gb")))
         .withColumn(
             "jaccard",
-            F.col("inter") / (F.col("__sa") + F.col("__sb") - F.col("inter")),
+            F.col("inter")
+            / (F.size("__ga") + F.size("__gb") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -67,10 +67,56 @@ def bm25_search(
     ordering (function/sql/text/SQLFunctionSearchIndex.java).
     """
     if postings is None:
-        # one tokenize scan: lengths and stats derive from the postings
-        # (dl = Σ tf per doc; docs with zero tokens contribute dl 0 to the
-        # average, matching doc_lengths over the full corpus)
-        postings = build_postings(docs, id_col, text_col).cache()
+        # Fast path for ad-hoc search: only the query's terms matter, and
+        # their per-doc tf is computable INSIDE the token array
+        # (F.filter + size) — no explode, no postings shuffle.  Two scans
+        # of a cached token frame: one tiny agg for (N, avgdl, df_t),
+        # one scoring projection.  Pass a prebuilt ``postings`` frame to
+        # reuse a persisted index instead (the LSMTreeFullTextIndex
+        # analog).
+        terms = [t for t in dict.fromkeys(query.lower().split()) if t]
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize(F.col(text_col)).alias("__t"),
+        )
+        def _eq(term):  # closure factory — a default-arg lambda would be
+            return lambda x: x == F.lit(term)  # read as an (elem, idx) fn
+
+        for i, t in enumerate(terms):
+            toks = toks.withColumn(f"__tf{i}", F.size(F.filter("__t", _eq(t))))
+        toks = toks.withColumn("__dl", F.size("__t")).drop("__t").cache()
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(terms))
+            ],
+        ).collect()[0]
+        n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
+        import math
+
+        idfs = [
+            math.log((n_docs - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0)
+            for i in range(len(terms))
+        ]
+        denom_norm = k1 * (1 - b + b * F.col("__dl") / F.lit(float(avgdl)))
+        score = None
+        for i in range(len(terms)):
+            tf = F.col(f"__tf{i}")
+            s = F.when(
+                tf > 0,
+                F.lit(idfs[i]) * (tf * (k1 + 1)) / (tf + denom_norm),
+            ).otherwise(F.lit(0.0))
+            score = s if score is None else score + s
+        matched = None
+        for i in range(len(terms)):
+            c = F.col(f"__tf{i}") > 0
+            matched = c if matched is None else matched | c
+        return (
+            toks.filter(matched if matched is not None else F.lit(False))
+            .select("doc_id", score.alias("score"))
+        )
     if lengths is None:
         lengths = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs = docs.count()

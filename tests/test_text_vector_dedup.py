@@ -252,3 +252,23 @@ def test_search_class_uses_type_index(db):
         "SELECT count(*) AS n FROM documents WHERE search_fields(['text'], 'stream')"
     ).collect()[0]["n"]
     assert n == m > 0
+
+
+def test_ngram_prefix_filter_exact(db):
+    # AllPairs prefix filtering must be EXACT: identical pairs both ways
+    from arcadedb_spark.dedup import ngram_jaccard_pairs
+
+    docs = db.table("documents")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+        ).collect()
+    }
+    assert base == pref
