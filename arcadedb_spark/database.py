@@ -134,6 +134,38 @@ class Database:
     ) -> None:
         self.schema.register(name, df, kind=kind, key=key, parents=parents)
 
+    def backup(self, path: str, format: str = "parquet") -> dict[str, int]:
+        """Write every type to ``path/<name>.parquet`` (or ``.jsonl``) —
+        integration/…/exporter + Backup.java analog.  A parquet backup
+        directory re-opens with :meth:`open` (restore = open).  Returns
+        {type: row_count}."""
+        import json as _json
+
+        counts: dict[str, int] = {}
+        for name in list(self.schema.names()):
+            tdef = self.schema.get(name)
+            df = tdef.df()
+            target = os.path.join(path, f"{name}.{'parquet' if format == 'parquet' else 'jsonl'}")
+            if format == "parquet":
+                df.write.mode("overwrite").parquet(target)
+            else:
+                from arcadedb_spark.sources.readers import export_jsonl
+
+                export_jsonl(df, target)
+            counts[name] = df.count()
+        with open(os.path.join(path, "backup_manifest.json"), "w") as fh:
+            _json.dump({"format": format, "types": counts}, fh)
+        return counts
+
+    def kv(self, type_name: str = "kv_store"):
+        """Redis-style key/value surface over a (key, value) type
+        (redisw module analog; GET/SET/DEL/EXISTS/KEYS/MGET/INCR).
+        Writes are batch table rewrites — documented non-transactional
+        semantics, same as all DML here."""
+        from arcadedb_spark.kv import KeyValueStore
+
+        return KeyValueStore(self, type_name)
+
     # -- query entry points ----------------------------------------------
     def table(self, name: str) -> DataFrame:
         return self.schema.table(name)

@@ -123,3 +123,41 @@ def sample_frames(
     return df.select(F.col(id_col).cast("long").alias(id_col), binary_col).mapInPandas(
         batches, schema
     )
+
+
+def resize_images(
+    df: DataFrame, binary_col: str, id_col: str, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize plumbing (STUB decode): emits the resized-blob column
+    shape a real decoder would produce — (id, resized: binary, width,
+    height).  The stub round-trips the content hash so downstream exact-
+    dedup over resized blobs is deterministic; swap ``_resize_stub`` for
+    a PIL/OpenCV call on clusters that have the codecs."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _resize_stub(blob: bytes) -> bytes:
+        # deterministic fake: hash-derived bytes of the target size class
+        h = hashlib.sha256(blob or b"").digest()
+        return h * ((width * height * 3 // len(h)) % 64 + 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "resized": [_resize_stub(b) for b in pdf[binary_col]],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col), binary_col).mapInPandas(
+        batches, schema
+    )

@@ -273,3 +273,31 @@ def test_set_relationship_property(db):
     # other edge types untouched
     assert "cap" not in [c for c in db.graph().edges("PLACED").columns if c == "cap"] or \
         db.graph().edges("PLACED").filter("cap is not null").count() == 0
+
+
+def test_custom_procedure_registration(db):
+    # ProcedureRegistry.java analog: user procedures join the CALL surface
+    from pyspark.sql import functions as F
+    from arcadedb_spark.graph.procedures import procedure
+
+    @procedure("custom.degreeSquared")
+    def _deg2(db_, args):
+        g = db_.graph()
+        e = g.edges(*[a for a in args if isinstance(a, str)])
+        return (
+            e.groupBy(F.col("src").alias("vid"))
+            .agg((F.count("*") * F.count("*")).alias("d2"))
+        )
+
+    rows = cy(
+        db,
+        "CALL custom.degreeSquared('PLACED') YIELD vid, d2 "
+        "RETURN max(d2) AS mx, count(*) AS n",
+    ).collect()
+    from pyspark.sql import functions as F2
+
+    max_deg = (
+        db.graph().edges("PLACED").groupBy("src").agg(F2.count("*").alias("d"))
+        .agg(F2.max("d")).collect()[0][0]
+    )
+    assert rows[0]["n"] == 150 and rows[0]["mx"] == max_deg * max_deg
