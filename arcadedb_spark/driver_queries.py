@@ -1897,6 +1897,59 @@ def q_geo_distance(spark, sf_dir):
 
 
 @query(
+    "q_gremlin_groupcount",
+    oracle="""
+    SELECT c_mktsegment AS key, count(*) AS count
+    FROM customer GROUP BY c_mktsegment
+    ORDER BY count DESC, key
+    """,
+)
+def q_gremlin_groupcount(spark, sf_dir):
+    """Gremlin string skin (GremlinQueryEngine.java:33) — histogram
+    traversal lowered to groupBy."""
+    return _db(spark, sf_dir).query(
+        "g.V('Customer').groupCount().by('c_mktsegment')", language="gremlin"
+    )
+
+
+@query(
+    "q_graphql_nested",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey < 20
+    GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """,
+)
+def q_graphql_nested(spark, sf_dir):
+    """GraphQL skin: relationship selection resolved as one edge join +
+    collect_list (graphql/GraphQLBasicTest.java shape)."""
+    db = _db(spark, sf_dir)
+    db.graph()
+    if getattr(db, "_graphql_types", None) is None:
+        db.command(
+            """
+            type Query { topCustomers(where: String): [Customer] }
+            type Customer {
+              c_custkey: Int
+              c_name: String
+              orders: [Order] @relationship(type: "PLACED", direction: OUT)
+            }
+            type Order { o_orderkey: Int }
+            """,
+            language="graphql",
+        )
+    out = db.query(
+        '{ topCustomers(where: "c_custkey < 20") { c_custkey orders { o_orderkey } } }',
+        language="graphql",
+    )
+    return out.select(
+        "c_custkey",
+        F.coalesce(F.size("orders"), F.lit(0)).cast("long").alias("n_orders"),
+    ).orderBy("c_custkey")
+
+
+@query(
     "q_mongo_find",
     oracle="""
     SELECT c_name, c_acctbal FROM customer

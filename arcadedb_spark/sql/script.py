@@ -99,7 +99,7 @@ class ScriptEngine:
         while i < len(stmts):
             stmt = stmts[i]
             upper = stmt.lstrip().upper()
-            if upper.startswith(("IF", "WHILE", "FOREACH")):
+            if upper.startswith(("IF", "WHILE", "FOREACH", "RETRY")):
                 # blocks may span ';'-split pieces — reassemble until braces
                 # balance
                 joined = stmt
@@ -149,6 +149,21 @@ class ScriptEngine:
         body = body.rsplit("}", 1)[0]
         head = head.strip()
         upper = head.upper()
+        if upper.startswith("RETRY"):
+            # RETRY n { … } — re-run the block on failure up to n times
+            # (RetryStep.java:33; the reference retries on tx conflicts,
+            # here on any error since writes are table rewrites)
+            attempts = int(self._eval_fragment(head[len("RETRY"):].strip()) or 1)
+            last: Exception | None = None
+            for _ in range(max(1, attempts)):
+                try:
+                    self._run_block(body)
+                    return
+                except (_Break, _Return):
+                    raise
+                except Exception as ex:  # noqa: BLE001 — surfaced after retries
+                    last = ex
+            raise last
         if upper.startswith("IF"):
             cond = head[2:].strip()
             if self._truthy(self._eval_fragment(cond)):

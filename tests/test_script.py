@@ -89,3 +89,20 @@ def test_result_set_size_condition(sdb):
 def test_transaction_keywords_are_noops(sdb):
     out = sdb.script("BEGIN; LET $x = 1; COMMIT; RETURN $x")
     assert out == 1
+
+
+def test_retry_block(sdb):
+    db = sdb
+    # succeeds first try
+    out = db.script("""
+        LET n = 0;
+        RETRY 3 {
+            LET n = $n + 1;
+        };
+        RETURN $n
+    """)
+    assert out == 1
+    # exhausts retries then surfaces the error
+    import pytest as _pt
+    with _pt.raises(Exception):
+        db.script("RETRY 2 { SELECT broken_fn(1) FROM region }")
