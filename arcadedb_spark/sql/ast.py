@@ -399,6 +399,31 @@ class CreateTypeStmt:
 
 
 @dataclass(frozen=True)
+class CreateTimeSeriesTypeStmt:
+    """CREATE TIMESERIES TYPE (SQLParser.g4:473-482,
+    CreateTimeSeriesTypeStatement.java)."""
+
+    name: str
+    if_not_exists: bool = False
+    timestamp_col: str = "ts"
+    precision: str = "MILLISECOND"
+    tags: tuple = ()  # (name, type) pairs
+    fields: tuple = ()  # (name, type) pairs
+    shards: Optional[int] = None
+    retention_ms: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class AlterTimeSeriesTypeStmt:
+    """ALTER TIMESERIES TYPE … ADD/DROP DOWNSAMPLING POLICY
+    (SQLParser.g4:505-512)."""
+
+    name: str
+    add_tiers: tuple = ()  # (after_ms, granularity_ms) pairs
+    drop_policy: bool = False
+
+
+@dataclass(frozen=True)
 class DropTypeStmt:
     name: str
     if_exists: bool = False

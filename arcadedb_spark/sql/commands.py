@@ -32,6 +32,10 @@ def _literal_value(db, e: ast.Expr, params: dict) -> Any:
     ctx = Ctx(db=db, params=params)
     col = ExprCompiler(ctx).compile(e)
     v = value_of(col)
+    if v is None and not isinstance(e, ast.Lit):
+        # constant expression (date('…'), concat(…), …) — evaluate on a
+        # 1-row frame; one tiny local job, never per-row
+        v = db.spark.range(1).select(col.alias("__v")).collect()[0][0]
     return v
 
 
@@ -71,7 +75,56 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _drop_mv(db, stmt)
     if isinstance(stmt, ast.DefineFunctionStmt):
         return _define_function(db, stmt)
+    if isinstance(stmt, ast.CreateTimeSeriesTypeStmt):
+        return _create_timeseries_type(db, stmt)
+    if isinstance(stmt, ast.AlterTimeSeriesTypeStmt):
+        return _alter_timeseries_type(db, stmt)
     raise TranslateError(f"Unsupported command {type(stmt).__name__}")
+
+
+_TS_SPARK_TYPES = {
+    "STRING": "string", "INTEGER": "int", "INT": "int", "LONG": "long",
+    "SHORT": "short", "BYTE": "tinyint", "FLOAT": "float",
+    "DOUBLE": "double", "BOOLEAN": "boolean", "DECIMAL": "decimal(38,18)",
+}
+
+
+def _create_timeseries_type(db, stmt: ast.CreateTimeSeriesTypeStmt) -> DataFrame:
+    """CREATE TIMESERIES TYPE → empty typed frame + catalog metadata
+    (engine/timeseries/TimeSeriesEngine.java:52 — shards map to
+    repartition count, tags are the dictionary-encoded group keys,
+    retention/downsampling feed timeseries/downsample.py)."""
+    if db.schema.exists(stmt.name):
+        if stmt.if_not_exists:
+            return _result(db, 0)
+        raise TranslateError(f"Type '{stmt.name}' already exists")
+    cols = [f"{stmt.timestamp_col} timestamp"]
+    cols += [f"{n} {_TS_SPARK_TYPES.get(t, 'string')}" for n, t in stmt.tags]
+    cols += [f"{n} {_TS_SPARK_TYPES.get(t, 'double')}" for n, t in stmt.fields]
+    empty = db.spark.createDataFrame([], ", ".join(cols))
+    tdef = db.schema.register(stmt.name, empty)
+    tdef.properties["timeseries"] = {
+        "timestamp": stmt.timestamp_col,
+        "precision": stmt.precision,
+        "tags": list(stmt.tags),
+        "fields": list(stmt.fields),
+        "shards": stmt.shards,
+        "retention_ms": stmt.retention_ms,
+        "downsampling": [],
+    }
+    return _result(db, 1)
+
+
+def _alter_timeseries_type(db, stmt: ast.AlterTimeSeriesTypeStmt) -> DataFrame:
+    tdef = db.schema.get(stmt.name)
+    meta = tdef.properties.get("timeseries")
+    if meta is None:
+        raise TranslateError(f"'{stmt.name}' is not a TIMESERIES type")
+    if stmt.drop_policy:
+        meta["downsampling"] = []
+        return _result(db, 1)
+    meta["downsampling"] = list(stmt.add_tiers)
+    return _result(db, len(stmt.add_tiers))
 
 
 def _define_function(db, stmt: ast.DefineFunctionStmt) -> DataFrame:

@@ -105,6 +105,7 @@ def _stddev(args, distinct=False):
 
 
 @agg("stddevpop")
+@agg("stddevp")
 def _stddevpop(args, distinct=False):
     return F.stddev_pop(args[0])
 
@@ -115,6 +116,7 @@ def _variance(args, distinct=False):
 
 
 @agg("variancepop")
+@agg("variancep")
 def _variancepop(args, distinct=False):
     return F.var_pop(args[0])
 
@@ -660,6 +662,174 @@ def _vec_unary(name: str, module: str, impl_name: str, *extra):
     SCALARS[name] = builder
 
 
+# elementwise arithmetic / norms / element stats / score transforms
+# (function/sql/vector/SQLFunctionVector{Add,Subtract,Multiply,Scale,
+# Clip,Sum,Avg,Min,Max,StdDev,Variance,Magnitude,L1Norm,LInfNorm,
+# Dimension,HasNaN,HasInf,HasNull,IsNormalized,ToString,HybridScore,
+# ScoreTransform,NormalizeScores}.java) — all pure Column math.
+
+
+def _vec(c):
+    return c.cast("array<double>")
+
+
+def _vec_binop(name: str, op):
+    def builder(args, _op=op):
+        return F.zip_with(_vec(args[0]), _vec(args[1]), _op)
+
+    SCALARS[name] = builder
+
+
+_vec_binop("vector.add", lambda a, b: a + b)
+_vec_binop("vector.subtract", lambda a, b: a - b)
+_vec_binop("vector.multiply", lambda a, b: a * b)
+
+
+@scalar("vector.scale")
+def _vector_scale(args):
+    s = args[1].cast("double")
+    return F.transform(_vec(args[0]), lambda x: x * s)
+
+
+@scalar("vector.clip")
+def _vector_clip(args):
+    lo, hi = args[1].cast("double"), args[2].cast("double")
+    return F.transform(_vec(args[0]), lambda x: F.least(F.greatest(x, lo), hi))
+
+
+@scalar("vector.sum")
+def _vector_sum(args):
+    return F.aggregate(_vec(args[0]), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@scalar("vector.avg")
+def _vector_avg(args):
+    v = _vec(args[0])
+    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+
+
+@scalar("vector.min")
+def _vector_min(args):
+    return F.array_min(_vec(args[0]))
+
+
+@scalar("vector.max")
+def _vector_max(args):
+    return F.array_max(_vec(args[0]))
+
+
+def _vec_var(v):
+    n = F.size(v)
+    s = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    s2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return s2 / n - (s / n) * (s / n)
+
+
+@scalar("vector.variance")
+def _vector_variance(args):
+    return _vec_var(_vec(args[0]))
+
+
+@scalar("vector.stddev")
+def _vector_stddev(args):
+    return F.sqrt(_vec_var(_vec(args[0])))
+
+
+@scalar("vector.magnitude")
+def _vector_magnitude(args):
+    v = _vec(args[0])
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+@scalar("vector.l1norm")
+def _vector_l1norm(args):
+    return F.aggregate(_vec(args[0]), F.lit(0.0), lambda acc, x: acc + F.abs(x))
+
+
+@scalar("vector.linfnorm")
+def _vector_linfnorm(args):
+    return F.array_max(F.transform(_vec(args[0]), F.abs))
+
+
+@scalar("vector.dimension")
+def _vector_dimension(args):
+    return F.size(args[0])
+
+
+@scalar("vector.hasnan")
+def _vector_hasnan(args):
+    return F.exists(_vec(args[0]), F.isnan)
+
+
+@scalar("vector.hasinf")
+def _vector_hasinf(args):
+    return F.exists(
+        _vec(args[0]), lambda x: (x == float("inf")) | (x == float("-inf"))
+    )
+
+
+@scalar("vector.hasnull")
+def _vector_hasnull(args):
+    return F.exists(args[0], lambda x: x.isNull())
+
+
+@scalar("vector.isnormalized")
+def _vector_isnormalized(args):
+    from arcadedb_spark.sql.litreg import value_of
+
+    tol = float(value_of(args[1]) or 1e-6) if len(args) > 1 else 1e-6
+    v = _vec(args[0])
+    mag = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.abs(mag - 1.0) <= F.lit(tol)
+
+
+@scalar("vector.tostring")
+def _vector_tostring(args):
+    return F.concat(
+        F.lit("["),
+        F.array_join(F.transform(_vec(args[0]), lambda x: x.cast("string")), ", "),
+        F.lit("]"),
+    )
+
+
+@scalar("vector.hybridscore")
+def _vector_hybridscore(args):
+    # alpha·vector_score + (1−alpha)·keyword_score
+    vs, ks = args[0].cast("double"), args[1].cast("double")
+    alpha = args[2].cast("double") if len(args) > 2 else F.lit(0.5)
+    return alpha * vs + (F.lit(1.0) - alpha) * ks
+
+
+@scalar("vector.scoretransform")
+def _vector_scoretransform(args):
+    from arcadedb_spark.sql.litreg import value_of
+
+    s = args[0].cast("double")
+    method = str(value_of(args[1]) or "LINEAR").upper()
+    if method == "LINEAR":
+        return s
+    if method == "SIGMOID":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+    if method == "TANH":
+        return F.tanh(s)
+    if method in ("LOG", "LN"):
+        return F.log(s + F.lit(1.0))
+    if method == "EXP":
+        return F.exp(s)
+    raise ValueError(f"Unknown score transform '{method}'")
+
+
+@scalar("vector.normalizescores")
+def _vector_normalizescores(args):
+    # min-max normalize a score array to [0, 1]
+    v = _vec(args[0])
+    lo, hi = F.array_min(v), F.array_max(v)
+    rng = hi - lo
+    return F.transform(
+        v, lambda x: F.when(rng == 0, F.lit(1.0)).otherwise((x - lo) / rng)
+    )
+
+
 # quantization (SQLFunctionVectorQuantize{Int8,Binary} + dequantize)
 for _n, _i in {
     "vector.quantizeint8": "quantize_int8",
@@ -947,6 +1117,30 @@ def _lit_int(col, default=None) -> int:
     return int(v)
 
 
+@ts_window("ts.interpolate")
+def _ts_interpolate(args, partition):
+    """ts.interpolate(value, ts) — linear interpolation of null samples
+    between their non-null neighbors (SQLFunctionInterpolate.java)."""
+    from pyspark.sql import Window
+
+    value, ts = args[0].cast("double"), args[1]
+    w_prev = Window.partitionBy(*partition).orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy(*partition).orderBy(ts).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    pv = F.last(value, ignorenulls=True).over(w_prev)
+    pt = F.last(F.when(value.isNotNull(), F.unix_millis(ts)), ignorenulls=True).over(w_prev)
+    nv = F.first(value, ignorenulls=True).over(w_next)
+    nt = F.first(F.when(value.isNotNull(), F.unix_millis(ts)), ignorenulls=True).over(w_next)
+    cur = F.unix_millis(ts)
+    interp = pv + (nv - pv) * (cur - pt) / (nt - pt)
+    return F.when(value.isNotNull(), value).otherwise(
+        F.when(pv.isNull(), nv).when(nv.isNull(), pv).when(nt == pt, pv).otherwise(interp)
+    )
+
+
 @ts_window("ts.lag")
 def _ts_lag(args, partition):
     # ts.lag(value, offset, ts[, default]) — SQLFunctionLag.java:39
@@ -1025,3 +1219,48 @@ def _ts_correlate(args, distinct=False):
 def _ts_percentile(args, distinct=False):
     """Approximate percentile 0..1 (SQLFunctionTsPercentile.java)."""
     return F.percentile_approx(args[0], args[1])
+
+
+# ---------------------------------------------------------------------------
+# Misc tail: version / eval / duration (function/sql/misc/SQLFunctionVersion,
+# SQLFunctionEval; function/temporal/DurationConstructorFunction.java)
+# ---------------------------------------------------------------------------
+
+
+@scalar("version")
+def _version(args):
+    from arcadedb_spark import __version__ as _v
+
+    return F.lit(_v)
+
+
+@scalar("eval")
+def _eval_fn(args):
+    """eval('<expr>') — parse + compile the expression string against the
+    current row (SQLFunctionEval semantics; the string must be a
+    literal)."""
+    from arcadedb_spark.sql.litreg import value_of
+    from arcadedb_spark.sql.parser import parse_expression
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+    text = value_of(args[0])
+    if text is None:
+        raise ValueError("eval() needs a literal expression string")
+    return ExprCompiler(Ctx(db=None, params={})).compile(parse_expression(str(text)))
+
+
+@scalar("duration")
+def _duration(args):
+    """duration(n, 'unit') → milliseconds (DurationConstructorFunction;
+    Cypher durations become epoch-millis longs in this engine —
+    documented mapping, SURVEY §1.2)."""
+    from arcadedb_spark.sql.litreg import value_of
+
+    unit = str(value_of(args[1]) or "ms").lower().rstrip("s")
+    factor = {
+        "milli": 1, "m": 60_000, "ms": 1, "millisecond": 1, "second": 1000,
+        "sec": 1000, "s": 1000, "minute": 60_000, "min": 60_000,
+        "hour": 3_600_000, "h": 3_600_000, "day": 86_400_000,
+        "d": 86_400_000, "week": 604_800_000, "w": 604_800_000,
+    }[unit]
+    return (args[0].cast("double") * factor).cast("long")

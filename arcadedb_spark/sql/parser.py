@@ -107,6 +107,8 @@ class Parser:
             return self.parse_create()
         if self.at_kw("DROP"):
             return self.parse_drop()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "ALTER":
+            return self.parse_alter()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRUNCATE":
             return self.parse_truncate()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "DEFINE":
@@ -243,8 +245,101 @@ class Parser:
         return ast.DeleteStmt(type_name=name, where=where, limit=limit)
 
     # DDL ------------------------------------------------------------------
+    _TS_UNIT_MS = {
+        "SECONDS": 1000, "SECOND": 1000, "MINUTES": 60_000, "MINUTE": 60_000,
+        "HOURS": 3_600_000, "HOUR": 3_600_000, "DAYS": 86_400_000,
+    }
+
+    def _parse_ts_duration_ms(self) -> int:
+        n = int(self.advance().value)
+        unit = "DAYS"
+        if self.cur.kind == "IDENT" and self.cur.value.upper() in self._TS_UNIT_MS:
+            unit = self.advance().value.upper()
+        return n * self._TS_UNIT_MS[unit]
+
+    def parse_create_timeseries(self) -> ast.Statement:
+        # CREATE TIMESERIES TYPE name [IF NOT EXISTS]
+        #   [TIMESTAMP col [PRECISION p]] [TAGS (n t, …)] [FIELDS (n t, …)]
+        #   [SHARDS n] [RETENTION n unit]   (SQLParser.g4:473-482)
+        self.advance()  # TIMESERIES
+        self.expect_kw("TYPE")
+        name = self.ident()
+        if_not_exists = self._eat_if_not_exists()
+        ts_col, precision = "ts", "MILLISECOND"
+        tags: list = []
+        fields: list = []
+        shards = None
+        retention_ms = None
+        while self.cur.kind == "IDENT":
+            word = self.cur.value.upper()
+            if word == "TIMESTAMP":
+                self.advance()
+                ts_col = self.ident()
+                if self.cur.kind == "IDENT" and self.cur.value.upper() == "PRECISION":
+                    self.advance()
+                    precision = self.advance().value.upper()
+            elif word in ("TAGS", "FIELDS"):
+                self.advance()
+                self.expect_op("(")
+                target = tags if word == "TAGS" else fields
+                while not self.at_op(")"):
+                    target.append((self.ident(), self.ident().upper()))
+                    self.eat_op(",")
+                self.expect_op(")")
+            elif word == "SHARDS":
+                self.advance()
+                shards = int(self.advance().value)
+            elif word == "RETENTION":
+                self.advance()
+                retention_ms = self._parse_ts_duration_ms()
+            elif word in ("COMPACTION_INTERVAL", "COMPACTION"):
+                self.advance()
+                if self.cur.kind == "IDENT":  # INTERVAL keyword spelling
+                    self.advance()
+                self._parse_ts_duration_ms()  # accepted, no-op on Spark
+            else:
+                break
+        return ast.CreateTimeSeriesTypeStmt(
+            name=name, if_not_exists=if_not_exists, timestamp_col=ts_col,
+            precision=precision, tags=tuple(tags), fields=tuple(fields),
+            shards=shards, retention_ms=retention_ms,
+        )
+
+    def parse_alter(self) -> ast.Statement:
+        # ALTER TIMESERIES TYPE name ADD DOWNSAMPLING POLICY
+        #   (AFTER n unit GRANULARITY n unit)+ | DROP DOWNSAMPLING POLICY
+        self.advance()  # ALTER
+        if not (self.cur.kind == "IDENT" and self.cur.value.upper() == "TIMESERIES"):
+            raise ParseError("Only ALTER TIMESERIES TYPE is supported")
+        self.advance()
+        self.expect_kw("TYPE")
+        name = self.ident()
+        action = self.advance().value.upper() if self.cur.kind in ("IDENT", "KEYWORD") else ""
+        if action == "DROP":
+            self.advance()  # DOWNSAMPLING
+            self.advance()  # POLICY
+            return ast.AlterTimeSeriesTypeStmt(name=name, drop_policy=True)
+        if action != "ADD":
+            raise ParseError("Expected ADD or DROP DOWNSAMPLING POLICY")
+        self.advance()  # DOWNSAMPLING
+        self.advance()  # POLICY
+        tiers: list = []
+        while self.cur.kind == "IDENT" and self.cur.value.upper() == "AFTER":
+            self.advance()
+            after_ms = self._parse_ts_duration_ms()
+            if not (self.cur.kind == "IDENT" and self.cur.value.upper() == "GRANULARITY"):
+                raise ParseError("Expected GRANULARITY in downsampling tier")
+            self.advance()
+            gran_ms = self._parse_ts_duration_ms()
+            tiers.append((after_ms, gran_ms))
+        if not tiers:
+            raise ParseError("ADD DOWNSAMPLING POLICY needs ≥1 AFTER…GRANULARITY tier")
+        return ast.AlterTimeSeriesTypeStmt(name=name, add_tiers=tuple(tiers))
+
     def parse_create(self) -> ast.Statement:
         self.expect_kw("CREATE")
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "TIMESERIES":
+            return self.parse_create_timeseries()
         if self.at_kw("DOCUMENT", "VERTEX", "EDGE", "TYPE"):
             kind = "document"
             if self.at_kw("DOCUMENT", "VERTEX", "EDGE"):

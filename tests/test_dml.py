@@ -163,3 +163,37 @@ def test_register_python_function(scratch):
     db.register_function("shout", lambda s: (s or "").upper() + "!", "string")
     r = db.query("SELECT shout(c_name) AS s FROM customer WHERE c_custkey = 1").collect()[0]
     assert r["s"].endswith("!") and r["s"].startswith("CUSTOMER#")
+
+
+def test_timeseries_type_ddl(scratch):
+    db = scratch
+    db.command(
+        "CREATE TIMESERIES TYPE SensorData "
+        "TIMESTAMP ts PRECISION MILLISECOND "
+        "TAGS (host STRING, region STRING) "
+        "FIELDS (temperature DOUBLE, load LONG) "
+        "SHARDS 4 RETENTION 30 DAYS"
+    )
+    cols = db.table("SensorData").columns
+    assert cols[:1] == ["ts"] and "temperature" in cols and "host" in cols
+    meta = db.schema.get("SensorData").properties["timeseries"]
+    assert meta["retention_ms"] == 30 * 86_400_000 and meta["shards"] == 4
+    # ingest through normal DML, query through ts functions
+    db.command(
+        "INSERT INTO SensorData SET ts = date('2024-01-01 10:00:00'), "
+        "host = 'h1', region = 'eu', temperature = 21.5, load = 3"
+    )
+    assert db.query("SELECT count(*) AS n FROM SensorData").collect()[0]["n"] == 1
+    # downsampling policy DDL
+    db.command(
+        "ALTER TIMESERIES TYPE SensorData ADD DOWNSAMPLING POLICY "
+        "AFTER 7 DAYS GRANULARITY 1 HOURS AFTER 30 DAYS GRANULARITY 1 DAYS"
+    )
+    meta = db.schema.get("SensorData").properties["timeseries"]
+    assert meta["downsampling"] == [
+        (7 * 86_400_000, 3_600_000), (30 * 86_400_000, 86_400_000)
+    ]
+    db.command("ALTER TIMESERIES TYPE SensorData DROP DOWNSAMPLING POLICY")
+    assert db.schema.get("SensorData").properties["timeseries"]["downsampling"] == []
+    # IF NOT EXISTS is a no-op
+    db.command("CREATE TIMESERIES TYPE SensorData IF NOT EXISTS")

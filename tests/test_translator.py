@@ -253,3 +253,57 @@ def test_fluent_vector_search(db):
     assert len(rows) == 5
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_vector_function_tail(db):
+    r = db.query(
+        "SELECT vector.add([1.0, 2.0], [3.0, 4.0]) AS va, "
+        "vector.subtract([5.0, 5.0], [1.0, 2.0]) AS vsub, "
+        "vector.multiply([2.0, 3.0], [4.0, 5.0]) AS vmul, "
+        "vector.clip([-5.0, 0.5, 5.0], 0, 1) AS vclip, "
+        "vector.magnitude([3.0, 4.0]) AS mag, "
+        "vector.l1Norm([1.0, -2.0]) AS l1, vector.lInfNorm([1.0, -7.0]) AS li, "
+        "vector.sum([1.0, 2.0, 3.0]) AS vsum, vector.avg([1.0, 3.0]) AS vavg, "
+        "vector.dimension([1.0, 2.0, 3.0]) AS dim, "
+        "vector.hasNull([1.0, 2.0]) AS hn, "
+        "vector.isNormalized([0.6, 0.8]) AS norm, "
+        "round(vector.hybridScore(0.8, 0.4, 0.75), 4) AS hs, "
+        "vector.scoreTransform(0.0, 'SIGMOID') AS st, "
+        "vector.normalizeScores([1.0, 3.0, 5.0]) AS ns, "
+        "vector.toString([1.0, 2.0]) AS vstr "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert r["va"] == [4.0, 6.0] and r["vsub"] == [4.0, 3.0]
+    assert r["vmul"] == [8.0, 15.0] and r["vclip"] == [0.0, 0.5, 1.0]
+    assert r["mag"] == 5.0 and r["l1"] == 3.0 and r["li"] == 7.0
+    assert r["vsum"] == 6.0 and r["vavg"] == 2.0 and r["dim"] == 3
+    assert r["hn"] is False and r["norm"] is True
+    assert r["hs"] == 0.7 and r["st"] == 0.5
+    assert r["ns"] == [0.0, 0.5, 1.0] and r["vstr"] == "[1.0, 2.0]"
+
+
+def test_misc_function_tail(db):
+    r = db.query(
+        "SELECT version() AS v, eval('2 + 3 * 4') AS ev, "
+        "duration(2, 'hours') AS dur FROM region LIMIT 1"
+    ).collect()[0]
+    assert r["ev"] == 14 and r["dur"] == 7_200_000 and r["v"]
+    sp = db.query("SELECT round(stddevp(r_regionkey), 3) AS sp FROM region").collect()[0]["sp"]
+    assert sp == 1.414
+
+
+def test_ts_interpolate(db, spark):
+    df = spark.createDataFrame(
+        [(1, 1000, 10.0), (1, 2000, None), (1, 3000, 30.0), (1, 4000, None)],
+        "uid long, ms long, v double",
+    ).selectExpr("uid", "ms", "timestamp_millis(ms) AS ts", "v")
+    db.register_type("interp_t", df, key="ms")
+    try:
+        rows = db.query(
+            "SELECT ms, ts.interpolate(v, ts) AS iv FROM interp_t GROUP BY uid"
+        ).collect()
+        by_ms = {r["ms"]: r["iv"] for r in rows}
+        assert by_ms[2000] == 20.0  # linear between 10 and 30
+        assert by_ms[4000] == 30.0  # trailing null → carry last
+    finally:
+        db.schema.drop("interp_t")
