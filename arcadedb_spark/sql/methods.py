@@ -307,3 +307,82 @@ def _normalize(base, args):
     form = _str(args[0]) if args else "NFD"
     remove = _str(args[1]) if len(args) > 1 else None
     return normalize_udf(form, remove)(base.cast("string"))
+
+
+# -- remaining method tail (query/sql/method/**) -----------------------------
+
+
+@method("ifEmpty")
+def _if_empty(base, args):
+    """value.ifEmpty(fallback) — fallback when null or empty string/list
+    (SQLMethodIfEmpty.java)."""
+    is_empty = base.isNull() | (base.cast("string") == "")
+    return F.when(is_empty, args[0]).otherwise(base)
+
+
+@method("join")
+def _join_m(base, args):
+    """list.join(sep) — SQLMethodJoin.java."""
+    sep = _str(args[0]) if args else ","
+    return F.array_join(base, sep)
+
+
+@method("lastIndexOf")
+def _last_index_of(base, args):
+    """str.lastIndexOf(sub) — 0-based like the reference; −1 if absent."""
+    s = base.cast("string")
+    sub = args[0].cast("string")
+    rev_pos = F.instr(F.reverse(s), F.reverse(sub))
+    return F.when(rev_pos == 0, F.lit(-1)).otherwise(
+        F.length(s) - rev_pos - F.length(sub) + 1
+    )
+
+
+@method("precision")
+def _precision(base, args):
+    """decimal/number.precision(n) — round to n decimal places
+    (SQLMethodPrecision.java)."""
+    return F.round(base.cast("double"), _int(args[0]))
+
+
+@method("removeAll")
+def _remove_all(base, args):
+    """list.removeAll(value | [values]) — SQLMethodRemoveAll.java."""
+    val = args[0]
+    return F.filter(base, lambda x: ~x.eqNullSafe(val))
+
+
+@method("asVector")
+def _as_vector(base, args):
+    """x.asVector() — cast to array<float> (the embedding type,
+    SQLMethodAsVector.java / Type.ARRAY_OF_FLOATS)."""
+    return base.cast("array<float>")
+
+
+@method("asSparse")
+def _as_sparse(base, args):
+    """dense.asSparse() — SQLMethodAsSparse.java → sparse struct."""
+    from arcadedb_spark.vector.sparse import dense_to_sparse
+
+    return dense_to_sparse(base)
+
+
+@method("asRID", "asCypherRid")
+def _as_rid(base, args):
+    """x.asRID() — normalize to the '#bucket:offset' string form."""
+    return base.cast("string")
+
+
+@method("javaType")
+def _java_type(base, args):
+    """x.javaType() — the reference reports the JVM class; here the
+    Spark SQL type name (documented mapping)."""
+    return F.typeof(base)
+
+
+@method("asRecord")
+def _as_record(base, args):
+    """rid.asRecord() — in the reference this dereferences the RID; on
+    DataFrames record identity is the row itself, so this is the
+    identity passthrough (LINK navigation handles dereference)."""
+    return base

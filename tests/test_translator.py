@@ -307,3 +307,18 @@ def test_ts_interpolate(db, spark):
         assert by_ms[4000] == 30.0  # trailing null → carry last
     finally:
         db.schema.drop("interp_t")
+
+
+def test_method_tail(db):
+    r = db.query(
+        "SELECT ''.ifEmpty('fb') AS ie, [1, 2, 3].join('-') AS j, "
+        "'hello world hello'.lastIndexOf('hello') AS li, "
+        "'xyz'.lastIndexOf('q') AS li_missing, "
+        "3.14159.precision(2) AS p, [1, 2, 1, 3].removeAll(1) AS ra, "
+        "[0.5, 0.25].asVector() AS av, 42.javaType() AS jt "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert r["ie"] == "fb" and r["j"] == "1-2-3"
+    assert r["li"] == 12 and r["li_missing"] == -1
+    assert r["p"] == 3.14 and r["ra"] == [2, 3]
+    assert r["av"] == [0.5, 0.25] and r["jt"] in ("int", "bigint")
