@@ -108,8 +108,9 @@ def traverse(
             # each hop is re-read by the emptiness check, the next hop's
             # join and the visited union — cache instead of recomputing
             nxt = nxt.cache()
-        # emptiness check drives the loop — one count() action per hop
-        if nxt.limit(1).count() == 0:
+        # emptiness check drives the loop — one count() action per hop,
+        # skipped on the final hop where the loop ends regardless
+        if depth < max_depth and nxt.limit(1).count() == 0:
             break
         visited = visited.unionByName(nxt)
         if depth % _CHECKPOINT_EVERY == 0:
