@@ -69,3 +69,75 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
 def export_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """One JSON object per line (JsonlExporterFormat.java analog)."""
     df.write.mode(mode).json(path)
+
+
+def read_neo4j_export(spark: SparkSession, path: str):
+    """Neo4j/APOC JSONL export → (nodes_df, relationships_df).
+
+    Format (integration/…/format/Neo4jImporterFormat.java; sample at
+    integration/src/test/resources/neo4j-export-mini.jsonl): one JSON
+    object per line, ``type`` ∈ {node, relationship}; nodes carry
+    (id, labels[], properties{}), relationships carry
+    (id, label, start.id, end.id, properties{}).
+
+    Properties are heterogeneous per row, so they stay as a raw JSON
+    string column (the schema-flexible ``_props`` convention) — extract
+    typed values with get_json_object/from_json downstream.  The parse
+    is pure Column work (from_json + get_json_object) over text splits,
+    so it distributes like any text source.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    env = raw.select(
+        F.get_json_object("value", "$.type").alias("rec_type"),
+        F.get_json_object("value", "$.id").alias("id"),
+        F.from_json(
+            F.get_json_object("value", "$.labels"), "array<string>"
+        ).alias("labels"),
+        F.get_json_object("value", "$.label").alias("label"),
+        F.get_json_object("value", "$.start.id").alias("start_id"),
+        F.get_json_object("value", "$.end.id").alias("end_id"),
+        F.get_json_object("value", "$.properties").alias("properties"),
+    )
+    nodes = env.filter(F.col("rec_type") == "node").select(
+        "id", "labels", "properties"
+    )
+    rels = env.filter(F.col("rec_type") == "relationship").select(
+        "id", "label", "start_id", "end_id", "properties"
+    )
+    return nodes, rels
+
+
+def import_neo4j_graph(db, path: str) -> dict[str, int]:
+    """Load a Neo4j export into the property graph: one vertex type per
+    primary label, one edge type per relationship label
+    (Neo4jImporter.java run loop :313-395).  Returns per-type counts."""
+    from pyspark.sql import functions as F
+
+    nodes, rels = read_neo4j_export(db.spark, path)
+    g = db.graph()
+    counts: dict[str, int] = {}
+    # vid = xxhash64 of the export id, bit 61 set (disjoint from catalog
+    # and CREATE-vid spaces)
+    vid = (F.xxhash64("id").bitwiseAND(F.lit((1 << 60) - 1)) + F.lit(1 << 61))
+    nodes = nodes.withColumn("vid", vid).cache()
+    for (label,) in nodes.select(
+        F.element_at("labels", 1).alias("l")
+    ).distinct().collect():
+        part = nodes.filter(F.element_at("labels", 1) == label).select(
+            "vid", "id", F.col("properties").alias("_props")
+        )
+        db.schema.register(f"{label}", part)
+        g.vertex_dfs[label.lower()] = part
+        counts[label] = part.count()
+    svid = (F.xxhash64("start_id").bitwiseAND(F.lit((1 << 60) - 1)) + F.lit(1 << 61))
+    dvid = (F.xxhash64("end_id").bitwiseAND(F.lit((1 << 60) - 1)) + F.lit(1 << 61))
+    for (elabel,) in rels.select("label").distinct().collect():
+        part = rels.filter(F.col("label") == elabel).select(
+            svid.alias("__s"), dvid.alias("__d"),
+            F.col("properties").alias("_props"),
+        )
+        g.add_edges(elabel, part, "__s", "__d", props=["_props"])
+        counts[elabel] = part.count()
+    return counts

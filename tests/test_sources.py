@@ -66,3 +66,36 @@ def test_export_jsonl_roundtrip(spark, db):
     export_jsonl(db.table("nation").select("n_nationkey", "n_name"), path)
     back = spark.read.json(path)
     assert back.count() == 25
+
+
+def test_neo4j_export_import(spark, tmp_path, db):
+    import json as _json
+
+    lines = [
+        {"type": "node", "id": "0", "labels": ["User"],
+         "properties": {"name": "Adam", "age": 42, "kids": ["Sam", "Anna"]}},
+        {"type": "node", "id": "1", "labels": ["User"], "properties": {"name": "Jim"}},
+        {"type": "node", "id": "2", "labels": ["City"], "properties": {"name": "Oslo"}},
+        {"type": "relationship", "id": "0", "label": "N_KNOWS",
+         "properties": {"since": 1993},
+         "start": {"id": "0", "labels": ["User"]}, "end": {"id": "1", "labels": ["User"]}},
+        {"type": "relationship", "id": "1", "label": "N_LIVES_IN", "properties": {},
+         "start": {"id": "1", "labels": ["User"]}, "end": {"id": "2", "labels": ["City"]}},
+    ]
+    p = tmp_path / "neo4j.jsonl"
+    p.write_text("\n".join(_json.dumps(x) for x in lines))
+
+    from arcadedb_spark.sources.readers import import_neo4j_graph, read_neo4j_export
+
+    nodes, rels = read_neo4j_export(spark, str(p))
+    assert nodes.count() == 3 and rels.count() == 2
+    r = rels.filter("label = 'N_KNOWS'").collect()[0]
+    assert r["start_id"] == "0" and r["end_id"] == "1"
+
+    counts = import_neo4j_graph(db, str(p))
+    assert counts == {"User": 2, "City": 1, "N_KNOWS": 1, "N_LIVES_IN": 1}
+    # imported graph is traversable through the normal surfaces
+    n = db.query(
+        "MATCH (u:User)-[:N_KNOWS]->(v:User) RETURN count(*) AS n", language="cypher"
+    ).collect()[0]["n"]
+    assert n == 1
