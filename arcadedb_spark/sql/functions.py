@@ -302,7 +302,7 @@ def _sha256(args):
     return F.sha2(args[0].cast("binary"), 256)
 
 
-@scalar("json_extract")
+@scalar("json_extract", "get_json_object")
 def _json_extract(args):
     # json_extract(jsonString, '$.path') → string value
     # (query/sql/method/misc/SQLMethodToJSON + ConvertFromJsonMap analog —
