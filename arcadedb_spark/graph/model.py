@@ -47,9 +47,12 @@ class GraphModel:
 
     # -- construction -----------------------------------------------------
     def add_vertices(self, label: str, df: DataFrame, vid_col: str) -> None:
-        self.vertex_dfs[label.lower()] = df.withColumn(
-            "vid", F.col(vid_col).cast("long")
-        )
+        out = df.withColumn("vid", F.col(vid_col).cast("long"))
+        if "@type" not in out.columns:
+            # label rides with the vertex so Cypher labels(n) works on the
+            # bound struct (function/node/NodeLabels.java)
+            out = out.withColumn("@type", F.lit(label))
+        self.vertex_dfs[label.lower()] = out
 
     def add_edges(
         self,
@@ -142,7 +145,7 @@ class GraphModel:
                 | (1 << 62)
             )
             vids.append(vid)
-            enriched.append({**r, "vid": vid})
+            enriched.append({**r, "vid": vid, "@type": label})
         new_df = self.spark.createDataFrame(enriched)
         key_l = label.lower()
         if key_l in self.vertex_dfs:

@@ -126,7 +126,8 @@ def import_neo4j_graph(db, path: str) -> dict[str, int]:
         F.element_at("labels", 1).alias("l")
     ).distinct().collect():
         part = nodes.filter(F.element_at("labels", 1) == label).select(
-            "vid", "id", F.col("properties").alias("_props")
+            "vid", "id", F.col("properties").alias("_props"),
+            F.lit(label).alias("@type"),
         )
         db.schema.register(f"{label}", part)
         g.vertex_dfs[label.lower()] = part

@@ -1264,3 +1264,28 @@ def _duration(args):
         "d": 86_400_000, "week": 604_800_000, "w": 604_800_000,
     }[unit]
     return (args[0].cast("double") * factor).cast("long")
+
+
+@scalar("id")
+def _cypher_id(args):
+    """id(node) — the vertex id (function/node/NodeId.java; our vids are
+    dense longs, SURVEY §1.1 RID mapping)."""
+    return args[0].getField("vid")
+
+
+@scalar("labels")
+def _cypher_labels(args):
+    """labels(node) — label array (function/node/NodeLabels.java; one
+    primary label per vertex type here)."""
+    return F.array(args[0].getField("@type"))
+
+
+@scalar("startnode")
+def _cypher_startnode(args):
+    """startNode(edgeStruct) — the src vid (function/rel/*)."""
+    return args[0].getField("src")
+
+
+@scalar("endnode")
+def _cypher_endnode(args):
+    return args[0].getField("dst")

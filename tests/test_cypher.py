@@ -301,3 +301,13 @@ def test_custom_procedure_registration(db):
         .agg(F2.max("d")).collect()[0][0]
     )
     assert rows[0]["n"] == 150 and rows[0]["mx"] == max_deg * max_deg
+
+
+def test_node_functions(db):
+    r = cy(db,
+        "MATCH (c:Customer)-[:PLACED]->(o:`Order`) "
+        "RETURN id(c) AS i, labels(c) AS l, labels(o) AS lo "
+        "ORDER BY i LIMIT 1"
+    ).collect()[0]
+    assert isinstance(r["i"], int) and r["l"] == ["Customer"]
+    assert r["lo"] == ["Order"]
