@@ -724,7 +724,9 @@ class Translator:
         else:
             tgt = g.all_vertices()
         out = hop.join(tgt, hop["__t"] == tgt["vid"]).drop("__t", "vid")
-        out = out.drop(*[c for c in out.columns if c.startswith("__")])
+        # graph-internal columns stay internal ("@type" rides on vertex
+        # frames for Cypher labels(); expand() emits the bare record)
+        out = out.drop("@type", *[c for c in out.columns if c.startswith("__")])
         if stmt.skip is not None:
             out = out.offset(self._int_of(stmt.skip, Ctx(db=self.db, params=self.params)))
         if stmt.limit is not None:
