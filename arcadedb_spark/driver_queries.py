@@ -1897,6 +1897,53 @@ def q_geo_distance(spark, sf_dir):
 
 
 @query(
+    "q_geo_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             ((c_custkey * 9973) % 1000) / 20.0 - 25 AS lat,
+             ((c_custkey * 7919) % 1000) / 10.0 - 50 AS lon
+      FROM customer WHERE c_custkey < 400
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(2 * 6371.0 * asin(sqrt(
+             sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+           )), 2) AS distance_km
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE 2 * 6371.0 * asin(sqrt(
+            sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+          )) <= 75
+    ORDER BY id_a, id_b
+    """,
+)
+def q_geo_radius_join(spark, sf_dir):
+    """Grid-cell spatial self-join vs the oracle's exact cross join —
+    the NEAR/WITHIN shape (LSMTreeGeoIndex.java cell covering):
+    candidates from a 3x3 cell equi-join, exact haversine verify."""
+    from arcadedb_spark.geo.join import within_distance_join
+
+    db = _db(spark, sf_dir)
+    pts = db.table("customer").filter(F.col("c_custkey") < 400).select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 9973) % 1000) / 20.0 - 25).alias("lat"),
+        (((F.col("c_custkey") * 7919) % 1000) / 10.0 - 50).alias("lon"),
+    )
+    pairs = within_distance_join(pts, pts, radius_km=75.0)
+    return (
+        pairs.filter(F.col("id") < F.col("r_id"))
+        .select(
+            F.col("id").alias("id_a"), F.col("r_id").alias("id_b"),
+            F.round("distance_km", 2).alias("distance_km"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "q_gremlin_groupcount",
     oracle="""
     SELECT c_mktsegment AS key, count(*) AS count

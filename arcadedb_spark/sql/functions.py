@@ -1289,3 +1289,14 @@ def _cypher_startnode(args):
 @scalar("endnode")
 def _cypher_endnode(args):
     return args[0].getField("dst")
+
+
+@scalar("geo.geohash")
+def _geo_geohash(args):
+    """geo.geohash(lat, lon[, precision]) — base32 cell key
+    (index/geospatial/LSMTreeGeoIndex.java geohash covering)."""
+    from arcadedb_spark.geo.join import geohash_col
+    from arcadedb_spark.sql.litreg import value_of
+
+    precision = int(value_of(args[2]) or 9) if len(args) > 2 else 9
+    return geohash_col(args[0], args[1], precision)

@@ -139,3 +139,45 @@ def test_geo_sql_polygon_and_buffer(db):
     assert r["poly"] == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
     assert abs(r["buf_area"] - 3.12) < 0.01  # inscribed 32-gon: 16·sin(π/16)
     assert r["norm"] == "POINT (3 4)"
+
+
+def test_geohash_known_values():
+    from arcadedb_spark.geo.join import geohash
+
+    # canonical test vectors
+    assert geohash(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert geohash(48.669, -4.329, 5) == "gbsuv"
+    assert geohash(0.0, 0.0, 5) == "s0000"
+
+
+def test_geohash_sql_and_prefix_locality(db):
+    r = db.query(
+        "SELECT geo.geohash(57.64911, 10.40744, 9) AS g1, "
+        "geo.geohash(57.649, 10.407, 9) AS g2, "
+        "geo.geohash(-33.86, 151.21, 9) AS far "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert r["g1"].startswith("u4pruy") and r["g2"].startswith("u4pruy")
+    assert not r["far"].startswith("u4")
+
+
+def test_within_distance_join_exact(spark):
+    from arcadedb_spark.geo.join import within_distance_join
+
+    pts = spark.createDataFrame(
+        [(1, 48.85, 2.35),   # Paris
+         (2, 48.80, 2.13),   # Versailles (~17 km)
+         (3, 51.50, -0.12),  # London (~343 km)
+         (4, 48.86, 2.36)],  # Paris again (~1 km)
+        "id long, lat double, lon double",
+    )
+    pairs = within_distance_join(pts, pts, radius_km=50.0)
+    got = {
+        (r["id"], r["r_id"]) for r in pairs.collect() if r["id"] < r["r_id"]
+    }
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    dist = {
+        (r["id"], r["r_id"]): r["distance_km"]
+        for r in pairs.collect() if r["id"] < r["r_id"]
+    }
+    assert 15 < dist[(1, 2)] < 20 and dist[(1, 4)] < 2
