@@ -564,8 +564,51 @@ def q_triangle_count(spark, sf_dir):
     return tc.agg((F.sum("triangles") / 3).cast("long").alias("n_triangles"))
 
 
-@query("q_pagerank")  # iterative float accumulation — rows-only check
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled PageRank in DuckDB SQL — mirrors algorithms.pagerank
+    exactly (damping 0.85, rank init 1.0, uniform dangling-mass
+    redistribution, Σrank = N invariant).  Float summation order differs
+    between engines but the error (~1e-13 after 10 rounds) is far below
+    the round(…, 4) grid.  Every CTE is MATERIALIZED: r{{i}} is referenced
+    by both c{{i+1}} and f{{i+1}}, and DuckDB's default inlining makes the
+    10-level chain exponential (>10 min) without it."""
+    cte = ["""
+    pairs AS MATERIALIZED (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), verts AS MATERIALIZED (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e0 UNION ALL SELECT d FROM e0)
+    ), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    outd AS MATERIALIZED (SELECT s, count(*) AS deg FROM e0 GROUP BY s),
+    r0 AS MATERIALIZED (SELECT v, 1.0 AS rank FROM verts)"""]
+    for i in range(1, iterations + 1):
+        cte.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT e0.d AS v, sum(r{i-1}.rank / outd.deg) AS c
+      FROM e0 JOIN r{i-1} ON r{i-1}.v = e0.s JOIN outd ON outd.s = e0.s
+      GROUP BY e0.d
+    ), f{i} AS MATERIALIZED (SELECT coalesce(sum(c), 0.0) AS fl FROM c{i}),
+    r{i} AS MATERIALIZED (
+      SELECT verts.v,
+             0.15 + 0.85 * (coalesce(c{i}.c, 0.0)
+               + ((SELECT n FROM nn) - (SELECT fl FROM f{i})) / (SELECT n FROM nn)) AS rank
+      FROM verts LEFT JOIN c{i} ON c{i}.v = verts.v
+    )""")
+    return (
+        "WITH " + ",".join(cte)
+        + f"""
+    SELECT v AS user_id, round(rank, 4) AS rank
+    FROM r{iterations} ORDER BY rank DESC, user_id LIMIT 10
+    """
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(10))
 def q_pagerank(spark, sf_dir):
+    """PageRank vs a 10-iteration unrolled DuckDB oracle
+    (AlgoPageRank.java parity: damping 0.85, dangling redistribution)."""
     from arcadedb_spark.graph.algorithms import pagerank
 
     db = _db(spark, sf_dir)
@@ -579,15 +622,42 @@ def q_pagerank(spark, sf_dir):
     )
 
 
-@query("q_wcc")  # no closed-form SQL oracle — rows-only check
+@query(
+    "q_wcc",
+    oracle="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), adj AS MATERIALIZED (
+      SELECT DISTINCT v, n FROM (
+        SELECT s AS v, d AS n FROM e0 UNION ALL SELECT d AS v, s AS n FROM e0
+      ) WHERE v <> n
+    ), reach(v, r) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+      UNION
+      SELECT reach.v, adj.n FROM reach JOIN adj ON adj.v = reach.r
+    ), comp AS (
+      SELECT v, min(r) AS c FROM reach GROUP BY v
+    )
+    SELECT c AS component, count(*) AS size
+    FROM comp GROUP BY c ORDER BY size DESC, component
+    """,
+)
 def q_wcc(spark, sf_dir):
+    """WCC vs a DuckDB RECURSIVE-CTE transitive-closure oracle —
+    component label = min user id in the component (AlgoWCC.java)."""
     from arcadedb_spark.graph.algorithms import connected_components
 
     db = _db(spark, sf_dir)
     g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
     cc = connected_components(g.edges("INTERACTED"))
-    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
-        F.desc("size"), F.asc("component")
+    return (
+        cc.groupBy((F.col("component") - base).alias("component"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("component"))
     )
 
 
@@ -1760,7 +1830,34 @@ def q_clustering_coefficient(spark, sf_dir):
     )
 
 
-@query("q_harmonic_centrality")  # multi-source BFS — no closed-form SQL oracle
+@query(
+    "q_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), lm AS (
+      SELECT v FROM (SELECT DISTINCT s AS v FROM e0) ORDER BY v LIMIT 32
+    ), walk(lmv, v, dd) AS (
+      SELECT v, v, 0 FROM lm
+      UNION
+      SELECT walk.lmv, e0.s, walk.dd + 1
+      FROM walk JOIN e0 ON e0.d = walk.v WHERE walk.dd < 6
+    ), dist AS (
+      SELECT lmv, v, min(dd) AS dd FROM walk GROUP BY lmv, v
+    ), verts AS (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e0 UNION ALL SELECT d FROM e0)
+    ), h AS (
+      SELECT verts.v, coalesce(sum(1.0 / dist.dd), 0.0) / 31.0 AS harmonic
+      FROM verts LEFT JOIN dist ON dist.v = verts.v AND dist.dd > 0
+      GROUP BY verts.v
+    )
+    SELECT v AS user_id, round(harmonic, 4) AS harmonic
+    FROM h ORDER BY harmonic DESC, user_id LIMIT 20
+    """,
+)
 def q_harmonic_centrality(spark, sf_dir):
     from arcadedb_spark.graph.algorithms_more import harmonic_centrality
 
@@ -2160,14 +2257,43 @@ def q_cypher_varlength(spark, sf_dir):
     )
 
 
-@query("q_scc")  # iterative peeling — rows-only check
+@query(
+    "q_scc",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), verts AS (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e0 UNION ALL SELECT d FROM e0)
+    ), reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT reach.v, e0.d FROM reach JOIN e0 ON e0.s = reach.r
+    ), scc AS (
+      SELECT a.v, min(a.r) AS c
+      FROM reach a JOIN reach b ON a.v = b.r AND a.r = b.v
+      GROUP BY a.v
+    )
+    SELECT c AS component, count(*) AS size
+    FROM scc GROUP BY c ORDER BY size DESC, component
+    """,
+)
 def q_scc(spark, sf_dir):
+    """SCC vs a DuckDB bidirectional-closure oracle; labels normalized
+    to the min member id so the coloring algorithm's internal roots
+    don't leak (AlgoSCC.java parity up to label choice)."""
     from arcadedb_spark.graph.algorithms import strongly_connected_components
 
     db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
     scc = strongly_connected_components(db.graph().edges("INTERACTED"))
-    return scc.groupBy("component").agg(F.count(F.lit(1)).alias("size")).orderBy(
-        F.desc("size"), F.asc("component")
+    return (
+        scc.groupBy("component")
+        .agg(F.min("vid").alias("__label"), F.count(F.lit(1)).alias("size"))
+        .select((F.col("__label") - base).alias("component"), "size")
+        .orderBy(F.desc("size"), F.asc("component"))
     )
 
 
