@@ -377,8 +377,21 @@ def q_let_per_record(spark, sf_dir):
     )
 
 
-@query("q_schema_types")  # catalog virtual table — no SQL oracle
+@query(
+    "q_schema_types",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('customer', 'document', 1), ('documents', 'document', 2),
+      ('embeddings', 'document', 3), ('events', 'document', 4),
+      ('lineitem', 'document', 5), ('nation', 'document', 6),
+      ('orders', 'document', 7), ('part', 'document', 8),
+      ('region', 'document', 9), ('supplier', 'document', 10)
+    ) AS t(name, kind, bucket_id) ORDER BY bucket_id
+    """,
+)
 def q_schema_types(spark, sf_dir):
+    """schema:types virtual table vs the literal expected catalog (the
+    10 driver tables registered in sorted order, buckets 1..10)."""
     return _db(spark, sf_dir).query(
         "SELECT name, kind, bucket_id FROM schema:types ORDER BY bucket_id"
     )
@@ -1296,8 +1309,15 @@ def q_knn_ivf(spark, sf_dir):
     )
 
 
-@query("q_multimodal_features")  # stubbed decode — rows-only check
+@query(
+    "q_multimodal_features",
+    oracle="SELECT doc_id AS id, 8 AS n_features FROM documents",
+)
 def q_multimodal_features(spark, sf_dir):
+    """Decode is a deterministic stub, so the checkable contract is the
+    Spark-side plumbing: one output row per input blob, feature vector
+    of exactly `dim` floats, id preserved through mapInPandas — which
+    the count/size/id oracle pins exactly."""
     from arcadedb_spark.multimodal import extract_features
 
     docs = _db(spark, sf_dir).table("documents")
@@ -1699,8 +1719,45 @@ def q_adamic_adar(spark, sf_dir):
     )
 
 
-@query("q_k_core")  # iterative peeling — no closed-form SQL oracle
+def _k_core_oracle(k: int = 4, rounds: int = 25) -> str:
+    """Unrolled k-core peeling in DuckDB SQL — mirrors
+    algorithms.k_core: each round keeps vertices whose degree within the
+    surviving subgraph is >= k.  25 unrolled rounds: peeling removes at
+    least one vertex per non-converged round, and the INTERACTED fixture
+    converges in <10 rounds at every sf the driver uses (monotone —
+    extra rounds past the fixpoint are no-ops)."""
+    cte = [f"""
+    pairs AS MATERIALIZED (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), adj AS MATERIALIZED (
+      SELECT DISTINCT v, n FROM (
+        SELECT s AS v, d AS n FROM e0 UNION ALL SELECT d AS v, s AS n FROM e0
+      ) WHERE v <> n
+    ),
+    alive0 AS MATERIALIZED (SELECT DISTINCT v FROM adj)"""]
+    for i in range(1, rounds + 1):
+        cte.append(f"""
+    alive{i} AS MATERIALIZED (
+      SELECT adj.v FROM adj
+      JOIN alive{i-1} a1 ON a1.v = adj.v
+      JOIN alive{i-1} a2 ON a2.v = adj.n
+      GROUP BY adj.v HAVING count(*) >= {k}
+    )""")
+    return (
+        "WITH " + ",".join(cte)
+        + f"""
+    SELECT v AS user_id FROM alive{rounds} ORDER BY user_id
+    """
+    )
+
+
+@query("q_k_core", oracle=_k_core_oracle(4))
 def q_k_core(spark, sf_dir):
+    """4-core membership vs an unrolled DuckDB peeling oracle
+    (AlgoKCore.java parity)."""
     from arcadedb_spark.graph.algorithms import k_core
 
     db = _db(spark, sf_dir)
@@ -1876,8 +1933,56 @@ def q_harmonic_centrality(spark, sf_dir):
     )
 
 
-@query("q_hits")  # power iteration — rows-only check
+def _hits_oracle(iterations: int = 8) -> str:
+    """Unrolled HITS in DuckDB SQL — mirrors algorithms_more.hits exactly
+    (max-normalized per half-step: authority from previous hub, then hub
+    from the NEW authority).  MATERIALIZED throughout — see
+    _pagerank_oracle."""
+    cte = ["""
+    pairs AS MATERIALIZED (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), verts AS MATERIALIZED (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e0 UNION ALL SELECT d FROM e0)
+    ),
+    h0 AS MATERIALIZED (SELECT v, 1.0 AS hub FROM verts)"""]
+    for i in range(1, iterations + 1):
+        cte.append(f"""
+    na{i} AS MATERIALIZED (
+      SELECT verts.v, coalesce(sums.a, 0.0) AS a
+      FROM verts LEFT JOIN (
+        SELECT e0.d AS v, sum(h.hub) AS a
+        FROM e0 JOIN h{i-1} h ON h.v = e0.s GROUP BY e0.d
+      ) sums ON sums.v = verts.v
+    ), a{i} AS MATERIALIZED (
+      SELECT v, a / (SELECT coalesce(nullif(max(a), 0.0), 1.0) FROM na{i}) AS a
+      FROM na{i}
+    ), nh{i} AS MATERIALIZED (
+      SELECT verts.v, coalesce(sums.h, 0.0) AS h
+      FROM verts LEFT JOIN (
+        SELECT e0.s AS v, sum(a.a) AS h
+        FROM e0 JOIN a{i} a ON a.v = e0.d GROUP BY e0.s
+      ) sums ON sums.v = verts.v
+    ), h{i} AS MATERIALIZED (
+      SELECT v, h / (SELECT coalesce(nullif(max(h), 0.0), 1.0) FROM nh{i}) AS hub
+      FROM nh{i}
+    )""")
+    return (
+        "WITH " + ",".join(cte)
+        + f"""
+    SELECT h.v AS user_id, round(h.hub, 4) AS hub, round(a.a, 4) AS authority
+    FROM h{iterations} h JOIN a{iterations} a ON a.v = h.v
+    ORDER BY authority DESC, user_id LIMIT 20
+    """
+    )
+
+
+@query("q_hits", oracle=_hits_oracle(8))
 def q_hits(spark, sf_dir):
+    """HITS vs an 8-iteration unrolled DuckDB oracle (AlgoHITS.java
+    parity: per-half-step max normalization)."""
     from arcadedb_spark.graph.algorithms_more import hits
 
     db = _db(spark, sf_dir)
@@ -1894,8 +1999,56 @@ def q_hits(spark, sf_dir):
     )
 
 
-@query("q_article_rank")  # damped power iteration — rows-only check
+def _article_rank_oracle(iterations: int = 10) -> str:
+    """Unrolled ArticleRank in DuckDB SQL — mirrors
+    algorithms_more.article_rank (AlgoArticleRank.java:169-187): rank
+    init 1/N, contribution share 1/(outdeg + avg_outdeg), damping 0.85,
+    dangling mass redistributed uniformly."""
+    cte = ["""
+    pairs AS MATERIALIZED (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d
+    ), verts AS MATERIALIZED (
+      SELECT DISTINCT v FROM (SELECT s AS v FROM e0 UNION ALL SELECT d FROM e0)
+    ), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    avgout AS MATERIALIZED (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM e0) / (SELECT n FROM nn) AS a
+    ),
+    share AS MATERIALIZED (
+      SELECT s, 1.0 / (count(*) + (SELECT a FROM avgout)) AS sh
+      FROM e0 GROUP BY s
+    ),
+    r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""]
+    for i in range(1, iterations + 1):
+        cte.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT e0.d AS v, sum(r.rank * share.sh) AS c
+      FROM e0 JOIN r{i-1} r ON r.v = e0.s JOIN share ON share.s = e0.s
+      GROUP BY e0.d
+    ), dang{i} AS MATERIALIZED (
+      SELECT coalesce(sum(rank), 0.0) AS m FROM r{i-1}
+      WHERE v NOT IN (SELECT s FROM share)
+    ), r{i} AS MATERIALIZED (
+      SELECT verts.v,
+             0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(c{i}.c, 0.0)
+               + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS rank
+      FROM verts LEFT JOIN c{i} ON c{i}.v = verts.v
+    )""")
+    return (
+        "WITH " + ",".join(cte)
+        + f"""
+    SELECT v AS user_id, round(rank, 6) AS rank
+    FROM r{iterations} ORDER BY rank DESC, user_id LIMIT 20
+    """
+    )
+
+
+@query("q_article_rank", oracle=_article_rank_oracle(10))
 def q_article_rank(spark, sf_dir):
+    """ArticleRank vs a 10-iteration unrolled DuckDB oracle
+    (AlgoArticleRank.java parity: share = 1/(outdeg + avg outdeg))."""
     from arcadedb_spark.graph.algorithms_more import article_rank
 
     db = _db(spark, sf_dir)
