@@ -69,11 +69,24 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
 
 
 def _load_parquet(spark: SparkSession, path: str, nanos_cols: tuple[str, ...]) -> DataFrame:
+    """Dtype-driven load: never trust session configs we don't own.
+
+    TIMESTAMP(NANOS) parquet columns surface differently per Spark build:
+    - as TIMESTAMP_NTZ (pyspark 4.x default) -> cast to TIMESTAMP (session
+      TZ is UTC, so the cast is exact);
+    - as BIGINT nanos (when spark.sql.legacy.parquet.nanosAsLong is
+      honoured) -> convert via timestamp_micros.
+    Any other TIMESTAMP_NTZ column (regardless of parquet unit) also gets
+    the cast so downstream unix_millis()/withWatermark always see TIMESTAMP.
+    """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+        elif name in nanos_cols and dtype == "bigint":
+            df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
     return df
 
 

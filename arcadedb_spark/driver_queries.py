@@ -261,8 +261,8 @@ def q_string_methods(spark, sf_dir):
     "q_array_selectors",
     oracle="""
     SELECT doc_id,
-           list_filter(string_split(text, ' '), x -> x > 'm') AS late_words,
-           string_split(text, ' ')[1:3] AS head,
+           CAST(to_json(list_filter(string_split(text, ' '), x -> x > 'm')) AS VARCHAR) AS late_words,
+           CAST(to_json(string_split(text, ' ')[1:3]) AS VARCHAR) AS head,
            string_split(text, ' ')[2] AS second
     FROM documents ORDER BY doc_id LIMIT 50
     """,
@@ -270,8 +270,12 @@ def q_string_methods(spark, sf_dir):
 def q_array_selectors(spark, sf_dir):
     """Array condition/filter selectors + ranges
     (SQLParser.g4 arraySelector: arrayFilterSelector, arrayRangeSelector,
-    arraySingleSelector) compiled to F.filter / F.slice / element_at."""
-    return _db(spark, sf_dir).query(
+    arraySingleSelector) compiled to F.filter / F.slice / element_at.
+
+    Array outputs are JSON-serialized on both engines: the driver's
+    canonicalizer hashes scalar cells, and Spark/DuckDB agree on the
+    compact ["a","b"] rendering for string lists."""
+    df = _db(spark, sf_dir).query(
         """
         SELECT doc_id,
                text.split(' ')[> 'm'] AS late_words,
@@ -279,6 +283,12 @@ def q_array_selectors(spark, sf_dir):
                text.split(' ')[1] AS second
         FROM documents ORDER BY doc_id LIMIT 50
         """
+    )
+    return df.select(
+        "doc_id",
+        F.to_json("late_words").alias("late_words"),
+        F.to_json("head").alias("head"),
+        "second",
     )
 
 

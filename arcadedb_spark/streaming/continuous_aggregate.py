@@ -76,12 +76,18 @@ class ContinuousAggregate:
         stream = (
             spark.readStream.format("parquet").schema(schema).load(source_path)
         )
-        # TIMESTAMP(NANOS) parquet arrives as long (see session nanosAsLong
-        # conf) — convert to micros so the watermark is a real event time.
-        if dict(stream.dtypes).get(self.ts_col) == "bigint":
+        # TIMESTAMP(NANOS) parquet surfaces as TIMESTAMP_NTZ (pyspark 4.x)
+        # or long nanos (legacy nanosAsLong) — normalize either to
+        # TIMESTAMP so the watermark is a real event time.
+        ts_dtype = dict(stream.dtypes).get(self.ts_col)
+        if ts_dtype == "bigint":
             stream = stream.withColumn(
                 self.ts_col,
                 F.timestamp_micros((F.col(self.ts_col) / 1000).cast("long")),
+            )
+        elif ts_dtype == "timestamp_ntz":
+            stream = stream.withColumn(
+                self.ts_col, F.col(self.ts_col).cast("timestamp")
             )
         agged = self._agg(stream.withWatermark(self.ts_col, self.watermark_delay))
         q = (
