@@ -90,8 +90,16 @@ def minhash_duplicate_pairs(
     shingle_size: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, est_jaccard ≥ threshold)."""
+    """Near-dup pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    ``verify="exact"`` re-verifies LSH candidates with the TRUE Jaccard
+    over the distinct shingle sets (one candidate-bounded array join) and
+    returns (id_a, id_b, jaccard) — the production dedup shape (LSH only
+    generates candidates; the decision is exact) and the driver-oracle
+    shape (true Jaccard is re-derivable in DuckDB; minhash estimates are
+    not)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -131,6 +139,24 @@ def minhash_duplicate_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    if verify == "exact":
+        from arcadedb_spark.dedup.ngram import ngram_sets
+
+        sets = ngram_sets(docs, id_col, text_col, shingle_size)
+        ga = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+        gb = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+        return (
+            cand.join(ga, "id_a")
+            .join(gb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("__ga", "__gb")))
+            .withColumn(
+                "jaccard",
+                F.col("inter")
+                / (F.size("__ga") + F.size("__gb") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     verified = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb")), "id_b")

@@ -171,3 +171,36 @@ def test_vector_sql_namespace_quantize_sparse(db):
     ).collect()
     assert len(out) == 5
     assert all(r["sd"] >= 0 for r in out)
+
+
+def test_ann_recall_at_k_driver_settings(spark):
+    """The approximate paths must keep recall@5 >= 0.9 vs the exact kernel
+    at the parameters the driver entries use (q_knn_lsh, q_knn_ivf)."""
+    from arcadedb_spark.vector import knn_lsh
+    from arcadedb_spark.vector.knn import knn_join_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["q_id"], r["d_id"])
+        for r in knn_join_exact(
+            queries, emb, "vec_id", "embedding", "vec_id", "embedding", k=5
+        ).collect()
+    }
+    lsh = {
+        (r["q_id"], r["d_id"])
+        for r in knn_lsh(
+            queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, n_planes=4, n_bands=24,
+        ).collect()
+    }
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+    idx = ivf_build(emb, "vec_id", "embedding", n_lists=16, seed=42)
+    ivf = {
+        (r["q_id"], r["d_id"])
+        for r in ivf_search_join(
+            idx, queries, "vec_id", "embedding", k=5, nprobe=8
+        ).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.9

@@ -1,0 +1,45 @@
+"""Regenerate golden-pair oracles pinned in driver_queries.py.
+
+Some driver entries (q_simhash_dedup) depend on xxhash64 signatures that
+DuckDB cannot re-derive; their oracles pin the expected output for the
+fixed sf0.01 fixture (seed 42).  If the fixture ever changes, run:
+
+    python tools/regen_golden.py
+
+and paste the printed VALUES list into the q_simhash_dedup oracle.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+
+def main() -> None:
+    from arcadedb_spark.session import get_spark
+    import arcadedb_spark.driver_queries as dq
+
+    spark = get_spark()
+    sf = "/root/testdata/sf0.01"
+
+    sh = (
+        dq.QUERIES["q_simhash_dedup"](spark, sf)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    vals = ", ".join(f"({r.id_a},{r.id_b},{r.hamming})" for r in sh.itertuples())
+    print(f"-- q_simhash_dedup: {len(sh)} pairs")
+    print("\n".join(textwrap.wrap(vals, width=72)))
+
+    lv = dq.QUERIES["q_louvain"](spark, sf).toPandas()
+    print(f"\n-- q_louvain: {len(lv)} communities")
+    print(", ".join(f"({r.community},{r.size})" for r in lv.itertuples()))
+
+    fr = dq.QUERIES["q_fastrp"](spark, sf).toPandas()
+    print(f"\n-- q_fastrp: {len(fr)} rows")
+    print(",\n".join(f"({r.user_id}, '{r.embedding}')" for r in fr.itertuples()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
