@@ -439,15 +439,40 @@ def katz_centrality(
     return x.select("vid", F.col("x").alias("centrality"))
 
 
+_LANDMARK_SAMPLE = 64
+
+
+def default_landmarks(
+    edges: DataFrame, exact: bool = False, sample: int = _LANDMARK_SAMPLE
+) -> list[int]:
+    """Landmark set for distance-based centralities.
+
+    Default: a deterministic pseudo-random sample of ``sample`` vertex ids
+    (smallest xxhash64 first) — bounded driver memory and a bounded
+    (vid × landmark) state table at any graph size.  Graphs with ≤ sample
+    vertices get every vertex, i.e. exact results.  ``exact=True`` opts in
+    to collecting EVERY vertex id — all-pairs cost, only for graphs whose
+    vertex list fits on the driver.
+    """
+    verts = _vertices_of(edges)
+    if exact:
+        return [r[0] for r in verts.collect()]
+    return [r[0] for r in verts.orderBy(F.xxhash64("vid"), "vid").limit(sample).collect()]
+
+
 def closeness_centrality(
-    edges: DataFrame, landmarks: list[int] | None = None, max_depth: int = 10
+    edges: DataFrame,
+    landmarks: list[int] | None = None,
+    max_depth: int = 10,
+    exact: bool = False,
 ) -> DataFrame:
-    """Closeness 1/Σd(v,·) — exact when ``landmarks`` is None and the
-    graph is small; landmark-sampled at scale (AlgoCloseness.java computes
-    exact single-node BFS per vertex; all-pairs is infeasible at 100 TB,
-    so the scalable form samples).  Returns (vid, closeness)."""
+    """Closeness 1/Σd(v,·) — landmark-sampled by default (AlgoCloseness.java
+    computes exact single-node BFS per vertex; all-pairs is infeasible at
+    100 TB, so the scalable form samples 64 landmarks; graphs under 64
+    vertices are still exact).  ``exact=True`` opts in to all-vertices
+    landmarks.  Returns (vid, closeness)."""
     if landmarks is None:
-        landmarks = [r[0] for r in _vertices_of(edges).collect()]
+        landmarks = default_landmarks(edges, exact=exact)
     dist = shortest_paths(edges, landmarks, max_depth=max_depth)
     agg = dist.filter(F.col("distance") > 0).groupBy("vid").agg(
         F.sum("distance").alias("total"), F.count("*").alias("n")

@@ -20,6 +20,7 @@ from arcadedb_spark.graph.algorithms import (
     _undirected_adj,
     _vertices_of,
     connected_components,
+    default_landmarks,
     shortest_paths,
     triangle_count,
 )
@@ -37,13 +38,15 @@ def harmonic_centrality(
     landmarks: list[int] | None = None,
     max_depth: int = 10,
     normalized: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Σ 1/d(v,·) (AlgoHarmonicCentrality.java:112-118; normalized by
-    n−1 like the reference default).  Exact when ``landmarks`` is None —
-    at 100 TB sample landmarks instead.  Returns (vid, harmonic)."""
+    n−1 like the reference default).  Landmark-sampled by default
+    (64 landmarks — exact for graphs under 64 vertices); ``exact=True``
+    opts in to all-vertices landmarks.  Returns (vid, harmonic)."""
     verts = _vertices_of(edges).cache()
     if landmarks is None:
-        landmarks = [r[0] for r in verts.collect()]
+        landmarks = default_landmarks(edges, exact=exact)
     n = len(landmarks)
     dist = shortest_paths(edges, landmarks, max_depth=max_depth)
     agg = (
@@ -58,23 +61,39 @@ def harmonic_centrality(
 
 
 def eccentricity(
-    edges: DataFrame, landmarks: list[int] | None = None, max_depth: int = 20
+    edges: DataFrame,
+    landmarks: list[int] | None = None,
+    max_depth: int = 20,
+    exact: bool = False,
 ) -> DataFrame:
-    """Max shortest-path distance per vertex (AlgoEccentricity.java —
-    exact with all landmarks).  Returns (vid, eccentricity)."""
+    """Max shortest-path distance per vertex (AlgoEccentricity.java).
+    Landmark-sampled by default (lower bound on true eccentricity;
+    exact for graphs under 64 vertices); ``exact=True`` opts in to
+    all-vertices landmarks.  Returns (vid, eccentricity)."""
     if landmarks is None:
-        landmarks = [r[0] for r in _vertices_of(edges).collect()]
+        landmarks = default_landmarks(edges, exact=exact)
     dist = shortest_paths(edges, landmarks, max_depth=max_depth)
     return dist.groupBy("vid").agg(F.max("distance").alias("eccentricity"))
 
 
-def apsp(edges: DataFrame, max_depth: int = 20) -> DataFrame:
+def apsp(
+    edges: DataFrame, max_depth: int = 20, max_vertices: int = 8192
+) -> DataFrame:
     """All-pairs shortest (hop) paths (AlgoAPSP.java).  O(V) concurrent
-    BFS frontiers — one join per level regardless of |V|; reserve for
-    graphs whose (vid × landmark) distance table fits storage.
+    BFS frontiers — one join per level regardless of |V|, but the output
+    is a (vid × vertex) table: inherently quadratic.  Guarded: refuses
+    graphs above ``max_vertices`` (raise the cap explicitly to opt in —
+    never silently collects an unbounded vertex list).
     Returns (vid, landmark, distance)."""
-    landmarks = [r[0] for r in _vertices_of(edges).collect()]
-    return shortest_paths(edges, landmarks, max_depth=max_depth)
+    verts = _vertices_of(edges)
+    head = [r[0] for r in verts.limit(max_vertices + 1).collect()]
+    if len(head) > max_vertices:
+        raise ValueError(
+            f"apsp: graph exceeds max_vertices={max_vertices}; the all-pairs "
+            "distance table is quadratic — raise max_vertices explicitly or "
+            "use shortest_paths with sampled landmarks"
+        )
+    return shortest_paths(edges, head, max_depth=max_depth)
 
 
 # ---------------------------------------------------------------------------
@@ -313,17 +332,30 @@ def conductance(edges: DataFrame, communities: DataFrame) -> DataFrame:
 
 def bipartite_check(edges: DataFrame, max_depth: int = 20) -> bool:
     """2-colorability: BFS-parity color from each component's min-vid
-    root, then look for a same-color edge (AlgoBipartiteCheck.java)."""
+    root, then look for a same-color edge (AlgoBipartiteCheck.java).
+
+    Roots stay distributed (vid == component id from
+    ``connected_components``) — no driver-side component list, so it
+    scales to graphs with arbitrarily many components."""
+    adj = _undirected_adj(edges).cache()
     comp = connected_components(edges)
-    roots = [r[0] for r in comp.select("component").distinct().collect()]
-    dist = shortest_paths(edges, roots, max_depth=max_depth)
-    # color = parity of distance to the component root
-    color = (
-        dist.join(
-            comp.withColumnRenamed("component", "landmark"), ["vid", "landmark"]
-        )
-        .select("vid", (F.col("distance") % 2).alias("color"))
+    color = comp.filter(F.col("vid") == F.col("component")).select(
+        "vid", F.lit(0).alias("color")
     )
+    frontier = color
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, frontier["vid"] == adj["v"], "inner")
+            .select(F.col("n").alias("vid"), F.lit(depth % 2).alias("color"))
+            .distinct()
+            .join(color, "vid", "left_anti")
+        )
+        if depth % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        color = color.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
     e = edges.select("src", "dst")
     bad = (
         e.join(color.withColumnRenamed("vid", "src").withColumnRenamed("color", "cs"), "src")

@@ -17,6 +17,13 @@ transactions are out of scope for an analytical engine), ``sleep(ms)``,
 Conditions and scalar expressions over ``$vars`` are evaluated driver-side
 by a small interpreter (`_eval`): result-set variables support ``.size()``
 and indexing, row values support field access.
+
+Driver-side semantics: ``FOREACH`` over a result set and ``$var[i]``
+indexing materialize rows on the driver — by design (per-row control flow
+is a driver concept, as in the reference's script executor), but bounded:
+both refuse result sets above ``FOREACH_ROW_CAP`` (default 100k) rows with
+a loud error instead of silently OOMing the driver.  Set-oriented
+transformations belong in a single distributed statement, not a FOREACH.
 """
 
 from __future__ import annotations
@@ -29,6 +36,20 @@ from pyspark.sql import DataFrame
 from arcadedb_spark.sql import ast
 from arcadedb_spark.sql.lexer import tokenize
 from arcadedb_spark.sql.parser import ParseError, Parser
+
+
+FOREACH_ROW_CAP = 100_000
+
+
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    """Driver-side materialization with a loud cap (never unbounded)."""
+    rows = df.limit(FOREACH_ROW_CAP + 1).collect()
+    if len(rows) > FOREACH_ROW_CAP:
+        raise ParseError(
+            f"{what} would materialize more than {FOREACH_ROW_CAP} rows on "
+            "the driver; rewrite as a single distributed statement"
+        )
+    return rows
 
 
 class _Break(Exception):
@@ -187,7 +208,7 @@ class ScriptEngine:
             var = var.strip().lstrip("$")
             values = self._eval_fragment(coll.strip())
             if isinstance(values, DataFrame):
-                values = [row.asDict() for row in values.collect()]
+                values = [row.asDict() for row in _bounded_collect(values, "FOREACH")]
             try:
                 for v in values:
                     self.vars[var] = v
@@ -274,7 +295,7 @@ class ScriptEngine:
             base = self._eval(e.base)
             idx = self._eval(e.index)
             if isinstance(base, DataFrame):
-                rows = base.collect()
+                rows = _bounded_collect(base, "result-set indexing")
                 return rows[idx].asDict() if isinstance(idx, int) else None
             return base[idx]
         if isinstance(e, ast.Subquery):

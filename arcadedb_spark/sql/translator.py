@@ -74,6 +74,10 @@ class Ctx:
     group_map: dict[ast.Expr, str] = field(default_factory=dict)
     agg_cols: list[Column] = field(default_factory=list)
     agg_names: dict[ast.Expr, str] = field(default_factory=dict)
+    # AST nodes pre-compiled to Columns by the translator (keyed by id()) —
+    # used for OR/NOT-nested IN-subqueries rewritten to left joins so the
+    # expression compiler never materializes subquery values driver-side
+    precompiled: dict[int, Column] = field(default_factory=dict)
 
 
 def _lit(v: Any) -> Column:
@@ -197,6 +201,9 @@ class ExprCompiler:
         raise TranslateError(f"Unknown unary {e.op}")
 
     def _c_in(self, e: ast.In) -> Column:
+        pre = self.ctx.precompiled.get(id(e))
+        if pre is not None:
+            return pre
         needle = self.compile(e.needle)
         if e.items is not None:
             vals = [self.compile(i) for i in e.items]
@@ -213,23 +220,24 @@ class ExprCompiler:
             if isinstance(coll, ast.Var):
                 b = self.ctx.vars.get(coll.name)
                 if b is not None and b.kind == "df":
-                    vals = [row[0] for row in b.df.collect()]
-                    cond = needle.isin(vals)
-                    return ~cond if e.negated else cond
+                    # DataFrame-bound LET vars are rewritten to joins by the
+                    # translator (_prejoin_nested_in) before expression
+                    # compilation; reaching here means the rewrite was
+                    # skipped (e.g. expression compiled outside a WHERE).
+                    raise TranslateError(
+                        f"IN over DataFrame variable ${coll.name} is only "
+                        "supported in WHERE clauses"
+                    )
             cond = F.array_contains(self.compile(coll), needle)
             return ~cond if e.negated else cond
         if e.subquery is not None:
-            # Reached only when nested under OR/NOT — the translator handles
-            # conjunct-level IN-subqueries as semi-joins.  Fallback:
-            # materialize the (small) subquery result driver-side.
-            from arcadedb_spark.sql.translator import Translator
-
-            sub = Translator(self.ctx.db, params=self.ctx.params).translate(e.subquery)
-            if len(sub.columns) != 1:
-                raise TranslateError("IN subquery must project exactly one column")
-            vals = [row[0] for row in sub.collect()]
-            cond = needle.isin(vals)
-            return ~cond if e.negated else cond
+            # IN-subqueries are always rewritten to joins by the translator
+            # (conjunct-level → semi/anti join; OR/NOT-nested → left-join
+            # marker column via _prejoin_nested_in).  Never materialized
+            # driver-side — that shape doesn't survive 100 TB.
+            raise TranslateError(
+                "IN (subquery) is only supported in WHERE clauses"
+            )
         raise TranslateError("Malformed IN")
 
     def _c_between(self, e: ast.Between) -> Column:
@@ -770,11 +778,14 @@ class Translator:
                 if not handled:
                     residual.append(conj)
             if residual:
+                df, in_helpers = self._prejoin_nested_in(df, residual, ctx)
                 compiler = ExprCompiler(ctx)
                 cond = compiler.compile(residual[0])
                 for c in residual[1:]:
                     cond = cond & compiler.compile(c)
                 df = df.filter(cond)
+                if in_helpers:
+                    df = df.drop(*in_helpers)
 
         # ts.* window functions make this a per-row query; GROUP BY keys
         # become the Window partition instead of aggregation keys
@@ -861,6 +872,75 @@ class Translator:
         key = sub_df.columns[0]
         how = "left_anti" if negated else "left_semi"
         return df.join(sub_df, needle == F.col(f"{sub_alias}.{key}"), how), True
+
+    def _prejoin_nested_in(
+        self, df: DataFrame, residual: list[ast.Expr], ctx: Ctx
+    ) -> tuple[DataFrame, list[str]]:
+        """Rewrite OR/NOT-nested ``x IN (subquery)`` / ``x IN $dfvar`` to
+        left-join marker columns (never a driver-side ``collect``).
+
+        For each nested IN node: the distinct non-null subquery values are
+        left-joined on the needle expression; a broadcast 1-row aggregate
+        carries (row count, null count) so the marker reproduces exact
+        three-valued IN semantics:
+
+            matched                         → TRUE
+            empty subquery                  → FALSE
+            null needle / nulls in subquery → NULL  (filters ⊥ under NOT)
+            otherwise                       → FALSE
+
+        Conjunct-level IN-subqueries never reach this path — they become
+        semi/anti joins in _try_semi_join.  Returns (joined df, helper
+        column names to drop after the filter).
+        """
+        helpers: list[str] = []
+        for conj in residual:
+            for node in walk(conj):
+                if not isinstance(node, ast.In) or id(node) in ctx.precompiled:
+                    continue
+                sub_df = None
+                if node.subquery is not None:
+                    sub_df = Translator(self.db, self.params).translate(node.subquery)
+                elif node.collection is not None and isinstance(node.collection, ast.Var):
+                    b = ctx.vars.get(node.collection.name)
+                    if b is not None and b.kind == "df":
+                        sub_df = b.df
+                if sub_df is None:
+                    continue
+                if len(sub_df.columns) != 1:
+                    raise TranslateError("IN subquery must project exactly one column")
+                uid = next(self._uid)
+                ncol, vcol, fcol = f"__in_n{uid}", f"__in_v{uid}", f"__in_f{uid}"
+                ccol, nullcol = f"__in_c{uid}", f"__in_z{uid}"
+                needle = ExprCompiler(ctx).compile(node.needle)
+                key = F.col(sub_df.columns[0])
+                stats = sub_df.select(
+                    F.count(F.lit(1)).alias(ccol),
+                    F.count_if(key.isNull()).alias(nullcol),
+                )
+                matches = (
+                    sub_df.filter(key.isNotNull())
+                    .select(key.alias(vcol))
+                    .distinct()
+                    .withColumn(fcol, F.lit(True))
+                )
+                df = (
+                    df.withColumn(ncol, needle)
+                    .crossJoin(F.broadcast(stats))
+                    .join(matches, F.col(ncol) == F.col(vcol), "left")
+                )
+                cond = (
+                    F.when(F.col(fcol).isNotNull(), F.lit(True))
+                    .when(F.col(ccol) == 0, F.lit(False))
+                    .when(
+                        F.col(ncol).isNull() | (F.col(nullcol) > 0),
+                        F.lit(None).cast("boolean"),
+                    )
+                    .otherwise(F.lit(False))
+                )
+                ctx.precompiled[id(node)] = ~cond if node.negated else cond
+                helpers += [ncol, vcol, fcol, ccol, nullcol]
+        return df, helpers
 
     def _fulltext_filter(
         self, df: DataFrame, e: ast.FuncCall, negated: bool, ctx: Ctx

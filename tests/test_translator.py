@@ -322,3 +322,43 @@ def test_method_tail(db):
     assert r["li"] == 12 and r["li_missing"] == -1
     assert r["p"] == 3.14 and r["ra"] == [2, 3]
     assert r["av"] == [0.5, 0.25] and r["jt"] in ("int", "bigint")
+
+
+def test_nested_in_subquery_is_join_not_collect(db):
+    # IN-subquery under OR can't be a semi-join; it must become a left-join
+    # marker column (never a driver-side collect of the subquery values).
+    q = (
+        "SELECT c_custkey FROM customer WHERE c_acctbal < -900 "
+        "OR c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
+    )
+    df = db.query(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # subquery joined, not isin(collected literals)
+    got = {r[0] for r in df.collect()}
+    cust = db.table("customer")
+    orders = db.table("orders")
+    rich = {r[0] for r in orders.filter(F.col("o_totalprice") > 400000).select("o_custkey").collect()}
+    want = {
+        r[0]
+        for r in cust.filter((F.col("c_acctbal") < -900) | F.col("c_custkey").isin(list(rich))).select("c_custkey").collect()
+    }
+    assert got == want
+
+
+def test_nested_not_in_subquery_null_semantics(db):
+    # NOT(x IN (subquery)) nested under NOT — three-valued semantics must
+    # hold: with no NULLs in the subquery this equals the set difference.
+    q = (
+        "SELECT c_custkey FROM customer WHERE NOT (c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
+        "OR c_acctbal < -900)"
+    )
+    got = {r[0] for r in db.query(q).collect()}
+    cust = db.table("customer")
+    orders = db.table("orders")
+    rich = {r[0] for r in orders.filter(F.col("o_totalprice") > 400000).select("o_custkey").collect()}
+    want = {
+        r[0]
+        for r in cust.filter(~((F.col("c_acctbal") < -900) | F.col("c_custkey").isin(list(rich)))).select("c_custkey").collect()
+    }
+    assert got == want
