@@ -144,8 +144,36 @@ class CypherParser(Parser):
         return {"proc": f"{ns}.{name}", "args": args, "yields": yields,
                 "return": ret}
 
+    def _parse_return_spec(self) -> dict:
+        """RETURN [DISTINCT] items [ORDER BY…] [SKIP…] [LIMIT…] (shared by
+        read queries and RETURN-after-write)."""
+        self.expect_kw("RETURN")
+        distinct = self.eat_kw("DISTINCT")
+        returns = self.parse_projection_list()
+        order_by: list[ast.OrderItem] = []
+        skip = None
+        limit = None
+        while True:
+            if self.at_kw("ORDER"):
+                self.advance()
+                self.expect_kw("BY")
+                order_by.append(self.parse_order_item())
+                while self.eat_op(","):
+                    order_by.append(self.parse_order_item())
+            elif self.at_kw("SKIP"):
+                self.advance()
+                skip = self.parse_expr()
+            elif self.at_kw("LIMIT"):
+                self.advance()
+                limit = self.parse_expr()
+            else:
+                break
+        return {"items": returns, "distinct": distinct, "order_by": order_by,
+                "skip": skip, "limit": limit}
+
     def _parse_single(self) -> ast.MatchStmt:
         self._writes: list[dict] = []
+        self._write_return = None
         paths: list = []
         where = None
         if (
@@ -155,6 +183,8 @@ class CypherParser(Parser):
         ):
             # standalone write query (no leading MATCH)
             self._parse_writes()
+            if self.at_kw("RETURN"):
+                self._write_return = self._parse_return_spec()
             return (None, [])
         paths, where = self._parse_match_segment()
         # pipeline stages: (MATCH… (WITH items [WHERE] | UNWIND e AS x))*
@@ -192,28 +222,11 @@ class CypherParser(Parser):
             # MATCH … CREATE/SET/REMOVE/DELETE/FOREACH …
             self._match_for_write = (paths, where)
             self._parse_writes()
+            if self.at_kw("RETURN"):
+                self._write_return = self._parse_return_spec()
             return (None, [])
-        self.expect_kw("RETURN")
-        distinct = self.eat_kw("DISTINCT")
-        returns = self.parse_projection_list()
-        order_by: list[ast.OrderItem] = []
-        skip = None
-        limit = None
-        while True:
-            if self.at_kw("ORDER"):
-                self.advance()
-                self.expect_kw("BY")
-                order_by.append(self.parse_order_item())
-                while self.eat_op(","):
-                    order_by.append(self.parse_order_item())
-            elif self.at_kw("SKIP"):
-                self.advance()
-                skip = self.parse_expr()
-            elif self.at_kw("LIMIT"):
-                self.advance()
-                limit = self.parse_expr()
-            else:
-                break
+        spec = self._parse_return_spec()
+        returns = spec["items"]
         # Cypher implicit grouping: when RETURN mixes aggregates and plain
         # expressions, the plain ones are the grouping keys.
         from arcadedb_spark.sql.translator import _contains_aggregate
@@ -226,12 +239,12 @@ class CypherParser(Parser):
         stmt = ast.MatchStmt(
             paths=tuple(paths),
             returns=tuple(returns),
-            distinct=distinct,
+            distinct=spec["distinct"],
             where=where,
             group_by=group_by,
-            order_by=tuple(order_by),
-            skip=skip,
-            limit=limit,
+            order_by=tuple(spec["order_by"]),
+            skip=spec["skip"],
+            limit=spec["limit"],
         )
         return (stmt, self._stages)
 
@@ -559,7 +572,7 @@ def _literal_props(db, props, params) -> dict:
 
 def _apply_write(
     db, g, kind: str, path: ast.MatchPath, df, aliases, params,
-    on_create=(), on_match=(),
+    on_create=(), on_match=(), bindings=None,
 ) -> int:
     """One CREATE/MERGE pattern: create/match each node, then one edge per
     step (per match row when endpoints are bound).  Reference:
@@ -584,23 +597,34 @@ def _apply_write(
         if node.alias and node.alias in (aliases or ()):
             resolved.append(("bound", node.alias))
             continue
-        if node.type_name is None:
-            raise TranslateError("CREATE/MERGE node needs a label")
+        # unlabeled nodes (Cypher `CREATE ()`) live under the internal "_"
+        # label; labels() reports them as label-less
+        label = node.type_name or "_"
         props = _literal_props(db, node.props, params)
-        if kind == "merge" and node.type_name.lower() in g.vertex_dfs:
-            vdf = g.vertices(node.type_name)
+        if kind == "merge" and label.lower() in g.vertex_dfs:
+            vdf = g.vertices(label)
             cond = F.lit(True)
             for k, v in props.items():
                 cond = cond & (F.col(k) == F.lit(v))
-            hit = vdf.filter(cond).select("vid").limit(1).collect()
+            hit = vdf.filter(cond).limit(1).collect()
             if hit:
-                resolved.append(("vid", hit[0][0]))
-                node_state.append((node.alias, node.type_name, hit[0][0], "matched"))
+                row = hit[0].asDict()
+                vid = row["vid"]
+                resolved.append(("vid", vid))
+                node_state.append((node.alias, label, vid, "matched"))
+                if bindings is not None and node.alias:
+                    full = {
+                        k: v for k, v in row.items()
+                        if k not in ("vid",) and not k.startswith("@")
+                    }
+                    bindings.append((node.alias, label, vid, full))
                 continue
-        vid = g.add_vertex_rows(node.type_name, [props])[0]
+        vid = g.add_vertex_rows(label, [props])[0]
         created += 1
         resolved.append(("vid", vid))
-        node_state.append((node.alias, node.type_name, vid, "created"))
+        node_state.append((node.alias, label, vid, "created"))
+        if bindings is not None and node.alias:
+            bindings.append((node.alias, label, vid, props))
     # ON CREATE SET / ON MATCH SET over the pattern's own aliases
     for assignments, want in ((on_create, "created"), (on_match, "matched")):
         per_alias: dict[str, list] = {}
@@ -802,10 +826,47 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             n += _apply_write(
                 db, g, w["kind"], path, df, aliases, params,
                 on_create=w.get("on_create", ()), on_match=w.get("on_match", ()),
+                bindings=write_bindings,
             )
         return n
 
+    write_bindings: list[tuple] = []
     n = sum(run_one(w) for w in p._writes)
+    ret = getattr(p, "_write_return", None)
+    if ret is not None:
+        from arcadedb_spark.graph.match import project_stage
+
+        if df is not None:
+            raise TranslateError(
+                "RETURN after MATCH…write is not supported yet"
+            )
+        # one result row; each created/matched alias is a struct column
+        # (vid + literal props), so RETURN a.x compiles like a match frame
+        cols = []
+        seen = set()
+        for alias, label, vid, props in write_bindings:
+            if alias in seen:
+                continue
+            seen.add(alias)
+            fields = [F.lit(vid).alias("vid"), F.lit(label).alias("@type")]
+            for k, v in props.items():
+                fields.append(F.lit(v).alias(k))
+            cols.append(F.struct(*fields).alias(alias))
+        if not cols:
+            raise TranslateError("RETURN after write needs node aliases")
+        frame = db.spark.range(1).select(*cols)
+        from arcadedb_spark.sql.translator import _contains_aggregate
+
+        group_by: tuple = ()
+        if any(_contains_aggregate(i.expr) for i in ret["items"]):
+            group_by = tuple(
+                i.expr for i in ret["items"] if not _contains_aggregate(i.expr)
+            )
+        return project_stage(
+            db, frame, ret["items"], params or {}, distinct=ret["distinct"],
+            group_by=group_by, order_by=ret["order_by"],
+            skip=ret["skip"], limit=ret["limit"],
+        )
     return db.spark.createDataFrame([(n,)], "count long")
 
 

@@ -259,9 +259,15 @@ class GraphModel:
     # -- testdata fixture ---------------------------------------------------
     @classmethod
     def from_database(cls, db) -> "GraphModel":
-        """FIXTURES.md §B2 graph over the driver tables."""
+        """FIXTURES.md §B2 graph over the driver tables.
+
+        A database without the testdata tables (e.g. an empty scratch
+        Database used by Cypher CREATE / the TCK suite) gets an empty
+        graph — vertices and edges then come from Cypher writes."""
         g = cls(db.spark)
         s = db.schema
+        if "customer" not in s.names():
+            return g
 
         def vid_of(type_name: str, col: str):
             return make_vid(s.get(type_name).bucket_id, F.col(col))

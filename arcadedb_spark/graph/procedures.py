@@ -241,6 +241,104 @@ def _p_sssp(db, args) -> DataFrame:
     return dijkstra_sssp(_edges(db, args), src[0])
 
 
+@procedure("algo.leiden")
+def _p_leiden(db, args) -> DataFrame:
+    # algo.leiden(relTypes?, maxIterations?, resolution?) — AlgoLeiden.java:34
+    from arcadedb_spark.graph.algorithms_extra import leiden
+
+    nums = [a for a in args if isinstance(a, (int, float))]
+    return leiden(
+        _edges(db, args),
+        max_iterations=int(nums[0]) if nums else 10,
+        resolution=float(nums[1]) if len(nums) > 1 else 1.0,
+    )
+
+
+@procedure("algo.aStar")
+def _p_astar(db, args) -> DataFrame:
+    # algo.aStar(startNode, endNode, …) — AlgoAStar.java:34
+    from arcadedb_spark.graph.algorithms_extra import astar
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if len(nums) < 2:
+        raise ValueError("algo.aStar needs start and end vertex ids")
+    return astar(_edges(db, args), nums[0], nums[1])
+
+
+@procedure("algo.kShortestPaths")
+def _p_kshortest(db, args) -> DataFrame:
+    # algo.kShortestPaths(startNode, endNode, k, …) — AlgoKShortestPaths.java:34
+    from arcadedb_spark.graph.algorithms_extra import k_shortest_paths
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if len(nums) < 2:
+        raise ValueError("algo.kShortestPaths needs start and end vertex ids")
+    return k_shortest_paths(
+        _edges(db, args), nums[0], nums[1], k=nums[2] if len(nums) > 2 else 3
+    )
+
+
+@procedure("algo.maxFlow")
+def _p_maxflow(db, args) -> DataFrame:
+    # algo.maxFlow(sourceNode, sinkNode, …) — AlgoMaxFlow.java:34
+    from arcadedb_spark.graph.algorithms_extra import max_flow
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if len(nums) < 2:
+        raise ValueError("algo.maxFlow needs source and sink vertex ids")
+    return max_flow(_edges(db, args), nums[0], nums[1])
+
+
+@procedure("algo.clique")
+def _p_clique(db, args) -> DataFrame:
+    # algo.clique(relTypes?, minSize?) — AlgoClique.java:34
+    from arcadedb_spark.graph.algorithms_extra import maximal_cliques
+
+    return maximal_cliques(_edges(db, args), min_size=int(_num(args, 0, 3)))
+
+
+@procedure("algo.bipartiteCheck")
+def _p_bipartite(db, args) -> DataFrame:
+    # algo.bipartiteCheck(relTypes?) — AlgoBipartiteCheck.java
+    from arcadedb_spark.graph.algorithms_more import bipartite_check
+
+    ok = bipartite_check(_edges(db, args))
+    return db.spark.createDataFrame([(bool(ok),)], "is_bipartite boolean")
+
+
+@procedure("algo.assortativity")
+def _p_assortativity(db, args) -> DataFrame:
+    # algo.assortativity(relTypes?) — AlgoAssortativity.java
+    from arcadedb_spark.graph.algorithms_more import assortativity
+
+    r = assortativity(_edges(db, args))
+    return db.spark.createDataFrame([(float(r),)], "assortativity double")
+
+
+@procedure("algo.conductance")
+def _p_conductance(db, args) -> DataFrame:
+    # algo.conductance(relTypes?) — AlgoConductance.java (communities from
+    # label propagation, reference default)
+    from arcadedb_spark.graph.algorithms import label_propagation
+    from arcadedb_spark.graph.algorithms_more import conductance
+
+    edges = _edges(db, args)
+    comm = label_propagation(edges).withColumnRenamed("label", "community")
+    return conductance(edges, comm)
+
+
+@procedure("algo.richClub")
+def _p_richclub(db, args) -> DataFrame:
+    # algo.richClub(relTypes?, k?) — AlgoRichClub.java
+    from arcadedb_spark.graph.algorithms_more import rich_club_coefficient
+
+    k = int(_num(args, 0, 2))
+    r = rich_club_coefficient(_edges(db, args), k)
+    return db.spark.createDataFrame(
+        [(k, float(r))], "k int, rich_club double"
+    )
+
+
 def call_procedure(db, name: str, args: list) -> DataFrame:
     fn = PROCEDURES.get(name.lower())
     if fn is None:

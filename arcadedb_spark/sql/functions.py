@@ -1276,8 +1276,10 @@ def _cypher_id(args):
 @scalar("labels")
 def _cypher_labels(args):
     """labels(node) — label array (function/node/NodeLabels.java; one
-    primary label per vertex type here)."""
-    return F.array(args[0].getField("@type"))
+    primary label per vertex type here; the internal "_" label backing
+    unlabeled Cypher nodes reports as an empty array)."""
+    t = args[0].getField("@type")
+    return F.when(t == "_", F.array().cast("array<string>")).otherwise(F.array(t))
 
 
 @scalar("startnode")

@@ -383,10 +383,100 @@ def _range_reduce_udf():
     return u
 
 
+_MERGE_UDF_CACHE: list = []
+
+
+def _merge_partials_udf():
+    """(bucket partials sorted by bucket, range_start, range_end, fname)
+    → double.  Merges per-bucket partial aggregates into the window value
+    with EXACTLY the sample-level semantics of ``_range_reduce_udf`` —
+    boundary increases between consecutive buckets reconstruct the
+    counter-reset accounting, first/last/n reconstruct extrapolation."""
+    if _MERGE_UDF_CACHE:
+        return _MERGE_UDF_CACHE[0]
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def one(parts, start_ms, end_ms, fname) -> float | None:
+        n_tot = sum(p["n"] for p in parts)
+        if fname in ("rate", "increase", "irate"):
+            if n_tot < 2:
+                return 0.0
+            if fname == "irate":
+                tail = []
+                for p in reversed(parts):
+                    tail = [(s["ts"], s["v"]) for s in p["last2"]] + tail
+                    if len(tail) >= 2:
+                        break
+                (t1, v1), (t2, v2) = tail[-2], tail[-1]
+                dur = (t2 - t1) / 1000.0
+                if dur <= 0:
+                    return 0.0
+                diff = v2 - v1
+                if diff < 0:
+                    diff = v2
+                return diff / dur
+            total = sum(p["inc"] for p in parts)
+            for prev, cur in zip(parts, parts[1:]):
+                d = cur["first_v"] - prev["last_v"]
+                if cur["first_v"] < prev["last_v"]:
+                    d = cur["first_v"]
+                total += d
+            first_ts, first_v = parts[0]["first_ts"], parts[0]["first_v"]
+            last_ts = parts[-1]["last_ts"]
+            sampled = (last_ts - first_ts) / 1000.0
+            if sampled <= 0:
+                return 0.0
+            range_sec = (end_ms - start_ms) / 1000.0
+            if range_sec <= 0:
+                return 0.0
+            to_start = first_ts / 1000.0 - start_ms / 1000.0
+            to_end = end_ms / 1000.0 - last_ts / 1000.0
+            avg_between = sampled / (n_tot - 1)
+            if total > 0 and first_v >= 0:
+                to_zero = sampled * (first_v / total)
+                if to_zero < to_start:
+                    to_start = to_zero
+            threshold = avg_between * 1.1
+            extrap = sampled
+            extrap += to_start if to_start < threshold else avg_between / 2
+            extrap += to_end if to_end < threshold else avg_between / 2
+            val = total * (extrap / sampled)
+            return val / range_sec if fname == "rate" else val
+        if n_tot == 0:
+            return None
+        return {
+            "sum_over_time": sum(p["s"] for p in parts),
+            "avg_over_time": sum(p["s"] for p in parts) / n_tot,
+            "min_over_time": min(p["mn"] for p in parts),
+            "max_over_time": max(p["mx"] for p in parts),
+            "count_over_time": float(n_tot),
+            "last_over_time": parts[-1]["last_v"],
+        }[fname]
+
+    def batch(parts, start, end, fname):
+        return pd.Series(
+            [
+                one(p, st, en, fn) if p is not None and len(p) else None
+                for p, st, en, fn in zip(parts, start, end, fname)
+            ],
+            dtype="float64",
+        )
+
+    u = F.pandas_udf(batch, DoubleType())
+    _MERGE_UDF_CACHE.append(u)
+    return u
+
+
 @dataclass
 class _Ctx:
     grid: DataFrame  # (eval_ts long) — broadcast-sized
     lookback_ms: int
+    # uniform-grid metadata (range queries): enables the bucketed
+    # range-function fast path (each raw sample aggregated ONCE per query,
+    # not once per covering eval point)
+    step_ms: int | None = None
+    start_ms: int | None = None
 
 
 class PromQLEvaluator:
@@ -413,12 +503,23 @@ class PromQLEvaluator:
         """Range query: eval at start..end every step
         (PromQLEvaluator.java:133)."""
         points = list(range(start_ms, end_ms + 1, step_ms))
-        return self._run(query, points)
+        return self._run(query, points, step_ms=step_ms, start_ms=start_ms)
 
-    def _run(self, query: str, points: list[int]) -> DataFrame:
+    def _run(
+        self,
+        query: str,
+        points: list[int],
+        step_ms: int | None = None,
+        start_ms: int | None = None,
+    ) -> DataFrame:
         expr = PromQLParser(query).parse()
         grid = self.spark.createDataFrame([(p,) for p in points], "eval_ts long")
-        ctx = _Ctx(grid=F.broadcast(grid), lookback_ms=self.lookback_ms)
+        ctx = _Ctx(
+            grid=F.broadcast(grid),
+            lookback_ms=self.lookback_ms,
+            step_ms=step_ms,
+            start_ms=start_ms,
+        )
         out = self._eval(expr, ctx)
         if isinstance(out, (int, float)):
             return grid.select(
@@ -512,6 +613,131 @@ class PromQLEvaluator:
             .withColumn("range_end", F.col("eval_ts") - off)
         )
 
+    def _range_function_bucketed(self, fname: str, sel, ctx: _Ctx) -> DataFrame:
+        """Dense-grid range function via bucket reuse.
+
+        When step < range on a uniform grid, the naive matrix-selector join
+        replicates every raw sample into range/step windows.  Here the
+        window [t−range, t] (inclusive both ends, evaluateMatrixSelector
+        parity) is decomposed into range/step half-open step buckets plus
+        the left-edge point; raw samples are aggregated ONCE into
+        per-(series, bucket) partials, and each eval point merges its
+        range/step partials — the shuffle carries partials, not samples.
+        Exactly the slow path's semantics (shared window accounting in
+        ``_merge_partials_udf``)."""
+        b = ctx.step_ms
+        k = sel.range_ms // b
+        off = sel.offset_ms
+        anchor = (ctx.start_ms - off - sel.range_ms) % b
+        s = self._base(sel)
+        # exact integer floor-division bucket id: bucket m covers
+        # (anchor+(m-1)b, anchor+m·b]
+        x = F.col("ts_millis") - F.lit(anchor) - F.lit(1)
+        bucket = ((x - F.pmod(x, F.lit(b))) / F.lit(b)).cast("long") + F.lit(1)
+        s = s.withColumn("__bucket", bucket)
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("ts_millis").alias("ts"), F.col("value").alias("v")))
+        )
+        partial = (
+            s.groupBy(_series_key(F.col("labels")).alias("skey"), "__bucket")
+            .agg(
+                F.any_value("labels").alias("labels"),
+                arr.alias("__arr"),
+            )
+            .select(
+                "skey", "__bucket", "labels",
+                F.struct(
+                    F.col("__bucket").alias("bucket"),
+                    F.size("__arr").alias("n"),
+                    F.aggregate(
+                        "__arr", F.lit(0.0), lambda a, e: a + e["v"]
+                    ).alias("s"),
+                    F.array_min(F.transform("__arr", lambda e: e["v"])).alias("mn"),
+                    F.array_max(F.transform("__arr", lambda e: e["v"])).alias("mx"),
+                    F.element_at("__arr", 1)["ts"].alias("first_ts"),
+                    F.element_at("__arr", 1)["v"].alias("first_v"),
+                    F.element_at("__arr", -1)["ts"].alias("last_ts"),
+                    F.element_at("__arr", -1)["v"].alias("last_v"),
+                    F.slice(
+                        "__arr",
+                        F.greatest(F.size("__arr") - 1, F.lit(1)),
+                        F.lit(2),
+                    ).alias("last2"),
+                    # internal increase with counter resets (pairwise scan)
+                    F.aggregate(
+                        F.slice("__arr", 2, F.greatest(F.size("__arr") - 1, F.lit(0))),
+                        F.struct(
+                            F.element_at("__arr", 1)["v"].alias("prev"),
+                            F.lit(0.0).alias("acc"),
+                        ),
+                        lambda a, e: F.struct(
+                            e["v"].alias("prev"),
+                            (
+                                a["acc"]
+                                + F.when(e["v"] < a["prev"], e["v"]).otherwise(
+                                    e["v"] - a["prev"]
+                                )
+                            ).alias("acc"),
+                        ),
+                        lambda a: a["acc"],
+                    ).alias("inc"),
+                ).alias("p"),
+            )
+        )
+        # grid → its k covering buckets (tiny frame; broadcast join)
+        b_hi = ((F.col("eval_ts") - F.lit(off) - F.lit(anchor)) / F.lit(b)).cast("long")
+        grid_b = ctx.grid.select(
+            "eval_ts",
+            F.explode(F.sequence(b_hi - F.lit(k - 1), b_hi)).alias("__bucket"),
+        )
+        joined = partial.join(F.broadcast(grid_b), "__bucket").select(
+            "skey", "eval_ts", "labels", "p"
+        )
+        # left-edge point of each window (inclusive [t−range, t]): samples
+        # at exactly anchor (mod b) become one-sample virtual partials
+        edge = s.filter(F.pmod(F.col("ts_millis") - F.lit(anchor), F.lit(b)) == 0)
+        edge_b = ctx.grid.select(
+            "eval_ts", (b_hi - F.lit(k)).alias("__bucket")
+        )
+        one = F.struct(F.col("ts_millis").alias("ts"), F.col("value").alias("v"))
+        edge_p = (
+            edge.join(F.broadcast(edge_b), "__bucket")
+            .select(
+                _series_key(F.col("labels")).alias("skey"),
+                "eval_ts",
+                "labels",
+                F.struct(
+                    F.col("__bucket").alias("bucket"),
+                    F.lit(1).alias("n"),
+                    F.col("value").alias("s"),
+                    F.col("value").alias("mn"),
+                    F.col("value").alias("mx"),
+                    F.col("ts_millis").alias("first_ts"),
+                    F.col("value").alias("first_v"),
+                    F.col("ts_millis").alias("last_ts"),
+                    F.col("value").alias("last_v"),
+                    F.array(one).alias("last2"),
+                    F.lit(0.0).alias("inc"),
+                ).alias("p"),
+            )
+        )
+        merged = (
+            joined.unionByName(edge_p)
+            .groupBy("skey", "eval_ts")
+            .agg(
+                F.any_value("labels").alias("labels"),
+                F.array_sort(F.collect_list("p")).alias("parts"),
+            )
+            .withColumn("range_start", F.col("eval_ts") - F.lit(off) - F.lit(sel.range_ms))
+            .withColumn("range_end", F.col("eval_ts") - F.lit(off))
+        )
+        return merged.select(
+            "skey", "eval_ts", "labels",
+            _merge_partials_udf()(
+                F.col("parts"), F.col("range_start"), F.col("range_end"), F.lit(fname)
+            ).alias("value"),
+        )
+
     # -- functions / aggregations -------------------------------------------
 
     def _function(self, fn: Func, ctx: _Ctx):
@@ -519,6 +745,13 @@ class PromQLEvaluator:
             sel = fn.args[0]
             if not isinstance(sel, Selector) or not sel.range_ms:
                 raise ValueError(f"{fn.name} needs a range vector like x[5m]")
+            if (
+                ctx.step_ms
+                and ctx.start_ms is not None
+                and sel.range_ms % ctx.step_ms == 0
+                and sel.range_ms // ctx.step_ms >= 2
+            ):
+                return self._range_function_bucketed(fn.name, sel, ctx)
             rv = self._range_vector(sel, ctx)
             return rv.select(
                 "skey", "eval_ts", "labels",

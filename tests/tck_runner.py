@@ -1,0 +1,220 @@
+"""Minimal Gherkin runner for the openCypher TCK corpus the reference
+ships (engine/src/test/resources/opencypher/tck/features/; reference
+runner OpenCypherTCKSuite.java).
+
+Parses .feature files, executes each scenario verbatim against a fresh
+empty Database, and compares the result table.  Scenarios using TCK
+features out of scope here (expected errors, parameters, node/rel/path
+values in expected cells, Scenario Outlines) are reported as SKIP, not
+silently dropped — test_cypher_tck pins the set that must PASS.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+TCK_ROOT = "/root/reference/engine/src/test/resources/opencypher/tck/features"
+
+
+@dataclass
+class Scenario:
+    feature: str
+    name: str
+    setup: list = field(default_factory=list)  # Cypher setup statements
+    query: str = ""
+    expect: list | None = None  # list of dict rows, or None for "empty"
+    ordered: bool = False
+    skip: str | None = None  # reason this scenario is out of scope
+
+
+def _parse_docstring(lines, i):
+    # lines[i] is the opening """ line
+    out = []
+    i += 1
+    while i < len(lines) and lines[i].strip() != '"""':
+        out.append(lines[i])
+        i += 1
+    return "\n".join(out).strip(), i + 1
+
+
+def _parse_table(lines, i):
+    rows = []
+    while i < len(lines) and lines[i].strip().startswith("|"):
+        cells = [c.strip() for c in lines[i].strip().strip("|").split("|")]
+        rows.append(cells)
+        i += 1
+    return rows, i
+
+
+_NODE_RE = re.compile(r"^\(.*\)$|^\[:.*\]$|^<.*>$")
+
+
+def parse_value(s: str):
+    """Parse one expected-table cell into a Python value.
+
+    Raises ValueError for TCK value syntax out of scope (nodes,
+    relationships, paths) so the scenario gets skipped loudly."""
+    s = s.strip()
+    if s == "null":
+        return None
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    if re.fullmatch(r"-?\d+", s):
+        return int(s)
+    if re.fullmatch(r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", s):
+        return float(s)
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("\\'", "'")
+    if s.startswith("[") and s.endswith("]"):
+        inner = s[1:-1].strip()
+        if not inner:
+            return []
+        return [parse_value(p) for p in _split_top(inner)]
+    if s.startswith("{") and s.endswith("}"):
+        inner = s[1:-1].strip()
+        if not inner:
+            return {}
+        out = {}
+        for part in _split_top(inner):
+            k, v = part.split(":", 1)
+            out[k.strip()] = parse_value(v)
+        return out
+    if _NODE_RE.match(s):
+        raise ValueError(f"graph-entity value not supported: {s}")
+    raise ValueError(f"unparseable TCK value: {s!r}")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at nesting depth 0 (respects [], {}, quotes)."""
+    parts, depth, cur, inq = [], 0, [], False
+    for ch in s:
+        if ch == "'" and (not cur or cur[-1] != "\\"):
+            inq = not inq
+        if not inq:
+            if ch in "[{(":
+                depth += 1
+            elif ch in "]})":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def parse_feature(path: str) -> list[Scenario]:
+    with open(path) as f:
+        lines = f.read().splitlines()
+    scenarios: list[Scenario] = []
+    cur: Scenario | None = None
+    feature = path.rsplit("/", 1)[-1].removesuffix(".feature")
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if line.startswith("Scenario Outline:"):
+            cur = Scenario(feature, line.split(":", 1)[1].strip())
+            cur.skip = "Scenario Outline (parameterized) not expanded"
+            scenarios.append(cur)
+            i += 1
+        elif line.startswith("Scenario:"):
+            cur = Scenario(feature, line.split(":", 1)[1].strip())
+            scenarios.append(cur)
+            i += 1
+        elif cur is None:
+            i += 1
+        elif line.startswith(("Given an empty graph", "Given any graph")):
+            i += 1
+        elif line.startswith("Given"):
+            cur.skip = cur.skip or f"unsupported Given: {line}"
+            i += 1
+        elif line.startswith(("And having executed", "When having executed")):
+            text, i = _parse_docstring(lines, i + 1)
+            cur.setup.append(text)
+        elif line.startswith("And parameters are") or line.startswith("Given parameters"):
+            cur.skip = cur.skip or "parameters not supported"
+            i += 1
+        elif line.startswith("When executing query") or line.startswith(
+            "When executing control query"
+        ):
+            text, i = _parse_docstring(lines, i + 1)
+            cur.query = text
+        elif line.startswith("Then the result should be empty"):
+            cur.expect = []
+            i += 1
+        elif line.startswith("Then the result should be, in order"):
+            cur.ordered = True
+            table, i = _parse_table(lines, i + 1)
+            cur.expect = table
+        elif line.startswith("Then the result should be"):
+            table, i = _parse_table(lines, i + 1)
+            cur.expect = table
+        elif re.match(r"Then an? \w+ should be raised", line):
+            cur.skip = cur.skip or "expected-error scenario"
+            i += 1
+        elif line.startswith("And the side effects should be") or line.startswith(
+            "Then the side effects"
+        ):
+            # side-effect accounting table: skip its rows
+            i += 1
+            while i < len(lines) and lines[i].strip().startswith("|"):
+                i += 1
+        else:
+            i += 1
+    return scenarios
+
+
+def _norm(v):
+    """Normalize a result value for comparison."""
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
+    """Execute one scenario on a fresh empty Database.
+
+    Returns (passed, detail)."""
+    from arcadedb_spark.database import Database
+
+    if sc.skip:
+        return False, f"SKIP: {sc.skip}"
+    if not sc.query or sc.expect is None:
+        return False, "SKIP: no query/expectation parsed"
+    try:
+        header, *rows = sc.expect if sc.expect else ([],)
+        expected = [
+            {h: parse_value(c) for h, c in zip(header, r)} for r in rows
+        ] if sc.expect else []
+    except ValueError as e:
+        return False, f"SKIP: {e}"
+    db = Database(spark)
+    try:
+        for stmt in sc.setup:
+            db.query(stmt, language="cypher")
+        res = db.query(sc.query, language="cypher")
+        got_rows = res.collect()
+    except Exception as e:  # noqa: BLE001 — scenario verdict, not control flow
+        return False, f"FAIL: {type(e).__name__}: {e}"
+    if sc.expect == []:
+        return (not got_rows), f"expected empty, got {len(got_rows)} rows"
+    if set(res.columns) != set(header):
+        return False, f"FAIL: columns {res.columns} != {header}"
+    got = [{h: _norm(r[h]) for h in header} for r in got_rows]
+    want = [{h: _norm(row[h]) for h in header} for row in expected]
+    if sc.ordered:
+        ok = got == want
+    else:
+        key = lambda d: repr(sorted(d.items(), key=lambda kv: (kv[0], repr(kv[1]))))
+        ok = sorted(got, key=key) == sorted(want, key=key)
+    return ok, "" if ok else f"FAIL: got {got[:4]}... want {want[:4]}..."

@@ -175,3 +175,51 @@ def test_ts_correlate_percentile(db):
     ).collect()[0]
     assert r["self_corr"] == 1.0
     assert r["p50"] is not None
+
+
+def test_bucketed_range_matches_slow_path(metrics):
+    """Dense grid (step < range): the bucket-reuse fast path must produce
+    byte-identical values to the per-point matrix-selector path for every
+    range function, including counter extrapolation and left-edge samples
+    landing exactly on window boundaries (samples here are second-aligned,
+    so edges DO hit)."""
+    from arcadedb_spark.timeseries.promql import PromQLEvaluator
+
+    ev = PromQLEvaluator(metrics)
+    start, end, step = T_END - 20_000, T_END, 5_000
+    points = list(range(start, end + 1, step))
+    for q in [
+        "rate(requests[15s])",
+        "increase(requests[15s])",
+        "irate(requests[15s])",
+        "sum_over_time(temp[15s])",
+        "avg_over_time(temp[15s])",
+        "min_over_time(temp[15s])",
+        "max_over_time(temp[15s])",
+        "count_over_time(temp[15s])",
+        "last_over_time(temp[15s])",
+    ]:
+        fast = ev._run(q, points, step_ms=step, start_ms=start)
+        slow = ev._run(q, points)  # no grid metadata → per-point path
+        fr = {(r["ts_millis"], str(sorted(r["labels"].items()))): r["value"]
+              for r in fast.collect()}
+        sr = {(r["ts_millis"], str(sorted(r["labels"].items()))): r["value"]
+              for r in slow.collect()}
+        assert fr.keys() == sr.keys(), q
+        for key in sr:
+            assert fr[key] == pytest.approx(sr[key], rel=1e-12, abs=1e-12), (q, key)
+
+
+def test_bucketed_path_plan_single_sample_scan(metrics):
+    """The fast path's plan aggregates raw samples once (one groupBy over
+    the metric scan) rather than once per eval point."""
+    from arcadedb_spark.timeseries.promql import PromQLEvaluator
+
+    ev = PromQLEvaluator(metrics)
+    start, end, step = T_END - 20_000, T_END, 5_000
+    points = list(range(start, end + 1, step))
+    df = ev._run("avg_over_time(temp[15s])", points, step_ms=step, start_ms=start)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the naive path joins samples to the grid BEFORE any aggregation; the
+    # bucketed path's first join input is already aggregated partials
+    assert plan.count("BroadcastNestedLoopJoin") == 0
