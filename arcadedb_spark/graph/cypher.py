@@ -210,7 +210,7 @@ class CypherParser(Parser):
                      "with_where": with_where}
                 )
             paths, where = self._parse_match_segment()
-        if not paths and not self._stages:
+        if not paths and not self._stages and not self.at_kw("RETURN"):
             raise ParseError("Cypher query must start with MATCH")
         if (
             self.at_kw("CREATE", "MERGE", "SET", "DELETE")
@@ -249,15 +249,35 @@ class CypherParser(Parser):
         return (stmt, self._stages)
 
     def _parse_set_list(self) -> list:
-        """Comma list of ``alias.prop = expr`` (after SET / ON CREATE SET /
-        ON MATCH SET)."""
+        """Comma list of ``alias.prop = expr`` | ``alias += {map}`` |
+        ``alias = {map}`` (after SET / ON CREATE SET / ON MATCH SET).
+        Map forms expand to per-key assignments (SetStep semantics;
+        ``=`` replace-all is applied as merge — documented deviation:
+        absent keys are not nulled)."""
         assignments = []  # (alias, prop, expr)
         while True:
             chain = self.parse_postfix()
-            if not (isinstance(chain, ast.Chain) and len(chain.parts) == 2):
+            if isinstance(chain, ast.Chain) and len(chain.parts) == 1:
+                # SET n += {…} / SET n = {…}  (+= lexes as '+' '=')
+                if self.at_op("+") and self.peek().value == "=":
+                    self.advance()
+                    self.advance()
+                elif self.at_op("="):
+                    self.advance()
+                else:
+                    raise ParseError("SET expects alias.prop = expr")
+                m = self.parse_expr()
+                if not isinstance(m, ast.MapLit):
+                    raise ParseError("SET alias = / += needs a map literal")
+                for k, v in m.entries:
+                    assignments.append((chain.parts[0], k, v))
+            elif isinstance(chain, ast.Chain) and len(chain.parts) == 2:
+                self.expect_op("=")
+                assignments.append(
+                    (chain.parts[0], chain.parts[1], self.parse_expr())
+                )
+            else:
                 raise ParseError("SET expects alias.prop = expr")
-            self.expect_op("=")
-            assignments.append((chain.parts[0], chain.parts[1], self.parse_expr()))
             if not self.eat_op(","):
                 break
         return assignments
@@ -601,6 +621,8 @@ def _apply_write(
         # label; labels() reports them as label-less
         label = node.type_name or "_"
         props = _literal_props(db, node.props, params)
+        # Cypher: setting a property to null means "absent"
+        props = {k: v for k, v in props.items() if v is not None}
         if kind == "merge" and label.lower() in g.vertex_dfs:
             vdf = g.vertices(label)
             cond = F.lit(True)
@@ -715,7 +737,9 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     from pyspark.sql import functions as F
 
     from arcadedb_spark.graph.match import combine_paths
-    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
+    from arcadedb_spark.sql.translator import (
+        Ctx, ExprCompiler, TranslateError, _contains_aggregate,
+    )
 
     g = db.graph()
     df = None
@@ -731,8 +755,8 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     alias_label[node.alias] = node.type_name
             prev = path.root
             for s in path.steps:
-                if s.edge_alias and s.edge_types and s.max_hops == 1:
-                    etype = s.edge_types[0]
+                if s.edge_alias and s.max_hops == 1:
+                    etype = s.edge_types[0] if s.edge_types else None
                     if s.method == "in":
                         ends = (s.filter.alias, prev.alias)
                     else:
@@ -781,17 +805,25 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             for alias, assigns in per_alias.items():
                 if alias in rel_alias and df is not None:
                     # SET on a relationship variable → edge rewrite keyed
-                    # by the matched endpoint pairs
+                    # by the matched endpoint pairs (from the rel struct
+                    # column when present, else the endpoint aliases)
                     etype, a_src, a_dst, direction = rel_alias[alias]
-                    if a_src is None or a_dst is None:
+                    if alias in df.columns:
+                        pairs = df.select(
+                            F.col(f"{alias}.src").alias("src"),
+                            F.col(f"{alias}.dst").alias("dst"),
+                        ).filter(F.col("src").isNotNull())
+                        direction = "out"  # struct carries the stored orientation
+                    elif a_src is not None and a_dst is not None:
+                        pairs = df.select(
+                            F.col(f"{a_src}.vid").alias("src"),
+                            F.col(f"{a_dst}.vid").alias("dst"),
+                        )
+                    else:
                         raise TranslateError(
                             f"SET on '{alias}' needs both endpoints aliased"
                         )
-                    pairs = df.select(
-                        F.col(f"{a_src}.vid").alias("src"),
-                        F.col(f"{a_dst}.vid").alias("dst"),
-                    )
-                    ecols = tuple(g.edges(etype).columns)
+                    ecols = tuple((g.edges(etype) if etype else g.edges()).columns)
                     ctx = Ctx(db=db, params=params or {}, columns=ecols)
                     compiled = [
                         (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
@@ -803,24 +835,41 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     )
                     continue
                 label = alias_label.get(alias)
-                if label is None or df is None:
-                    raise TranslateError(f"SET target '{alias}' is not a labeled match alias")
-                matched = df.select(F.col(f"{alias}.vid").alias("vid"))
-                vdf = g.vertices(label)
-                ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))
-                compiled = [
-                    (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
-                    for prop, e in assigns
-                ]
-                n += g.update_vertices(label, matched, compiled)
+                if df is None:
+                    raise TranslateError(f"SET target '{alias}' is not a match alias")
+                matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
+                    F.col("vid").isNotNull()
+                )
+                labels = [label] if label else list(g.vertex_dfs)
+                for lb in labels:
+                    vdf = g.vertices(lb)
+                    ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))
+                    compiled = [
+                        (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
+                        for prop, e in assigns
+                    ]
+                    n += g.update_vertices(lb, matched, compiled)
             return n
         if w["kind"] == "delete":
+            if df is None:
+                raise TranslateError("DELETE needs a preceding MATCH")
             for alias in w["targets"]:
+                if alias in rel_alias and alias in df.columns:
+                    etype = rel_alias[alias][0]
+                    pairs = df.select(
+                        F.col(f"{alias}.src").alias("src"),
+                        F.col(f"{alias}.dst").alias("dst"),
+                    ).filter(F.col("src").isNotNull())
+                    n += g.remove_edges(etype, pairs)
+                    continue
                 label = alias_label.get(alias)
-                if label is None or df is None:
-                    raise TranslateError(f"DELETE target '{alias}' is not a labeled match alias")
-                matched = df.select(F.col(f"{alias}.vid").alias("vid"))
-                n += g.remove_vertices(label, matched)
+                matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
+                    F.col("vid").isNotNull()
+                )
+                if label is None:
+                    n += g.remove_vertices_any(matched)
+                else:
+                    n += g.remove_vertices(label, matched)
             return n
         for path in w["patterns"]:
             n += _apply_write(
@@ -837,8 +886,20 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         from arcadedb_spark.graph.match import project_stage
 
         if df is not None:
-            raise TranslateError(
-                "RETURN after MATCH…write is not supported yet"
+            # MATCH … write … RETURN: project over the match frame (one
+            # result row per matched row, Cypher cardinality; property
+            # reads see the pre-write snapshot — documented deviation for
+            # the DELETE-then-RETURN corner)
+            group_by: tuple = ()
+            if any(_contains_aggregate(i.expr) for i in ret["items"]):
+                group_by = tuple(
+                    i.expr for i in ret["items"]
+                    if not _contains_aggregate(i.expr)
+                )
+            return project_stage(
+                db, df, ret["items"], params or {}, distinct=ret["distinct"],
+                group_by=group_by, order_by=ret["order_by"],
+                skip=ret["skip"], limit=ret["limit"],
             )
         # one result row; each created/matched alias is a struct column
         # (vid + literal props), so RETURN a.x compiles like a match frame

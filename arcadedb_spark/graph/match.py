@@ -32,8 +32,11 @@ _uid = itertools.count()
 def _vertex_df(db, type_name: str | None) -> DataFrame:
     g = db.graph()
     if type_name is None:
-        # anonymous node: all vertices, properties unavailable
-        return g.all_vertices()
+        # anonymous node: all vertices with all properties (null-padded)
+        df = g.all_vertices_full()
+        if df is None:
+            return db.spark.createDataFrame([], "vid long")
+        return df
     return g.vertices(type_name)
 
 
@@ -128,13 +131,20 @@ def _expand(
     else:  # both
         directions = [("src", "dst"), ("dst", "src")]
 
-    # edge frame with normalized (from_vid, to_vid)
+    # edge frame with normalized (from_vid, to_vid); a Cypher relationship
+    # variable (-[r:T]->) rides along as a struct column so RETURN r.prop /
+    # type(r) resolve (single-hop only — var-length has no one edge)
+    ealias = step.edge_alias if step.max_hops == 1 and step.min_hops == 1 else None
     parts = []
     for a, b in directions:
-        parts.append(
-            e.select(F.col(a).alias("__from"), F.col(b).alias("__to"))
-        )
+        cols = [F.col(a).alias("__from"), F.col(b).alias("__to")]
+        if ealias:
+            cols.append(F.struct(*[F.col(c) for c in e.columns]).alias(ealias))
+        parts.append(e.select(*cols))
     edge = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if ealias and len(parts) > 1:
+        # undirected self-loops must bind once, not once per orientation
+        edge = edge.distinct()
 
     if step.max_hops > 1 or step.min_hops > 1:
         # Variable-length relationship (Cypher -[:T*min..max]->, reference
@@ -310,7 +320,11 @@ def project_stage(
 
 
 def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
-    df, _ = combine_paths(db, stmt.paths, stmt.where, params)
+    if not stmt.paths:
+        # standalone RETURN (TCK Return*.feature): one pattern-less row
+        df = db.spark.range(1).select()
+    else:
+        df, _ = combine_paths(db, stmt.paths, stmt.where, params)
     return project_stage(
         db, df, stmt.returns, params,
         distinct=stmt.distinct, group_by=stmt.group_by,

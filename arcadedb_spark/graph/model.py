@@ -95,6 +95,16 @@ class GraphModel:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def all_vertices_full(self) -> DataFrame:
+        """Union of every vertex frame with ALL property columns (absent
+        props null-padded) — backs label-less ``MATCH (n)``."""
+        out = None
+        for df in self.vertex_dfs.values():
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out
+
     def edges(self, *etypes: str) -> DataFrame:
         if self._edges is None:
             out = None
@@ -219,12 +229,10 @@ class GraphModel:
             m = m.unionByName(
                 m.select(F.col("__md").alias("__ms"), F.col("__ms").alias("__md"))
             ).distinct()
-        joined = all_e.join(
-            m,
-            (all_e["src"] == m["__ms"]) & (all_e["dst"] == m["__md"])
-            & (all_e["etype"] == F.lit(etype)),
-            "left",
-        )
+        cond_join = (all_e["src"] == m["__ms"]) & (all_e["dst"] == m["__md"])
+        if etype is not None:
+            cond_join = cond_join & (all_e["etype"] == F.lit(etype))
+        joined = all_e.join(m, cond_join, "left")
         cond = F.col("__ms").isNotNull()
         n = joined.filter(cond).count()
         for prop, val in assignments:
@@ -235,6 +243,55 @@ class GraphModel:
             else:
                 joined = joined.withColumn(prop, F.when(cond, val))
         self._edge_dfs = [joined.drop("__ms", "__md").cache()]
+        self._edges = None
+        self._edges_by_src = None
+        return n
+
+    def remove_edges(
+        self,
+        etype: "str | None",
+        matched_pairs: DataFrame,
+        both_directions: bool = False,
+    ) -> int:
+        """Delete edges whose (src, dst) is in ``matched_pairs`` —
+        Cypher ``MATCH ()-[r]->() DELETE r``.  ``etype=None`` matches any
+        relationship type."""
+        all_e = self.edges()
+        if all_e is None:
+            return 0
+        m = matched_pairs.select(
+            F.col("src").alias("__ms"), F.col("dst").alias("__md")
+        ).distinct()
+        if both_directions:
+            m = m.unionByName(
+                m.select(F.col("__md").alias("__ms"), F.col("__ms").alias("__md"))
+            ).distinct()
+        cond = (all_e["src"] == m["__ms"]) & (all_e["dst"] == m["__md"])
+        if etype is not None:
+            cond = cond & (all_e["etype"] == F.lit(etype))
+        matched = all_e.join(m, cond, "left_semi")
+        n = matched.count()
+        kept = all_e.join(m, cond, "left_anti")
+        self._edge_dfs = [kept.cache()]
+        self._edges = None
+        self._edges_by_src = None
+        return n
+
+    def remove_vertices_any(self, matched_vids: DataFrame) -> int:
+        """DETACH-delete matched vids from every label (label-less
+        ``MATCH (n) DELETE n``)."""
+        m = matched_vids.select("vid").distinct().cache()
+        n = 0
+        for label in list(self.vertex_dfs):
+            vdf = self.vertex_dfs[label]
+            n += vdf.join(m, "vid", "left_semi").count()
+            self.vertex_dfs[label] = vdf.join(m, "vid", "left_anti").cache()
+        new_frames = []
+        for e in self._edge_dfs:
+            e2 = e.join(m.withColumnRenamed("vid", "src"), "src", "left_anti")
+            e2 = e2.join(m.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            new_frames.append(e2.select(*e.columns))
+        self._edge_dfs = new_frames
         self._edges = None
         self._edges_by_src = None
         return n

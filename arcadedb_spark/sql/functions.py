@@ -1293,6 +1293,12 @@ def _cypher_endnode(args):
     return args[0].getField("dst")
 
 
+@scalar("type")
+def _cypher_reltype(args):
+    """type(rel) — relationship type name (function/rel/RelType.java)."""
+    return args[0].getField("etype")
+
+
 @scalar("geo.geohash")
 def _geo_geohash(args):
     """geo.geohash(lat, lon[, precision]) — base32 cell key

@@ -51,7 +51,7 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<NPARAM>:[A-Za-z_][A-Za-z0-9_]*)
   | (?P<IDENT>[A-Za-z_@][A-Za-z0-9_@$]*)
-  | (?P<OP><=>|<>|!=|<=|>=|==|=~|=|<|>|\?\?|\|\||\.\.\.|\.\.|[-+*/%(),.\[\]{}:?#|!])
+  | (?P<OP><=>|<>|!=|<=|>=|==|=~|=|<|>|\?\?|\|\||\.\.\.|\.\.|[-+*/%(),.\[\]{}:?#|!^])
     """,
     re.VERBOSE | re.DOTALL,
 )

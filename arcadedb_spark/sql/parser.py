@@ -1013,10 +1013,18 @@ class Parser:
         return left
 
     def parse_multiplicative(self) -> ast.Expr:
-        left = self.parse_unary()
+        left = self.parse_power()
         while self.at_op("*", "/", "%"):
             op = self.advance().value
-            left = ast.Bin(op, left, self.parse_unary())
+            left = ast.Bin(op, left, self.parse_power())
+        return left
+
+    def parse_power(self) -> ast.Expr:
+        # Cypher exponentiation ^ — right-associative, binds tighter than */
+        left = self.parse_unary()
+        if self.at_op("^"):
+            self.advance()
+            return ast.Bin("^", left, self.parse_power())
         return left
 
     def parse_unary(self) -> ast.Expr:

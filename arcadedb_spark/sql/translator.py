@@ -184,6 +184,8 @@ class ExprCompiler:
             return l / r
         if op == "%":
             return l % r
+        if op == "^":
+            return F.pow(l, r)
         if op == "??":
             return F.coalesce(l, r)
         if op == "||":

@@ -109,27 +109,76 @@ def _split_top(s: str) -> list[str]:
     return parts
 
 
+def _split_blocks(lines: list[str]) -> list[tuple[str, str, list[str]]]:
+    """[(kind, name, body-lines)] for each Scenario / Scenario Outline."""
+    blocks = []
+    cur = None
+    for line in lines:
+        s = line.strip()
+        if s.startswith("Scenario Outline:"):
+            cur = ("outline", s.split(":", 1)[1].strip(), [])
+            blocks.append(cur)
+        elif s.startswith("Scenario:"):
+            cur = ("scenario", s.split(":", 1)[1].strip(), [])
+            blocks.append(cur)
+        elif cur is not None:
+            cur[2].append(line)
+    return blocks
+
+
+def _expand_outline(name: str, body: list[str]):
+    """Expand a Scenario Outline's Examples table into concrete scenarios
+    by <placeholder> substitution — the standard Gherkin expansion."""
+    try:
+        ei = next(
+            i for i, l in enumerate(body) if l.strip().startswith("Examples:")
+        )
+    except StopIteration:
+        return
+    steps, table = body[:ei], body[ei + 1:]
+    rows = [
+        [c.strip() for c in l.strip().strip("|").split("|")]
+        for l in table
+        if l.strip().startswith("|")
+    ]
+    if len(rows) < 2:
+        return
+    header = rows[0]
+    for j, row in enumerate(rows[1:]):
+        sub = dict(zip(header, row))
+        out = []
+        for l in steps:
+            for k, v in sub.items():
+                l = l.replace(f"<{k}>", v)
+            out.append(l)
+        yield f"{name} #{j + 1}", out
+
+
 def parse_feature(path: str) -> list[Scenario]:
     with open(path) as f:
-        lines = f.read().splitlines()
+        all_lines = f.read().splitlines()
     scenarios: list[Scenario] = []
-    cur: Scenario | None = None
     feature = path.rsplit("/", 1)[-1].removesuffix(".feature")
+    for kind, name, body in _split_blocks(all_lines):
+        if kind == "outline":
+            expanded = list(_expand_outline(name, body))
+            if not expanded:
+                sc = Scenario(feature, name)
+                sc.skip = "Scenario Outline without Examples"
+                scenarios.append(sc)
+            for ex_name, ex_body in expanded:
+                scenarios.append(_parse_scenario(feature, ex_name, ex_body))
+        else:
+            scenarios.append(_parse_scenario(feature, name, body))
+    return scenarios
+
+
+def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
+    cur = Scenario(feature, name)
     i = 0
     while i < len(lines):
         line = lines[i].strip()
-        if line.startswith("Scenario Outline:"):
-            cur = Scenario(feature, line.split(":", 1)[1].strip())
-            cur.skip = "Scenario Outline (parameterized) not expanded"
-            scenarios.append(cur)
-            i += 1
-        elif line.startswith("Scenario:"):
-            cur = Scenario(feature, line.split(":", 1)[1].strip())
-            scenarios.append(cur)
-            i += 1
-        elif cur is None:
-            i += 1
-        elif line.startswith(("Given an empty graph", "Given any graph")):
+        if line.startswith(("Given an empty graph", "Given any graph")):
             i += 1
         elif line.startswith("Given"):
             cur.skip = cur.skip or f"unsupported Given: {line}"
@@ -167,7 +216,7 @@ def parse_feature(path: str) -> list[Scenario]:
                 i += 1
         else:
             i += 1
-    return scenarios
+    return cur
 
 
 def _norm(v):

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from arcadedb_spark.graph.algorithms_extra import (
     astar,
     k_shortest_paths,

@@ -2,6 +2,8 @@
 hand-computable answers."""
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from arcadedb_spark.graph.algorithms_more import (

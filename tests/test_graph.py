@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -61,6 +62,7 @@ def test_traverse_depth_semantics(db):
     assert by_label["order"] == 1500
 
 
+@pytest.mark.slow
 def test_pagerank_mass_conservation(db):
     from arcadedb_spark.graph.algorithms import pagerank
 
@@ -72,6 +74,7 @@ def test_pagerank_mass_conservation(db):
     assert abs(total - n) / n < 1e-6  # rank mass conserved
 
 
+@pytest.mark.slow
 def test_wcc_single_component(db):
     from arcadedb_spark.graph.algorithms import connected_components
 
@@ -81,6 +84,7 @@ def test_wcc_single_component(db):
     assert cc.select("component").distinct().count() == 1
 
 
+@pytest.mark.slow
 def test_sssp_distances(db):
     from arcadedb_spark.graph.algorithms import dijkstra_sssp
 
@@ -103,6 +107,7 @@ def test_degree_centrality(db):
     assert total == 1500
 
 
+@pytest.mark.slow
 def test_eigenvector_and_katz(db):
     from arcadedb_spark.graph.algorithms import (
         eigenvector_centrality, katz_centrality,
@@ -117,6 +122,7 @@ def test_eigenvector_and_katz(db):
     assert kz.filter(F.col("centrality") < 1.0).count() == 0  # β floor
 
 
+@pytest.mark.slow
 def test_closeness(db):
     from arcadedb_spark.graph.algorithms import closeness_centrality
 
@@ -126,6 +132,7 @@ def test_closeness(db):
     assert rows and all(0 < r["closeness"] <= 1.0 for r in rows)
 
 
+@pytest.mark.slow
 def test_scc_two_cycles_and_bridge(db, spark):
     from arcadedb_spark.graph.algorithms import strongly_connected_components
 
@@ -142,6 +149,7 @@ def test_scc_two_cycles_and_bridge(db, spark):
     assert comp[20] != comp[21]  # path vertices are singleton SCCs
 
 
+@pytest.mark.slow
 def test_fastrp_deterministic(db):
     from arcadedb_spark.graph.algorithms import fastrp_embeddings
 
@@ -175,6 +183,7 @@ def test_gremlin_traversal(db):
     assert [r["label"] for r in locs] == ["nation"]
 
 
+@pytest.mark.slow
 def test_betweenness_path_graph(db, spark):
     from arcadedb_spark.graph.algorithms import betweenness_centrality
 
@@ -185,6 +194,7 @@ def test_betweenness_path_graph(db, spark):
     assert bc == {1: 0.0, 2: 2.0, 3: 2.0, 4: 0.0}
 
 
+@pytest.mark.slow
 def test_node2vec_embeddings(db):
     from arcadedb_spark.graph.algorithms import node2vec_embeddings
 
@@ -194,6 +204,7 @@ def test_node2vec_embeddings(db):
     assert rows and all(len(r["embedding"]) == 8 for r in rows)
 
 
+@pytest.mark.slow
 def test_louvain_two_cliques(db, spark):
     from arcadedb_spark.graph.algorithms import louvain, modularity
 
