@@ -339,6 +339,98 @@ def _p_richclub(db, args) -> DataFrame:
     )
 
 
+@procedure("algo.allSimplePaths")
+def _p_allsimple(db, args) -> DataFrame:
+    # algo.allSimplePaths(startNode, endNode, maxDepth?) — AlgoAllSimplePaths.java
+    from arcadedb_spark.graph.algorithms_extra2 import all_simple_paths
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if len(nums) < 2:
+        raise ValueError("algo.allSimplePaths needs start and end vertex ids")
+    return all_simple_paths(
+        _edges(db, args), nums[0], nums[1],
+        max_depth=nums[2] if len(nums) > 2 else 8,
+    )
+
+
+@procedure("algo.graphColoring")
+def _p_coloring(db, args) -> DataFrame:
+    # algo.graphColoring(relTypes?) — AlgoGraphColoring.java
+    from arcadedb_spark.graph.algorithms_extra2 import graph_coloring
+
+    return graph_coloring(_edges(db, args))
+
+
+@procedure("algo.densestSubgraph")
+def _p_densest(db, args) -> DataFrame:
+    # algo.densestSubgraph(relTypes?) — AlgoDensestSubgraph.java
+    from arcadedb_spark.graph.algorithms_extra2 import densest_subgraph
+
+    return densest_subgraph(_edges(db, args))
+
+
+@procedure("algo.voteRank")
+def _p_voterank(db, args) -> DataFrame:
+    # algo.voteRank(relTypes?, k?) — AlgoVoteRank.java
+    from arcadedb_spark.graph.algorithms_extra2 import vote_rank
+
+    return vote_rank(_edges(db, args), k=int(_num(args, 0, 10)))
+
+
+@procedure("algo.influenceMaximization")
+def _p_influence(db, args) -> DataFrame:
+    # algo.influenceMaximization(relTypes?, k?) — AlgoInfluenceMaximization.java
+    from arcadedb_spark.graph.algorithms_extra2 import influence_maximization
+
+    return influence_maximization(_edges(db, args), k=int(_num(args, 0, 5)))
+
+
+@procedure("algo.modularityScore")
+def _p_modularity(db, args) -> DataFrame:
+    # algo.modularityScore(relTypes?) — AlgoModularityScore.java
+    # (communities from label propagation, reference default)
+    from arcadedb_spark.graph.algorithms import label_propagation
+    from arcadedb_spark.graph.algorithms_extra2 import modularity_score
+
+    edges = _edges(db, args)
+    comm = label_propagation(edges).withColumnRenamed("label", "community")
+    return modularity_score(edges, comm)
+
+
+@procedure("algo.maxKCut")
+def _p_maxkcut(db, args) -> DataFrame:
+    # algo.maxKCut(k, …) — AlgoMaxKCut.java
+    from arcadedb_spark.graph.algorithms_extra2 import max_k_cut
+
+    return max_k_cut(_edges(db, args), k=int(_num(args, 0, 2)))
+
+
+@procedure("algo.sameCommunity")
+def _p_samecommunity(db, args) -> DataFrame:
+    # algo.sameCommunity(relTypes?) — AlgoSameCommunity.java
+    from arcadedb_spark.graph.algorithms_extra2 import same_community
+
+    return same_community(_edges(db, args))
+
+
+@procedure("algo.bfs")
+def _p_bfs(db, args) -> DataFrame:
+    # algo.bfs(startNode, maxDepth?) — AlgoBFS.java (level-order distance)
+    from arcadedb_spark.graph.algorithms import shortest_paths
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if not nums:
+        raise ValueError("algo.bfs needs a start vertex id")
+    # shortest_paths computes vid→landmark distance; reverse the edges to
+    # get start→vid level order
+    rev = _edges(db, args).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return shortest_paths(
+        rev, [nums[0]], max_depth=nums[1] if len(nums) > 1 else 20
+    ).select("vid", "distance")
+
+
 def call_procedure(db, name: str, args: list) -> DataFrame:
     fn = PROCEDURES.get(name.lower())
     if fn is None:
