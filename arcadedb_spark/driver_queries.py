@@ -401,8 +401,14 @@ def q_let_per_record(spark, sf_dir):
 )
 def q_schema_types(spark, sf_dir):
     """schema:types virtual table vs the literal expected catalog (the
-    10 driver tables registered in sorted order, buckets 1..10)."""
-    return _db(spark, sf_dir).query(
+    10 driver tables registered in sorted order, buckets 1..10).
+
+    Uses a FRESH Database: the shared one accumulates types created by
+    DDL/DML queries that ran earlier in the same gate session, which
+    would shift the catalog row count and bucket numbering."""
+    from arcadedb_spark.database import Database
+
+    return Database.open(spark, sf_dir).query(
         "SELECT name, kind, bucket_id FROM schema:types ORDER BY bucket_id"
     )
 
@@ -1406,7 +1412,7 @@ def q_sparse_dot(spark, sf_dir):
     # honest ANN quality, asserted ≥ 0.9 in tests/test_vector_*.
     oracle="""
     SELECT 16 AS n_lists, 8 AS nprobe, 5 AS k, 5 AS n_queries,
-           0.96 AS recall_at_k
+           CAST(0.96 AS DOUBLE) AS recall_at_k
     """,
 )
 def q_knn_ivf(spark, sf_dir):

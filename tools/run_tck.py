@@ -1,0 +1,74 @@
+"""Run the reference's openCypher TCK corpus through tests/tck_runner.py.
+
+Usage:
+    python tools/run_tck.py [--filter SUBSTR] [--limit N] [--out FILE]
+
+Tallies PASS / FAIL / SKIP per feature directory and writes one line per
+non-passing scenario (with the failure detail) to --out (default
+/tmp/tck_results.txt) so failures can be triaged in batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from tck_runner import TCK_ROOT, parse_feature, run_scenario  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--filter", default="")
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--out", default="/tmp/tck_results.txt")
+    args = ap.parse_args()
+
+    from arcadedb_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    files = sorted(glob.glob(os.path.join(TCK_ROOT, "**", "*.feature"),
+                             recursive=True))
+    n_pass = n_fail = n_skip = 0
+    lines = []
+    ran = 0
+    for path in files:
+        rel = os.path.relpath(path, TCK_ROOT)
+        if args.filter and args.filter not in rel:
+            continue
+        for sc in parse_feature(path):
+            tag = f"{rel} :: {sc.name}"
+            if sc.skip or not sc.query or sc.expect is None:
+                n_skip += 1
+                reason = sc.skip or "no query/expectation parsed"
+                lines.append(f"SKIP\t{tag}\t{reason}")
+                continue
+            if args.limit and ran >= args.limit:
+                continue
+            ran += 1
+            ok, detail = run_scenario(spark, sc)
+            if ok:
+                n_pass += 1
+                lines.append(f"PASS\t{tag}")
+            elif detail.startswith("SKIP"):
+                n_skip += 1
+                lines.append(f"SKIP\t{tag}\t{detail[6:]}")
+            else:
+                n_fail += 1
+                lines.append(f"FAIL\t{tag}\t{detail[:400]}")
+                print(f"FAIL {tag}\n    {detail[:300]}", flush=True)
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skip -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
