@@ -431,6 +431,117 @@ def _p_bfs(db, args) -> DataFrame:
     ).select("vid", "distance")
 
 
+@procedure("algo.dijkstra")
+def _p_dijkstra(db, args) -> DataFrame:
+    # algo.dijkstra(startNode, endNode, relTypes?, weightProperty?) —
+    # AlgoDijkstra.java: YIELD path, weight
+    from arcadedb_spark.graph.algorithms_extra3 import dijkstra_path
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if len(nums) < 2:
+        raise ValueError("algo.dijkstra needs start and end vertex ids")
+    return dijkstra_path(_edges(db, args), nums[0], nums[1])
+
+
+@procedure("algo.dijkstraSingleSource")
+def _p_dijkstra_ss(db, args) -> DataFrame:
+    # AlgoDijkstraSingleSource.java — same distances as algo.sssp
+    from arcadedb_spark.graph.algorithms import dijkstra_sssp
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if not nums:
+        raise ValueError("algo.dijkstraSingleSource needs a source vertex id")
+    return dijkstra_sssp(_edges(db, args), nums[0])
+
+
+@procedure("algo.bellmanFord")
+def _p_bellmanford(db, args) -> DataFrame:
+    # AlgoBellmanFord.java: YIELD path, weight, negativeCycle
+    from arcadedb_spark.graph.algorithms_extra3 import bellman_ford_path
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if len(nums) < 2:
+        raise ValueError("algo.bellmanFord needs start and end vertex ids")
+    return bellman_ford_path(_edges(db, args), nums[0], nums[1])
+
+
+@procedure("algo.bridges")
+def _p_bridges(db, args) -> DataFrame:
+    # AlgoBridges.java: YIELD source, target
+    from arcadedb_spark.graph.algorithms_extra3 import bridges
+
+    return bridges(_edges(db, args))
+
+
+@procedure("algo.articulationPoints")
+def _p_articulation(db, args) -> DataFrame:
+    # AlgoArticulationPoints.java: YIELD node
+    from arcadedb_spark.graph.algorithms_extra3 import articulation_points
+
+    return articulation_points(_edges(db, args))
+
+
+@procedure("algo.biconnectedComponents")
+def _p_biconnected(db, args) -> DataFrame:
+    # AlgoBiconnectedComponents.java: YIELD node, componentId
+    from arcadedb_spark.graph.algorithms_extra3 import biconnected_components
+
+    return biconnected_components(_edges(db, args))
+
+
+@procedure("algo.dfs")
+def _p_dfs(db, args) -> DataFrame:
+    # AlgoDFS.java: algo.dfs(startNode, relTypes?, direction?, maxDepth?)
+    from arcadedb_spark.graph.algorithms_extra3 import dfs_order
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if not nums:
+        raise ValueError("algo.dfs needs a start vertex id")
+    direction = next(
+        (a.lower() for a in args
+         if isinstance(a, str) and a.upper() in ("OUT", "IN", "BOTH")),
+        "both",
+    )
+    return dfs_order(
+        _edges(db, args), nums[0], direction=direction,
+        max_depth=nums[1] if len(nums) > 1 else None,
+    )
+
+
+@procedure("algo.knn")
+def _p_knn(db, args) -> DataFrame:
+    # AlgoKNN.java: algo.knn(k?, relTypes?, direction?) —
+    # YIELD node1, node2, similarity (Jaccard of adjacency sets)
+    from arcadedb_spark.graph.algorithms_extra3 import knn_similarity
+
+    direction = next(
+        (a.lower() for a in args
+         if isinstance(a, str) and a.upper() in ("OUT", "IN", "BOTH")),
+        "both",
+    )
+    return knn_similarity(
+        _edges(db, args), k=int(_num(args, 0, 10)), direction=direction
+    )
+
+
+@procedure("algo.bipartiteMatching")
+def _p_bipartite_matching(db, args) -> DataFrame:
+    # AlgoBipartiteMatching.java: YIELD node1, node2, matchingSize
+    from arcadedb_spark.graph.algorithms_extra3 import bipartite_matching
+
+    return bipartite_matching(_edges(db, args))
+
+
+@procedure("algo.node2vec")
+def _p_node2vec(db, args) -> DataFrame:
+    # AlgoNode2Vec.java — biased random-walk embeddings
+    from arcadedb_spark.graph.algorithms import node2vec_embeddings
+
+    return node2vec_embeddings(
+        _edges(db, args), dim=int(_num(args, 0, 16))
+    )
+
+
 def call_procedure(db, name: str, args: list) -> DataFrame:
     fn = PROCEDURES.get(name.lower())
     if fn is None:
