@@ -542,6 +542,68 @@ def _p_node2vec(db, args) -> DataFrame:
     )
 
 
+@procedure("algo.hashgnn")
+def _p_hashgnn(db, args) -> DataFrame:
+    # AlgoHashGNN.java: YIELD node, embedding (training-free minhash GNN)
+    from arcadedb_spark.graph.algorithms_extra4 import hashgnn
+
+    return hashgnn(_edges(db, args), dim=int(_num(args, 0, 64)))
+
+
+@procedure("algo.graphsage")
+def _p_graphsage(db, args) -> DataFrame:
+    # AlgoGraphSAGE.java: YIELD node, embedding (unsupervised)
+    from arcadedb_spark.graph.algorithms_extra4 import graphsage
+
+    return graphsage(
+        _edges(db, args),
+        dim=int(_num(args, 0, 64)),
+        layers=int(_num(args, 1, 2)),
+    )
+
+
+@procedure("algo.hierarchicalClustering")
+def _p_hierarchical(db, args) -> DataFrame:
+    # AlgoHierarchicalClustering.java: YIELD nodeId, cluster
+    from arcadedb_spark.graph.algorithms_extra4 import hierarchical_clustering
+
+    return hierarchical_clustering(
+        _edges(db, args), num_clusters=int(_num(args, 0, 2))
+    )
+
+
+@procedure("algo.steinerTree")
+def _p_steiner(db, args) -> DataFrame:
+    # AlgoSteinerTree.java: algo.steinerTree(terminals, relTypes?, weight?)
+    from arcadedb_spark.graph.algorithms_extra4 import steiner_tree
+
+    terms = next((a for a in args if isinstance(a, list)), None)
+    if terms is None:
+        terms = [int(a) for a in args if isinstance(a, (int, float))]
+    if len(terms) < 2:
+        raise ValueError("algo.steinerTree needs ≥2 terminal vertex ids")
+    return steiner_tree(_edges(db, args), [int(t) for t in terms])
+
+
+@procedure("algo.msa")
+def _p_msa(db, args) -> DataFrame:
+    # AlgoMinSpanningArborescence.java: algo.msa(root) —
+    # YIELD source, target, weight, totalWeight
+    from arcadedb_spark.graph.algorithms_extra4 import (
+        min_spanning_arborescence,
+    )
+
+    nums = [int(a) for a in args if isinstance(a, (int, float))]
+    if not nums:
+        raise ValueError("algo.msa needs a root vertex id")
+    return min_spanning_arborescence(_edges(db, args), nums[0])
+
+
+@procedure("algo.minSpanningArborescence")
+def _p_msa_alias(db, args) -> DataFrame:
+    return _p_msa(db, args)
+
+
 def call_procedure(db, name: str, args: list) -> DataFrame:
     fn = PROCEDURES.get(name.lower())
     if fn is None:

@@ -53,6 +53,7 @@ def main() -> int:
                 continue
             ran += 1
             ok, detail = run_scenario(spark, sc)
+            detail = " | ".join(detail.splitlines())[:400]
             if ok:
                 n_pass += 1
                 lines.append(f"PASS\t{tag}")
@@ -61,8 +62,7 @@ def main() -> int:
                 lines.append(f"SKIP\t{tag}\t{detail[6:]}")
             else:
                 n_fail += 1
-                lines.append(f"FAIL\t{tag}\t{detail[:400]}")
-                print(f"FAIL {tag}\n    {detail[:300]}", flush=True)
+                lines.append(f"FAIL\t{tag}\t{detail}")
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
