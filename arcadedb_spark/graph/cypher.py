@@ -200,14 +200,34 @@ class CypherParser(Parser):
                 )
             else:
                 self.advance()
+                w_distinct = self.eat_kw("DISTINCT")
                 items = self.parse_projection_list()
+                w_order: list = []
+                w_skip = w_limit = None
+                while True:
+                    if self.at_kw("ORDER"):
+                        self.advance()
+                        self.expect_kw("BY")
+                        w_order.append(self.parse_order_item())
+                        while self.eat_op(","):
+                            w_order.append(self.parse_order_item())
+                    elif self.at_kw("SKIP"):
+                        self.advance()
+                        w_skip = self.parse_expr()
+                    elif self.at_kw("LIMIT"):
+                        self.advance()
+                        w_limit = self.parse_expr()
+                    else:
+                        break
                 with_where = None
                 if self.at_kw("WHERE"):
                     self.advance()
                     with_where = self.parse_expr()
                 self._stages.append(
                     {"paths": paths, "where": where, "with_items": items,
-                     "with_where": with_where}
+                     "with_where": with_where, "with_distinct": w_distinct,
+                     "with_order": w_order, "with_skip": w_skip,
+                     "with_limit": w_limit}
                 )
             paths, where = self._parse_match_segment()
         if not paths and not self._stages and not self.at_kw("RETURN"):
@@ -560,7 +580,13 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
             group_by = tuple(
                 it.expr for it in items if not _contains_aggregate(it.expr)
             )
-        df = project_stage(db, df, items, params, group_by=group_by)
+        df = project_stage(
+            db, df, items, params, group_by=group_by,
+            distinct=stage.get("with_distinct", False),
+            order_by=tuple(stage.get("with_order") or ()),
+            skip=stage.get("with_skip"),
+            limit=stage.get("with_limit"),
+        )
         if stage["with_where"] is not None:
             from arcadedb_spark.sql.translator import Ctx, ExprCompiler
 

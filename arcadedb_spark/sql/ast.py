@@ -164,6 +164,50 @@ class ArrayLit(Expr):
 
 
 @dataclass(frozen=True)
+class LabelPred(Expr):
+    """Cypher label predicate ``n:Label[:Label2]`` in expression position
+    (WHERE / RETURN).  True iff the node's label matches every listed
+    label (single-label model: conjunction collapses accordingly)."""
+
+    base: Expr
+    labels: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Quantifier(Expr):
+    """Cypher list-predicate quantifier ``all/any/none/single(x IN src
+    WHERE pred)`` (openCypher quantified expressions; TCK
+    expressions/quantifier)."""
+
+    kind: str  # "all" | "any" | "none" | "single"
+    var: str
+    source: Expr
+    pred: Expr
+
+
+@dataclass(frozen=True)
+class ListComp(Expr):
+    """Cypher list comprehension ``[x IN src WHERE pred | proj]`` (also
+    legacy ``filter(...)`` / ``extract(...)``)."""
+
+    var: str
+    source: Expr
+    pred: Optional[Expr]
+    proj: Optional[Expr]
+
+
+@dataclass(frozen=True)
+class ReduceExpr(Expr):
+    """Cypher ``reduce(acc = init, x IN src | body)``."""
+
+    acc: str
+    init: Expr
+    var: str
+    source: Expr
+    body: Expr
+
+
+@dataclass(frozen=True)
 class MapLit(Expr):
     entries: tuple[tuple[str, Expr], ...]
 

@@ -1040,7 +1040,14 @@ class Parser:
     def parse_postfix(self) -> ast.Expr:
         expr = self.parse_primary()
         while True:
-            if self.at_op("."):
+            if self.cypher and self.cur.kind == "PARAM":
+                # ':Label' after an expression is a Cypher label predicate
+                # (Cypher query parameters are $name, never :name)
+                labels = [self.advance().value]
+                while self.cur.kind == "PARAM":
+                    labels.append(self.advance().value)
+                expr = ast.LabelPred(expr, tuple(labels))
+            elif self.at_op("."):
                 self.advance()
                 name = self.ident()
                 if self.at_op("("):
@@ -1186,6 +1193,23 @@ class Parser:
                 return inner
             if tok.value == "[":
                 self.advance()
+                # list comprehension [x IN src [WHERE p] [| proj]]
+                if (
+                    self.cypher
+                    and self.cur.kind == "IDENT"
+                    and self.peek().kind == "KEYWORD"
+                    and self.peek().value == "IN"
+                ):
+                    var = self.ident()
+                    self.expect_kw("IN")
+                    source = self.parse_expr()
+                    pred = proj = None
+                    if self.eat_kw("WHERE"):
+                        pred = self.parse_expr()
+                    if self.eat_op("|"):
+                        proj = self.parse_expr()
+                    self.expect_op("]")
+                    return ast.ListComp(var, source, pred, proj)
                 items = []
                 if not self.at_op("]"):
                     items.append(self.parse_expr())
@@ -1239,6 +1263,51 @@ class Parser:
     def _parse_func_call(self) -> ast.Expr:
         name = self.ident()
         self.expect_op("(")
+        low = name.lower()
+        # Cypher quantified / comprehension forms: name(x IN src ...)
+        if (
+            self.cypher
+            and self.cur.kind == "IDENT"
+            and self.peek().kind == "KEYWORD"
+            and self.peek().value == "IN"
+        ):
+            if low in ("all", "any", "none", "single"):
+                var = self.ident()
+                self.expect_kw("IN")
+                source = self.parse_expr()
+                self.expect_kw("WHERE")
+                pred = self.parse_expr()
+                self.expect_op(")")
+                return ast.Quantifier(low, var, source, pred)
+            if low in ("filter", "extract"):
+                var = self.ident()
+                self.expect_kw("IN")
+                source = self.parse_expr()
+                pred = proj = None
+                if self.eat_kw("WHERE"):
+                    pred = self.parse_expr()
+                if self.eat_op("|"):
+                    proj = self.parse_expr()
+                self.expect_op(")")
+                return ast.ListComp(var, source, pred, proj)
+        if (
+            self.cypher
+            and low == "reduce"
+            and self.cur.kind == "IDENT"
+            and self.peek().kind == "OP"
+            and self.peek().value == "="
+        ):
+            acc = self.ident()
+            self.expect_op("=")
+            init = self.parse_expr()
+            self.eat_op(",")
+            var = self.ident()
+            self.expect_kw("IN")
+            source = self.parse_expr()
+            self.expect_op("|")
+            body = self.parse_expr()
+            self.expect_op(")")
+            return ast.ReduceExpr(acc, init, var, source, body)
         distinct = self.eat_kw("DISTINCT")
         args: list[ast.Expr] = []
         if not self.at_op(")"):

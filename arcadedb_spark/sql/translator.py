@@ -89,9 +89,15 @@ def _lit(v: Any) -> Column:
 # ---------------------------------------------------------------------------
 
 
+_MISSING = object()
+
+
 class ExprCompiler:
     def __init__(self, ctx: Ctx) -> None:
         self.ctx = ctx
+        # lambda-bound variables (Cypher quantifiers / comprehensions /
+        # reduce): name → element Column, innermost binding wins
+        self._bound: dict[str, Column] = {}
 
     def compile(self, e: ast.Expr) -> Column:
         ctx = self.ctx
@@ -133,6 +139,11 @@ class ExprCompiler:
 
     def _c_chain(self, e: ast.Chain) -> Column:
         parts = e.parts
+        if parts[0] in self._bound:  # lambda variable shadows everything
+            col = self._bound[parts[0]]
+            for p in parts[1:]:
+                col = col.getField(p)
+            return col
         # longest link-path prefix resolved by the join planner
         for k in range(len(parts), 1, -1):
             prefix = tuple(p.lower() for p in parts[:k])
@@ -340,6 +351,86 @@ class ExprCompiler:
             length = F.size(base)
         return F.slice(base, low + 1, length)
 
+    def _c_labelpred(self, e: ast.LabelPred) -> Column:
+        """``n:Label`` — test the vertex struct's @type (single-label
+        model: multiple labels AND together)."""
+        base = self.compile(e.base)
+        out = None
+        for lbl in e.labels:
+            c = base.getField("@type") == F.lit(lbl)
+            out = c if out is None else (out & c)
+        return out
+
+    def _with_bound(self, name: str, expr: ast.Expr):
+        """Build a higher-order-function lambda body compiler: returns a
+        fn(Column) → Column that compiles ``expr`` with ``name`` bound to
+        the lambda element (restoring any shadowed outer binding)."""
+
+        def body(x: Column) -> Column:
+            prev = self._bound.get(name, _MISSING)
+            self._bound[name] = x
+            try:
+                return self.compile(expr)
+            finally:
+                if prev is _MISSING:
+                    del self._bound[name]
+                else:
+                    self._bound[name] = prev
+
+        return body
+
+    def _c_quantifier(self, e: ast.Quantifier) -> Column:
+        """all/any/none/single(x IN src WHERE p) — Cypher 3-valued
+        semantics; Spark's exists/forall already follow ternary logic
+        over the element predicate."""
+        src = self.compile(e.source)
+        pred = self._with_bound(e.var, e.pred)
+        if e.kind == "all":
+            return F.forall(src, pred)
+        if e.kind == "any":
+            return F.exists(src, pred)
+        if e.kind == "none":
+            return ~F.exists(src, pred)
+        # single: t = provably-true count, n = unknown count; true iff
+        # t==1 ∧ n==0, false iff t>1 ∨ (t==0 ∧ n==0), else null
+        t = F.size(F.filter(src, lambda x: pred(x).isNotNull() & pred(x)))
+        n = F.size(F.filter(src, lambda x: pred(x).isNull()))
+        return (
+            F.when(src.isNull(), F.lit(None).cast("boolean"))
+            .when(t > 1, F.lit(False))
+            .when(n == 0, t == 1)
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+
+    def _c_listcomp(self, e: ast.ListComp) -> Column:
+        src = self.compile(e.source)
+        out = src
+        if e.pred is not None:
+            out = F.filter(out, self._with_bound(e.var, e.pred))
+        if e.proj is not None:
+            out = F.transform(out, self._with_bound(e.var, e.proj))
+        return out
+
+    def _c_reduceexpr(self, e: ast.ReduceExpr) -> Column:
+        src = self.compile(e.source)
+        init = self.compile(e.init)
+
+        def merge(acc: Column, x: Column) -> Column:
+            prev_a = self._bound.get(e.acc, _MISSING)
+            prev_x = self._bound.get(e.var, _MISSING)
+            self._bound[e.acc] = acc
+            self._bound[e.var] = x
+            try:
+                return self.compile(e.body)
+            finally:
+                for name, prev in ((e.acc, prev_a), (e.var, prev_x)):
+                    if prev is _MISSING:
+                        del self._bound[name]
+                    else:
+                        self._bound[name] = prev
+
+        return F.aggregate(src, init, merge)
+
     def _c_arrayfilter(self, e: ast.ArrayFilter) -> Column:
         """``base[cond]`` → F.filter with the condition compiled against
         the array element (arrayConditionSelector; the reference iterates
@@ -472,6 +563,11 @@ class _ElementCompiler(ExprCompiler):
         self.elem = elem
 
     def _c_chain(self, e: ast.Chain) -> Column:
+        if e.parts[0] in self._bound:
+            col = self._bound[e.parts[0]]
+            for p in e.parts[1:]:
+                col = col.getField(p)
+            return col
         head = e.parts[0].lower()
         if head in ("@value", "$value", "@this"):
             col = self.elem
