@@ -277,6 +277,19 @@ class CypherParser(Parser):
         assignments = []  # (alias, prop, expr)
         while True:
             chain = self.parse_postfix()
+            if (
+                isinstance(chain, ast.LabelPred)
+                and isinstance(chain.base, ast.Chain)
+                and len(chain.base.parts) == 1
+            ):
+                # SET n:Label — label assignment
+                for lbl in chain.labels:
+                    assignments.append(
+                        (chain.base.parts[0], "@set_label", ast.Lit(lbl))
+                    )
+                if not self.eat_op(","):
+                    break
+                continue
             if isinstance(chain, ast.Chain) and len(chain.parts) == 1:
                 # SET n += {…} / SET n = {…}  (+= lexes as '+' '=')
                 if self.at_op("+") and self.peek().value == "=":
@@ -345,11 +358,23 @@ class CypherParser(Parser):
                 assignments = []
                 while True:
                     chain = self.parse_postfix()
-                    if not (isinstance(chain, ast.Chain) and len(chain.parts) == 2):
+                    if (
+                        isinstance(chain, ast.LabelPred)
+                        and isinstance(chain.base, ast.Chain)
+                        and len(chain.base.parts) == 1
+                    ):
+                        # REMOVE n:Label — label removal
+                        for lbl in chain.labels:
+                            assignments.append(
+                                (chain.base.parts[0], "@remove_label",
+                                 ast.Lit(lbl))
+                            )
+                    elif isinstance(chain, ast.Chain) and len(chain.parts) == 2:
+                        assignments.append(
+                            (chain.parts[0], chain.parts[1], ast.Lit(None))
+                        )
+                    else:
                         raise ParseError("REMOVE expects alias.prop")
-                    assignments.append(
-                        (chain.parts[0], chain.parts[1], ast.Lit(None))
-                    )
                     if not self.eat_op(","):
                         break
                 self._writes.append({"kind": "set", "assignments": assignments})
@@ -571,6 +596,11 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
             )
             aliases = set(aliases)  # unwound alias is a scalar column
             continue
+        if df is None:
+            # standalone WITH start (no MATCH): one-row seed frame
+            from pyspark.sql import functions as F
+
+            df = db.spark.range(1).select(F.lit(1).alias("__one"))
         items = [
             ast.ProjItem(it.expr, it.alias or _bare_alias(it) or f"__w{i}")
             for i, it in enumerate(stage["with_items"])
@@ -605,12 +635,35 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
     )
 
 
+def _ast_literal(e, params):
+    """Structurally evaluate a literal AST (incl. lists/maps) to a Python
+    value; raises ValueError when not a pure literal."""
+    if isinstance(e, ast.Lit):
+        return e.value
+    if isinstance(e, ast.Param):
+        if params and e.name in params:
+            return params[e.name]
+        raise ValueError("unbound parameter")
+    if isinstance(e, ast.ArrayLit):
+        return [_ast_literal(x, params) for x in e.items]
+    if isinstance(e, ast.MapLit):
+        return {k: _ast_literal(v, params) for k, v in e.entries}
+    if isinstance(e, ast.Unary) and e.op == "-":
+        return -_ast_literal(e.operand, params)
+    raise ValueError("not a literal")
+
+
 def _literal_props(db, props, params) -> dict:
     from arcadedb_spark.sql.litreg import value_of
     from arcadedb_spark.sql.translator import Ctx, ExprCompiler
 
     out = {}
     for k, e in props:
+        try:
+            out[k] = _ast_literal(e, params)
+            continue
+        except ValueError:
+            pass
         col = ExprCompiler(Ctx(db=db, params=params or {})).compile(e)
         out[k] = value_of(col)
     return out
@@ -824,9 +877,34 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             )
         n = 0
         if w["kind"] == "set":
+            # label ops first (SET n:Label / REMOVE n:Label move the
+            # vertex between label frames; single-label model)
+            for alias, prop, expr in w["assignments"]:
+                if prop not in ("@set_label", "@remove_label"):
+                    continue
+                if df is None:
+                    raise TranslateError(
+                        f"SET/REMOVE label on '{alias}' needs a MATCH"
+                    )
+                target = expr.value
+                matched = df.select(
+                    F.col(f"{alias}.vid").alias("vid")
+                ).filter(F.col("vid").isNotNull())
+                labels = (
+                    [alias_label[alias]] if alias_label.get(alias)
+                    else list(g.vertex_dfs)
+                )
+                for lb in labels:
+                    if prop == "@set_label":
+                        n += g.relabel_vertices(lb, matched, target)
+                    elif lb.lower() == target.lower():
+                        # removing the node's label → unlabeled frame
+                        n += g.relabel_vertices(lb, matched, "_")
             # group assignments per alias → one vertex-table rewrite each
             per_alias: dict[str, list] = {}
             for alias, prop, expr in w["assignments"]:
+                if prop in ("@set_label", "@remove_label"):
+                    continue
                 per_alias.setdefault(alias, []).append((prop, expr))
             for alias, assigns in per_alias.items():
                 if alias in rel_alias and df is not None:

@@ -35,7 +35,7 @@ def _vertex_df(db, type_name: str | None) -> DataFrame:
         # anonymous node: all vertices with all properties (null-padded)
         df = g.all_vertices_full()
         if df is None:
-            return db.spark.createDataFrame([], "vid long")
+            return db.spark.createDataFrame([], "vid long, `@type` string")
         return df
     return g.vertices(type_name)
 

@@ -85,7 +85,12 @@ class GraphModel:
 
     # -- access ------------------------------------------------------------
     def vertices(self, label: str) -> DataFrame:
-        return self.vertex_dfs[label.lower()]
+        df = self.vertex_dfs.get(label.lower())
+        if df is None:
+            # matching a non-existent label is an empty result, not an
+            # error (Cypher semantics; TCK clauses/match)
+            return self.spark.createDataFrame([], "vid long, `@type` string")
+        return df
 
     def all_vertices(self) -> DataFrame:
         """Union of (vid, label) across labels — the minimal vertex set."""
@@ -112,6 +117,12 @@ class GraphModel:
                 out = df if out is None else out.unionByName(df, allowMissingColumns=True)
             self._edges = out
         df = self._edges
+        if df is None:
+            # no edges in the graph: canonical empty frame (Cypher
+            # relationship matches yield empty, not an error)
+            df = self.spark.createDataFrame(
+                [], "etype string, src long, dst long"
+            )
         if etypes:
             df = df.filter(F.col("etype").isin(list(etypes)))
         return df
@@ -212,6 +223,33 @@ class GraphModel:
                     prop, F.when(F.col("__mv").isNotNull(), val)
                 )
         self.vertex_dfs[label.lower()] = joined.drop("__mv").cache()
+        return n
+
+    def relabel_vertices(
+        self, label: str, matched_vids: DataFrame, new_label: str
+    ) -> int:
+        """Move matched vertices from ``label``'s frame to ``new_label``'s
+        (Cypher SET n:Label / REMOVE n:Label under the single-label model:
+        the vertex keeps its vid and properties, only @type changes)."""
+        src = self.vertex_dfs.get(label.lower())
+        if src is None:
+            return 0
+        m = matched_vids.select(F.col("vid").alias("__mv")).distinct()
+        moving = src.join(m, src["vid"] == m["__mv"], "inner").drop("__mv")
+        n = moving.count()
+        if n == 0:
+            return 0
+        self.vertex_dfs[label.lower()] = (
+            src.join(m, src["vid"] == m["__mv"], "left_anti").cache()
+        )
+        moved = moving.withColumn("@type", F.lit(new_label.lower()))
+        dst = self.vertex_dfs.get(new_label.lower())
+        if dst is None:
+            self.vertex_dfs[new_label.lower()] = moved.cache()
+        else:
+            self.vertex_dfs[new_label.lower()] = dst.unionByName(
+                moved, allowMissingColumns=True
+            ).cache()
         return n
 
     def update_edges(

@@ -1299,6 +1299,77 @@ def _cypher_reltype(args):
     return args[0].getField("etype")
 
 
+@scalar("elementid")
+def _cypher_elementid(args):
+    """elementId(node) — string form of the vid."""
+    return args[0].getField("vid").cast("string")
+
+
+@scalar("properties")
+def _cypher_properties(args):
+    """properties(entity) — the property struct minus internal fields
+    (function/node/NodeProperties.java)."""
+    out = args[0]
+    for internal in ("vid", "@type", "etype", "src", "dst"):
+        out = out.dropFields(f"`{internal}`")
+    return out
+
+
+@scalar("tostring")
+def _cypher_tostring(args):
+    return args[0].cast("string")
+
+
+@scalar("tointeger")
+def _cypher_tointeger(args):
+    # Cypher: numeric strings parse (then truncate), junk → null
+    return args[0].cast("string").try_cast("double").cast("long")
+
+
+@scalar("tofloat")
+def _cypher_tofloat(args):
+    return args[0].cast("string").try_cast("double")
+
+
+@scalar("toboolean")
+def _cypher_toboolean(args):
+    s = F.lower(args[0].cast("string"))
+    return (
+        F.when(s == "true", F.lit(True))
+        .when(s == "false", F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+@scalar("head")
+def _cypher_head(args):
+    return F.get(args[0], 0)  # null on empty (never an ANSI error)
+
+
+@scalar("list.last")
+def _cypher_last(args):
+    """Cypher last(list) — list-element scalar (the bare name 'last' is
+    the reference SQL aggregate; the Cypher parser rewrites to this)."""
+    return F.get(args[0], F.size(args[0]) - 1)
+
+
+@scalar("list.first")
+def _cypher_first(args):
+    return F.get(args[0], 0)
+
+
+@scalar("tail")
+def _cypher_tail(args):
+    return F.slice(
+        args[0], 2, F.greatest(F.size(args[0]) - 1, F.lit(0))
+    )
+
+
+@scalar("reverse")
+def _cypher_reverse(args):
+    return F.reverse(args[0])  # lists and strings
+
+
 @scalar("geo.geohash")
 def _geo_geohash(args):
     """geo.geohash(lat, lon[, precision]) — base32 cell key

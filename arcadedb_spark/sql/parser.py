@@ -878,10 +878,18 @@ class Parser:
         return self.parse_or()
 
     def parse_or(self) -> ast.Expr:
-        left = self.parse_and()
+        left = self.parse_xor()
         while self.at_kw("OR"):
             self.advance()
-            left = ast.Bin("OR", left, self.parse_and())
+            left = ast.Bin("OR", left, self.parse_xor())
+        return left
+
+    def parse_xor(self) -> ast.Expr:
+        # openCypher: OR < XOR < AND (XOR lexes as IDENT, not a keyword)
+        left = self.parse_and()
+        while self.cur.kind == "IDENT" and self.cur.value.upper() == "XOR":
+            self.advance()
+            left = ast.Bin("XOR", left, self.parse_and())
         return left
 
     def parse_and(self) -> ast.Expr:
@@ -1315,6 +1323,10 @@ class Parser:
             while self.eat_op(","):
                 args.append(self.parse_expr())
         self.expect_op(")")
+        if self.cypher and low in ("first", "last"):
+            # Cypher first/last are list-element scalars, not the
+            # reference SQL aggregates of the same name
+            name = f"list.{low}"
         return ast.FuncCall(name, tuple(args), distinct)
 
     @staticmethod

@@ -160,6 +160,22 @@ class ExprCompiler:
             col = col.getField(p)
         return col
 
+    @staticmethod
+    def _is_listy(e: ast.Expr) -> bool:
+        """Statically list-valued AST (drives Cypher's '+' list-concat
+        overload; chains/columns stay ambiguous and default to +)."""
+        if isinstance(e, (ast.ArrayLit, ast.ListComp)):
+            return True
+        if isinstance(e, ast.Bin) and e.op == "+":
+            return ExprCompiler._is_listy(e.left) or ExprCompiler._is_listy(e.right)
+        if isinstance(e, ast.FuncCall) and e.name.lower() in (
+            "range", "tail", "collect", "reverse", "list.tail"
+        ):
+            return True
+        if isinstance(e, ast.Slice):
+            return True
+        return False
+
     # -- composites -------------------------------------------------------
     def _c_bin(self, e: ast.Bin) -> Column:
         op = e.op
@@ -171,6 +187,10 @@ class ExprCompiler:
             return l & r
         if op == "OR":
             return l | r
+        if op == "XOR":
+            # Cypher ternary XOR: null operand → null (the boolean-algebra
+            # expansion propagates nulls correctly)
+            return (l & ~r) | (~l & r)
         if op == "=":
             return l == r
         if op == "!=":
@@ -186,6 +206,23 @@ class ExprCompiler:
         if op == "<=>":
             return l.eqNullSafe(r)
         if op == "+":
+            # Cypher/SQL '+' overloads: list concat when either side is
+            # statically list-valued, string concat when either side is a
+            # string literal; numeric addition otherwise
+            if self._is_listy(le) or self._is_listy(ri):
+                def wrap(c, x):
+                    if self._is_listy(x):
+                        return c
+                    if isinstance(x, ast.Lit) and not isinstance(
+                        x.value, (list, tuple)
+                    ):
+                        return F.array(c)  # scalar literal appends
+                    return c  # unknown: assume list-valued (n.prop + [..])
+                return F.concat(wrap(l, le), wrap(r, ri))
+            if isinstance(le, ast.Lit) and isinstance(le.value, str):
+                return F.concat(l, r.cast("string"))
+            if isinstance(ri, ast.Lit) and isinstance(ri.value, str):
+                return F.concat(l.cast("string"), r)
             return l + r
         if op == "-":
             return l - r
