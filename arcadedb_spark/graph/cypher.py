@@ -574,6 +574,26 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
 
     if not stages:
         return translate_match(db, stmt, params)
+    from arcadedb_spark.sql import temporal as _T
+    from arcadedb_spark.sql.temporal_eval import (
+        pop_env, push_env, static_value,
+    )
+
+    env: dict = {}
+    push_env(env)
+    try:
+        return _run_pipeline_stages(db, stmt, stages, params, env,
+                                    _T, static_value)
+    finally:
+        pop_env()
+
+
+def _run_pipeline_stages(db, stmt, stages, params, env, _T, static_value):
+    from arcadedb_spark.sql.translator import _contains_aggregate
+    from arcadedb_spark.graph.match import (
+        combine_paths, project_stage, translate_match,
+    )
+
     df = None
     aliases: set[str] = set()
     for stage in stages:
@@ -605,6 +625,13 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
             ast.ProjItem(it.expr, it.alias or _bare_alias(it) or f"__w{i}")
             for i, it in enumerate(stage["with_items"])
         ]
+        # carry static temporal bindings: WITH date(…) AS d keeps d
+        # compile-time constant for later stages
+        new_env = {}
+        for it in items:
+            ok, v = static_value(it.expr, params)
+            if ok and isinstance(v, _T.TEMPORAL_TYPES):
+                new_env[it.alias] = v
         group_by: tuple = ()
         if any(_contains_aggregate(it.expr) for it in items):
             group_by = tuple(
@@ -625,6 +652,8 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
         aliases = {
             a for a in (_bare_alias(it) for it in stage["with_items"]) if a
         }
+        env.clear()
+        env.update(new_env)
     df, _ = combine_paths(
         db, stmt.paths, stmt.where, params, base=df, base_aliases=aliases
     )

@@ -269,6 +269,9 @@ class Subquery(Expr):
 class ProjItem:
     expr: Expr
     alias: Optional[str] = None
+    # verbatim source text of the expression (Cypher result columns are
+    # named by the expression text when unaliased — openCypher spec)
+    text: Optional[str] = None
 
 
 # FROM targets

@@ -600,15 +600,17 @@ class Parser:
         if self.at_op("*"):
             self.advance()
             return ast.ProjItem(ast.Star())
+        start = self.cur.pos
         expr = self.parse_expr()
         if self.at_op(":") and self.peek().value == "{":
             expr = self._parse_nested_projection(expr)
+        text = self.text[start:self.cur.pos].strip() if self.cypher else None
         alias = None
         if self.eat_kw("AS"):
             alias = self.ident()
         elif self.cur.kind == "IDENT":
             alias = self.ident()
-        return ast.ProjItem(expr, alias)
+        return ast.ProjItem(expr, alias, text)
 
     def _parse_nested_projection(self, base: ast.Expr) -> ast.NestedProj:
         """``expr:{a, b}`` / ``expr:{*, !x}`` (SQLParser.g4:322-327)."""
@@ -1327,6 +1329,13 @@ class Parser:
             # Cypher first/last are list-element scalars, not the
             # reference SQL aggregates of the same name
             name = f"list.{low}"
+        if self.cypher and low in (
+            "date", "time", "datetime", "localtime", "localdatetime",
+            "duration",
+        ):
+            # Cypher temporal constructors (distinct from the SQL
+            # dialect's date()/duration() scalars)
+            name = f"cypher.{low}"
         return ast.FuncCall(name, tuple(args), distinct)
 
     @staticmethod

@@ -105,6 +105,19 @@ class ExprCompiler:
             return F.col(ctx.group_map[e])
         if ctx.agg_mode and e in ctx.agg_names:
             return F.col(ctx.agg_names[e])
+        if isinstance(e, (ast.FuncCall, ast.Method, ast.Bin, ast.Index,
+                          ast.Unary, ast.Chain)):
+            # Cypher temporal expressions are compile-time constants:
+            # evaluate once on the driver, inject the rendered literal
+            from arcadedb_spark.sql.temporal_eval import try_eval
+
+            ok, v = try_eval(e, ctx.params)
+            if ok:
+                if isinstance(v, dict):
+                    return F.struct(
+                        *[_lit(x).alias(k) for k, x in v.items()]
+                    )
+                return _lit(v)
         m = getattr(self, f"_c_{type(e).__name__.lower()}", None)
         if m is None:
             raise TranslateError(f"Cannot compile {type(e).__name__}")
@@ -1140,6 +1153,10 @@ class Translator:
     def _proj_name(self, item: ast.ProjItem, i: int) -> str:
         if item.alias:
             return item.alias
+        if item.text:
+            # Cypher: unaliased result columns are named by the verbatim
+            # expression text (openCypher TCK result-table headers)
+            return item.text
         e = item.expr
         if isinstance(e, ast.Chain):
             return e.parts[-1]
