@@ -112,6 +112,17 @@ class Database:
             "udf": F.udf(fn, return_type),
         }
 
+    def register_trigger(
+        self, name: str, timing: str, event: str, type_name: str, fn,
+    ) -> None:
+        """Register a Python trigger callable(record, old_record) →
+        bool|None; returning False from a BEFORE trigger vetoes the
+        statement (schema/trigger/TriggerExecutor.java semantics; Python
+        replaces the reference's JAVASCRIPT/JAVA executors)."""
+        from arcadedb_spark.triggers import register_trigger
+
+        register_trigger(self, name, timing, event, type_name, fn=fn)
+
     # -- construction -----------------------------------------------------
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "Database":

@@ -477,6 +477,27 @@ class DropTypeStmt:
 
 
 @dataclass(frozen=True)
+class CreateTriggerStmt:
+    """CREATE TRIGGER name BEFORE|AFTER CREATE|READ|UPDATE|DELETE
+    ON TYPE t EXECUTE SQL '<stmt>'
+    (parser/CreateTriggerStatement.java)."""
+
+    name: str
+    timing: str  # BEFORE | AFTER
+    event: str  # CREATE | READ | UPDATE | DELETE
+    type_name: str
+    language: str  # SQL (JAVASCRIPT/JAVA are out of scope here)
+    code: str
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class DropTriggerStmt:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
 class CreatePropertyStmt:
     type_name: str
     prop: str

@@ -79,6 +79,24 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _create_timeseries_type(db, stmt)
     if isinstance(stmt, ast.AlterTimeSeriesTypeStmt):
         return _alter_timeseries_type(db, stmt)
+    if isinstance(stmt, ast.CreateTriggerStmt):
+        from arcadedb_spark.triggers import register_trigger
+
+        if stmt.language.upper() != "SQL":
+            raise TranslateError(
+                "Only EXECUTE SQL triggers are supported (JAVASCRIPT/JAVA "
+                "are JVM-host features; use db.register_trigger for Python)"
+            )
+        register_trigger(
+            db, stmt.name, stmt.timing, stmt.event, stmt.type_name,
+            sql=stmt.code, if_not_exists=stmt.if_not_exists,
+        )
+        return _result(db, 1)
+    if isinstance(stmt, ast.DropTriggerStmt):
+        from arcadedb_spark.triggers import drop_trigger
+
+        dropped = drop_trigger(db, stmt.name, if_exists=stmt.if_exists)
+        return _result(db, int(dropped))
     raise TranslateError(f"Unsupported command {type(stmt).__name__}")
 
 
@@ -227,6 +245,11 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
         new_df = db.spark.createDataFrame([tuple(r.values()) for r in rows],
                                           list(rows[0].keys()))
 
+    trig_rows = _trigger_rows(db, "CREATE", name, new_df)
+    if trig_rows is not None:
+        from arcadedb_spark.triggers import fire
+
+        fire(db, "BEFORE", "CREATE", name, trig_rows)
     if db.schema.exists(name) and db.schema.get(name)._df is not None:
         base = db.schema.get(name).df()
         merged = base.unionByName(new_df, allowMissingColumns=True)
@@ -237,7 +260,25 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
         merged = new_df
     n = new_df.count()
     _replace_df(db, name, merged)
+    if trig_rows is not None:
+        from arcadedb_spark.triggers import fire
+
+        fire(db, "AFTER", "CREATE", name, trig_rows)
     return _result(db, n)
+
+
+def _trigger_rows(db, event: str, type_name: str, df) -> "list[dict] | None":
+    """Affected rows as dicts when any trigger matches, else None (no
+    collect on the fast path)."""
+    from arcadedb_spark.triggers import MAX_TRIGGER_ROWS, matching
+
+    if not (matching(db, "BEFORE", event, type_name)
+            or matching(db, "AFTER", event, type_name)):
+        return None
+    return [
+        r.asDict(recursive=True)
+        for r in df.limit(MAX_TRIGGER_ROWS + 1).collect()
+    ]
 
 
 # -- UPDATE -----------------------------------------------------------------
@@ -277,6 +318,17 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
         new_df = base.unionByName(ins, allowMissingColumns=True)
         matched = 1
 
+    old_rows = _trigger_rows(db, "UPDATE", name, base.filter(cond))
+    if old_rows is not None:
+        from arcadedb_spark.triggers import fire
+
+        new_rows = [
+            r.asDict(recursive=True) for r in new_df.filter(cond).collect()
+        ]
+        fire(db, "BEFORE", "UPDATE", name, new_rows, old_rows)
+        _replace_df(db, name, new_df)
+        fire(db, "AFTER", "UPDATE", name, new_rows, old_rows)
+        return _result(db, matched)
     _replace_df(db, name, new_df)
     return _result(db, matched)
 
@@ -289,12 +341,30 @@ def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
     base = db.schema.get(name).df()
     if stmt.where is None:
         n = base.count()
+        del_rows = _trigger_rows(db, "DELETE", name, base)
+        if del_rows is not None:
+            from arcadedb_spark.triggers import fire
+
+            fire(db, "BEFORE", "DELETE", name, del_rows)
         _replace_df(db, name, base.limit(0))
+        if del_rows is not None:
+            from arcadedb_spark.triggers import fire
+
+            fire(db, "AFTER", "DELETE", name, del_rows)
         return _result(db, n)
     ctx = Ctx(db=db, params=params, columns=tuple(base.columns))
     cond = ExprCompiler(ctx).compile(stmt.where)
     n = base.filter(cond).count()
+    del_rows = _trigger_rows(db, "DELETE", name, base.filter(cond))
+    if del_rows is not None:
+        from arcadedb_spark.triggers import fire
+
+        fire(db, "BEFORE", "DELETE", name, del_rows)
     _replace_df(db, name, base.filter(~cond | cond.isNull()))
+    if del_rows is not None:
+        from arcadedb_spark.triggers import fire
+
+        fire(db, "AFTER", "DELETE", name, del_rows)
     return _result(db, n)
 
 

@@ -406,6 +406,31 @@ class Parser:
                 name=name, select=select, refresh_mode=refresh,
                 if_not_exists=if_not_exists,
             )
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRIGGER":
+            # CREATE TRIGGER name BEFORE|AFTER event ON TYPE t
+            # EXECUTE SQL '<stmt>'  (CreateTriggerStatement.java)
+            self.advance()
+            name = self.ident()
+            if_not_exists = self._eat_if_not_exists()
+            timing = self.ident().upper()
+            event = self.advance().value.upper()  # CREATE lexes as keyword
+            if self.advance().value.upper() != "ON":  # ON lexes as IDENT
+                raise ParseError("CREATE TRIGGER expects ON TYPE <type>")
+            self.expect_kw("TYPE")
+            tname = self.ident()
+            if not (self.cur.kind == "IDENT"
+                    and self.cur.value.upper() == "EXECUTE"):
+                raise ParseError("CREATE TRIGGER expects EXECUTE <lang>")
+            self.advance()
+            lang = self.ident().upper()
+            code_tok = self.advance()
+            if code_tok.kind != "STRING":
+                raise ParseError("Trigger code must be a string literal")
+            return ast.CreateTriggerStmt(
+                name=name, timing=timing, event=event, type_name=tname,
+                language=lang, code=code_tok.value,
+                if_not_exists=if_not_exists,
+            )
         if self.at_kw("INDEX"):
             self.advance()
             # CREATE INDEX [name] [IF NOT EXISTS] ON type (props) [kind]
@@ -456,6 +481,15 @@ class Parser:
                 self.expect_kw("EXISTS")
                 if_exists = True
             return ast.DropMaterializedViewStmt(name=name, if_exists=if_exists)
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRIGGER":
+            self.advance()
+            name = self.ident()
+            if_exists = False
+            if self.at_kw("IF"):
+                self.advance()
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropTriggerStmt(name=name, if_exists=if_exists)
         self.expect_kw("TYPE")
         name = self.ident()
         if_exists = False
