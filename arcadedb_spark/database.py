@@ -123,6 +123,32 @@ class Database:
 
         register_trigger(self, name, timing, event, type_name, fn=fn)
 
+    def start_mv_refresher(self, view_name: str, interval_s: float):
+        """PERIODIC materialized-view refresh
+        (schema/MaterializedViewRefreshMode.java PERIODIC): a daemon
+        timer re-runs REFRESH every ``interval_s`` seconds.  Returns a
+        handle with ``.stop()``."""
+        import threading
+
+        stop = threading.Event()
+
+        def loop():
+            while not stop.wait(interval_s):
+                try:
+                    self.command(f"REFRESH MATERIALIZED VIEW {view_name}")
+                except Exception:  # noqa: BLE001 — keep the timer alive
+                    pass
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+
+        class _Handle:
+            def stop(self_inner):
+                stop.set()
+                t.join(timeout=5)
+
+        return _Handle()
+
     # -- construction -----------------------------------------------------
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "Database":

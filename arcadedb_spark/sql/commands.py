@@ -192,10 +192,61 @@ def _refresh_mv(db, stmt: ast.RefreshMaterializedViewStmt, params: dict) -> Data
     select = tdef.properties.get("mv_select")
     if select is None:
         raise TranslateError(f"'{stmt.name}' is not a materialized view")
+    mode = (tdef.properties.get("mv_refresh") or "MANUAL").upper()
+    if mode.startswith("INCREMENTAL"):
+        return _result(db, _incremental_refresh(db, tdef, select, params))
     df = Translator(db, params).translate(select).cache()
     tdef._df = df
     db._plan_cache.clear()
     return _result(db, df.count())
+
+
+def _incremental_refresh(db, tdef, select, params: dict) -> int:
+    """Incremental MV maintenance (MaterializedViewRefresher.java's
+    INCREMENTAL mode, re-expressed for Spark's recompute-friendly model):
+
+    - append-only deltas + aggregate-free view → translate the view over
+      ONLY the delta rows and union into the materialized frame (no
+      rescan of the full source);
+    - no changes at all → no-op (0 rows touched);
+    - updates/deletes or aggregated views → full recompute (aggregation
+      over mutating sources is the continuous-aggregate streaming path,
+      streaming/continuous_aggregate.py, which maintains state exactly).
+    """
+    from arcadedb_spark.sql.translator import _contains_aggregate
+
+    pending = tdef.properties.pop("mv_pending", [])
+    dirty = tdef.properties.pop("mv_dirty", False)
+    if not pending and not dirty:
+        return 0
+    src_name = None
+    if isinstance(select.target, ast.TypeTarget):
+        src_name = select.target.name
+    aggregated = (
+        bool(select.group_by)
+        or any(_contains_aggregate(p.expr) for p in select.projections)
+    )
+    if dirty or aggregated or src_name is None or select.lets:
+        df = Translator(db, params).translate(select).cache()
+        tdef._df = df
+        db._plan_cache.clear()
+        return df.count()
+    # delta-only path: run the view query against just the new rows
+    src = db.schema.get(src_name)
+    delta = pending[0]
+    for d in pending[1:]:
+        delta = delta.unionByName(d, allowMissingColumns=True)
+    saved = src._df
+    try:
+        src._df = delta
+        delta_view = Translator(db, params).translate(select)
+    finally:
+        src._df = saved
+    merged = tdef.df().unionByName(delta_view, allowMissingColumns=True).cache()
+    n = delta_view.count()
+    tdef._df = merged
+    db._plan_cache.clear()
+    return n
 
 
 def _drop_mv(db, stmt: ast.DropMaterializedViewStmt) -> DataFrame:
@@ -260,11 +311,32 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
         merged = new_df
     n = new_df.count()
     _replace_df(db, name, merged)
+    _notify_mvs(db, name, delta=new_df)
     if trig_rows is not None:
         from arcadedb_spark.triggers import fire
 
         fire(db, "AFTER", "CREATE", name, trig_rows)
     return _result(db, n)
+
+
+def _notify_mvs(db, src_name: str, delta=None) -> None:
+    """Record source-type changes for INCREMENTAL materialized views:
+    inserts queue their delta frame; updates/deletes mark the view dirty
+    (full recompute on next REFRESH)."""
+    src_l = src_name.lower()
+    for tname in db.schema.names():
+        tdef = db.schema.get(tname)
+        sel = tdef.properties.get("mv_select")
+        mode = (tdef.properties.get("mv_refresh") or "").upper()
+        if sel is None or not mode.startswith("INCREMENTAL"):
+            continue
+        tgt = sel.target
+        if not (isinstance(tgt, ast.TypeTarget) and tgt.name.lower() == src_l):
+            continue
+        if delta is not None:
+            tdef.properties.setdefault("mv_pending", []).append(delta)
+        else:
+            tdef.properties["mv_dirty"] = True
 
 
 def _trigger_rows(db, event: str, type_name: str, df) -> "list[dict] | None":
@@ -318,6 +390,7 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
         new_df = base.unionByName(ins, allowMissingColumns=True)
         matched = 1
 
+    _notify_mvs(db, name)
     old_rows = _trigger_rows(db, "UPDATE", name, base.filter(cond))
     if old_rows is not None:
         from arcadedb_spark.triggers import fire
@@ -341,6 +414,7 @@ def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
     base = db.schema.get(name).df()
     if stmt.where is None:
         n = base.count()
+        _notify_mvs(db, name)
         del_rows = _trigger_rows(db, "DELETE", name, base)
         if del_rows is not None:
             from arcadedb_spark.triggers import fire
@@ -355,6 +429,7 @@ def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
     ctx = Ctx(db=db, params=params, columns=tuple(base.columns))
     cond = ExprCompiler(ctx).compile(stmt.where)
     n = base.filter(cond).count()
+    _notify_mvs(db, name)
     del_rows = _trigger_rows(db, "DELETE", name, base.filter(cond))
     if del_rows is not None:
         from arcadedb_spark.triggers import fire
