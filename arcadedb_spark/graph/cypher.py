@@ -725,6 +725,15 @@ def _apply_write(
         if node.alias and node.alias in (aliases or ()):
             resolved.append(("bound", node.alias))
             continue
+        if node.alias:
+            # alias already bound by an earlier CREATE/MERGE clause of
+            # the same query (Cypher cross-clause binding): reuse it
+            prev = next(
+                (b for b in (bindings or ()) if b[0] == node.alias), None
+            )
+            if prev is not None:
+                resolved.append(("vid", prev[2]))
+                continue
         # unlabeled nodes (Cypher `CREATE ()`) live under the internal "_"
         # label; labels() reports them as label-less
         label = node.type_name or "_"

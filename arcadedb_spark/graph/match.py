@@ -48,7 +48,8 @@ def _structify(df: DataFrame, alias: str) -> DataFrame:
 def _apply_where(db, df: DataFrame, where: ast.Expr | None, params: dict) -> DataFrame:
     if where is None:
         return df
-    ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+    ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+              frame_schema=df.schema)
     return df.filter(ExprCompiler(ctx).compile(where))
 
 
@@ -271,7 +272,8 @@ def combine_paths(
     # global WHERE over bound aliases (Cypher); Catalyst pushes the
     # predicate down through the joins where possible
     if where is not None:
-        wctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+        wctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+                   frame_schema=df.schema)
         df = df.filter(ExprCompiler(wctx).compile(where))
 
     for path in negative:
@@ -304,7 +306,8 @@ def project_stage(
         limit=limit,
     )
     tr = Translator(db, params)
-    ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+    ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+              frame_schema=df.schema)
     is_agg = any(_has_agg(p.expr) for p in select.projections) or bool(
         select.group_by
     )

@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
     (?P<WS>\s+)
   | (?P<COMMENT>--[^\n]*|//[^\n]*|/\*.*?\*/)
   | (?P<RID>\#-?\d+:-?\d+)
-  | (?P<FLOAT>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<FLOAT>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<INT>\d+)
   | (?P<STRING>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")
   | (?P<BTICK>`[^`]*`)

@@ -74,6 +74,11 @@ class Ctx:
     group_map: dict[ast.Expr, str] = field(default_factory=dict)
     agg_cols: list[Column] = field(default_factory=list)
     agg_names: dict[ast.Expr, str] = field(default_factory=dict)
+    # pyspark StructType of the frame being compiled against (when known):
+    # lets chain compilation resolve alias.prop against actual struct
+    # fields so missing properties read as null (Cypher semantics) instead
+    # of failing analysis
+    frame_schema: Any = None
     # AST nodes pre-compiled to Columns by the translator (keyed by id()) —
     # used for OR/NOT-nested IN-subqueries rewritten to left joins so the
     # expression compiler never materializes subquery values driver-side
@@ -168,6 +173,30 @@ class ExprCompiler:
         head = parts[0]
         if head in ("$parent", "$current", "@this"):
             raise TranslateError(f"Context variable {head} not supported here")
+        if self.ctx.frame_schema is not None and len(parts) > 1:
+            # schema-aware struct access: a missing property is null
+            # (Cypher semantics), not an analysis error
+            from pyspark.sql.types import StructType
+
+            field = next(
+                (f for f in self.ctx.frame_schema.fields if f.name == head),
+                None,
+            )
+            if field is not None and isinstance(field.dataType, StructType):
+                dt = field.dataType
+                col = F.col(head)
+                for p in parts[1:]:
+                    if not isinstance(dt, StructType):
+                        col = col.getField(p)
+                        continue
+                    sub = next(
+                        (f for f in dt.fields if f.name == p), None
+                    )
+                    if sub is None:
+                        return _lit(None)
+                    col = col.getField(p)
+                    dt = sub.dataType
+                return col
         col = F.col(head)
         for p in parts[1:]:
             col = col.getField(p)
@@ -271,11 +300,35 @@ class ExprCompiler:
         if e.items is not None:
             vals = [self.compile(i) for i in e.items]
             lit_vals = [value_of(v) for v in vals]
-            if all(v is not None for v in lit_vals):
+            needle_listy = self._is_listy(e.needle) or (
+                isinstance(e.needle, ast.Lit)
+                and isinstance(e.needle.value, (list, tuple))
+            )
+            if all(v is not None for v in lit_vals) and not needle_listy:
                 cond = needle.isin(lit_vals)
             else:
+                # Cypher IN over heterogeneous list literals: equality
+                # between statically-incompatible shapes (list vs scalar)
+                # is false, not a type error
+                def compat(item: ast.Expr) -> bool:
+                    n_listy = self._is_listy(e.needle) or (
+                        isinstance(e.needle, ast.Lit)
+                        and isinstance(e.needle.value, (list, tuple))
+                    )
+                    i_listy = self._is_listy(item) or (
+                        isinstance(item, ast.Lit)
+                        and isinstance(item.value, (list, tuple))
+                    )
+                    if isinstance(e.needle, (ast.ArrayLit,)) or n_listy:
+                        return i_listy or not isinstance(item, ast.Lit)
+                    if isinstance(e.needle, ast.Lit) and i_listy:
+                        return False
+                    return True
+
                 cond = F.lit(False)
-                for v in vals:
+                for item, v in zip(e.items, vals):
+                    if not compat(item):
+                        continue
                     cond = cond | (needle == v)
             return ~cond if e.negated else cond
         if e.collection is not None:
@@ -559,6 +612,7 @@ class ExprCompiler:
                     vars=ctx.vars,
                     colmap=ctx.colmap,
                     columns=ctx.columns,
+                    frame_schema=ctx.frame_schema,
                 )
             )
             args = [inner.compile(a) for a in e.args]
