@@ -908,11 +908,15 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             lst = value_of(col)
             if lst is None:  # not a registered literal — evaluate on a 1-row frame
                 lst = db.spark.range(1).select(col.alias("__l")).collect()[0][0]
-            return sum(
-                run_one(subst_write(inner, w["var"], elem))
-                for elem in (lst or [])
-                for inner in w["body"]
-            )
+            total = 0
+            for elem in (lst or []):
+                # per-element binding scope: aliases created in one
+                # FOREACH iteration must not alias-bind the next one
+                mark = len(write_bindings)
+                for inner in w["body"]:
+                    total += run_one(subst_write(inner, w["var"], elem))
+                del write_bindings[mark:]
+            return total
         n = 0
         if w["kind"] == "set":
             # label ops first (SET n:Label / REMOVE n:Label move the
