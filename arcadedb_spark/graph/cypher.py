@@ -241,6 +241,7 @@ class CypherParser(Parser):
         ):
             # MATCH … CREATE/SET/REMOVE/DELETE/FOREACH …
             self._match_for_write = (paths, where)
+            self._write_stages = self._stages
             self._parse_writes()
             if self.at_kw("RETURN"):
                 self._write_return = self._parse_return_spec()
@@ -589,10 +590,24 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
 
 
 def _run_pipeline_stages(db, stmt, stages, params, env, _T, static_value):
-    from arcadedb_spark.sql.translator import _contains_aggregate
-    from arcadedb_spark.graph.match import (
-        combine_paths, project_stage, translate_match,
+    from arcadedb_spark.graph.match import combine_paths, project_stage
+
+    df, aliases = _lower_stage_frames(db, stages, params, env, _T,
+                                      static_value)
+    df, _ = combine_paths(
+        db, stmt.paths, stmt.where, params, base=df, base_aliases=aliases
     )
+    return project_stage(
+        db, df, stmt.returns, params,
+        distinct=stmt.distinct, group_by=stmt.group_by,
+        order_by=stmt.order_by, skip=stmt.skip, limit=stmt.limit,
+    )
+
+
+def _lower_stage_frames(db, stages, params, env, _T, static_value):
+    """Lower WITH/UNWIND pipeline stages to (frame, bound-aliases)."""
+    from arcadedb_spark.sql.translator import _contains_aggregate
+    from arcadedb_spark.graph.match import combine_paths, project_stage
 
     df = None
     aliases: set[str] = set()
@@ -654,14 +669,7 @@ def _run_pipeline_stages(db, stmt, stages, params, env, _T, static_value):
         }
         env.clear()
         env.update(new_env)
-    df, _ = combine_paths(
-        db, stmt.paths, stmt.where, params, base=df, base_aliases=aliases
-    )
-    return project_stage(
-        db, df, stmt.returns, params,
-        distinct=stmt.distinct, group_by=stmt.group_by,
-        order_by=stmt.order_by, skip=stmt.skip, limit=stmt.limit,
-    )
+    return df, aliases
 
 
 def _ast_literal(e, params):
@@ -880,7 +888,36 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                         ends = (prev.alias, s.filter.alias)
                     rel_alias[s.edge_alias] = (etype, *ends, s.method)
                 prev = s.filter
-        df, aliases = combine_paths(db, paths, where, params or {})
+    stage_df = None
+    stage_aliases: set[str] = set()
+    write_stages = getattr(p, "_write_stages", None) or []
+    if write_stages:
+        # UNWIND/WITH pipeline feeding the writes (Cypher clause
+        # interleaving): lower the stages to a frame first
+        from arcadedb_spark.sql import temporal as _T
+        from arcadedb_spark.sql.temporal_eval import (
+            pop_env, push_env, static_value,
+        )
+
+        env: dict = {}
+        push_env(env)
+        try:
+            stage_df, stage_aliases = _lower_stage_frames(
+                db, write_stages, params or {}, env, _T, static_value
+            )
+        finally:
+            pop_env()
+    if getattr(p, "_match_for_write", None):
+        paths, where = p._match_for_write
+        if paths or where is not None:
+            df, aliases = combine_paths(
+                db, paths, where, params or {},
+                base=stage_df, base_aliases=stage_aliases,
+            )
+        else:
+            df, aliases = stage_df, stage_aliases
+    elif stage_df is not None:
+        df, aliases = stage_df, stage_aliases
     def subst_write(w: dict, var: str, elem) -> dict:
         """Substitute a FOREACH loop variable through one write clause."""
         out = {}
@@ -1026,7 +1063,61 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         return n
 
     write_bindings: list[tuple] = []
-    n = sum(run_one(w) for w in p._writes)
+    match_paths = (getattr(p, "_match_for_write", None) or ((), None))[0]
+    row_binds = None
+    if write_stages and df is not None and not match_paths:
+        # stage-driven writes (UNWIND … CREATE …): one write pass per
+        # frame row with the row's scalar columns substituted — the
+        # driver-side bounded loop FOREACH already uses
+        from pyspark.sql.types import StructType
+
+        scalar_cols = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, StructType)
+            and not f.name.startswith("__")
+        ]
+        rows = df.limit(10_001).collect()
+        if len(rows) > 10_000:
+            raise TranslateError(
+                "UNWIND/WITH-driven writes run per row driver-side; the "
+                "pipeline yields > 10000 rows. Use batch INSERT for bulk "
+                "loads."
+            )
+        n = 0
+        row_binds = []
+        for r in rows:
+            mark = len(write_bindings)
+            for w in p._writes:
+                sub = w
+                for c in scalar_cols:
+                    sub = subst_write(sub, c, r[c])
+                n += run_one(sub)
+            row_binds.append((r, list(write_bindings[mark:])))
+            # per-row binding scope (same rule as FOREACH): aliases from
+            # one input row must not alias-bind the next
+            del write_bindings[mark:]
+        ret = getattr(p, "_write_return", None)
+        if ret is not None and row_binds:
+            from pyspark.sql import Row
+
+            alias_keys: dict[str, set] = {}
+            for _, binds in row_binds:
+                for a, label, vid, props in binds:
+                    if a:
+                        alias_keys.setdefault(a, set()).update(props)
+            out_rows = []
+            for r, binds in row_binds:
+                d = {c: r[c] for c in scalar_cols}
+                for a, label, vid, props in binds:
+                    if a:
+                        d[a] = Row(**{
+                            "vid": vid, "@type": label,
+                            **{k: props.get(k) for k in sorted(alias_keys[a])},
+                        })
+                out_rows.append(Row(**d))
+            df = db.spark.createDataFrame(out_rows)
+    else:
+        n = sum(run_one(w) for w in p._writes)
     ret = getattr(p, "_write_return", None)
     if ret is not None:
         from arcadedb_spark.graph.match import project_stage
