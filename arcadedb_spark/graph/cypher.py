@@ -457,6 +457,10 @@ class CypherParser(Parser):
         elif self.at_op(":"):
             self.advance()
             type_name = self.ident()
+        # additional labels (n:A:B) — single-label model keeps the first
+        # (documented deviation); consume the rest so the pattern parses
+        while self.cur.kind == "PARAM":
+            self.advance()
         props: list[tuple] = []
         if self.at_op("{"):
             # inline property map {k: v, …} → equality conjunction;

@@ -573,8 +573,50 @@ class ExprCompiler:
             raise TranslateError("Scalar subquery must return one column, ≤1 row")
         return _lit(rows[0][0] if rows else None)
 
+    def _struct_fields_of(self, e: ast.Expr):
+        """Field list when ``e`` statically resolves to a struct column of
+        the current frame (via frame_schema), else None."""
+        if self.ctx.frame_schema is None or not isinstance(e, ast.Chain):
+            return None
+        from pyspark.sql.types import StructType
+
+        field = next(
+            (f for f in self.ctx.frame_schema.fields
+             if f.name == e.parts[0]),
+            None,
+        )
+        if field is None or not isinstance(field.dataType, StructType):
+            return None
+        dt = field.dataType
+        for p in e.parts[1:]:
+            sub = next((f for f in dt.fields if f.name == p), None)
+            if sub is None or not isinstance(sub.dataType, StructType):
+                return None
+            dt = sub.dataType
+        return dt.fields
+
     def _c_funccall(self, e: ast.FuncCall) -> Column:
         name = e.name.lower()
+        if name in ("keys", "properties") and e.args:
+            # keys(entity)/properties(entity) over a bound node/rel
+            # struct: resolve the field list from the frame schema
+            # (Cypher keys = property names with non-null values)
+            fields = self._struct_fields_of(e.args[0])
+            if fields is not None:
+                base = self.compile(e.args[0])
+                names = [
+                    f.name for f in fields
+                    if f.name not in ("vid", "@type", "etype", "src", "dst")
+                ]
+                if name == "properties":
+                    out = base
+                    for internal in ("vid", "@type", "etype", "src", "dst"):
+                        out = out.dropFields(f"`{internal}`")
+                    return out
+                return F.array_compact(F.array(*[
+                    F.when(base.getField(n).isNotNull(), F.lit(n))
+                    for n in names
+                ]))
         if is_aggregate(name):
             return self._compile_aggregate(e)
         if name in SCALARS:
