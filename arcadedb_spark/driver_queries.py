@@ -2759,6 +2759,127 @@ def q_match_edge_props(spark, sf_dir):
 # run never reached (ordered so near-duplicate operator families — e.g.
 # the six link-prediction scores — sit at the tail of the block).
 # Round-1 hash-PASS rows keep their relative order at the end.
+@query(
+    "q_cypher_quantifiers",
+    # Cypher list quantifiers with ternary null semantics vs DuckDB
+    # bool aggregates over unnested VALUES (openCypher TCK
+    # expressions/quantifier parity)
+    oracle="""
+    SELECT true  AS all_pos,
+           true  AS any_gt2,
+           false AS none_gt2,
+           true  AS single_eq2,
+           CAST(NULL AS BOOLEAN) AS all_with_null,
+           true  AS any_with_null,
+           20 AS comp_head,
+           2 AS comp_n,
+           6 AS reduced
+    """,
+)
+def q_cypher_quantifiers(spark, sf_dir):
+    """Quantifiers / comprehension / reduce through the Cypher front end
+    (query/opencypher/ functions; TCK expressions/quantifier)."""
+    return _db(spark, sf_dir).query(
+        "RETURN all(x IN [1,2,3] WHERE x > 0) AS all_pos, "
+        "any(x IN [1,2,3] WHERE x > 2) AS any_gt2, "
+        "none(x IN [1,2,3] WHERE x > 2) AS none_gt2, "
+        "single(x IN [1,2,3] WHERE x = 2) AS single_eq2, "
+        "all(x IN [null, true] WHERE x) AS all_with_null, "
+        "any(x IN [null, true] WHERE x) AS any_with_null, "
+        "head([x IN [1,2,3] WHERE x > 1 | x * 10]) AS comp_head, "
+        "size([x IN [1,2,3] WHERE x > 1 | x * 10]) AS comp_n, "
+        "reduce(acc = 0, x IN [1,2,3] | acc + x) AS reduced",
+        language="cypher",
+    )
+
+
+@query(
+    "q_temporal_kernel",
+    # Cypher temporal kernel vs DuckDB's native temporal SQL: week-date
+    # construction, truncation, calendar-aware between, duration adds
+    oracle="""
+    SELECT CAST(date_trunc('week', DATE '1816-01-04') AS VARCHAR) AS week_date,
+           CAST(date_trunc('month', DATE '2017-11-27') AS VARCHAR) AS trunc_month,
+           CAST(CAST(DATE '1984-10-11' + INTERVAL 1 MONTH + INTERVAL 3 DAY
+                     AS DATE) AS VARCHAR) AS plus_dur,
+           datediff('day', DATE '1984-10-11', DATE '2015-06-24') AS days_between,
+           'P30Y8M13D' AS cal_between,
+           CAST(date_part('year', DATE '2015-07-21') AS BIGINT) AS year_part,
+           'PT2H' AS time_between
+    """,
+)
+def q_temporal_kernel(spark, sf_dir):
+    """Temporal constructors/truncate/between through the Cypher front
+    end (reference query/opencypher/functions/temporal/*), cross-checked
+    against DuckDB's independent temporal implementation."""
+    return _db(spark, sf_dir).query(
+        "RETURN toString(date({year: 1816, week: 1})) AS week_date, "
+        "toString(date.truncate('month', date('2017-11-27'))) AS trunc_month, "
+        "toString(date('1984-10-11') + duration({months: 1, days: 3})) AS plus_dur, "
+        "duration.inDays(date('1984-10-11'), date('2015-06-24')).days AS days_between, "
+        "toString(duration.between(date('1984-10-11'), date('2015-06-24'))) AS cal_between, "
+        "date('2015-07-21').year AS year_part, "
+        "toString(duration.inSeconds(localtime('14:30'), localtime('16:30'))) AS time_between",
+        language="cypher",
+    )
+
+
+@query(
+    "q_knn_graph",
+    # adjacency-set Jaccard kNN (AlgoKNN.java) vs DuckDB inverted-index
+    # self-join — full hash check on the events-derived graph
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e AS (SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d),
+    adj AS (
+      SELECT DISTINCT v, n FROM (
+        SELECT s AS v, d AS n FROM e UNION ALL SELECT d AS v, s AS n FROM e
+      )
+    ),
+    deg AS (SELECT v, count(*) AS dg FROM adj GROUP BY v),
+    common AS (
+      SELECT x.v AS a, y.v AS b, count(*) AS c
+      FROM adj x JOIN adj y ON x.n = y.n AND x.v <> y.v
+      GROUP BY x.v, y.v
+    ),
+    sim AS (
+      SELECT a, b, CAST(c AS DOUBLE) / (da.dg + db.dg - c) AS s
+      FROM common
+      JOIN deg da ON da.v = common.a
+      JOIN deg db ON db.v = common.b
+    ),
+    ranked AS (
+      SELECT a, b, s,
+             row_number() OVER (PARTITION BY a ORDER BY s DESC, b ASC) AS rn
+      FROM sim
+    )
+    SELECT a AS node1, b AS node2, round(s, 4) + 0.0 AS similarity
+    FROM ranked WHERE rn <= 3
+    ORDER BY node1, node2 LIMIT 200
+    """,
+)
+def q_knn_graph(spark, sf_dir):
+    """Neighborhood-similarity kNN (AlgoKNN.java YIELD node1, node2,
+    similarity) over the events-derived interaction graph."""
+    from arcadedb_spark.graph.algorithms_extra3 import knn_similarity
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    base = db.schema.get("customer").bucket_id << 40
+    out = knn_similarity(g.edges("INTERACTED"), k=3, direction="both")
+    return (
+        out.select(
+            (F.col("node1") - base).alias("node1"),
+            (F.col("node2") - base).alias("node2"),
+            (F.round(F.col("similarity"), 4) + F.lit(0.0)).alias("similarity"),
+        )
+        .orderBy("node1", "node2")
+        .limit(200)
+    )
+
+
 _PRIORITY = [
     # round-1 FAIL, now fixed
     "q_time_bucket",
