@@ -426,6 +426,14 @@ class CypherParser(Parser):
 
     # -- patterns ----------------------------------------------------------
     def _parse_pattern(self, optional: bool) -> ast.MatchPath:
+        path_alias = None
+        if (
+            self.cur.kind == "IDENT"
+            and self.peek().kind == "OP"
+            and self.peek().value == "="
+        ):
+            path_alias = self.ident()
+            self.advance()  # '='
         root = self._parse_node()
         steps: list[ast.MatchStep] = []
         while self.at_op("-", "<"):
@@ -440,7 +448,8 @@ class CypherParser(Parser):
                 )
             )
         return ast.MatchPath(
-            root=root, steps=tuple(steps), optional=optional
+            root=root, steps=tuple(steps), optional=optional,
+            path_alias=path_alias,
         )
 
     def _parse_node(self) -> ast.MatchFilter:

@@ -219,6 +219,18 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
         df, cur = _expand(db, df, cur, step, params, alias, prev_step=prev)
         aliases.append(cur)
         prev = step
+    if getattr(path, "path_alias", None) and all(
+        s.max_hops == 1 for s in path.steps
+    ):
+        # p = (a)-[..]->(b): struct(vids, n_rels) — supports length(p)
+        df = df.withColumn(
+            path.path_alias,
+            F.struct(
+                F.array(*[F.col(f"{a}.vid") for a in aliases]).alias("vids"),
+                F.lit(len(path.steps)).alias("n_rels"),
+            ),
+        )
+        aliases = aliases + [path.path_alias]
     return df, aliases
 
 

@@ -376,6 +376,10 @@ class MatchPath:
     steps: tuple[MatchStep, ...] = ()
     negated: bool = False
     optional: bool = False  # Cypher OPTIONAL MATCH: joined left_outer
+    # Cypher path variable ``p = (a)-[..]->(b)``: binds a struct
+    # (vids array<long>, n_rels int) — enough for length(p) and vid-level
+    # path inspection (full node/rel entity paths are out of scope)
+    path_alias: "Optional[str]" = None
 
 
 @dataclass(frozen=True)

@@ -597,6 +597,17 @@ class ExprCompiler:
 
     def _c_funccall(self, e: ast.FuncCall) -> Column:
         name = e.name.lower()
+        if name == "length" and e.args:
+            # length(path) → relationship count of the bound path struct
+            fields = self._struct_fields_of(e.args[0])
+            if fields is not None and any(f.name == "n_rels" for f in fields):
+                return self.compile(e.args[0]).getField("n_rels")
+        if name == "nodes" and e.args:
+            # nodes(path) → the path's vid array (vid-level paths; full
+            # node entities in paths are out of scope)
+            fields = self._struct_fields_of(e.args[0])
+            if fields is not None and any(f.name == "vids" for f in fields):
+                return self.compile(e.args[0]).getField("vids")
         if name in ("keys", "properties") and e.args:
             # keys(entity)/properties(entity) over a bound node/rel
             # struct: resolve the field list from the frame schema
