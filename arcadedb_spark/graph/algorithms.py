@@ -47,6 +47,8 @@ def pagerank(
     """
     verts = _vertices_of(edges).cache()
     n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
     if weighted and "weight" in edges.columns:
         outw = edges.groupBy("src").agg(F.sum("weight").alias("__outw"))
         e = edges.join(outw, "src").select(
