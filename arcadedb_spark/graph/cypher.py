@@ -91,7 +91,7 @@ class CypherParser(Parser):
                 where = w if where is None else ast.Bin("AND", where, w)
         return paths, where
 
-    def parse_call(self) -> dict:
+    def parse_call(self, consume_return: bool = True) -> dict:
         """CALL ns.name(args) [YIELD c1, c2] [RETURN … ORDER BY/SKIP/LIMIT]
         (CallStep.java:71; procedures from ProcedureRegistry)."""
         self.advance()  # CALL
@@ -118,7 +118,7 @@ class CypherParser(Parser):
             while self.eat_op(","):
                 yields.append(self.ident())
         ret = None
-        if self.at_kw("RETURN"):
+        if consume_return and self.at_kw("RETURN"):
             self.advance()
             distinct = self.eat_kw("DISTINCT")
             items = self.parse_projection_list()
@@ -189,7 +189,18 @@ class CypherParser(Parser):
         paths, where = self._parse_match_segment()
         # pipeline stages: (MATCH… (WITH items [WHERE] | UNWIND e AS x))*
         self._stages: list[dict] = []
-        while self._at_ident("WITH") or self._at_ident("UNWIND"):
+        while (
+            self._at_ident("WITH") or self._at_ident("UNWIND")
+            or self._at_ident("CALL")
+        ):
+            if self._at_ident("CALL"):
+                # in-query CALL: the procedure frame joins the pipeline
+                spec = self.parse_call(consume_return=False)
+                self._stages.append(
+                    {"paths": paths, "where": where, "call": spec}
+                )
+                paths, where = self._parse_match_segment()
+                continue
             if self._at_ident("UNWIND"):
                 self.advance()
                 expr = self.parse_expr()
@@ -630,6 +641,19 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
                 db, stage["paths"], stage["where"], params,
                 base=df, base_aliases=aliases,
             )
+        if "call" in stage:
+            from arcadedb_spark.graph.procedures import call_procedure
+
+            spec = stage["call"]
+            proc_df = call_procedure(db, spec["proc"], spec["args"])
+            if spec["yields"]:
+                proc_df = proc_df.select(*spec["yields"])
+            # CallStep semantics: the procedure frame joins the pipeline
+            # (procedure args are literals here, so it's one crossJoin —
+            # Catalyst broadcasts the small side)
+            df = proc_df if df is None else df.crossJoin(proc_df)
+            aliases = set(aliases)
+            continue
         if "unwind" in stage:
             from pyspark.sql import functions as F
 
