@@ -2751,6 +2751,183 @@ def q_match_edge_props(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-2 algo procedures: A*, k-shortest-paths, max-flow, cliques, Leiden
+# (reference query/opencypher/procedures/algo/AlgoAStar.java,
+# AlgoKShortestPaths.java, AlgoMaxFlow.java, AlgoClique.java,
+# AlgoLeiden.java).  Each runs on a filtered INTERACTED subgraph so the
+# driver-gate cost stays bounded while the full distributed pipeline
+# (frontier relaxation / level-synchronous enumeration) is exercised.
+# ===========================================================================
+
+
+def _interacted_sub(db, base, max_user=None, min_weight=None):
+    e = db.graph().edges("INTERACTED")
+    if max_user is not None:
+        e = e.filter(
+            (F.col("src") - base < max_user) & (F.col("dst") - base < max_user)
+        )
+    if min_weight is not None:
+        e = e.filter(F.col("weight") >= min_weight)
+    return e
+
+
+# The INTERACTED derivation (graph/model.py) re-expressed for DuckDB,
+# with the same subgraph filter the Spark side applies.
+def _interacted_sql(max_user=None, min_weight=None):
+    cond = "d IS NOT NULL AND s <> d"
+    if max_user is not None:
+        cond += f" AND s < {max_user} AND d < {max_user}"
+    having = f"HAVING count(*) >= {min_weight}" if min_weight else ""
+    return f"""
+    pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e AS MATERIALIZED (
+      SELECT s, d, CAST(count(*) AS DOUBLE) AS w FROM pairs
+      WHERE {cond} GROUP BY s, d {having}
+    )"""
+
+
+def _bellman_ford_sql(src: int, dst: int, unroll: int, max_user: int) -> str:
+    """Unrolled Bellman-Ford: d_k(v) = min(d_{k-1}(v), min_u d_{k-1}(u)+w);
+    exact when the optimal path uses <= unroll hops (asserted by the
+    fixed-point check in tests)."""
+    # AS MATERIALIZED: each level references its predecessor twice; DuckDB
+    # would otherwise inline the CTE per reference (2^unroll blowup)
+    levels = ",\n    ".join(
+        f"d{i} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM ("
+        f"SELECT v, dist FROM d{i - 1} UNION ALL "
+        f"SELECT e.d, d{i - 1}.dist + e.w FROM d{i - 1} JOIN e ON e.s = d{i - 1}.v"
+        f") GROUP BY v)"
+        for i in range(1, unroll + 1)
+    )
+    return f"""
+    WITH {_interacted_sql(max_user=max_user)},
+    verts AS (SELECT DISTINCT s AS v FROM e UNION SELECT DISTINCT d FROM e),
+    d0 AS MATERIALIZED (SELECT v, CASE WHEN v = {src} THEN 0.0 ELSE 1e18 END AS dist
+           FROM verts),
+    {levels}
+    SELECT round(dist, 1) + 0.0 AS weight FROM d{unroll} WHERE v = {dst}
+    """
+
+
+@query("q_astar", oracle=_bellman_ford_sql(7, 42, 12, 80))
+def q_astar(spark, sf_dir):
+    """A* point-to-point shortest path (AlgoAStar.java; h=0 degenerates
+    to Dijkstra) vs an independently-derived unrolled Bellman-Ford DuckDB
+    oracle on the same subgraph — a true cross-engine check, not a golden."""
+    from arcadedb_spark.graph.algorithms_extra import astar
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    e = _interacted_sub(db, base, max_user=80)
+    res = astar(e, base + 7, base + 42)
+    return res.select((F.round(F.col("weight"), 1) + F.lit(0.0)).alias("weight"))
+
+
+_KSP_GOLDEN = """
+    -- Golden: Yen-equivalent k-best simple paths on the fixed seed-42
+    -- fixture (weights + hop counts are unique under (weight, path)
+    -- tie-breaking).  Regenerate with tools/regen_golden.py.
+    SELECT rank, CAST(weight AS DOUBLE) AS weight, hops
+    FROM (VALUES (1, 2.0, 2), (2, 2.0, 2), (3, 2.0, 2)) AS t(rank, weight, hops)
+    """
+
+
+@query("q_ksp", oracle=_KSP_GOLDEN)
+def q_ksp(spark, sf_dir):
+    """k shortest loopless paths (AlgoKShortestPaths.java) by per-vertex
+    top-k label correction; golden oracle pins (rank, weight, hops)."""
+    from arcadedb_spark.graph.algorithms_extra import k_shortest_paths
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    e = _interacted_sub(db, base, max_user=40)
+    res = k_shortest_paths(e, base + 7, base + 23, k=3, max_depth=6)
+    return res.select(
+        "rank",
+        (F.round(F.col("weight"), 1) + F.lit(0.0)).alias("weight"),
+        (F.size("path") - 1).alias("hops"),
+    )
+
+
+_MAXFLOW_GOLDEN = """
+    -- Golden: the max-flow VALUE is unique (min-cut dual) regardless of
+    -- augmenting-path order, so the pinned value is implementation-
+    -- independent given capacities.  Regenerate with tools/regen_golden.py.
+    SELECT CAST(max_flow AS DOUBLE) AS max_flow
+    FROM (VALUES (6.0)) AS t(max_flow)
+    """
+
+
+@query("q_maxflow", oracle=_MAXFLOW_GOLDEN)
+def q_maxflow(spark, sf_dir):
+    """Edmonds-Karp max s-t flow (AlgoMaxFlow.java), capacity = repeated
+    interaction count, on the weight>=3 backbone subgraph."""
+    from arcadedb_spark.graph.algorithms_extra import max_flow
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    e = _interacted_sub(db, base, min_weight=3)
+    res = max_flow(e, base + 7, base + 42, max_augmentations=64)
+    return res.select((F.round(F.col("max_flow"), 1) + F.lit(0.0)).alias("max_flow"))
+
+
+_CLIQUES_GOLDEN = """
+    -- Golden: the set of maximal cliques is unique for a graph; histogram
+    -- pinned for the weight>=2 backbone.  Regenerate with
+    -- tools/regen_golden.py.
+    SELECT * FROM (VALUES (3, 1090), (4, 251), (5, 7)) AS t(size, n)
+    """
+
+
+@query("q_cliques", oracle=_CLIQUES_GOLDEN)
+def q_cliques(spark, sf_dir):
+    """Maximal-clique enumeration (AlgoClique.java, Bron-Kerbosch parity
+    in result set) via level-synchronous k-clique growth; the clique-size
+    histogram is implementation-independent."""
+    from arcadedb_spark.graph.algorithms_extra import maximal_cliques
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    e = _interacted_sub(db, base, min_weight=2)
+    cl = maximal_cliques(e, min_size=3)
+    return (
+        cl.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("size")
+    )
+
+
+_LEIDEN_GOLDEN = """
+    -- Golden: leiden is deterministic (hash-gated synchronous moves,
+    -- min-id refinement labels) on the fixed seed-42 fixture; pinned
+    -- (community, size).  Regenerate with tools/regen_golden.py.
+    SELECT * FROM (VALUES (0,21), (4,20), (1,19), (11,13), (16,12), (5,11), (8,10), (15,8), (28,6), (24,4), (78,4), (3,3), (14,3), (20,3), (69,3), (43,2), (30,1), (35,1), (50,1), (75,1), (77,1), (108,1), (125,1), (128,1)) AS t(community, size)
+    """
+
+
+@query("q_leiden", oracle=_LEIDEN_GOLDEN)
+def q_leiden(spark, sf_dir):
+    """Leiden communities (AlgoLeiden.java; Traag et al. 2019) with the
+    well-connectedness refinement; labels normalized to min member id."""
+    from arcadedb_spark.graph.algorithms_extra import leiden
+
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    e = _interacted_sub(db, base, min_weight=2)
+    # 5 supersteps converge on the backbone; each superstep is a fixed
+    # number of Spark jobs, so iterations dominate gate latency
+    comm = leiden(e, max_iterations=5)
+    return (
+        comm.groupBy("community")
+        .agg(F.min("vid").alias("__label"), F.count(F.lit(1)).alias("size"))
+        .select((F.col("__label") - base).alias("community"), "size")
+        .orderBy(F.desc("size"), F.asc("community"))
+    )
+
+
+# ===========================================================================
 # Registry ordering
 # ===========================================================================
 # The driver grades entries in registration order under a budget (round 1
@@ -2941,6 +3118,12 @@ _PRIORITY = [
     "q_preferential_attachment",
     "q_resource_allocation",
     "q_total_neighbors",
+    # round-2 algo procedures (first graded the round after they land)
+    "q_astar",
+    "q_ksp",
+    "q_maxflow",
+    "q_cliques",
+    "q_leiden",
 ]
 
 

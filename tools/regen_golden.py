@@ -11,7 +11,10 @@ and paste the printed VALUES list into the q_simhash_dedup oracle.
 
 from __future__ import annotations
 
+import sys
 import textwrap
+
+sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
@@ -38,6 +41,22 @@ def main() -> None:
     fr = dq.QUERIES["q_fastrp"](spark, sf).toPandas()
     print(f"\n-- q_fastrp: {len(fr)} rows")
     print(",\n".join(f"({r.user_id}, '{r.embedding}')" for r in fr.itertuples()))
+
+    ksp = dq.QUERIES["q_ksp"](spark, sf).toPandas()
+    print(f"\n-- q_ksp: {len(ksp)} paths")
+    print(", ".join(f"({r.rank},{r.weight},{r.hops})" for r in ksp.itertuples()))
+
+    mf = dq.QUERIES["q_maxflow"](spark, sf).toPandas()
+    print(f"\n-- q_maxflow")
+    print(", ".join(f"({r.max_flow})" for r in mf.itertuples()))
+
+    cl = dq.QUERIES["q_cliques"](spark, sf).toPandas()
+    print(f"\n-- q_cliques: {len(cl)} sizes")
+    print(", ".join(f"({r.size},{r.n})" for r in cl.itertuples()))
+
+    ld = dq.QUERIES["q_leiden"](spark, sf).toPandas()
+    print(f"\n-- q_leiden: {len(ld)} communities")
+    print(", ".join(f"({r.community},{r.size})" for r in ld.itertuples()))
     spark.stop()
 
 
