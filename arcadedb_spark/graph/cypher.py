@@ -477,10 +477,10 @@ class CypherParser(Parser):
         elif self.at_op(":"):
             self.advance()
             type_name = self.ident()
-        # additional labels (n:A:B) — single-label model keeps the first
-        # (documented deviation); consume the rest so the pattern parses
+        # additional labels (n:A:B) — colon-joined into one label-set key;
+        # GraphModel.vertices() applies superset matching
         while self.cur.kind == "PARAM":
-            self.advance()
+            type_name = f"{type_name}:{self.advance().value}"
         props: list[tuple] = []
         if self.at_op("{"):
             # inline property map {k: v, …} → equality conjunction;
@@ -588,6 +588,48 @@ def _bare_alias(item: ast.ProjItem) -> str | None:
     return None
 
 
+def _validate_bindings(stage_paths: list[tuple]) -> None:
+    """openCypher variable-binding rules (TCK clauses/match error
+    scenarios): a name is one of node / relationship / path — kind
+    conflicts are errors; a relationship variable may appear only once
+    per pattern (relationship isomorphism would be vacuous otherwise);
+    a path variable can never be rebound.  Node aliases may repeat
+    freely (that is the join).  ``stage_paths``: one tuple of MatchPath
+    per MATCH clause."""
+    from arcadedb_spark.sql.translator import TranslateError
+
+    kinds: dict[str, str] = {}
+
+    def bind(name: str | None, kind: str) -> None:
+        if not name:
+            return
+        prev = kinds.get(name)
+        if prev is not None and (prev != kind or "path" in (prev, kind)):
+            raise TranslateError(
+                f"Variable '{name}' already bound as a {prev}"
+            )
+        kinds[name] = kind
+
+    for paths in stage_paths:
+        for p in paths:
+            bind(p.path_alias, "path")
+            bind(p.root.alias, "node")
+            # duplicate rel vars are checked per chain only: consecutive
+            # MATCH clauses share one paths list here, and re-using a
+            # bound relationship in a LATER clause is legal Cypher
+            path_rels: set[str] = set()
+            for st in p.steps:
+                bind(st.filter.alias, "node")
+                if st.edge_alias:
+                    bind(st.edge_alias, "rel")
+                    if st.edge_alias in path_rels:
+                        raise TranslateError(
+                            f"Relationship variable '{st.edge_alias}' used "
+                            "twice in one pattern"
+                        )
+                    path_rels.add(st.edge_alias)
+
+
 def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> DataFrame:
     """Lower a WITH pipeline: each stage joins its patterns over the
     previous frame, projects the WITH items (implicit grouping like
@@ -597,6 +639,10 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
         combine_paths, project_stage, translate_match,
     )
 
+    _validate_bindings(
+        [s.get("paths") or () for s in stages if isinstance(s, dict)]
+        + [stmt.paths or ()]
+    )
     if not stages:
         return translate_match(db, stmt, params)
     from arcadedb_spark.sql import temporal as _T
@@ -860,6 +906,17 @@ def _apply_write(
     return created
 
 
+def _storage_keys(g, label: str | None) -> list[str]:
+    """Vertex-frame keys whose label set covers ``label`` (colon-joined
+    pattern label set); all keys when the alias is unlabeled.  Multi-label
+    nodes live under superset keys, so SET/REMOVE must address the node's
+    actual storage frame, not the pattern label."""
+    if not label:
+        return list(g.vertex_dfs)
+    want = {p for p in label.lower().split(":") if p}
+    return [k for k in g.vertex_dfs if want <= set(k.split(":"))]
+
+
 def _subst_var(e, name: str, value):
     """Replace a bare identifier (FOREACH loop variable) with a literal.
     Recurses through expression AND pattern dataclasses (MatchPath etc.)."""
@@ -1006,16 +1063,12 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 matched = df.select(
                     F.col(f"{alias}.vid").alias("vid")
                 ).filter(F.col("vid").isNotNull())
-                labels = (
-                    [alias_label[alias]] if alias_label.get(alias)
-                    else list(g.vertex_dfs)
-                )
+                labels = _storage_keys(g, alias_label.get(alias))
                 for lb in labels:
                     if prop == "@set_label":
-                        n += g.relabel_vertices(lb, matched, target)
-                    elif lb.lower() == target.lower():
-                        # removing the node's label → unlabeled frame
-                        n += g.relabel_vertices(lb, matched, "_")
+                        n += g.set_label(lb, matched, target)
+                    else:
+                        n += g.remove_label(lb, matched, target)
             # group assignments per alias → one vertex-table rewrite each
             per_alias: dict[str, list] = {}
             for alias, prop, expr in w["assignments"]:
@@ -1060,7 +1113,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
                     F.col("vid").isNotNull()
                 )
-                labels = [label] if label else list(g.vertex_dfs)
+                labels = _storage_keys(g, label)
                 for lb in labels:
                     vdf = g.vertices(lb)
                     ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))

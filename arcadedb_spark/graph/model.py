@@ -39,6 +39,8 @@ class GraphModel:
     def __init__(self, spark) -> None:
         self.spark = spark
         self.vertex_dfs: dict[str, DataFrame] = {}
+        # lowercase label-set key → display-case label string ("A:B")
+        self.label_display: dict[str, str] = {}
         self._edge_dfs: list[DataFrame] = []
         self._edges: DataFrame | None = None
         self._edges_by_src: DataFrame | None = None
@@ -52,7 +54,28 @@ class GraphModel:
             # label rides with the vertex so Cypher labels(n) works on the
             # bound struct (function/node/NodeLabels.java)
             out = out.withColumn("@type", F.lit(label))
+        self.label_display.setdefault(label.lower(), label)
         self.vertex_dfs[label.lower()] = out
+
+    def set_label(self, key: str, matched_vids: DataFrame, target: str) -> int:
+        """Cypher ``SET n:Target`` on the ``key`` frame: add the label to
+        the frame's label set (no-op when already present)."""
+        parts = [p for p in key.lower().split(":") if p]
+        if target.lower() in parts:
+            return 0
+        display = self.label_display.get(key.lower(), key)
+        new = target if display == "_" else f"{display}:{target}"
+        return self.relabel_vertices(key, matched_vids, new)
+
+    def remove_label(self, key: str, matched_vids: DataFrame, target: str) -> int:
+        """Cypher ``REMOVE n:Target``: drop the label from the frame's
+        label set; a now-empty set moves to the unlabeled "_" bucket."""
+        parts = [p for p in key.lower().split(":") if p]
+        if target.lower() not in parts:
+            return 0
+        display = self.label_display.get(key.lower(), key)
+        kept = [p for p in display.split(":") if p.lower() != target.lower()]
+        return self.relabel_vertices(key, matched_vids, ":".join(kept) or "_")
 
     def add_edges(
         self,
@@ -85,12 +108,34 @@ class GraphModel:
 
     # -- access ------------------------------------------------------------
     def vertices(self, label: str) -> DataFrame:
-        df = self.vertex_dfs.get(label.lower())
-        if df is None:
+        """Vertex frame for ``label``.
+
+        Multi-label Cypher nodes are stored under a colon-joined key
+        ("a:b" for ``CREATE (:A:B)``); a request matches every stored
+        frame whose label set is a superset of the requested set
+        (openCypher pattern-label semantics: ``(n:A)`` matches any node
+        carrying label A).  Single-label catalog types hit the dict key
+        directly — no scan of other frames."""
+        want = [p for p in label.lower().split(":") if p]
+        exact = self.vertex_dfs.get(label.lower())
+        if len(want) <= 1 and exact is not None and not any(
+            ":" in k for k in self.vertex_dfs
+        ):
+            return exact  # fast path: single-label graph, direct hit
+        wset = set(want)
+        frames = [
+            df
+            for key, df in self.vertex_dfs.items()
+            if wset <= set(key.split(":"))
+        ]
+        if not frames:
             # matching a non-existent label is an empty result, not an
             # error (Cypher semantics; TCK clauses/match)
             return self.spark.createDataFrame([], "vid long, `@type` string")
-        return df
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_, allowMissingColumns=True)
+        return out
 
     def all_vertices(self) -> DataFrame:
         """Union of (vid, label) across labels — the minimal vertex set."""
@@ -169,6 +214,7 @@ class GraphModel:
             enriched.append({**r, "vid": vid, "@type": label})
         new_df = self.spark.createDataFrame(enriched)
         key_l = label.lower()
+        self.label_display.setdefault(key_l, label)
         if key_l in self.vertex_dfs:
             self.vertex_dfs[key_l] = self.vertex_dfs[key_l].unionByName(
                 new_df, allowMissingColumns=True
@@ -242,7 +288,8 @@ class GraphModel:
         self.vertex_dfs[label.lower()] = (
             src.join(m, src["vid"] == m["__mv"], "left_anti").cache()
         )
-        moved = moving.withColumn("@type", F.lit(new_label.lower()))
+        self.label_display[new_label.lower()] = new_label
+        moved = moving.withColumn("@type", F.lit(new_label))
         dst = self.vertex_dfs.get(new_label.lower())
         if dst is None:
             self.vertex_dfs[new_label.lower()] = moved.cache()

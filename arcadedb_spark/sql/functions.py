@@ -1275,11 +1275,14 @@ def _cypher_id(args):
 
 @scalar("labels")
 def _cypher_labels(args):
-    """labels(node) — label array (function/node/NodeLabels.java; one
-    primary label per vertex type here; the internal "_" label backing
-    unlabeled Cypher nodes reports as an empty array)."""
+    """labels(node) — label array (function/node/NodeLabels.java);
+    multi-label nodes store a colon-joined @type, split here; the
+    internal "_" label backing unlabeled Cypher nodes reports as an
+    empty array."""
     t = args[0].getField("@type")
-    return F.when(t == "_", F.array().cast("array<string>")).otherwise(F.array(t))
+    return F.when(
+        t == "_", F.array().cast("array<string>")
+    ).otherwise(F.split(t, ":"))
 
 
 @scalar("startnode")

@@ -143,6 +143,10 @@ class ExprCompiler:
     def _c_var(self, e: ast.Var) -> Column:
         b = self.ctx.vars.get(e.name)
         if b is None:
+            # Cypher query parameters use $name (openCypher §parameters);
+            # LET/context variables take precedence, then parameters
+            if self.ctx.params and e.name in self.ctx.params:
+                return _lit(self.ctx.params[e.name])
             raise TranslateError(f"Unknown variable ${e.name}")
         if b.kind == "col":
             return b.col
@@ -455,12 +459,16 @@ class ExprCompiler:
         return F.slice(base, low + 1, length)
 
     def _c_labelpred(self, e: ast.LabelPred) -> Column:
-        """``n:Label`` — test the vertex struct's @type (single-label
-        model: multiple labels AND together)."""
+        """``n:Label`` — label-set membership on the vertex struct's
+        colon-joined @type (multiple predicate labels AND together;
+        the internal "_" unlabeled bucket matches nothing)."""
         base = self.compile(e.base)
+        lset = F.split(base.getField("@type"), ":")
         out = None
         for lbl in e.labels:
-            c = base.getField("@type") == F.lit(lbl)
+            c = F.array_contains(lset, lbl) & (
+                base.getField("@type") != F.lit("_")
+            )
             out = c if out is None else (out & c)
         return out
 

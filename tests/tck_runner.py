@@ -27,6 +27,8 @@ class Scenario:
     expect: list | None = None  # list of dict rows, or None for "empty"
     ordered: bool = False
     skip: str | None = None  # reason this scenario is out of scope
+    expect_error: bool = False  # "Then a XError should be raised …"
+    params: dict = field(default_factory=dict)  # "And parameters are:"
 
 
 def _parse_docstring(lines, i):
@@ -48,14 +50,21 @@ def _parse_table(lines, i):
     return rows, i
 
 
-_NODE_RE = re.compile(r"^\(.*\)$|^\[:.*\]$|^<.*>$")
+_NODE_CELL = re.compile(
+    r"^\((?P<labels>(?:\s*:[A-Za-z_][A-Za-z0-9_]*)*)\s*(?P<props>\{.*\})?\s*\)$"
+)
+_REL_CELL = re.compile(
+    r"^\[\s*:(?P<type>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<props>\{.*\})?\s*\]$"
+)
 
 
 def parse_value(s: str):
     """Parse one expected-table cell into a Python value.
 
-    Raises ValueError for TCK value syntax out of scope (nodes,
-    relationships, paths) so the scenario gets skipped loudly."""
+    Node / relationship cells parse into canonical ("§node", labels,
+    props) / ("§rel", type, props) tuples matched against the engine's
+    entity structs by canon_entity().  Raises ValueError for TCK value
+    syntax still out of scope (paths) so the scenario skips loudly."""
     s = s.strip()
     if s == "null":
         return None
@@ -74,6 +83,17 @@ def parse_value(s: str):
         if not inner:
             return []
         return [parse_value(p) for p in _split_top(inner)]
+    m = _NODE_CELL.match(s)
+    if m:
+        labels = frozenset(
+            p.strip() for p in m.group("labels").split(":") if p.strip()
+        )
+        props = parse_value(m.group("props")) if m.group("props") else {}
+        return ("§node", labels, _canon_props(props))
+    m = _REL_CELL.match(s)
+    if m:
+        props = parse_value(m.group("props")) if m.group("props") else {}
+        return ("§rel", m.group("type"), _canon_props(props))
     if s.startswith("{") and s.endswith("}"):
         inner = s[1:-1].strip()
         if not inner:
@@ -83,9 +103,41 @@ def parse_value(s: str):
             k, v = part.split(":", 1)
             out[k.strip()] = parse_value(v)
         return out
-    if _NODE_RE.match(s):
-        raise ValueError(f"graph-entity value not supported: {s}")
+    if s.startswith("<") and s.endswith(">"):
+        raise ValueError(f"path value not supported: {s}")
     raise ValueError(f"unparseable TCK value: {s!r}")
+
+
+def _canon_props(d: dict) -> tuple:
+    return tuple(sorted((k, _norm(v)) for k, v in d.items()))
+
+
+def canon_entity(v):
+    """Map an engine entity struct (node: {@type, vid, props…};
+    relationship: {etype, src, dst, props…}) to the same canonical tuple
+    parse_value produces for expected cells.  Null-valued props are
+    dropped: Cypher cannot store null properties, so nulls here are
+    schema-union padding from heterogeneous vertex frames."""
+    if not isinstance(v, dict):
+        return None
+    if "vid" in v and "@type" in v:
+        # "_" is the engine's internal bucket for unlabeled nodes
+        # (graph/cypher.py) — TCK sees an empty label set
+        labels = frozenset(
+            p for p in (v.get("@type") or "").split(":") if p and p != "_"
+        )
+        props = {
+            k: x for k, x in v.items()
+            if k not in ("vid", "@type") and x is not None
+        }
+        return ("§node", labels, _canon_props(props))
+    if "etype" in v and "src" in v and "dst" in v:
+        props = {
+            k: x for k, x in v.items()
+            if k not in ("etype", "src", "dst") and x is not None
+        }
+        return ("§rel", v["etype"], _canon_props(props))
+    return None
 
 
 def _split_top(s: str) -> list[str]:
@@ -187,8 +239,15 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
             text, i = _parse_docstring(lines, i + 1)
             cur.setup.append(text)
         elif line.startswith("And parameters are") or line.startswith("Given parameters"):
-            cur.skip = cur.skip or "parameters not supported"
-            i += 1
+            table, i = _parse_table(lines, i + 1)
+            try:
+                for row in table:
+                    if len(row) == 2:
+                        cur.params[row[0]] = parse_value(row[1])
+                    else:
+                        raise ValueError(f"parameter row arity: {row}")
+            except ValueError as e:
+                cur.skip = cur.skip or f"unsupported parameter value: {e}"
         elif line.startswith("When executing query") or line.startswith(
             "When executing control query"
         ):
@@ -205,7 +264,11 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
             table, i = _parse_table(lines, i + 1)
             cur.expect = table
         elif re.match(r"Then an? \w+ should be raised", line):
-            cur.skip = cur.skip or "expected-error scenario"
+            # error-category conformance: PASS = the engine rejects the
+            # statement (any exception); the TCK's error taxonomy
+            # (SyntaxError vs TypeError, compile vs runtime) is not
+            # distinguished — same posture as most TCK harnesses.
+            cur.expect_error = True
             i += 1
         elif line.startswith("And the side effects should be") or line.startswith(
             "Then the side effects"
@@ -219,6 +282,21 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
     return cur
 
 
+def _to_py(v):
+    """pyspark Row → plain dict, recursively (lists/maps included)."""
+    try:
+        from pyspark.sql import Row
+    except Exception:  # pragma: no cover
+        Row = ()
+    if isinstance(v, Row):
+        return {k: _to_py(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_to_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_py(x) for k, x in v.items()}
+    return v
+
+
 def _norm(v):
     """Normalize a result value for comparison."""
     if isinstance(v, float):
@@ -226,6 +304,9 @@ def _norm(v):
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
+        ent = canon_entity(v)
+        if ent is not None:
+            return ent
         return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     return v
 
@@ -238,6 +319,20 @@ def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
 
     if sc.skip:
         return False, f"SKIP: {sc.skip}"
+    if sc.expect_error:
+        if not sc.query:
+            return False, "SKIP: no query parsed"
+        db = Database(spark)
+        try:
+            for stmt in sc.setup:
+                db.query(stmt, language="cypher", **sc.params)
+        except Exception as e:  # noqa: BLE001
+            return False, f"SKIP: setup failed: {type(e).__name__}"
+        try:
+            db.query(sc.query, language="cypher", **sc.params).collect()
+        except Exception:  # noqa: BLE001 — the expected outcome
+            return True, ""
+        return False, "FAIL: expected an error, statement succeeded"
     if not sc.query or sc.expect is None:
         return False, "SKIP: no query/expectation parsed"
     try:
@@ -250,8 +345,8 @@ def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
     db = Database(spark)
     try:
         for stmt in sc.setup:
-            db.query(stmt, language="cypher")
-        res = db.query(sc.query, language="cypher")
+            db.query(stmt, language="cypher", **sc.params)
+        res = db.query(sc.query, language="cypher", **sc.params)
         got_rows = res.collect()
     except Exception as e:  # noqa: BLE001 — scenario verdict, not control flow
         return False, f"FAIL: {type(e).__name__}: {e}"
@@ -259,7 +354,7 @@ def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
         return (not got_rows), f"expected empty, got {len(got_rows)} rows"
     if set(res.columns) != set(header):
         return False, f"FAIL: columns {res.columns} != {header}"
-    got = [{h: _norm(r[h]) for h in header} for r in got_rows]
+    got = [{h: _norm(_to_py(r[h])) for h in header} for r in got_rows]
     want = [{h: _norm(row[h]) for h in header} for row in expected]
     if sc.ordered:
         ok = got == want
