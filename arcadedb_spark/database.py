@@ -100,6 +100,28 @@ class Database:
         self._graph = None
         # user functions: DEFINE FUNCTION macros + registered Python UDFs
         self._functions: dict[str, dict] = {}
+        # user-registered CALL procedures backed by a fixed result table
+        # (reference function/procedure/ProcedureRegistry.java user slots;
+        # also the openCypher-TCK "there exists a procedure" fixture shape)
+        self._table_procedures: dict[str, dict] = {}
+
+    def register_table_procedure(
+        self,
+        name: str,
+        in_cols: list[tuple[str, str]],
+        out_cols: list[tuple[str, str]],
+        rows: list[dict],
+    ) -> None:
+        """Register ``CALL name(args…)`` backed by a lookup table:
+        invocation filters ``rows`` on the input columns matching the
+        literal arguments and yields the output columns.  ``in_cols`` /
+        ``out_cols``: (column, cypher-type) pairs (STRING/INTEGER/FLOAT/
+        NUMBER/BOOLEAN/ANY…)."""
+        self._table_procedures[name.lower()] = {
+            "in": list(in_cols),
+            "out": list(out_cols),
+            "rows": list(rows),
+        }
 
     def register_function(self, name: str, fn, return_type: str = "string") -> None:
         """Register a Python UDF callable from queries as ``name(args…)``

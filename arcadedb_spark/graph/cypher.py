@@ -95,28 +95,54 @@ class CypherParser(Parser):
         """CALL ns.name(args) [YIELD c1, c2] [RETURN … ORDER BY/SKIP/LIMIT]
         (CallStep.java:71; procedures from ProcedureRegistry)."""
         self.advance()  # CALL
-        ns = self.ident()
-        self.expect_op(".")
-        name = self.ident()
+        segments = [self.ident()]
+        while self.at_op("."):
+            self.advance()
+            segments.append(self.ident())
+        name = ".".join(segments)
+
+        def _lit_arg(e):
+            if isinstance(e, ast.Lit):
+                return e.value
+            if isinstance(e, ast.Unary) and e.op == "-" and isinstance(
+                e.operand, ast.Lit
+            ):
+                return -e.operand.value
+            if isinstance(e, ast.Chain) and len(e.parts) == 1:
+                return e.parts[0]
+            if isinstance(e, ast.ArrayLit):
+                return [_lit_arg(x) for x in e.items]
+            raise ParseError("CALL arguments must be literals")
+
         args: list = []
+        parens = False
         if self.at_op("("):
+            parens = True
             self.advance()
             while not self.at_op(")"):
-                e = self.parse_expr()
-                if isinstance(e, ast.Lit):
-                    args.append(e.value)
-                elif isinstance(e, ast.Chain) and len(e.parts) == 1:
-                    args.append(e.parts[0])
-                else:
-                    raise ParseError("CALL arguments must be literals")
+                args.append(_lit_arg(self.parse_expr()))
                 self.eat_op(",")
             self.expect_op(")")
-        yields: list[str] = []
+
+        def _yield_item() -> tuple[str, str]:
+            col = self.ident()
+            alias = col
+            if self.at_kw("AS"):
+                self.advance()
+                alias = self.ident()
+            return (col, alias)
+
+        yields: list[tuple[str, str]] = []
+        star = False
         if self._at_ident("YIELD"):
             self.advance()
-            yields.append(self.ident())
-            while self.eat_op(","):
-                yields.append(self.ident())
+            if self.at_op("*"):  # YIELD * — every output column
+                star = True
+                self.advance()
+            else:
+                yields.append(_yield_item())
+                while self.eat_op(","):
+                    yields.append(_yield_item())
         ret = None
         if consume_return and self.at_kw("RETURN"):
             self.advance()
@@ -141,8 +167,8 @@ class CypherParser(Parser):
                     break
             ret = {"items": items, "distinct": distinct, "order_by": order_by,
                    "skip": skip, "limit": limit}
-        return {"proc": f"{ns}.{name}", "args": args, "yields": yields,
-                "return": ret}
+        return {"proc": name, "args": args, "yields": yields,
+                "parens": parens, "star": star, "return": ret}
 
     def _parse_return_spec(self) -> dict:
         """RETURN [DISTINCT] items [ORDER BY…] [SKIP…] [LIMIT…] (shared by
@@ -689,11 +715,26 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             )
         if "call" in stage:
             from arcadedb_spark.graph.procedures import call_procedure
+            from arcadedb_spark.sql.translator import TranslateError
+            from pyspark.sql import functions as F
 
             spec = stage["call"]
-            proc_df = call_procedure(db, spec["proc"], spec["args"])
-            if spec["yields"]:
-                proc_df = proc_df.select(*spec["yields"])
+            proc_df = call_procedure(
+                db, spec["proc"], spec["args"],
+                params=params, implicit=not spec["parens"],
+            )
+            if not proc_df.columns:
+                # VOID procedure in-query: cardinality-preserving no-op
+                # (openCypher CALL semantics, TCK Call1)
+                continue
+            if not spec["yields"] or spec.get("star"):
+                raise TranslateError(
+                    f"In-query CALL {spec['proc']} must YIELD its outputs "
+                    "explicitly (YIELD * is standalone-only)"
+                )
+            proc_df = proc_df.select(
+                *[F.col(c).alias(a) for c, a in spec["yields"]]
+            )
             # CallStep semantics: the procedure frame joins the pipeline
             # (procedure args are literals here, so it's one crossJoin —
             # Catalyst broadcasts the small side)
@@ -1266,26 +1307,44 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
         from arcadedb_spark.graph.match import project_stage
         from arcadedb_spark.graph.procedures import call_procedure
         from arcadedb_spark.sql.translator import _contains_aggregate
+        from pyspark.sql import functions as F
 
         spec = p.parse_call()
         if p.cur.kind != "EOF":
-            raise ParseError(f"Trailing input at {p.cur!r}")
-        df = call_procedure(db, spec["proc"], spec["args"])
-        if spec["yields"]:
-            df = df.select(*spec["yields"])
-        ret = spec["return"]
-        if ret is None:
-            return df
-        group_by: tuple = ()
-        if any(_contains_aggregate(i.expr) for i in ret["items"]):
-            group_by = tuple(
-                i.expr for i in ret["items"] if not _contains_aggregate(i.expr)
+            # CALL … YIELD … WITH/MATCH …: a pipeline, not a standalone
+            # call — reparse through the normal stage machinery
+            p = CypherParser(text)
+            spec = None
+        if spec is not None:
+            df = call_procedure(
+                db, spec["proc"], spec["args"],
+                params=params, implicit=not spec["parens"],
             )
-        return project_stage(
-            db, df, ret["items"], params or {}, distinct=ret["distinct"],
-            group_by=group_by, order_by=ret["order_by"],
-            skip=ret["skip"], limit=ret["limit"],
-        )
+            if spec["yields"]:
+                df = df.select(
+                    *[F.col(c).alias(a) for c, a in spec["yields"]]
+                )
+            ret = spec["return"]
+            if ret is None:
+                return df
+            if df.columns and (spec["star"] or not spec["yields"]):
+                from arcadedb_spark.sql.translator import TranslateError
+
+                raise TranslateError(
+                    f"CALL {spec['proc']} followed by RETURN must YIELD "
+                    "its outputs explicitly"
+                )
+            group_by: tuple = ()
+            if any(_contains_aggregate(i.expr) for i in ret["items"]):
+                group_by = tuple(
+                    i.expr for i in ret["items"]
+                    if not _contains_aggregate(i.expr)
+                )
+            return project_stage(
+                db, df, ret["items"], params or {}, distinct=ret["distinct"],
+                group_by=group_by, order_by=ret["order_by"],
+                skip=ret["skip"], limit=ret["limit"],
+            )
     stmts = p.parse_query()
     if p.cur.kind != "EOF":
         raise ParseError(f"Trailing input at {p.cur!r}")

@@ -604,7 +604,78 @@ def _p_msa_alias(db, args) -> DataFrame:
     return _p_msa(db, args)
 
 
-def call_procedure(db, name: str, args: list) -> DataFrame:
+_CYPHER_SPARK_TYPES = {
+    "string": "string",
+    "integer": "long",
+    "float": "double",
+    "number": "double",
+    "boolean": "boolean",
+}
+
+
+def _arg_type_ok(v, t: str) -> bool:
+    t = t.lower().rstrip("?").strip()
+    if v is None:
+        return True  # nullable (T?) — null always admissible
+    if t == "string":
+        return isinstance(v, str)
+    if t == "integer":
+        return isinstance(v, int) and not isinstance(v, bool)
+    if t in ("float", "number"):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if t == "boolean":
+        return isinstance(v, bool)
+    return True  # ANY / LIST / MAP …: no static check
+
+
+def _table_proc_frame(db, tp: dict, args: list) -> DataFrame:
+    """Invoke a user table-backed procedure (Database.register_table_
+    procedure): filter its rows on the input columns = the literal
+    arguments, project the output columns with signature-declared types."""
+    if len(args) != len(tp["in"]):
+        raise ValueError(
+            f"procedure expects {len(tp['in'])} arguments, got {len(args)}"
+        )
+    for (c, t), a in zip(tp["in"], args):
+        if not _arg_type_ok(a, t):
+            raise TypeError(
+                f"procedure argument '{c}' expects {t}, got {type(a).__name__}"
+            )
+    matched = [
+        r
+        for r in tp["rows"]
+        if all(r.get(c) == a for (c, _t), a in zip(tp["in"], args))
+    ]
+    out_rows = [tuple(r.get(c) for c, _t in tp["out"]) for r in matched]
+    if not tp["out"]:
+        # VOID procedure: no columns, no rows (CALL result "empty")
+        from pyspark.sql.types import StructType
+
+        return db.spark.createDataFrame([], StructType([]))
+    schema = ", ".join(
+        f"`{c}` {_CYPHER_SPARK_TYPES.get(t.lower().rstrip('?'), 'string')}"
+        for c, t in tp["out"]
+    )
+    return db.spark.createDataFrame(out_rows, schema)
+
+
+def call_procedure(
+    db, name: str, args: list, params: dict | None = None,
+    implicit: bool = False,
+) -> DataFrame:
+    tp = getattr(db, "_table_procedures", {}).get(name.lower())
+    if tp is not None:
+        if implicit and not args and tp["in"]:
+            # CALL proc (no parens): implicit arguments are taken from the
+            # query parameters by input-column name (openCypher CALL)
+            params = params or {}
+            try:
+                args = [params[c] for c, _t in tp["in"]]
+            except KeyError as e:
+                raise ValueError(
+                    f"implicit CALL needs parameter {e.args[0]!r}"
+                ) from None
+        return _table_proc_frame(db, tp, args)
     fn = PROCEDURES.get(name.lower())
     if fn is None:
         raise KeyError(

@@ -43,6 +43,8 @@ _TOKEN_RE = re.compile(
     (?P<WS>\s+)
   | (?P<COMMENT>--[^\n]*|//[^\n]*|/\*.*?\*/)
   | (?P<RID>\#-?\d+:-?\d+)
+  | (?P<HEX>0[xX][0-9a-fA-F]+)
+  | (?P<OCT>0o[0-7]+)
   | (?P<FLOAT>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<INT>\d+)
   | (?P<STRING>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")
@@ -113,6 +115,18 @@ def tokenize(text: str) -> list[Token]:
             tokens.append(Token("PARAM", value[1:], pos))
         elif kind == "VAR":
             tokens.append(Token("VAR", value[1:], pos))
+        elif kind == "HEX":
+            # Cypher hex literal (openCypher grammar HexInteger); 64-bit
+            # two's-complement wraparound matches the reference's Java long
+            v = int(value, 16)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            tokens.append(Token("INT", str(v), pos))
+        elif kind == "OCT":
+            v = int(value, 8)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            tokens.append(Token("INT", str(v), pos))
         else:
             tokens.append(Token(kind, value, pos))
         pos = m.end()

@@ -942,15 +942,39 @@ class Parser:
         return self.parse_comparison()
 
     def parse_comparison(self) -> ast.Expr:
-        left = self.parse_concat()
-        if self.cur.kind == "OP" and self.cur.value in _CMP_OPS:
+        """Comparison level.  openCypher precedence: string/list/null
+        predicates (IN, IS NULL, STARTS WITH, …) bind TIGHTER than
+        comparison operators, and comparisons chain as conjunctions
+        (``a < b < c`` ≡ ``a < b AND b < c`` — openCypher grammar
+        ComparisonExpression / StringListNullPredicateExpression)."""
+        left = self.parse_predicate()
+        if not (self.cur.kind == "OP" and self.cur.value in _CMP_OPS):
+            return left
+        out = None
+        prev = left
+        while self.cur.kind == "OP" and self.cur.value in _CMP_OPS:
             op = self.advance().value
-            right = self.parse_concat()
+            right = self.parse_predicate()
             if op == "==":
                 op = "="
             if op == "<>":
                 op = "!="
-            return ast.Bin(op, left, right)
+            cmp_ = ast.Bin(op, prev, right)
+            out = cmp_ if out is None else ast.Bin("AND", out, cmp_)
+            prev = right
+            if not self.cypher:
+                break  # SQL dialect: single comparison, no chaining
+        return out
+
+    def parse_predicate(self) -> ast.Expr:
+        left = self.parse_concat()
+        while True:
+            nxt = self._parse_one_postfix_predicate(left)
+            if nxt is None:
+                return left
+            left = nxt
+
+    def _parse_one_postfix_predicate(self, left: ast.Expr) -> "ast.Expr | None":
         if self.at_kw("IS"):
             self.advance()
             negated = self.eat_kw("NOT")
@@ -1010,7 +1034,7 @@ class Parser:
             if self.at_kw(kw):
                 self.advance()
                 return ast.Contains(left, self.parse_concat(), mode)
-        return left
+        return None  # no postfix predicate at the cursor
 
     def _parse_in(self, left: ast.Expr, negated: bool) -> ast.Expr:
         if self.at_op("("):

@@ -29,6 +29,7 @@ class Scenario:
     skip: str | None = None  # reason this scenario is out of scope
     expect_error: bool = False  # "Then a XError should be raised …"
     params: dict = field(default_factory=dict)  # "And parameters are:"
+    procedures: list = field(default_factory=list)  # fixture procedures
 
 
 def _parse_docstring(lines, i):
@@ -140,6 +141,34 @@ def canon_entity(v):
     return None
 
 
+_PROC_SIG_RE = re.compile(
+    r"And there exists a procedure\s+(?P<name>[\w.]+)\s*"
+    r"\((?P<ins>[^)]*)\)\s*::\s*\((?P<outs>[^)]*)\)\s*:?\s*$"
+)
+
+
+def _sig_cols(spec: str) -> list[tuple[str, str]]:
+    cols = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, typ = part.partition("::")
+        cols.append((name.strip(), typ.strip()))
+    return cols
+
+
+def _parse_procedure(m, table) -> dict:
+    ins = _sig_cols(m.group("ins"))
+    outs = _sig_cols(m.group("outs"))
+    rows = []
+    if table and any(c for c in table[0]):
+        header, *vals = table
+        for r in vals:
+            rows.append({h: parse_value(c) for h, c in zip(header, r)})
+    return {"name": m.group("name"), "in": ins, "out": outs, "rows": rows}
+
+
 def _split_top(s: str) -> list[str]:
     """Split on commas at nesting depth 0 (respects [], {}, quotes)."""
     parts, depth, cur, inq = [], 0, [], False
@@ -238,6 +267,17 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
         elif line.startswith(("And having executed", "When having executed")):
             text, i = _parse_docstring(lines, i + 1)
             cur.setup.append(text)
+        elif line.startswith("And there exists a procedure"):
+            m = _PROC_SIG_RE.match(line)
+            if not m:
+                cur.skip = cur.skip or f"unparseable procedure fixture: {line}"
+                i += 1
+                continue
+            table, i = _parse_table(lines, i + 1)
+            try:
+                cur.procedures.append(_parse_procedure(m, table))
+            except ValueError as e:
+                cur.skip = cur.skip or f"procedure fixture: {e}"
         elif line.startswith("And parameters are") or line.startswith("Given parameters"):
             table, i = _parse_table(lines, i + 1)
             try:
@@ -323,6 +363,8 @@ def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
         if not sc.query:
             return False, "SKIP: no query parsed"
         db = Database(spark)
+        for pr in sc.procedures:
+            db.register_table_procedure(pr["name"], pr["in"], pr["out"], pr["rows"])
         try:
             for stmt in sc.setup:
                 db.query(stmt, language="cypher", **sc.params)
@@ -343,6 +385,8 @@ def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
     except ValueError as e:
         return False, f"SKIP: {e}"
     db = Database(spark)
+    for pr in sc.procedures:
+        db.register_table_procedure(pr["name"], pr["in"], pr["out"], pr["rows"])
     try:
         for stmt in sc.setup:
             db.query(stmt, language="cypher", **sc.params)

@@ -194,7 +194,8 @@ def test_call_procedures(db):
     ).collect()
     assert rows[0]["n"] == 1650  # both-direction: 150 customers + 1500 orders
     tri = cy(
-        db, "CALL algo.triangleCount('INTERACTED') RETURN sum(triangles) AS t"
+        db, "CALL algo.triangleCount('INTERACTED') YIELD vid, triangles "
+            "RETURN sum(triangles) AS t"
     ).collect()[0]["t"]
     assert tri == 3 * 455  # corner-credited count on the fixture graph
     pr = cy(
