@@ -209,6 +209,7 @@ class CypherParser(Parser):
         ):
             # standalone write query (no leading MATCH)
             self._parse_writes()
+            self._parse_write_continuations()
             if self.at_kw("RETURN"):
                 self._write_return = self._parse_return_spec()
             return (None, [])
@@ -280,6 +281,7 @@ class CypherParser(Parser):
             self._match_for_write = (paths, where)
             self._write_stages = self._stages
             self._parse_writes()
+            self._parse_write_continuations()
             if self.at_kw("RETURN"):
                 self._write_return = self._parse_return_spec()
             return (None, [])
@@ -305,6 +307,41 @@ class CypherParser(Parser):
             limit=spec["limit"],
         )
         return (stmt, self._stages)
+
+    def _parse_write_continuations(self) -> None:
+        """``… write clauses WITH <proj> [MATCH …] write clauses …`` —
+        Cypher clause interleaving after a write (TCK clauses/create
+        Create3).  Each WITH opens a new block executed sequentially by
+        _execute_writes; projections are restricted to alias passthrough
+        (``*`` or ``a [AS b]`` lists) — expression projections after
+        writes are out of scope (documented)."""
+        self._write_blocks: list[dict] = []
+        while self._at_ident("WITH"):
+            self.advance()
+            keep: "str | list" = []
+            if self.at_op("*"):
+                self.advance()
+                keep = "*"
+            else:
+                keep = []
+                while True:
+                    nm = self.ident()
+                    al = nm
+                    if self.at_kw("AS"):
+                        self.advance()
+                        al = self.ident()
+                    keep.append((nm, al))
+                    if not self.eat_op(","):
+                        break
+            m_paths, m_where = self._parse_match_segment()
+            outer = self._writes
+            self._writes = []
+            self._parse_writes()
+            blk_writes, self._writes = self._writes, outer
+            self._write_blocks.append(
+                {"keep": keep, "match": (m_paths, m_where),
+                 "writes": blk_writes}
+            )
 
     def _parse_set_list(self) -> list:
         """Comma list of ``alias.prop = expr`` | ``alias += {map}`` |
@@ -789,7 +826,9 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
             df = df.filter(ExprCompiler(ctx).compile(stage["with_where"]))
         aliases = {
-            a for a in (_bare_alias(it) for it in stage["with_items"]) if a
+            (it.alias or it.expr.parts[0])
+            for it in stage["with_items"]
+            if isinstance(it.expr, ast.Chain) and len(it.expr.parts) == 1
         }
         env.clear()
         env.update(new_env)
@@ -832,7 +871,7 @@ def _literal_props(db, props, params) -> dict:
 
 def _apply_write(
     db, g, kind: str, path: ast.MatchPath, df, aliases, params,
-    on_create=(), on_match=(), bindings=None,
+    on_create=(), on_match=(), bindings=None, edge_bindings=None,
 ) -> int:
     """One CREATE/MERGE pattern: create/match each node, then one edge per
     step (per match row when endpoints are bound).  Reference:
@@ -849,12 +888,25 @@ def _apply_write(
 
     from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
 
+    if kind == "create" and not path.steps and path.root.alias:
+        a_ = path.root.alias
+        if a_ in (aliases or ()) or any(b[0] == a_ for b in (bindings or ())):
+            # CREATE (a) where a is already bound and the pattern adds no
+            # relationship: VariableAlreadyBound (TCK Create1 [13])
+            raise TranslateError(f"Variable '{a_}' already bound")
     nodes = [path.root] + [s.filter for s in path.steps]
     resolved: list[tuple[str, object]] = []  # ('bound', alias) | ('vid', vid)
     node_state: list[tuple] = []  # (alias, label, vid, 'created'|'matched')
     created = 0
     for node in nodes:
         if node.alias and node.alias in (aliases or ()):
+            if kind == "create" and (node.type_name or node.props):
+                # CREATE (a:L {p: v}) with a already bound: labels/props
+                # on a bound variable are a SyntaxError (TCK Create1)
+                raise TranslateError(
+                    f"Variable '{node.alias}' already bound — CREATE may "
+                    "reuse it only bare"
+                )
             resolved.append(("bound", node.alias))
             continue
         if node.alias:
@@ -864,6 +916,11 @@ def _apply_write(
                 (b for b in (bindings or ()) if b[0] == node.alias), None
             )
             if prev is not None:
+                if kind == "create" and (node.type_name or node.props):
+                    raise TranslateError(
+                        f"Variable '{node.alias}' already bound — CREATE "
+                        "may reuse it only bare"
+                    )
                 resolved.append(("vid", prev[2]))
                 continue
         # unlabeled nodes (Cypher `CREATE ()`) live under the internal "_"
@@ -942,6 +999,10 @@ def _apply_write(
                 if exists:
                     continue
             created += g.add_edge_rows(etype, [(a[1], b[1])], props=eprops)
+            if edge_bindings is not None and step.edge_alias:
+                edge_bindings.append(
+                    (step.edge_alias, etype, a[1], b[1], eprops)
+                )
         else:
             raise TranslateError("CREATE edge endpoints must be bound or literal")
     return created
@@ -1189,11 +1250,12 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             n += _apply_write(
                 db, g, w["kind"], path, df, aliases, params,
                 on_create=w.get("on_create", ()), on_match=w.get("on_match", ()),
-                bindings=write_bindings,
+                bindings=write_bindings, edge_bindings=edge_bindings,
             )
         return n
 
     write_bindings: list[tuple] = []
+    edge_bindings: list[tuple] = []  # (alias, etype, src, dst, props)
     match_paths = (getattr(p, "_match_for_write", None) or ((), None))[0]
     row_binds = None
     if write_stages and df is not None and not match_paths:
@@ -1236,9 +1298,12 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 for a, label, vid, props in binds:
                     if a:
                         alias_keys.setdefault(a, set()).update(props)
+            carry_cols = [c for c in df.columns if not c.startswith("__")]
             out_rows = []
             for r, binds in row_binds:
-                d = {c: r[c] for c in scalar_cols}
+                # carry every pipeline column (incl. bound node structs)
+                # so RETURN can project matched aliases after the write
+                d = {c: r[c] for c in carry_cols}
                 for a, label, vid, props in binds:
                     if a:
                         d[a] = Row(**{
@@ -1249,6 +1314,51 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             df = db.spark.createDataFrame(out_rows)
     else:
         n = sum(run_one(w) for w in p._writes)
+    # WITH-separated continuation blocks (Cypher clause interleaving):
+    # run sequentially; each block's MATCH sees the post-write graph.
+    # Cardinality deviation documented at _apply_write.
+    for blk in getattr(p, "_write_blocks", None) or []:
+        keep = blk["keep"]
+        if keep != "*":
+            renames = dict(keep)
+            write_bindings[:] = [
+                (renames[a], label, vid, props)
+                for (a, label, vid, props) in write_bindings
+                if a in renames
+            ]
+            if df is not None:
+                cols = [
+                    F.col(nm).alias(al) for nm, al in keep if nm in df.columns
+                ]
+                df = df.select(*cols) if cols else None
+            aliases = {al for nm, al in keep}
+            alias_label = {
+                renames[a]: l for a, l in alias_label.items() if a in renames
+            }
+            rel_alias = {
+                renames[a]: v for a, v in rel_alias.items() if a in renames
+            }
+        m_paths, m_where = blk["match"]
+        if m_paths or m_where is not None:
+            for path in m_paths:
+                for node in [path.root] + [s.filter for s in path.steps]:
+                    if node.alias and node.type_name:
+                        alias_label[node.alias] = node.type_name
+                prev = path.root
+                for s in path.steps:
+                    if s.edge_alias and s.max_hops == 1:
+                        etype = s.edge_types[0] if s.edge_types else None
+                        if s.method == "in":
+                            ends = (s.filter.alias, prev.alias)
+                        else:
+                            ends = (prev.alias, s.filter.alias)
+                        rel_alias[s.edge_alias] = (etype, *ends, s.method)
+                    prev = s.filter
+            df, aliases = combine_paths(
+                db, m_paths, m_where, params or {},
+                base=df, base_aliases=aliases if df is not None else set(),
+            )
+        n += sum(run_one(w) for w in blk["writes"])
     ret = getattr(p, "_write_return", None)
     if ret is not None:
         from arcadedb_spark.graph.match import project_stage
@@ -1281,6 +1391,17 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             for k, v in props.items():
                 fields.append(F.lit(v).alias(k))
             cols.append(F.struct(*fields).alias(alias))
+        for alias, etype, srcv, dstv, eprops in edge_bindings:
+            if alias in seen:
+                continue
+            seen.add(alias)
+            fields = [
+                F.lit(etype).alias("etype"),
+                F.lit(srcv).alias("src"), F.lit(dstv).alias("dst"),
+            ]
+            for k, v in eprops.items():
+                fields.append(F.lit(v).alias(k))
+            cols.append(F.struct(*fields).alias(alias))
         if not cols:
             raise TranslateError("RETURN after write needs node aliases")
         frame = db.spark.range(1).select(*cols)
@@ -1296,7 +1417,12 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             group_by=group_by, order_by=ret["order_by"],
             skip=ret["skip"], limit=ret["limit"],
         )
-    return db.spark.createDataFrame([(n,)], "count long")
+    # Cypher semantics: a write query without RETURN yields an empty
+    # result (TCK clauses/create "the result should be empty"); mutation
+    # counts surface via the SQL DML path, not Cypher
+    from pyspark.sql.types import StructType
+
+    return db.spark.createDataFrame([], StructType([]))
 
 
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:

@@ -292,6 +292,10 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
             "When executing control query"
         ):
             text, i = _parse_docstring(lines, i + 1)
+            if cur.query:
+                # several executed queries per scenario (write, then a
+                # control query verifying it): earlier ones are setup
+                cur.setup.append(cur.query)
             cur.query = text
         elif line.startswith("Then the result should be empty"):
             cur.expect = []

@@ -143,9 +143,11 @@ def test_create_and_merge(db):
     cy(db, "CREATE (a:Proj {name: 'apollo'})-[:OWNED_BY]->(b:Team {name: 'core'})")
     rows = cy(db, "MATCH (p:Proj)-[:OWNED_BY]->(t:Team) RETURN p.name AS p, t.name AS t").collect()
     assert [(r["p"], r["t"]) for r in rows] == [("apollo", "core")]
-    # MERGE: idempotent on existing, creates when absent
-    assert cy(db, "MERGE (a:Proj {name: 'apollo'})").collect()[0]["count"] == 0
-    assert cy(db, "MERGE (a:Proj {name: 'gemini'})").collect()[0]["count"] == 1
+    # MERGE: idempotent on existing, creates when absent (write queries
+    # return an empty frame — Cypher semantics — so verify by re-query)
+    assert cy(db, "MERGE (a:Proj {name: 'apollo'})").collect() == []
+    assert cy(db, "MATCH (p:Proj) RETURN count(*) AS n").collect()[0]["n"] == 1
+    assert cy(db, "MERGE (a:Proj {name: 'gemini'})").collect() == []
     names = sorted(r["n"] for r in cy(db, "MATCH (p:Proj) RETURN p.name AS n").collect())
     assert names == ["apollo", "gemini"]
 
@@ -173,13 +175,11 @@ def test_collect_unwind_roundtrip(db):
 
 def test_set_and_detach_delete(db):
     cy(db, "CREATE (a:Widget {name: 'w1', price: 10.0}), (b:Widget {name: 'w2', price: 20.0})")
-    n = cy(db, "MATCH (i:Widget) WHERE i.price > 15 SET i.price = i.price * 2").collect()[0]["count"]
-    assert n == 1
+    cy(db, "MATCH (i:Widget) WHERE i.price > 15 SET i.price = i.price * 2").collect()
     prices = {r["n"]: r["p"] for r in cy(db, "MATCH (i:Widget) RETURN i.name AS n, i.price AS p").collect()}
     assert prices == {"w1": 10.0, "w2": 40.0}
     cy(db, "CREATE (x:Widget {name: 'junk', price: 1.0})-[:WREL]->(y:Widget {name: 'keep', price: 2.0})")
-    nd = cy(db, "MATCH (i:Widget) WHERE i.name = 'junk' DETACH DELETE i").collect()[0]["count"]
-    assert nd == 1
+    cy(db, "MATCH (i:Widget) WHERE i.name = 'junk' DETACH DELETE i").collect()
     remaining = sorted(r["n"] for r in cy(db, "MATCH (i:Widget) RETURN i.name AS n").collect())
     assert remaining == ["keep", "w1", "w2"]
     # incident edge removed with the vertex
@@ -245,10 +245,9 @@ def test_create_edge_properties(db):
 
 def test_merge_edge_idempotent(db):
     cy(db, "CREATE (a:Srv {name: 's1'}), (b:Srv {name: 's2'})")
-    n1 = cy(db, "MERGE (a:Srv {name: 's1'})-[:LINKS]->(b:Srv {name: 's2'})").collect()[0]["count"]
-    assert n1 == 1  # nodes matched, one edge created
-    n2 = cy(db, "MERGE (a:Srv {name: 's1'})-[:LINKS]->(b:Srv {name: 's2'})").collect()[0]["count"]
-    assert n2 == 0  # second MERGE is a no-op
+    cy(db, "MERGE (a:Srv {name: 's1'})-[:LINKS]->(b:Srv {name: 's2'})").collect()
+    assert db.graph().edges("LINKS").count() == 1  # nodes matched, one edge created
+    cy(db, "MERGE (a:Srv {name: 's1'})-[:LINKS]->(b:Srv {name: 's2'})").collect()
     assert db.graph().edges("LINKS").count() == 1
 
 
@@ -267,8 +266,7 @@ def test_foreach_set_over_match(db):
 
 def test_set_relationship_property(db):
     cy(db, "CREATE (a:Hub {name: 'h1'})-[r:WIRE {cap: 10}]->(b:Hub {name: 'h2'})")
-    n = cy(db, "MATCH (a:Hub {name: 'h1'})-[r:WIRE]->(b:Hub) SET r.cap = r.cap * 5, r.checked = true")
-    assert n.collect()[0]["count"] == 1
+    cy(db, "MATCH (a:Hub {name: 'h1'})-[r:WIRE]->(b:Hub) SET r.cap = r.cap * 5, r.checked = true").collect()
     e = db.graph().edges("WIRE").collect()
     assert len(e) == 1 and e[0]["cap"] == 50 and e[0]["checked"] is True
     # other edge types untouched
