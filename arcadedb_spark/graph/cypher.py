@@ -323,24 +323,19 @@ class CypherParser(Parser):
                 self.advance()
                 keep = "*"
             else:
-                keep = []
-                while True:
-                    nm = self.ident()
-                    al = nm
-                    if self.at_kw("AS"):
-                        self.advance()
-                        al = self.ident()
-                    keep.append((nm, al))
-                    if not self.eat_op(","):
-                        break
+                keep = self.parse_projection_list()
+            where_post = None
+            if self.at_kw("WHERE"):
+                self.advance()
+                where_post = self.parse_expr()
             m_paths, m_where = self._parse_match_segment()
             outer = self._writes
             self._writes = []
             self._parse_writes()
             blk_writes, self._writes = self._writes, outer
             self._write_blocks.append(
-                {"keep": keep, "match": (m_paths, m_where),
-                 "writes": blk_writes}
+                {"keep": keep, "where_post": where_post,
+                 "match": (m_paths, m_where), "writes": blk_writes}
             )
 
     def _parse_set_list(self) -> list:
@@ -855,7 +850,7 @@ def _ast_literal(e, params):
 
 def _literal_props(db, props, params) -> dict:
     from arcadedb_spark.sql.litreg import value_of
-    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
 
     out = {}
     for k, e in props:
@@ -864,6 +859,13 @@ def _literal_props(db, props, params) -> dict:
             continue
         except ValueError:
             pass
+        if isinstance(e, ast.Chain) and len(e.parts) == 1:
+            # a bare identifier in a literal property map is an undefined
+            # variable (bound variables were substituted upstream) —
+            # SyntaxError: UndefinedVariable (TCK Create1)
+            raise TranslateError(
+                f"Undefined variable '{e.parts[0]}' in property map"
+            )
         col = ExprCompiler(Ctx(db=db, params=params or {})).compile(e)
         out[k] = value_of(col)
     return out
@@ -888,11 +890,11 @@ def _apply_write(
 
     from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
 
-    if kind == "create" and not path.steps and path.root.alias:
+    if kind in ("create", "merge") and not path.steps and path.root.alias:
         a_ = path.root.alias
         if a_ in (aliases or ()) or any(b[0] == a_ for b in (bindings or ())):
-            # CREATE (a) where a is already bound and the pattern adds no
-            # relationship: VariableAlreadyBound (TCK Create1 [13])
+            # CREATE/MERGE (a) where a is already bound and the pattern
+            # adds no relationship: VariableAlreadyBound (TCK Create1/Merge1)
             raise TranslateError(f"Variable '{a_}' already bound")
     nodes = [path.root] + [s.filter for s in path.steps]
     resolved: list[tuple[str, object]] = []  # ('bound', alias) | ('vid', vid)
@@ -926,6 +928,18 @@ def _apply_write(
         # unlabeled nodes (Cypher `CREATE ()`) live under the internal "_"
         # label; labels() reports them as label-less
         label = node.type_name or "_"
+        if kind == "merge":
+            # MERGE cannot match/create on a LITERAL null property
+            # (SemanticError, TCK Merge1); non-literal expressions that
+            # merely fail driver evaluation are not nulls
+            for k_, e_ in node.props:
+                try:
+                    if _ast_literal(e_, params) is None:
+                        raise TranslateError(
+                            "Cannot MERGE with a null property value"
+                        )
+                except ValueError:
+                    pass
         props = _literal_props(db, node.props, params)
         # Cypher: setting a property to null means "absent"
         props = {k: v for k, v in props.items() if v is not None}
@@ -961,14 +975,66 @@ def _apply_write(
         for alias, label, vid, state in node_state:
             if state != want or alias is None or alias not in per_alias:
                 continue
-            vdf = g.vertices(label)
-            ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))
-            compiled = [
-                (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
-                for prop, e in per_alias[alias]
-            ]
             matched = db.spark.createDataFrame([(vid,)], "vid long")
-            g.update_vertices(label, matched, compiled)
+            label_ops = [
+                (prop, e) for prop, e in per_alias[alias]
+                if prop in ("@set_label", "@remove_label")
+            ]
+            prop_ops = [
+                (prop, e) for prop, e in per_alias[alias]
+                if prop not in ("@set_label", "@remove_label")
+            ]
+            cur_label = label
+            for prop, e in label_ops:
+                for key in _storage_keys(g, cur_label):
+                    if prop == "@set_label":
+                        g.set_label(key, matched, e.value)
+                    else:
+                        g.remove_label(key, matched, e.value)
+                parts = [p_ for p_ in cur_label.split(":") if p_ != "_"]
+                if prop == "@set_label" and e.value.lower() not in (
+                    p_.lower() for p_ in parts
+                ):
+                    parts.append(e.value)
+                elif prop == "@remove_label":
+                    parts = [
+                        p_ for p_ in parts if p_.lower() != e.value.lower()
+                    ]
+                cur_label = ":".join(parts) or "_"
+            if label_ops and bindings is not None:
+                for j, b in enumerate(bindings):
+                    if b[0] == alias and b[2] == vid:
+                        bindings[j] = (b[0], cur_label, b[2], b[3])
+            if not prop_ops:
+                continue
+            # the node may have moved storage keys after a label op
+            keys = _storage_keys(g, cur_label) or [cur_label]
+            for key in keys:
+                vdf = g.vertices(key)
+                ctx = Ctx(
+                    db=db, params=params or {}, columns=tuple(vdf.columns)
+                )
+                compiled = [
+                    (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
+                    for prop, e in prop_ops
+                ]
+                g.update_vertices(key, matched, compiled)
+            # refresh the driver-side binding so RETURN over the no-frame
+            # path sees ON CREATE/ON MATCH values
+            if bindings is not None:
+                evaluated = {}
+                for prop, e in prop_ops:
+                    try:
+                        evaluated[prop] = _ast_literal(
+                            _strip_alias(e, alias), params
+                        )
+                    except ValueError:
+                        pass
+                for j, b in enumerate(bindings):
+                    if b[0] == alias and b[2] == vid:
+                        bindings[j] = (
+                            b[0], b[1], b[2], {**b[3], **evaluated}
+                        )
     for i, step in enumerate(path.steps):
         etype = step.edge_types[0] if step.edge_types else "RELATED"
         eprops = _literal_props(db, step.edge_props, params)
@@ -1110,6 +1176,15 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 db, paths, where, params or {},
                 base=stage_df, base_aliases=stage_aliases,
             )
+            # pattern-declared aliases count as bound even when the match
+            # frame is empty (CREATE (a) after MATCH (a) must still be a
+            # VariableAlreadyBound error on an empty graph)
+            aliases = set(aliases) | {
+                node.alias
+                for path in paths
+                for node in [path.root] + [s.filter for s in path.steps]
+                if node.alias
+            }
         else:
             df, aliases = stage_df, stage_aliases
     elif stage_df is not None:
@@ -1237,6 +1312,18 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     ).filter(F.col("src").isNotNull())
                     n += g.remove_edges(etype, pairs)
                     continue
+                if alias in df.columns:
+                    from pyspark.sql.types import StructType as _St
+
+                    ftype = df.schema[alias].dataType
+                    if isinstance(ftype, _St) and "vids" in ftype.names:
+                        # DETACH DELETE p on a path variable: remove every
+                        # vertex on the path (incident edges go with them)
+                        matched = df.select(
+                            F.explode(F.col(f"{alias}.vids")).alias("vid")
+                        )
+                        n += g.remove_vertices_any(matched)
+                        continue
                 label = alias_label.get(alias)
                 matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
                     F.col("vid").isNotNull()
@@ -1320,24 +1407,59 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     for blk in getattr(p, "_write_blocks", None) or []:
         keep = blk["keep"]
         if keep != "*":
-            renames = dict(keep)
+            # bare single-part-chain items pass entity bindings through
+            # (renamed); expression items need a frame to project over
+            renames = {
+                it.expr.parts[0]: (it.alias or it.expr.parts[0])
+                for it in keep
+                if isinstance(it.expr, ast.Chain) and len(it.expr.parts) == 1
+            }
+            all_bare = len(renames) == len(keep)
             write_bindings[:] = [
                 (renames[a], label, vid, props)
                 for (a, label, vid, props) in write_bindings
                 if a in renames
             ]
-            if df is not None:
+            if df is not None and all_bare:
                 cols = [
-                    F.col(nm).alias(al) for nm, al in keep if nm in df.columns
+                    F.col(nm).alias(al)
+                    for nm, al in renames.items()
+                    if nm in df.columns
                 ]
                 df = df.select(*cols) if cols else None
-            aliases = {al for nm, al in keep}
+            elif not all_bare:
+                if df is None:
+                    raise TranslateError(
+                        "WITH expressions after a write need a match frame"
+                    )
+                from arcadedb_spark.graph.match import project_stage
+
+                items = [
+                    ast.ProjItem(
+                        it.expr,
+                        it.alias or _bare_alias(it) or f"__w{i}",
+                    )
+                    for i, it in enumerate(keep)
+                ]
+                group_by: tuple = ()
+                if any(_contains_aggregate(it.expr) for it in items):
+                    group_by = tuple(
+                        it.expr for it in items
+                        if not _contains_aggregate(it.expr)
+                    )
+                df = project_stage(
+                    db, df, items, params or {}, group_by=group_by
+                )
+            aliases = set(renames.values())
             alias_label = {
                 renames[a]: l for a, l in alias_label.items() if a in renames
             }
             rel_alias = {
                 renames[a]: v for a, v in rel_alias.items() if a in renames
             }
+        if blk.get("where_post") is not None and df is not None:
+            ctx = Ctx(db=db, params=params or {}, columns=tuple(df.columns))
+            df = df.filter(ExprCompiler(ctx).compile(blk["where_post"]))
         m_paths, m_where = blk["match"]
         if m_paths or m_where is not None:
             for path in m_paths:
@@ -1364,6 +1486,41 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         from arcadedb_spark.graph.match import project_stage
 
         if df is not None:
+            # relationship aliases written between bound endpoints become
+            # struct columns so RETURN r / count(r) resolves
+            # (MergeStep.java yields the merged relationship)
+            all_specs = list(p._writes) + [
+                w for blk in (getattr(p, "_write_blocks", None) or [])
+                for w in blk["writes"]
+            ]
+            for w in all_specs:
+                if w.get("kind") not in ("create", "merge"):
+                    continue
+                for path in w.get("patterns", ()):
+                    prev_n = path.root
+                    for s in path.steps:
+                        ea, eb = prev_n.alias, s.filter.alias
+                        prev_n = s.filter
+                        if not s.edge_alias or s.edge_alias in df.columns:
+                            continue
+                        if s.method == "in":
+                            ea, eb = eb, ea
+                        if ea in df.columns and eb in df.columns:
+                            etype = (
+                                s.edge_types[0] if s.edge_types else "RELATED"
+                            )
+                            fields = [
+                                F.lit(etype).alias("etype"),
+                                F.col(f"{ea}.vid").alias("src"),
+                                F.col(f"{eb}.vid").alias("dst"),
+                            ]
+                            for k, v in _literal_props(
+                                db, s.edge_props, params
+                            ).items():
+                                fields.append(F.lit(v).alias(k))
+                            df = df.withColumn(
+                                s.edge_alias, F.struct(*fields)
+                            )
             # MATCH … write … RETURN: project over the match frame (one
             # result row per matched row, Cypher cardinality; property
             # reads see the pre-write snapshot — documented deviation for

@@ -191,17 +191,28 @@ def _split_top(s: str) -> list[str]:
 
 
 def _split_blocks(lines: list[str]) -> list[tuple[str, str, list[str]]]:
-    """[(kind, name, body-lines)] for each Scenario / Scenario Outline."""
+    """[(kind, name, body-lines)] for each Scenario / Scenario Outline.
+    A ``Background:`` block's steps are prepended to every scenario in
+    the feature (standard Gherkin semantics)."""
     blocks = []
+    background: list[str] = []
     cur = None
+    in_background = False
     for line in lines:
         s = line.strip()
-        if s.startswith("Scenario Outline:"):
-            cur = ("outline", s.split(":", 1)[1].strip(), [])
+        if s.startswith("Background:"):
+            in_background = True
+            cur = None
+        elif s.startswith("Scenario Outline:"):
+            in_background = False
+            cur = ("outline", s.split(":", 1)[1].strip(), list(background))
             blocks.append(cur)
         elif s.startswith("Scenario:"):
-            cur = ("scenario", s.split(":", 1)[1].strip(), [])
+            in_background = False
+            cur = ("scenario", s.split(":", 1)[1].strip(), list(background))
             blocks.append(cur)
+        elif in_background:
+            background.append(line)
         elif cur is not None:
             cur[2].append(line)
     return blocks
