@@ -1444,21 +1444,53 @@ def q_knn_ivf(spark, sf_dir):
 
 @query(
     "q_multimodal_features",
-    oracle="SELECT doc_id AS id, 8 AS n_features FROM documents",
+    # the byte-statistics feature kernel (multimodal/codecs.byte_features)
+    # re-derived independently in SQL: full VALUE check, not just shape.
+    # Restricted to ASCII docs so char ops == byte ops on both engines.
+    oracle=r"""
+    WITH ascii_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE NOT regexp_matches(text, '[^\x01-\x7F]') AND length(text) > 0
+    )
+    SELECT doc_id AS id,
+      CAST(strlen(text) AS DOUBLE) AS f_len,
+      round(CAST(list_sum(list_transform(string_split(text, ''),
+                                         x -> ord(x))) AS DOUBLE)
+            / strlen(text), 3) + 0.0 AS f_mean_byte,
+      round(CAST(strlen(text)
+                 - strlen(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+                 AS DOUBLE) / strlen(text), 4) + 0.0 AS f_ws,
+      round(CAST(strlen(text)
+                 - strlen(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS DOUBLE) / strlen(text), 4) + 0.0 AS f_digit,
+      round(CAST(strlen(text)
+                 - strlen(regexp_replace(text, '[a-z]', '', 'g'))
+                 AS DOUBLE) / strlen(text), 4) + 0.0 AS f_lower,
+      CAST(length(list_distinct(string_split(text, ''))) AS DOUBLE)
+        AS f_distinct
+    FROM ascii_docs
+    """,
 )
 def q_multimodal_features(spark, sf_dir):
-    """Decode is a deterministic stub, so the checkable contract is the
-    Spark-side plumbing: one output row per input blob, feature vector
-    of exactly `dim` floats, id preserved through mapInPandas — which
-    the count/size/id oracle pins exactly."""
+    """Multimodal feature extraction with the REAL byte-statistics kernel
+    (multimodal/codecs.byte_features over mapInPandas Arrow batches);
+    every emitted value is re-derived by the DuckDB oracle."""
     from arcadedb_spark.multimodal import extract_features
 
     docs = _db(spark, sf_dir).table("documents")
-    media = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("blob")
-    )
-    return extract_features(media, "blob", "doc_id", dim=8).select(
-        "id", F.size("features").alias("n_features")
+    media = docs.filter(
+        ~F.col("text").rlike("[^\x01-\x7F]") & (F.length("text") > 0)
+    ).select("doc_id", F.col("text").cast("binary").alias("blob"))
+    feats = extract_features(media, "blob", "doc_id", dim=8)
+    f = lambda i: F.element_at("features", i).cast("double")  # noqa: E731
+    return feats.select(
+        "id",
+        f(1).alias("f_len"),
+        (F.round(f(2), 3) + F.lit(0.0)).alias("f_mean_byte"),
+        (F.round(f(3), 4) + F.lit(0.0)).alias("f_ws"),
+        (F.round(f(4), 4) + F.lit(0.0)).alias("f_digit"),
+        (F.round(f(5), 4) + F.lit(0.0)).alias("f_lower"),
+        f(7).alias("f_distinct"),
     )
 
 

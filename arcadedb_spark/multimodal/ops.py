@@ -1,4 +1,5 @@
-"""Multimodal column operators — real Spark plumbing, stubbed decode.
+"""Multimodal column operators — Arrow-batched Spark plumbing with REAL
+pure-stdlib decode kernels (multimodal/codecs.py).
 
 Shape contract for media columns:
     media: binary                      -- opaque encoded bytes
@@ -7,10 +8,21 @@ Shape contract for media columns:
 
 Decode / feature extraction run as ``mapInPandas`` (Arrow batches — the
 only sane way to move binary blobs through Python), partition-preserving,
-one Python worker per core.  The decode kernel itself is a STUB: this
-container has no image/audio libs, so `_decode_stub` produces a
-deterministic fake (seeded by content hash).  Replace `_decode_stub` with
-a PIL/libav call to go real — nothing else changes.
+one Python worker per core.  Kernel dispatch sniffs the content:
+
+- PNG (``\\x89PNG``)  → real pixel decode → luminance histogram features
+- WAV (``RIFF…WAVE``) → real sample decode → RMS/ZCR/FFT-band features
+- anything else       → byte-statistics features (len, mean byte, char-
+  class fractions, distinct bytes) — real content statistics, each
+  re-derivable in SQL, NOT hash noise
+
+Video decode stays out of scope (no stdlib codec); ``sample_frames``
+documents its fingerprint stub for video MIME types.
+
+Reference surface: the reference stores media as BINARY properties and
+runs feature pipelines through its Java API (engine/src/main/java/com/
+arcadedb/database/Binary.java record blobs); there is no decode kernel
+to mirror — this module is the north-star LLM-pipeline operator set.
 """
 
 from __future__ import annotations
@@ -23,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from arcadedb_spark.multimodal import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -49,23 +63,29 @@ def attach_media_metadata(df: DataFrame, binary_col: str, mime: str) -> DataFram
     )
 
 
-def _decode_stub(data: bytes, dim: int) -> np.ndarray:
-    """STUB decode: deterministic pseudo-features from a content hash.
-
-    Real implementation would be e.g. PIL.Image.open + model forward;
-    raise NotImplementedError here if silent fakes are unacceptable.
-    """
+def decode_features(data: bytes, dim: int) -> np.ndarray:
+    """Content-sniffing feature kernel (see module docstring)."""
     if data is None:
-        return np.zeros(dim, dtype=np.float32)
-    seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big") % (2**31)
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+        return np.zeros(dim, dtype=np.float64)
+    if codecs.is_png(data):
+        try:
+            return codecs.image_features(codecs.png_decode(data), dim)
+        except ValueError:
+            return codecs.byte_features(data, dim)
+    if codecs.is_wav(data):
+        try:
+            rate, samples = codecs.wav_decode(data)
+            return codecs.audio_features(rate, samples, dim)
+        except Exception:  # noqa: BLE001 — malformed RIFF falls back
+            return codecs.byte_features(data, dim)
+    return codecs.byte_features(data, dim)
 
 
 def extract_features(
     df: DataFrame, binary_col: str, id_col: str, dim: int = 16
 ) -> DataFrame:
-    """binary column → feature vector via Arrow-batched mapInPandas.
+    """binary column → float64 feature vector via Arrow-batched mapInPandas
+    (float64 keeps the values exactly SQL-re-derivable for the oracle).
 
     Output: (id, features: array<float>).  Batch shape: the iterator
     yields one pandas frame per Arrow batch — memory stays bounded by
@@ -75,14 +95,14 @@ def extract_features(
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _decode_stub(b, dim).tolist() for b in pdf[binary_col]
+                decode_features(b, dim).tolist() for b in pdf[binary_col]
             ]
             yield pd.DataFrame({"id": pdf[id_col], "features": feats})
 
@@ -94,9 +114,11 @@ def extract_features(
 def sample_frames(
     df: DataFrame, binary_col: str, id_col: str, n_frames: int = 4
 ) -> DataFrame:
-    """Video frame sampling (STUB decode): one row per sampled frame with
-    a deterministic frame fingerprint — exercises the explode-after-
-    mapInPandas shape a real frame sampler uses."""
+    """Frame sampling.  Still images (PNG) are their own single real
+    frame: frame 0 carries a pixel-content hash (decode-verified), the
+    remaining samples repeat it (a still is a constant video).  For true
+    video containers no stdlib codec exists — those rows get a
+    content-hash fingerprint per frame slot (STUB, documented)."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -105,15 +127,29 @@ def sample_frames(
         ]
     )
 
+    def _frame_hash(blob: bytes) -> int:
+        if blob is None:
+            return 0
+        if codecs.is_png(blob):
+            try:  # hash of the DECODED pixels — codec-verified identity
+                px = codecs.png_decode(blob)
+                return (
+                    int.from_bytes(
+                        hashlib.sha256(px.tobytes()).digest()[:8], "big"
+                    )
+                    % (2**62)
+                )
+            except ValueError:
+                pass
+        return int.from_bytes(hashlib.sha256(blob).digest()[:8], "big") % (
+            2**62
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, frames, hashes = [], [], []
             for rid, blob in zip(pdf[id_col], pdf[binary_col]):
-                h = (
-                    int.from_bytes(hashlib.sha256(blob or b"").digest()[:8], "big")
-                    if blob is not None
-                    else 0
-                )
+                h = _frame_hash(blob)
                 for f_ in range(n_frames):
                     ids.append(rid)
                     frames.append(f_)
@@ -128,11 +164,10 @@ def sample_frames(
 def resize_images(
     df: DataFrame, binary_col: str, id_col: str, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """Image resize plumbing (STUB decode): emits the resized-blob column
-    shape a real decoder would produce — (id, resized: binary, width,
-    height).  The stub round-trips the content hash so downstream exact-
-    dedup over resized blobs is deterministic; swap ``_resize_stub`` for
-    a PIL/OpenCV call on clusters that have the codecs."""
+    """Real image resize for PNG blobs: decode → nearest-neighbour
+    resample → re-encode PNG.  Non-PNG blobs yield a null ``resized``
+    column (no codec available — explicit, not faked).
+    Output: (id, resized: binary, width, height)."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -142,17 +177,21 @@ def resize_images(
         ]
     )
 
-    def _resize_stub(blob: bytes) -> bytes:
-        # deterministic fake: hash-derived bytes of the target size class
-        h = hashlib.sha256(blob or b"").digest()
-        return h * ((width * height * 3 // len(h)) % 64 + 1)
+    def _resize(blob: bytes) -> bytes | None:
+        if blob is None or not codecs.is_png(blob):
+            return None
+        try:
+            px = codecs.png_decode(blob)
+        except ValueError:
+            return None
+        return codecs.png_encode(codecs.resize_nearest(px, width, height))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "resized": [_resize_stub(b) for b in pdf[binary_col]],
+                    "resized": [_resize(b) for b in pdf[binary_col]],
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
                 }

@@ -1,44 +1,190 @@
-"""Multimodal plumbing tests: schema/batching real, decode stubbed."""
+"""Multimodal operator tests: real PNG/WAV decode kernels + Arrow
+plumbing (schemas, batching, determinism)."""
 
 from __future__ import annotations
 
+import io
+import wave
+
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
+
+from arcadedb_spark.multimodal import codecs
+
+
+def _png_blob(seed: int, w: int = 16, h: int = 12) -> bytes:
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return codecs.png_encode(px)
+
+
+def _wav_blob(freq: float, rate: int = 8000, secs: float = 0.25) -> bytes:
+    t = np.arange(int(rate * secs)) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
 
 
 def _media(spark):
-    rows = [(i, bytes([i % 251]) * (100 + i)) for i in range(20)]
+    """Mixed-modality fixture: PNG images, WAV audio, raw text bytes."""
+    rows = []
+    for i in range(6):
+        rows.append((i, _png_blob(i)))
+    for i in range(6, 12):
+        rows.append((i, _wav_blob(100.0 * (i - 4))))
+    for i in range(12, 20):
+        rows.append((i, (f"document {i} " * (i + 1)).encode()))
     return spark.createDataFrame(rows, "media_id long, blob binary")
 
 
-def test_extract_features_shape(spark):
+# -- codec unit tests (no Spark) --------------------------------------------
+
+
+def test_png_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, size=(9, 13, ch), dtype=np.uint8)
+        back = codecs.png_decode(codecs.png_encode(px))
+        assert back.shape == (9, 13, ch)
+        assert np.array_equal(back, px)
+
+
+def test_png_filtered_rows_decode():
+    # hand-build a PNG using Sub(1), Up(2), Average(3), Paeth(4) filters —
+    # the decoder must invert every filter type, not just 0
+    import struct
+    import zlib
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3) * 3 % 256
+
+    def filt(ftype, cur, prev, ch=3):
+        cur = cur.astype(np.int32)
+        prev = prev.astype(np.int32)
+        out = np.empty_like(cur)
+        for x in range(cur.size):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 1:
+                out[x] = (cur[x] - left) & 0xFF
+            elif ftype == 2:
+                out[x] = (cur[x] - up) & 0xFF
+            elif ftype == 3:
+                out[x] = (cur[x] - ((left + up) >> 1)) & 0xFF
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out[x] = (cur[x] - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    rows = []
+    prev = np.zeros(15, dtype=np.uint8)
+    for y, ftype in enumerate((1, 2, 3, 4)):
+        cur = px[y].reshape(-1)
+        rows.append(bytes([ftype]) + filt(ftype, cur, prev).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.png_decode(blob), px)
+
+
+def test_wav_decode_spectrum():
+    rate, samples = codecs.wav_decode(_wav_blob(440.0, rate=8000, secs=0.5))
+    assert rate == 8000 and samples.size == 4000
+    # dominant FFT bin ≈ 440 Hz
+    spec = np.abs(np.fft.rfft(samples))
+    peak_hz = float(np.argmax(spec)) * rate / samples.size
+    assert abs(peak_hz - 440.0) < 5.0
+
+
+def test_resize_nearest_known():
+    px = np.array([[0, 255], [128, 64]], dtype=np.uint8)[:, :, None]
+    up = codecs.resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 1)
+    assert up[0, 0, 0] == 0 and up[0, 3, 0] == 255 and up[3, 0, 0] == 128
+
+
+def test_byte_features_values():
+    f = codecs.byte_features(b"ab c1", dim=8)
+    assert f[0] == 5.0                       # length
+    assert f[2] == pytest.approx(1 / 5)      # whitespace fraction
+    assert f[3] == pytest.approx(1 / 5)      # digit fraction
+    assert f[4] == pytest.approx(3 / 5)      # lowercase fraction
+    assert f[6] == 5.0                       # distinct bytes
+
+
+# -- Spark plumbing ---------------------------------------------------------
+
+
+def test_extract_features_modalities(spark):
     from arcadedb_spark.multimodal.ops import extract_features
 
     df = _media(spark)
     out = extract_features(df, "blob", "media_id", dim=8)
-    rows = out.collect()
+    rows = {r["id"]: r["features"] for r in out.collect()}
     assert len(rows) == 20
-    assert all(len(r["features"]) == 8 for r in rows)
-    # deterministic: same content → same features
-    again = extract_features(df, "blob", "media_id", dim=8).collect()
-    assert {r["id"]: r["features"] for r in rows} == \
-        {r["id"]: r["features"] for r in again}
+    assert all(len(v) == 8 for v in rows.values())
+    # image features: width/height land in slots 2/3
+    assert rows[0][2] == 16.0 and rows[0][3] == 12.0
+    # audio features: sample rate lands in slot 3
+    assert rows[7][3] == 8000.0
+    # text features: byte length lands in slot 0
+    assert rows[12][0] > 0
+    # deterministic
+    again = {r["id"]: r["features"]
+             for r in extract_features(df, "blob", "media_id", dim=8).collect()}
+    assert rows == again
 
 
-def test_sample_frames_shape(spark):
+def test_sample_frames_decode_identity(spark):
     from arcadedb_spark.multimodal.ops import sample_frames
 
-    out = sample_frames(_media(spark), "blob", "media_id", n_frames=3)
+    df = _media(spark)
+    out = sample_frames(df, "blob", "media_id", n_frames=3)
     assert out.count() == 60
     per = out.groupBy("id").agg(F.countDistinct("frame_no").alias("n")).collect()
     assert all(r["n"] == 3 for r in per)
+    # PNG frame hash is pixel-derived: re-encoding the same pixels with a
+    # different compression level must not change it
+    px = codecs.png_decode(_png_blob(0))
+    import zlib as _z
+    alt = codecs.png_encode(px)  # identical pixels
+    two = spark.createDataFrame(
+        [(0, _png_blob(0)), (1, alt)], "media_id long, blob binary"
+    )
+    hashes = {r["id"]: r["frame_hash"]
+              for r in sample_frames(two, "blob", "media_id", n_frames=1).collect()}
+    assert hashes[0] == hashes[1]
 
 
-def test_resize_images_shape(spark):
+def test_resize_images_real(spark):
     from arcadedb_spark.multimodal.ops import resize_images
 
-    out = resize_images(_media(spark), "blob", "media_id", width=32, height=32)
-    rows = out.collect()
-    assert len(rows) == 20
-    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
-    # deterministic stub → exact dedup over resized blobs is stable
-    assert out.select("resized").distinct().count() == 20
+    df = _media(spark)
+    out = resize_images(df, "blob", "media_id", width=8, height=8).collect()
+    by_id = {r["id"]: r for r in out}
+    # PNG rows: resized is a valid PNG of the target size
+    for i in range(6):
+        resized = by_id[i]["resized"]
+        px = codecs.png_decode(bytes(resized))
+        assert px.shape == (8, 8, 3)
+    # non-image rows: explicit null, not a faked blob
+    assert by_id[12]["resized"] is None
