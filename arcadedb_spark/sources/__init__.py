@@ -11,7 +11,16 @@ from arcadedb_spark.sources.readers import (
     export_jsonl,
     read_glove,
     read_ntriples,
+    read_orientdb_export,
     read_word2vec,
+    read_xml,
 )
 
-__all__ = ["read_glove", "read_word2vec", "read_ntriples", "export_jsonl"]
+__all__ = [
+    "read_glove",
+    "read_word2vec",
+    "read_ntriples",
+    "read_xml",
+    "read_orientdb_export",
+    "export_jsonl",
+]

@@ -71,6 +71,136 @@ def export_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, object_nest_level: int = 1
+) -> DataFrame:
+    """XML import (XMLImporterFormat.java parity): every element at
+    ``object_nest_level`` below the root becomes one record; attributes
+    and simple-text children merge into a JSON ``_props`` string (the
+    schema-flexible convention shared with the Neo4j reader).
+
+    Distribution model: one task per FILE (`wholetext` read + Arrow
+    mapInPandas) — the importer use-case is many files; a single huge
+    XML file is inherently sequential to tokenize, same as the
+    reference's StAX stream.  For huge single files with a KNOWN row
+    tag, prefer Spark 4's native reader instead —
+    ``spark.read.format("xml").option("rowTag", tag)`` splits inside a
+    file and types columns; this function exists for the reference's
+    nest-LEVEL (tag-agnostic) semantics.  stdlib ElementTree ignores
+    DTDs and external entities, matching the reference's hardened
+    XMLInputFactory (XXE / entity-expansion protection)."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("tag", T.StringType()),
+            T.StructField("_props", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import xml.etree.ElementTree as ET
+
+        for pdf in it:
+            tags, props = [], []
+            for doc in pdf["value"]:
+                depth = 0
+                for ev, el in ET.iterparse(
+                    _io.StringIO(doc), events=("start", "end")
+                ):
+                    if ev == "start":
+                        depth += 1
+                        continue
+                    depth -= 1
+                    if depth != object_nest_level:
+                        continue
+                    rec = dict(el.attrib)
+                    for child in el:
+                        if len(child) == 0 and child.text is not None:
+                            rec[child.tag] = child.text.strip()
+                    tags.append(el.tag)
+                    props.append(json.dumps(rec, sort_keys=True))
+                    el.clear()  # stream: free the subtree
+            yield pd.DataFrame({"tag": tags, "_props": props})
+
+    raw = spark.read.text(path, wholetext=True)
+    return raw.mapInPandas(batches, schema)
+
+
+def read_orientdb_export(spark: SparkSession, path: str) -> DataFrame:
+    """OrientDB database-export JSON (OrientDBImporter.java:349-394:
+    top-level ``info``/``clusters``/``schema``/``records`` sections;
+    each record carries ``@class``, ``@rid``, ``@type``).
+
+    Returns (rid, class, rtype, _props) with the record body as a JSON
+    string.  ``.gz`` exports are decompressed inline.  One task per
+    file, like the reference's streaming importer."""
+    import gzip
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rid", T.StringType()),
+            T.StructField("class", T.StringType()),
+            T.StructField("rtype", T.StringType()),
+            T.StructField("_props", T.StringType()),
+        ]
+    )
+
+    binary = path.endswith(".gz")
+    reader = (
+        spark.read.format("binaryFile").load(path)
+        if binary
+        else spark.read.text(path, wholetext=True)
+    )
+    col = "content" if binary else "value"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rids, classes, rtypes, props = [], [], [], []
+            for blob in pdf[col]:
+                text = (
+                    gzip.decompress(bytes(blob)).decode()
+                    if binary
+                    else blob
+                )
+                doc = json.loads(text)
+                for rec in doc.get("records", []):
+                    rids.append(rec.get("@rid"))
+                    classes.append(rec.get("@class"))
+                    rtypes.append(rec.get("@type"))
+                    props.append(
+                        json.dumps(
+                            {
+                                k: v
+                                for k, v in rec.items()
+                                if not k.startswith("@")
+                            },
+                            sort_keys=True,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "rid": rids,
+                    "class": classes,
+                    "rtype": rtypes,
+                    "_props": props,
+                }
+            )
+
+    out = reader.select(col) if binary else reader
+    return out.mapInPandas(batches, schema)
+
+
 def read_neo4j_export(spark: SparkSession, path: str):
     """Neo4j/APOC JSONL export → (nodes_df, relationships_df).
 

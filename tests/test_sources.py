@@ -99,3 +99,52 @@ def test_neo4j_export_import(spark, tmp_path, db):
         "MATCH (u:User)-[:N_KNOWS]->(v:User) RETURN count(*) AS n", language="cypher"
     ).collect()[0]["n"]
     assert n == 1
+
+
+def test_read_xml_nest_level(spark, tmp_path):
+    p = tmp_path / "people.xml"
+    p.write_text(
+        '<root><person name="a" age="3"><city>NY</city></person>'
+        '<person name="b" age="4"><city>LA</city></person>'
+        '<pet kind="cat"/></root>'
+    )
+    from arcadedb_spark.sources.readers import read_xml
+
+    rows = read_xml(spark, str(tmp_path)).collect()
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append(r["_props"])
+    assert sorted(by_tag) == ["person", "pet"]
+    assert '"city": "NY"' in by_tag["person"][0] + by_tag["person"][1]
+    # native Spark 4 XML reader covers the huge-single-file path
+    native = (
+        spark.read.format("xml").option("rowTag", "person").load(str(tmp_path))
+    )
+    assert native.count() == 2
+
+
+def test_read_orientdb_export(spark, tmp_path):
+    import gzip as _gzip
+    import json as _json
+
+    doc = {
+        "info": {"exporter-version": 13},
+        "clusters": [],
+        "schema": {"classes": [{"name": "Person"}]},
+        "records": [
+            {"@type": "d", "@rid": "#9:0", "@class": "Person",
+             "name": "a", "age": 3},
+            {"@type": "d", "@rid": "#9:1", "@class": "Person", "name": "b"},
+            {"@type": "d", "@rid": "#10:0", "@class": "City", "name": "Oslo"},
+        ],
+    }
+    p = tmp_path / "export.json.gz"
+    p.write_bytes(_gzip.compress(_json.dumps(doc).encode()))
+    from arcadedb_spark.sources.readers import read_orientdb_export
+
+    rows = read_orientdb_export(spark, str(p)).collect()
+    assert len(rows) == 3
+    by_rid = {r["rid"]: r for r in rows}
+    assert by_rid["#9:0"]["class"] == "Person"
+    assert '"age": 3' in by_rid["#9:0"]["_props"]
+    assert by_rid["#10:0"]["class"] == "City"
