@@ -32,13 +32,58 @@ def make_vid(bucket_id: int, key_col) -> F.Column:
     )
 
 
+class _VertexFrames(dict):
+    """dict(label-key → DataFrame) that materializes buffered literal
+    vertex rows on ANY read — so row-at-a-time Cypher CREATE stays O(1)
+    driver-side (list append) instead of stacking a unionByName plan per
+    clause (whose analysis cost grows with every clause — the
+    many-CREATE-clauses trap)."""
+
+    def __init__(self, model) -> None:
+        super().__init__()
+        self._model = model
+
+    # reads flush; writes don't need to
+    def __getitem__(self, k):
+        self._model._flush_vertices()
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self._model._flush_vertices()
+        return super().get(k, default)
+
+    def __contains__(self, k) -> bool:
+        self._model._flush_vertices()
+        return super().__contains__(k)
+
+    def __iter__(self):
+        self._model._flush_vertices()
+        return super().__iter__()
+
+    def __len__(self) -> int:
+        self._model._flush_vertices()
+        return super().__len__()
+
+    def keys(self):
+        self._model._flush_vertices()
+        return super().keys()
+
+    def items(self):
+        self._model._flush_vertices()
+        return super().items()
+
+    def values(self):
+        self._model._flush_vertices()
+        return super().values()
+
+
 class GraphModel:
     """vertices: dict label → DataFrame(vid, …props); edges: DataFrame
     (etype, src, dst, …props)."""
 
     def __init__(self, spark) -> None:
         self.spark = spark
-        self.vertex_dfs: dict[str, DataFrame] = {}
+        self.vertex_dfs: dict[str, DataFrame] = _VertexFrames(self)
         # lowercase label-set key → display-case label string ("A:B")
         self.label_display: dict[str, str] = {}
         self._edge_dfs: list[DataFrame] = []
@@ -46,6 +91,56 @@ class GraphModel:
         self._edges_by_src: DataFrame | None = None
         # etype → (src_label, dst_label); None entries = heterogeneous
         self.edge_meta: dict[str, tuple[str | None, str | None]] = {}
+        # buffered literal rows, materialized lazily (see _VertexFrames)
+        self._pending_v: dict[str, list[dict]] = {}
+        self._pending_e: list[tuple[str, list[tuple[int, int]], dict]] = []
+        self._flushing = False
+
+    def _flush_vertices(self) -> None:
+        if self._flushing or not self._pending_v:
+            return
+        self._flushing = True
+        try:
+            for key, rows in list(self._pending_v.items()):
+                # one createDataFrame per distinct property-key set
+                groups: dict[tuple, list[dict]] = {}
+                for r in rows:
+                    groups.setdefault(tuple(sorted(r)), []).append(r)
+                new = None
+                for _ks, rs in groups.items():
+                    part = self.spark.createDataFrame(rs)
+                    new = part if new is None else new.unionByName(
+                        part, allowMissingColumns=True
+                    )
+                cur = dict.get(self.vertex_dfs, key)
+                merged = (
+                    new if cur is None
+                    else cur.unionByName(new, allowMissingColumns=True)
+                )
+                dict.__setitem__(self.vertex_dfs, key, merged)
+            self._pending_v.clear()
+        finally:
+            self._flushing = False
+
+    def _flush_edges(self) -> None:
+        if not self._pending_e:
+            return
+        groups: dict[tuple, list[dict]] = {}
+        for etype, pairs, props in self._pending_e:
+            gk = (etype, tuple(sorted(props)))
+            for s, d in pairs:
+                groups.setdefault(gk, []).append(
+                    {"etype": etype, "src": int(s), "dst": int(d), **props}
+                )
+        self._pending_e.clear()
+        for (_etype, pkeys), rows in groups.items():
+            df = self.spark.createDataFrame(rows).select(
+                "etype",
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+                *pkeys,
+            )
+            self._edge_dfs.append(df)
 
     # -- construction -----------------------------------------------------
     def add_vertices(self, label: str, df: DataFrame, vid_col: str) -> None:
@@ -156,6 +251,7 @@ class GraphModel:
         return out
 
     def edges(self, *etypes: str) -> DataFrame:
+        self._flush_edges()
         if self._edges is None:
             out = None
             for df in self._edge_dfs:
@@ -212,28 +308,29 @@ class GraphModel:
             )
             vids.append(vid)
             enriched.append({**r, "vid": vid, "@type": label})
-        new_df = self.spark.createDataFrame(enriched)
         key_l = label.lower()
         self.label_display.setdefault(key_l, label)
-        if key_l in self.vertex_dfs:
-            self.vertex_dfs[key_l] = self.vertex_dfs[key_l].unionByName(
-                new_df, allowMissingColumns=True
-            )
-        else:
-            self.vertex_dfs[key_l] = new_df
+        # buffered: materialized on first read (see _VertexFrames)
+        self._pending_v.setdefault(key_l, []).extend(enriched)
         return vids
 
     def add_edge_rows(
         self, etype: str, pairs: list[tuple[int, int]], props: dict | None = None
     ) -> int:
         """Append literal edges; ``props`` (same values for every pair)
-        become edge property columns."""
+        become edge property columns.  Buffered python-side and
+        materialized on first edge read (same rationale as
+        _VertexFrames: no per-clause plan growth)."""
         if not pairs:
             return 0
-        df = self.spark.createDataFrame(pairs, "src long, dst long")
-        for k, v in (props or {}).items():
-            df = df.withColumn(k, F.lit(v))
-        self.add_edges(etype, df, "src", "dst", props=list(props or ()))
+        prev = self.edge_meta.get(etype)
+        if prev is not None and prev != (None, None):
+            self.edge_meta[etype] = (None, None)
+        else:
+            self.edge_meta.setdefault(etype, (None, None))
+        self._pending_e.append((etype, list(pairs), dict(props or {})))
+        self._edges = None
+        self._edges_by_src = None
         return len(pairs)
 
     def add_edges_from_frame(self, etype: str, frame: DataFrame) -> int:
@@ -365,6 +462,7 @@ class GraphModel:
     def remove_vertices_any(self, matched_vids: DataFrame) -> int:
         """DETACH-delete matched vids from every label (label-less
         ``MATCH (n) DELETE n``)."""
+        self._flush_edges()
         m = matched_vids.select("vid").distinct().cache()
         n = 0
         for label in list(self.vertex_dfs):
@@ -384,6 +482,7 @@ class GraphModel:
     def remove_vertices(self, label: str, matched_vids: DataFrame) -> int:
         """Remove matched vertices and their incident edges (Cypher
         DETACH DELETE semantics)."""
+        self._flush_edges()
         vdf = self.vertex_dfs[label.lower()]
         m = matched_vids.select("vid").distinct().cache()
         n = m.count()

@@ -30,7 +30,8 @@ def _run_area(spark, area: str) -> tuple[int, int, int]:
     assert files, f"no TCK features under {area}"
     for path in files:
         for sc in parse_feature(path):
-            if sc.skip or not sc.query or sc.expect is None:
+            runnable = sc.expect_error or (sc.query and sc.expect is not None)
+            if sc.skip or not runnable:
                 n_skip += 1
                 continue
             try:
