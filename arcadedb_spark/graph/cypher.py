@@ -46,8 +46,13 @@ class CypherParser(Parser):
     """Extends the SQL expression parser with Cypher pattern syntax."""
 
     def __init__(self, text: str) -> None:
+        from arcadedb_spark.sql.lexer import tokenize
+
         super().__init__(text)
         self.cypher = True
+        # re-lex with the Cypher rules: `--` is an anonymous undirected
+        # relationship, not a line comment
+        self.tokens = tokenize(text, cypher=True)
 
     # -- entry -------------------------------------------------------------
     def parse_query(self) -> list:

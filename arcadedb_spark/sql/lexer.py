@@ -38,10 +38,12 @@ KEYWORDS = {
     "IF", "EXISTS", "EXTENDS", "OPTIONAL",
 }
 
-_TOKEN_RE = re.compile(
-    r"""
+# `--` is a line comment in the SQL dialect only: in Cypher it is an
+# anonymous undirected relationship inside patterns (openCypher comments
+# are // and /* */), so the Cypher tokenizer omits that branch.
+_TOKEN_TEMPLATE = r"""
     (?P<WS>\s+)
-  | (?P<COMMENT>--[^\n]*|//[^\n]*|/\*.*?\*/)
+  | (?P<COMMENT>{comments})
   | (?P<RID>\#-?\d+:-?\d+)
   | (?P<HEX>0[xX][0-9a-fA-F]+)
   | (?P<OCT>0o[0-7]+)
@@ -53,8 +55,15 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<NPARAM>:[A-Za-z_][A-Za-z0-9_]*)
   | (?P<IDENT>[A-Za-z_@][A-Za-z0-9_@$]*)
-  | (?P<OP><=>|<>|!=|<=|>=|==|=~|=|<|>|\?\?|\|\||\.\.\.|\.\.|[-+*/%(),.\[\]{}:?#|!^])
-    """,
+  | (?P<OP><=>|<>|!=|<=|>=|==|=~|=|<|>|\?\?|\|\||\.\.\.|\.\.|[-+*/%(),.\[\]{{}}:?#|!^])
+    """
+
+_TOKEN_RE = re.compile(
+    _TOKEN_TEMPLATE.format(comments=r"--[^\n]*|//[^\n]*|/\*.*?\*/"),
+    re.VERBOSE | re.DOTALL,
+)
+_TOKEN_RE_CYPHER = re.compile(
+    _TOKEN_TEMPLATE.format(comments=r"//[^\n]*|/\*.*?\*/"),
     re.VERBOSE | re.DOTALL,
 )
 
@@ -86,12 +95,13 @@ class LexError(ValueError):
     pass
 
 
-def tokenize(text: str) -> list[Token]:
+def tokenize(text: str, cypher: bool = False) -> list[Token]:
+    regex = _TOKEN_RE_CYPHER if cypher else _TOKEN_RE
     tokens: list[Token] = []
     pos = 0
     n = len(text)
     while pos < n:
-        m = _TOKEN_RE.match(text, pos)
+        m = regex.match(text, pos)
         if m is None:
             raise LexError(f"Unexpected character {text[pos]!r} at position {pos}")
         kind = m.lastgroup
