@@ -272,11 +272,22 @@ def combine_paths(
         pdf, paliases = translate_path(db, path, params)
         shared = [a for a in paliases if a in seen]
         if df is None:
-            df = pdf
+            if path.optional:
+                # leading OPTIONAL MATCH: the driving table is one row, so
+                # an empty match still yields a single all-null row
+                # (openCypher OPTIONAL MATCH semantics, TCK Match7)
+                seed = db.spark.range(1).select(F.lit(1).alias("__seed"))
+                df = seed.join(pdf, F.lit(True), "left_outer").drop("__seed")
+            else:
+                df = pdf
         elif shared:
             # Cypher OPTIONAL MATCH → left_outer (OptionalMatchStep.java:24)
             how = "left_outer" if path.optional else "inner"
             df = _join_on_shared(df, pdf, shared, how)
+        elif path.optional:
+            # unshared OPTIONAL pattern: keep every left row, null-pad
+            # when the pattern has no matches at all
+            df = df.join(pdf, F.lit(True), "left_outer")
         else:
             df = df.crossJoin(pdf)  # CartesianProductStep.java:31
         seen.update(paliases)
