@@ -487,9 +487,18 @@ class CypherParser(Parser):
                 if self._at_ident("DETACH"):
                     self.advance()
                 self.expect_kw("DELETE")
-                targets = [self.ident()]
+
+                def _del_target():
+                    # bare alias (fast path) or any expression resolving
+                    # to entities — list/map element deletes (TCK Delete5)
+                    e = self.parse_expr()
+                    if isinstance(e, ast.Chain) and len(e.parts) == 1:
+                        return e.parts[0]
+                    return e
+
+                targets = [_del_target()]
                 while self.eat_op(","):
-                    targets.append(self.ident())
+                    targets.append(_del_target())
                 self._writes.append({"kind": "delete", "targets": targets})
                 continue
             self.expect_kw("CREATE")
@@ -1125,6 +1134,70 @@ def _strip_alias(e, alias: str):
     return e
 
 
+def _delete_expression_target(db, g, df, expr, params) -> int:
+    """DELETE <expression> — the target compiles to node/relationship
+    entities possibly nested in lists or maps (TCK Delete5).  The compiled
+    column is unwrapped: arrays explode, map/struct containers recurse
+    into every entity-typed field, then vids / (src, dst) pairs drive the
+    normal removal paths."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StructType
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
+
+    if df is None:
+        raise TranslateError("DELETE expression needs a match frame")
+    ctx = Ctx(db=db, params=params or {}, columns=tuple(df.columns),
+              frame_schema=df.schema)
+    col = ExprCompiler(ctx).compile(expr)
+    probe = df.select(col.alias("__t"))
+    n = 0
+
+    def _consume(frame, name):
+        nonlocal n
+        dtype = frame.schema[name].dataType
+        if isinstance(dtype, ArrayType):
+            _consume(
+                frame.select(F.explode(F.col(name)).alias("__e")), "__e"
+            )
+            return
+        if isinstance(dtype, StructType):
+            names = set(dtype.names)
+            if "vids" in names:  # path struct
+                n += g.remove_vertices_any(
+                    frame.select(F.explode(F.col(f"{name}.vids")).alias("vid"))
+                )
+                return
+            if {"etype", "src", "dst"} <= names:
+                n += g.remove_edges(
+                    None,
+                    frame.select(
+                        F.col(f"{name}.src").alias("src"),
+                        F.col(f"{name}.dst").alias("dst"),
+                    ).filter(F.col("src").isNotNull()),
+                )
+                return
+            if "vid" in names:
+                n += g.remove_vertices_any(
+                    frame.select(F.col(f"{name}.vid").alias("vid")).filter(
+                        F.col("vid").isNotNull()
+                    )
+                )
+                return
+            # generic map-as-struct container: recurse into every field
+            for f_ in dtype.names:
+                _consume(
+                    frame.select(F.col(f"{name}.{f_}").alias("__f")), "__f"
+                )
+            return
+        raise TranslateError(
+            "DELETE expression must resolve to nodes/relationships/paths"
+        )
+
+    _consume(probe, "__t")
+    return n
+
+
 def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1309,6 +1382,9 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             if df is None:
                 raise TranslateError("DELETE needs a preceding MATCH")
             for alias in w["targets"]:
+                if not isinstance(alias, str):
+                    n += _delete_expression_target(db, g, df, alias, params)
+                    continue
                 if alias in rel_alias and alias in df.columns:
                     etype = rel_alias[alias][0]
                     pairs = df.select(
@@ -1328,6 +1404,18 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                             F.explode(F.col(f"{alias}.vids")).alias("vid")
                         )
                         n += g.remove_vertices_any(matched)
+                        continue
+                    if isinstance(ftype, _St) and {"etype", "src", "dst"} <= set(
+                        ftype.names
+                    ):
+                        # DELETE r where r bound a relationship struct but
+                        # wasn't registered in rel_alias (e.g. projected
+                        # through WITH): delete by stored endpoints
+                        pairs = df.select(
+                            F.col(f"{alias}.src").alias("src"),
+                            F.col(f"{alias}.dst").alias("dst"),
+                        ).filter(F.col("src").isNotNull())
+                        n += g.remove_edges(None, pairs)
                         continue
                 label = alias_label.get(alias)
                 matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
@@ -1370,9 +1458,21 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             )
         n = 0
         row_binds = []
+        # frame-wise writes (DELETE over struct columns) run ONCE on the
+        # whole frame — repeating them per row both multiplies work and
+        # chains mutation plans (lineage blowup)
+        frame_writes = [
+            w for w in p._writes
+            if w["kind"] == "delete"
+            and all(isinstance(t, str) and t not in scalar_cols
+                    for t in w["targets"])
+        ]
+        row_writes = [w for w in p._writes if w not in frame_writes]
+        for w in frame_writes:
+            n += run_one(w)
         for r in rows:
             mark = len(write_bindings)
-            for w in p._writes:
+            for w in row_writes:
                 sub = w
                 for c in scalar_cols:
                     sub = subst_write(sub, c, r[c])

@@ -95,6 +95,7 @@ class GraphModel:
         self._pending_v: dict[str, list[dict]] = {}
         self._pending_e: list[tuple[str, list[tuple[int, int]], dict]] = []
         self._flushing = False
+        self._vid_counter = 0  # creation vids: (1 << 62) | counter
 
     def _flush_vertices(self) -> None:
         if self._flushing or not self._pending_v:
@@ -292,20 +293,17 @@ class GraphModel:
     def add_vertex_rows(self, label: str, rows: list[dict]) -> list[int]:
         """Append literal vertex rows; returns their vids.
 
-        vids are content-derived hashes with bit 62 set (disjoint from
-        catalog bucket vids) — deterministic, no counter state.
-        """
-        import hashlib
-        import json
-
+        vids are (1 << 62) | creation-counter — disjoint from catalog
+        bucket vids (< 2^60) and import vids (bit 61 block), unique per
+        creation (``CREATE ()`` twice = two nodes — Cypher identity
+        semantics; a content hash would collapse identical anonymous
+        nodes), and deterministic given statement order within a
+        Database."""
         enriched = []
         vids = []
-        for i, r in enumerate(rows):
-            key = json.dumps([label.lower(), i, sorted(r.items())], default=str)
-            vid = (
-                int.from_bytes(hashlib.sha256(key.encode()).digest()[:7], "big")
-                | (1 << 62)
-            )
+        for r in rows:
+            self._vid_counter += 1
+            vid = (1 << 62) | self._vid_counter
             vids.append(vid)
             enriched.append({**r, "vid": vid, "@type": label})
         key_l = label.lower()
@@ -365,7 +363,7 @@ class GraphModel:
                 joined = joined.withColumn(
                     prop, F.when(F.col("__mv").isNotNull(), val)
                 )
-        self.vertex_dfs[label.lower()] = joined.drop("__mv").cache()
+        self.vertex_dfs[label.lower()] = joined.drop("__mv").localCheckpoint(eager=True)
         return n
 
     def relabel_vertices(
@@ -383,17 +381,18 @@ class GraphModel:
         if n == 0:
             return 0
         self.vertex_dfs[label.lower()] = (
-            src.join(m, src["vid"] == m["__mv"], "left_anti").cache()
+            src.join(m, src["vid"] == m["__mv"], "left_anti")
+            .localCheckpoint(eager=True)
         )
         self.label_display[new_label.lower()] = new_label
         moved = moving.withColumn("@type", F.lit(new_label))
         dst = self.vertex_dfs.get(new_label.lower())
         if dst is None:
-            self.vertex_dfs[new_label.lower()] = moved.cache()
+            self.vertex_dfs[new_label.lower()] = moved.localCheckpoint(eager=True)
         else:
             self.vertex_dfs[new_label.lower()] = dst.unionByName(
                 moved, allowMissingColumns=True
-            ).cache()
+            ).localCheckpoint(eager=True)
         return n
 
     def update_edges(
@@ -424,7 +423,7 @@ class GraphModel:
                 )
             else:
                 joined = joined.withColumn(prop, F.when(cond, val))
-        self._edge_dfs = [joined.drop("__ms", "__md").cache()]
+        self._edge_dfs = [joined.drop("__ms", "__md").localCheckpoint(eager=True)]
         self._edges = None
         self._edges_by_src = None
         return n
@@ -454,7 +453,7 @@ class GraphModel:
         matched = all_e.join(m, cond, "left_semi")
         n = matched.count()
         kept = all_e.join(m, cond, "left_anti")
-        self._edge_dfs = [kept.cache()]
+        self._edge_dfs = [kept.localCheckpoint(eager=True)]
         self._edges = None
         self._edges_by_src = None
         return n
@@ -468,12 +467,12 @@ class GraphModel:
         for label in list(self.vertex_dfs):
             vdf = self.vertex_dfs[label]
             n += vdf.join(m, "vid", "left_semi").count()
-            self.vertex_dfs[label] = vdf.join(m, "vid", "left_anti").cache()
+            self.vertex_dfs[label] = vdf.join(m, "vid", "left_anti").localCheckpoint(eager=True)
         new_frames = []
         for e in self._edge_dfs:
             e2 = e.join(m.withColumnRenamed("vid", "src"), "src", "left_anti")
             e2 = e2.join(m.withColumnRenamed("vid", "dst"), "dst", "left_anti")
-            new_frames.append(e2.select(*e.columns))
+            new_frames.append(e2.select(*e.columns).localCheckpoint(eager=True))
         self._edge_dfs = new_frames
         self._edges = None
         self._edges_by_src = None
@@ -483,15 +482,17 @@ class GraphModel:
         """Remove matched vertices and their incident edges (Cypher
         DETACH DELETE semantics)."""
         self._flush_edges()
-        vdf = self.vertex_dfs[label.lower()]
+        vdf = self.vertex_dfs.get(label.lower())
+        if vdf is None:
+            return 0  # deleting from a label that never existed: no-op
         m = matched_vids.select("vid").distinct().cache()
         n = m.count()
-        self.vertex_dfs[label.lower()] = vdf.join(m, "vid", "left_anti").cache()
+        self.vertex_dfs[label.lower()] = vdf.join(m, "vid", "left_anti").localCheckpoint(eager=True)
         new_frames = []
         for e in self._edge_dfs:
             e2 = e.join(m.withColumnRenamed("vid", "src"), "src", "left_anti")
             e2 = e2.join(m.withColumnRenamed("vid", "dst"), "dst", "left_anti")
-            new_frames.append(e2.select(*e.columns))
+            new_frames.append(e2.select(*e.columns).localCheckpoint(eager=True))
         self._edge_dfs = new_frames
         self._edges = None
         self._edges_by_src = None
