@@ -910,6 +910,26 @@ def _apply_write(
             # CREATE/MERGE (a) where a is already bound and the pattern
             # adds no relationship: VariableAlreadyBound (TCK Create1/Merge1)
             raise TranslateError(f"Variable '{a_}' already bound")
+    for s in path.steps:
+        # openCypher CREATE/MERGE relationship constraints (TCK Create2):
+        # exactly one type, a direction, single-hop, fresh variable
+        if len(s.edge_types) != 1:
+            raise TranslateError(
+                "CREATE/MERGE relationships need exactly one type"
+            )
+        if s.method == "both":
+            raise TranslateError("CREATE/MERGE relationships need a direction")
+        if s.max_hops != 1 or s.min_hops != 1:
+            raise TranslateError(
+                "variable-length relationships cannot be created"
+            )
+        if s.edge_alias and (
+            s.edge_alias in (aliases or ())
+            or any(b[0] == s.edge_alias for b in (bindings or ()))
+        ):
+            raise TranslateError(
+                f"Relationship variable '{s.edge_alias}' already bound"
+            )
     nodes = [path.root] + [s.filter for s in path.steps]
     resolved: list[tuple[str, object]] = []  # ('bound', alias) | ('vid', vid)
     node_state: list[tuple] = []  # (alias, label, vid, 'created'|'matched')
@@ -1472,27 +1492,34 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             n += run_one(w)
         for r in rows:
             mark = len(write_bindings)
+            emark = len(edge_bindings)
             for w in row_writes:
                 sub = w
                 for c in scalar_cols:
                     sub = subst_write(sub, c, r[c])
                 n += run_one(sub)
-            row_binds.append((r, list(write_bindings[mark:])))
+            row_binds.append(
+                (r, list(write_bindings[mark:]), list(edge_bindings[emark:]))
+            )
             # per-row binding scope (same rule as FOREACH): aliases from
             # one input row must not alias-bind the next
             del write_bindings[mark:]
+            del edge_bindings[emark:]
         ret = getattr(p, "_write_return", None)
         if ret is not None and row_binds:
             from pyspark.sql import Row
 
             alias_keys: dict[str, set] = {}
-            for _, binds in row_binds:
+            ekeys: dict[str, set] = {}
+            for _, binds, ebinds in row_binds:
                 for a, label, vid, props in binds:
                     if a:
                         alias_keys.setdefault(a, set()).update(props)
+                for a, etype, sv, dv, props in ebinds:
+                    ekeys.setdefault(a, set()).update(props)
             carry_cols = [c for c in df.columns if not c.startswith("__")]
             out_rows = []
-            for r, binds in row_binds:
+            for r, binds, ebinds in row_binds:
                 # carry every pipeline column (incl. bound node structs)
                 # so RETURN can project matched aliases after the write
                 d = {c: r[c] for c in carry_cols}
@@ -1502,6 +1529,11 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                             "vid": vid, "@type": label,
                             **{k: props.get(k) for k in sorted(alias_keys[a])},
                         })
+                for a, etype, sv, dv, props in ebinds:
+                    d[a] = Row(**{
+                        "etype": etype, "src": sv, "dst": dv,
+                        **{k: props.get(k) for k in sorted(ekeys[a])},
+                    })
                 out_rows.append(Row(**d))
             df = db.spark.createDataFrame(out_rows)
     else:

@@ -66,6 +66,20 @@ def _expand(
     g = db.graph()
     method = step.method
     e = g.edges(*step.edge_types) if step.edge_types else g.edges()
+    if step.edge_props:
+        # inline relationship property map -[r:T {k: v}]- is an equality
+        # predicate on the edge (TCK clauses/match Match2)
+        from arcadedb_spark.graph.cypher import _ast_literal
+
+        for k, ve in step.edge_props:
+            try:
+                val = _ast_literal(ve, params)
+            except ValueError:
+                val = None
+            if k not in e.columns or val is None:
+                e = e.filter(F.lit(False))  # unknown prop/null: no match
+            else:
+                e = e.filter(F.col(k) == F.lit(val))
 
     # Edge step (.outE/.inE/.bothE{as: e, where: (edge props…)}):
     # the step alias binds to the EDGE record; a following .inV()/.outV()
