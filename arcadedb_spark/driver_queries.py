@@ -3090,72 +3090,112 @@ def q_knn_graph(spark, sf_dir):
 
 
 _PRIORITY = [
-    # round-1 FAIL, now fixed
-    "q_time_bucket",
-    "q_ts_rate",
-    "q_promql_range_avg",
-    "q_continuous_aggregate",
-    "q_array_selectors",
-    # round-1 no_oracle, now oracled
-    "q_minhash_dedup",
-    "q_simhash_dedup",
-    "q_knn_lsh",
-    # never graded in round 1 — query-language skins + DML first
-    "q_cypher_match",
-    "q_cypher_optional",
-    "q_cypher_varlength",
-    "q_cypher_string_preds",
-    "q_dml_roundtrip",
-    "q_gremlin_groupcount",
-    "q_graphql_nested",
-    "q_mongo_find",
-    # geo family
-    "q_geo_distance",
-    "q_geo_radius_join",
-    "q_geo_polygon",
-    # algo tail
-    "q_louvain",
-    "q_scc",
-    "q_k_core",
-    "q_hits",
-    "q_article_rank",
-    "q_harmonic_centrality",
-    "q_clustering_coefficient",
-    "q_fastrp",
-    # SQL surface
-    "q_expand",
-    "q_math_functions",
-    "q_conversion_methods",
-    "q_contains_ops",
-    "q_json_dynamic_props",
-    "q_agg_percentiles",
-    "q_agg_tail",
-    "q_collect_sorted",
-    "q_search_predicate",
-    "q_match_edge_props",
-    # timeseries
-    "q_interpolate",
-    "q_sessionize",
-    "q_ts_sql_bucket",
-    "q_ts_sql_lag_grouped",
-    # vector / multimodal
-    "q_knn_ivf",
-    "q_sparse_dot",
-    "q_rrf_hybrid",
-    "q_multimodal_features",
-    # link-prediction family (near-identical shapes — lowest marginal info)
-    "q_common_neighbors",
-    "q_jaccard_link_prediction",
-    "q_adamic_adar",
-    "q_preferential_attachment",
-    "q_resource_allocation",
+    # round-3 grading rotation: never-graded first, then round-1-only
+    # (re-verify against current code), then the round-2-graded tail.
+    # never graded (9)
     "q_total_neighbors",
-    # round-2 algo procedures (first graded the round after they land)
     "q_astar",
     "q_ksp",
     "q_maxflow",
     "q_cliques",
     "q_leiden",
+    "q_cypher_quantifiers",
+    "q_temporal_kernel",
+    "q_knn_graph",
+    # last graded round 1 (42)
+    "q_scan_filter_project",
+    "q_tpch_q1",
+    "q_topk_skip_limit",
+    "q_distinct",
+    "q_count_star",
+    "q_agg_suite",
+    "q_in_subquery",
+    "q_not_in_subquery",
+    "q_like_between_in",
+    "q_case_when",
+    "q_string_methods",
+    "q_date_functions",
+    "q_null_handling",
+    "q_unwind",
+    "q_link_2hop",
+    "q_link_3hop",
+    "q_let_per_record",
+    "q_schema_types",
+    "q_match_2hop",
+    "q_match_3hop",
+    "q_match_optional",
+    "q_match_not",
+    "q_traverse_bfs",
+    "q_graph_bfs_hops",
+    "q_degree_centrality",
+    "q_triangle_count",
+    "q_pagerank",
+    "q_wcc",
+    "q_ts_lag_delta",
+    "q_moving_avg",
+    "q_ts_rank",
+    "q_token_count",
+    "q_quality_score",
+    "q_exact_dedup",
+    "q_bm25",
+    "q_ngram_jaccard",
+    "q_language_id",
+    "q_knn_cosine",
+    "q_knn_l2",
+    "q_embedding_near_dup",
+    "q_vector_quantize",
+    "q_binary_quantize_hamming",
+    # graded round 2 (50)
+    "q_array_selectors",
+    "q_time_bucket",
+    "q_promql_range_avg",
+    "q_ts_rate",
+    "q_continuous_aggregate",
+    "q_minhash_dedup",
+    "q_simhash_dedup",
+    "q_knn_lsh",
+    "q_sparse_dot",
+    "q_knn_ivf",
+    "q_multimodal_features",
+    "q_expand",
+    "q_ts_sql_bucket",
+    "q_ts_sql_lag_grouped",
+    "q_rrf_hybrid",
+    "q_interpolate",
+    "q_contains_ops",
+    "q_math_functions",
+    "q_conversion_methods",
+    "q_dml_roundtrip",
+    "q_common_neighbors",
+    "q_jaccard_link_prediction",
+    "q_adamic_adar",
+    "q_k_core",
+    "q_preferential_attachment",
+    "q_resource_allocation",
+    "q_clustering_coefficient",
+    "q_harmonic_centrality",
+    "q_hits",
+    "q_article_rank",
+    "q_cypher_match",
+    "q_cypher_optional",
+    "q_cypher_string_preds",
+    "q_geo_distance",
+    "q_geo_radius_join",
+    "q_gremlin_groupcount",
+    "q_graphql_nested",
+    "q_mongo_find",
+    "q_agg_tail",
+    "q_geo_polygon",
+    "q_json_dynamic_props",
+    "q_agg_percentiles",
+    "q_collect_sorted",
+    "q_cypher_varlength",
+    "q_scc",
+    "q_fastrp",
+    "q_search_predicate",
+    "q_louvain",
+    "q_sessionize",
+    "q_match_edge_props",
 ]
 
 

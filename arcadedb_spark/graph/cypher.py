@@ -484,7 +484,9 @@ class CypherParser(Parser):
                 )
                 continue
             if self._at_ident("DETACH") or self.at_kw("DELETE"):
+                detach = False
                 if self._at_ident("DETACH"):
+                    detach = True
                     self.advance()
                 self.expect_kw("DELETE")
 
@@ -499,7 +501,9 @@ class CypherParser(Parser):
                 targets = [_del_target()]
                 while self.eat_op(","):
                     targets.append(_del_target())
-                self._writes.append({"kind": "delete", "targets": targets})
+                self._writes.append(
+                    {"kind": "delete", "targets": targets, "detach": detach}
+                )
                 continue
             self.expect_kw("CREATE")
             patterns = [self._parse_pattern(False)]
@@ -660,14 +664,15 @@ def _bare_alias(item: ast.ProjItem) -> str | None:
     return None
 
 
-def _validate_bindings(stage_paths: list[tuple]) -> None:
+def _validate_bindings(stage_specs: list[dict], final_paths: tuple) -> None:
     """openCypher variable-binding rules (TCK clauses/match error
     scenarios): a name is one of node / relationship / path — kind
     conflicts are errors; a relationship variable may appear only once
     per pattern (relationship isomorphism would be vacuous otherwise);
     a path variable can never be rebound.  Node aliases may repeat
-    freely (that is the join).  ``stage_paths``: one tuple of MatchPath
-    per MATCH clause."""
+    freely (that is the join).  WITH is a scope boundary: a projection
+    keeps only its projected names (rename-aware), so a path/rel
+    variable dropped by WITH may legally be rebound later."""
     from arcadedb_spark.sql.translator import TranslateError
 
     kinds: dict[str, str] = {}
@@ -682,7 +687,7 @@ def _validate_bindings(stage_paths: list[tuple]) -> None:
             )
         kinds[name] = kind
 
-    for paths in stage_paths:
+    def check_paths(paths) -> None:
         for p in paths:
             bind(p.path_alias, "path")
             bind(p.root.alias, "node")
@@ -701,6 +706,23 @@ def _validate_bindings(stage_paths: list[tuple]) -> None:
                         )
                     path_rels.add(st.edge_alias)
 
+    for s in stage_specs:
+        check_paths(s.get("paths") or ())
+        items = s.get("with_items")
+        if items is not None:
+            # WITH scope boundary: prune to the projected names, carrying
+            # the kind through bare passes and renames (WITH a AS b)
+            kept: dict[str, str] = {}
+            for it in items:
+                src = None
+                if isinstance(it.expr, ast.Chain) and len(it.expr.parts) == 1:
+                    src = it.expr.parts[0]
+                target = it.alias or src
+                if target and src and src in kinds:
+                    kept[target] = kinds[src]
+            kinds = kept
+    check_paths(final_paths)
+
 
 def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> DataFrame:
     """Lower a WITH pipeline: each stage joins its patterns over the
@@ -712,8 +734,7 @@ def _translate_pipeline(db, stmt: ast.MatchStmt, stages: list, params: dict) -> 
     )
 
     _validate_bindings(
-        [s.get("paths") or () for s in stages if isinstance(s, dict)]
-        + [stmt.paths or ()]
+        [s for s in stages if isinstance(s, dict)], stmt.paths or ()
     )
     if not stages:
         return translate_match(db, stmt, params)
@@ -967,13 +988,15 @@ def _apply_write(
             # (SemanticError, TCK Merge1); non-literal expressions that
             # merely fail driver evaluation are not nulls
             for k_, e_ in node.props:
+                is_null_literal = False
                 try:
-                    if _ast_literal(e_, params) is None:
-                        raise TranslateError(
-                            "Cannot MERGE with a null property value"
-                        )
+                    is_null_literal = _ast_literal(e_, params) is None
                 except ValueError:
-                    pass
+                    pass  # non-literal expression — not a literal null
+                if is_null_literal:
+                    raise TranslateError(
+                        "Cannot MERGE with a null property value"
+                    )
         props = _literal_props(db, node.props, params)
         # Cypher: setting a property to null means "absent"
         props = {k: v for k, v in props.items() if v is not None}
@@ -1154,7 +1177,7 @@ def _strip_alias(e, alias: str):
     return e
 
 
-def _delete_expression_target(db, g, df, expr, params) -> int:
+def _delete_expression_target(db, g, df, expr, params, detach=True) -> int:
     """DELETE <expression> — the target compiles to node/relationship
     entities possibly nested in lists or maps (TCK Delete5).  The compiled
     column is unwrapped: arrays explode, map/struct containers recurse
@@ -1173,6 +1196,26 @@ def _delete_expression_target(db, g, df, expr, params) -> int:
     probe = df.select(col.alias("__t"))
     n = 0
 
+    def _check_deletable(vids_df):
+        if detach:
+            return
+        e = g.edges()
+        inc = e.join(
+            vids_df.select(F.col("vid").alias("src")).distinct(),
+            "src", "left_semi",
+        ).unionByName(
+            e.join(
+                vids_df.select(F.col("vid").alias("dst")).distinct(),
+                "dst", "left_semi",
+            ),
+            allowMissingColumns=True,
+        )
+        if inc.limit(1).count():
+            raise TranslateError(
+                "Cannot delete node — it still has relationships "
+                "(use DETACH DELETE)"
+            )
+
     def _consume(frame, name):
         nonlocal n
         dtype = frame.schema[name].dataType
@@ -1189,20 +1232,20 @@ def _delete_expression_target(db, g, df, expr, params) -> int:
                 )
                 return
             if {"etype", "src", "dst"} <= names:
-                n += g.remove_edges(
-                    None,
+                n += g.remove_edges_typed(
                     frame.select(
+                        F.col(f"{name}.etype").alias("etype"),
                         F.col(f"{name}.src").alias("src"),
                         F.col(f"{name}.dst").alias("dst"),
                     ).filter(F.col("src").isNotNull()),
                 )
                 return
             if "vid" in names:
-                n += g.remove_vertices_any(
-                    frame.select(F.col(f"{name}.vid").alias("vid")).filter(
-                        F.col("vid").isNotNull()
-                    )
-                )
+                matched = frame.select(
+                    F.col(f"{name}.vid").alias("vid")
+                ).filter(F.col("vid").isNotNull())
+                _check_deletable(matched)
+                n += g.remove_vertices_any(matched)
                 return
             # generic map-as-struct container: recurse into every field
             for f_ in dtype.names:
@@ -1401,11 +1444,71 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         if w["kind"] == "delete":
             if df is None:
                 raise TranslateError("DELETE needs a preceding MATCH")
-            for alias in w["targets"]:
-                if not isinstance(alias, str):
-                    n += _delete_expression_target(db, g, df, alias, params)
+            from pyspark.sql.types import StructType as _St
+
+            detach = w.get("detach", False)
+
+            def _target_kind(t):
+                if not isinstance(t, str):
+                    return "expr"
+                if t in rel_alias and t in df.columns:
+                    return "rel"
+                if t in df.columns:
+                    ftype = df.schema[t].dataType
+                    if isinstance(ftype, _St):
+                        if "vids" in ftype.names:
+                            return "path"
+                        if {"etype", "src", "dst"} <= set(ftype.names):
+                            return "rel"
+                return "node"
+
+            def _check_deletable(vids_df, exclude_pairs=None):
+                # plain DELETE of a vertex with surviving incident edges
+                # is a ConstraintValidationFailed in Cypher — only DETACH
+                # DELETE cascades (TCK Delete1)
+                if detach:
+                    return
+                e = g.edges()
+                inc = e.join(
+                    vids_df.select(F.col("vid").alias("src")).distinct(),
+                    "src", "left_semi",
+                ).unionByName(
+                    e.join(
+                        vids_df.select(F.col("vid").alias("dst")).distinct(),
+                        "dst", "left_semi",
+                    ),
+                    allowMissingColumns=True,
+                )
+                if exclude_pairs is not None:
+                    x = exclude_pairs.select(
+                        F.col("x").alias("__px"), F.col("y").alias("__py")
+                    ).distinct()
+                    cond = (
+                        (inc["src"] == x["__px"]) & (inc["dst"] == x["__py"])
+                    ) | (
+                        (inc["src"] == x["__py"]) & (inc["dst"] == x["__px"])
+                    )
+                    inc = inc.join(x, cond, "left_anti")
+                if inc.limit(1).count():
+                    raise TranslateError(
+                        "Cannot delete node — it still has relationships "
+                        "(use DETACH DELETE)"
+                    )
+
+            # Cypher DELETE is clause-atomic: relationships named in the
+            # same clause die before the incident-edge check on nodes
+            ordered = sorted(
+                w["targets"],
+                key=lambda t: 0 if _target_kind(t) == "rel" else 1,
+            )
+            for alias in ordered:
+                kind = _target_kind(alias)
+                if kind == "expr":
+                    n += _delete_expression_target(
+                        db, g, df, alias, params, detach=detach
+                    )
                     continue
-                if alias in rel_alias and alias in df.columns:
+                if kind == "rel" and alias in rel_alias:
                     etype = rel_alias[alias][0]
                     pairs = df.select(
                         F.col(f"{alias}.src").alias("src"),
@@ -1413,34 +1516,43 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     ).filter(F.col("src").isNotNull())
                     n += g.remove_edges(etype, pairs)
                     continue
-                if alias in df.columns:
-                    from pyspark.sql.types import StructType as _St
-
-                    ftype = df.schema[alias].dataType
-                    if isinstance(ftype, _St) and "vids" in ftype.names:
-                        # DETACH DELETE p on a path variable: remove every
-                        # vertex on the path (incident edges go with them)
-                        matched = df.select(
-                            F.explode(F.col(f"{alias}.vids")).alias("vid")
-                        )
-                        n += g.remove_vertices_any(matched)
-                        continue
-                    if isinstance(ftype, _St) and {"etype", "src", "dst"} <= set(
-                        ftype.names
-                    ):
-                        # DELETE r where r bound a relationship struct but
-                        # wasn't registered in rel_alias (e.g. projected
-                        # through WITH): delete by stored endpoints
-                        pairs = df.select(
-                            F.col(f"{alias}.src").alias("src"),
-                            F.col(f"{alias}.dst").alias("dst"),
-                        ).filter(F.col("src").isNotNull())
-                        n += g.remove_edges(None, pairs)
-                        continue
+                if kind == "rel":
+                    # DELETE r where r bound a relationship struct but
+                    # wasn't registered in rel_alias (e.g. projected
+                    # through WITH): delete by stored type + endpoints
+                    triples = df.select(
+                        F.col(f"{alias}.etype").alias("etype"),
+                        F.col(f"{alias}.src").alias("src"),
+                        F.col(f"{alias}.dst").alias("dst"),
+                    ).filter(F.col("src").isNotNull())
+                    n += g.remove_edges_typed(triples)
+                    continue
+                if kind == "path":
+                    # DELETE p on a path variable removes the path's own
+                    # nodes and relationships; without DETACH, an incident
+                    # edge from outside the path is a constraint error
+                    vids_col = F.col(f"{alias}.vids")
+                    matched = df.select(F.explode(vids_col).alias("vid"))
+                    path_pairs = df.select(
+                        F.explode(
+                            F.arrays_zip(
+                                F.slice(
+                                    vids_col, 1, F.size(vids_col) - 1
+                                ).alias("x"),
+                                F.slice(
+                                    vids_col, 2, F.size(vids_col) - 1
+                                ).alias("y"),
+                            )
+                        ).alias("p")
+                    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+                    _check_deletable(matched, exclude_pairs=path_pairs)
+                    n += g.remove_vertices_any(matched)
+                    continue
                 label = alias_label.get(alias)
                 matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
                     F.col("vid").isNotNull()
                 )
+                _check_deletable(matched)
                 if label is None:
                     n += g.remove_vertices_any(matched)
                 else:
@@ -1480,31 +1592,53 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         row_binds = []
         # frame-wise writes (DELETE over struct columns) run ONCE on the
         # whole frame — repeating them per row both multiplies work and
-        # chains mutation plans (lineage blowup)
-        frame_writes = [
-            w for w in p._writes
-            if w["kind"] == "delete"
-            and all(isinstance(t, str) and t not in scalar_cols
-                    for t in w["targets"])
-        ]
-        row_writes = [w for w in p._writes if w not in frame_writes]
-        for w in frame_writes:
-            n += run_one(w)
-        for r in rows:
-            mark = len(write_bindings)
-            emark = len(edge_bindings)
-            for w in row_writes:
-                sub = w
-                for c in scalar_cols:
-                    sub = subst_write(sub, c, r[c])
-                n += run_one(sub)
-            row_binds.append(
-                (r, list(write_bindings[mark:]), list(edge_bindings[emark:]))
+        # chains mutation plans (lineage blowup).  Clause order is
+        # preserved (openCypher runs clause-at-a-time): the write list is
+        # split at each frame-delete boundary, and every row-wise segment
+        # completes across all rows before the delete fires.
+        def _is_frame_delete(w) -> bool:
+            return w["kind"] == "delete" and all(
+                isinstance(t, str) and t not in scalar_cols
+                for t in w["targets"]
             )
-            # per-row binding scope (same rule as FOREACH): aliases from
-            # one input row must not alias-bind the next
-            del write_bindings[mark:]
-            del edge_bindings[emark:]
+
+        segments: list[tuple[list, dict | None]] = []
+        chunk: list = []
+        for w in p._writes:
+            if _is_frame_delete(w):
+                segments.append((chunk, w))
+                chunk = []
+            else:
+                chunk.append(w)
+        segments.append((chunk, None))
+        per_row_binds: list[list] = [[] for _ in rows]
+        per_row_ebinds: list[list] = [[] for _ in rows]
+        for chunk, fdel in segments:
+            for i, r in enumerate(rows):
+                if not chunk:
+                    break
+                # per-row binding scope (same rule as FOREACH): aliases
+                # from one input row must not alias-bind the next, but a
+                # row's own bindings persist across clause segments
+                mark = len(write_bindings)
+                emark = len(edge_bindings)
+                write_bindings.extend(per_row_binds[i])
+                edge_bindings.extend(per_row_ebinds[i])
+                for w in chunk:
+                    sub = w
+                    for c in scalar_cols:
+                        sub = subst_write(sub, c, r[c])
+                    n += run_one(sub)
+                per_row_binds[i] = list(write_bindings[mark:])
+                per_row_ebinds[i] = list(edge_bindings[emark:])
+                del write_bindings[mark:]
+                del edge_bindings[emark:]
+            if fdel is not None:
+                n += run_one(fdel)
+        row_binds = [
+            (r, per_row_binds[i], per_row_ebinds[i])
+            for i, r in enumerate(rows)
+        ]
         ret = getattr(p, "_write_return", None)
         if ret is not None and row_binds:
             from pyspark.sql import Row

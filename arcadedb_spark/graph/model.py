@@ -458,6 +458,33 @@ class GraphModel:
         self._edges_by_src = None
         return n
 
+    def remove_edges_typed(self, matched_triples: DataFrame) -> int:
+        """Delete edges whose (etype, src, dst) is in ``matched_triples`` —
+        struct-projected relationship DELETE (``MATCH ()-[r:T]->() WITH r
+        DELETE r``).  Unlike :meth:`remove_edges`, the relationship type
+        travels with each row, so a parallel edge of a different type
+        between the same endpoints survives."""
+        all_e = self.edges()
+        if all_e is None:
+            return 0
+        m = matched_triples.select(
+            F.col("etype").alias("__mt"),
+            F.col("src").alias("__ms"),
+            F.col("dst").alias("__md"),
+        ).distinct()
+        cond = (
+            (all_e["etype"] == m["__mt"])
+            & (all_e["src"] == m["__ms"])
+            & (all_e["dst"] == m["__md"])
+        )
+        matched = all_e.join(m, cond, "left_semi")
+        n = matched.count()
+        kept = all_e.join(m, cond, "left_anti")
+        self._edge_dfs = [kept.localCheckpoint(eager=True)]
+        self._edges = None
+        self._edges_by_src = None
+        return n
+
     def remove_vertices_any(self, matched_vids: DataFrame) -> int:
         """DETACH-delete matched vids from every label (label-less
         ``MATCH (n) DELETE n``)."""

@@ -310,3 +310,81 @@ def test_node_functions(db):
     ).collect()[0]
     assert isinstance(r["i"], int) and r["l"] == ["Customer"]
     assert r["lo"] == ["Order"]
+
+
+# -- round-3 write-semantics fixes (ADVICE r2) ---------------------------
+
+
+def test_merge_null_property_rejected(db):
+    # MERGE on a literal null property is a SemanticError (TCK Merge1);
+    # previously swallowed because TranslateError subclasses ValueError
+    import pytest
+
+    with pytest.raises(Exception, match="null property"):
+        cy(db, "MERGE (n:NullProp {p: null})")
+    # and the node must NOT have been created with the null dropped
+    assert cy(db, "MATCH (n:NullProp) RETURN count(*) AS n").collect()[0]["n"] == 0
+
+
+def test_typed_delete_spares_parallel_edge(db):
+    # DELETE r through WITH must honor r's relationship type: a parallel
+    # edge of another type between the same endpoints survives
+    cy(db, "CREATE (a:DelT {name: 'a'})-[:KNOWS]->(b:DelT {name: 'b'})")
+    cy(db, "MATCH (a:DelT {name: 'a'}), (b:DelT {name: 'b'}) CREATE (a)-[:LIKES]->(b)")
+    cy(db, "MATCH (:DelT)-[r:KNOWS]->(:DelT) WITH r DELETE r")
+    g = db.graph()
+    pairs = g.vertices("delt").select("vid")
+    remaining = [
+        r["etype"]
+        for r in g.edges()
+        .join(pairs.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .collect()
+    ]
+    assert remaining == ["LIKES"]
+
+
+def test_with_scope_allows_rebind_of_dropped_path_var(db):
+    # a path variable dropped by WITH may be rebound later (WITH scoping)
+    rows = cy(
+        db,
+        "MATCH p=(a:Customer) WITH count(*) AS c "
+        "MATCH (p:Nation) RETURN c, count(p) AS np",
+    ).collect()
+    assert rows[0]["np"] == 25
+
+
+def test_plain_delete_connected_node_errors(db):
+    import pytest
+
+    cy(db, "CREATE (a:ConnDel {name: 'a'})-[:TIES]->(b:ConnDel {name: 'b'})")
+    with pytest.raises(Exception, match="DETACH"):
+        cy(db, "MATCH (n:ConnDel {name: 'a'}) DELETE n")
+    # node survives the failed delete
+    assert cy(db, "MATCH (n:ConnDel) RETURN count(*) AS n").collect()[0]["n"] == 2
+    # deleting the relationship in the same clause makes it legal
+    cy(db, "MATCH (a:ConnDel {name: 'a'})-[r:TIES]->(b) DELETE a, r")
+    assert cy(db, "MATCH (n:ConnDel) RETURN count(*) AS n").collect()[0]["n"] == 1
+    # DETACH DELETE cascades
+    cy(db, "CREATE (x:ConnDel {name: 'c'})-[:TIES]->(y:ConnDel {name: 'd'})")
+    cy(db, "MATCH (n:ConnDel {name: 'c'}) DETACH DELETE n")
+    names = sorted(
+        r["nm"] for r in cy(db, "MATCH (n:ConnDel) RETURN n.name AS nm").collect()
+    )
+    assert names == ["b", "d"]
+
+
+def test_delete_after_create_preserves_clause_order(db):
+    # '... WITH n, m CREATE (m)-[:T]->(n) DELETE n' must run the CREATE
+    # first, then the (frame-wise) DELETE — no dangling edge afterwards
+    cy(db, "CREATE (n:OrdDel {name: 'n'}), (m:OrdDel {name: 'm'})")
+    cy(
+        db,
+        "MATCH (n:OrdDel {name: 'n'}), (m:OrdDel {name: 'm'}) "
+        "WITH n, m CREATE (m)-[:T2]->(n) DETACH DELETE n",
+    )
+    g = db.graph()
+    assert cy(db, "MATCH (x:OrdDel) RETURN count(*) AS n").collect()[0]["n"] == 1
+    # the edge was created before the delete, so n's detach-cleanup swept
+    # it — a dangling edge to the deleted vertex would remain if the
+    # delete had been hoisted before the create
+    assert g.edges("T2").count() == 0
