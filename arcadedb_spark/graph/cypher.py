@@ -93,7 +93,17 @@ class CypherParser(Parser):
             if self.at_kw("WHERE"):
                 self.advance()
                 w = self.parse_expr()
-                where = w if where is None else ast.Bin("AND", where, w)
+                if optional:
+                    # WHERE belongs to the OPTIONAL MATCH clause: fold it
+                    # into the left-outer join so failing rows null-pad
+                    # instead of dropping (TCK MatchWhere6).  Attached to
+                    # the clause's last path — by then every alias of the
+                    # clause is bound.
+                    import dataclasses
+
+                    paths[-1] = dataclasses.replace(paths[-1], opt_where=w)
+                else:
+                    where = w if where is None else ast.Bin("AND", where, w)
         return paths, where
 
     def parse_call(self, consume_return: bool = True) -> dict:
@@ -321,7 +331,24 @@ class CypherParser(Parser):
         (``*`` or ``a [AS b]`` lists) — expression projections after
         writes are out of scope (documented)."""
         self._write_blocks: list[dict] = []
-        while self._at_ident("WITH"):
+        while self._at_ident("WITH") or self.at_kw("UNWIND") or self._at_ident("UNWIND"):
+            if self.at_kw("UNWIND") or self._at_ident("UNWIND"):
+                # UNWIND after a write (TCK Create3): pass everything
+                # through and explode the list into a new binding
+                self.advance()
+                u_expr = self.parse_expr()
+                self.expect_kw("AS")
+                u_alias = self.ident()
+                outer = self._writes
+                self._writes = []
+                self._parse_writes()
+                blk_writes, self._writes = self._writes, outer
+                self._write_blocks.append(
+                    {"keep": "*", "where_post": None,
+                     "match": ([], None), "writes": blk_writes,
+                     "unwind": (u_expr, u_alias)}
+                )
+                continue
             self.advance()
             keep: "str | list" = []
             if self.at_op("*"):
@@ -642,16 +669,14 @@ class CypherParser(Parser):
             self.expect_op("-")
             if self.at_op(">"):
                 self.advance()
-                if direction == "in":
-                    raise ParseError("Relationship cannot be both <- and ->")
-                direction = "out"
+                # <-[:T]-> is the undirected arrow pair (TCK Match3):
+                # both directions, not an error
+                direction = "both" if direction == "in" else "out"
             return direction, tuple(etypes), min_h, max_h, ealias, tuple(eprops)
         self.expect_op("-")
         if self.at_op(">"):
             self.advance()
-            if direction == "in":
-                raise ParseError("Relationship cannot be both <- and ->")
-            direction = "out"
+            direction = "both" if direction == "in" else "out"
         return direction, tuple(etypes), 1, 1, None, ()
 
 
@@ -956,7 +981,9 @@ def _apply_write(
     node_state: list[tuple] = []  # (alias, label, vid, 'created'|'matched')
     created = 0
     for node in nodes:
-        if node.alias and node.alias in (aliases or ()):
+        if node.alias and node.alias in (aliases or ()) and df is not None:
+            # frame-bound alias; without a frame (standalone write
+            # pipeline) fall through to the write-bindings lookup
             if kind == "create" and (node.type_name or node.props):
                 # CREATE (a:L {p: v}) with a already bound: labels/props
                 # on a bound variable are a SyntaxError (TCK Create1)
@@ -1751,6 +1778,26 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 db, m_paths, m_where, params or {},
                 base=df, base_aliases=aliases if df is not None else set(),
             )
+        if blk.get("unwind") is not None:
+            # UNWIND after a write: literal/param lists drive a bounded
+            # per-element write pass (same driver-side rule as FOREACH)
+            u_expr, u_alias = blk["unwind"]
+            try:
+                values = _ast_literal(u_expr, params)
+            except ValueError:
+                raise TranslateError(
+                    "UNWIND after a write clause needs a literal list"
+                )
+            if not isinstance(values, (list, tuple)):
+                values = [values]
+            if df is not None:
+                df = df.withColumn(
+                    u_alias, F.explode(F.array(*[F.lit(v) for v in values]))
+                )
+            for v in values:
+                for w in blk["writes"]:
+                    n += run_one(subst_write(w, u_alias, v))
+            continue
         n += sum(run_one(w) for w in blk["writes"])
     ret = getattr(p, "_write_return", None)
     if ret is not None:

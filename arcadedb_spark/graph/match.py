@@ -226,12 +226,35 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
     df = _apply_where(db, df, path.root.where, params)
     df = _structify(df, root_alias)
     aliases = [root_alias]
+    hops = [root_alias]  # step-ordered endpoints (repeats kept) for path vids
     cur = root_alias
     prev = None
     for step in path.steps:
-        alias = step.filter.alias or f"__m{next(_uid)}"
-        df, cur = _expand(db, df, cur, step, params, alias, prev_step=prev)
-        aliases.append(cur)
+        want = step.filter.alias or f"__m{next(_uid)}"
+        if want in aliases:
+            # cyclic / self-referencing pattern ((a)-->(b)-->(a)): the
+            # repeated alias is an equality constraint on the earlier
+            # binding, not a second column (MatchExecutionPlanner
+            # back-edge handling; TCK Match3 cyclic scenarios)
+            fresh = f"__cyc{next(_uid)}"
+            df, _ = _expand(db, df, cur, step, params, fresh, prev_step=prev)
+            df = df.filter(
+                F.col(f"{fresh}.vid") == F.col(f"{want}.vid")
+            ).drop(fresh)
+            cur = want
+        else:
+            df, cur = _expand(db, df, cur, step, params, want, prev_step=prev)
+            aliases.append(cur)
+        hops.append(want)
+        if (
+            step.edge_alias
+            and step.max_hops == 1
+            and step.min_hops == 1
+            and step.edge_alias not in aliases
+        ):
+            # single-hop relationship variable: joinable across clauses
+            # (MATCH ()-[r:T1]->() MATCH ()-[r:T2]->() joins on r)
+            aliases.append(step.edge_alias)
         prev = step
     if getattr(path, "path_alias", None) and all(
         s.max_hops == 1 for s in path.steps
@@ -240,7 +263,7 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
         df = df.withColumn(
             path.path_alias,
             F.struct(
-                F.array(*[F.col(f"{a}.vid") for a in aliases]).alias("vids"),
+                F.array(*[F.col(f"{a}.vid") for a in hops]).alias("vids"),
                 F.lit(len(path.steps)).alias("n_rels"),
             ),
         )
@@ -248,17 +271,44 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
     return df, aliases
 
 
+def _merged_schema(df, pdf, rename):
+    """Union schema of a pending join (left + non-shared right fields) so
+    the expression compiler can resolve struct members on either side."""
+    from pyspark.sql.types import StructType
+
+    fields = list(df.schema.fields) if df is not None else []
+    names = {f.name for f in fields}
+    for f in pdf.schema.fields:
+        if f.name not in rename and f.name not in names:
+            fields.append(f)
+    return StructType(fields)
+
+
 def _join_on_shared(
-    df: DataFrame, pdf: DataFrame, shared: list[str], how: str
+    df: DataFrame, pdf: DataFrame, shared: list[str], how: str,
+    extra_cond=None,
 ) -> DataFrame:
-    """Join two pattern frames on the vids of their shared alias structs."""
+    """Join two pattern frames on the identity of their shared alias
+    structs: vid for nodes, (etype, src, dst) for relationships, vids for
+    paths.  ``extra_cond`` joins the condition (OPTIONAL MATCH … WHERE:
+    the predicate is part of the outer join, so rows null-pad)."""
     rename = {a: f"__r_{a}" for a in shared}
     for a, r in rename.items():
         pdf = pdf.withColumnRenamed(a, r)
     cond = None
     for a in shared:
-        c = F.col(f"{a}.vid") == F.col(f"{rename[a]}.vid")
-        cond = c if cond is None else (cond & c)
+        fields = set(pdf.schema[rename[a]].dataType.names)
+        if "vid" in fields:
+            keys = ["vid"]
+        elif {"etype", "src", "dst"} <= fields:
+            keys = ["etype", "src", "dst"]
+        else:
+            keys = ["vids"]
+        for k in keys:
+            c = F.col(f"{a}.{k}") == F.col(f"{rename[a]}.{k}")
+            cond = c if cond is None else (cond & c)
+    if extra_cond is not None:
+        cond = extra_cond if cond is None else (cond & extra_cond)
     out = df.join(pdf, cond, how)
     if how != "left_anti":
         out = out.drop(*rename.values())
@@ -285,23 +335,47 @@ def combine_paths(
     for path in positive:
         pdf, paliases = translate_path(db, path, params)
         shared = [a for a in paliases if a in seen]
+        opt_cond = None
+        if path.optional and getattr(path, "opt_where", None) is not None:
+            # OPTIONAL MATCH … WHERE: the predicate joins the left-outer
+            # condition so failing rows null-pad instead of dropping
+            # (TCK MatchWhere6).  Compiled against the union of both
+            # sides' columns; Spark resolves each name at join time.
+            rename = {a: f"__r_{a}" for a in shared}
+            cols = tuple(
+                dict.fromkeys(
+                    list(df.columns if df is not None else ())
+                    + [c for c in pdf.columns if c not in rename]
+                )
+            )
+            octx = Ctx(db=db, params=params, columns=cols,
+                       frame_schema=_merged_schema(df, pdf, rename))
+            opt_cond = ExprCompiler(octx).compile(path.opt_where)
         if df is None:
             if path.optional:
                 # leading OPTIONAL MATCH: the driving table is one row, so
                 # an empty match still yields a single all-null row
                 # (openCypher OPTIONAL MATCH semantics, TCK Match7)
                 seed = db.spark.range(1).select(F.lit(1).alias("__seed"))
-                df = seed.join(pdf, F.lit(True), "left_outer").drop("__seed")
+                df = seed.join(
+                    pdf,
+                    F.lit(True) if opt_cond is None else opt_cond,
+                    "left_outer",
+                ).drop("__seed")
             else:
                 df = pdf
         elif shared:
             # Cypher OPTIONAL MATCH → left_outer (OptionalMatchStep.java:24)
             how = "left_outer" if path.optional else "inner"
-            df = _join_on_shared(df, pdf, shared, how)
+            df = _join_on_shared(df, pdf, shared, how, extra_cond=opt_cond)
         elif path.optional:
             # unshared OPTIONAL pattern: keep every left row, null-pad
             # when the pattern has no matches at all
-            df = df.join(pdf, F.lit(True), "left_outer")
+            df = df.join(
+                pdf,
+                F.lit(True) if opt_cond is None else opt_cond,
+                "left_outer",
+            )
         else:
             df = df.crossJoin(pdf)  # CartesianProductStep.java:31
         seen.update(paliases)

@@ -243,9 +243,34 @@ class GraphModel:
 
     def all_vertices_full(self) -> DataFrame:
         """Union of every vertex frame with ALL property columns (absent
-        props null-padded) — backs label-less ``MATCH (n)``."""
+        props null-padded) — backs label-less ``MATCH (n)``.
+
+        A property stored with different types under different labels
+        (Cypher properties are schemaless per record) would be silently
+        cast by Spark's union coercion — 'text' AS BIGINT throws under
+        ANSI.  Conflicting columns are carried as VARIANT instead: each
+        row keeps its own runtime type, and the expression compiler
+        dispatches comparisons on ``schema_of_variant``."""
+        frames = list(self.vertex_dfs.values())
+        if not frames:
+            return None
+        col_types: dict[str, set] = {}
+        for df in frames:
+            for f in df.schema.fields:
+                col_types.setdefault(f.name, set()).add(f.dataType.simpleString())
+        conflicted = {
+            c for c, ts in col_types.items() if len(ts) > 1 and c != "vid"
+        }
         out = None
-        for df in self.vertex_dfs.values():
+        for df in frames:
+            if conflicted:
+                casts = [
+                    F.col(c).cast("variant").alias(c)
+                    if c in conflicted
+                    else F.col(c)
+                    for c in df.columns
+                ]
+                df = df.select(*casts)
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True
             )

@@ -642,7 +642,9 @@ class Parser:
         alias = None
         if self.eat_kw("AS"):
             alias = self.ident()
-        elif self.cur.kind == "IDENT":
+        elif self.cur.kind == "IDENT" and not self.cypher:
+            # SQL implicit alias (SELECT x y); Cypher requires AS — a
+            # bare identifier there is the next clause (WITH a WITH * …)
             alias = self.ident()
         return ast.ProjItem(expr, alias, text)
 

@@ -206,6 +206,123 @@ class ExprCompiler:
             col = col.getField(p)
         return col
 
+    def _static_dtype(self, e: ast.Expr):
+        """Best-effort static Spark dtype of an expression via the frame
+        schema (None = unknown).  Drives the variant comparison dispatch."""
+        from pyspark.sql.types import StructType
+
+        if not isinstance(e, ast.Chain) or self.ctx.frame_schema is None:
+            return None
+        if e.parts[0] in self._bound:
+            return None
+        field = next(
+            (f for f in self.ctx.frame_schema.fields if f.name == e.parts[0]),
+            None,
+        )
+        if field is None:
+            return None
+        dt = field.dataType
+        for p in e.parts[1:]:
+            if not isinstance(dt, StructType):
+                return None
+            sub = next((f for f in dt.fields if f.name == p), None)
+            if sub is None:
+                return None
+            dt = sub.dataType
+        return dt
+
+    _NUM_VARIANT_TYPES = ["TINYINT", "SMALLINT", "INT", "BIGINT",
+                          "FLOAT", "DOUBLE"]
+
+    def _cmp_sides(self, col: Column, e: ast.Expr):
+        """(family, str_val, num_val, bool_val) for one comparison side.
+        family: 'S'tring / 'N'umeric / 'B'oolean / 'Z' (variant null) /
+        'O'ther — a VARIANT side resolves its family per row."""
+        from pyspark.sql.types import (
+            BooleanType, NumericType, StringType, VariantType,
+        )
+
+        nul = F.lit(None)
+        dt = self._static_dtype(e)
+        if isinstance(dt, VariantType):
+            sch = F.schema_of_variant(col)
+            fam = (
+                F.when(sch == "STRING", "S")
+                .when(
+                    sch.isin(self._NUM_VARIANT_TYPES)
+                    | sch.startswith("DECIMAL"),
+                    "N",
+                )
+                .when(sch == "BOOLEAN", "B")
+                .when(sch == "VOID", "Z")
+                .otherwise("O")
+            )
+            return (
+                fam,
+                F.try_variant_get(col, "$", "string"),
+                F.try_variant_get(col, "$", "double"),
+                F.try_variant_get(col, "$", "boolean"),
+            )
+        if isinstance(e, ast.Lit):
+            v = e.value
+            if isinstance(v, bool):
+                fam = "B"
+            elif isinstance(v, (int, float)):
+                fam = "N"
+            elif isinstance(v, str):
+                fam = "S"
+            else:
+                fam = "O"
+        elif isinstance(dt, StringType):
+            fam = "S"
+        elif isinstance(dt, BooleanType):
+            fam = "B"
+        elif isinstance(dt, NumericType):
+            fam = "N"
+        else:
+            fam = "O"
+        return (
+            F.lit(fam),
+            col.cast("string") if fam == "S" else nul.cast("string"),
+            col.cast("double") if fam == "N" else nul.cast("double"),
+            col.cast("boolean") if fam == "B" else nul.cast("boolean"),
+        )
+
+    def _variant_cmp(self, op: str, l: Column, r: Column,
+                     le: ast.Expr, ri: ast.Expr):
+        """Cypher comparison semantics when either side is VARIANT
+        (heterogeneous property): same-family values compare normally;
+        cross-family ordering is null, cross-family equality is false;
+        null operands propagate null.  Returns None when neither side is
+        variant (caller falls through to the plain Spark operator)."""
+        from pyspark.sql.types import VariantType
+
+        if not (
+            isinstance(self._static_dtype(le), VariantType)
+            or isinstance(self._static_dtype(ri), VariantType)
+        ):
+            return None
+        lf, ls, ln, lb = self._cmp_sides(l, le)
+        rf, rs, rn, rb = self._cmp_sides(r, ri)
+        ops = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        fn = ops[op]
+        nul = F.lit(None).cast("boolean")
+        cross = nul if op in ("<", "<=", ">", ">=") else F.lit(op == "!=")
+        return (
+            F.when((lf == "Z") | (rf == "Z"), nul)
+            .when((lf == "S") & (rf == "S"), fn(ls, rs))
+            .when((lf == "N") & (rf == "N"), fn(ln, rn))
+            .when((lf == "B") & (rf == "B"), fn(lb, rb))
+            .otherwise(cross)
+        )
+
     @staticmethod
     def _is_listy(e: ast.Expr) -> bool:
         """Statically list-valued AST (drives Cypher's '+' list-concat
@@ -237,6 +354,10 @@ class ExprCompiler:
             # Cypher ternary XOR: null operand → null (the boolean-algebra
             # expansion propagates nulls correctly)
             return (l & ~r) | (~l & r)
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            vc = self._variant_cmp(op, l, r, le, ri)
+            if vc is not None:
+                return vc
         if op == "=":
             return l == r
         if op == "!=":

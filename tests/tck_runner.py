@@ -354,6 +354,14 @@ def _to_py(v):
 
 def _norm(v):
     """Normalize a result value for comparison."""
+    try:
+        from pyspark.sql.types import VariantVal
+        if isinstance(v, VariantVal):
+            # heterogeneous property carried as VARIANT: compare the
+            # underlying typed value
+            return _norm(v.toPython())
+    except ImportError:
+        pass
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, list):
