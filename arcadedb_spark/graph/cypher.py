@@ -1204,6 +1204,41 @@ def _strip_alias(e, alias: str):
     return e
 
 
+def _refresh_node_structs(db, g, df):
+    """Rebuild every bound node-struct column from the current graph (by
+    vid) so a RETURN after SET/REMOVE reflects the post-write state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    av = None
+    for f in df.schema.fields:
+        dt = f.dataType
+        if not (
+            isinstance(dt, StructType)
+            and "vid" in dt.names
+            and "@type" in dt.names
+        ):
+            continue
+        if av is None:
+            av = g.all_vertices_full()
+            if av is None:
+                return df
+            av = av.select(
+                F.col("vid").alias("__fvid"),
+                F.struct(*[F.col(c) for c in av.columns]).alias("__fresh"),
+            )
+        alias = f.name
+        df = (
+            df.join(av, F.col(f"{alias}.vid") == F.col("__fvid"), "left")
+            .withColumn(
+                alias,
+                F.when(F.col("__fvid").isNotNull(), F.col("__fresh")),
+            )
+            .drop("__fvid", "__fresh")
+        )
+    return df
+
+
 def _delete_expression_target(db, g, df, expr, params, detach=True) -> int:
     """DELETE <expression> — the target compiles to node/relationship
     entities possibly nested in lists or maps (TCK Delete5).  The compiled
@@ -1840,9 +1875,15 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                                 s.edge_alias, F.struct(*fields)
                             )
             # MATCH … write … RETURN: project over the match frame (one
-            # result row per matched row, Cypher cardinality; property
-            # reads see the pre-write snapshot — documented deviation for
-            # the DELETE-then-RETURN corner)
+            # result row per matched row, Cypher cardinality).  Bound
+            # node structs are refreshed from the post-write graph so
+            # RETURN n after SET/REMOVE sees the new property values
+            # (SetStep.java yields the updated record).
+            if any(
+                w.get("kind") in ("set", "remove", "merge", "foreach")
+                for w in all_specs
+            ):
+                df = _refresh_node_structs(db, g, df)
             group_by: tuple = ()
             if any(_contains_aggregate(i.expr) for i in ret["items"]):
                 group_by = tuple(

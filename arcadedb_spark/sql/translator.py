@@ -103,6 +103,9 @@ class ExprCompiler:
         # lambda-bound variables (Cypher quantifiers / comprehensions /
         # reduce): name → element Column, innermost binding wins
         self._bound: dict[str, Column] = {}
+        # static dtypes for lambda-bound variables (drives size()/length()
+        # string-vs-array dispatch and variant comparisons)
+        self._bound_types: dict = {}
 
     def compile(self, e: ast.Expr) -> Column:
         ctx = self.ctx
@@ -207,13 +210,47 @@ class ExprCompiler:
         return col
 
     def _static_dtype(self, e: ast.Expr):
-        """Best-effort static Spark dtype of an expression via the frame
-        schema (None = unknown).  Drives the variant comparison dispatch."""
-        from pyspark.sql.types import StructType
+        """Best-effort static Spark dtype of an expression (None =
+        unknown).  Covers literals, list literals, lambda-bound variables
+        (element type of the quantified list), and frame-schema chains.
+        Drives the variant comparison dispatch and size()/length()
+        string-vs-array resolution."""
+        from pyspark.sql.types import (
+            ArrayType, BooleanType, DoubleType, LongType, StringType,
+            StructType,
+        )
 
-        if not isinstance(e, ast.Chain) or self.ctx.frame_schema is None:
+        if isinstance(e, ast.Lit):
+            v = e.value
+            if isinstance(v, bool):
+                return BooleanType()
+            if isinstance(v, int):
+                return LongType()
+            if isinstance(v, float):
+                return DoubleType()
+            if isinstance(v, str):
+                return StringType()
+            return None
+        if isinstance(e, ast.ArrayLit):
+            elem = None
+            for item in e.items:
+                t = self._static_dtype(item)
+                if t is None:
+                    continue
+                if elem is None:
+                    elem = t
+                elif elem.simpleString() != t.simpleString():
+                    return None  # heterogeneous literal list
+            return ArrayType(elem) if elem is not None else None
+        if isinstance(e, ast.ListComp) and e.proj is None:
+            return self._static_dtype(e.source)
+        if not isinstance(e, ast.Chain):
             return None
         if e.parts[0] in self._bound:
+            if len(e.parts) == 1:
+                return self._bound_types.get(e.parts[0])
+            return None
+        if self.ctx.frame_schema is None:
             return None
         field = next(
             (f for f in self.ctx.frame_schema.fields if f.name == e.parts[0]),
@@ -288,6 +325,100 @@ class ExprCompiler:
             col.cast("boolean") if fam == "B" else nul.cast("boolean"),
         )
 
+    @staticmethod
+    def _pure_literal(e: ast.Expr, params):
+        """Python value of a pure-literal AST; raises ValueError else."""
+        if isinstance(e, ast.Lit):
+            return e.value
+        if isinstance(e, ast.Param):
+            if params and e.name in params:
+                return params[e.name]
+            raise ValueError("unbound parameter")
+        if isinstance(e, ast.ArrayLit):
+            return [ExprCompiler._pure_literal(x, params) for x in e.items]
+        if isinstance(e, ast.MapLit):
+            return {
+                k: ExprCompiler._pure_literal(v, params)
+                for k, v in e.entries
+            }
+        if isinstance(e, ast.Unary) and e.op == "-":
+            return -ExprCompiler._pure_literal(e.operand, params)
+        raise ValueError("not a literal")
+
+    @staticmethod
+    def _cy_eq(a, b):
+        """openCypher equality: null-propagating, elementwise on lists and
+        maps, cross-type-category false (TCK Comparison1)."""
+        if a is None or b is None:
+            return None
+        if isinstance(a, bool) or isinstance(b, bool):
+            return a == b if isinstance(a, bool) and isinstance(b, bool) \
+                else False
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return a == b
+        if isinstance(a, str) and isinstance(b, str):
+            return a == b
+        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+            if len(a) != len(b):
+                return False
+            acc = True
+            for x, y in zip(a, b):
+                r = ExprCompiler._cy_eq(x, y)
+                if r is False:
+                    return False
+                if r is None:
+                    acc = None
+            return acc
+        if isinstance(a, dict) and isinstance(b, dict):
+            if set(a) != set(b):
+                return False
+            acc = True
+            for k in a:
+                r = ExprCompiler._cy_eq(a[k], b[k])
+                if r is False:
+                    return False
+                if r is None:
+                    acc = None
+            return acc
+        return False
+
+    @staticmethod
+    def _cy_ord(op, a, b):
+        """openCypher ordering: same-family compares, else null."""
+        if a is None or b is None:
+            return None
+        import operator
+
+        fn = {"<": operator.lt, "<=": operator.le,
+              ">": operator.gt, ">=": operator.ge}[op]
+        num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
+        if num(a) and num(b):
+            return fn(a, b)
+        if isinstance(a, str) and isinstance(b, str):
+            return fn(a, b)
+        if isinstance(a, bool) and isinstance(b, bool):
+            return fn(a, b)
+        return None
+
+    def _literal_cmp_fold(self, op: str, le: ast.Expr, ri: ast.Expr):
+        """Constant-fold a comparison of two pure literals with full
+        Cypher semantics (heterogeneous lists/maps included) — Spark's
+        ANSI analyzer would reject e.g. ['a'] = [1] outright."""
+        try:
+            a = self._pure_literal(le, self.ctx.params)
+            b = self._pure_literal(ri, self.ctx.params)
+        except ValueError:
+            return None
+        if op in ("=", "!=", "<=>"):
+            r = self._cy_eq(a, b)
+            if op == "!=":
+                r = (not r) if r is not None else None
+            if op == "<=>":
+                r = bool(r) if r is not None else (a is None and b is None)
+        else:
+            r = self._cy_ord(op, a, b)
+        return F.lit(r).cast("boolean")
+
     def _variant_cmp(self, op: str, l: Column, r: Column,
                      le: ast.Expr, ri: ast.Expr):
         """Cypher comparison semantics when either side is VARIANT
@@ -354,6 +485,10 @@ class ExprCompiler:
             # Cypher ternary XOR: null operand → null (the boolean-algebra
             # expansion propagates nulls correctly)
             return (l & ~r) | (~l & r)
+        if op in ("=", "!=", "<", "<=", ">", ">=", "<=>"):
+            fold = self._literal_cmp_fold(op, le, ri)
+            if fold is not None:
+                return fold
         if op in ("=", "!=", "<", "<=", ">", ">="):
             vc = self._variant_cmp(op, l, r, le, ri)
             if vc is not None:
@@ -593,14 +728,18 @@ class ExprCompiler:
             out = c if out is None else (out & c)
         return out
 
-    def _with_bound(self, name: str, expr: ast.Expr):
+    def _with_bound(self, name: str, expr: ast.Expr, elem_type=None):
         """Build a higher-order-function lambda body compiler: returns a
         fn(Column) → Column that compiles ``expr`` with ``name`` bound to
-        the lambda element (restoring any shadowed outer binding)."""
+        the lambda element (restoring any shadowed outer binding).
+        ``elem_type`` records the element's static dtype for the body."""
 
         def body(x: Column) -> Column:
             prev = self._bound.get(name, _MISSING)
+            prev_t = self._bound_types.get(name, _MISSING)
             self._bound[name] = x
+            if elem_type is not None:
+                self._bound_types[name] = elem_type
             try:
                 return self.compile(expr)
             finally:
@@ -608,15 +747,25 @@ class ExprCompiler:
                     del self._bound[name]
                 else:
                     self._bound[name] = prev
+                if prev_t is _MISSING:
+                    self._bound_types.pop(name, None)
+                else:
+                    self._bound_types[name] = prev_t
 
         return body
+
+    def _elem_type(self, source: ast.Expr):
+        from pyspark.sql.types import ArrayType
+
+        dt = self._static_dtype(source)
+        return dt.elementType if isinstance(dt, ArrayType) else None
 
     def _c_quantifier(self, e: ast.Quantifier) -> Column:
         """all/any/none/single(x IN src WHERE p) — Cypher 3-valued
         semantics; Spark's exists/forall already follow ternary logic
         over the element predicate."""
         src = self.compile(e.source)
-        pred = self._with_bound(e.var, e.pred)
+        pred = self._with_bound(e.var, e.pred, self._elem_type(e.source))
         if e.kind == "all":
             return F.forall(src, pred)
         if e.kind == "any":
@@ -636,22 +785,28 @@ class ExprCompiler:
 
     def _c_listcomp(self, e: ast.ListComp) -> Column:
         src = self.compile(e.source)
+        et = self._elem_type(e.source)
         out = src
         if e.pred is not None:
-            out = F.filter(out, self._with_bound(e.var, e.pred))
+            out = F.filter(out, self._with_bound(e.var, e.pred, et))
         if e.proj is not None:
-            out = F.transform(out, self._with_bound(e.var, e.proj))
+            out = F.transform(out, self._with_bound(e.var, e.proj, et))
         return out
 
     def _c_reduceexpr(self, e: ast.ReduceExpr) -> Column:
         src = self.compile(e.source)
         init = self.compile(e.init)
 
+        elem_t = self._elem_type(e.source)
+
         def merge(acc: Column, x: Column) -> Column:
             prev_a = self._bound.get(e.acc, _MISSING)
             prev_x = self._bound.get(e.var, _MISSING)
+            prev_xt = self._bound_types.get(e.var, _MISSING)
             self._bound[e.acc] = acc
             self._bound[e.var] = x
+            if elem_t is not None:
+                self._bound_types[e.var] = elem_t
             try:
                 return self.compile(e.body)
             finally:
@@ -660,6 +815,10 @@ class ExprCompiler:
                         del self._bound[name]
                     else:
                         self._bound[name] = prev
+                if prev_xt is _MISSING:
+                    self._bound_types.pop(e.var, None)
+                else:
+                    self._bound_types[e.var] = prev_xt
 
         return F.aggregate(src, init, merge)
 
@@ -726,6 +885,13 @@ class ExprCompiler:
 
     def _c_funccall(self, e: ast.FuncCall) -> Column:
         name = e.name.lower()
+        if name == "size" and e.args:
+            # Cypher size() overloads: character count for strings,
+            # element count for lists — resolved on the static dtype
+            from pyspark.sql.types import StringType
+
+            if isinstance(self._static_dtype(e.args[0]), StringType):
+                return F.length(self.compile(e.args[0]))
         if name == "length" and e.args:
             # length(path) → relationship count of the bound path struct
             fields = self._struct_fields_of(e.args[0])
