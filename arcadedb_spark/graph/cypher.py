@@ -919,6 +919,14 @@ def _literal_props(db, props, params) -> dict:
             continue
         except ValueError:
             pass
+        from arcadedb_spark.sql.temporal_eval import try_eval
+
+        ok, v = try_eval(e, params or {})
+        if ok:
+            # temporal values (and lists of them) store as canonical
+            # strings (TCK Temporal4 temporal-array properties)
+            out[k] = v
+            continue
         if isinstance(e, ast.Chain) and len(e.parts) == 1:
             # a bare identifier in a literal property map is an undefined
             # variable (bound variables were substituted upstream) —

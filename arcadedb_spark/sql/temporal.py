@@ -108,7 +108,7 @@ class CyTime:
         return str(self.t) + _offset_str(self.offset)
 
     def component(self, name: str):
-        if name.lower() == "offset":
+        if name.lower() in ("offset", "timezone"):
             return _offset_str(self.offset)
         if name.lower() in ("offsetminutes",):
             return self.offset // 60
@@ -442,19 +442,20 @@ def _base_date(m: dict) -> tuple[_dt.date | None, dict]:
 
 
 def _base_time(m: dict):
+    """(wall time, offset seconds, IANA zone name) of the time base."""
     for key in ("time", "datetime", "localdatetime"):
         v = m.get(key)
         if v is None:
             continue
         if isinstance(v, CyLocalTime):
-            return v, None
+            return v, None, None
         if isinstance(v, CyTime):
-            return v.t, v.offset
+            return v.t, v.offset, None
         if isinstance(v, CyLocalDateTime):
-            return v.t, None
+            return v.t, None, None
         if isinstance(v, CyDateTime):
-            return v.t, v.offset
-    return None, None
+            return v.t, v.offset, v.zone
+    return None, None, None
 
 
 def date_from_map(m: dict) -> CyDate:
@@ -474,11 +475,13 @@ def date_from_map(m: dict) -> CyDate:
         return CyDate(_dt.date.fromisocalendar(int(wy), int(wk), int(dow)))
     if "quarter" in m or (base is not None and "dayofquarter" in m):
         if base is not None:
+            # selecting from a base keeps the same-group subordinate
+            # components: {date: other, quarter: 3} keeps dayOfQuarter
+            # (TCK Temporal3 [1])
             y = m.get("year", base.year)
             q = m.get("quarter", (base.month - 1) // 3 + 1)
             dq = m.get("dayofquarter",
-                       CyDate(base).component("dayofquarter")
-                       if "quarter" not in m else 1)
+                       CyDate(base).component("dayofquarter"))
         else:
             y = m["year"]
             q = m.get("quarter", 1)
@@ -492,18 +495,11 @@ def date_from_map(m: dict) -> CyDate:
             _dt.date(int(y), 1, 1) + _dt.timedelta(days=int(m["ordinalday"]) - 1)
         )
     if base is not None:
+        # selecting from a base: every unspecified calendar component
+        # keeps the base's value ({date: other, year: 28} → 0028-11-11)
         y = int(m.get("year", base.year))
-        mo = int(m.get("month", base.month if "day" in m or "month" not in m else 1))
-        if "month" in m:
-            mo = int(m["month"])
-        dy = int(m.get("day", base.day if "month" not in m and "year" not in m
-                        else (base.day if "day" in m else 1)))
-        if "day" in m:
-            dy = int(m["day"])
-        elif "month" in m or "year" in m:
-            # openCypher: overriding a coarser unit resets finer defaults
-            # only below the overridden unit when not carried by base
-            dy = base.day
+        mo = int(m.get("month", base.month))
+        dy = int(m.get("day", base.day))
         return CyDate(_dt.date(y, mo, dy))
     y = m.get("year")
     if y is None:
@@ -513,7 +509,7 @@ def date_from_map(m: dict) -> CyDate:
 
 def time_from_map(m: dict):
     m = {k.lower(): v for k, v in m.items()}
-    bt, boff = _base_time(m)
+    bt, boff, _bzone = _base_time(m)
     h = int(m.get("hour", bt.component("hour") if bt else 0))
     mi = int(m.get("minute", bt.component("minute") if bt else 0))
     se = int(m.get("second", bt.component("second") if bt else 0))
@@ -528,10 +524,15 @@ def time_from_map(m: dict):
     tz = m.get("timezone")
     if tz is not None:
         if re.fullmatch(r"[+-]\d{2}:?(\d{2})?(:?\d{2})?|Z|z", str(tz)):
-            return CyTime(t, _parse_offset(str(tz)))
-        # named zone: offset at epoch date (no date context) — use today=1970
-        zdt = _zoned(_dt.date(1970, 1, 1), t, str(tz))
-        return CyTime(t, zdt.offset)
+            newoff = _parse_offset(str(tz))
+        else:
+            # named zone: offset at epoch date (no date context) — 1970
+            newoff = _zoned(_dt.date(1970, 1, 1), t, str(tz)).offset
+        if boff is not None:
+            # overriding the timezone of an offset-carrying base keeps
+            # the instant: the wall clock shifts (TCK Temporal3 [3])
+            t = CyLocalTime((t.nanos + (newoff - boff) * NANOS) % DAY_NANOS)
+        return CyTime(t, newoff)
     if boff is not None:
         return CyTime(t, boff)
     return t
@@ -555,21 +556,52 @@ def datetime_from_map(m: dict, local: bool):
         k in m for k in ("year", "date", "datetime", "localdatetime", "week",
                          "quarter", "ordinalday")
     ) else CyDate(_dt.date(1970, 1, 1))
-    tm = time_from_map({k: v for k, v in m.items() if k != "date"})
+    tm = time_from_map(
+        {k: v for k, v in m.items() if k not in ("date", "timezone")}
+    )
     if isinstance(tm, CyTime):
         t, off = tm.t, tm.offset
     else:
         t, off = tm, None
-    tz = m.get("timezone")
+    _bt, _boff, bzone = _base_time(m)
     if local:
         return CyLocalDateTime(d.d, t)
-    if tz is not None and not re.fullmatch(
-        r"[+-]\d{2}:?(\d{2})?(:?\d{2})?|Z|z", str(tz)
-    ):
-        return _zoned(d.d, t, str(tz))
-    if off is not None:
-        return CyDateTime(d.d, t, off)
-    return CyDateTime(d.d, t, 0)
+    if bzone is not None:
+        # named-zone base: the offset is re-resolved at the COMPOSED wall
+        # datetime (a date override may cross a DST boundary — Temporal3
+        # [10] rows with day: 28 flipping +01:00 → +02:00)
+        off = _zoned(d.d, t, bzone).offset
+    tz = m.get("timezone")
+    if tz is None:
+        if off is None:
+            return CyDateTime(d.d, t, 0)
+        return CyDateTime(d.d, t, off, bzone)
+    named = not re.fullmatch(r"[+-]\d{2}:?(\d{2})?(:?\d{2})?|Z|z", str(tz))
+    if off is None:
+        # wall time as written, in the target zone
+        if named:
+            return _zoned(d.d, t, str(tz))
+        return CyDateTime(d.d, t, _parse_offset(str(tz)))
+    # overriding the timezone of an offset-carrying base keeps the
+    # instant: convert wall clock with date rollover (Temporal3 [9])
+    utc_n = (
+        (d.d - _dt.date(1970, 1, 1)).days * DAY_NANOS
+        + t.nanos - off * NANOS
+    )
+    if named:
+        z = _zoneinfo(str(tz))
+        utc_dt = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + \
+            _dt.timedelta(seconds=utc_n // NANOS)
+        newoff = int(utc_dt.astimezone(z).utcoffset().total_seconds())
+    else:
+        newoff = _parse_offset(str(tz))
+    loc_n = utc_n + newoff * NANOS
+    days, rem = divmod(loc_n, DAY_NANOS)
+    return CyDateTime(
+        _dt.date(1970, 1, 1) + _dt.timedelta(days=days),
+        CyLocalTime(rem), newoff,
+        str(tz) if named else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -722,10 +754,34 @@ def duration_between(a, b, mode: str = "between") -> CyDuration:
     # date-only values pair with times as midnight etc. via _explode
     da, ta, offa = _to_ldt(a)
     db, tb, offb = _to_ldt(b)
-    if isinstance(a, (CyTime, CyDateTime)) and isinstance(
-        b, (CyTime, CyDateTime)
-    ):
+    # a time-only operand borrows the other side's date (openCypher
+    # duration.between coercion, TCK Temporal10): date('1984-10-11') ↔
+    # localtime('16:30') diff within that day, not against 1970-01-01
+    a_has_date = isinstance(a, (CyDate, CyLocalDateTime, CyDateTime))
+    b_has_date = isinstance(b, (CyDate, CyLocalDateTime, CyDateTime))
+    if not a_has_date and b_has_date:
+        da = db
+    elif not b_has_date and a_has_date:
+        db = da
+    a_off = isinstance(a, (CyTime, CyDateTime))
+    b_off = isinstance(b, (CyTime, CyDateTime))
+    if a_off and b_off:
         tb = CyLocalTime(tb.nanos + (offa - offb) * NANOS)
+    elif a_off != b_off:
+        # one zoned side + one local side: when the zoned side carries an
+        # IANA zone, the local side is interpreted in that zone (DST-aware
+        # offset at its own wall time — TCK Temporal10 [8]); with a bare
+        # numeric offset both are treated as wall times
+        zone = (a.zone if a_off and isinstance(a, CyDateTime)
+                else b.zone if b_off and isinstance(b, CyDateTime)
+                else None)
+        if zone:
+            if a_off:
+                off_local = _zoned(db, tb, zone).offset
+                tb = CyLocalTime(tb.nanos + (offa - off_local) * NANOS)
+            else:
+                off_local = _zoned(da, ta, zone).offset
+                ta = CyLocalTime(ta.nanos + (offb - off_local) * NANOS)
     if mode == "inseconds" or time_only:
         na = ta.nanos
         nb = tb.nanos
@@ -740,10 +796,12 @@ def duration_between(a, b, mode: str = "between") -> CyDuration:
     # tentative same-day-of-month anchor
     forward = (db, tb.nanos) >= (da, ta.nanos)
     anchor = _add_months(da, months)
-    if forward and (anchor, 0) > (db, 0):
+    # the anchor comparison includes the time-of-day so a partial month
+    # is not counted as whole (P-1Y-11M, not P-2Y — TCK Temporal10 [7])
+    if forward and (anchor, ta.nanos) > (db, tb.nanos):
         months -= 1
         anchor = _add_months(da, months)
-    elif not forward and (anchor, 0) < (db, 0):
+    elif not forward and (anchor, ta.nanos) < (db, tb.nanos):
         months += 1
         anchor = _add_months(da, months)
     days = (db - anchor).days
@@ -786,12 +844,15 @@ def add_duration(v, dur: CyDuration):
                           v.nanos + dur.nanos)
     d, t, off, zone = _explode(v)
     d = _add_months(d, dur.months) + _dt.timedelta(days=dur.days)
+    if isinstance(v, CyDate):
+        # date ± duration truncates the time part to WHOLE days, toward
+        # zero (openCypher date arithmetic — TCK Temporal8 [1]):
+        # PT16H contributes nothing, PT72H contributes 3 days
+        return CyDate(d + _dt.timedelta(days=int(dur.nanos / DAY_NANOS)))
     total = t.nanos + dur.nanos
     extra_days, rem = divmod(total, DAY_NANOS)
     d = d + _dt.timedelta(days=extra_days)
     t = CyLocalTime(rem)
-    if isinstance(v, CyDate):
-        return CyDate(d)
     if isinstance(v, CyLocalTime):
         return t
     if isinstance(v, CyTime):
@@ -810,3 +871,104 @@ def scale_duration(dur: CyDuration, k) -> CyDuration:
         "months": dur.months * k, "days": dur.days * k,
         "nanoseconds": dur.nanos * k,
     })
+
+
+def parse_any(s: str):
+    """Parse a canonical temporal string of unknown kind (stored property
+    round-trip): duration, datetime, date, then time."""
+    if s is None:
+        return None
+    s = str(s)
+    if s[:1] in ("P", "+", "-") and "P" in s[:2]:
+        return parse_duration(s)
+    if "T" in s[1:] or "[" in s:
+        try:
+            return parse_datetime(s)
+        except TemporalError:
+            pass
+    try:
+        return parse_date(s)
+    except TemporalError:
+        pass
+    try:
+        return parse_time(s)
+    except TemporalError:
+        pass
+    raise TemporalError(f"Cannot parse temporal value: {s!r}")
+
+
+def component_of_string(s, name: str):
+    """Runtime accessor kernel: component of a stored canonical temporal
+    string (None-propagating; None for unparseable input)."""
+    if s is None:
+        return None
+    try:
+        v = parse_any(s)
+    except TemporalError:
+        return None
+    try:
+        return v.component(name)
+    except KeyError:
+        return None
+
+
+def add_strings(a, b, sign: int = 1):
+    """Runtime arithmetic kernel over canonical temporal strings:
+    temporal ± duration, duration ± duration (None-propagating)."""
+    if a is None or b is None:
+        return None
+    try:
+        va = parse_any(a) if isinstance(a, str) else a
+        vb = parse_any(b) if isinstance(b, str) else b
+    except TemporalError:
+        return None
+    if isinstance(vb, CyDuration):
+        if sign < 0:
+            vb = CyDuration(-vb.months, -vb.days, -vb.nanos)
+        return str(add_duration(va, vb))
+    if isinstance(va, CyDuration) and sign > 0:
+        return str(add_duration(vb, va))
+    return None
+
+
+def add_or_concat_strings(a, b, sign: int = 1):
+    """'+'/'-' over two string columns: duration arithmetic when both
+    parse as canonical durations, else string concatenation ('+' only)."""
+    if a is None or b is None:
+        return None
+    try:
+        da = parse_duration(str(a))
+        db_ = parse_duration(str(b))
+    except TemporalError:
+        return str(a) + str(b) if sign > 0 else None
+    if sign < 0:
+        db_ = CyDuration(-db_.months, -db_.days, -db_.nanos)
+    return str(CyDuration(da.months + db_.months, da.days + db_.days,
+                          da.nanos + db_.nanos))
+
+
+def scale_string(s, factor, divide: bool = False):
+    """duration-string × / ÷ number: per-component scaling with the
+    openCypher fractional carries (month→day via 30.436875, day→nanos)."""
+    if s is None or factor is None:
+        return None
+    try:
+        dur = parse_duration(str(s))
+    except TemporalError:
+        return None
+    from fractions import Fraction
+
+    f = Fraction(str(factor))
+    if divide:
+        if f == 0:
+            return None
+        f = 1 / f
+    # exact rational carries (float rounding would drift by ±1 ns on
+    # odd divisions — TCK Temporal8 [7])
+    avg = Fraction(30436875, 1000000)  # 365.2425 / 12 days per month
+    months = dur.months * f
+    mi = int(months)
+    days = dur.days * f + (months - mi) * avg
+    di = int(days)
+    nanos = dur.nanos * f + (days - di) * 86_400 * NANOS
+    return str(CyDuration(mi, di, int(nanos)))

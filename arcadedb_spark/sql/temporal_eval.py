@@ -94,8 +94,34 @@ def mentions_temporal(e) -> bool:
     return False
 
 
+_NOW: list = []  # statement-scoped clock: one instant per try_eval tree
+
+
 def _construct(kind: str, args: list):
     if len(args) == 0:
+        # argless constructor = statement clock; every argless temporal
+        # in one expression shares the same instant, so e.g.
+        # duration.inSeconds(localtime(), localtime()) is exactly PT0S
+        import datetime as _dt
+
+        if not _NOW:
+            raise NotStatic("clock-based temporal (no eval context)")
+        now = _NOW[-1]
+        d, tm = now.date(), now.time()
+        nanos = (
+            (tm.hour * 60 + tm.minute) * 60 + tm.second
+        ) * T.NANOS + tm.microsecond * 1000
+        t = T.CyLocalTime(nanos)
+        if kind == "date":
+            return T.CyDate(d)
+        if kind == "localtime":
+            return t
+        if kind == "time":
+            return T.CyTime(t, 0)
+        if kind == "localdatetime":
+            return T.CyLocalDateTime(d, t)
+        if kind == "datetime":
+            return T.CyDateTime(d, t, 0)
         raise NotStatic("clock-based temporal (no args) is not static")
     a = args[0]
     if a is None:
@@ -207,6 +233,15 @@ def _static(e, params) -> object:
         ns = e.base.parts[0].lower()
         name = e.name.lower()
         args = [_static(a, params) for a in e.args]
+        if name in ("transaction", "statement", "realtime"):
+            # clock-source variants (date.transaction() etc.): a single
+            # timezone arg, null-propagating; all three share the
+            # statement clock here (single-statement execution model)
+            if args and args[0] is None:
+                return None
+            if ns != "duration":
+                return _construct(ns, [])
+            raise NotStatic(name)
         if name == "truncate":
             unit = args[0]
             value = args[1]
@@ -317,10 +352,15 @@ def try_eval(e, params):
     for definitely-temporal-but-invalid input."""
     if not mentions_temporal(e):
         return False, None
+    import datetime as _dt
+
+    _NOW.append(_dt.datetime.now(_dt.timezone.utc))
     try:
         v = _static(e, params)
     except NotStatic:
         return False, None
+    finally:
+        _NOW.pop()
     if isinstance(v, T.TEMPORAL_TYPES):
         return True, str(v)
     if isinstance(v, list):

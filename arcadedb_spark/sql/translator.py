@@ -96,6 +96,78 @@ def _lit(v: Any) -> Column:
 
 _MISSING = object()
 
+# temporal components extractable from a stored canonical temporal string
+# (runtime accessor path — values stored by the write path render to
+# canonical strings, so `n.date.year` parses per row)
+_TEMPORAL_COMPONENTS = {
+    "year", "quarter", "month", "week", "weekyear", "day", "ordinalday",
+    "dayofweek", "weekday", "dayofquarter", "hour", "minute", "second",
+    "millisecond", "microsecond", "nanosecond", "epochseconds",
+    "epochmillis", "years", "months", "monthsofyear", "quarters",
+    "quartersofyear", "monthsofquarter", "weeks", "days", "daysofweek",
+    "hours", "minutes", "minutesofhour", "seconds", "secondsofminute",
+    "milliseconds", "millisecondsofsecond", "microseconds",
+    "microsecondsofsecond", "nanoseconds", "nanosecondsofsecond",
+    "offsetminutes", "offsetseconds",
+}
+_TEMPORAL_STR_COMPONENTS = {"timezone", "offset"}
+
+_temporal_udfs: dict = {}
+
+
+def _temporal_component_col(col: Column, name: str) -> Column:
+    """Runtime temporal accessor over a stored canonical string column."""
+    key = "str" if name.lower() in _TEMPORAL_STR_COMPONENTS else "long"
+    if key not in _temporal_udfs:
+        from arcadedb_spark.sql.temporal import component_of_string
+
+        def _extract_long(s, n):
+            v = component_of_string(s, n)
+            return int(v) if v is not None else None
+
+        def _extract_str(s, n):
+            v = component_of_string(s, n)
+            return str(v) if v is not None else None
+
+        _temporal_udfs["long"] = F.udf(_extract_long, "long")
+        _temporal_udfs["str"] = F.udf(_extract_str, "string")
+    # weekDay is the accessor spelling of the dayOfWeek component
+    comp = {"weekday": "dayofweek"}.get(name.lower(), name.lower())
+    return _temporal_udfs[key](col, F.lit(comp))
+
+
+def _temporal_add_col(a: Column, b: Column, sign: int) -> Column:
+    """Runtime temporal ± duration over canonical strings."""
+    if "add" not in _temporal_udfs:
+        from arcadedb_spark.sql.temporal import add_strings
+
+        _temporal_udfs["add"] = F.udf(
+            lambda x, y, s: add_strings(x, y, s), "string"
+        )
+    return _temporal_udfs["add"](a, b, F.lit(sign))
+
+
+def _temporal_addconcat_col(a: Column, b: Column, sign: int) -> Column:
+    """'+'/'-' over two string columns: runtime duration-vs-concat."""
+    if "addconcat" not in _temporal_udfs:
+        from arcadedb_spark.sql.temporal import add_or_concat_strings
+
+        _temporal_udfs["addconcat"] = F.udf(
+            lambda x, y, s: add_or_concat_strings(x, y, s), "string"
+        )
+    return _temporal_udfs["addconcat"](a, b, F.lit(sign))
+
+
+def _temporal_scale_col(s: Column, factor: Column, divide: bool) -> Column:
+    """duration-string × / ÷ number at runtime."""
+    if "scale" not in _temporal_udfs:
+        from arcadedb_spark.sql.temporal import scale_string
+
+        _temporal_udfs["scale"] = F.udf(
+            lambda x, f, d: scale_string(x, f, d), "string"
+        )
+    return _temporal_udfs["scale"](s, factor, F.lit(divide))
+
 
 class ExprCompiler:
     def __init__(self, ctx: Ctx) -> None:
@@ -183,18 +255,43 @@ class ExprCompiler:
         if self.ctx.frame_schema is not None and len(parts) > 1:
             # schema-aware struct access: a missing property is null
             # (Cypher semantics), not an analysis error
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StringType, StructType
 
             field = next(
                 (f for f in self.ctx.frame_schema.fields if f.name == head),
                 None,
             )
+            if (
+                field is not None
+                and isinstance(field.dataType, StringType)
+                and len(parts) == 2
+                and (
+                    parts[1].lower() in _TEMPORAL_COMPONENTS
+                    or parts[1].lower() in _TEMPORAL_STR_COMPONENTS
+                )
+            ):
+                # component access on a string column holding a stored
+                # canonical temporal value (WITH n.date AS d … d.year)
+                return _temporal_component_col(F.col(head), parts[1])
             if field is not None and isinstance(field.dataType, StructType):
                 dt = field.dataType
                 col = F.col(head)
                 for p in parts[1:]:
                     if not isinstance(dt, StructType):
+                        from pyspark.sql.types import StringType
+
+                        if isinstance(dt, StringType) and (
+                            p.lower() in _TEMPORAL_COMPONENTS
+                            or p.lower() in _TEMPORAL_STR_COMPONENTS
+                        ):
+                            # stored temporal string: runtime accessor
+                            # (TCK Temporal5 — values round-trip through
+                            # canonical strings)
+                            col = _temporal_component_col(col, p)
+                            dt = None
+                            continue
                         col = col.getField(p)
+                        dt = None
                         continue
                     sub = next(
                         (f for f in dt.fields if f.name == p), None
@@ -507,6 +604,54 @@ class ExprCompiler:
             return l >= r
         if op == "<=>":
             return l.eqNullSafe(r)
+        if op in ("+", "-"):
+            # runtime temporal arithmetic: one side is a static temporal
+            # value, the other a stored canonical string column
+            # (TCK Temporal8 — date('1984-10-11') + d.dur)
+            from arcadedb_spark.sql import temporal as _T
+            from arcadedb_spark.sql.temporal_eval import static_value
+
+            oka, va = static_value(le, self.ctx.params)
+            okb, vb = static_value(ri, self.ctx.params)
+            sign = 1 if op == "+" else -1
+            if (
+                oka and isinstance(va, _T.TEMPORAL_TYPES) and not okb
+            ):
+                return _temporal_add_col(F.lit(str(va)), r, sign)
+            if (
+                okb and isinstance(vb, _T.CyDuration) and not oka
+            ):
+                return _temporal_add_col(l, F.lit(str(vb)), sign)
+            if not oka and not okb:
+                from pyspark.sql.types import StringType
+
+                if isinstance(
+                    self._static_dtype(le), StringType
+                ) and isinstance(self._static_dtype(ri), StringType):
+                    # two stored string columns: duration arithmetic when
+                    # both parse as durations, else concat (Temporal8 [6])
+                    return _temporal_addconcat_col(l, r, sign)
+        if op in ("*", "/"):
+            from pyspark.sql.types import StringType
+
+            from arcadedb_spark.sql.temporal_eval import static_value
+
+            def _num(v):
+                return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+            oka, va = static_value(le, self.ctx.params)
+            okb, vb = static_value(ri, self.ctx.params)
+            if (
+                okb and _num(vb) and not oka
+                and isinstance(self._static_dtype(le), StringType)
+            ):
+                # stored duration string × / ÷ number (Temporal8 [7])
+                return _temporal_scale_col(l, F.lit(vb), op == "/")
+            if (
+                op == "*" and oka and _num(va) and not okb
+                and isinstance(self._static_dtype(ri), StringType)
+            ):
+                return _temporal_scale_col(r, F.lit(va), False)
         if op == "+":
             # Cypher/SQL '+' overloads: list concat when either side is
             # statically list-valued, string concat when either side is a
