@@ -842,9 +842,17 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             if df is None:
                 df = db.spark.range(1).select(F.lit(1).alias("__one"))
             ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
-            df = df.withColumn(
-                alias, F.explode(ExprCompiler(ctx).compile(expr))
-            )
+            exploded = F.explode(ExprCompiler(ctx).compile(expr))
+            from arcadedb_spark.sql.temporal_eval import try_eval as _tev
+
+            t_ok, t_v = _tev(expr, params)
+            df = df.withColumn(alias, exploded)
+            if t_ok and isinstance(t_v, list):
+                # statically-temporal list: tag the exploded column so
+                # ORDER BY sorts by instant, not lexicographically
+                # (alias(metadata=) is dropped on generator output —
+                # withMetadata survives projections)
+                df = df.withMetadata(alias, {"cy_temporal": True})
             aliases = set(aliases)  # unwound alias is a scalar column
             continue
         if df is None:

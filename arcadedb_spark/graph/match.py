@@ -418,7 +418,7 @@ def project_stage(
     )
     tr = Translator(db, params)
     ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
-              frame_schema=df.schema)
+              frame_schema=df.schema, cypher_order=True)
     is_agg = any(_has_agg(p.expr) for p in select.projections) or bool(
         select.group_by
     )

@@ -732,11 +732,17 @@ class Parser:
     def parse_order_item(self) -> ast.OrderItem:
         expr = self.parse_expr()
         asc = True
-        if self.eat_kw("DESC"):
+        if self.eat_kw("DESC") or self._eat_ident("DESCENDING"):
             asc = False
-        else:
-            self.eat_kw("ASC")
+        elif not self.eat_kw("ASC"):
+            self._eat_ident("ASCENDING")
         return ast.OrderItem(expr, asc)
+
+    def _eat_ident(self, word: str) -> bool:
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == word:
+            self.advance()
+            return True
+        return False
 
     def parse_unwind_item(self) -> ast.UnwindItem:
         expr = self.parse_expr()

@@ -972,3 +972,30 @@ def scale_string(s, factor, divide: bool = False):
     di = int(days)
     nanos = dur.nanos * f + (days - di) * 86_400 * NANOS
     return str(CyDuration(mi, di, int(nanos)))
+
+
+def sort_key_of_string(s):
+    """Instant-ordered sort key for a stored canonical temporal string:
+    UTC nanos for instants, nanos-since-midnight for times, average-length
+    total seconds for durations.  None for null/unparseable input."""
+    if s is None:
+        return None
+    try:
+        v = parse_any(s)
+    except TemporalError:
+        return None
+    if isinstance(v, CyDate):
+        return (v.d - _dt.date(1970, 1, 1)).days * DAY_NANOS
+    if isinstance(v, CyLocalTime):
+        return v.nanos
+    if isinstance(v, CyTime):
+        return v.t.nanos - v.offset * NANOS
+    if isinstance(v, CyLocalDateTime):
+        return ((v.d - _dt.date(1970, 1, 1)).days * DAY_NANOS + v.t.nanos)
+    if isinstance(v, CyDateTime):
+        return ((v.d - _dt.date(1970, 1, 1)).days * DAY_NANOS + v.t.nanos
+                - v.offset * NANOS)
+    if isinstance(v, CyDuration):
+        return int(v.months * AVG_DAYS_PER_MONTH * DAY_NANOS
+                   + v.days * DAY_NANOS + v.nanos)
+    return None

@@ -83,6 +83,9 @@ class Ctx:
     # used for OR/NOT-nested IN-subqueries rewritten to left joins so the
     # expression compiler never materializes subquery values driver-side
     precompiled: dict[int, Column] = field(default_factory=dict)
+    # Cypher dialect: ORDER BY on string-typed keys adds a temporal
+    # instant sort key (stored temporal values render to strings)
+    cypher_order: bool = False
 
 
 def _lit(v: Any) -> Column:
@@ -156,6 +159,22 @@ def _temporal_addconcat_col(a: Column, b: Column, sign: int) -> Column:
             lambda x, y, s: add_or_concat_strings(x, y, s), "string"
         )
     return _temporal_udfs["addconcat"](a, b, F.lit(sign))
+
+
+def _temporal_sort_key_col(col: Column) -> Column:
+    """Instant sort key for a canonical temporal string column."""
+    if "sortkey" not in _temporal_udfs:
+        from arcadedb_spark.sql.temporal import sort_key_of_string
+
+        from decimal import Decimal
+
+        def _key(s):
+            v = sort_key_of_string(s)
+            return Decimal(v) if v is not None else None
+
+        # decimal(38,0): UTC-nanos keys overflow long beyond ~2262 AD
+        _temporal_udfs["sortkey"] = F.udf(_key, "decimal(38,0)")
+    return _temporal_udfs["sortkey"](col)
 
 
 def _temporal_scale_col(s: Column, factor: Column, divide: bool) -> Column:
@@ -341,6 +360,13 @@ class ExprCompiler:
             return ArrayType(elem) if elem is not None else None
         if isinstance(e, ast.ListComp) and e.proj is None:
             return self._static_dtype(e.source)
+        if isinstance(e, ast.Bin) and e.op == "+":
+            # string '+' propagates: (a.title + ' ') + a.name is a string
+            lt = self._static_dtype(e.left)
+            rt = self._static_dtype(e.right)
+            if isinstance(lt, StringType) or isinstance(rt, StringType):
+                return StringType()
+            return None
         if not isinstance(e, ast.Chain):
             return None
         if e.parts[0] in self._bound:
@@ -629,8 +655,14 @@ class ExprCompiler:
                     self._static_dtype(le), StringType
                 ) and isinstance(self._static_dtype(ri), StringType):
                     # two stored string columns: duration arithmetic when
-                    # both parse as durations, else concat (Temporal8 [6])
-                    return _temporal_addconcat_col(l, r, sign)
+                    # both look like durations (JVM regex guard), plain
+                    # JVM concat otherwise (Temporal8 [6] + WithOrderBy2)
+                    if op == "-":
+                        return _temporal_addconcat_col(l, r, sign)
+                    both_dur = l.rlike(r"^[+-]?P") & r.rlike(r"^[+-]?P")
+                    return F.when(
+                        both_dur, _temporal_addconcat_col(l, r, 1)
+                    ).otherwise(F.concat(l, r))
         if op in ("*", "/"):
             from pyspark.sql.types import StringType
 
@@ -670,6 +702,13 @@ class ExprCompiler:
                 return F.concat(l, r.cast("string"))
             if isinstance(ri, ast.Lit) and isinstance(ri.value, str):
                 return F.concat(l.cast("string"), r)
+            from pyspark.sql.types import StringType
+
+            if isinstance(self._static_dtype(le), StringType) or isinstance(
+                self._static_dtype(ri), StringType
+            ):
+                # one side statically string-typed: Cypher '+' is concat
+                return F.concat(l.cast("string"), r.cast("string"))
             return l + r
         if op == "-":
             return l - r
@@ -1745,15 +1784,51 @@ class Translator:
         hidden: list[Column] = []
         hidden_names: list[str] = []
         sort_cols: list[Column] = []
+
+        def _cy_temporal_field(name: str) -> bool:
+            fs = ctx.frame_schema
+            if fs is None:
+                return False
+            f_ = next((f for f in fs.fields if f.name == name), None)
+            return bool(f_ is not None and f_.metadata.get("cy_temporal"))
+
+        proj_exprs = {
+            (p.alias or getattr(p, "text", None)): p.expr
+            for p in stmt.projections
+        }
         for oi in stmt.order_by:
             expr = oi.expr
+            temporal = False
             if isinstance(expr, ast.Chain) and len(expr.parts) == 1 and expr.parts[0] in out_names:
-                c = F.col(expr.parts[0])
+                name = expr.parts[0]
+                c = F.col(name)
+                temporal = _cy_temporal_field(name)
+                if not temporal and ctx.cypher_order:
+                    from pyspark.sql.types import StringType
+
+                    src = proj_exprs.get(name)
+                    if src is not None and isinstance(
+                        compiler._static_dtype(src), StringType
+                    ):
+                        # stored temporal values are strings: add an
+                        # instant key, tie-broken by the string itself
+                        temporal = True
             else:
                 hname = f"__ord{next(self._uid)}"
                 hidden.append(compiler.compile(expr).alias(hname))
                 hidden_names.append(hname)
                 c = F.col(hname)
+                if ctx.cypher_order:
+                    from pyspark.sql.types import StringType
+
+                    temporal = isinstance(
+                        compiler._static_dtype(expr), StringType
+                    )
+            if temporal:
+                # canonical temporal strings order by instant (sort-key
+                # kernel), tie-broken by the rendered string
+                key = _temporal_sort_key_col(c)
+                sort_cols.append(key.asc() if oi.ascending else key.desc())
             sort_cols.append(c.asc() if oi.ascending else c.desc())
 
         if hidden and stmt.distinct:
