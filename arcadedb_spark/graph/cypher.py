@@ -841,7 +841,8 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             expr, alias = stage["unwind"]
             if df is None:
                 df = db.spark.range(1).select(F.lit(1).alias("__one"))
-            ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+            ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+                      frame_schema=df.schema)
             exploded = F.explode(ExprCompiler(ctx).compile(expr))
             from arcadedb_spark.sql.temporal_eval import try_eval as _tev
 
@@ -886,7 +887,8 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
         if stage["with_where"] is not None:
             from arcadedb_spark.sql.translator import Ctx, ExprCompiler
 
-            ctx = Ctx(db=db, params=params, columns=tuple(df.columns))
+            ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+                      frame_schema=df.schema)
             df = df.filter(ExprCompiler(ctx).compile(stage["with_where"]))
         aliases = {
             (it.alias or it.expr.parts[0])

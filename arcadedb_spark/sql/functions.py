@@ -580,7 +580,21 @@ def _sort(args):
 
 @scalar("range")
 def _range(args):
-    return F.sequence(args[0], args[1], *args[2:3])
+    from arcadedb_spark.sql.litreg import value_of
+
+    start, end = args[0], args[1]
+    if len(args) > 2:
+        step = args[2]
+        if value_of(step) == 0:
+            raise ValueError("range() step must not be zero")
+    else:
+        # Cypher default step is +1: range(0, -10) is EMPTY, not a
+        # descending sequence (Spark's sequence auto-descends)
+        step = F.lit(1)
+    ok = ((step > 0) & (start <= end)) | ((step < 0) & (start >= end))
+    return F.when(ok, F.sequence(start, end, step)).otherwise(
+        F.array().cast("array<bigint>")
+    )
 
 
 @scalar("size")

@@ -1096,11 +1096,12 @@ class Parser:
         return left
 
     def parse_power(self) -> ast.Expr:
-        # Cypher exponentiation ^ — right-associative, binds tighter than */
+        # Cypher exponentiation ^ — LEFT-associative (openCypher grammar,
+        # TCK Precedence2: 4^6^3 = (4^6)^3), binds tighter than */
         left = self.parse_unary()
-        if self.at_op("^"):
+        while self.at_op("^"):
             self.advance()
-            return ast.Bin("^", left, self.parse_power())
+            left = ast.Bin("^", left, self.parse_unary())
         return left
 
     def parse_unary(self) -> ast.Expr:

@@ -360,12 +360,26 @@ class ExprCompiler:
             return ArrayType(elem) if elem is not None else None
         if isinstance(e, ast.ListComp) and e.proj is None:
             return self._static_dtype(e.source)
-        if isinstance(e, ast.Bin) and e.op == "+":
-            # string '+' propagates: (a.title + ' ') + a.name is a string
+        if isinstance(e, ast.Bin) and e.op in ("+", "-", "*", "/", "%"):
+            from pyspark.sql.types import IntegralType
+
             lt = self._static_dtype(e.left)
             rt = self._static_dtype(e.right)
-            if isinstance(lt, StringType) or isinstance(rt, StringType):
+            if e.op == "+" and (
+                isinstance(lt, StringType) or isinstance(rt, StringType)
+            ):
+                # string '+' propagates: (a.title + ' ') + a.name
                 return StringType()
+            if isinstance(lt, IntegralType) and isinstance(rt, IntegralType):
+                # integer arithmetic stays integral (incl. Cypher integer
+                # division — nested (2 + 3) keeps 4 / (2 + 3) integral)
+                if e.op == "/" and not self.ctx.cypher_order:
+                    return DoubleType()
+                return LongType()
+            if isinstance(lt, (DoubleType, IntegralType)) and isinstance(
+                rt, (DoubleType, IntegralType)
+            ):
+                return DoubleType()
             return None
         if not isinstance(e, ast.Chain):
             return None
@@ -715,6 +729,17 @@ class ExprCompiler:
         if op == "*":
             return l * r
         if op == "/":
+            from pyspark.sql.types import IntegralType
+
+            if (
+                self.ctx.cypher_order  # Cypher-dialect projection only
+                and isinstance(self._static_dtype(le), IntegralType)
+                and isinstance(self._static_dtype(ri), IntegralType)
+            ):
+                # Cypher integer division truncates toward zero
+                # (Spark's / is always float — TCK Precedence2; the SQL
+                # dialect keeps float semantics its oracles assume)
+                return ((l - (l % r)) / r).cast("long")
             return l / r
         if op == "%":
             return l % r
@@ -882,8 +907,31 @@ class ExprCompiler:
         return F.create_map(*cols)
 
     def _c_index(self, e: ast.Index) -> Column:
+        from pyspark.sql.types import StructType
+
         base = self.compile(e.base)
         idx = self.compile(e.index)
+        bt = self._static_dtype(e.base)
+        if isinstance(bt, StructType):
+            sv = value_of(idx)
+            if isinstance(sv, str):
+                # static key: typed field access (missing → null)
+                if any(f_.name == sv for f_ in bt.fields):
+                    return base.getField(sv)
+                return _lit(None)
+            # dynamic property access on an entity struct: n[key] builds
+            # a name→value map over the struct's property fields
+            # (TCK Graph7; values stringified — heterogeneous map values
+            # have no common Spark type)
+            pairs = []
+            for f_ in bt.fields:
+                if f_.name in ("vid", "@type", "etype", "src", "dst"):
+                    continue
+                pairs.append(F.lit(f_.name))
+                pairs.append(base.getField(f_.name).cast("string"))
+            if not pairs:
+                return _lit(None)
+            return F.element_at(F.create_map(*pairs), idx.cast("string"))
         v = value_of(idx)
         if v is not None:
             return base.getItem(v)  # 0-based for arrays, key for maps/structs
@@ -1069,6 +1117,16 @@ class ExprCompiler:
 
     def _c_funccall(self, e: ast.FuncCall) -> Column:
         name = e.name.lower()
+        if (
+            len(e.args) == 1
+            and isinstance(e.args[0], ast.Lit)
+            and e.args[0].value is None
+            and name in ("labels", "type", "id", "startnode", "endnode",
+                         "elementid", "keys", "properties", "size",
+                         "length", "nodes", "relationships")
+        ):
+            # entity functions null-propagate (labels(null) → null)
+            return _lit(None)
         if name == "size" and e.args:
             # Cypher size() overloads: character count for strings,
             # element count for lists — resolved on the static dtype
