@@ -949,9 +949,29 @@ def _literal_props(db, props, params) -> dict:
     return out
 
 
+import itertools as _it
+
+_wuid = _it.count()
+
+
+def _expr_refs_columns(e, cols) -> bool:
+    """Does the AST reference ``alias.prop`` for any alias in ``cols``?"""
+    if isinstance(e, ast.Chain) and len(e.parts) > 1 and e.parts[0] in cols:
+        return True
+    if hasattr(e, "__dataclass_fields__"):
+        return any(
+            _expr_refs_columns(getattr(e, f_), cols)
+            for f_ in e.__dataclass_fields__
+        )
+    if isinstance(e, (tuple, list)):
+        return any(_expr_refs_columns(x, cols) for x in e)
+    return False
+
+
 def _apply_write(
     db, g, kind: str, path: ast.MatchPath, df, aliases, params,
     on_create=(), on_match=(), bindings=None, edge_bindings=None,
+    frame_ref=None,
 ) -> int:
     """One CREATE/MERGE pattern: create/match each node, then one edge per
     step (per match row when endpoints are bound).  Reference:
@@ -1028,6 +1048,51 @@ def _apply_write(
         # unlabeled nodes (Cypher `CREATE ()`) live under the internal "_"
         # label; labels() reports them as label-less
         label = node.type_name or "_"
+        if (
+            kind == "create"
+            and df is not None
+            and frame_ref is not None
+            and node.props
+            and _expr_refs_columns(tuple(e for _, e in node.props),
+                                   set(df.columns))
+        ):
+            # per-row creation: the property values come from the match
+            # frame (MATCH (d) CREATE (e {name: d.name + '0'})) — one new
+            # vertex per frame row, minted and joined frame-wise
+            # (CreateStep.java:60 per-upstream-row semantics)
+            alias_name = node.alias or f"__c{next(_wuid)}"
+            vcol = f"__vid_{alias_name}"
+            df = df.withColumn(
+                vcol,
+                (F.monotonically_increasing_id() + F.lit(g.mint_vid_block()))
+                .cast("long"),
+            ).localCheckpoint(eager=True)
+            ctx = Ctx(db=db, params=params or {},
+                      columns=tuple(df.columns), frame_schema=df.schema)
+            comp = [
+                (k, ExprCompiler(ctx).compile(e)) for k, e in node.props
+            ]
+            store = df.select(
+                F.col(vcol).alias("vid"), *[c.alias(k) for k, c in comp]
+            )
+            created += g.append_vertex_frame(label, store)
+            disp = g.label_display.get(label.lower(), label)
+            df = df.withColumn(
+                alias_name,
+                F.struct(
+                    F.col(vcol).alias("vid"), F.lit(disp).alias("@type"),
+                    *[c.alias(k) for k, c in comp],
+                ),
+            ).drop(vcol)
+            if frame_ref is not None:
+                frame_ref[0] = df
+            if aliases is not None and node.alias:
+                try:
+                    aliases.add(node.alias)
+                except AttributeError:
+                    pass
+            resolved.append(("bound", alias_name))
+            continue
         if kind == "merge":
             # MERGE cannot match/create on a LITERAL null property
             # (SemanticError, TCK Merge1); non-literal expressions that
@@ -1427,6 +1492,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         return out
 
     def run_one(w) -> int:
+        nonlocal df
         from arcadedb_spark.sql.litreg import value_of
 
         if w["kind"] == "foreach":
@@ -1639,11 +1705,17 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     n += g.remove_vertices(label, matched)
             return n
         for path in w["patterns"]:
+            ref = [df]
             n += _apply_write(
                 db, g, w["kind"], path, df, aliases, params,
                 on_create=w.get("on_create", ()), on_match=w.get("on_match", ()),
                 bindings=write_bindings, edge_bindings=edge_bindings,
+                frame_ref=ref,
             )
+            if ref[0] is not df:
+                # frame-wise CREATE bound a new per-row entity column —
+                # later clauses see it
+                df = ref[0]
         return n
 
     write_bindings: list[tuple] = []
@@ -1838,9 +1910,25 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             try:
                 values = _ast_literal(u_expr, params)
             except ValueError:
-                raise TranslateError(
-                    "UNWIND after a write clause needs a literal list"
-                )
+                if (
+                    isinstance(u_expr, ast.FuncCall)
+                    and u_expr.name.lower() == "range"
+                ):
+                    try:
+                        rargs = [
+                            _ast_literal(a, params) for a in u_expr.args
+                        ]
+                    except ValueError:
+                        raise TranslateError(
+                            "UNWIND after a write clause needs a literal list"
+                        )
+                    lo, hi = int(rargs[0]), int(rargs[1])
+                    st = int(rargs[2]) if len(rargs) > 2 else 1
+                    values = list(range(lo, hi + (1 if st > 0 else -1), st))
+                else:
+                    raise TranslateError(
+                        "UNWIND after a write clause needs a literal list"
+                    )
             if not isinstance(values, (list, tuple)):
                 values = [values]
             if df is not None:

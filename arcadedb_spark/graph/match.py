@@ -161,41 +161,59 @@ def _expand(
         # undirected self-loops must bind once, not once per orientation
         edge = edge.distinct()
 
-    if step.max_hops > 1 or step.min_hops > 1:
+    if step.min_hops != 1 or step.max_hops != 1:
         # Variable-length relationship (Cypher -[:T*min..max]->, reference
         # ExpandPathStep.java:57): bounded walk reachability — iterate
         # distinct (from, to) pair joins, union hops in [min, max].
+        # min 0 contributes the identity (zero-length = the node itself);
+        # an empty interval (min > max) matches nothing.
         # Deviation (documented): walk semantics, not Cypher trail
         # semantics (repeated edges on multigraphs are not excluded).
-        one = edge.distinct().cache()
-        reach = one
-        hops = {1: one}
-        for h in range(2, step.max_hops + 1):
-            reach = (
-                reach.alias("r")
-                .join(one.alias("s"), F.col("r.__to") == F.col("s.__from"))
-                .select(
-                    F.col("r.__from").alias("__from"),
-                    F.col("s.__to").alias("__to"),
+        selected = []
+        if step.min_hops == 0 and step.max_hops >= 0:
+            av = g.all_vertices_full()
+            if av is None:
+                ids = db.spark.createDataFrame([], "__from long, __to long")
+            else:
+                ids = av.select(
+                    F.col("vid").alias("__from"), F.col("vid").alias("__to")
                 )
-                .distinct()
-            )
-            if h % 4 == 0:
-                reach = reach.localCheckpoint(eager=True)
-            hops[h] = reach
-        selected = [
-            hops[h] for h in range(step.min_hops, step.max_hops + 1) if h in hops
-        ]
-        edge = selected[0]
-        for fr in selected[1:]:
-            edge = edge.unionByName(fr)
-        edge = edge.distinct()
+            selected.append(ids)
+        if step.max_hops >= 1 and step.min_hops <= step.max_hops:
+            one = edge.distinct().cache()
+            reach = one
+            hops = {1: one}
+            for h in range(2, step.max_hops + 1):
+                reach = (
+                    reach.alias("r")
+                    .join(one.alias("s"), F.col("r.__to") == F.col("s.__from"))
+                    .select(
+                        F.col("r.__from").alias("__from"),
+                        F.col("s.__to").alias("__to"),
+                    )
+                    .distinct()
+                )
+                if h % 4 == 0:
+                    reach = reach.localCheckpoint(eager=True)
+                hops[h] = reach
+            selected += [
+                hops[h]
+                for h in range(max(step.min_hops, 1), step.max_hops + 1)
+                if h in hops
+            ]
+        if not selected:
+            edge = db.spark.createDataFrame([], "__from long, __to long")
+        else:
+            edge = selected[0]
+            for fr in selected[1:]:
+                edge = edge.unionByName(fr)
+            edge = edge.distinct()
 
     # infer the target vertex type from edge metadata when the pattern
     # leaves it anonymous (the reference resolves it from the edge type's
     # schema constraints the same way)
     target_type = step.filter.type_name
-    if target_type is None and len(step.edge_types) == 1:
+    if target_type is None and len(step.edge_types) == 1 and step.min_hops >= 1:
         meta = g.edge_meta.get(step.edge_types[0])
         if meta is not None:
             if method in ("out", "oute", "outv"):
@@ -271,7 +289,93 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
     return df, aliases
 
 
-def _merged_schema(df, pdf, rename):
+def _collect_pattern_exprs(e, out: list) -> None:
+    if isinstance(e, ast.PatternExpr):
+        out.append(e)
+        return
+    if hasattr(e, "__dataclass_fields__"):
+        for f_ in e.__dataclass_fields__:
+            _collect_pattern_exprs(getattr(e, f_), out)
+    elif isinstance(e, (tuple, list)):
+        for x in e:
+            _collect_pattern_exprs(x, out)
+
+
+def attach_pattern_markers(
+    db, df: DataFrame, exprs, params: dict, markers: dict,
+    marker_cols: list,
+) -> DataFrame:
+    """Lower every PatternExpr inside ``exprs`` to a per-row match-COUNT
+    column joined onto the frame: the pattern translates once, groups by
+    its aliases shared with the frame, and left-joins — never a
+    correlated per-row subplan.  ``markers[id(pe)]`` becomes the count
+    Column (0 when no match); the compiler renders boolean context as
+    count > 0 and size(pattern) as the count itself."""
+    pes: list = []
+    for e in exprs:
+        _collect_pattern_exprs(e, pes)
+    for pe in pes:
+        if id(pe) in markers:
+            continue
+        pdf, paliases = translate_path(db, pe.path, params)
+        shared = [a for a in paliases if a in df.columns]
+        if not pe.subquery:
+            # a bare pattern predicate may not introduce new variables
+            # (openCypher; TCK Pattern1) — EXISTS { … } subqueries may
+            fresh = [
+                a for a in paliases
+                if not a.startswith("__") and a not in df.columns
+            ]
+            if fresh:
+                raise TranslateError(
+                    f"Pattern expression introduces new variable "
+                    f"'{fresh[0]}'"
+                )
+        if pe.where is not None:
+            # the inner WHERE may itself contain pattern expressions
+            # (nested EXISTS) — recurse against the pattern frame
+            inner_m: dict = {}
+            inner_c: list = []
+            pdf = attach_pattern_markers(
+                db, pdf, [pe.where], params, inner_m, inner_c
+            )
+            wctx = Ctx(db=db, params=params, columns=tuple(pdf.columns),
+                       frame_schema=pdf.schema, precompiled=inner_m)
+            pdf = pdf.filter(ExprCompiler(wctx).compile(pe.where))
+            if inner_c:
+                pdf = pdf.drop(*inner_c)
+        name = f"__pe{next(_uid)}"
+        if not shared:
+            # uncorrelated existence: one scalar count
+            cnt = pdf.count()
+            markers[id(pe)] = F.lit(cnt)
+            continue
+        key_cols = []
+        key_names = []
+        cond = None
+        for j, a in enumerate(shared):
+            fields = set(pdf.schema[a].dataType.names)
+            if "vid" in fields:
+                ks = ["vid"]
+            elif {"etype", "src", "dst"} <= fields:
+                ks = ["etype", "src", "dst"]
+            else:
+                ks = ["vids"]
+            for k in ks:
+                kn = f"__pk{name[4:]}_{j}_{k}"
+                key_cols.append(F.col(f"{a}.{k}").alias(kn))
+                key_names.append(kn)
+                c = F.col(kn) == F.col(f"{a}.{k}")
+                cond = c if cond is None else (cond & c)
+        mdf = (
+            pdf.select(*key_cols)
+            .groupBy(*key_names)
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+        df = df.join(mdf, cond, "left_outer").drop(*key_names)
+        markers[id(pe)] = F.coalesce(F.col(name), F.lit(0))
+        marker_cols.append(name)
+    return df
     """Union schema of a pending join (left + non-shared right fields) so
     the expression compiler can resolve struct members on either side."""
     from pyspark.sql.types import StructType
@@ -383,9 +487,16 @@ def combine_paths(
     # global WHERE over bound aliases (Cypher); Catalyst pushes the
     # predicate down through the joins where possible
     if where is not None:
+        markers: dict = {}
+        marker_cols: list = []
+        df = attach_pattern_markers(
+            db, df, [where], params, markers, marker_cols
+        )
         wctx = Ctx(db=db, params=params, columns=tuple(df.columns),
-                   frame_schema=df.schema)
+                   frame_schema=df.schema, precompiled=markers)
         df = df.filter(ExprCompiler(wctx).compile(where))
+        if marker_cols:
+            df = df.drop(*marker_cols)
 
     for path in negative:
         pdf, paliases = translate_path(db, path, params)
@@ -416,9 +527,18 @@ def project_stage(
         skip=skip,
         limit=limit,
     )
+    markers: dict = {}
+    marker_cols: list = []
+    df = attach_pattern_markers(
+        db, df,
+        [p.expr for p in select.projections]
+        + [o.expr for o in select.order_by],
+        params, markers, marker_cols,
+    )
     tr = Translator(db, params)
     ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
-              frame_schema=df.schema, cypher_order=True)
+              frame_schema=df.schema, cypher_order=True,
+              precompiled=markers)
     is_agg = any(_has_agg(p.expr) for p in select.projections) or bool(
         select.group_by
     )

@@ -337,6 +337,33 @@ class GraphModel:
         self._pending_v.setdefault(key_l, []).extend(enriched)
         return vids
 
+    def mint_vid_block(self) -> int:
+        """Base for a block of frame-minted vids: (1 << 61) | block << 44
+        leaves 2^44 ids per block (monotonically_increasing_id embeds the
+        partition index in its high bits — room for ~2k partitions)."""
+        self._vid_counter += 1
+        return (1 << 61) | (self._vid_counter << 44)
+
+    def append_vertex_frame(self, label: str, frame: DataFrame) -> int:
+        """Append pre-minted vertex rows (vid + property columns) — the
+        frame-wise MATCH … CREATE path (one new node per match row,
+        CreateStep.java:60).  The caller must have checkpoint-frozen the
+        vids."""
+        self._flush_vertices()
+        key = label.lower()
+        self.label_display.setdefault(key, label)
+        out = frame
+        if "@type" not in out.columns:
+            out = out.withColumn("@type", F.lit(label))
+        n = out.count()
+        existing = dict.get(self.vertex_dfs, key)
+        if existing is not None:
+            merged = existing.unionByName(out, allowMissingColumns=True)
+        else:
+            merged = out
+        dict.__setitem__(self.vertex_dfs, key, merged)
+        return n
+
     def add_edge_rows(
         self, etype: str, pairs: list[tuple[int, int]], props: dict | None = None
     ) -> int:

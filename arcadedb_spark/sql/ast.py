@@ -387,6 +387,21 @@ class MatchPath:
 
 
 @dataclass(frozen=True)
+class PatternExpr(Expr):
+    """A relationship pattern used as an expression (openCypher pattern
+    predicate / pattern comprehension source): WHERE (a)-[:T]->(b),
+    exists((a)-->()), size((a)-->()), EXISTS { … }.  Lowered to a per-row
+    match-count marker joined onto the frame (never a correlated subplan
+    per row)."""
+    path: "MatchPath"
+    # EXISTS { MATCH … WHERE … } subquery form: inner predicate, and new
+    # variables are allowed (a bare pattern predicate may not introduce
+    # any)
+    where: Optional[Expr] = None
+    subquery: bool = False
+
+
+@dataclass(frozen=True)
 class MatchStmt:
     paths: tuple[MatchPath, ...]
     returns: tuple[ProjItem, ...] = ()

@@ -744,6 +744,27 @@ class Parser:
             return True
         return False
 
+    def _looks_like_pattern(self) -> bool:
+        """At a ``(`` in expression position: does a relationship arrow
+        follow the matching ``)``?  (Cypher pattern expressions.)"""
+        if not hasattr(self, "_parse_pattern"):
+            return False
+        depth = 0
+        j = self.i
+        while j < len(self.tokens):
+            t = self.tokens[j]
+            if t.kind == "OP" and t.value == "(":
+                depth += 1
+            elif t.kind == "OP" and t.value == ")":
+                depth -= 1
+                if depth == 0:
+                    nxt = self.tokens[min(j + 1, len(self.tokens) - 1)]
+                    return nxt.kind == "OP" and nxt.value in ("-", "<", "--")
+            elif t.kind == "EOF":
+                return False
+            j += 1
+        return False
+
     def parse_unwind_item(self) -> ast.UnwindItem:
         expr = self.parse_expr()
         alias = None
@@ -1246,18 +1267,76 @@ class Parser:
             if tok.value == "NOT":
                 self.advance()
                 return ast.Unary("NOT", self.parse_not())
+            if (
+                self.cypher
+                and tok.value == "EXISTS"
+                and self.peek().kind == "OP"
+                and self.peek().value == "{"
+                and hasattr(self, "_parse_pattern")
+            ):
+                # EXISTS { [MATCH] pattern [WHERE expr] } (keyword form)
+                self.advance()
+                self.advance()
+                self.eat_kw("MATCH")
+                path = self._parse_pattern(False)
+                where = None
+                if self.eat_kw("WHERE"):
+                    where = self.parse_expr()
+                if self.at_kw("RETURN"):
+                    # full form: the RETURN projection is irrelevant to
+                    # existence — parse and discard
+                    self.advance()
+                    self.eat_kw("DISTINCT")
+                    self.parse_projection_list()
+                self.expect_op("}")
+                return ast.PatternExpr(path, where=where, subquery=True)
             # Soft keywords as identifiers/functions (e.g. `in()` traversal)
             if self.peek().kind == "OP" and self.peek().value == "(":
                 return self._parse_func_call()
             self.advance()
             return ast.Chain((tok.value.lower(),))
         if tok.kind == "IDENT":
+            if (
+                self.cypher
+                and tok.value.lower() == "exists"
+                and self.peek().kind == "OP"
+                and self.peek().value == "{"
+                and hasattr(self, "_parse_pattern")
+            ):
+                # EXISTS { [MATCH] pattern [WHERE expr] } existential
+                # subquery (openCypher; TCK ExistentialSubquery1)
+                self.advance()
+                self.advance()
+                self.eat_kw("MATCH")
+                path = self._parse_pattern(False)
+                where = None
+                if self.eat_kw("WHERE"):
+                    where = self.parse_expr()
+                if self.at_kw("RETURN"):
+                    # full form: the RETURN projection is irrelevant to
+                    # existence — parse and discard
+                    self.advance()
+                    self.eat_kw("DISTINCT")
+                    self.parse_projection_list()
+                self.expect_op("}")
+                return ast.PatternExpr(path, where=where, subquery=True)
             if self.peek().kind == "OP" and self.peek().value == "(":
                 return self._parse_func_call()
             self.advance()
             return ast.Chain((tok.value,))
         if tok.kind == "OP":
             if tok.value == "(":
+                if self.cypher and self._looks_like_pattern():
+                    # relationship pattern in expression position —
+                    # pattern predicate / exists() / size() source
+                    save = self.i
+                    try:
+                        path = self._parse_pattern(False)  # CypherParser
+                        if path.steps:
+                            return ast.PatternExpr(path)
+                    except ParseError:
+                        pass
+                    self.i = save
                 self.advance()
                 if self.cur.kind == "KEYWORD" and self.cur.value in (
                     "SELECT", "MATCH", "TRAVERSE",

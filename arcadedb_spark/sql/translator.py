@@ -761,6 +761,17 @@ class ExprCompiler:
             return ~c
         raise TranslateError(f"Unknown unary {e.op}")
 
+    def _c_patternexpr(self, e) -> Column:
+        """Pattern predicate in boolean position: at least one match.
+        The count marker is pre-joined by attach_pattern_markers."""
+        pre = self.ctx.precompiled.get(id(e))
+        if pre is None:
+            raise TranslateError(
+                "pattern expressions are supported in MATCH/WITH/RETURN "
+                "contexts only"
+            )
+        return pre > 0
+
     def _c_in(self, e: ast.In) -> Column:
         pre = self.ctx.precompiled.get(id(e))
         if pre is not None:
@@ -1129,11 +1140,23 @@ class ExprCompiler:
             return _lit(None)
         if name == "size" and e.args:
             # Cypher size() overloads: character count for strings,
-            # element count for lists — resolved on the static dtype
+            # element count for lists, match count for patterns
             from pyspark.sql.types import StringType
 
+            if isinstance(e.args[0], ast.PatternExpr):
+                pre = self.ctx.precompiled.get(id(e.args[0]))
+                if pre is not None:
+                    return pre
             if isinstance(self._static_dtype(e.args[0]), StringType):
                 return F.length(self.compile(e.args[0]))
+        if (
+            name == "exists"
+            and e.args
+            and isinstance(e.args[0], ast.PatternExpr)
+        ):
+            pre = self.ctx.precompiled.get(id(e.args[0]))
+            if pre is not None:
+                return pre > 0
         if name == "length" and e.args:
             # length(path) → relationship count of the bound path struct
             fields = self._struct_fields_of(e.args[0])
