@@ -348,6 +348,8 @@ class ExprCompiler:
                 return StringType()
             return None
         if isinstance(e, ast.ArrayLit):
+            from pyspark.sql.types import VariantType
+
             elem = None
             for item in e.items:
                 t = self._static_dtype(item)
@@ -356,7 +358,9 @@ class ExprCompiler:
                 if elem is None:
                     elem = t
                 elif elem.simpleString() != t.simpleString():
-                    return None  # heterogeneous literal list
+                    # heterogeneous literal list compiles to variant
+                    # elements (_c_arraylit)
+                    return ArrayType(VariantType())
             return ArrayType(elem) if elem is not None else None
         if isinstance(e, ast.ListComp) and e.proj is None:
             return self._static_dtype(e.source)
@@ -565,11 +569,37 @@ class ExprCompiler:
         variant (caller falls through to the plain Spark operator)."""
         from pyspark.sql.types import VariantType
 
-        if not (
-            isinstance(self._static_dtype(le), VariantType)
-            or isinstance(self._static_dtype(ri), VariantType)
-        ):
+        from pyspark.sql.types import ArrayType
+
+        lt = self._static_dtype(le)
+        rt = self._static_dtype(ri)
+        lv = isinstance(lt, VariantType)
+        rv = isinstance(rt, VariantType)
+        if not (lv or rv):
             return None
+        if op in ("=", "!="):
+            # variant vs typed LIST: extract as the typed side's array
+            # type — failure means a different element family (false)
+            base = other = btype = None
+            if lv and isinstance(rt, ArrayType) and not isinstance(
+                rt.elementType, VariantType
+            ):
+                base, other, btype = l, r, rt
+            elif rv and isinstance(lt, ArrayType) and not isinstance(
+                lt.elementType, VariantType
+            ):
+                base, other, btype = r, l, lt
+            if base is not None:
+                ext = F.try_variant_get(base, "$", btype.simpleString())
+                eq = (
+                    F.when(
+                        F.schema_of_variant(base) == "VOID",
+                        F.lit(None).cast("boolean"),
+                    )
+                    .when(ext.isNotNull(), ext == other)
+                    .otherwise(F.lit(False))
+                )
+                return eq if op == "=" else ~eq
         lf, ls, ln, lb = self._cmp_sides(l, le)
         rf, rs, rn, rb = self._cmp_sides(r, ri)
         ops = {
@@ -597,6 +627,10 @@ class ExprCompiler:
         overload; chains/columns stay ambiguous and default to +)."""
         if isinstance(e, (ast.ArrayLit, ast.ListComp)):
             return True
+        if isinstance(e, ast.Case):
+            return any(
+                ExprCompiler._is_listy(v) for _, v in e.whens
+            ) or (e.else_ is not None and ExprCompiler._is_listy(e.else_))
         if isinstance(e, ast.Bin) and e.op == "+":
             return ExprCompiler._is_listy(e.left) or ExprCompiler._is_listy(e.right)
         if isinstance(e, ast.FuncCall) and e.name.lower() in (
@@ -706,6 +740,11 @@ class ExprCompiler:
                 def wrap(c, x):
                     if self._is_listy(x):
                         return c
+                    from pyspark.sql.types import ArrayType
+
+                    dt = self._static_dtype(x)
+                    if dt is not None and not isinstance(dt, ArrayType):
+                        return F.array(c)  # known scalar appends
                     if isinstance(x, ast.Lit) and not isinstance(
                         x.value, (list, tuple)
                     ):
@@ -908,9 +947,32 @@ class ExprCompiler:
         return out
 
     def _c_arraylit(self, e: ast.ArrayLit) -> Column:
+        # heterogeneous literal lists carry per-element VARIANT values
+        # (Cypher lists are untyped; Spark arrays need one element type)
+        known = {
+            dt.simpleString()
+            for dt in (self._static_dtype(i) for i in e.items)
+            if dt is not None
+        }
+        if len(known) > 1:
+            return F.array(
+                *[self.compile(i).cast("variant") for i in e.items]
+            )
         return F.array(*[self.compile(i) for i in e.items])
 
     def _c_maplit(self, e: ast.MapLit) -> Column:
+        # Cypher maps are heterogeneous records; when the static value
+        # types differ, a STRUCT of named fields represents them exactly
+        # (create_map requires one uniform value type)
+        known = {
+            dt.simpleString()
+            for dt in (self._static_dtype(v) for _, v in e.entries)
+            if dt is not None
+        }
+        if len(known) > 1:
+            return F.struct(
+                *[self.compile(v).alias(k) for k, v in e.entries]
+            )
         cols: list[Column] = []
         for k, v in e.entries:
             cols.append(F.lit(k))
