@@ -2244,6 +2244,48 @@ def q_cypher_match(spark, sf_dir):
 
 
 @query(
+    "q_cypher_pattern_pred",
+    # openCypher pattern predicate in WHERE — lowered to a grouped match-
+    # count marker left-joined onto the frame (graph/match.py
+    # attach_pattern_markers), never a correlated per-row subplan
+    oracle="""
+    SELECT c.c_mktsegment AS seg, count(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND c.c_acctbal > 5000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_cypher_pattern_pred(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH (c:Customer) WHERE (c)-[:PLACED]->() AND c.c_acctbal > 5000 "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n ORDER BY seg",
+        language="cypher",
+    )
+
+
+@query(
+    "q_cypher_pattern_size",
+    # size((c)-[:PLACED]->()) — pattern match count as a value
+    oracle="""
+    SELECT n_orders, count(*) AS n_cust
+    FROM (
+      SELECT count(*) AS n_orders FROM orders GROUP BY o_custkey
+      HAVING count(*) >= 20
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_cypher_pattern_size(spark, sf_dir):
+    return _db(spark, sf_dir).query(
+        "MATCH (c:Customer) WITH c, size((c)-[:PLACED]->()) AS n_orders "
+        "WHERE n_orders >= 20 "
+        "RETURN n_orders, count(*) AS n_cust ORDER BY n_orders",
+        language="cypher",
+    )
+
+
+@query(
     "q_cypher_optional",
     oracle="""
     SELECT n.n_name AS nation, count(s.s_suppkey) AS ns
@@ -3092,7 +3134,9 @@ def q_knn_graph(spark, sf_dir):
 _PRIORITY = [
     # round-3 grading rotation: never-graded first, then round-1-only
     # (re-verify against current code), then the round-2-graded tail.
-    # never graded (9)
+    # never graded
+    "q_cypher_pattern_pred",
+    "q_cypher_pattern_size",
     "q_total_neighbors",
     "q_astar",
     "q_ksp",
