@@ -1083,9 +1083,10 @@ class Parser:
             self.expect_op(")")
             return ast.In(left, items=tuple(items), negated=negated)
         if self.at_op("["):
-            arr = self.parse_primary()
-            assert isinstance(arr, ast.ArrayLit)
-            return ast.In(left, items=arr.items, negated=negated)
+            arr = self.parse_postfix()  # allows [[1,2]][0] and [1,2][0..1]
+            if isinstance(arr, ast.ArrayLit):
+                return ast.In(left, items=arr.items, negated=negated)
+            return ast.In(left, collection=arr, negated=negated)
         return ast.In(left, collection=self.parse_concat(), negated=negated)
 
     def parse_concat(self) -> ast.Expr:

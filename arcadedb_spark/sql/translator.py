@@ -815,6 +815,36 @@ class ExprCompiler:
         pre = self.ctx.precompiled.get(id(e))
         if pre is not None:
             return pre
+        # pure-literal IN folds with openCypher ternary semantics: true if
+        # any element equals, null if none equal but a comparison was
+        # null, false otherwise (TCK List5 — 1 IN ['1'] is false, not a
+        # coercion match)
+        try:
+            nv = self._pure_literal(e.needle, self.ctx.params)
+            src = None
+            if e.items is not None:
+                src = [
+                    self._pure_literal(i, self.ctx.params) for i in e.items
+                ]
+            elif e.collection is not None:
+                src = self._pure_literal(e.collection, self.ctx.params)
+                if src is not None and not isinstance(src, (list, tuple)):
+                    raise ValueError("not a list")
+        except ValueError:
+            src = False  # sentinel: not foldable
+        if src is None:
+            return F.lit(None).cast("boolean")
+        if src is not False:
+            acc: "bool | None" = False
+            for x in src:
+                r = self._cy_eq(nv, x)
+                if r is True:
+                    acc = True
+                    break
+                if r is None:
+                    acc = None
+            res = F.lit(acc).cast("boolean")
+            return ~res if e.negated else res
         needle = self.compile(e.needle)
         if e.items is not None:
             vals = [self.compile(i) for i in e.items]
@@ -1011,13 +1041,23 @@ class ExprCompiler:
         return F.element_at(base, idx + 1)
 
     def _c_slice(self, e: ast.Slice) -> Column:
+        # openCypher list slicing: negative indices count from the end,
+        # out-of-range bounds clamp, inverted ranges are empty
+        # (TCK List2)
         base = self.compile(e.base)
+        n = F.size(base)
         low = self.compile(e.low) if e.low is not None else F.lit(0)
-        if e.high is not None:
-            length = self.compile(e.high) - low
-        else:
-            length = F.size(base)
-        return F.slice(base, low + 1, length)
+        high = self.compile(e.high) if e.high is not None else n
+        lo = F.when(low < 0, F.greatest(n + low, F.lit(0))).otherwise(
+            F.least(low, n)
+        )
+        hi = F.when(high < 0, F.greatest(n + high, F.lit(0))).otherwise(
+            F.least(high, n)
+        )
+        # a null bound nulls the whole slice (openCypher null propagation)
+        return F.when(
+            low.isNull() | high.isNull(), F.lit(None)
+        ).otherwise(F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0))))
 
     def _c_labelpred(self, e: ast.LabelPred) -> Column:
         """``n:Label`` — label-set membership on the vertex struct's
