@@ -1002,7 +1002,14 @@ def _apply_write(
                 "CREATE/MERGE relationships need exactly one type"
             )
         if s.method == "both":
-            raise TranslateError("CREATE/MERGE relationships need a direction")
+            if kind == "merge":
+                # MERGE with an undirected relationship creates OUTGOING
+                # (openCypher; TCK Merge5 [11]) — rewrite the step
+                object.__setattr__(s, "method", "out")
+            else:
+                raise TranslateError(
+                    "CREATE relationships need a direction"
+                )
         if s.max_hops != 1 or s.min_hops != 1:
             raise TranslateError(
                 "variable-length relationships cannot be created"
@@ -1135,10 +1142,29 @@ def _apply_write(
         if bindings is not None and node.alias:
             bindings.append((node.alias, label, vid, props))
     # ON CREATE SET / ON MATCH SET over the pattern's own aliases
+    _row0 = [None]
+
+    def _resolve_frame_refs(e):
+        """ON CREATE/ON MATCH values referencing match-frame aliases
+        (SET city.name = person.bornIn) substitute the triggering row —
+        creation happens on the first row (MergeStep row semantics)."""
+        if df is None or not _expr_refs_columns((e,), set(df.columns)):
+            return e
+        if _row0[0] is None:
+            _row0[0] = df.first()
+        if _row0[0] is None:
+            return e
+        for c_ in df.columns:
+            v_ = _row0[0][c_]
+            if hasattr(v_, "asDict"):
+                v_ = v_.asDict()
+            e = _subst_var(e, c_, v_)
+        return e
+
     for assignments, want in ((on_create, "created"), (on_match, "matched")):
         per_alias: dict[str, list] = {}
         for alias, prop, expr in assignments:
-            per_alias.setdefault(alias, []).append((prop, expr))
+            per_alias.setdefault(alias, []).append((prop, _resolve_frame_refs(expr)))
         for alias, label, vid, state in node_state:
             if state != want or alias is None or alias not in per_alias:
                 continue
