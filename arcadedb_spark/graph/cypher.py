@@ -191,6 +191,15 @@ class CypherParser(Parser):
         self.expect_kw("RETURN")
         distinct = self.eat_kw("DISTINCT")
         returns = self.parse_projection_list()
+        names = [
+            it.alias or it.text for it in returns if (it.alias or it.text)
+        ]
+        if len(names) != len(set(names)):
+            # ColumnNameConflict (TCK Return4): duplicate output names
+            dup = next(n for n in names if names.count(n) > 1)
+            raise ParseError(
+                f"Multiple result columns with the same name '{dup}'"
+            )
         order_by: list[ast.OrderItem] = []
         skip = None
         limit = None

@@ -364,6 +364,33 @@ class ExprCompiler:
             return ArrayType(elem) if elem is not None else None
         if isinstance(e, ast.ListComp) and e.proj is None:
             return self._static_dtype(e.source)
+        if isinstance(e, ast.MapLit):
+            from pyspark.sql.types import MapType, StructType as _ST
+
+            known = {
+                self._static_dtype(v).simpleString()
+                for _, v in e.entries
+                if self._static_dtype(v) is not None
+            }
+            if len(known) > 1:
+                return None  # compiles to struct (_c_maplit)
+            if not e.entries:
+                return MapType(StringType(), StringType())
+            if len(known) == 1:
+                vt = next(
+                    self._static_dtype(v)
+                    for _, v in e.entries
+                    if self._static_dtype(v) is not None
+                )
+                return MapType(StringType(), vt)
+            return None
+        if isinstance(e, ast.Index):
+            st = self._static_dtype(e.base)
+            if isinstance(st, ArrayType):
+                return st.elementType
+            return None
+        if isinstance(e, ast.Slice):
+            return self._static_dtype(e.base)
         if isinstance(e, ast.Bin) and e.op in ("+", "-", "*", "/", "%"):
             from pyspark.sql.types import IntegralType
 
@@ -664,6 +691,21 @@ class ExprCompiler:
             vc = self._variant_cmp(op, l, r, le, ri)
             if vc is not None:
                 return vc
+        if op in ("=", "!="):
+            from pyspark.sql.types import MapType
+
+            if isinstance(self._static_dtype(le), MapType) and isinstance(
+                self._static_dtype(ri), MapType
+            ):
+                # Spark '=' cannot order MAP — compare canonical JSON of
+                # key-sorted entries (also bridges int vs string value maps)
+                def _canon(c: Column) -> Column:
+                    return F.to_json(
+                        F.map_from_entries(F.sort_array(F.map_entries(c)))
+                    )
+
+                eq = _canon(l) == _canon(r)
+                return eq if op == "=" else ~eq
         if op == "=":
             return l == r
         if op == "!=":
@@ -985,9 +1027,24 @@ class ExprCompiler:
             if dt is not None
         }
         if len(known) > 1:
-            return F.array(
-                *[self.compile(i).cast("variant") for i in e.items]
-            )
+            def _to_v(item: ast.Expr) -> Column:
+                # pure literals (arbitrarily nested) become variants via
+                # canonical JSON — handles VOID leaves ([null], [[{b:
+                # [null]}]]) that neither CAST nor to_variant_object
+                # accepts
+                try:
+                    v = self._pure_literal(item, self.ctx.params)
+                    import json
+
+                    return F.parse_json(F.lit(json.dumps(v)))
+                except (ValueError, TypeError):
+                    pass
+                c = self.compile(item)
+                if isinstance(item, (ast.MapLit, ast.ArrayLit)):
+                    return F.to_variant_object(c)
+                return c.cast("variant")
+
+            return F.array(*[_to_v(i) for i in e.items])
         return F.array(*[self.compile(i) for i in e.items])
 
     def _c_maplit(self, e: ast.MapLit) -> Column:
@@ -1000,9 +1057,18 @@ class ExprCompiler:
             if dt is not None
         }
         if len(known) > 1:
-            return F.struct(
-                *[self.compile(v).alias(k) for k, v in e.entries]
-            )
+            def _fld(k: str, v: ast.Expr) -> Column:
+                c = self.compile(v)
+                if isinstance(v, ast.Lit) and v.value is None:
+                    # VOID-typed fields break variant conversion later
+                    c = c.cast("string")
+                return c.alias(k)
+
+            return F.struct(*[_fld(k, v) for k, v in e.entries])
+        if not e.entries:
+            # typed empty map (bare map() is MAP<VOID,VOID>, which cannot
+            # convert to variant or compare)
+            return F.create_map().cast("map<string,string>")
         cols: list[Column] = []
         for k, v in e.entries:
             cols.append(F.lit(k))
@@ -1251,6 +1317,26 @@ class ExprCompiler:
                     return pre
             if isinstance(self._static_dtype(e.args[0]), StringType):
                 return F.length(self.compile(e.args[0]))
+            from pyspark.sql.types import VariantType
+
+            if isinstance(self._static_dtype(e.args[0]), VariantType):
+                # element of a heterogeneous list: string → char count,
+                # list → element count, else null
+                c = self.compile(e.args[0])
+                sch = F.schema_of_variant(c)
+                return (
+                    F.when(
+                        sch == "STRING",
+                        F.length(F.try_variant_get(c, "$", "string")),
+                    )
+                    .when(
+                        sch.startswith("ARRAY"),
+                        F.size(
+                            F.try_variant_get(c, "$", "array<variant>")
+                        ),
+                    )
+                    .otherwise(F.lit(None))
+                )
         if (
             name == "exists"
             and e.args
