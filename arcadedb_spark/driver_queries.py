@@ -2608,11 +2608,14 @@ def q_collect_sorted(spark, sf_dir):
     ), e AS (SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d),
     r1 AS (SELECT d AS v FROM e WHERE s = 7),
     r2 AS (SELECT e2.d AS v FROM r1 JOIN e e2 ON e2.s = r1.v)
-    SELECT count(*) AS n FROM (SELECT v FROM r1 UNION SELECT v FROM r2)
+    SELECT count(*) AS n FROM (SELECT v FROM r1 UNION ALL SELECT v FROM r2)
     """,
 )
 def q_cypher_varlength(spark, sf_dir):
-    # Cypher variable-length relationship over the INTERACTED graph
+    # Cypher variable-length relationship over the INTERACTED graph —
+    # openCypher trail semantics: one row per relationship-unique path
+    # (INTERACTED edges are distinct (s,d) pairs, so a 2-hop pair can
+    # never reuse an edge: trail count = 1-hop edges + 2-hop edge pairs)
     return _db(spark, sf_dir).query(
         "MATCH (a:Customer {c_custkey: 7})-[:INTERACTED*1..2]->(b:Customer) "
         "RETURN count(*) AS n",

@@ -572,7 +572,7 @@ class CypherParser(Parser):
             )
         return ast.MatchPath(
             root=root, steps=tuple(steps), optional=optional,
-            path_alias=path_alias,
+            path_alias=path_alias, rel_unique=True,
         )
 
     def _parse_node(self) -> ast.MatchFilter:
@@ -648,16 +648,17 @@ class CypherParser(Parser):
                     etypes.append(self.ident())
             min_h = max_h = 1
             if self.at_op("*"):
-                # variable-length: *, *n, *n..m, *..m (Cypher's unbounded
-                # upper end is capped — walk reachability, bounded hops)
+                # variable-length: *, *n, *n..m, *..m — max_h -1 means
+                # unbounded (path enumeration is relationship-unique, so
+                # expansion terminates when the frontier drains)
                 self.advance()
-                min_h, max_h = 1, 5
+                min_h, max_h = 1, -1
                 if self.cur.kind == "INT":
                     min_h = int(self.advance().value)
                     max_h = min_h
                 if self.at_op(".."):
                     self.advance()
-                    max_h = 10
+                    max_h = -1
                     if self.cur.kind == "INT":
                         max_h = int(self.advance().value)
             if self.at_op("{"):
@@ -1908,6 +1909,9 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 df = project_stage(
                     db, df, items, params or {}, group_by=group_by
                 )
+                # expression projections (WITH list[i] AS n1) also bind
+                # aliases the following clauses can reference
+                renames.update({it.alias: it.alias for it in items})
             aliases = set(renames.values())
             alias_label = {
                 renames[a]: l for a, l in alias_label.items() if a in renames
@@ -1942,6 +1946,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             # UNWIND after a write: literal/param lists drive a bounded
             # per-element write pass (same driver-side rule as FOREACH)
             u_expr, u_alias = blk["unwind"]
+            values = None
             try:
                 values = _ast_literal(u_expr, params)
             except ValueError:
@@ -1953,26 +1958,101 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                         rargs = [
                             _ast_literal(a, params) for a in u_expr.args
                         ]
-                    except ValueError:
-                        raise TranslateError(
-                            "UNWIND after a write clause needs a literal list"
+                        lo, hi = int(rargs[0]), int(rargs[1])
+                        st = int(rargs[2]) if len(rargs) > 2 else 1
+                        values = list(
+                            range(lo, hi + (1 if st > 0 else -1), st)
                         )
-                    lo, hi = int(rargs[0]), int(rargs[1])
-                    st = int(rargs[2]) if len(rargs) > 2 else 1
-                    values = list(range(lo, hi + (1 if st > 0 else -1), st))
-                else:
+                    except ValueError:
+                        values = None
+            if values is None:
+                # frame-dependent UNWIND expression (range over a frame
+                # column, a projected list, …): explode onto the frame and
+                # let the block's writes run frame-wise
+                if df is None:
                     raise TranslateError(
                         "UNWIND after a write clause needs a literal list"
                     )
+                ctx = Ctx(db=db, params=params or {},
+                          columns=tuple(df.columns),
+                          frame_schema=df.schema)
+                df = df.withColumn(
+                    u_alias, F.explode(ExprCompiler(ctx).compile(u_expr))
+                )
+                aliases = set(
+                    c for c in df.columns if not c.startswith("__")
+                )
+                n += sum(run_one(w) for w in blk["writes"])
+                continue
             if not isinstance(values, (list, tuple)):
                 values = [values]
             if df is not None:
                 df = df.withColumn(
                     u_alias, F.explode(F.array(*[F.lit(v) for v in values]))
                 )
+            # each UNWIND row rebinds the block's CREATE variables fresh:
+            # bindings minted by earlier iterations are hidden while this
+            # row runs (they stay recorded for later collect()s)
+            nb_start = len(write_bindings)
+            eb_start = len(edge_bindings)
+            carried_nb: list = []
+            carried_eb: list = []
+            iter_binds: list = []
             for v in values:
+                carried_nb.extend(write_bindings[nb_start:])
+                del write_bindings[nb_start:]
+                carried_eb.extend(edge_bindings[eb_start:])
+                del edge_bindings[eb_start:]
                 for w in blk["writes"]:
                     n += run_one(subst_write(w, u_alias, v))
+                iter_binds.append((v, list(write_bindings[nb_start:])))
+            if df is None and iter_binds:
+                from pyspark.sql import Row
+
+                # no frame yet: materialize the block's Cypher cardinality
+                # — one row per UNWIND value carrying that row's fresh
+                # bindings plus the earlier constant bindings (so a later
+                # WITH … collect(n) stage has a frame to aggregate)
+                const = list(write_bindings[:nb_start])
+                # one unified struct schema for every entity column so
+                # list operations over nodes ([a] + collect(n)) concat
+                # without struct-cast conflicts; keys with mixed value
+                # types across entities are stringified
+                gkeys: set = set()
+                ktypes: dict[str, set] = {}
+                all_binds = [b for _, bs in iter_binds for b in bs] + const
+                for a, label, vid, props in all_binds:
+                    if a:
+                        gkeys.update(props)
+                        for k, pv in props.items():
+                            if pv is not None:
+                                ktypes.setdefault(k, set()).add(type(pv))
+                mixed = {k for k, ts in ktypes.items() if len(ts) > 1}
+
+                def _ent(label, vid, props):
+                    return Row(**{
+                        "vid": vid, "@type": label,
+                        **{
+                            k: (
+                                str(props[k])
+                                if k in mixed and props.get(k) is not None
+                                else props.get(k)
+                            )
+                            for k in sorted(gkeys)
+                        },
+                    })
+
+                out_rows = []
+                for v, bs in iter_binds:
+                    d = {u_alias: v}
+                    for a, label, vid, props in const + bs:
+                        if a:
+                            d[a] = _ent(label, vid, props)
+                    out_rows.append(Row(**d))
+                df = db.spark.createDataFrame(out_rows)
+                aliases = set(df.columns)
+            write_bindings[nb_start:nb_start] = carried_nb
+            edge_bindings[eb_start:eb_start] = carried_eb
             continue
         n += sum(run_one(w) for w in blk["writes"])
     ret = getattr(p, "_write_return", None)

@@ -61,6 +61,7 @@ def _expand(
     params: dict,
     alias: str,
     prev_step: ast.MatchStep | None = None,
+    rel_unique: bool = False,
 ) -> tuple[DataFrame, str]:
     """Join one traversal step; returns (df, new_alias)."""
     g = db.graph()
@@ -150,11 +151,17 @@ def _expand(
     # variable (-[r:T]->) rides along as a struct column so RETURN r.prop /
     # type(r) resolve (single-hop only — var-length has no one edge)
     ealias = step.edge_alias if step.max_hops == 1 and step.min_hops == 1 else None
+    # stable edge identity for Cypher relationship-uniqueness: hash of the
+    # full (orientation-independent) edge row.  Deviation (documented):
+    # fully identical parallel edges collapse to one identity.
+    eid_col = F.xxhash64(*[F.col(c) for c in e.columns])
     parts = []
     for a, b in directions:
         cols = [F.col(a).alias("__from"), F.col(b).alias("__to")]
         if ealias:
             cols.append(F.struct(*[F.col(c) for c in e.columns]).alias(ealias))
+        if rel_unique and step.max_hops == 1 and step.min_hops == 1:
+            cols.append(eid_col.alias(f"__eid_{alias}"))
         parts.append(e.select(*cols))
     edge = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     if ealias and len(parts) > 1:
@@ -163,51 +170,116 @@ def _expand(
 
     if step.min_hops != 1 or step.max_hops != 1:
         # Variable-length relationship (Cypher -[:T*min..max]->, reference
-        # ExpandPathStep.java:57): bounded walk reachability — iterate
-        # distinct (from, to) pair joins, union hops in [min, max].
-        # min 0 contributes the identity (zero-length = the node itself);
-        # an empty interval (min > max) matches nothing.
-        # Deviation (documented): walk semantics, not Cypher trail
-        # semantics (repeated edges on multigraphs are not excluded).
+        # ExpandPathStep.java:57): relationship-unique PATH enumeration —
+        # one output row per distinct path, carrying the visited vid list
+        # and the relationship list (supports length(p)/nodes(p) and
+        # var-length relationship variables).  max_hops == -1 is Cypher's
+        # unbounded upper end; edge-uniqueness bounds path length by |E|,
+        # so the frontier drains and the loop terminates.
+        # Scale note: path counts can grow combinatorially — bounded hops
+        # are strongly recommended on large graphs; each superstep is one
+        # distributed self-join, checkpointed every 4 hops.
+        from pyspark.sql.types import ArrayType, StructType
+
+        vname = f"__pvids_{alias}"
+        rname = f"__prels_{alias}"
+        iname = f"__peids_{alias}"
+        estruct = F.struct(*[F.col(c) for c in e.columns])
+        bparts = []
+        for a, b in directions:
+            bparts.append(
+                e.select(
+                    F.col(a).alias("__from"),
+                    F.col(b).alias("__to"),
+                    estruct.alias("__rel"),
+                    eid_col.alias("__eid"),
+                )
+            )
+        base = bparts[0]
+        for fr in bparts[1:]:
+            base = base.unionByName(fr)
+        base = base.cache()
+        unbounded = step.max_hops < 0
         selected = []
-        if step.min_hops == 0 and step.max_hops >= 0:
+        rel_t = ArrayType(StructType(list(e.schema.fields)))
+        if step.min_hops == 0:
             av = g.all_vertices_full()
             if av is None:
-                ids = db.spark.createDataFrame([], "__from long, __to long")
+                ids = db.spark.createDataFrame([], "vid long")
             else:
-                ids = av.select(
-                    F.col("vid").alias("__from"), F.col("vid").alias("__to")
+                ids = av.select("vid")
+            selected.append(
+                ids.select(
+                    F.col("vid").alias("__from"),
+                    F.col("vid").alias("__to"),
+                    F.array(F.col("vid")).alias(vname),
+                    F.array().cast(rel_t).alias(rname),
+                    F.array().cast("array<long>").alias(iname),
                 )
-            selected.append(ids)
-        if step.max_hops >= 1 and step.min_hops <= step.max_hops:
-            one = edge.distinct().cache()
-            reach = one
-            hops = {1: one}
-            for h in range(2, step.max_hops + 1):
-                reach = (
-                    reach.alias("r")
-                    .join(one.alias("s"), F.col("r.__to") == F.col("s.__from"))
+            )
+        if unbounded or step.max_hops >= 1:
+            one = base.select(
+                "__from",
+                "__to",
+                F.array(F.col("__from"), F.col("__to")).alias(vname),
+                F.array(F.col("__rel")).alias(rname),
+                F.array(F.col("__eid")).alias(iname),
+            ).cache()
+            frontier = one
+            if step.min_hops <= 1:
+                selected.append(one)
+            h = 1
+            while (unbounded or h < step.max_hops) and h < 100:
+                h += 1
+                frontier = (
+                    frontier.alias("r")
+                    .join(
+                        base.alias("s"),
+                        (F.col("r.__to") == F.col("s.__from"))
+                        & ~F.array_contains(
+                            F.col(f"r.{iname}"), F.col("s.__eid")
+                        ),
+                    )
                     .select(
                         F.col("r.__from").alias("__from"),
                         F.col("s.__to").alias("__to"),
+                        F.concat(
+                            F.col(f"r.{vname}"), F.array(F.col("s.__to"))
+                        ).alias(vname),
+                        F.concat(
+                            F.col(f"r.{rname}"), F.array(F.col("s.__rel"))
+                        ).alias(rname),
+                        F.concat(
+                            F.col(f"r.{iname}"), F.array(F.col("s.__eid"))
+                        ).alias(iname),
                     )
-                    .distinct()
                 )
                 if h % 4 == 0:
-                    reach = reach.localCheckpoint(eager=True)
-                hops[h] = reach
-            selected += [
-                hops[h]
-                for h in range(max(step.min_hops, 1), step.max_hops + 1)
-                if h in hops
-            ]
+                    frontier = frontier.localCheckpoint(eager=True)
+                else:
+                    frontier = frontier.cache()
+                if frontier.isEmpty():
+                    break
+                if h >= max(step.min_hops, 1):
+                    selected.append(frontier)
         if not selected:
-            edge = db.spark.createDataFrame([], "__from long, __to long")
+            edge = db.spark.createDataFrame(
+                [], StructType(
+                    base.select(
+                        "__from", "__to",
+                        F.array(F.col("__from")).alias(vname),
+                        F.array(F.col("__rel")).alias(rname),
+                        F.array(F.col("__eid")).alias(iname),
+                    ).schema.fields
+                )
+            )
         else:
             edge = selected[0]
             for fr in selected[1:]:
                 edge = edge.unionByName(fr)
-            edge = edge.distinct()
+        if step.edge_alias:
+            # var-length relationship variable binds the relationship LIST
+            edge = edge.withColumn(step.edge_alias, F.col(rname))
 
     # infer the target vertex type from edge metadata when the pattern
     # leaves it anonymous (the reference resolves it from the edge type's
@@ -255,37 +327,70 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
             # binding, not a second column (MatchExecutionPlanner
             # back-edge handling; TCK Match3 cyclic scenarios)
             fresh = f"__cyc{next(_uid)}"
-            df, _ = _expand(db, df, cur, step, params, fresh, prev_step=prev)
+            df, _ = _expand(db, df, cur, step, params, fresh,
+                            prev_step=prev, rel_unique=path.rel_unique)
             df = df.filter(
                 F.col(f"{fresh}.vid") == F.col(f"{want}.vid")
             ).drop(fresh)
             cur = want
         else:
-            df, cur = _expand(db, df, cur, step, params, want, prev_step=prev)
+            df, cur = _expand(db, df, cur, step, params, want,
+                              prev_step=prev, rel_unique=path.rel_unique)
             aliases.append(cur)
         hops.append(want)
-        if (
-            step.edge_alias
-            and step.max_hops == 1
-            and step.min_hops == 1
-            and step.edge_alias not in aliases
-        ):
-            # single-hop relationship variable: joinable across clauses
-            # (MATCH ()-[r:T1]->() MATCH ()-[r:T2]->() joins on r)
+        if step.edge_alias and step.edge_alias not in aliases:
+            # relationship variable: joinable across clauses for single
+            # hops (MATCH ()-[r:T1]->() MATCH ()-[r:T2]->() joins on r);
+            # a relationship LIST for var-length steps
             aliases.append(step.edge_alias)
         prev = step
-    if getattr(path, "path_alias", None) and all(
-        s.max_hops == 1 for s in path.steps
-    ):
-        # p = (a)-[..]->(b): struct(vids, n_rels) — supports length(p)
+    if getattr(path, "path_alias", None):
+        # p = (a)-[..]->(b): struct(vids, n_rels) — supports length(p) /
+        # nodes(p).  Var-length steps contribute their enumerated vid
+        # lists (leading endpoint sliced off: already in the prefix).
+        vid_parts = [F.array(F.col(f"{root_alias}.vid"))]
+        n_rels = None
+        for step, a in zip(path.steps, hops[1:]):
+            pv = f"__pvids_{a}"
+            if pv in df.columns:
+                vid_parts.append(F.slice(F.col(pv), 2, 1 << 30))
+                seg = F.size(F.col(pv)) - F.lit(1)
+            else:
+                vid_parts.append(F.array(F.col(f"{a}.vid")))
+                seg = F.lit(1)
+            n_rels = seg if n_rels is None else (n_rels + seg)
         df = df.withColumn(
             path.path_alias,
             F.struct(
-                F.array(*[F.col(f"{a}.vid") for a in hops]).alias("vids"),
-                F.lit(len(path.steps)).alias("n_rels"),
+                F.concat(*vid_parts).alias("vids"),
+                (n_rels if n_rels is not None else F.lit(0))
+                .cast("int")
+                .alias("n_rels"),
             ),
         )
         aliases = aliases + [path.path_alias]
+    if path.rel_unique:
+        # openCypher relationship-uniqueness: no relationship may bind
+        # twice within one pattern — concat every step's edge identity
+        # (scalar for single hops, array for var-length) and require all
+        # distinct (RelationshipUniqueness in the reference's planner)
+        id_parts = []
+        for c in df.columns:
+            if c.startswith("__eid_"):
+                id_parts.append(F.array(F.col(c)))
+            elif c.startswith("__peids_"):
+                id_parts.append(F.col(c))
+        if len(id_parts) > 1:
+            allids = F.concat(*id_parts)
+            df = df.filter(
+                F.size(F.array_distinct(allids)) == F.size(allids)
+            )
+        drop = [
+            c for c in df.columns
+            if c.startswith(("__eid_", "__peids_", "__pvids_", "__prels_"))
+        ]
+        if drop:
+            df = df.drop(*drop)
     return df, aliases
 
 
@@ -376,6 +481,9 @@ def attach_pattern_markers(
         markers[id(pe)] = F.coalesce(F.col(name), F.lit(0))
         marker_cols.append(name)
     return df
+
+
+def _merged_schema(df, pdf, rename):
     """Union schema of a pending join (left + non-shared right fields) so
     the expression compiler can resolve struct members on either side."""
     from pyspark.sql.types import StructType
@@ -401,7 +509,16 @@ def _join_on_shared(
         pdf = pdf.withColumnRenamed(a, r)
     cond = None
     for a in shared:
-        fields = set(pdf.schema[rename[a]].dataType.names)
+        from pyspark.sql.types import StructType
+
+        dt = pdf.schema[rename[a]].dataType
+        if not isinstance(dt, StructType):
+            # non-struct binding (var-length relationship list): join on
+            # whole-value equality
+            c = F.col(a) == F.col(rename[a])
+            cond = c if cond is None else (cond & c)
+            continue
+        fields = set(dt.names)
         if "vid" in fields:
             keys = ["vid"]
         elif {"etype", "src", "dst"} <= fields:

@@ -384,6 +384,10 @@ class MatchPath:
     # the left-outer join (rows null-pad instead of dropping — openCypher
     # OPTIONAL MATCH … WHERE semantics, TCK MatchWhere6)
     opt_where: "Optional[Expr]" = None
+    # openCypher relationship-uniqueness: no relationship may appear twice
+    # within one pattern's bindings (Cypher-origin patterns set this; the
+    # SQL MATCH dialect keeps walk semantics)
+    rel_unique: bool = False
 
 
 @dataclass(frozen=True)

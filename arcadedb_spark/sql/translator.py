@@ -177,6 +177,46 @@ def _temporal_sort_key_col(col: Column) -> Column:
     return _temporal_udfs["sortkey"](col)
 
 
+def _variant_sort_key_col(col: Column) -> Column:
+    """openCypher global-order sort key for heterogeneous values
+    (CIP comparability-orderability: MAP < NODE < REL < LIST < PATH <
+    STRING < BOOLEAN < NUMBER < NULL ascending).  Works on the JSON
+    rendering of a variant / list-of-variant column; numbers are
+    shift-encoded so lexicographic order equals numeric order."""
+    if "vsortkey" not in _temporal_udfs:
+        import json
+
+        SHIFT = float(2 ** 53)
+
+        def _key(v) -> str:
+            if v is None:
+                return "9"
+            if isinstance(v, bool):
+                return "6" + ("1" if v else "0")
+            if isinstance(v, str):
+                return "5" + v
+            if isinstance(v, (int, float)):
+                return "7" + format(float(v) + SHIFT, "040.9f")
+            if isinstance(v, (list, tuple)):
+                return "4" + "\x1f".join(_key(x) for x in v)
+            if isinstance(v, dict):
+                return "1" + "\x1f".join(
+                    f"{k}\x1e{_key(x)}" for k, x in sorted(v.items())
+                )
+            return "8" + str(v)
+
+        def _of_json(s):
+            if s is None:
+                return "9"
+            try:
+                return _key(json.loads(s))
+            except (ValueError, TypeError):
+                return "5" + s
+
+        _temporal_udfs["vsortkey"] = F.udf(_of_json, "string")
+    return _temporal_udfs["vsortkey"](F.to_json(col))
+
+
 def _temporal_scale_col(s: Column, factor: Column, divide: bool) -> Column:
     """duration-string × / ÷ number at runtime."""
     if "scale" not in _temporal_udfs:
@@ -320,6 +360,14 @@ class ExprCompiler:
                     col = col.getField(p)
                     dt = sub.dataType
                 return col
+        if (
+            self.ctx.frame_schema is not None
+            and head not in self.ctx.columns
+            and all(f.name != head for f in self.ctx.frame_schema.fields)
+        ):
+            # schema is known and the head column doesn't exist: a missing
+            # property reads as null (Cypher/schemaless semantics)
+            return _lit(None)
         col = F.col(head)
         for p in parts[1:]:
             col = col.getField(p)
@@ -1104,7 +1152,8 @@ class ExprCompiler:
         v = value_of(idx)
         if v is not None:
             return base.getItem(v)  # 0-based for arrays, key for maps/structs
-        return F.element_at(base, idx + 1)
+        # element_at requires an INT ordinal (a long index analysis-fails)
+        return F.element_at(base, (idx + 1).cast("int"))
 
     def _c_slice(self, e: ast.Slice) -> Column:
         # openCypher list slicing: negative indices count from the end,
@@ -1505,6 +1554,79 @@ def _substitute_ast(e: Any, mapping: dict[str, ast.Expr]) -> Any:
     return e
 
 
+def _subst_alias_refs(e: Any, alias_map: dict[str, ast.Expr]) -> Any:
+    """Case-sensitively replace single-part Chains naming a projection
+    alias with that projection's defining expression (ORDER BY scope in
+    aggregating statements)."""
+    if (
+        isinstance(e, ast.Chain)
+        and len(e.parts) == 1
+        and e.parts[0] in alias_map
+    ):
+        return alias_map[e.parts[0]]
+    if isinstance(e, ast.Expr):
+        kwargs = {
+            f_: _subst_alias_refs(getattr(e, f_), alias_map)
+            for f_ in e.__dataclass_fields__
+        }
+        return type(e)(**kwargs)
+    if isinstance(e, tuple):
+        return tuple(_subst_alias_refs(x, alias_map) for x in e)
+    return e
+
+
+def _child_exprs(e: ast.Expr):
+    for f_ in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f_)
+        if isinstance(v, ast.Expr):
+            yield v
+        elif isinstance(v, (tuple, list)):
+            stack = list(v)
+            while stack:
+                x = stack.pop()
+                if isinstance(x, ast.Expr):
+                    yield x
+                elif isinstance(x, (tuple, list)):
+                    stack.extend(x)
+
+
+def _validate_agg_mixed(e: ast.Expr, stmt: ast.SelectStmt) -> None:
+    """openCypher: inside an expression that contains an aggregate, every
+    non-aggregate variable-rooted subtree must be a projected alias or a
+    projected simple grouping key — anything else is
+    AmbiguousAggregationExpression / UndefinedVariable."""
+    aliases = {p.alias for p in stmt.projections if p.alias}
+    keys = [
+        p.expr
+        for p in stmt.projections
+        if not _contains_aggregate(p.expr)
+    ] + list(stmt.group_by or ())
+
+    def ok(node: ast.Expr) -> bool:
+        if isinstance(node, ast.FuncCall) and is_aggregate(node.name):
+            return True
+        if (
+            isinstance(node, ast.Method)
+            and isinstance(node.base, ast.Chain)
+            and len(node.base.parts) == 1
+            and is_aggregate(
+                f"{node.base.parts[0].lower()}.{node.name.lower()}"
+            )
+        ):
+            return True
+        if isinstance(node, ast.Chain):
+            if node.parts[0] in aliases:
+                return True
+            return any(node == k for k in keys)
+        return all(ok(c) for c in _child_exprs(node))
+
+    if not ok(e):
+        raise TranslateError(
+            "AmbiguousAggregationExpression: non-aggregate parts of an"
+            " aggregating expression must be projected grouping keys"
+        )
+
+
 def walk(e: Any):
     """Yield every Expr node reachable from e (statements not descended)."""
     if isinstance(e, ast.Expr):
@@ -1831,9 +1953,25 @@ class Translator:
         return df
 
     def _int_of(self, e: ast.Expr, ctx: Ctx) -> int:
-        v = value_of(ExprCompiler(ctx).compile(e))
+        col = ExprCompiler(ctx).compile(e)
+        v = value_of(col)
         if v is None:
-            raise TranslateError("SKIP/LIMIT must be literal")
+            # constant expression that isn't a plain literal (e.g.
+            # SKIP toInteger(rand()*9)): evaluate once on a 1-row plan.
+            # Expressions over frame variables are rejected by compile()
+            # above (no columns resolve), so this stays constant-only.
+            try:
+                v = self.db.spark.range(1).select(
+                    col.alias("v")
+                ).head()[0]
+            except Exception:
+                raise TranslateError("SKIP/LIMIT must be a constant")
+        if isinstance(v, float) or isinstance(e, ast.Lit) and isinstance(
+            e.value, float
+        ):
+            raise TranslateError(
+                "InvalidArgumentType: SKIP/LIMIT must be an integer"
+            )
         return int(v)
 
     def _try_semi_join(
@@ -2065,12 +2203,28 @@ class Translator:
             (p.alias or getattr(p, "text", None)): p.expr
             for p in stmt.projections
         }
+        hidden_exprs: list[ast.Expr] = []
+        # sort plan: (projected name | hidden name, ascending, temporal)
+        sort_plan: list[tuple[str, bool, bool]] = []
         for oi in stmt.order_by:
             expr = oi.expr
             temporal = False
-            if isinstance(expr, ast.Chain) and len(expr.parts) == 1 and expr.parts[0] in out_names:
+            name = None
+            if (
+                isinstance(expr, ast.Chain)
+                and len(expr.parts) == 1
+                and expr.parts[0] in out_names
+            ):
                 name = expr.parts[0]
-                c = F.col(name)
+            else:
+                # ORDER BY the defining expression of a projected alias
+                # (WITH DISTINCT a.name AS name ORDER BY a.name) — AST
+                # nodes are frozen dataclasses, structural equality
+                for n, src in proj_exprs.items():
+                    if n in out_names and src == expr:
+                        name = n
+                        break
+            if name is not None:
                 temporal = _cy_temporal_field(name)
                 if not temporal and ctx.cypher_order:
                     from pyspark.sql.types import StringType
@@ -2082,31 +2236,92 @@ class Translator:
                         # stored temporal values are strings: add an
                         # instant key, tie-broken by the string itself
                         temporal = True
+                sort_plan.append((name, oi.ascending, temporal))
             else:
                 hname = f"__ord{next(self._uid)}"
                 hidden.append(compiler.compile(expr).alias(hname))
+                hidden_exprs.append(expr)
                 hidden_names.append(hname)
-                c = F.col(hname)
                 if ctx.cypher_order:
                     from pyspark.sql.types import StringType
 
                     temporal = isinstance(
                         compiler._static_dtype(expr), StringType
                     )
+                sort_plan.append((hname, oi.ascending, temporal))
+
+        if hidden and stmt.distinct:
+            # Cypher: DISTINCT then ORDER BY over expressions of the
+            # projected columns only — dedupe first, recompile the sort
+            # expressions against the distinct frame
+            df = df.select(*proj_cols).distinct()
+            ctx2 = Ctx(
+                db=ctx.db, params=ctx.params,
+                columns=tuple(df.columns), frame_schema=df.schema,
+                cypher_order=ctx.cypher_order,
+            )
+            c2 = ExprCompiler(ctx2)
+            try:
+                hidden2 = [
+                    c2.compile(e).alias(h)
+                    for e, h in zip(hidden_exprs, hidden_names)
+                ]
+                df = df.select("*", *hidden2)
+            except Exception:
+                raise TranslateError(
+                    "ORDER BY with DISTINCT may only reference projected"
+                    " columns"
+                )
+        elif hidden and ctx.cypher_order:
+            # Cypher ORDER BY scope: projection aliases shadow the match
+            # variables (RETURN n.num AS n ORDER BY n + 2 sorts on the
+            # number).  Compile sort expressions against a frame where the
+            # aliases overlay the non-shadowed input columns; fall back to
+            # the input frame when they reference dropped variables only.
+            keep = [c for c in df.columns if c not in out_names]
+            base = df.select(*[F.col(c) for c in keep], *proj_cols)
+            ctx2 = Ctx(
+                db=ctx.db, params=ctx.params,
+                columns=tuple(base.columns), frame_schema=base.schema,
+                cypher_order=True,
+            )
+            c2 = ExprCompiler(ctx2)
+            try:
+                hidden2 = [
+                    c2.compile(e).alias(h)
+                    for e, h in zip(hidden_exprs, hidden_names)
+                ]
+                df = base.select(*[F.col(n) for n in out_names], *hidden2)
+            except Exception:
+                df = df.select(*proj_cols, *hidden)
+        else:
+            df = df.select(*proj_cols, *hidden)
+            if stmt.distinct:
+                df = df.distinct()
+        for name, ascending, temporal in sort_plan:
+            c = F.col(name)
+            if ctx.cypher_order:
+                from pyspark.sql.types import ArrayType as _AT
+                from pyspark.sql.types import VariantType as _VT
+
+                f_ = next(
+                    (f for f in df.schema.fields if f.name == name), None
+                )
+                if f_ is not None and (
+                    isinstance(f_.dataType, _VT)
+                    or (
+                        isinstance(f_.dataType, _AT)
+                        and isinstance(f_.dataType.elementType, _VT)
+                    )
+                ):
+                    # heterogeneous values: openCypher global sort order
+                    c = _variant_sort_key_col(c)
             if temporal:
                 # canonical temporal strings order by instant (sort-key
                 # kernel), tie-broken by the rendered string
                 key = _temporal_sort_key_col(c)
-                sort_cols.append(key.asc() if oi.ascending else key.desc())
-            sort_cols.append(c.asc() if oi.ascending else c.desc())
-
-        if hidden and stmt.distinct:
-            raise TranslateError(
-                "ORDER BY on non-projected expression with DISTINCT is unsupported"
-            )
-        df = df.select(*proj_cols, *hidden)
-        if stmt.distinct:
-            df = df.distinct()
+                sort_cols.append(key.asc() if ascending else key.desc())
+            sort_cols.append(c.asc() if ascending else c.desc())
         if sort_cols:
             df = df.orderBy(*sort_cols)
         if hidden:
@@ -2143,6 +2358,8 @@ class Translator:
         out_names: list[str] = []
         for i, p in enumerate(stmt.projections):
             name = self._proj_name(p, i)
+            if ctx.cypher_order and _contains_aggregate(p.expr):
+                _validate_agg_mixed(p.expr, stmt)
             bare = compiler.compile(p.expr)
             bare_exprs.append(bare)
             post_exprs.append(bare.alias(name))
@@ -2170,6 +2387,14 @@ class Translator:
             ):
                 c = bare_exprs[out_names.index(expr.parts[0])]
             else:
+                if ctx.cypher_order and _contains_aggregate(expr):
+                    # ORDER BY age + count(you.age): substitute projected
+                    # aliases with their defining expressions so group-key
+                    # lookup resolves, then reject references that aren't
+                    # projected grouping keys (openCypher
+                    # AmbiguousAggregationExpression / UndefinedVariable)
+                    expr = _subst_alias_refs(expr, alias_map)
+                    _validate_agg_mixed(expr, stmt)
                 c = compiler.compile(expr)  # agg-mode: resolves via maps
             sort_cols.append(c.asc() if oi.ascending else c.desc())
 

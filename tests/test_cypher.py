@@ -79,7 +79,9 @@ def test_collect(db):
 
 
 def test_variable_length_path(db):
-    # 1..2 hops equals distinct(1-hop ∪ 2-hop) walk reachability
+    # openCypher trail semantics: one row per relationship-unique path,
+    # so *1..2 counts 1-hop edges plus 2-hop edge pairs (INTERACTED edges
+    # are distinct (src,dst) pairs, so no pair can reuse an edge here)
     from pyspark.sql import functions as F
 
     n = cy(
@@ -97,7 +99,7 @@ def test_variable_length_path(db):
         .join(e, F.col("mid") == e["src"])
         .select("dst")
     )
-    assert n == r1.unionByName(r2).distinct().count()
+    assert n == r1.count() + r2.count()
 
 
 def test_with_having_semantics(db):
