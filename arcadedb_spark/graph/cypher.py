@@ -382,9 +382,9 @@ class CypherParser(Parser):
     def _parse_set_list(self) -> list:
         """Comma list of ``alias.prop = expr`` | ``alias += {map}`` |
         ``alias = {map}`` (after SET / ON CREATE SET / ON MATCH SET).
-        Map forms expand to per-key assignments (SetStep semantics;
-        ``=`` replace-all is applied as merge — documented deviation:
-        absent keys are not nulled)."""
+        Map forms expand to per-key assignments (SetStep semantics);
+        ``=`` additionally emits an ``@replace_keys`` marker so the
+        executor nulls properties absent from the map (TCK Set4)."""
         assignments = []  # (alias, prop, expr)
         while True:
             chain = self.parse_postfix()
@@ -403,9 +403,11 @@ class CypherParser(Parser):
                 continue
             if isinstance(chain, ast.Chain) and len(chain.parts) == 1:
                 # SET n += {…} / SET n = {…}  (+= lexes as '+' '=')
+                merge_only = False
                 if self.at_op("+") and self.peek().value == "=":
                     self.advance()
                     self.advance()
+                    merge_only = True
                 elif self.at_op("="):
                     self.advance()
                 else:
@@ -415,6 +417,13 @@ class CypherParser(Parser):
                     raise ParseError("SET alias = / += needs a map literal")
                 for k, v in m.entries:
                     assignments.append((chain.parts[0], k, v))
+                if not merge_only:
+                    # SET n = {…} replaces: properties absent from the
+                    # map are nulled out (TCK Set4 [2]/[4])
+                    assignments.append((
+                        chain.parts[0], "@replace_keys",
+                        ast.Lit(tuple(k for k, _ in m.entries)),
+                    ))
             elif isinstance(chain, ast.Chain) and len(chain.parts) == 2:
                 self.expect_op("=")
                 assignments.append(
@@ -582,7 +591,9 @@ class CypherParser(Parser):
         where = None
         # NOTE: ':Label' lexes as a single PARAM token (the SQL lexer's
         # ':name' input-parameter rule) — both spellings are handled.
-        if self.cur.kind == "IDENT" and not self.at_op(")"):
+        if self.cur.kind in ("IDENT", "KEYWORD") and not self.at_op(")"):
+            # KEYWORD: reserved words are valid Cypher variables in
+            # pattern positions ((like), -[like]- — TCK Return4 [11])
             alias = self.ident()
         if self.cur.kind == "PARAM":
             type_name = self.advance().value
@@ -632,8 +643,9 @@ class CypherParser(Parser):
         eprops: list[tuple] = []
         if self.at_op("["):
             self.advance()
-            if self.cur.kind == "IDENT":
-                ealias = self.ident()  # relationship variable
+            if self.cur.kind in ("IDENT", "KEYWORD"):
+                ealias = self.ident()  # relationship variable (KEYWORD:
+                # reserved words are valid variables here — [like])
             if self.cur.kind == "PARAM":  # ':TYPE' lexes as one PARAM token
                 etypes.append(self.advance().value)
             elif self.at_op(":"):
@@ -1183,9 +1195,15 @@ def _apply_write(
                 (prop, e) for prop, e in per_alias[alias]
                 if prop in ("@set_label", "@remove_label")
             ]
+            replace_keys = next(
+                (set(e.value) for prop, e in per_alias[alias]
+                 if prop == "@replace_keys"), None,
+            )
             prop_ops = [
                 (prop, e) for prop, e in per_alias[alias]
-                if prop not in ("@set_label", "@remove_label")
+                if prop not in (
+                    "@set_label", "@remove_label", "@replace_keys"
+                )
             ]
             cur_label = label
             for prop, e in label_ops:
@@ -1208,7 +1226,7 @@ def _apply_write(
                 for j, b in enumerate(bindings):
                     if b[0] == alias and b[2] == vid:
                         bindings[j] = (b[0], cur_label, b[2], b[3])
-            if not prop_ops:
+            if not prop_ops and replace_keys is None:
                 continue
             # the node may have moved storage keys after a label op
             keys = _storage_keys(g, cur_label) or [cur_label]
@@ -1221,6 +1239,13 @@ def _apply_write(
                     (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
                     for prop, e in prop_ops
                 ]
+                if replace_keys is not None:
+                    keep = replace_keys | {"vid"}
+                    compiled += [
+                        (c, F.lit(None).cast(vdf.schema[c].dataType))
+                        for c in vdf.columns
+                        if c not in keep and not c.startswith("@")
+                    ]
                 g.update_vertices(key, matched, compiled)
             # refresh the driver-side binding so RETURN over the no-frame
             # path sees ON CREATE/ON MATCH values
@@ -1275,6 +1300,140 @@ def _apply_write(
         else:
             raise TranslateError("CREATE edge endpoints must be bound or literal")
     return created
+
+
+def _validate_set_assignments(assignments, known: set, params) -> None:
+    """Static checks on SET assignments: every variable referenced in a
+    value expression must be bound (TCK Set1 [9] UndefinedVariable), and
+    a literal list of maps is not a storable property type (Set1 [10]
+    InvalidPropertyType)."""
+    from arcadedb_spark.sql.translator import TranslateError, walk
+
+    for alias, prop, e in assignments:
+        if prop in ("@set_label", "@remove_label", "@replace_keys"):
+            continue
+        if isinstance(e, ast.ArrayLit) and any(
+            isinstance(i, ast.MapLit) for i in e.items
+        ):
+            raise TranslateError(
+                "InvalidPropertyType: a list of maps cannot be stored as"
+                " a property"
+            )
+        bound = set(known)
+        bound.add(alias)
+        for node in walk(e):
+            if isinstance(node, (ast.ListComp, ast.Quantifier)):
+                bound.add(node.var)
+            elif isinstance(node, ast.ReduceExpr):
+                bound.add(node.var)
+                bound.add(node.acc)
+        for node in walk(e):
+            if (
+                isinstance(node, ast.Chain)
+                and node.parts[0] not in bound
+            ):
+                raise TranslateError(
+                    f"UndefinedVariable: '{node.parts[0]}' is not defined"
+                )
+
+
+def _refresh_set_aliases(db, g, df, writes, alias_label, rel_alias):
+    """After SET/REMOVE writes, rebuild the frame's entity struct columns
+    from post-write storage so later clauses (WITH … WHERE, aggregation,
+    RETURN) read updated values — Cypher clause ordering semantics
+    (TCK Set6: the result set reflects the writes, side effects don't
+    re-run).  One broadcast-sized join per touched alias."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if df is None:
+        return df
+    touched: dict[str, bool] = {}
+    for w in writes:
+        if w.get("kind") not in ("set", "remove"):
+            continue
+        for alias, prop, _e in w.get("assignments", ()):
+            lblop = prop in ("@set_label", "@remove_label")
+            touched[alias] = touched.get(alias, False) or lblop
+    for alias, had_label_op in touched.items():
+        if alias not in df.columns:
+            continue
+        dt = df.schema[alias].dataType
+        if not isinstance(dt, StructType):
+            continue
+        names = set(dt.names)
+        if alias in rel_alias and {"etype", "src", "dst"} <= names:
+            etype = rel_alias[alias][0]
+            e = g.edges(etype) if etype else g.edges()
+            upd = e.dropDuplicates(["etype", "src", "dst"]).select(
+                F.col("etype").alias("__re"),
+                F.col("src").alias("__rs0"),
+                F.col("dst").alias("__rd0"),
+                F.struct(*[F.col(c) for c in e.columns]).alias("__rx"),
+            )
+            df = (
+                df.join(
+                    upd,
+                    (F.col(f"{alias}.etype") == F.col("__re"))
+                    & (F.col(f"{alias}.src") == F.col("__rs0"))
+                    & (F.col(f"{alias}.dst") == F.col("__rd0")),
+                    "left",
+                )
+                .withColumn(alias, F.col("__rx"))
+                .drop("__re", "__rs0", "__rd0", "__rx")
+            )
+            continue
+        if "vid" not in names:
+            continue
+        label = None if had_label_op else alias_label.get(alias)
+        keys = _storage_keys(g, label)
+        if not keys:
+            continue
+        # raw storage frames (g.vertices() applies superset label
+        # matching, which would duplicate multi-label vids across keys)
+        parts = [g.vertex_dfs[k.lower()] for k in keys]
+        vdf = parts[0]
+        for p2 in parts[1:]:
+            vdf = vdf.unionByName(p2, allowMissingColumns=True)
+        upd = vdf.select(
+            F.col("vid").alias("__rv"),
+            F.struct(*[F.col(c) for c in vdf.columns]).alias("__rx"),
+        )
+        df = (
+            df.join(upd, F.col(f"{alias}.vid") == F.col("__rv"), "left")
+            .withColumn(alias, F.col("__rx"))
+            .drop("__rv", "__rx")
+        )
+    return df
+
+
+def _apply_vertex_set(
+    db, g, matched, label, alias, assigns, replace_keys, params
+) -> int:
+    """Compile and apply one alias's SET assignments across its storage
+    frames.  ``replace_keys`` (SET n = {…}) nulls every property column
+    not named in the map (TCK Set4 [2]/[4])."""
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+    n = 0
+    for lb in _storage_keys(g, label):
+        vdf = g.vertices(lb)
+        ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))
+        compiled = [
+            (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
+            for prop, e in assigns
+        ]
+        if replace_keys is not None:
+            keep = replace_keys | {"vid"}
+            compiled += [
+                (c, F.lit(None).cast(vdf.schema[c].dataType))
+                for c in vdf.columns
+                if c not in keep and not c.startswith("@")
+            ]
+        n += g.update_vertices(lb, matched, compiled)
+    return n
 
 
 def _storage_keys(g, label: str | None) -> list[str]:
@@ -1550,6 +1709,12 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             return total
         n = 0
         if w["kind"] == "set":
+            known = set(alias_label) | set(rel_alias)
+            known |= {b[0] for b in write_bindings if b[0]}
+            known |= set(aliases)
+            if df is not None:
+                known |= set(df.columns)
+            _validate_set_assignments(w["assignments"], known, params)
             # label ops first (SET n:Label / REMOVE n:Label move the
             # vertex between label frames; single-label model)
             for alias, prop, expr in w["assignments"]:
@@ -1576,6 +1741,14 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     continue
                 per_alias.setdefault(alias, []).append((prop, expr))
             for alias, assigns in per_alias.items():
+                replace_keys = None
+                plain = []
+                for prop, e in assigns:
+                    if prop == "@replace_keys":
+                        replace_keys = set(e.value)
+                    else:
+                        plain.append((prop, e))
+                assigns = plain
                 if alias in rel_alias and df is not None:
                     # SET on a relationship variable → edge rewrite keyed
                     # by the matched endpoint pairs (from the rel struct
@@ -1609,19 +1782,57 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     continue
                 label = alias_label.get(alias)
                 if df is None:
-                    raise TranslateError(f"SET target '{alias}' is not a match alias")
+                    # SET on a variable bound by CREATE/MERGE in this
+                    # pipeline (TCK Set1 [6]/[7]) — address its vids
+                    binds = [
+                        (lb_, vid_)
+                        for (a_, lb_, vid_, _p) in write_bindings
+                        if a_ == alias
+                    ]
+                    if not binds:
+                        raise TranslateError(
+                            f"SET target '{alias}' is not a match alias"
+                        )
+                    by_label: dict = {}
+                    for lb_, vid_ in binds:
+                        by_label.setdefault(lb_, []).append(vid_)
+                    for blabel, vids in by_label.items():
+                        matched = db.spark.createDataFrame(
+                            [(v,) for v in vids], "vid long"
+                        )
+                        n += _apply_vertex_set(
+                            db, g, matched, blabel, alias, assigns,
+                            replace_keys, params,
+                        )
+                        # refresh the driver-side bindings so RETURN
+                        # reads post-SET state (bounded: vids created in
+                        # this statement)
+                        fresh: dict = {}
+                        for lb in _storage_keys(g, blabel):
+                            for r_ in (
+                                g.vertices(lb)
+                                .filter(F.col("vid").isin(vids))
+                                .collect()
+                            ):
+                                d_ = r_.asDict()
+                                fresh[d_["vid"]] = {
+                                    k: v for k, v in d_.items()
+                                    if v is not None and k != "vid"
+                                    and not k.startswith(("@", "__"))
+                                }
+                        for j, b_ in enumerate(write_bindings):
+                            if b_[0] == alias and b_[2] in fresh:
+                                write_bindings[j] = (
+                                    b_[0], b_[1], b_[2], fresh[b_[2]]
+                                )
+                    continue
                 matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
                     F.col("vid").isNotNull()
                 )
-                labels = _storage_keys(g, label)
-                for lb in labels:
-                    vdf = g.vertices(lb)
-                    ctx = Ctx(db=db, params=params or {}, columns=tuple(vdf.columns))
-                    compiled = [
-                        (prop, ExprCompiler(ctx).compile(_strip_alias(e, alias)))
-                        for prop, e in assigns
-                    ]
-                    n += g.update_vertices(lb, matched, compiled)
+                n += _apply_vertex_set(
+                    db, g, matched, label, alias, assigns, replace_keys,
+                    params,
+                )
             return n
         if w["kind"] == "delete":
             if df is None:
@@ -1858,8 +2069,14 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     })
                 out_rows.append(Row(**d))
             df = db.spark.createDataFrame(out_rows)
+        df = _refresh_set_aliases(
+            db, g, df, p._writes, alias_label, rel_alias
+        )
     else:
         n = sum(run_one(w) for w in p._writes)
+        df = _refresh_set_aliases(
+            db, g, df, p._writes, alias_label, rel_alias
+        )
     # WITH-separated continuation blocks (Cypher clause interleaving):
     # run sequentially; each block's MATCH sees the post-write graph.
     # Cardinality deviation documented at _apply_write.
@@ -1983,6 +2200,9 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     c for c in df.columns if not c.startswith("__")
                 )
                 n += sum(run_one(w) for w in blk["writes"])
+                df = _refresh_set_aliases(
+                    db, g, df, blk["writes"], alias_label, rel_alias
+                )
                 continue
             if not isinstance(values, (list, tuple)):
                 values = [values]
@@ -2055,6 +2275,9 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             edge_bindings[eb_start:eb_start] = carried_eb
             continue
         n += sum(run_one(w) for w in blk["writes"])
+        df = _refresh_set_aliases(
+            db, g, df, blk["writes"], alias_label, rel_alias
+        )
     ret = getattr(p, "_write_return", None)
     if ret is not None:
         from arcadedb_spark.graph.match import project_stage

@@ -460,6 +460,22 @@ class ExprCompiler:
             ):
                 return DoubleType()
             return None
+        if isinstance(e, ast.FuncCall):
+            # known-return-type functions (drives Cypher integer-division
+            # and NaN dispatch: count(n) / 60 / 60 stays integral)
+            n = e.name.lower()
+            if n in ("count", "tointeger", "toint", "size", "length",
+                     "id", "timestamp", "sign"):
+                return LongType()
+            if n in ("tofloat", "avg", "stdev", "stddev", "sqrt", "exp",
+                     "log", "log10", "sin", "cos", "tan", "atan", "acos",
+                     "asin", "rand", "e", "pi", "degrees", "radians"):
+                return DoubleType()
+            if n in ("tostring", "tostringornull", "left", "right",
+                     "trim", "ltrim", "rtrim", "tolower", "toupper",
+                     "replace", "substring"):
+                return StringType()
+            return None
         if not isinstance(e, ast.Chain):
             return None
         if e.parts[0] in self._bound:
@@ -614,6 +630,19 @@ class ExprCompiler:
             return fn(a, b)
         if isinstance(a, bool) and isinstance(b, bool):
             return fn(a, b)
+        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+            # lexicographic with ternary logic (TCK Comparison2 [4]):
+            # the first non-equal pair decides; a null/incomparable pair
+            # in the deciding position yields null; an equal common
+            # prefix falls back to length comparison
+            for x, y in zip(a, b):
+                eq = ExprCompiler._cy_eq(x, y)
+                if eq is True:
+                    continue
+                if eq is None:
+                    return None
+                return ExprCompiler._cy_ord(op, x, y)
+            return fn(len(a), len(b))
         return None
 
     def _literal_cmp_fold(self, op: str, le: ast.Expr, ri: ast.Expr):
@@ -739,6 +768,39 @@ class ExprCompiler:
             vc = self._variant_cmp(op, l, r, le, ri)
             if vc is not None:
                 return vc
+        if self.ctx.cypher_order and op in (
+            "=", "!=", "<", "<=", ">", ">="
+        ):
+            from pyspark.sql.types import (
+                DoubleType as _DT, FloatType as _FT, NumericType as _NT,
+            )
+
+            ldt, rdt = self._static_dtype(le), self._static_dtype(ri)
+            if (
+                isinstance(ldt, _NT) and isinstance(rdt, _NT)
+                and (isinstance(ldt, (_FT, _DT))
+                     or isinstance(rdt, (_FT, _DT)))
+            ):
+                # openCypher NaN semantics: every comparison involving NaN
+                # is false except <>, which is true (Spark orders NaN as
+                # the greatest double and NaN = NaN as true) — TCK
+                # Comparison1 [8] / Comparison2 [5]
+                nan_parts = []
+                if isinstance(ldt, (_FT, _DT)):
+                    nan_parts.append(F.isnan(l))
+                if isinstance(rdt, (_FT, _DT)):
+                    nan_parts.append(F.isnan(r))
+                anynan = nan_parts[0]
+                for p in nan_parts[1:]:
+                    anynan = anynan | p
+                # null propagation beats NaN dispatch (null = NaN is null)
+                anynan = l.isNotNull() & r.isNotNull() & anynan
+                base = {
+                    "=": lambda: l == r, "!=": lambda: l != r,
+                    "<": lambda: l < r, "<=": lambda: l <= r,
+                    ">": lambda: l > r, ">=": lambda: l >= r,
+                }[op]()
+                return F.when(anynan, F.lit(op == "!=")).otherwise(base)
         if op in ("=", "!="):
             from pyspark.sql.types import MapType
 
@@ -858,7 +920,7 @@ class ExprCompiler:
         if op == "*":
             return l * r
         if op == "/":
-            from pyspark.sql.types import IntegralType
+            from pyspark.sql.types import DoubleType, FloatType, IntegralType
 
             if (
                 self.ctx.cypher_order  # Cypher-dialect projection only
@@ -869,6 +931,22 @@ class ExprCompiler:
                 # (Spark's / is always float — TCK Precedence2; the SQL
                 # dialect keeps float semantics its oracles assume)
                 return ((l - (l % r)) / r).cast("long")
+            if self.ctx.cypher_order and (
+                isinstance(self._static_dtype(le), (FloatType, DoubleType))
+                or isinstance(self._static_dtype(ri), (FloatType, DoubleType))
+            ):
+                # Cypher float division by zero is IEEE ±Inf / NaN, not an
+                # error (ANSI Spark raises DIVIDE_BY_ZERO) — TCK
+                # Comparison1 [8].  CASE branches evaluate lazily, so the
+                # ANSI division never sees a zero divisor.
+                lz, rz = l.cast("double"), r.cast("double")
+                return F.when(
+                    rz == 0.0,
+                    F.when(lz.isNull(), F.lit(None).cast("double"))
+                    .when(F.isnan(lz) | (lz == 0.0), F.lit(float("nan")))
+                    .when(lz > 0, F.lit(float("inf")))
+                    .otherwise(F.lit(float("-inf"))),
+                ).otherwise(lz / rz)
             return l / r
         if op == "%":
             return l % r
