@@ -1058,6 +1058,13 @@ def _apply_write(
                     f"Variable '{node.alias}' already bound — CREATE may "
                     "reuse it only bare"
                 )
+            if kind == "merge" and node.type_name:
+                # MERGE may reuse a bound variable only bare — imposing a
+                # new label is VariableAlreadyBound (TCK Merge5 [22])
+                raise TranslateError(
+                    f"Variable '{node.alias}' already bound — MERGE may "
+                    "not impose new predicates on it"
+                )
             resolved.append(("bound", node.alias))
             continue
         if node.alias:
@@ -1071,6 +1078,11 @@ def _apply_write(
                     raise TranslateError(
                         f"Variable '{node.alias}' already bound — CREATE "
                         "may reuse it only bare"
+                    )
+                if kind == "merge" and node.type_name:
+                    raise TranslateError(
+                        f"Variable '{node.alias}' already bound — MERGE "
+                        "may not impose new predicates on it"
                     )
                 resolved.append(("vid", prev[2]))
                 continue
@@ -1143,6 +1155,11 @@ def _apply_write(
             vdf = g.vertices(label)
             cond = F.lit(True)
             for k, v in props.items():
+                # a property column the frame has never stored matches
+                # nothing (missing property = null; TCK Merge1 [9])
+                if k not in vdf.columns:
+                    cond = F.lit(False)
+                    break
                 cond = cond & (F.col(k) == F.lit(v))
             hit = vdf.filter(cond).limit(1).collect()
             if hit:
@@ -1183,7 +1200,12 @@ def _apply_write(
             e = _subst_var(e, c_, v_)
         return e
 
+    known_merge = {a for a, _l, _v, _s in node_state if a}
+    known_merge |= {s.edge_alias for s in path.steps if s.edge_alias}
+    if df is not None:
+        known_merge |= set(df.columns)
     for assignments, want in ((on_create, "created"), (on_match, "matched")):
+        _validate_set_assignments(assignments, known_merge, params)
         per_alias: dict[str, list] = {}
         for alias, prop, expr in assignments:
             per_alias.setdefault(alias, []).append((prop, _resolve_frame_refs(expr)))
@@ -1265,10 +1287,32 @@ def _apply_write(
                         )
     for i, step in enumerate(path.steps):
         etype = step.edge_types[0] if step.edge_types else "RELATED"
-        eprops = _literal_props(db, step.edge_props, params)
         a, b = resolved[i], resolved[i + 1]
         if step.method == "in":
             a, b = b, a
+        def _refs_frame(exprs) -> bool:
+            from arcadedb_spark.sql.translator import walk
+
+            cols = set(df.columns)
+            for e_ in exprs:
+                for nd in walk(e_):
+                    if (
+                        isinstance(nd, ast.Chain)
+                        and nd.parts[0] in cols
+                    ):
+                        return True
+            return False
+
+        frame_props = (
+            df is not None
+            and ("bound" in (a[0], b[0]))
+            and step.edge_props
+            and _refs_frame([e for _k, e in step.edge_props])
+        )
+        eprops = (
+            {} if frame_props
+            else _literal_props(db, step.edge_props, params)
+        )
         if ("bound" in (a[0], b[0])) and df is not None:
             sel_a = (
                 F.col(f"{a[1]}.vid") if a[0] == "bound" else F.lit(a[1]).cast("long")
@@ -1276,7 +1320,27 @@ def _apply_write(
             sel_b = (
                 F.col(f"{b[1]}.vid") if b[0] == "bound" else F.lit(b[1]).cast("long")
             )
-            frame = df.select(sel_a.alias("src"), sel_b.alias("dst"))
+            if frame_props:
+                # edge props referencing frame variables (MERGE ()-[r:T
+                # {p: var}]->() after WITH/UNWIND): compile per-row
+                # against the frame instead of requiring literals
+                from arcadedb_spark.sql.translator import Ctx as _Cx
+                from arcadedb_spark.sql.translator import (
+                    ExprCompiler as _EC,
+                )
+
+                pctx = _Cx(db=db, params=params or {},
+                           columns=tuple(df.columns),
+                           frame_schema=df.schema)
+                pcols = [
+                    _EC(pctx).compile(e).alias(k)
+                    for k, e in step.edge_props
+                ]
+                frame = df.select(
+                    sel_a.alias("src"), sel_b.alias("dst"), *pcols
+                ).dropDuplicates(["src", "dst"])
+            else:
+                frame = df.select(sel_a.alias("src"), sel_b.alias("dst"))
             if kind == "merge":
                 frame = g.filter_new_edges(etype, frame)
             for k, v in eprops.items():
@@ -1312,6 +1376,12 @@ def _validate_set_assignments(assignments, known: set, params) -> None:
     for alias, prop, e in assignments:
         if prop in ("@set_label", "@remove_label", "@replace_keys"):
             continue
+        if alias not in known:
+            # the SET target itself must be a bound variable
+            # (TCK Merge2 [6] / Merge3 [5] UndefinedVariable)
+            from arcadedb_spark.sql.translator import TranslateError as _TE
+
+            raise _TE(f"UndefinedVariable: '{alias}' is not defined")
         if isinstance(e, ast.ArrayLit) and any(
             isinstance(i, ast.MapLit) for i in e.items
         ):
@@ -2306,15 +2376,66 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                             etype = (
                                 s.edge_types[0] if s.edge_types else "RELATED"
                             )
+                            if etype in g.edge_meta:
+                                # bind r to the STORED edges between the
+                                # endpoints — one row per matching edge
+                                # (parallel edges multiply, Merge5 [3];
+                                # stored props ride along)
+                                e_ = g.edges(etype)
+                                es = F.struct(
+                                    *[F.col(c) for c in e_.columns]
+                                ).alias("__es")
+                                sides = [e_.select(
+                                    F.col("src").alias("__s0"),
+                                    F.col("dst").alias("__d0"), es,
+                                )]
+                                if s.method == "both":
+                                    sides.append(e_.select(
+                                        F.col("dst").alias("__s0"),
+                                        F.col("src").alias("__d0"), es,
+                                    ))
+                                upd = sides[0]
+                                for fr_ in sides[1:]:
+                                    upd = upd.unionByName(fr_)
+                                for k, pe in s.edge_props or ():
+                                    try:
+                                        v_ = _ast_literal(pe, params)
+                                    except ValueError:
+                                        continue
+                                    upd = upd.filter(
+                                        F.col(f"__es.{k}") == F.lit(v_)
+                                    )
+                                df = (
+                                    df.join(
+                                        upd,
+                                        (F.col(f"{ea}.vid")
+                                         == F.col("__s0"))
+                                        & (F.col(f"{eb}.vid")
+                                           == F.col("__d0")),
+                                        "inner",
+                                    )
+                                    .withColumn(
+                                        s.edge_alias, F.col("__es")
+                                    )
+                                    .drop("__s0", "__d0", "__es")
+                                )
+                                continue
                             fields = [
                                 F.lit(etype).alias("etype"),
                                 F.col(f"{ea}.vid").alias("src"),
                                 F.col(f"{eb}.vid").alias("dst"),
                             ]
-                            for k, v in _literal_props(
-                                db, s.edge_props, params
-                            ).items():
-                                fields.append(F.lit(v).alias(k))
+                            pctx = Ctx(
+                                db=db, params=params or {},
+                                columns=tuple(df.columns),
+                                frame_schema=df.schema,
+                            )
+                            for k, pe in s.edge_props or ():
+                                # frame-referencing props compile against
+                                # the frame; literals fold to constants
+                                fields.append(
+                                    ExprCompiler(pctx).compile(pe).alias(k)
+                                )
                             df = df.withColumn(
                                 s.edge_alias, F.struct(*fields)
                             )

@@ -406,6 +406,52 @@ def _collect_pattern_exprs(e, out: list) -> None:
             _collect_pattern_exprs(x, out)
 
 
+def attach_entity_lookups(
+    db, df: DataFrame, exprs, params: dict, markers: dict,
+) -> DataFrame:
+    """startNode(r)/endNode(r) return the NODE, not its vid: left-join
+    the vertex universe once per call on the relationship struct's
+    src/dst and precompile the FuncCall to the joined node struct
+    (reference function/rel/RelStartNode.java semantics).  One
+    broadcast-sized equi-join per distinct call — never a per-row
+    lookup."""
+    from arcadedb_spark.sql.translator import walk
+
+    targets = []
+    for e in exprs:
+        for node in walk(e):
+            if (
+                isinstance(node, ast.FuncCall)
+                and node.name.lower() in ("startnode", "endnode")
+                and len(node.args) == 1
+                and not isinstance(node.args[0], ast.Lit)
+            ):
+                targets.append(node)
+    if not targets or df is None:
+        return df
+    g = db.graph()
+    av = g.all_vertices_full()
+    if av is None:
+        for t in targets:
+            markers[id(t)] = F.lit(None)
+        return df
+    struct = F.struct(*[F.col(c) for c in av.columns])
+    for i, t in enumerate(targets):
+        ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+                  frame_schema=df.schema, precompiled=markers)
+        try:
+            argc = ExprCompiler(ctx).compile(t.args[0])
+            field = "src" if t.name.lower() == "startnode" else "dst"
+            key = argc.getField(field)
+        except Exception:
+            continue  # not a relationship struct in this frame
+        kname, sname = f"__ev{i}", f"__ent{i}"
+        upd = av.select(F.col("vid").alias(kname), struct.alias(sname))
+        df = df.join(upd, key == F.col(kname), "left").drop(kname)
+        markers[id(t)] = F.col(sname)
+    return df
+
+
 def attach_pattern_markers(
     db, df: DataFrame, exprs, params: dict, markers: dict,
     marker_cols: list,
@@ -651,6 +697,12 @@ def project_stage(
         [p.expr for p in select.projections]
         + [o.expr for o in select.order_by],
         params, markers, marker_cols,
+    )
+    df = attach_entity_lookups(
+        db, df,
+        [p.expr for p in select.projections]
+        + [o.expr for o in select.order_by],
+        params, markers,
     )
     tr = Translator(db, params)
     ctx = Ctx(db=db, params=params, columns=tuple(df.columns),

@@ -1387,6 +1387,21 @@ def _cypher_reverse(args):
     return F.reverse(args[0])  # lists and strings
 
 
+@scalar("split")
+def _cypher_split(args):
+    """openCypher split(string, delimiter) → list of strings; the
+    delimiter is literal text, not a regex (SQLFunctionSplit semantics;
+    TCK Merge5 [14])."""
+    import re
+
+    from arcadedb_spark.sql.litreg import value_of
+
+    d = value_of(args[1])
+    if d is not None:
+        return F.split(args[0], re.escape(str(d)))
+    return F.split(args[0], args[1])
+
+
 @scalar("geo.geohash")
 def _geo_geohash(args):
     """geo.geohash(lat, lon[, precision]) — base32 cell key

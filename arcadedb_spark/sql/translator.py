@@ -1422,6 +1422,11 @@ class ExprCompiler:
         return dt.fields
 
     def _c_funccall(self, e: ast.FuncCall) -> Column:
+        pre = self.ctx.precompiled.get(id(e))
+        if pre is not None:
+            # pre-joined column (startNode/endNode vertex lookups —
+            # attach_entity_lookups)
+            return pre
         name = e.name.lower()
         if (
             len(e.args) == 1
