@@ -413,16 +413,25 @@ class CypherParser(Parser):
                 else:
                     raise ParseError("SET expects alias.prop = expr")
                 m = self.parse_expr()
-                if not isinstance(m, ast.MapLit):
-                    raise ParseError("SET alias = / += needs a map literal")
-                for k, v in m.entries:
-                    assignments.append((chain.parts[0], k, v))
-                if not merge_only:
-                    # SET n = {…} replaces: properties absent from the
-                    # map are nulled out (TCK Set4 [2]/[4])
+                if isinstance(m, ast.MapLit):
+                    for k, v in m.entries:
+                        assignments.append((chain.parts[0], k, v))
+                    if not merge_only:
+                        # SET n = {…} replaces: properties absent from the
+                        # map are nulled out (TCK Set4 [2]/[4])
+                        assignments.append((
+                            chain.parts[0], "@replace_keys",
+                            ast.Lit(tuple(k for k, _ in m.entries)),
+                        ))
+                else:
+                    # SET n = m / SET n += m where m is an entity or map
+                    # expression — property copy (TCK Merge6 [6], Set4):
+                    # expanded to per-key assignments at execution time
                     assignments.append((
-                        chain.parts[0], "@replace_keys",
-                        ast.Lit(tuple(k for k, _ in m.entries)),
+                        chain.parts[0],
+                        "@copy_entity_merge" if merge_only
+                        else "@copy_entity",
+                        m,
                     ))
             elif isinstance(chain, ast.Chain) and len(chain.parts) == 2:
                 self.expect_op("=")
@@ -971,6 +980,45 @@ def _literal_props(db, props, params) -> dict:
     return out
 
 
+def _expand_copy_entity(pairs, params, resolve=None):
+    """Expand ``@copy_entity`` / ``@copy_entity_merge`` markers (``SET n =
+    m`` / ``SET n += m``) into per-key literal assignments.  ``resolve``
+    maps the RHS expression to a literal-bearing AST (frame-row
+    substitution); the RHS must evaluate to a map/entity.  Internal keys
+    (vid, @type, etype, src, dst) never copy (SetPropertiesFromMapStep
+    semantics)."""
+    from arcadedb_spark.sql.translator import TranslateError
+
+    out = []
+    for prop, e in pairs:
+        if prop not in ("@copy_entity", "@copy_entity_merge"):
+            out.append((prop, e))
+            continue
+        e2 = resolve(e) if resolve is not None else e
+        try:
+            d = _ast_literal(e2, params)
+        except ValueError:
+            raise TranslateError(
+                "SET alias = expression needs a map or entity value"
+            )
+        if d is None:
+            d = {}
+        if not isinstance(d, dict):
+            raise TranslateError(
+                "InvalidArgumentType: SET alias = needs a map value"
+            )
+        d = {
+            k: v for k, v in d.items()
+            if k not in ("vid", "etype", "src", "dst")
+            and not k.startswith("@")
+        }
+        for k, v in d.items():
+            out.append((k, ast.Lit(v)))
+        if prop == "@copy_entity":
+            out.append(("@replace_keys", ast.Lit(tuple(d.keys()))))
+    return out
+
+
 import itertools as _it
 
 _wuid = _it.count()
@@ -1204,11 +1252,22 @@ def _apply_write(
     known_merge |= {s.edge_alias for s in path.steps if s.edge_alias}
     if df is not None:
         known_merge |= set(df.columns)
+    edge_aliases = {s.edge_alias for s in path.steps if s.edge_alias}
+    edge_set: dict = {"created": {}, "matched": {}}
     for assignments, want in ((on_create, "created"), (on_match, "matched")):
         _validate_set_assignments(assignments, known_merge, params)
         per_alias: dict[str, list] = {}
         for alias, prop, expr in assignments:
             per_alias.setdefault(alias, []).append((prop, _resolve_frame_refs(expr)))
+        for alias in list(per_alias):
+            per_alias[alias] = _expand_copy_entity(
+                per_alias[alias], params, _resolve_frame_refs
+            )
+            if alias in edge_aliases:
+                # relationship-alias assignments apply in the edge loop
+                # below (ON CREATE folds into creation; ON MATCH rewrites
+                # the matched stored edges)
+                edge_set[want][alias] = per_alias.pop(alias)
         for alias, label, vid, state in node_state:
             if state != want or alias is None or alias not in per_alias:
                 continue
@@ -1290,6 +1349,22 @@ def _apply_write(
         a, b = resolved[i], resolved[i + 1]
         if step.method == "in":
             a, b = b, a
+        if kind == "merge":
+            # MERGE cannot match/create on a LITERAL null property —
+            # SemanticError (TCK Merge5 [29], mirrors the node check)
+            for k_, e_ in step.edge_props or ():
+                is_null_literal = False
+                try:
+                    is_null_literal = _ast_literal(e_, params) is None
+                except ValueError:
+                    pass
+                if is_null_literal:
+                    raise TranslateError(
+                        "Cannot MERGE with a null property value"
+                    )
+        oc = edge_set["created"].get(step.edge_alias or "", [])
+        om = edge_set["matched"].get(step.edge_alias or "", [])
+
         def _refs_frame(exprs) -> bool:
             from arcadedb_spark.sql.translator import walk
 
@@ -1342,28 +1417,209 @@ def _apply_write(
             else:
                 frame = df.select(sel_a.alias("src"), sel_b.alias("dst"))
             if kind == "merge":
-                frame = g.filter_new_edges(etype, frame)
+                # MERGE-per-row sees its own writes: the first row
+                # creates, later identical rows match — net one edge per
+                # distinct binding (TCK Merge5 [21])
+                frame = frame.dropDuplicates(["src", "dst"])
+                pairs = frame
+                frame = g.filter_new_edges(
+                    etype, frame, props=eprops,
+                    prop_cols=(
+                        [k for k, _ in step.edge_props]
+                        if frame_props else ()
+                    ),
+                )
+                if om:
+                    matched_pairs = pairs.select("src", "dst").join(
+                        frame.select("src", "dst"), ["src", "dst"],
+                        "left_anti",
+                    )
+                    _set_matched_edges(
+                        db, g, etype, matched_pairs, om,
+                        step.edge_alias, eprops, params,
+                    )
             for k, v in eprops.items():
                 frame = frame.withColumn(k, F.lit(v))
+            if oc:
+                frame = _fold_edge_on_create(
+                    db, frame, oc, step.edge_alias, params
+                )
             created += g.add_edges_from_frame(etype, frame)
         elif a[0] == "vid" and b[0] == "vid":
             if kind == "merge" and etype in g.edge_meta:
-                exists = (
-                    g.edges(etype)
-                    .filter((F.col("src") == a[1]) & (F.col("dst") == b[1]))
-                    .limit(1)
-                    .count()
+                ef = g.edges(etype).filter(
+                    (F.col("src") == a[1]) & (F.col("dst") == b[1])
                 )
-                if exists:
+                match_ok = True
+                for k, v in eprops.items():
+                    if k not in ef.columns:
+                        match_ok = False
+                        break
+                    ef = ef.filter(F.col(k) == F.lit(v))
+                if match_ok and ef.limit(1).count():
+                    if om:
+                        pair = db.spark.createDataFrame(
+                            [(a[1], b[1])], "src long, dst long"
+                        )
+                        _set_matched_edges(
+                            db, g, etype, pair, om,
+                            step.edge_alias, eprops, params,
+                        )
                     continue
-            created += g.add_edge_rows(etype, [(a[1], b[1])], props=eprops)
+            props2 = dict(eprops)
+            if oc:
+                replace = None
+                lits: dict = {}
+                for p_, e_ in oc:
+                    if p_ == "@replace_keys":
+                        replace = set(e_.value)
+                    else:
+                        lits.update(_literal_props(db, [(p_, e_)], params))
+                if replace is not None:
+                    props2 = {k: v for k, v in props2.items() if k in replace}
+                props2.update(
+                    {k: v for k, v in lits.items() if v is not None}
+                )
+            created += g.add_edge_rows(etype, [(a[1], b[1])], props=props2)
             if edge_bindings is not None and step.edge_alias:
                 edge_bindings.append(
-                    (step.edge_alias, etype, a[1], b[1], eprops)
+                    (step.edge_alias, etype, a[1], b[1], props2)
                 )
         else:
             raise TranslateError("CREATE edge endpoints must be bound or literal")
     return created
+
+
+def _apply_entity_copy_frame(
+    db, g, df, alias, copies, alias_label, rel_alias, params,
+):
+    """``SET n = m`` / ``SET n += m`` with an entity RHS: copy the source
+    entity's properties onto the target's stored rows per frame row —
+    one equi-join per storage key, no driver-side row loop (TCK Set4,
+    reference SetStep.java map-assignment branch)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType, StructType
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
+
+    if df is None:
+        raise TranslateError(
+            f"SET {alias} = entity needs a bound match frame"
+        )
+    n = 0
+    for p_, e_ in copies:
+        replace = p_ == "@copy_entity"
+        ctx = Ctx(
+            db=db, params=params or {}, columns=tuple(df.columns),
+            frame_schema=df.schema,
+        )
+        col = ExprCompiler(ctx).compile(e_)
+        dt = df.select(col.alias("__src")).schema[0].dataType
+        if isinstance(dt, MapType):
+            # map-typed RHS: enumerate keys present anywhere in the frame
+            keys = [
+                r[0]
+                for r in df.select(
+                    F.explode(F.map_keys(col)).alias("k")
+                ).distinct().collect()
+            ]
+            fields = {k: col.getItem(k) for k in keys}
+        elif isinstance(dt, StructType):
+            fields = {
+                f.name: col.getField(f.name)
+                for f in dt.fields
+                if f.name not in ("vid", "etype", "src", "dst")
+                and not f.name.startswith("@")
+            }
+        else:
+            raise TranslateError(
+                "SET alias = expression needs a map or entity value"
+            )
+        copy_cols = list(fields)
+        if alias in rel_alias and alias in df.columns:
+            sel = [
+                F.col(f"{alias}.src").alias("src"),
+                F.col(f"{alias}.dst").alias("dst"),
+            ]
+            etype = rel_alias[alias][0]
+            if etype is None:
+                sel.append(F.col(f"{alias}.etype").alias("etype"))
+            upd = df.select(
+                *sel, *[c.alias(k) for k, c in fields.items()]
+            ).filter(F.col("src").isNotNull())
+            n += g.update_edges_from_frame(
+                etype, upd, copy_cols, replace=replace
+            )
+        elif alias in df.columns:
+            upd = df.select(
+                F.col(f"{alias}.vid").alias("vid"),
+                *[c.alias(k) for k, c in fields.items()],
+            ).filter(F.col("vid").isNotNull())
+            for key in _storage_keys(g, alias_label.get(alias)):
+                n += g.update_vertices_from_frame(
+                    key, upd, copy_cols, replace=replace
+                )
+        else:
+            raise TranslateError(
+                f"SET target '{alias}' is not a match alias"
+            )
+    return n
+
+
+def _fold_edge_on_create(db, frame, oc, alias, params):
+    """Fold ON CREATE SET assignments for a relationship alias into the
+    creation frame itself (cheaper and atomic vs create-then-update)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+    replace = None
+    sets = []
+    for p_, e_ in oc:
+        if p_ == "@replace_keys":
+            replace = set(e_.value)
+        else:
+            sets.append((p_, e_))
+    if replace is not None:
+        keep = replace | {"src", "dst"} | {p for p, _ in sets}
+        frame = frame.select(*[c for c in frame.columns if c in keep])
+    ctx = Ctx(
+        db=db, params=params or {}, columns=tuple(frame.columns),
+        frame_schema=frame.schema,
+    )
+    for p_, e_ in sets:
+        frame = frame.withColumn(
+            p_, ExprCompiler(ctx).compile(_strip_alias(e_, alias))
+        )
+    return frame
+
+
+def _set_matched_edges(db, g, etype, pairs, om, alias, eprops, params):
+    """Apply ON MATCH SET assignments to the stored edges a MERGE
+    matched (pair-keyed, restricted to the pattern's literal props)."""
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+    if etype not in g.edge_meta:
+        return 0
+    ecols = tuple(g.edges(etype).columns)
+    ectx = Ctx(db=db, params=params or {}, columns=ecols)
+    compiled = [
+        (p_, ExprCompiler(ectx).compile(_strip_alias(e_, alias)))
+        for p_, e_ in om
+        if p_ != "@replace_keys"
+    ]
+    replace = next(
+        (set(e_.value) for p_, e_ in om if p_ == "@replace_keys"), None
+    )
+    if replace is not None:
+        keep = replace | {"etype", "src", "dst"} | {p for p, _ in compiled}
+        compiled += [
+            (c, F.lit(None)) for c in ecols
+            if c not in keep and not c.startswith("@")
+        ]
+    return g.update_edges(etype, pairs, compiled, cond_props=eprops)
 
 
 def _validate_set_assignments(assignments, known: set, params) -> None:
@@ -1811,6 +2067,29 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     continue
                 per_alias.setdefault(alias, []).append((prop, expr))
             for alias, assigns in per_alias.items():
+                copies = [
+                    pe for pe in assigns
+                    if pe[0] in ("@copy_entity", "@copy_entity_merge")
+                ]
+                if copies:
+                    # SET n = m / n += m: literal RHS expands to per-key
+                    # assignments; entity RHS copies frame-wise
+                    rest = [pe for pe in assigns if pe not in copies]
+                    lit_expanded = None
+                    try:
+                        lit_expanded = _expand_copy_entity(copies, params)
+                    except Exception:
+                        pass
+                    if lit_expanded is not None:
+                        assigns = lit_expanded + rest
+                    else:
+                        n += _apply_entity_copy_frame(
+                            db, g, df, alias, copies, alias_label,
+                            rel_alias, params,
+                        )
+                        assigns = rest
+                        if not assigns:
+                            continue
                 replace_keys = None
                 plain = []
                 for prop, e in assigns:

@@ -391,13 +391,30 @@ class GraphModel:
         self.add_edges(etype, frame, "src", "dst", props=props)
         return n
 
-    def filter_new_edges(self, etype: str, frame: DataFrame) -> DataFrame:
-        """Drop (src, dst) rows that already exist as ``etype`` edges —
-        the MERGE-relationship idempotency check (MergeStep.java:73)."""
+    def filter_new_edges(
+        self, etype: str, frame: DataFrame, props: "dict | None" = None,
+        prop_cols=(),
+    ) -> DataFrame:
+        """Drop (src, dst) rows whose edge already exists WITH the merge
+        pattern's properties — the MERGE-relationship idempotency check
+        (MergeStep.java:73).  ``props`` are literal pattern props (same
+        value every row); ``prop_cols`` name columns of ``frame`` that
+        carry per-row pattern props.  An existing edge lacking a pattern
+        prop matches nothing (missing property = null, TCK Merge5 [6])."""
         if etype not in self.edge_meta:
             return frame
-        existing = self.edges(etype).select("src", "dst")
-        return frame.join(existing, ["src", "dst"], "left_anti")
+        e = self.edges(etype)
+        for k, v in (props or {}).items():
+            if k not in e.columns:
+                return frame  # no stored edge carries the prop → all new
+            e = e.filter(F.col(k) == F.lit(v))
+        pcols = list(prop_cols)
+        if any(c not in e.columns for c in pcols):
+            return frame
+        join_cols = ["src", "dst"] + pcols
+        return frame.join(
+            e.select(*join_cols).distinct(), join_cols, "left_anti"
+        )
 
     def update_vertices(self, label: str, matched_vids: DataFrame, assignments) -> int:
         """Conditional property rewrite for matched vids.
@@ -416,6 +433,96 @@ class GraphModel:
                     prop, F.when(F.col("__mv").isNotNull(), val)
                 )
         self.vertex_dfs[label.lower()] = joined.drop("__mv").localCheckpoint(eager=True)
+        return n
+
+    def update_vertices_from_frame(
+        self, label: str, upd: DataFrame, copy_cols, replace: bool = False,
+    ) -> int:
+        """Per-row property rewrite: ``upd`` carries (vid, <copy_cols…>);
+        each matched vertex takes its row's values (Cypher ``SET n = m``
+        property copy, TCK Set4).  ``replace`` also nulls every other
+        non-internal property.  One equi-join on vid — no driver loop."""
+        vdf = self.vertex_dfs.get(label.lower())
+        if vdf is None:
+            return 0
+        m = upd.select(
+            F.col("vid").alias("__mv"),
+            *[F.col(c).alias(f"__nv_{c}") for c in copy_cols],
+        ).dropDuplicates(["__mv"])
+        joined = vdf.join(m, vdf["vid"] == m["__mv"], "left")
+        hit = F.col("__mv").isNotNull()
+        n = joined.filter(hit).count()
+        for c in copy_cols:
+            if c in vdf.columns:
+                joined = joined.withColumn(
+                    c, F.when(hit, F.col(f"__nv_{c}")).otherwise(F.col(c))
+                )
+            else:
+                joined = joined.withColumn(c, F.when(hit, F.col(f"__nv_{c}")))
+        if replace:
+            for c in vdf.columns:
+                if c in copy_cols or c == "vid" or c.startswith("@"):
+                    continue
+                joined = joined.withColumn(
+                    c,
+                    F.when(
+                        hit, F.lit(None).cast(vdf.schema[c].dataType)
+                    ).otherwise(F.col(c)),
+                )
+        self.vertex_dfs[label.lower()] = joined.drop(
+            "__mv", *[f"__nv_{c}" for c in copy_cols]
+        ).localCheckpoint(eager=True)
+        return n
+
+    def update_edges_from_frame(
+        self, etype: "str | None", upd: DataFrame, copy_cols,
+        replace: bool = False,
+    ) -> int:
+        """Per-row edge property rewrite keyed by (src, dst[, etype]) —
+        ``SET r = m`` property copy onto relationships.  When ``upd`` has
+        an ``etype`` column it participates in the join key (untyped rel
+        variables)."""
+        all_e = self.edges()
+        if all_e is None:
+            return 0
+        key_cols = ["src", "dst"] + (["etype"] if "etype" in upd.columns else [])
+        m = upd.select(
+            *[F.col(c).alias(f"__mk_{c}") for c in key_cols],
+            *[F.col(c).alias(f"__nv_{c}") for c in copy_cols],
+        ).dropDuplicates([f"__mk_{c}" for c in key_cols])
+        cond = F.lit(True)
+        for c in key_cols:
+            cond = cond & (all_e[c] == m[f"__mk_{c}"])
+        if etype is not None:
+            cond = cond & (all_e["etype"] == F.lit(etype))
+        joined = all_e.join(m, cond, "left")
+        hit = F.col(f"__mk_{key_cols[0]}").isNotNull()
+        n = joined.filter(hit).count()
+        for c in copy_cols:
+            if c in all_e.columns:
+                joined = joined.withColumn(
+                    c, F.when(hit, F.col(f"__nv_{c}")).otherwise(F.col(c))
+                )
+            else:
+                joined = joined.withColumn(c, F.when(hit, F.col(f"__nv_{c}")))
+        if replace:
+            for c in all_e.columns:
+                if c in copy_cols or c in ("etype", "src", "dst"):
+                    continue
+                joined = joined.withColumn(
+                    c,
+                    F.when(
+                        hit, F.lit(None).cast(all_e.schema[c].dataType)
+                    ).otherwise(F.col(c)),
+                )
+        self._edge_dfs = [
+            joined.drop(
+                *[f"__mk_{c}" for c in key_cols],
+                *[f"__nv_{c}" for c in copy_cols],
+            ).localCheckpoint(eager=True)
+        ]
+        self._edges = None
+        self._edges_by_src = None
         return n
 
     def relabel_vertices(
@@ -449,11 +556,13 @@ class GraphModel:
 
     def update_edges(
         self, etype: str, matched_pairs: DataFrame, assignments,
-        both_directions: bool = False,
+        both_directions: bool = False, cond_props: "dict | None" = None,
     ) -> int:
         """Property rewrite on edges of ``etype`` whose (src, dst) is in
         ``matched_pairs`` — Cypher ``MATCH ()-[r:T]->() SET r.p = v``
-        (SetStep.java relationship branch).  assignments: (prop, Column)."""
+        (SetStep.java relationship branch).  assignments: (prop, Column).
+        ``cond_props``: additional literal property equalities the edge
+        must satisfy (MERGE … ON MATCH SET with pattern props)."""
         all_e = self.edges()
         m = matched_pairs.select(
             F.col("src").alias("__ms"), F.col("dst").alias("__md")
@@ -465,6 +574,10 @@ class GraphModel:
         cond_join = (all_e["src"] == m["__ms"]) & (all_e["dst"] == m["__md"])
         if etype is not None:
             cond_join = cond_join & (all_e["etype"] == F.lit(etype))
+        for k, v in (cond_props or {}).items():
+            if k not in all_e.columns:
+                return 0
+            cond_join = cond_join & (all_e[k] == F.lit(v))
         joined = all_e.join(m, cond_join, "left")
         cond = F.col("__ms").isNotNull()
         n = joined.filter(cond).count()
