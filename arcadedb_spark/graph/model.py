@@ -32,6 +32,27 @@ def make_vid(bucket_id: int, key_col) -> F.Column:
     )
 
 
+def local_df(spark, rows, schema=None) -> DataFrame:
+    """``createDataFrame`` over literal rows in ONE partition.
+
+    The default path slices local data into ``defaultParallelism`` pieces
+    (32 here), and every subsequent action on the frame pays a
+    Python-worker roundtrip PER SLICE — a trivial cartesian over two
+    literal frames was 32×32 tasks / ~7 s.  Schema inference stays
+    driver-side (probe frame), then the data rides a single-slice RDD."""
+    if schema is None:
+        schema = spark.createDataFrame(rows).schema
+    names = schema.names
+    if rows and isinstance(rows[0], dict):
+        data = [tuple(r.get(n) for n in names) for r in rows]
+    else:
+        data = rows
+    if not data:
+        return spark.createDataFrame([], schema)
+    rdd = spark.sparkContext.parallelize(data, 1)
+    return spark.createDataFrame(rdd, schema)
+
+
 class _VertexFrames(dict):
     """dict(label-key → DataFrame) that materializes buffered literal
     vertex rows on ANY read — so row-at-a-time Cypher CREATE stays O(1)
@@ -109,7 +130,9 @@ class GraphModel:
                     groups.setdefault(tuple(sorted(r)), []).append(r)
                 new = None
                 for _ks, rs in groups.items():
-                    part = self.spark.createDataFrame(rs)
+                    # literal rows are tiny: one partition, or a cartesian
+                    # over two created frames explodes into P×P no-op tasks
+                    part = local_df(self.spark, rs)
                     new = part if new is None else new.unionByName(
                         part, allowMissingColumns=True
                     )
@@ -135,7 +158,7 @@ class GraphModel:
                 )
         self._pending_e.clear()
         for (_etype, pkeys), rows in groups.items():
-            df = self.spark.createDataFrame(rows).select(
+            df = local_df(self.spark, rows).select(
                 "etype",
                 F.col("src").cast("long"),
                 F.col("dst").cast("long"),
@@ -602,8 +625,8 @@ class GraphModel:
         """Delete edges whose (src, dst) is in ``matched_pairs`` —
         Cypher ``MATCH ()-[r]->() DELETE r``.  ``etype=None`` matches any
         relationship type."""
-        all_e = self.edges()
-        if all_e is None:
+        self._flush_edges()
+        if not self._edge_dfs:
             return 0
         m = matched_pairs.select(
             F.col("src").alias("__ms"), F.col("dst").alias("__md")
@@ -612,13 +635,42 @@ class GraphModel:
             m = m.unionByName(
                 m.select(F.col("__md").alias("__ms"), F.col("__ms").alias("__md"))
             ).distinct()
-        cond = (all_e["src"] == m["__ms"]) & (all_e["dst"] == m["__md"])
-        if etype is not None:
-            cond = cond & (all_e["etype"] == F.lit(etype))
-        matched = all_e.join(m, cond, "left_semi")
-        n = matched.count()
-        kept = all_e.join(m, cond, "left_anti")
-        self._edge_dfs = [kept.localCheckpoint(eager=True)]
+        m = m.coalesce(1).cache()
+
+        def cond_of(e):
+            c = (e["src"] == m["__ms"]) & (e["dst"] == m["__md"])
+            if etype is not None:
+                c = c & (e["etype"] == F.lit(etype))
+            return c
+
+        n = self._remove_matched_edges(m, cond_of)
+        return n
+
+    def _remove_matched_edges(self, m: DataFrame, cond_of) -> int:
+        """Anti-join each edge frame against ``m`` under ``cond_of(e)``;
+        ONE tagged-union job finds the touched frames, untouched frames
+        keep their identity (no per-frame probe, no checkpoint job), and
+        per-etype frames stay separate (no schema-widening union)."""
+        tagged = None
+        for i, e in enumerate(self._edge_dfs):
+            part = e.select(F.lit(i).alias("__f"), "etype", "src", "dst")
+            tagged = part if tagged is None else tagged.unionByName(part)
+        hits = {
+            r["__f"]: r["cnt"]
+            for r in tagged.join(m, cond_of(tagged), "left_semi")
+            .groupBy("__f").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        n = 0
+        new_frames = []
+        for i, e in enumerate(self._edge_dfs):
+            if i not in hits:
+                new_frames.append(e)
+                continue
+            n += hits[i]
+            new_frames.append(
+                e.join(m, cond_of(e), "left_anti").localCheckpoint(eager=True)
+            )
+        self._edge_dfs = new_frames
         self._edges = None
         self._edges_by_src = None
         return n
@@ -629,46 +681,87 @@ class GraphModel:
         DELETE r``).  Unlike :meth:`remove_edges`, the relationship type
         travels with each row, so a parallel edge of a different type
         between the same endpoints survives."""
-        all_e = self.edges()
-        if all_e is None:
+        self._flush_edges()
+        if not self._edge_dfs:
             return 0
         m = matched_triples.select(
             F.col("etype").alias("__mt"),
             F.col("src").alias("__ms"),
             F.col("dst").alias("__md"),
-        ).distinct()
-        cond = (
-            (all_e["etype"] == m["__mt"])
-            & (all_e["src"] == m["__ms"])
-            & (all_e["dst"] == m["__md"])
-        )
-        matched = all_e.join(m, cond, "left_semi")
-        n = matched.count()
-        kept = all_e.join(m, cond, "left_anti")
-        self._edge_dfs = [kept.localCheckpoint(eager=True)]
-        self._edges = None
-        self._edges_by_src = None
-        return n
+        ).distinct().coalesce(1).cache()
+
+        def cond_of(e):
+            return (
+                (e["etype"] == m["__mt"])
+                & (e["src"] == m["__ms"])
+                & (e["dst"] == m["__md"])
+            )
+
+        return self._remove_matched_edges(m, cond_of)
 
     def remove_vertices_any(self, matched_vids: DataFrame) -> int:
         """DETACH-delete matched vids from every label (label-less
         ``MATCH (n) DELETE n``)."""
         self._flush_edges()
-        m = matched_vids.select("vid").distinct().cache()
-        n = 0
+        m = matched_vids.select("vid").distinct().coalesce(1).cache()
+        # ONE job finds which labels are touched (tagged union), instead of
+        # a semi-join probe per label — write statements over small match
+        # sets are job-count-bound, not data-bound
+        tagged = None
         for label in list(self.vertex_dfs):
-            vdf = self.vertex_dfs[label]
-            n += vdf.join(m, "vid", "left_semi").count()
-            self.vertex_dfs[label] = vdf.join(m, "vid", "left_anti").localCheckpoint(eager=True)
-        new_frames = []
-        for e in self._edge_dfs:
-            e2 = e.join(m.withColumnRenamed("vid", "src"), "src", "left_anti")
-            e2 = e2.join(m.withColumnRenamed("vid", "dst"), "dst", "left_anti")
-            new_frames.append(e2.select(*e.columns).localCheckpoint(eager=True))
-        self._edge_dfs = new_frames
+            part = self.vertex_dfs[label].select(
+                F.lit(label).alias("__lbl"), "vid"
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        if tagged is None:
+            return 0
+        hits = {
+            r["__lbl"]: r["cnt"]
+            for r in tagged.join(m, "vid", "left_semi")
+            .groupBy("__lbl").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        n = 0
+        for label, cnt in hits.items():
+            n += cnt
+            self.vertex_dfs[label] = (
+                self.vertex_dfs[label]
+                .join(m, "vid", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        self._edge_dfs = self._drop_incident_edges(m)
         self._edges = None
         self._edges_by_src = None
         return n
+
+    def _drop_incident_edges(self, m: DataFrame) -> list:
+        """Anti-join edge frames against deleted vids — ONE tagged-union
+        job decides which frames are touched; untouched frames keep their
+        identity (no per-frame probe, no checkpoint job)."""
+        if not self._edge_dfs:
+            return []
+        tagged = None
+        for i, e in enumerate(self._edge_dfs):
+            part = e.select(F.lit(i).alias("__f"), "src", "dst")
+            tagged = part if tagged is None else tagged.unionByName(part)
+        hit_ids = {
+            r["__f"]
+            for r in tagged.join(
+                m.withColumnRenamed("vid", "src"), "src", "left_semi"
+            ).unionByName(
+                tagged.join(
+                    m.withColumnRenamed("vid", "dst"), "dst", "left_semi"
+                )
+            ).select("__f").distinct().collect()
+        }
+        new_frames = []
+        for i, e in enumerate(self._edge_dfs):
+            if i not in hit_ids:
+                new_frames.append(e)
+                continue
+            e2 = e.join(m.withColumnRenamed("vid", "src"), "src", "left_anti")
+            e2 = e2.join(m.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            new_frames.append(e2.select(*e.columns).localCheckpoint(eager=True))
+        return new_frames
 
     def remove_vertices(self, label: str, matched_vids: DataFrame) -> int:
         """Remove matched vertices and their incident edges (Cypher
@@ -677,15 +770,10 @@ class GraphModel:
         vdf = self.vertex_dfs.get(label.lower())
         if vdf is None:
             return 0  # deleting from a label that never existed: no-op
-        m = matched_vids.select("vid").distinct().cache()
+        m = matched_vids.select("vid").distinct().coalesce(1).cache()
         n = m.count()
         self.vertex_dfs[label.lower()] = vdf.join(m, "vid", "left_anti").localCheckpoint(eager=True)
-        new_frames = []
-        for e in self._edge_dfs:
-            e2 = e.join(m.withColumnRenamed("vid", "src"), "src", "left_anti")
-            e2 = e2.join(m.withColumnRenamed("vid", "dst"), "dst", "left_anti")
-            new_frames.append(e2.select(*e.columns).localCheckpoint(eager=True))
-        self._edge_dfs = new_frames
+        self._edge_dfs = self._drop_incident_edges(m)
         self._edges = None
         self._edges_by_src = None
         return n
