@@ -914,6 +914,7 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             order_by=tuple(stage.get("with_order") or ()),
             skip=stage.get("with_skip"),
             limit=stage.get("with_limit"),
+            order_scope="strict",  # WITH always re-scopes ORDER BY
         )
         if stage["with_where"] is not None:
             from arcadedb_spark.sql.translator import Ctx, ExprCompiler
@@ -2738,6 +2739,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 db, df, ret["items"], params or {}, distinct=ret["distinct"],
                 group_by=group_by, order_by=ret["order_by"],
                 skip=ret["skip"], limit=ret["limit"],
+                order_scope="strict" if ret["distinct"] else None,
             )
         # one result row; each created/matched alias is a struct column
         # (vid + literal props), so RETURN a.x compiles like a match frame
@@ -2776,6 +2778,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             db, frame, ret["items"], params or {}, distinct=ret["distinct"],
             group_by=group_by, order_by=ret["order_by"],
             skip=ret["skip"], limit=ret["limit"],
+            order_scope="strict" if ret["distinct"] else None,
         )
     # Cypher semantics: a write query without RETURN yields an empty
     # result (TCK clauses/create "the result should be empty"); mutation
@@ -2830,6 +2833,7 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
                 db, df, ret["items"], params or {}, distinct=ret["distinct"],
                 group_by=group_by, order_by=ret["order_by"],
                 skip=ret["skip"], limit=ret["limit"],
+                order_scope="strict" if ret["distinct"] else None,
             )
     stmts = p.parse_query()
     if p.cur.kind != "EOF":

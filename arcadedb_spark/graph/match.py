@@ -680,8 +680,16 @@ def project_stage(
     order_by=(),
     skip=None,
     limit=None,
+    order_scope: str | None = None,
 ) -> DataFrame:
-    """RETURN/WITH projection over a pattern frame via the SELECT machinery."""
+    """RETURN/WITH projection over a pattern frame via the SELECT machinery.
+
+    ``order_scope='strict'`` enforces openCypher ORDER BY scoping: sort
+    expressions may only reference the projection's output names (TCK
+    WithOrderBy1[46]/WithOrderBy3[8], ReturnOrderBy2[13]) — a WITH always
+    re-scopes, and RETURN DISTINCT removes the underlying variables."""
+    if order_scope == "strict" and order_by:
+        _check_order_scope(returns, order_by, tuple(df.columns), distinct)
     select = ast.SelectStmt(
         projections=tuple(returns),
         distinct=distinct,
@@ -722,6 +730,67 @@ def project_stage(
     return out
 
 
+def _check_order_scope(returns, order_by, frame_cols, distinct) -> None:
+    """openCypher ORDER BY scoping (TCK WithOrderBy1[46]/3[8]/4[8],
+    ReturnOrderBy2[13]):
+
+    - an ORDER BY expression may reference the projection's OUTPUT names
+      plus any variable still in the INPUT scope (non-projected variables
+      of the incoming frame — dropped-in-this-stage is fine, dropped by an
+      EARLIER stage is UndefinedVariable);
+    - under DISTINCT the underlying variables are removed, so only output
+      names (or the projected expressions themselves) may be referenced.
+    """
+    from arcadedb_spark.sql.translator import walk
+
+    items = list(returns)
+    if any(isinstance(p.expr, ast.Star) for p in items):
+        return  # WITH * / RETURN * keeps every variable in scope
+    out_names: set[str] = set()
+    proj_exprs = []
+    for p in items:
+        proj_exprs.append(p.expr)
+        if p.alias:
+            out_names.add(p.alias)
+        elif isinstance(p.expr, ast.Chain) and len(p.expr.parts) == 1:
+            out_names.add(p.expr.parts[0])
+    frame_vars = {
+        c for c in frame_cols if not c.startswith(("__", "@"))
+    }
+
+    def _bound_vars(e) -> set[str]:
+        b: set[str] = set()
+        for n in walk(e):
+            if isinstance(n, (ast.Quantifier, ast.ListComp)):
+                b.add(n.var)
+            elif isinstance(n, ast.ReduceExpr):
+                b.add(n.var)
+                b.add(n.acc)
+        return b
+
+    for oi in order_by:
+        e = oi.expr if hasattr(oi, "expr") else oi
+        bound = _bound_vars(e)
+        for n in walk(e):
+            if isinstance(n, ast.Chain):
+                h = n.parts[0]
+                if h not in out_names and h not in frame_vars and h not in bound:
+                    raise TranslateError(
+                        f"Variable `{h}` not defined in ORDER BY scope "
+                        "(UndefinedVariable)"
+                    )
+        if distinct and not any(e == pe for pe in proj_exprs):
+            for n in walk(e):
+                if isinstance(n, ast.Chain):
+                    h = n.parts[0]
+                    if h not in out_names and h not in bound:
+                        raise TranslateError(
+                            f"Variable `{h}` removed by DISTINCT — ORDER BY "
+                            "may only use the projected names "
+                            "(UndefinedVariable)"
+                        )
+
+
 def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
     if not stmt.paths:
         # standalone RETURN (TCK Return*.feature): one pattern-less row
@@ -732,6 +801,7 @@ def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
         db, df, stmt.returns, params,
         distinct=stmt.distinct, group_by=stmt.group_by,
         order_by=stmt.order_by, skip=stmt.skip, limit=stmt.limit,
+        order_scope="strict" if stmt.distinct else None,
     )
 
 

@@ -375,10 +375,25 @@ class ExprCompiler:
 
     def _static_dtype(self, e: ast.Expr):
         """Best-effort static Spark dtype of an expression (None =
-        unknown).  Covers literals, list literals, lambda-bound variables
-        (element type of the quantified list), and frame-schema chains.
-        Drives the variant comparison dispatch and size()/length()
-        string-vs-array resolution."""
+        unknown).  Memoized per AST node: callers re-ask for child types
+        (set-building then next()-extraction), which is exponential on
+        deeply nested map/list literals (TCK Literals8 40-deep maps)."""
+        cache = getattr(self, "_sdt_cache", None)
+        if cache is None:
+            cache = self._sdt_cache = {}
+        # lambda-bound variable types change the answer for the same node:
+        # key on the current binding env too (tiny; id-stable per scope)
+        key = (id(e), tuple(sorted(
+            (k, id(v)) for k, v in self._bound_types.items()
+        )))
+        if key in cache:
+            return cache[key]
+        dt = self._static_dtype_uncached(e)
+        cache[key] = dt
+        return dt
+
+    def _static_dtype_uncached(self, e: ast.Expr):
+        """See :meth:`_static_dtype` (this is the uncached body)."""
         from pyspark.sql.types import (
             ArrayType, BooleanType, DoubleType, LongType, StringType,
             StructType,

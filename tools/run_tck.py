@@ -14,6 +14,7 @@ import argparse
 import glob
 import os
 import sys
+import zlib
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
@@ -26,7 +27,15 @@ def main() -> int:
     ap.add_argument("--filter", default="")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--out", default="/tmp/tck_results.txt")
+    ap.add_argument(
+        "--shard", default="",
+        help="i/N — run only scenarios where index %% N == i (parallel "
+        "full-corpus runs: one process per shard, SPARK_GRAFT_CPUS=8)",
+    )
     args = ap.parse_args()
+    shard_i, shard_n = -1, 1
+    if args.shard:
+        shard_i, shard_n = (int(x) for x in args.shard.split("/"))
 
     from arcadedb_spark.session import get_spark
 
@@ -47,8 +56,10 @@ def main() -> int:
         rel = os.path.relpath(path, TCK_ROOT)
         if args.filter and args.filter not in rel:
             continue
-        for sc in parse_feature(path):
+        for si, sc in enumerate(parse_feature(path)):
             tag = f"{rel} :: {sc.name}"
+            if shard_i >= 0 and (zlib.crc32(rel.encode()) + si) % shard_n != shard_i:
+                continue
             runnable = sc.expect_error or (sc.query and sc.expect is not None)
             if sc.skip or not runnable:
                 n_skip += 1
