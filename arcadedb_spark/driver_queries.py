@@ -2266,7 +2266,9 @@ def q_cypher_pattern_pred(spark, sf_dir):
 
 @query(
     "q_cypher_pattern_size",
-    # size((c)-[:PLACED]->()) — pattern match count as a value
+    # size([(c)-[:PLACED]->() | 1]) — pattern-comprehension match count
+    # (openCypher: size() on a BARE pattern is UnexpectedSyntax, TCK
+    # List6[6]; the comprehension form is the supported spelling)
     oracle="""
     SELECT n_orders, count(*) AS n_cust
     FROM (
@@ -2278,7 +2280,8 @@ def q_cypher_pattern_pred(spark, sf_dir):
 )
 def q_cypher_pattern_size(spark, sf_dir):
     return _db(spark, sf_dir).query(
-        "MATCH (c:Customer) WITH c, size((c)-[:PLACED]->()) AS n_orders "
+        "MATCH (c:Customer) "
+        "WITH c, size([(c)-[:PLACED]->() | 1]) AS n_orders "
         "WHERE n_orders >= 20 "
         "RETURN n_orders, count(*) AS n_cust ORDER BY n_orders",
         language="cypher",

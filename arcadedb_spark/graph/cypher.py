@@ -872,9 +872,19 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             expr, alias = stage["unwind"]
             if df is None:
                 df = db.spark.range(1).select(F.lit(1).alias("__one"))
-            ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+            ctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
                       frame_schema=df.schema)
-            exploded = F.explode(ExprCompiler(ctx).compile(expr))
+            compiled = ExprCompiler(ctx).compile(expr)
+            from pyspark.sql.types import NullType as _NullT
+
+            sdt = ExprCompiler(ctx)._static_dtype(expr)
+            if isinstance(expr, ast.Lit) and expr.value is None or isinstance(
+                sdt, _NullT
+            ):
+                # UNWIND null yields no rows (openCypher; explode(NULL)
+                # needs a typed array)
+                compiled = compiled.cast("array<string>")
+            exploded = F.explode(compiled)
             from arcadedb_spark.sql.temporal_eval import try_eval as _tev
 
             t_ok, t_v = _tev(expr, params)
@@ -919,7 +929,7 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
         if stage["with_where"] is not None:
             from arcadedb_spark.sql.translator import Ctx, ExprCompiler
 
-            ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+            ctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
                       frame_schema=df.schema)
             df = df.filter(ExprCompiler(ctx).compile(stage["with_where"]))
         aliases = {
@@ -976,7 +986,7 @@ def _literal_props(db, props, params) -> dict:
             raise TranslateError(
                 f"Undefined variable '{e.parts[0]}' in property map"
             )
-        col = ExprCompiler(Ctx(db=db, params=params or {})).compile(e)
+        col = ExprCompiler(Ctx(cypher=True, db=db, params=params or {})).compile(e)
         out[k] = value_of(col)
     return out
 
@@ -1157,7 +1167,7 @@ def _apply_write(
                 (F.monotonically_increasing_id() + F.lit(g.mint_vid_block()))
                 .cast("long"),
             ).localCheckpoint(eager=True)
-            ctx = Ctx(db=db, params=params or {},
+            ctx = Ctx(cypher=True, db=db, params=params or {},
                       columns=tuple(df.columns), frame_schema=df.schema)
             comp = [
                 (k, ExprCompiler(ctx).compile(e)) for k, e in node.props
@@ -1857,7 +1867,7 @@ def _delete_expression_target(db, g, df, expr, params, detach=True) -> int:
 
     if df is None:
         raise TranslateError("DELETE expression needs a match frame")
-    ctx = Ctx(db=db, params=params or {}, columns=tuple(df.columns),
+    ctx = Ctx(cypher=True, db=db, params=params or {}, columns=tuple(df.columns),
               frame_schema=df.schema)
     col = ExprCompiler(ctx).compile(expr)
     probe = df.select(col.alias("__t"))
@@ -2020,7 +2030,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         if w["kind"] == "foreach":
             # ForeachStep.java:53 — driver-side loop over the evaluated
             # list, loop variable substituted as a literal per element
-            ctx = Ctx(db=db, params=params or {})
+            ctx = Ctx(cypher=True, db=db, params=params or {})
             col = ExprCompiler(ctx).compile(w["list"])
             lst = value_of(col)
             if lst is None:  # not a registered literal — evaluate on a 1-row frame
@@ -2487,7 +2497,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 renames[a]: v for a, v in rel_alias.items() if a in renames
             }
         if blk.get("where_post") is not None and df is not None:
-            ctx = Ctx(db=db, params=params or {}, columns=tuple(df.columns))
+            ctx = Ctx(cypher=True, db=db, params=params or {}, columns=tuple(df.columns))
             df = df.filter(ExprCompiler(ctx).compile(blk["where_post"]))
         m_paths, m_where = blk["match"]
         if m_paths or m_where is not None:
@@ -2540,7 +2550,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     raise TranslateError(
                         "UNWIND after a write clause needs a literal list"
                     )
-                ctx = Ctx(db=db, params=params or {},
+                ctx = Ctx(cypher=True, db=db, params=params or {},
                           columns=tuple(df.columns),
                           frame_schema=df.schema)
                 df = df.withColumn(

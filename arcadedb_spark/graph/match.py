@@ -395,7 +395,18 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
 
 
 def _collect_pattern_exprs(e, out: list) -> None:
-    if isinstance(e, ast.PatternExpr):
+    if isinstance(e, ast.FuncCall) and e.name.lower() == "size" and any(
+        isinstance(a, ast.PatternExpr) for a in e.args
+    ):
+        # size() on a bare pattern is UnexpectedSyntax in openCypher (TCK
+        # List6[6]) — the supported form is size([pattern | 1]).  Raise
+        # BEFORE lowering: the bare-pattern marker would compute an
+        # (unbounded) match count that the query then rejects anyway.
+        raise TranslateError(
+            "size() on a pattern is not allowed — use a pattern "
+            "comprehension: size([pattern | 1])"
+        )
+    if isinstance(e, (ast.PatternExpr, ast.PatternComp)):
         out.append(e)
         return
     if hasattr(e, "__dataclass_fields__"):
@@ -437,7 +448,7 @@ def attach_entity_lookups(
         return df
     struct = F.struct(*[F.col(c) for c in av.columns])
     for i, t in enumerate(targets):
-        ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+        ctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
                   frame_schema=df.schema, precompiled=markers)
         try:
             argc = ExprCompiler(ctx).compile(t.args[0])
@@ -470,7 +481,8 @@ def attach_pattern_markers(
             continue
         pdf, paliases = translate_path(db, pe.path, params)
         shared = [a for a in paliases if a in df.columns]
-        if not pe.subquery:
+        is_comp = isinstance(pe, ast.PatternComp)
+        if not is_comp and not pe.subquery:
             # a bare pattern predicate may not introduce new variables
             # (openCypher; TCK Pattern1) — EXISTS { … } subqueries may
             fresh = [
@@ -490,13 +502,28 @@ def attach_pattern_markers(
             pdf = attach_pattern_markers(
                 db, pdf, [pe.where], params, inner_m, inner_c
             )
-            wctx = Ctx(db=db, params=params, columns=tuple(pdf.columns),
+            wctx = Ctx(cypher=True, db=db, params=params, columns=tuple(pdf.columns),
                        frame_schema=pdf.schema, precompiled=inner_m)
             pdf = pdf.filter(ExprCompiler(wctx).compile(pe.where))
             if inner_c:
                 pdf = pdf.drop(*inner_c)
         name = f"__pe{next(_uid)}"
+        proj_col = None
+        if is_comp:
+            # compile the projection against the pattern frame — new
+            # variables introduced by the comprehension scope to it
+            pctx = Ctx(cypher=True, db=db, params=params,
+                       columns=tuple(pdf.columns), frame_schema=pdf.schema)
+            proj_col = ExprCompiler(pctx).compile(pe.proj)
         if not shared:
+            if is_comp:
+                # uncorrelated comprehension: one-row aggregate,
+                # broadcast cross-joined onto the frame
+                agg1 = pdf.agg(F.collect_list(proj_col).alias(name))
+                df = df.crossJoin(F.broadcast(agg1))
+                markers[id(pe)] = F.coalesce(F.col(name), F.array())
+                marker_cols.append(name)
+                continue
             # uncorrelated existence: one scalar count
             cnt = pdf.count()
             markers[id(pe)] = F.lit(cnt)
@@ -519,12 +546,19 @@ def attach_pattern_markers(
                 c = F.col(kn) == F.col(f"{a}.{k}")
                 cond = c if cond is None else (cond & c)
         mdf = (
-            pdf.select(*key_cols)
+            pdf.select(*key_cols, *( [proj_col.alias(f"__pj{name[4:]}")]
+                                     if is_comp else [] ))
             .groupBy(*key_names)
-            .agg(F.count(F.lit(1)).alias(name))
+            .agg(
+                (F.collect_list(F.col(f"__pj{name[4:]}")) if is_comp
+                 else F.count(F.lit(1))).alias(name)
+            )
         )
         df = df.join(mdf, cond, "left_outer").drop(*key_names)
-        markers[id(pe)] = F.coalesce(F.col(name), F.lit(0))
+        markers[id(pe)] = (
+            F.coalesce(F.col(name), F.array()) if is_comp
+            else F.coalesce(F.col(name), F.lit(0))
+        )
         marker_cols.append(name)
     return df
 
@@ -615,7 +649,7 @@ def combine_paths(
                     + [c for c in pdf.columns if c not in rename]
                 )
             )
-            octx = Ctx(db=db, params=params, columns=cols,
+            octx = Ctx(cypher=True, db=db, params=params, columns=cols,
                        frame_schema=_merged_schema(df, pdf, rename))
             opt_cond = ExprCompiler(octx).compile(path.opt_where)
         if df is None:
@@ -655,7 +689,7 @@ def combine_paths(
         df = attach_pattern_markers(
             db, df, [where], params, markers, marker_cols
         )
-        wctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+        wctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
                    frame_schema=df.schema, precompiled=markers)
         df = df.filter(ExprCompiler(wctx).compile(where))
         if marker_cols:
@@ -690,6 +724,12 @@ def project_stage(
     re-scopes, and RETURN DISTINCT removes the underlying variables."""
     if order_scope == "strict" and order_by:
         _check_order_scope(returns, order_by, tuple(df.columns), distinct)
+    if any(isinstance(p.expr, ast.Star) for p in returns) and not any(
+        not c.startswith(("__", "@")) for c in df.columns
+    ):
+        raise TranslateError(
+            "RETURN * is not allowed when there are no variables in scope"
+        )
     select = ast.SelectStmt(
         projections=tuple(returns),
         distinct=distinct,
@@ -713,7 +753,7 @@ def project_stage(
         params, markers,
     )
     tr = Translator(db, params)
-    ctx = Ctx(db=db, params=params, columns=tuple(df.columns),
+    ctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
               frame_schema=df.schema, cypher_order=True,
               precompiled=markers)
     is_agg = any(_has_agg(p.expr) for p in select.projections) or bool(

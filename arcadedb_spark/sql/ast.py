@@ -406,6 +406,18 @@ class PatternExpr(Expr):
 
 
 @dataclass(frozen=True)
+class PatternComp(Expr):
+    """openCypher pattern comprehension ``[(n)-->(m) WHERE pred | proj]``:
+    evaluates to the list of ``proj`` over the pattern's matches.  Lowered
+    to a grouped collect_list joined onto the frame (never a correlated
+    per-row subplan).  Unlike a bare pattern predicate, it MAY introduce
+    new variables — they scope to ``where``/``proj`` only."""
+    path: "MatchPath"
+    where: Optional[Expr]
+    proj: Expr
+
+
+@dataclass(frozen=True)
 class MatchStmt:
     paths: tuple[MatchPath, ...]
     returns: tuple[ProjItem, ...] = ()

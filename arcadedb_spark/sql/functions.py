@@ -1337,6 +1337,16 @@ def _cypher_tostring(args):
     return args[0].cast("string")
 
 
+@scalar("tolower")
+def _cypher_tolower(args):
+    return F.lower(args[0])
+
+
+@scalar("toupper")
+def _cypher_toupper(args):
+    return F.upper(args[0])
+
+
 @scalar("tointeger")
 def _cypher_tointeger(args):
     # Cypher: numeric strings parse (then truncate), junk → null

@@ -80,7 +80,21 @@ def _unquote(raw: str) -> str:
     while i < len(body):
         c = body[i]
         if c == "\\" and i + 1 < len(body):
-            out.append(_STR_ESCAPES.get(body[i + 1], body[i + 1]))
+            nxt = body[i + 1]
+            if nxt in ("u", "U"):
+                # openCypher unicode escapes: \uXXXX / \UXXXXXXXX
+                width = 4 if nxt == "u" else 8
+                digits = body[i + 2:i + 2 + width]
+                if len(digits) != width or any(
+                    d not in "0123456789abcdefABCDEF" for d in digits
+                ):
+                    raise LexError(
+                        f"Invalid unicode escape \\{nxt}{digits!r} in string"
+                    )
+                out.append(chr(int(digits, 16)))
+                i += 2 + width
+                continue
+            out.append(_STR_ESCAPES.get(nxt, nxt))
             i += 2
         elif quote == "'" and c == "'" and i + 1 < len(body) and body[i + 1] == "'":
             out.append("'")
@@ -126,17 +140,11 @@ def tokenize(text: str, cypher: bool = False) -> list[Token]:
         elif kind == "VAR":
             tokens.append(Token("VAR", value[1:], pos))
         elif kind == "HEX":
-            # Cypher hex literal (openCypher grammar HexInteger); 64-bit
-            # two's-complement wraparound matches the reference's Java long
-            v = int(value, 16)
-            if v >= 1 << 63:
-                v -= 1 << 64
-            tokens.append(Token("INT", str(v), pos))
+            # Cypher hex literal (openCypher grammar HexInteger); range is
+            # validated at compile time (IntegerOverflow, TCK Literals3)
+            tokens.append(Token("INT", str(int(value, 16)), pos))
         elif kind == "OCT":
-            v = int(value, 8)
-            if v >= 1 << 63:
-                v -= 1 << 64
-            tokens.append(Token("INT", str(v), pos))
+            tokens.append(Token("INT", str(int(value, 8)), pos))
         else:
             tokens.append(Token(kind, value, pos))
         pos = m.end()

@@ -1240,7 +1240,13 @@ class Parser:
             return ast.Lit(int(tok.value))
         if tok.kind == "FLOAT":
             self.advance()
-            return ast.Lit(float(tok.value))
+            fv = float(tok.value)
+            if fv in (float("inf"), float("-inf")):
+                raise ParseError(
+                    f"Float literal {tok.value} out of range "
+                    "(FloatingPointOverflow)"
+                )
+            return ast.Lit(fv)
         if tok.kind == "STRING":
             self.advance()
             return ast.Lit(tok.value)
@@ -1350,6 +1356,26 @@ class Parser:
                 return inner
             if tok.value == "[":
                 self.advance()
+                if (
+                    self.cypher
+                    and self.cur.kind == "OP" and self.cur.value == "("
+                    and self._looks_like_pattern()
+                ):
+                    # pattern comprehension [(n)-->(m) WHERE p | proj]
+                    save = self.i
+                    try:
+                        path = self._parse_pattern(False)
+                        if path.steps:
+                            where = None
+                            if self.eat_kw("WHERE"):
+                                where = self.parse_expr()
+                            self.expect_op("|")
+                            proj = self.parse_expr()
+                            self.expect_op("]")
+                            return ast.PatternComp(path, where, proj)
+                    except ParseError:
+                        pass
+                    self.i = save
                 # list comprehension [x IN src [WHERE p] [| proj]]
                 if (
                     self.cypher
@@ -1414,6 +1440,13 @@ class Parser:
         if tok.kind not in ("IDENT", "STRING", "KEYWORD"):
             raise ParseError(f"Bad map key {tok!r}")
         key = tok.value
+        if tok.kind == "KEYWORD":
+            # keyword tokens are case-normalized; map keys are identifiers
+            # and keep their written case ({null: …, NULL: …} are two
+            # distinct keys — TCK Map1[5])
+            raw = self.text[tok.pos:tok.pos + len(tok.value)]
+            if raw.lower() == tok.value.lower():
+                key = raw
         self.expect_op(":")
         return (key, self.parse_expr())
 

@@ -74,6 +74,9 @@ class Ctx:
     group_map: dict[ast.Expr, str] = field(default_factory=dict)
     agg_cols: list[Column] = field(default_factory=list)
     agg_names: dict[ast.Expr, str] = field(default_factory=dict)
+    # static result dtypes of aggregate placeholders (collect(p) →
+    # array<struct<…>>) so comprehensions over aggregates type-resolve
+    agg_types: dict[int, Any] = field(default_factory=dict)
     # pyspark StructType of the frame being compiled against (when known):
     # lets chain compilation resolve alias.prop against actual struct
     # fields so missing properties read as null (Cypher semantics) instead
@@ -86,10 +89,37 @@ class Ctx:
     # Cypher dialect: ORDER BY on string-typed keys adds a temporal
     # instant sort key (stored temporal values render to strings)
     cypher_order: bool = False
+    # Cypher dialect: referencing a variable that is not in scope is a
+    # SyntaxError (UndefinedVariable) — the SQL dialect reads missing
+    # schemaless columns as null instead
+    cypher: bool = False
 
 
 def _lit(v: Any) -> Column:
-    return _reg_lit(F.lit(v), v)
+    return _reg_lit(_pylit(v), v)
+
+
+def _pylit(v: Any) -> Column:
+    """Structure-aware literal: ``F.lit`` cannot express python dicts
+    (UNSUPPORTED_FEATURE.LITERAL_TYPE) — mirror the MapLit compilation:
+    homogeneous-scalar dict → MAP, otherwise STRUCT of named fields."""
+    if isinstance(v, dict):
+        if not v:
+            return F.create_map().cast("map<string,string>")
+        nested = any(isinstance(x, (dict, list, tuple)) for x in v.values())
+        kinds = {type(x) for x in v.values() if x is not None}
+        if not nested and len(kinds) <= 1:
+            pairs: list[Column] = []
+            for k, x in v.items():
+                pairs.append(F.lit(k))
+                pairs.append(F.lit(x))
+            return F.create_map(*pairs)
+        return F.struct(*[_pylit(x).alias(str(k)) for k, x in v.items()])
+    if isinstance(v, (list, tuple)):
+        if any(isinstance(x, (dict, list, tuple)) for x in v):
+            return F.array(*[_pylit(x) for x in v])
+        return F.lit(list(v))
+    return F.lit(v)
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +294,14 @@ class ExprCompiler:
 
     # -- leaves -----------------------------------------------------------
     def _c_lit(self, e: ast.Lit) -> Column:
+        v = e.value
+        if (
+            isinstance(v, int) and not isinstance(v, bool)
+            and not (-(1 << 63) <= v < (1 << 63))
+        ):
+            raise TranslateError(
+                f"Integer literal {v} out of 64-bit range (IntegerOverflow)"
+            )
         return _lit(e.value)
 
     def _c_star(self, e: ast.Star) -> Column:
@@ -332,6 +370,12 @@ class ExprCompiler:
                 # component access on a string column holding a stored
                 # canonical temporal value (WITH n.date AS d … d.year)
                 return _temporal_component_col(F.col(head), parts[1])
+            from pyspark.sql.types import NullType as _NT
+
+            if field is not None and isinstance(field.dataType, _NT):
+                # null-typed column (WITH null AS m … m.name): any field
+                # access yields null (TCK Map1[2])
+                return _lit(None)
             if field is not None and isinstance(field.dataType, StructType):
                 dt = field.dataType
                 col = F.col(head)
@@ -365,8 +409,16 @@ class ExprCompiler:
             and head not in self.ctx.columns
             and all(f.name != head for f in self.ctx.frame_schema.fields)
         ):
+            if self.ctx.cypher and not (
+                self.ctx.params and head in self.ctx.params
+            ):
+                # Cypher: an unknown name is an undefined VARIABLE, not a
+                # missing property (TCK Return1[2], Literals8[22])
+                raise TranslateError(
+                    f"Variable `{head}` not defined (UndefinedVariable)"
+                )
             # schema is known and the head column doesn't exist: a missing
-            # property reads as null (Cypher/schemaless semantics)
+            # property reads as null (SQL schemaless semantics)
             return _lit(None)
         col = F.col(head)
         for p in parts[1:]:
@@ -394,6 +446,8 @@ class ExprCompiler:
 
     def _static_dtype_uncached(self, e: ast.Expr):
         """See :meth:`_static_dtype` (this is the uncached body)."""
+        if self.ctx.agg_mode and id(e) in self.ctx.agg_types:
+            return self.ctx.agg_types[id(e)]
         from pyspark.sql.types import (
             ArrayType, BooleanType, DoubleType, LongType, StringType,
             StructType,
@@ -744,7 +798,7 @@ class ExprCompiler:
     def _is_listy(e: ast.Expr) -> bool:
         """Statically list-valued AST (drives Cypher's '+' list-concat
         overload; chains/columns stay ambiguous and default to +)."""
-        if isinstance(e, (ast.ArrayLit, ast.ListComp)):
+        if isinstance(e, (ast.ArrayLit, ast.ListComp, ast.PatternComp)):
             return True
         if isinstance(e, ast.Case):
             return any(
@@ -903,7 +957,13 @@ class ExprCompiler:
             # Cypher/SQL '+' overloads: list concat when either side is
             # statically list-valued, string concat when either side is a
             # string literal; numeric addition otherwise
-            if self._is_listy(le) or self._is_listy(ri):
+            from pyspark.sql.types import ArrayType as _AT
+
+            if (
+                self._is_listy(le) or self._is_listy(ri)
+                or isinstance(self._static_dtype(le), _AT)
+                or isinstance(self._static_dtype(ri), _AT)
+            ):
                 def wrap(c, x):
                     if self._is_listy(x):
                         return c
@@ -993,6 +1053,17 @@ class ExprCompiler:
                 "contexts only"
             )
         return pre > 0
+
+    def _c_patterncomp(self, e) -> Column:
+        """Pattern comprehension value: the collected projection list.
+        Pre-joined by attach_pattern_markers as a collect_list marker."""
+        pre = self.ctx.precompiled.get(id(e))
+        if pre is None:
+            raise TranslateError(
+                "pattern comprehensions are supported in MATCH/WITH/RETURN "
+                "contexts only"
+            )
+        return pre
 
     def _c_in(self, e: ast.In) -> Column:
         pre = self.ctx.precompiled.get(id(e))
@@ -1192,12 +1263,12 @@ class ExprCompiler:
         # Cypher maps are heterogeneous records; when the static value
         # types differ, a STRUCT of named fields represents them exactly
         # (create_map requires one uniform value type)
-        known = {
-            dt.simpleString()
-            for dt in (self._static_dtype(v) for _, v in e.entries)
-            if dt is not None
-        }
-        if len(known) > 1:
+        dts = [self._static_dtype(v) for _, v in e.entries]
+        known = {dt.simpleString() for dt in dts if dt is not None}
+        # a MAP needs ONE value type: only safe when every entry's static
+        # type is known and identical — unknown types (expressions over
+        # frame columns, aggregates) go to STRUCT (TCK Return6[6])
+        if len(known) > 1 or (e.entries and any(dt is None for dt in dts)):
             def _fld(k: str, v: ast.Expr) -> Column:
                 c = self.compile(v)
                 if isinstance(v, ast.Lit) and v.value is None:
@@ -1242,6 +1313,38 @@ class ExprCompiler:
             if not pairs:
                 return _lit(None)
             return F.element_at(F.create_map(*pairs), idx.cast("string"))
+        from pyspark.sql.types import (
+            MapType, NullType, StringType as _StrT, VariantType as _VarT,
+        )
+
+        if isinstance(bt, NullType):
+            return _lit(None)  # null[k] → null (TCK Map2)
+        if isinstance(bt, _VarT):
+            sv = value_of(idx)
+            if isinstance(sv, str):
+                # field access on a variant (heterogeneous-list element)
+                return F.try_variant_get(base, f"$.{sv}", "variant")
+        if isinstance(bt, MapType):
+            it = self._static_dtype(e.index)
+            if it is not None and not isinstance(it, (_StrT, NullType)):
+                raise TranslateError(
+                    "Map access requires a string key "
+                    f"(got {it.simpleString()}) — InvalidArgumentType"
+                )
+            return F.element_at(base, idx.cast(bt.keyType))
+        bv = value_of(base)
+        if isinstance(bv, dict):
+            # parameter map with no frame type info: key access
+            return F.element_at(base, idx.cast("string"))
+        from pyspark.sql.types import ArrayType as _ArrT, IntegralType as _IT
+
+        if isinstance(bt, _ArrT):
+            it = self._static_dtype(e.index)
+            if it is not None and not isinstance(it, (_IT, NullType)):
+                raise TranslateError(
+                    "List index must be an integer "
+                    f"(got {it.simpleString()}) — InvalidArgumentType"
+                )
         v = value_of(idx)
         if v is not None:
             return base.getItem(v)  # 0-based for arrays, key for maps/structs
@@ -1310,7 +1413,10 @@ class ExprCompiler:
     def _elem_type(self, source: ast.Expr):
         from pyspark.sql.types import ArrayType
 
-        dt = self._static_dtype(source)
+        if self.ctx.agg_mode and id(source) in self.ctx.agg_types:
+            dt = self.ctx.agg_types[id(source)]  # fresh (bypasses memo)
+        else:
+            dt = self._static_dtype(source)
         return dt.elementType if isinstance(dt, ArrayType) else None
 
     def _c_quantifier(self, e: ast.Quantifier) -> Column:
@@ -1337,6 +1443,13 @@ class ExprCompiler:
         )
 
     def _c_listcomp(self, e: ast.ListComp) -> Column:
+        if (e.pred is not None and _contains_aggregate(e.pred)) or (
+            e.proj is not None and _contains_aggregate(e.proj)
+        ):
+            raise TranslateError(
+                "Aggregation inside a list comprehension body is not "
+                "allowed (InvalidAggregation)"
+            )
         src = self.compile(e.source)
         et = self._elem_type(e.source)
         out = src
@@ -1417,15 +1530,22 @@ class ExprCompiler:
     def _struct_fields_of(self, e: ast.Expr):
         """Field list when ``e`` statically resolves to a struct column of
         the current frame (via frame_schema), else None."""
-        if self.ctx.frame_schema is None or not isinstance(e, ast.Chain):
+        if not isinstance(e, ast.Chain):
             return None
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
-        field = next(
-            (f for f in self.ctx.frame_schema.fields
-             if f.name == e.parts[0]),
-            None,
-        )
+        field = None
+        bt = self._bound_types.get(e.parts[0])
+        if bt is not None and isinstance(bt, StructType):
+            # lambda-bound variable with a known struct element type
+            # ([x IN collect(p) | nodes(x)], TCK List12)
+            field = StructField(e.parts[0], bt)
+        elif self.ctx.frame_schema is not None:
+            field = next(
+                (f for f in self.ctx.frame_schema.fields
+                 if f.name == e.parts[0]),
+                None,
+            )
         if field is None or not isinstance(field.dataType, StructType):
             return None
         dt = field.dataType
@@ -1459,9 +1579,10 @@ class ExprCompiler:
             from pyspark.sql.types import StringType
 
             if isinstance(e.args[0], ast.PatternExpr):
-                pre = self.ctx.precompiled.get(id(e.args[0]))
-                if pre is not None:
-                    return pre
+                raise TranslateError(
+                    "size() on a pattern is not allowed — use a pattern "
+                    "comprehension: size([pattern | 1])"
+                )
             if isinstance(self._static_dtype(e.args[0]), StringType):
                 return F.length(self.compile(e.args[0]))
             from pyspark.sql.types import VariantType
@@ -1507,6 +1628,24 @@ class ExprCompiler:
             # keys(entity)/properties(entity) over a bound node/rel
             # struct: resolve the field list from the frame schema
             # (Cypher keys = property names with non-null values)
+            arg0 = e.args[0]
+            if isinstance(arg0, ast.MapLit):
+                # literal map (struct-compiled when heterogeneous): the
+                # key list is static (TCK Map3)
+                if name == "keys":
+                    return F.array(*[F.lit(k) for k, _ in arg0.entries])
+                return self.compile(arg0)
+            if (
+                isinstance(arg0, (ast.Param, ast.Var))
+                and not (isinstance(arg0, ast.Var)
+                         and self.ctx.vars.get(arg0.name) is not None)
+                and isinstance(self.ctx.params.get(arg0.name), dict)
+            ):
+                if name == "keys":
+                    return F.array(*[
+                        F.lit(k) for k in self.ctx.params[arg0.name]
+                    ])
+                return self.compile(arg0)
             fields = self._struct_fields_of(e.args[0])
             if fields is not None:
                 base = self.compile(e.args[0])
@@ -1570,6 +1709,12 @@ class ExprCompiler:
         name = f"__agg{len(ctx.agg_cols)}"
         ctx.agg_cols.append(agg_col.alias(name))
         ctx.agg_names[e] = name
+        if e.name.lower() in ("collect", "collect_list", "list") and e.args:
+            from pyspark.sql.types import ArrayType
+
+            argdt = inner._static_dtype(e.args[0])
+            if argdt is not None:
+                ctx.agg_types[id(e)] = ArrayType(argdt)
         return F.col(name)
 
     def _c_method(self, e: ast.Method) -> Column:
@@ -1700,7 +1845,7 @@ def _validate_agg_mixed(e: ast.Expr, stmt: ast.SelectStmt) -> None:
         if not _contains_aggregate(p.expr)
     ] + list(stmt.group_by or ())
 
-    def ok(node: ast.Expr) -> bool:
+    def ok(node: ast.Expr, bound: frozenset = frozenset()) -> bool:
         if isinstance(node, ast.FuncCall) and is_aggregate(node.name):
             return True
         if (
@@ -1713,10 +1858,28 @@ def _validate_agg_mixed(e: ast.Expr, stmt: ast.SelectStmt) -> None:
         ):
             return True
         if isinstance(node, ast.Chain):
-            if node.parts[0] in aliases:
+            if node.parts[0] in aliases or node.parts[0] in bound:
                 return True
             return any(node == k for k in keys)
-        return all(ok(c) for c in _child_exprs(node))
+        if isinstance(node, (ast.ListComp, ast.Quantifier)):
+            # the lambda variable is locally bound — [x IN collect(p) | x]
+            # is a legal aggregate consumer (TCK List12)
+            b2 = bound | {node.var}
+            parts = [node.source]
+            if getattr(node, "pred", None) is not None:
+                parts.append(node.pred)
+            if getattr(node, "proj", None) is not None:
+                parts.append(node.proj)
+            return all(
+                ok(p, b2 if p is not node.source else bound) for p in parts
+            )
+        if isinstance(node, ast.ReduceExpr):
+            b2 = bound | {node.var, node.acc}
+            return (
+                ok(node.init, bound) and ok(node.source, bound)
+                and ok(node.body, b2)
+            )
+        return all(ok(c, bound) for c in _child_exprs(node))
 
     if not ok(e):
         raise TranslateError(

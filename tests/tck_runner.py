@@ -26,6 +26,7 @@ class Scenario:
     query: str = ""
     expect: list | None = None  # list of dict rows, or None for "empty"
     ordered: bool = False
+    lists_unordered: bool = False  # "(ignoring element order for lists)"
     skip: str | None = None  # reason this scenario is out of scope
     expect_error: bool = False  # "Then a XError should be raised …"
     params: dict = field(default_factory=dict)  # "And parameters are:"
@@ -42,10 +43,34 @@ def _parse_docstring(lines, i):
     return "\n".join(out).strip(), i + 1
 
 
+def _split_table_row(line: str) -> list[str]:
+    """Split a gherkin table row on unescaped pipes; backslash escapes the
+    pipe and itself (``\\|`` → ``|``, ``\\\\`` → ``\\``)."""
+    cells: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(line):
+        c = line[i]
+        if c == "\\" and i + 1 < len(line) and line[i + 1] in ("|", "\\"):
+            cur.append(line[i + 1])
+            i += 2
+            continue
+        if c == "|":
+            cells.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    cells.append("".join(cur).strip())
+    return [c for c in cells]
+
+
 def _parse_table(lines, i):
     rows = []
     while i < len(lines) and lines[i].strip().startswith("|"):
-        cells = [c.strip() for c in lines[i].strip().strip("|").split("|")]
+        raw = lines[i].strip()
+        cells = _split_table_row(raw[1:-1] if raw.endswith("|") else raw[1:])
         rows.append(cells)
         i += 1
     return rows, i
@@ -78,7 +103,11 @@ def parse_value(s: str):
     if re.fullmatch(r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", s):
         return float(s)
     if s.startswith("'") and s.endswith("'"):
-        return s[1:-1].replace("\\'", "'")
+        # expected cells hold Cypher string literals: same escapes as the
+        # engine's lexer (\\, \', \uXXXX, …)
+        from arcadedb_spark.sql.lexer import _unquote
+
+        return _unquote(s)
     if s.startswith("[") and s.endswith("]"):
         inner = s[1:-1].strip()
         if not inner:
@@ -316,6 +345,8 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
             table, i = _parse_table(lines, i + 1)
             cur.expect = table
         elif line.startswith("Then the result should be"):
+            if "ignoring element order for lists" in line:
+                cur.lists_unordered = True
             table, i = _parse_table(lines, i + 1)
             cur.expect = table
         elif re.match(r"Then an? \w+ should be raised", line):
@@ -362,8 +393,14 @@ def _norm(v):
             return _norm(v.toPython())
     except ImportError:
         pass
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # variant decimals (heterogeneous-list floats) — Cypher has no
+        # decimal type, compare as float
+        return round(float(v), 9)
     if isinstance(v, float):
-        return round(v, 9)
+        return round(v, 9) + 0.0  # −0.0 → 0.0
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
@@ -423,6 +460,13 @@ def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
         return False, f"FAIL: columns {res.columns} != {header}"
     got = [{h: _norm(_to_py(r[h])) for h in header} for r in got_rows]
     want = [{h: _norm(row[h]) for h in header} for row in expected]
+    if sc.lists_unordered:
+        def _sl(v):
+            if isinstance(v, tuple):
+                return tuple(sorted((_sl(x) for x in v), key=repr))
+            return v
+        got = [{h: _sl(v) for h, v in r.items()} for r in got]
+        want = [{h: _sl(v) for h, v in r.items()} for r in want]
     if sc.ordered:
         ok = got == want
     else:
