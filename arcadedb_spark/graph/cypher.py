@@ -918,6 +918,39 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             group_by = tuple(
                 it.expr for it in items if not _contains_aggregate(it.expr)
             )
+        w_where = stage["with_where"]
+        pre_where = (
+            w_where is not None
+            and not group_by
+            and stage.get("with_skip") is None
+            and stage.get("with_limit") is None
+        )
+        if pre_where:
+            # WITH … WHERE sees the input scope AND the projected names
+            # (TCK WithWhere1/7): substitute alias references with their
+            # defining expressions and filter BEFORE the projection —
+            # row-wise projections (and DISTINCT) commute with the filter
+            from arcadedb_spark.graph.match import attach_pattern_markers
+            from arcadedb_spark.sql.translator import (
+                Ctx, ExprCompiler, _subst_alias_refs,
+            )
+
+            alias_map = {
+                it.alias: it.expr for it in items
+                if it.alias and not isinstance(it.expr, ast.Star)
+            }
+            subst = _subst_alias_refs(w_where, alias_map)
+            wmarkers: dict = {}
+            wmcols: list = []
+            df = attach_pattern_markers(
+                db, df, [subst], params, wmarkers, wmcols
+            )
+            wctx = Ctx(cypher=True, db=db, params=params,
+                       columns=tuple(df.columns), frame_schema=df.schema,
+                       precompiled=wmarkers)
+            df = df.filter(ExprCompiler(wctx).compile(subst))
+            if wmcols:
+                df = df.drop(*wmcols)
         df = project_stage(
             db, df, items, params, group_by=group_by,
             distinct=stage.get("with_distinct", False),
@@ -926,12 +959,12 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             limit=stage.get("with_limit"),
             order_scope="strict",  # WITH always re-scopes ORDER BY
         )
-        if stage["with_where"] is not None:
+        if w_where is not None and not pre_where:
             from arcadedb_spark.sql.translator import Ctx, ExprCompiler
 
             ctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
                       frame_schema=df.schema)
-            df = df.filter(ExprCompiler(ctx).compile(stage["with_where"]))
+            df = df.filter(ExprCompiler(ctx).compile(w_where))
         aliases = {
             (it.alias or it.expr.parts[0])
             for it in stage["with_items"]

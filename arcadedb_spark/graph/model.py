@@ -353,7 +353,11 @@ class GraphModel:
             self._vid_counter += 1
             vid = (1 << 62) | self._vid_counter
             vids.append(vid)
-            enriched.append({**r, "vid": vid, "@type": label})
+            # Cypher: a null property value is NOT stored ({p: null}
+            # creates no property — reads come back null anyway), and an
+            # all-null literal column would break schema inference
+            clean = {k: v for k, v in r.items() if v is not None}
+            enriched.append({**clean, "vid": vid, "@type": label})
         key_l = label.lower()
         self.label_display.setdefault(key_l, label)
         # buffered: materialized on first read (see _VertexFrames)
@@ -401,7 +405,11 @@ class GraphModel:
             self.edge_meta[etype] = (None, None)
         else:
             self.edge_meta.setdefault(etype, (None, None))
-        self._pending_e.append((etype, list(pairs), dict(props or {})))
+        # null property values are not stored (Cypher write semantics)
+        self._pending_e.append((
+            etype, list(pairs),
+            {k: v for k, v in (props or {}).items() if v is not None},
+        ))
         self._edges = None
         self._edges_by_src = None
         return len(pairs)

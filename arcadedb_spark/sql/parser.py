@@ -1083,7 +1083,9 @@ class Parser:
             self.expect_op(")")
             return ast.In(left, items=tuple(items), negated=negated)
         if self.at_op("["):
-            arr = self.parse_postfix()  # allows [[1,2]][0] and [1,2][0..1]
+            # full additive rhs: IN binds looser than '+' on its operand
+            # ([1]+2 IN [3]+4 is ([1]+2) IN ([3]+4) — TCK Precedence3)
+            arr = self.parse_concat()
             if isinstance(arr, ast.ArrayLit):
                 return ast.In(left, items=arr.items, negated=negated)
             return ast.In(left, collection=arr, negated=negated)

@@ -28,6 +28,7 @@ from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NullType as _NullType
 
 from arcadedb_spark.catalog import RID_COL, TYPE_COL
 from arcadedb_spark.sql import ast
@@ -97,6 +98,41 @@ class Ctx:
 
 def _lit(v: Any) -> Column:
     return _reg_lit(_pylit(v), v)
+
+
+def _type_family(dt) -> "str | None":
+    """Cypher comparison family of a static Spark dtype (None = unknown /
+    handled elsewhere): numbers N, strings S, booleans B, lists L,
+    maps/structs M, date/time T."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DateType, MapType, NumericType, StringType,
+        StructType, TimestampNTZType, TimestampType,
+    )
+
+    if isinstance(dt, NumericType):
+        return "N"
+    if isinstance(dt, StringType):
+        return "S"
+    if isinstance(dt, BooleanType):
+        return "B"
+    if isinstance(dt, ArrayType):
+        return "L"
+    if isinstance(dt, (MapType, StructType)):
+        return "M"
+    if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
+        return "T"
+    return None
+
+
+def _variant_elems(col: Column, elem_dt) -> Column:
+    """array<T> → array<variant> (complex T needs to_variant_object)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType, VariantType
+
+    if isinstance(elem_dt, VariantType):
+        return col
+    if isinstance(elem_dt, (ArrayType, MapType, StructType)):
+        return F.transform(col, lambda x: F.to_variant_object(x))
+    return col.cast("array<variant>")
 
 
 def _pylit(v: Any) -> Column:
@@ -448,6 +484,16 @@ class ExprCompiler:
         """See :meth:`_static_dtype` (this is the uncached body)."""
         if self.ctx.agg_mode and id(e) in self.ctx.agg_types:
             return self.ctx.agg_types[id(e)]
+        if isinstance(e, (ast.In, ast.IsNull, ast.Like, ast.Contains,
+                          ast.Matches, ast.Quantifier, ast.LabelPred,
+                          ast.Between)) or (
+            isinstance(e, ast.Bin)
+            and e.op in ("=", "!=", "<", "<=", ">", ">=", "<=>",
+                         "AND", "OR", "XOR")
+        ) or (isinstance(e, ast.Unary) and e.op == "NOT"):
+            from pyspark.sql.types import BooleanType as _BT
+
+            return _BT()
         from pyspark.sql.types import (
             ArrayType, BooleanType, DoubleType, LongType, StringType,
             StructType,
@@ -870,6 +916,20 @@ class ExprCompiler:
                     ">": lambda: l > r, ">=": lambda: l >= r,
                 }[op]()
                 return F.when(anynan, F.lit(op == "!=")).otherwise(base)
+        if (self.ctx.cypher or self.ctx.cypher_order) and op in (
+            "=", "!=", "<", "<=", ">", ">="
+        ):
+            lf = _type_family(self._static_dtype(le))
+            rf = _type_family(self._static_dtype(ri))
+            if lf and rf and lf != rf:
+                # cross-family: ordering is null; equality false (null
+                # operands still propagate) — TCK Comparison2[3]
+                nul = F.lit(None).cast("boolean")
+                if op in ("<", "<=", ">", ">="):
+                    return nul
+                return F.when(l.isNull() | r.isNull(), nul).otherwise(
+                    F.lit(op == "!=")
+                )
         if op in ("=", "!="):
             from pyspark.sql.types import MapType
 
@@ -977,7 +1037,24 @@ class ExprCompiler:
                     ):
                         return F.array(c)  # scalar literal appends
                     return c  # unknown: assume list-valued (n.prop + [..])
-                return F.concat(wrap(l, le), wrap(r, ri))
+
+                def wrapped_elem_dt(x):
+                    dt = self._static_dtype(x)
+                    if isinstance(dt, _AT):
+                        return dt.elementType
+                    return dt  # scalar appends as a 1-elem array
+
+                led, red = wrapped_elem_dt(le), wrapped_elem_dt(ri)
+                wl, wr = wrap(l, le), wrap(r, ri)
+                if (
+                    led is not None and red is not None
+                    and led.simpleString() != red.simpleString()
+                ):
+                    # mismatched element types concat as variant elements
+                    # (Cypher lists are untyped — TCK Precedence3)
+                    wl = _variant_elems(wl, led)
+                    wr = _variant_elems(wr, red)
+                return F.concat(wl, wr)
             if isinstance(le, ast.Lit) and isinstance(le.value, str):
                 return F.concat(l, r.cast("string"))
             if isinstance(ri, ast.Lit) and isinstance(ri.value, str):
@@ -1114,6 +1191,10 @@ class ExprCompiler:
                 # between statically-incompatible shapes (list vs scalar)
                 # is false, not a type error
                 def compat(item: ast.Expr) -> bool:
+                    nf_ = self._expr_family(e.needle)
+                    if_ = self._expr_family(item)
+                    if nf_ and if_ and nf_ != if_:
+                        return False  # cross-family equality is false
                     n_listy = self._is_listy(e.needle) or (
                         isinstance(e.needle, ast.Lit)
                         and isinstance(e.needle.value, (list, tuple))
@@ -1147,7 +1228,28 @@ class ExprCompiler:
                         f"IN over DataFrame variable ${coll.name} is only "
                         "supported in WHERE clauses"
                     )
-            cond = F.array_contains(self.compile(coll), needle)
+            ccol = self.compile(coll)
+            if self.ctx.cypher or self.ctx.cypher_order:
+                from pyspark.sql.types import ArrayType as _cAT
+
+                cdt = self._static_dtype(coll)
+                nf = self._expr_family(e.needle)
+                ef = _type_family(
+                    cdt.elementType if isinstance(cdt, _cAT) else None
+                )
+                if nf and ef and nf != ef:
+                    # value/element families differ: every element
+                    # comparison is false (null elements make it null) —
+                    # TCK Precedence3[4]
+                    cond = (
+                        F.when(ccol.isNull() | needle.isNull(),
+                               F.lit(None).cast("boolean"))
+                        .when(F.exists(ccol, lambda x: x.isNull()),
+                              F.lit(None).cast("boolean"))
+                        .otherwise(F.lit(False))
+                    )
+                    return ~cond if e.negated else cond
+            cond = F.array_contains(ccol, needle)
             return ~cond if e.negated else cond
         if e.subquery is not None:
             # IN-subqueries are always rewritten to joins by the translator
@@ -1186,6 +1288,15 @@ class ExprCompiler:
     def _c_contains(self, e: ast.Contains) -> Column:
         operand = self.compile(e.operand)
         rhs = self.compile(e.rhs)
+        if e.mode in ("substr", "startswith", "endswith") and (
+            self.ctx.cypher or self.ctx.cypher_order
+        ):
+            # openCypher string predicates: a non-string operand makes the
+            # predicate null, not a coerced match (TCK Precedence4)
+            for side in (e.operand, e.rhs):
+                fam = _type_family(self._static_dtype(side))
+                if fam and fam != "S":
+                    return F.lit(None).cast("boolean")
         if e.mode == "contains":
             return F.array_contains(operand, rhs)
         if e.mode == "any":
@@ -1253,6 +1364,18 @@ class ExprCompiler:
                     pass
                 c = self.compile(item)
                 if isinstance(item, (ast.MapLit, ast.ArrayLit)):
+                    return F.to_variant_object(c)
+                from pyspark.sql.types import (
+                    ArrayType as _A2, MapType as _M2, StructType as _S2,
+                )
+
+                idt = self._static_dtype(item)
+                if isinstance(idt, (_S2, _M2)) or (
+                    isinstance(idt, _A2)
+                    and isinstance(idt.elementType, (_S2, _M2))
+                ):
+                    # struct/map-typed columns (bound nodes/rels/paths)
+                    # need to_variant_object — CAST to variant rejects them
                     return F.to_variant_object(c)
                 return c.cast("variant")
 
@@ -1410,6 +1533,12 @@ class ExprCompiler:
 
         return body
 
+    def _expr_family(self, x: ast.Expr) -> "str | None":
+        fam = _type_family(self._static_dtype(x))
+        if fam is None and self._is_listy(x):
+            return "L"
+        return fam
+
     def _elem_type(self, source: ast.Expr):
         from pyspark.sql.types import ArrayType
 
@@ -1565,14 +1694,33 @@ class ExprCompiler:
         name = e.name.lower()
         if (
             len(e.args) == 1
-            and isinstance(e.args[0], ast.Lit)
-            and e.args[0].value is None
             and name in ("labels", "type", "id", "startnode", "endnode",
                          "elementid", "keys", "properties", "size",
                          "length", "nodes", "relationships")
+            and (
+                (isinstance(e.args[0], ast.Lit) and e.args[0].value is None)
+                or isinstance(self._static_dtype(e.args[0]), _NullType)
+            )
         ):
-            # entity functions null-propagate (labels(null) → null)
+            # entity functions null-propagate (labels(null) → null) —
+            # including null-TYPED columns (WITH null AS n, TCK Graph9)
             return _lit(None)
+        if name in ("labels", "type", "id", "elementid") and e.args:
+            from pyspark.sql.types import VariantType as _VT2
+
+            if isinstance(self._static_dtype(e.args[0]), _VT2):
+                # entity functions on a variant (heterogeneous-list
+                # element holding a node/rel object — TCK Graph3[6])
+                c = self.compile(e.args[0])
+                if name == "labels":
+                    t = F.try_variant_get(c, "$['@type']", "string")
+                    return F.when(
+                        t == "_", F.array().cast("array<string>")
+                    ).otherwise(F.split(t, ":"))
+                if name == "type":
+                    return F.try_variant_get(c, "$.etype", "string")
+                vid = F.try_variant_get(c, "$.vid", "long")
+                return vid.cast("string") if name == "elementid" else vid
         if name == "size" and e.args:
             # Cypher size() overloads: character count for strings,
             # element count for lists, match count for patterns
