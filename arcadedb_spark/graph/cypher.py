@@ -902,6 +902,21 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value):
             from pyspark.sql import functions as F
 
             df = db.spark.range(1).select(F.lit(1).alias("__one"))
+        for it in stage["with_items"]:
+            if (
+                it.alias is None
+                and not isinstance(it.expr, ast.Star)
+                and not (
+                    isinstance(it.expr, ast.Chain) and len(it.expr.parts) == 1
+                )
+            ):
+                # WITH requires an alias for every non-variable expression
+                # (openCypher NoExpressionAlias, TCK With4[5])
+                from arcadedb_spark.sql.translator import TranslateError
+
+                raise TranslateError(
+                    "Expression in WITH must be aliased (use AS)"
+                )
         items = [
             ast.ProjItem(it.expr, it.alias or _bare_alias(it) or f"__w{i}")
             for i, it in enumerate(stage["with_items"])

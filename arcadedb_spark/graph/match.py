@@ -155,18 +155,27 @@ def _expand(
     # full (orientation-independent) edge row.  Deviation (documented):
     # fully identical parallel edges collapse to one identity.
     eid_col = F.xxhash64(*[F.col(c) for c in e.columns])
+    anon_undirected = (
+        not ealias and len(directions) > 1
+        and step.max_hops == 1 and step.min_hops == 1
+    )
     parts = []
     for a, b in directions:
         cols = [F.col(a).alias("__from"), F.col(b).alias("__to")]
         if ealias:
             cols.append(F.struct(*[F.col(c) for c in e.columns]).alias(ealias))
-        if rel_unique and step.max_hops == 1 and step.min_hops == 1:
+        if (rel_unique and step.max_hops == 1 and step.min_hops == 1) or (
+            anon_undirected
+        ):
             cols.append(eid_col.alias(f"__eid_{alias}"))
         parts.append(e.select(*cols))
     edge = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    if ealias and len(parts) > 1:
+    if len(parts) > 1 and (ealias or anon_undirected):
         # undirected self-loops must bind once, not once per orientation
+        # (TCK countingSubgraphMatches — eid keeps parallel edges apart)
         edge = edge.distinct()
+        if anon_undirected and not rel_unique:
+            edge = edge.drop(f"__eid_{alias}")
 
     if step.min_hops != 1 or step.max_hops != 1:
         # Variable-length relationship (Cypher -[:T*min..max]->, reference

@@ -1337,6 +1337,15 @@ def _cypher_tostring(args):
     return args[0].cast("string")
 
 
+@scalar("substring")
+def _cypher_substring(args):
+    """substring(s, start[, length]) — 0-indexed (openCypher; Spark's
+    substring is 1-indexed)."""
+    start = (args[1] + 1).cast("int")
+    length = args[2].cast("int") if len(args) >= 3 else F.length(args[0])
+    return args[0].substr(start, length)
+
+
 @scalar("tolower")
 def _cypher_tolower(args):
     return F.lower(args[0])

@@ -692,6 +692,23 @@ class ExprCompiler:
             return -ExprCompiler._pure_literal(e.operand, params)
         raise ValueError("not a literal")
 
+    def _pure_value(self, e: ast.Expr):
+        """Like :meth:`_pure_literal`, but also resolves Cypher ``$param``
+        references (ast.Var) that are not shadowed by context variables."""
+        if isinstance(e, ast.Var):
+            if self.ctx.vars.get(e.name) is not None:
+                raise ValueError("bound variable")
+            if self.ctx.params and e.name in self.ctx.params:
+                return self.ctx.params[e.name]
+            raise ValueError("unbound parameter")
+        if isinstance(e, ast.ArrayLit):
+            return [self._pure_value(x) for x in e.items]
+        if isinstance(e, ast.MapLit):
+            return {k: self._pure_value(v) for k, v in e.entries}
+        if isinstance(e, ast.Unary) and e.op == "-":
+            return -self._pure_value(e.operand)
+        return ExprCompiler._pure_literal(e, self.ctx.params)
+
     @staticmethod
     def _cy_eq(a, b):
         """openCypher equality: null-propagating, elementwise on lists and
@@ -867,6 +884,16 @@ class ExprCompiler:
         # null-literal comparisons follow SQL 3-valued logic naturally
         l = self.compile(le)
         r = self.compile(ri)
+        if op in ("AND", "OR", "XOR") and (
+            self.ctx.cypher or self.ctx.cypher_order
+        ):
+            for side in (le, ri):
+                fam = self._expr_family(side)
+                if fam and fam != "B":
+                    raise TranslateError(
+                        f"{op} requires boolean operands "
+                        f"(InvalidArgumentType)"
+                    )
         if op == "AND":
             return l & r
         if op == "OR":
@@ -1117,6 +1144,12 @@ class ExprCompiler:
         if e.op == "+":
             return c
         if e.op == "NOT":
+            if self.ctx.cypher or self.ctx.cypher_order:
+                fam = self._expr_family(e.operand)
+                if fam and fam != "B":
+                    raise TranslateError(
+                        "NOT requires a boolean operand (InvalidArgumentType)"
+                    )
             return ~c
         raise TranslateError(f"Unknown unary {e.op}")
 
@@ -1151,14 +1184,12 @@ class ExprCompiler:
         # null, false otherwise (TCK List5 — 1 IN ['1'] is false, not a
         # coercion match)
         try:
-            nv = self._pure_literal(e.needle, self.ctx.params)
+            nv = self._pure_value(e.needle)
             src = None
             if e.items is not None:
-                src = [
-                    self._pure_literal(i, self.ctx.params) for i in e.items
-                ]
+                src = [self._pure_value(i) for i in e.items]
             elif e.collection is not None:
-                src = self._pure_literal(e.collection, self.ctx.params)
+                src = self._pure_value(e.collection)
                 if src is not None and not isinstance(src, (list, tuple)):
                     raise ValueError("not a list")
         except ValueError:
@@ -1177,6 +1208,20 @@ class ExprCompiler:
             res = F.lit(acc).cast("boolean")
             return ~res if e.negated else res
         needle = self.compile(e.needle)
+        if (self.ctx.cypher or self.ctx.cypher_order) and (
+            isinstance(self._static_dtype(e.needle), _NullType)
+            or (isinstance(e.needle, ast.Lit) and e.needle.value is None)
+        ):
+            # null IN [] is false, null IN [x, …] is null (TCK Null3)
+            if e.items is not None:
+                res = F.lit(None if e.items else False).cast("boolean")
+                return ~res if e.negated else res
+            if e.collection is not None:
+                coll = self.compile(e.collection)
+                res = F.when(
+                    F.size(coll) == 0, F.lit(False)
+                ).otherwise(F.lit(None).cast("boolean"))
+                return ~res if e.negated else res
         if e.items is not None:
             vals = [self.compile(i) for i in e.items]
             lit_vals = [value_of(v) for v in vals]
@@ -1293,10 +1338,35 @@ class ExprCompiler:
         ):
             # openCypher string predicates: a non-string operand makes the
             # predicate null, not a coerced match (TCK Precedence4)
+            from pyspark.sql.types import VariantType as _VT4
+
             for side in (e.operand, e.rhs):
                 fam = _type_family(self._static_dtype(side))
                 if fam and fam != "S":
                     return F.lit(None).cast("boolean")
+            lv = isinstance(self._static_dtype(e.operand), _VT4)
+            rv = isinstance(self._static_dtype(e.rhs), _VT4)
+            if lv or rv:
+                # variant operand (heterogeneous property): dispatch the
+                # string-ness per row (TCK String8-10 [8])
+                lc = (
+                    F.try_variant_get(operand, "$", "string") if lv
+                    else operand
+                )
+                rc = F.try_variant_get(rhs, "$", "string") if rv else rhs
+                nonstr = F.lit(False)
+                if lv:
+                    nonstr = nonstr | (F.schema_of_variant(operand) != "STRING")
+                if rv:
+                    nonstr = nonstr | (F.schema_of_variant(rhs) != "STRING")
+                op_ = {
+                    "substr": lambda: lc.contains(rc),
+                    "startswith": lambda: lc.startswith(rc),
+                    "endswith": lambda: lc.endswith(rc),
+                }[e.mode]()
+                return F.when(nonstr, F.lit(None).cast("boolean")).otherwise(
+                    op_
+                )
         if e.mode == "contains":
             return F.array_contains(operand, rhs)
         if e.mode == "any":
@@ -1766,6 +1836,20 @@ class ExprCompiler:
             fields = self._struct_fields_of(e.args[0])
             if fields is not None and any(f.name == "n_rels" for f in fields):
                 return self.compile(e.args[0]).getField("n_rels")
+        if name == "relationships" and e.args:
+            # vid-level paths carry no relationship structs; the null-path
+            # case is well-defined (TCK Path2[3]), the value case raises
+            # at runtime
+            fields = self._struct_fields_of(e.args[0])
+            if fields is not None and any(f.name == "vids" for f in fields):
+                c = self.compile(e.args[0])
+                return F.when(
+                    c.isNull() | c.getField("vids").isNull(),
+                    F.lit(None).cast("array<string>"),
+                ).otherwise(F.raise_error(F.lit(
+                    "relationships() on a materialized path is not "
+                    "supported (vid-level paths)"
+                )).cast("array<string>"))
         if name == "nodes" and e.args:
             # nodes(path) → the path's vid array (vid-level paths; full
             # node entities in paths are out of scope)
@@ -1810,6 +1894,47 @@ class ExprCompiler:
                     F.when(base.getField(n).isNotNull(), F.lit(n))
                     for n in names
                 ]))
+        if name in ("tointeger", "tofloat", "toboolean", "tostring") and (
+            len(e.args) == 1 and (self.ctx.cypher or self.ctx.cypher_order)
+        ):
+            from pyspark.sql.types import VariantType as _VT3
+
+            fam = self._expr_family(e.args[0])
+            if fam in ("L", "M"):
+                raise TranslateError(
+                    f"{e.name}() on a list/map/entity is invalid "
+                    "(InvalidArgumentValue)"
+                )
+            adt = self._static_dtype(e.args[0])
+            if isinstance(adt, _VT3):
+                # variant (heterogeneous-list element): scalars convert,
+                # objects/arrays raise at runtime (TCK TypeConversion2-4)
+                c = self.compile(e.args[0])
+                sch = F.schema_of_variant(c)
+                bad = sch.startswith("ARRAY") | sch.startswith("OBJECT")
+                if name == "tofloat":
+                    bad = bad | (sch == "BOOLEAN")  # TCK TypeConversion3
+                if name == "toboolean":
+                    # floats don't coerce to booleans (TypeConversion1)
+                    bad = bad | (sch == "DOUBLE") | (sch == "FLOAT") | (
+                        sch.startswith("DECIMAL")
+                    )
+                s = F.try_variant_get(c, "$", "string")
+                val = {
+                    "tostring": lambda: s,
+                    "tointeger": lambda: s.try_cast("double").cast("long"),
+                    "tofloat": lambda: s.try_cast("double"),
+                    "toboolean": lambda: F.when(
+                        F.lower(s) == "true", F.lit(True)
+                    ).when(F.lower(s) == "false", F.lit(False)),
+                }[name]()
+                return F.when(
+                    bad,
+                    F.raise_error(F.lit(
+                        f"{e.name}() on a list/map/entity is invalid "
+                        "(InvalidArgumentValue)"
+                    )),
+                ).otherwise(val)
         if is_aggregate(name):
             return self._compile_aggregate(e)
         if name in SCALARS:
