@@ -823,13 +823,14 @@ def _run_pipeline_stages(db, stmt, stages, params, env, _T, static_value):
     )
 
 
-def _lower_stage_frames(db, stages, params, env, _T, static_value):
+def _lower_stage_frames(db, stages, params, env, _T, static_value,
+                        base=None, base_aliases=None):
     """Lower WITH/UNWIND pipeline stages to (frame, bound-aliases)."""
     from arcadedb_spark.sql.translator import _contains_aggregate
     from arcadedb_spark.graph.match import combine_paths, project_stage
 
-    df = None
-    aliases: set[str] = set()
+    df = base
+    aliases: set[str] = set(base_aliases or ())
     for stage in stages:
         if stage["paths"] or stage["where"] is not None:
             df, aliases = combine_paths(
@@ -1994,6 +1995,35 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         Ctx, ExprCompiler, TranslateError, _contains_aggregate,
     )
 
+    from arcadedb_spark.sql.translator import walk as _walk
+
+    # a bare pattern is never a VALUE: SET rhs containing a PatternExpr
+    # outside exists() is UnexpectedSyntax even on an empty match frame
+    # (compile-time SyntaxError — TCK Pattern1[24])
+    def _check_no_pattern_values(expr):
+        def rec(x, under_exists=False):
+            if isinstance(x, ast.PatternExpr) and not under_exists:
+                raise TranslateError(
+                    "A pattern is not a value — wrap it in exists(…) "
+                    "(UnexpectedSyntax)"
+                )
+            if hasattr(x, "__dataclass_fields__"):
+                is_ex = (
+                    isinstance(x, ast.FuncCall)
+                    and x.name.lower() == "exists"
+                )
+                for f_ in x.__dataclass_fields__:
+                    rec(getattr(x, f_), under_exists=is_ex)
+            elif isinstance(x, (tuple, list)):
+                for i_ in x:
+                    rec(i_, under_exists=under_exists)
+        rec(expr)
+
+    for _w in getattr(p, "_writes", ()) or ():
+        if _w.get("kind") == "set":
+            for _a in _w.get("assignments", ()):
+                _check_no_pattern_values(_a[1])
+
     g = db.graph()
     df = None
     aliases: set[str] = set()
@@ -2844,6 +2874,50 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     from pyspark.sql.types import StructType
 
     return db.spark.createDataFrame([], StructType([]))
+
+
+def lower_exists_block(db, text: str, outer_df, params: dict):
+    """Lower a full-query EXISTS { MATCH … WITH … RETURN … } block to a
+    correlated frame (TCK ExistentialSubquery2/3).
+
+    The outer frame's bound aliases SEED the block's matching (base
+    frame), so nested blocks see variables from any enclosing scope; the
+    final RETURN is irrelevant to existence and is discarded.  Lowered
+    once per block — the caller joins the frame back on the shared
+    aliases, never a correlated per-row subplan."""
+    from arcadedb_spark.graph.match import combine_paths
+    from arcadedb_spark.sql import temporal as _T
+    from arcadedb_spark.sql.temporal_eval import (
+        pop_env, push_env, static_value,
+    )
+
+    p = CypherParser(text)
+    stmts = p.parse_query()
+    stmt, stages = stmts[0]
+    base = None
+    base_aliases: set = set()
+    if outer_df is not None:
+        keep = [
+            c for c in outer_df.columns
+            if not c.startswith(("__", "@"))
+        ]
+        if keep:
+            base = outer_df.select(*keep)
+            base_aliases = set(keep)
+    env: dict = {}
+    push_env(env)
+    try:
+        df, aliases = _lower_stage_frames(
+            db, stages, params or {}, env, _T, static_value,
+            base=base, base_aliases=base_aliases,
+        )
+        df, seen = combine_paths(
+            db, stmt.paths, stmt.where, params or {},
+            base=df, base_aliases=aliases,
+        )
+    finally:
+        pop_env()
+    return df, seen
 
 
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:

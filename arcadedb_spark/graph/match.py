@@ -488,9 +488,28 @@ def attach_pattern_markers(
     for pe in pes:
         if id(pe) in markers:
             continue
-        pdf, paliases = translate_path(db, pe.path, params)
-        shared = [a for a in paliases if a in df.columns]
         is_comp = isinstance(pe, ast.PatternComp)
+        where_handled = False
+        if not is_comp and getattr(pe, "block", None):
+            # full-query EXISTS { … } block: correlated pipeline frame
+            from arcadedb_spark.graph.cypher import lower_exists_block
+
+            pdf, paliases = lower_exists_block(db, pe.block, df, params)
+            where_handled = True
+        elif not is_comp and pe.subquery:
+            # EXISTS { pattern WHERE … }: seed with the outer frame's
+            # bound aliases so the inner WHERE (and nested EXISTS) sees
+            # every enclosing variable (TCK ExistentialSubquery3)
+            keep = [c for c in df.columns if not c.startswith(("__", "@"))]
+            seed = df.select(*keep) if keep else None
+            pdf, paliases = combine_paths(
+                db, [pe.path], pe.where, params,
+                base=seed, base_aliases=set(keep),
+            )
+            where_handled = True
+        else:
+            pdf, paliases = translate_path(db, pe.path, params)
+        shared = [a for a in paliases if a in df.columns]
         if not is_comp and not pe.subquery:
             # a bare pattern predicate may not introduce new variables
             # (openCypher; TCK Pattern1) — EXISTS { … } subqueries may
@@ -503,7 +522,7 @@ def attach_pattern_markers(
                     f"Pattern expression introduces new variable "
                     f"'{fresh[0]}'"
                 )
-        if pe.where is not None:
+        if pe.where is not None and not where_handled:
             # the inner WHERE may itself contain pattern expressions
             # (nested EXISTS) — recurse against the pattern frame
             inner_m: dict = {}
@@ -527,10 +546,15 @@ def attach_pattern_markers(
         if not shared:
             if is_comp:
                 # uncorrelated comprehension: one-row aggregate,
-                # broadcast cross-joined onto the frame
-                agg1 = pdf.agg(F.collect_list(proj_col).alias(name))
+                # broadcast cross-joined onto the frame (struct-wrapped:
+                # collect_list drops bare nulls — TCK Pattern2[4])
+                agg1 = pdf.agg(
+                    F.collect_list(F.struct(proj_col.alias("v"))).alias(name)
+                )
                 df = df.crossJoin(F.broadcast(agg1))
-                markers[id(pe)] = F.coalesce(F.col(name), F.array())
+                markers[id(pe)] = F.transform(
+                    F.coalesce(F.col(name), F.array()), lambda x: x["v"]
+                )
                 marker_cols.append(name)
                 continue
             # uncorrelated existence: one scalar count
@@ -540,8 +564,19 @@ def attach_pattern_markers(
         key_cols = []
         key_names = []
         cond = None
+        from pyspark.sql.types import StructType as _MSt
+
         for j, a in enumerate(shared):
-            fields = set(pdf.schema[a].dataType.names)
+            adt = pdf.schema[a].dataType
+            if not isinstance(adt, _MSt):
+                # scalar binding (projected WITH value): whole-value key
+                kn = f"__pk{name[4:]}_{j}_v"
+                key_cols.append(F.col(a).alias(kn))
+                key_names.append(kn)
+                c = F.col(kn).eqNullSafe(F.col(a))
+                cond = c if cond is None else (cond & c)
+                continue
+            fields = set(adt.names)
             if "vid" in fields:
                 ks = ["vid"]
             elif {"etype", "src", "dst"} <= fields:
@@ -554,18 +589,23 @@ def attach_pattern_markers(
                 key_names.append(kn)
                 c = F.col(kn) == F.col(f"{a}.{k}")
                 cond = c if cond is None else (cond & c)
+        pjn = f"__pj{name[4:]}"
         mdf = (
-            pdf.select(*key_cols, *( [proj_col.alias(f"__pj{name[4:]}")]
-                                     if is_comp else [] ))
+            pdf.select(*key_cols, *(
+                [F.struct(proj_col.alias("v")).alias(pjn)]
+                if is_comp else []
+            ))
             .groupBy(*key_names)
             .agg(
-                (F.collect_list(F.col(f"__pj{name[4:]}")) if is_comp
+                (F.collect_list(F.col(pjn)) if is_comp
                  else F.count(F.lit(1))).alias(name)
             )
         )
         df = df.join(mdf, cond, "left_outer").drop(*key_names)
         markers[id(pe)] = (
-            F.coalesce(F.col(name), F.array()) if is_comp
+            F.transform(
+                F.coalesce(F.col(name), F.array()), lambda x: x["v"]
+            ) if is_comp
             else F.coalesce(F.col(name), F.lit(0))
         )
         marker_cols.append(name)
@@ -739,6 +779,14 @@ def project_stage(
         raise TranslateError(
             "RETURN * is not allowed when there are no variables in scope"
         )
+    for p in returns:
+        if isinstance(p.expr, ast.PatternExpr):
+            # a bare pattern is a predicate, not a value (TCK Pattern1
+            # [22-24]) — only exists()/size-comprehension forms project
+            raise TranslateError(
+                "A pattern is not a value — wrap it in exists(…) or a "
+                "pattern comprehension (UnexpectedSyntax)"
+            )
     select = ast.SelectStmt(
         projections=tuple(returns),
         distinct=distinct,

@@ -397,12 +397,15 @@ class PatternExpr(Expr):
     exists((a)-->()), size((a)-->()), EXISTS { … }.  Lowered to a per-row
     match-count marker joined onto the frame (never a correlated subplan
     per row)."""
-    path: "MatchPath"
+    path: "Optional[MatchPath]"
     # EXISTS { MATCH … WHERE … } subquery form: inner predicate, and new
     # variables are allowed (a bare pattern predicate may not introduce
     # any)
     where: Optional[Expr] = None
     subquery: bool = False
+    # full-query EXISTS { MATCH … WITH … RETURN … } block: raw text,
+    # lowered as a correlated pipeline frame (cypher.lower_exists_block)
+    block: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -224,10 +224,21 @@ def _nth_agg(args, distinct=False):
     return F.element_at(F.collect_list(args[0]), n + 1)
 
 
+def _check_percentile_arg(args):
+    from arcadedb_spark.sql.litreg import value_of
+
+    v = value_of(args[1]) if len(args) > 1 else None
+    if v is not None and not (0 <= float(v) <= 1):
+        raise ValueError(
+            f"percentile argument {v} out of [0, 1] (NumberOutOfRange)"
+        )
+
+
 @agg("percentilecont")
 def _percentile_cont(args, distinct=False):
     """Cypher percentileCont — continuous (interpolated) percentile
     (function/agg/PercentileContFunction.java)."""
+    _check_percentile_arg(args)
     return F.percentile(args[0], args[1])
 
 
@@ -235,6 +246,7 @@ def _percentile_cont(args, distinct=False):
 def _percentile_disc(args, distinct=False):
     """Cypher percentileDisc — nearest-rank (discrete) percentile
     (function/agg/PercentileDiscFunction.java)."""
+    _check_percentile_arg(args)
     lists = F.array_sort(F.collect_list(args[0]))
     idx = F.ceil(args[1] * F.size(lists)).cast("int")
     return F.element_at(lists, F.greatest(idx, F.lit(1)))

@@ -1284,21 +1284,7 @@ class Parser:
                 and hasattr(self, "_parse_pattern")
             ):
                 # EXISTS { [MATCH] pattern [WHERE expr] } (keyword form)
-                self.advance()
-                self.advance()
-                self.eat_kw("MATCH")
-                path = self._parse_pattern(False)
-                where = None
-                if self.eat_kw("WHERE"):
-                    where = self.parse_expr()
-                if self.at_kw("RETURN"):
-                    # full form: the RETURN projection is irrelevant to
-                    # existence — parse and discard
-                    self.advance()
-                    self.eat_kw("DISTINCT")
-                    self.parse_projection_list()
-                self.expect_op("}")
-                return ast.PatternExpr(path, where=where, subquery=True)
+                return self._parse_exists_block()
             # Soft keywords as identifiers/functions (e.g. `in()` traversal)
             if self.peek().kind == "OP" and self.peek().value == "(":
                 return self._parse_func_call()
@@ -1314,21 +1300,7 @@ class Parser:
             ):
                 # EXISTS { [MATCH] pattern [WHERE expr] } existential
                 # subquery (openCypher; TCK ExistentialSubquery1)
-                self.advance()
-                self.advance()
-                self.eat_kw("MATCH")
-                path = self._parse_pattern(False)
-                where = None
-                if self.eat_kw("WHERE"):
-                    where = self.parse_expr()
-                if self.at_kw("RETURN"):
-                    # full form: the RETURN projection is irrelevant to
-                    # existence — parse and discard
-                    self.advance()
-                    self.eat_kw("DISTINCT")
-                    self.parse_projection_list()
-                self.expect_op("}")
-                return ast.PatternExpr(path, where=where, subquery=True)
+                return self._parse_exists_block()
             if self.peek().kind == "OP" and self.peek().value == "(":
                 return self._parse_func_call()
             self.advance()
@@ -1358,10 +1330,14 @@ class Parser:
                 return inner
             if tok.value == "[":
                 self.advance()
-                if (
-                    self.cypher
-                    and self.cur.kind == "OP" and self.cur.value == "("
-                    and self._looks_like_pattern()
+                if self.cypher and (
+                    (self.cur.kind == "OP" and self.cur.value == "("
+                     and self._looks_like_pattern())
+                    or (self.cur.kind == "IDENT"
+                        and self.peek().kind == "OP"
+                        and self.peek().value == "="
+                        and self.peek(2).kind == "OP"
+                        and self.peek(2).value == "(")
                 ):
                     # pattern comprehension [(n)-->(m) WHERE p | proj]
                     save = self.i
@@ -1436,6 +1412,51 @@ class Parser:
             else_ = self.parse_expr()
         self.expect_kw("END")
         return ast.Case(operand, tuple(whens), else_)
+
+    def _parse_exists_block(self) -> "ast.PatternExpr":
+        """EXISTS { … } with the cursor ON the EXISTS token.
+
+        Simple form (single pattern [WHERE] [RETURN]) parses structurally;
+        a full-query form (WITH pipelines, multiple MATCH segments) keeps
+        the raw block text for correlated lowering
+        (cypher.lower_exists_block — TCK ExistentialSubquery2/3)."""
+        self.advance()  # EXISTS
+        self.advance()  # {
+        save = self.i
+        try:
+            self.eat_kw("MATCH")
+            path = self._parse_pattern(False)
+            where = None
+            if self.eat_kw("WHERE"):
+                where = self.parse_expr()
+            if self.at_kw("RETURN"):
+                # the RETURN projection is irrelevant to existence
+                self.advance()
+                self.eat_kw("DISTINCT")
+                self.parse_projection_list()
+            self.expect_op("}")
+            return ast.PatternExpr(path, where=where, subquery=True)
+        except ParseError:
+            self.i = save
+        depth = 1
+        j = self.i
+        while depth and self.tokens[j].kind != "EOF":
+            t = self.tokens[j]
+            if t.kind == "OP" and t.value == "{":
+                depth += 1
+            elif t.kind == "OP" and t.value == "}":
+                depth -= 1
+                if not depth:
+                    break
+            j += 1
+        if depth:
+            raise ParseError("Unclosed EXISTS { … } block")
+        start = self.tokens[save].pos
+        end = self.tokens[j].pos
+        self.i = j + 1  # past the closing brace
+        return ast.PatternExpr(
+            None, subquery=True, block=self.text[start:end]
+        )
 
     def _parse_map_entry(self) -> tuple[str, ast.Expr]:
         tok = self.advance()

@@ -1401,11 +1401,12 @@ class ExprCompiler:
     def _c_case(self, e: ast.Case) -> Column:
         out = None
         for cond, then in e.whens:
-            c = (
-                self.compile(e.operand) == self.compile(cond)
-                if e.operand is not None
-                else self.compile(cond)
-            )
+            if e.operand is not None:
+                # simple CASE compares with full Cypher equality semantics
+                # (cross-family false, not a coerced match — Conditional2)
+                c = self._c_bin(ast.Bin("=", e.operand, cond))
+            else:
+                c = self.compile(cond)
             out = F.when(c, self.compile(then)) if out is None else out.when(c, self.compile(then))
         if e.else_ is not None:
             out = out.otherwise(self.compile(e.else_))
@@ -1775,6 +1776,23 @@ class ExprCompiler:
             # entity functions null-propagate (labels(null) → null) —
             # including null-TYPED columns (WITH null AS n, TCK Graph9)
             return _lit(None)
+        if name in ("labels", "type") and e.args and (
+            self.ctx.cypher or self.ctx.cypher_order
+        ):
+            from pyspark.sql.types import MapType as _MT5, StructType as _ST5
+
+            adt = self._static_dtype(e.args[0])
+            fam5 = self._expr_family(e.args[0])
+            bad = fam5 in ("N", "S", "B", "L", "T") or isinstance(adt, _MT5)
+            if isinstance(adt, _ST5):
+                need = "vid" if name == "labels" else "etype"
+                bad = bad or all(f.name != need for f in adt.fields)
+            if bad:
+                raise TranslateError(
+                    f"{e.name}() requires a "
+                    f"{'node' if name == 'labels' else 'relationship'} "
+                    "(InvalidArgumentValue)"
+                )
         if name in ("labels", "type", "id", "elementid") and e.args:
             from pyspark.sql.types import VariantType as _VT2
 
@@ -1782,15 +1800,33 @@ class ExprCompiler:
                 # entity functions on a variant (heterogeneous-list
                 # element holding a node/rel object — TCK Graph3[6])
                 c = self.compile(e.args[0])
+                invalid = F.raise_error(F.lit(
+                    f"{e.name}() on a non-entity value "
+                    "(InvalidArgumentValue)"
+                ))
+                nul6 = c.isNull() | (F.schema_of_variant(c) == "VOID")
                 if name == "labels":
                     t = F.try_variant_get(c, "$['@type']", "string")
-                    return F.when(
-                        t == "_", F.array().cast("array<string>")
-                    ).otherwise(F.split(t, ":"))
+                    return (
+                        F.when(nul6, F.lit(None).cast("array<string>"))
+                        .when(t.isNull(), invalid.cast("array<string>"))
+                        .when(t == "_", F.array().cast("array<string>"))
+                        .otherwise(F.split(t, ":"))
+                    )
                 if name == "type":
-                    return F.try_variant_get(c, "$.etype", "string")
+                    et = F.try_variant_get(c, "$.etype", "string")
+                    return (
+                        F.when(nul6, F.lit(None).cast("string"))
+                        .when(et.isNull(), invalid.cast("string"))
+                        .otherwise(et)
+                    )
                 vid = F.try_variant_get(c, "$.vid", "long")
-                return vid.cast("string") if name == "elementid" else vid
+                out6 = (
+                    F.when(nul6, F.lit(None).cast("long"))
+                    .when(vid.isNull(), invalid.cast("long"))
+                    .otherwise(vid)
+                )
+                return out6.cast("string") if name == "elementid" else out6
         if name == "size" and e.args:
             # Cypher size() overloads: character count for strings,
             # element count for lists, match count for patterns
@@ -1885,11 +1921,24 @@ class ExprCompiler:
                     f.name for f in fields
                     if f.name not in ("vid", "@type", "etype", "src", "dst")
                 ]
+                if not names:
+                    # property-less entity struct: {} when bound, null
+                    # when the optional match missed (TCK Graph9[3])
+                    if name == "properties":
+                        return F.when(
+                            base.isNull(),
+                            F.lit(None).cast("map<string,string>"),
+                        ).otherwise(
+                            F.create_map().cast("map<string,string>")
+                        )
+                    return F.when(
+                        base.isNull(), F.lit(None).cast("array<string>")
+                    ).otherwise(F.array().cast("array<string>"))
                 if name == "properties":
                     out = base
                     for internal in ("vid", "@type", "etype", "src", "dst"):
                         out = out.dropFields(f"`{internal}`")
-                    return out
+                    return F.when(base.isNull(), F.lit(None)).otherwise(out)
                 return F.array_compact(F.array(*[
                     F.when(base.getField(n).isNotNull(), F.lit(n))
                     for n in names
@@ -1973,12 +2022,46 @@ class ExprCompiler:
                     colmap=ctx.colmap,
                     columns=ctx.columns,
                     frame_schema=ctx.frame_schema,
+                    precompiled=ctx.precompiled,
+                    cypher=ctx.cypher,
+                    cypher_order=ctx.cypher_order,
                 )
             )
             args = [inner.compile(a) for a in e.args]
         else:
             args = []
-        agg_col = AGGREGATES[e.name.lower()](args, e.distinct)
+        agg_col = None
+        if e.name.lower() in ("min", "max") and args:
+            from pyspark.sql.types import VariantType as _VT6
+
+            if isinstance(inner._static_dtype(e.args[0]), _VT6):
+                # min/max over mixed (variant) values order by Cypher
+                # type rank: numbers > strings > booleans > lists
+                # (TCK Aggregation2 [5,6,11,12])
+                c = args[0]
+                sch = F.schema_of_variant(c)
+                rank = (
+                    F.when(
+                        sch.isin(self._NUM_VARIANT_TYPES)
+                        | sch.startswith("DECIMAL"), F.lit(3)
+                    )
+                    .when(sch == "STRING", F.lit(2))
+                    .when(sch == "BOOLEAN", F.lit(1))
+                    .when(sch.startswith("ARRAY"), F.lit(0))
+                    .when(sch == "VOID", F.lit(None))
+                    .otherwise(F.lit(-1))
+                )
+                key = F.when(rank.isNull(), F.lit(None)).otherwise(
+                    F.struct(
+                        rank.alias("r"),
+                        F.try_variant_get(c, "$", "double").alias("n"),
+                        F.try_variant_get(c, "$", "string").alias("s"),
+                    )
+                )
+                fn6 = F.max_by if e.name.lower() == "max" else F.min_by
+                agg_col = fn6(c, key)
+        if agg_col is None:
+            agg_col = AGGREGATES[e.name.lower()](args, e.distinct)
         name = f"__agg{len(ctx.agg_cols)}"
         ctx.agg_cols.append(agg_col.alias(name))
         ctx.agg_names[e] = name
