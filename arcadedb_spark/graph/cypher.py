@@ -981,11 +981,18 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value,
             ctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
                       frame_schema=df.schema)
             df = df.filter(ExprCompiler(ctx).compile(w_where))
-        aliases = {
-            (it.alias or it.expr.parts[0])
-            for it in stage["with_items"]
-            if isinstance(it.expr, ast.Chain) and len(it.expr.parts) == 1
-        }
+        new_aliases: set = set()
+        for it in stage["with_items"]:
+            if isinstance(it.expr, ast.Star):
+                new_aliases |= aliases  # WITH * keeps every binding
+            elif it.alias:
+                # every projected name is a binding for later MATCH
+                # stages — WITH coalesce(b, c) AS x MATCH (x)-->(d)
+                # joins on x (TCK Match7[22])
+                new_aliases.add(it.alias)
+            elif isinstance(it.expr, ast.Chain) and len(it.expr.parts) == 1:
+                new_aliases.add(it.expr.parts[0])
+        aliases = new_aliases
         env.clear()
         env.update(new_env)
     return df, aliases
@@ -1096,6 +1103,40 @@ def _expr_refs_columns(e, cols) -> bool:
     if isinstance(e, (tuple, list)):
         return any(_expr_refs_columns(x, cols) for x in e)
     return False
+
+
+def _subst_binding_props(e, bindings):
+    """Replace ``alias.prop`` chains whose alias is a write binding with
+    the bound entity's stored property value (missing → null)."""
+    if (
+        isinstance(e, ast.Chain)
+        and len(e.parts) == 2
+    ):
+        b = next((b for b in bindings if b[0] == e.parts[0]), None)
+        if b is not None:
+            return ast.Lit((b[3] or {}).get(e.parts[1]))
+    if hasattr(e, "__dataclass_fields__"):
+        import dataclasses as _dc
+
+        changes = {}
+        for f_ in e.__dataclass_fields__:
+            v_ = getattr(e, f_)
+            nv = _subst_binding_props_any(v_, bindings)
+            if nv is not v_:
+                changes[f_] = nv
+        return _dc.replace(e, **changes) if changes else e
+    return e
+
+
+def _subst_binding_props_any(v, bindings):
+    if isinstance(v, tuple):
+        out = tuple(_subst_binding_props_any(x, bindings) for x in v)
+        return out if any(a is not b for a, b in zip(out, v)) else v
+    from arcadedb_spark.sql import ast as _ast
+
+    if isinstance(v, _ast.Expr):
+        return _subst_binding_props(v, bindings)
+    return v
 
 
 def _apply_write(
@@ -1256,7 +1297,16 @@ def _apply_write(
                     raise TranslateError(
                         "Cannot MERGE with a null property value"
                     )
-        props = _literal_props(db, node.props, params)
+        node_props = node.props
+        if bindings:
+            # property values may reference entities bound EARLIER in the
+            # same statement (CREATE (a {id: 0}), (:B {num: a.id}) — TCK
+            # With2[1]): substitute their stored property values
+            node_props = tuple(
+                (k_, _subst_binding_props(e_, bindings))
+                for k_, e_ in node.props
+            )
+        props = _literal_props(db, node_props, params)
         # Cypher: setting a property to null means "absent"
         props = {k: v for k, v in props.items() if v is not None}
         if kind == "merge" and label.lower() in g.vertex_dfs:

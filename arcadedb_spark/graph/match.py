@@ -654,6 +654,24 @@ def _join_on_shared(
             keys = ["etype", "src", "dst"]
         else:
             keys = ["vids"]
+        from pyspark.sql.types import NullType as _JNull
+
+        ldt = df.schema[a].dataType if a in df.columns else None
+        if isinstance(ldt, _JNull):
+            # matching a null binding yields no rows (not an error)
+            cond = F.lit(False) if cond is None else (cond & F.lit(False))
+            continue
+        if ldt is not None and (
+            not isinstance(ldt, StructType)
+            or not set(keys) <= set(ldt.names)
+        ):
+            # the frame binding is not an entity of the pattern's kind —
+            # a value (map/list/scalar) cannot be re-matched as a node or
+            # relationship (VariableTypeConflict, TCK Match1[11])
+            raise TranslateError(
+                f"Variable '{a}' is bound to a value and cannot be "
+                "matched as a graph entity (VariableTypeConflict)"
+            )
         for k in keys:
             c = F.col(f"{a}.{k}") == F.col(f"{rename[a]}.{k}")
             cond = c if cond is None else (cond & c)
