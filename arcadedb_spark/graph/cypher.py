@@ -59,11 +59,21 @@ class CypherParser(Parser):
         """Returns one (MatchStmt, with_stages) per UNION branch."""
         self._union_all = False
         stmts = [self._parse_single()]
+        kinds: list[bool] = []
         while self._at_ident("UNION"):
             self.advance()
+            is_all = False
             if self._at_ident("ALL"):
                 self.advance()
+                is_all = True
                 self._union_all = True
+            kinds.append(is_all)
+            if len(set(kinds)) > 1:
+                # openCypher: UNION and UNION ALL may not mix in one
+                # query (InvalidClauseComposition, TCK Union3)
+                raise ParseError(
+                    "Cannot mix UNION and UNION ALL in the same query"
+                )
             stmts.append(self._parse_single())
         return stmts
 
@@ -614,9 +624,11 @@ class CypherParser(Parser):
         while self.cur.kind == "PARAM":
             type_name = f"{type_name}:{self.advance().value}"
         props: list[tuple] = []
+        braced = False
         if self.at_op("{"):
             # inline property map {k: v, …} → equality conjunction;
             # literal pairs also retained for CREATE/MERGE
+            braced = True
             self.advance()
             conds = []
             while not self.at_op("}"):
@@ -635,7 +647,8 @@ class CypherParser(Parser):
                 where = c if where is None else ast.Bin("AND", where, c)
         self.expect_op(")")
         return ast.MatchFilter(
-            type_name=type_name, alias=alias, where=where, props=tuple(props)
+            type_name=type_name, alias=alias, where=where,
+            props=tuple(props), props_braced=braced,
         )
 
     def _parse_rel(self) -> tuple[str, tuple[str, ...], int, int]:
@@ -1200,7 +1213,7 @@ def _apply_write(
         if node.alias and node.alias in (aliases or ()) and df is not None:
             # frame-bound alias; without a frame (standalone write
             # pipeline) fall through to the write-bindings lookup
-            if kind == "create" and (node.type_name or node.props):
+            if kind == "create" and (node.type_name or node.props or node.props_braced):
                 # CREATE (a:L {p: v}) with a already bound: labels/props
                 # on a bound variable are a SyntaxError (TCK Create1)
                 raise TranslateError(
@@ -1223,7 +1236,7 @@ def _apply_write(
                 (b for b in (bindings or ()) if b[0] == node.alias), None
             )
             if prev is not None:
-                if kind == "create" and (node.type_name or node.props):
+                if kind == "create" and (node.type_name or node.props or node.props_braced):
                     raise TranslateError(
                         f"Variable '{node.alias}' already bound — CREATE "
                         "may reuse it only bare"
@@ -1345,7 +1358,16 @@ def _apply_write(
         """ON CREATE/ON MATCH values referencing match-frame aliases
         (SET city.name = person.bornIn) substitute the triggering row —
         creation happens on the first row (MergeStep row semantics)."""
-        if df is None or not _expr_refs_columns((e,), set(df.columns)):
+        from arcadedb_spark.sql.translator import walk as _tr_walk
+
+        bare_ref = any(
+            isinstance(x, ast.Chain) and len(x.parts) == 1
+            and x.parts[0] in (df.columns if df is not None else ())
+            for x in _tr_walk(e)
+        )
+        if df is None or not (
+            _expr_refs_columns((e,), set(df.columns)) or bare_ref
+        ):
             return e
         if _row0[0] is None:
             _row0[0] = df.first()

@@ -350,6 +350,9 @@ class MatchFilter:
     maxdepth: Optional[int] = None
     # literal inline property map, kept for Cypher CREATE/MERGE
     props: tuple = ()
+    # True when a property map was WRITTEN (even empty {}): CREATE (n {})
+    # on a bound n is VariableAlreadyBound (TCK Create1[19])
+    props_braced: bool = False
 
 
 @dataclass(frozen=True)

@@ -371,6 +371,34 @@ class ExprCompiler:
         parts = e.parts
         if parts[0] in self._bound:  # lambda variable shadows everything
             col = self._bound[parts[0]]
+            bt0 = self._bound_types.get(parts[0])
+            from pyspark.sql.types import (
+                StructType as _CSt, VariantType as _CVt,
+            )
+
+            if isinstance(bt0, _NullType) and len(parts) > 1:
+                return _lit(None)  # void element: any field is null
+            if isinstance(bt0, _CVt) and len(parts) > 1:
+                # variant element (heterogeneous list of maps/nodes):
+                # per-row field probe (TCK Quantifier1-4 [7,8])
+                for p in parts[1:]:
+                    col = F.try_variant_get(col, f"$.{p}", "variant")
+                return col
+            if isinstance(bt0, _CSt):
+                dt0 = bt0
+                for p in parts[1:]:
+                    if not isinstance(dt0, _CSt):
+                        col = col.getField(p)
+                        dt0 = None
+                        continue
+                    sub0 = next(
+                        (f for f in dt0.fields if f.name == p), None
+                    )
+                    if sub0 is None:
+                        return _lit(None)  # missing property → null
+                    col = col.getField(p)
+                    dt0 = sub0.dataType
+                return col
             for p in parts[1:]:
                 col = col.getField(p)
             return col
@@ -436,6 +464,16 @@ class ExprCompiler:
                         (f for f in dt.fields if f.name == p), None
                     )
                     if sub is None:
+                        if self.ctx.cypher and {"vids", "n_rels"} <= set(
+                            dt.names
+                        ):
+                            # property access on a PATH value is a type
+                            # error, not a missing property (TCK
+                            # MatchWhere1[14])
+                            raise TranslateError(
+                                "Paths have no properties "
+                                "(InvalidArgumentType)"
+                            )
                         return _lit(None)
                     col = col.getField(p)
                     dt = sub.dataType
@@ -496,7 +534,7 @@ class ExprCompiler:
             return _BT()
         from pyspark.sql.types import (
             ArrayType, BooleanType, DoubleType, LongType, StringType,
-            StructType,
+            StructType, VariantType,
         )
 
         if isinstance(e, ast.Lit):
@@ -524,6 +562,8 @@ class ExprCompiler:
                     # heterogeneous literal list compiles to variant
                     # elements (_c_arraylit)
                     return ArrayType(VariantType())
+            if not e.items:
+                return ArrayType(_NullType())  # [] — void elements
             return ArrayType(elem) if elem is not None else None
         if isinstance(e, ast.ListComp) and e.proj is None:
             return self._static_dtype(e.source)
@@ -560,6 +600,20 @@ class ExprCompiler:
             lt = self._static_dtype(e.left)
             rt = self._static_dtype(e.right)
             if e.op == "+" and (
+                isinstance(lt, ArrayType) or isinstance(rt, ArrayType)
+                or self._is_listy(e.left) or self._is_listy(e.right)
+            ):
+                # list concat/append — mirrors the compile-time element
+                # unification: mismatched element types become variants
+                lt_e = lt.elementType if isinstance(lt, ArrayType) else lt
+                rt_e = rt.elementType if isinstance(rt, ArrayType) else rt
+                if (
+                    lt_e is None or rt_e is None
+                    or lt_e.simpleString() != rt_e.simpleString()
+                ):
+                    return ArrayType(VariantType())
+                return ArrayType(lt_e)
+            if e.op == "+" and (
                 isinstance(lt, StringType) or isinstance(rt, StringType)
             ):
                 # string '+' propagates: (a.title + ' ') + a.name
@@ -594,8 +648,27 @@ class ExprCompiler:
         if not isinstance(e, ast.Chain):
             return None
         if e.parts[0] in self._bound:
+            bt9 = self._bound_types.get(e.parts[0])
             if len(e.parts) == 1:
-                return self._bound_types.get(e.parts[0])
+                return bt9
+            from pyspark.sql.types import (
+                StructType as _S9, VariantType as _V9,
+            )
+
+            if isinstance(bt9, _V9):
+                return _V9()  # variant field probes stay variant
+            if isinstance(bt9, _S9):
+                dt9 = bt9
+                for p in e.parts[1:]:
+                    if not isinstance(dt9, _S9):
+                        return None
+                    sub9 = next(
+                        (f for f in dt9.fields if f.name == p), None
+                    )
+                    if sub9 is None:
+                        return None
+                    dt9 = sub9.dataType
+                return dt9
             return None
         if self.ctx.frame_schema is None:
             return None
@@ -1054,9 +1127,18 @@ class ExprCompiler:
                 def wrap(c, x):
                     if self._is_listy(x):
                         return c
-                    from pyspark.sql.types import ArrayType
+                    from pyspark.sql.types import (
+                        ArrayType, VariantType as _WVt,
+                    )
 
                     dt = self._static_dtype(x)
+                    if isinstance(dt, _WVt):
+                        # variant side: list variants CONCAT their
+                        # elements, scalars append (TCK Precedence3[2])
+                        return F.when(
+                            F.schema_of_variant(c).startswith("ARRAY"),
+                            F.try_variant_get(c, "$", "array<variant>"),
+                        ).otherwise(F.array(c.cast("variant")))
                     if dt is not None and not isinstance(dt, ArrayType):
                         return F.array(c)  # known scalar appends
                     if isinstance(x, ast.Lit) and not isinstance(
