@@ -909,7 +909,10 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value,
                 # (alias(metadata=) is dropped on generator output —
                 # withMetadata survives projections)
                 df = df.withMetadata(alias, {"cy_temporal": True})
-            aliases = set(aliases)  # unwound alias is a scalar column
+            # the unwound alias is a binding: a later MATCH (a)-->(b2)
+            # joins on it (entity elements — TCK Unwind1[12]); scalar
+            # elements join whole-value
+            aliases = set(aliases) | {alias}
             continue
         if df is None:
             # standalone WITH start (no MATCH): one-row seed frame
@@ -1287,6 +1290,91 @@ def _apply_write(
                     *[c.alias(k) for k, c in comp],
                 ),
             ).drop(vcol)
+            if frame_ref is not None:
+                frame_ref[0] = df
+            if aliases is not None and node.alias:
+                try:
+                    aliases.add(node.alias)
+                except AttributeError:
+                    pass
+            resolved.append(("bound", alias_name))
+            continue
+        if (
+            kind == "merge"
+            and df is not None
+            and node.props
+            and _expr_refs_columns(tuple(e for _, e in node.props),
+                                   set(df.columns))
+        ):
+            # frame-referencing MERGE (UNWIND $events AS ev MERGE
+            # (e:Event {id: ev.id})): match-or-create per DISTINCT prop
+            # tuple, then bind the alias onto the frame with one
+            # broadcast join (TCK Unwind1[6]).  The distinct set is
+            # driver-bounded — MERGE semantics are inherently
+            # row-sequential (MergeStep.java row loop).
+            mctx = Ctx(cypher=True, db=db, params=params or {},
+                       columns=tuple(df.columns), frame_schema=df.schema)
+            comp = [
+                (k, ExprCompiler(mctx).compile(e)) for k, e in node.props
+            ]
+            cap = 10_000
+            distinct_rows = (
+                df.select(*[c.alias(k) for k, c in comp])
+                .distinct().limit(cap + 1).collect()
+            )
+            if len(distinct_rows) > cap:
+                raise TranslateError(
+                    "frame-referencing MERGE exceeds the bounded distinct "
+                    f"set ({cap}) — pre-aggregate or use CREATE"
+                )
+            rows_out = []
+            for r_ in distinct_rows:
+                pvals = {k: r_[k] for k, _ in comp}
+                if any(v is None for v in pvals.values()):
+                    raise TranslateError(
+                        "Cannot MERGE with a null property value"
+                    )
+                vid_m = None
+                state_m = "matched"
+                if label.lower() in g.vertex_dfs:
+                    vdf_m = g.vertices(label)
+                    ok_m = all(k in vdf_m.columns for k in pvals)
+                    if ok_m:
+                        cond_m = F.lit(True)
+                        for k, v in pvals.items():
+                            cond_m = cond_m & (F.col(k) == F.lit(v))
+                        hit_m = vdf_m.filter(cond_m).limit(1).collect()
+                        if hit_m:
+                            vid_m = hit_m[0]["vid"]
+                if vid_m is None:
+                    vid_m = g.add_vertex_rows(label, [dict(pvals)])[0]
+                    created += 1
+                    state_m = "created"
+                node_state.append((node.alias, label, vid_m, state_m))
+                if bindings is not None and node.alias:
+                    bindings.append((node.alias, label, vid_m, dict(pvals)))
+                rows_out.append({**pvals, "vid": vid_m})
+            from arcadedb_spark.graph.model import local_df
+
+            mdf = local_df(db.spark, rows_out)
+            for k, _ in comp:
+                mdf = mdf.withColumnRenamed(k, f"__mm_{k}")
+            mdf = mdf.withColumnRenamed("vid", "__mm_vid")
+            jc = None
+            for k, c in comp:
+                cnd = c.eqNullSafe(F.col(f"__mm_{k}"))
+                jc = cnd if jc is None else (jc & cnd)
+            alias_name = node.alias or f"__c{next(_wuid)}"
+            disp_m = g.label_display.get(label.lower(), label)
+            df = df.join(F.broadcast(mdf), jc, "left")
+            df = df.withColumn(
+                alias_name,
+                F.struct(
+                    F.col("__mm_vid").alias("vid"),
+                    F.lit(disp_m).alias("@type"),
+                    *[F.col(f"__mm_{k}").alias(k) for k, _ in comp],
+                ),
+            ).drop("__mm_vid", *[f"__mm_{k}" for k, _ in comp])
             if frame_ref is not None:
                 frame_ref[0] = df
             if aliases is not None and node.alias:
@@ -2291,9 +2379,13 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     )
                     continue
                 label = alias_label.get(alias)
-                if df is None:
+                if df is None or (
+                    alias not in df.columns
+                    and any(b[0] == alias for b in write_bindings)
+                ):
                     # SET on a variable bound by CREATE/MERGE in this
-                    # pipeline (TCK Set1 [6]/[7]) — address its vids
+                    # pipeline (TCK Set1 [6]/[7], Unwind1[14]) — address
+                    # its vids
                     binds = [
                         (lb_, vid_)
                         for (a_, lb_, vid_, _p) in write_bindings
@@ -3052,5 +3144,7 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
         df = _translate_pipeline(db, stmt, stages, params or {})
         out = df if out is None else out.unionByName(df)
     if out is not None and len(stmts) > 1 and not union_all:
-        out = out.distinct()
+        from arcadedb_spark.sql.translator import _safe_distinct
+
+        out = _safe_distinct(out)
     return out

@@ -681,6 +681,66 @@ def attach_pattern_markers(
     return df
 
 
+def _hoist_frame_prop_conjuncts(path, seen: set):
+    """Split inline-prop equality conjuncts that reference already-bound
+    frame variables out of a path's node filters.
+
+    ``{year: event.year}`` compiles against the VERTEX frame, where outer
+    bindings don't exist — hoist ``node.year = event.year`` (alias-
+    qualified) to a post-join predicate instead.  Returns (path',
+    hoisted-exprs)."""
+    import dataclasses
+
+    from arcadedb_spark.sql.translator import _split_conjuncts, walk
+
+    if not seen:
+        return path, []
+
+    def refs_seen(e) -> bool:
+        return any(
+            isinstance(n, ast.Chain) and n.parts[0] in seen
+            for n in walk(e)
+        )
+
+    hoisted: list = []
+
+    def split(node):
+        if node is None or node.alias is None or node.where is None:
+            return node
+        if node.alias in seen:
+            return node  # bound node: the filter joins on identity anyway
+        keep = []
+        for c in _split_conjuncts(node.where):
+            if (
+                isinstance(c, ast.Bin) and c.op == "="
+                and isinstance(c.left, ast.Chain)
+                and len(c.left.parts) == 1
+                and c.left.parts[0] not in seen
+                and refs_seen(c.right)
+            ):
+                hoisted.append(ast.Bin(
+                    "=", ast.Chain((node.alias, c.left.parts[0])), c.right
+                ))
+                continue
+            keep.append(c)
+        if len(keep) == len(_split_conjuncts(node.where)):
+            return node
+        new_where = None
+        for c in keep:
+            new_where = c if new_where is None else ast.Bin(
+                "AND", new_where, c
+            )
+        return dataclasses.replace(node, where=new_where)
+
+    root2 = split(path.root)
+    steps2 = tuple(
+        dataclasses.replace(s, filter=split(s.filter)) for s in path.steps
+    )
+    if not hoisted:
+        return path, []
+    return dataclasses.replace(path, root=root2, steps=steps2), hoisted
+
+
 def _merged_schema(df, pdf, rename):
     """Union schema of a pending join (left + non-shared right fields) so
     the expression compiler can resolve struct members on either side."""
@@ -770,9 +830,35 @@ def combine_paths(
     df = base
     seen: set[str] = set(base_aliases or ())
     for path in positive:
+        path, hoisted = _hoist_frame_prop_conjuncts(path, seen)
         pdf, paliases = translate_path(db, path, params)
         shared = [a for a in paliases if a in seen]
         opt_cond = None
+        if hoisted and df is not None:
+            # frame-referencing inline props ({year: event.year}) join the
+            # outer frame: optional → part of the left-outer condition,
+            # inner → post-join filter (TCK Unwind1[6])
+            rename_h = {a: f"__r_{a}" for a in shared}
+            cols_h = tuple(
+                dict.fromkeys(
+                    list(df.columns)
+                    + [c for c in pdf.columns if c not in rename_h]
+                )
+            )
+            hctx = Ctx(cypher=True, db=db, params=params, columns=cols_h,
+                       frame_schema=_merged_schema(df, pdf, rename_h))
+            hcomp = ExprCompiler(hctx)
+            hcond = None
+            for hx in hoisted:
+                c_ = hcomp.compile(hx)
+                hcond = c_ if hcond is None else (hcond & c_)
+            if path.optional:
+                opt_cond = hcond
+            else:
+                opt_cond = None
+                post_h = hcond
+        else:
+            post_h = None
         if path.optional and getattr(path, "opt_where", None) is not None:
             # OPTIONAL MATCH … WHERE: the predicate joins the left-outer
             # condition so failing rows null-pad instead of dropping
@@ -787,7 +873,8 @@ def combine_paths(
             )
             octx = Ctx(cypher=True, db=db, params=params, columns=cols,
                        frame_schema=_merged_schema(df, pdf, rename))
-            opt_cond = ExprCompiler(octx).compile(path.opt_where)
+            ow = ExprCompiler(octx).compile(path.opt_where)
+            opt_cond = ow if opt_cond is None else (opt_cond & ow)
         if df is None:
             if path.optional:
                 # leading OPTIONAL MATCH: the driving table is one row, so
@@ -815,6 +902,8 @@ def combine_paths(
             )
         else:
             df = df.crossJoin(pdf)  # CartesianProductStep.java:31
+        if post_h is not None:
+            df = df.filter(post_h)
         seen.update(paliases)
 
     # global WHERE over bound aliases (Cypher); Catalyst pushes the

@@ -124,6 +124,34 @@ def _type_family(dt) -> "str | None":
     return None
 
 
+def _safe_distinct(df: DataFrame) -> DataFrame:
+    """DISTINCT that tolerates map/variant-typed columns (Spark set
+    operations reject MAP): dedupe on a canonical JSON key instead."""
+    from pyspark.sql.types import (
+        ArrayType, MapType, StructType, VariantType,
+    )
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, (MapType, VariantType)):
+            return True
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        return False
+
+    if any(has_map(f.dataType) for f in df.schema.fields):
+        k = "__dk"
+        return (
+            df.withColumn(
+                k, F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+            )
+            .dropDuplicates([k])
+            .drop(k)
+        )
+    return df.distinct()
+
+
 def _variant_elems(col: Column, elem_dt) -> Column:
     """array<T> → array<variant> (complex T needs to_variant_object)."""
     from pyspark.sql.types import ArrayType, MapType, StructType, VariantType
@@ -2021,6 +2049,14 @@ class ExprCompiler:
                     for internal in ("vid", "@type", "etype", "src", "dst"):
                         out = out.dropFields(f"`{internal}`")
                     return F.when(base.isNull(), F.lit(None)).otherwise(out)
+                is_entity = any(
+                    f.name in ("vid", "etype") for f in fields
+                )
+                if not is_entity:
+                    # plain map (struct-compiled record): null-valued
+                    # keys still EXIST (TCK Map3[5]) — only entity
+                    # properties equate null with absent
+                    return F.array(*[F.lit(n) for n in names])
                 return F.array_compact(F.array(*[
                     F.when(base.getField(n).isNotNull(), F.lit(n))
                     for n in names
@@ -2113,6 +2149,48 @@ class ExprCompiler:
         else:
             args = []
         agg_col = None
+        if (
+            e.name.lower() in ("collect", "collect_list", "set", "count")
+            and e.distinct and args
+        ):
+            from pyspark.sql.types import (
+                ArrayType as _AD, MapType as _MD, StructType as _SD,
+                VariantType as _VD,
+            )
+
+            def _has_map(dt) -> bool:
+                if isinstance(dt, (_MD, _VD)):
+                    return True
+                if isinstance(dt, _SD):
+                    return any(_has_map(f.dataType) for f in dt.fields)
+                if isinstance(dt, _AD):
+                    return _has_map(dt.elementType)
+                return False
+
+            adt8 = inner._static_dtype(e.args[0])
+            if (
+                e.name.lower() == "count"
+                and adt8 is not None and _has_map(adt8)
+            ):
+                # count(DISTINCT <map/variant value>): hash by canonical
+                # JSON (variant values are unhashable — TCK Return5[4])
+                agg_col = F.count_distinct(F.to_json(args[0]))
+            elif adt8 is not None and _has_map(adt8):
+                # collect(DISTINCT <map-bearing value>): Spark set ops
+                # reject MAP — dedupe by canonical JSON in a fold
+                # (TCK Return5[4])
+                c8 = args[0]
+                lst = F.collect_list(
+                    F.struct(F.to_json(c8).alias("k"), c8.alias("v"))
+                )
+                dedup = F.aggregate(
+                    lst,
+                    F.slice(lst, 1, 0),  # typed empty accumulator
+                    lambda acc, x: F.when(
+                        F.exists(acc, lambda y: y["k"] == x["k"]), acc
+                    ).otherwise(F.array_append(acc, x)),
+                )
+                agg_col = F.transform(dedup, lambda x: x["v"])
         if e.name.lower() in ("min", "max") and args:
             from pyspark.sql.types import VariantType as _VT6
 
@@ -2953,7 +3031,7 @@ class Translator:
             # Cypher: DISTINCT then ORDER BY over expressions of the
             # projected columns only — dedupe first, recompile the sort
             # expressions against the distinct frame
-            df = df.select(*proj_cols).distinct()
+            df = _safe_distinct(df.select(*proj_cols))
             ctx2 = Ctx(
                 db=ctx.db, params=ctx.params,
                 columns=tuple(df.columns), frame_schema=df.schema,
@@ -2996,7 +3074,7 @@ class Translator:
         else:
             df = df.select(*proj_cols, *hidden)
             if stmt.distinct:
-                df = df.distinct()
+                df = _safe_distinct(df)
         for name, ascending, temporal in sort_plan:
             c = F.col(name)
             if ctx.cypher_order:
@@ -3101,7 +3179,7 @@ class Translator:
             agged = agged.orderBy(*sort_cols)
         out = agged.select(*post_exprs)
         if stmt.distinct:
-            out = out.distinct()
+            out = _safe_distinct(out)
         return out
 
 
