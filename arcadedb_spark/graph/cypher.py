@@ -1410,6 +1410,69 @@ def _apply_write(
         props = _literal_props(db, node_props, params)
         # Cypher: setting a property to null means "absent"
         props = {k: v for k, v in props.items() if v is not None}
+        if (
+            kind == "merge" and not path.steps and node.alias
+            and not on_create and not on_match
+        ):
+            # single-node MERGE match set: label-scoped, or EVERY node
+            # when bare (MERGE (b) over a non-empty graph matches all
+            # nodes — Cypher match-or-create cardinality, TCK Match8[2])
+            if node.type_name:
+                mvdf = (
+                    g.vertices(label)
+                    if label.lower() in g.vertex_dfs else None
+                )
+            else:
+                mvdf = g.all_vertices_full()
+            cond_m2 = F.lit(True)
+            ok_m2 = mvdf is not None
+            if ok_m2:
+                for k, v in props.items():
+                    if k not in mvdf.columns:
+                        ok_m2 = False
+                        break
+                    cond_m2 = cond_m2 & (F.col(k) == F.lit(v))
+            hits2 = (
+                mvdf.filter(cond_m2).limit(2).collect() if ok_m2 else []
+            )
+            if len(hits2) >= 2:
+                from arcadedb_spark.graph.match import _structify
+
+                matched_df = mvdf.filter(cond_m2)
+                sdf = _structify(matched_df, node.alias)
+                df = sdf if df is None else df.crossJoin(sdf)
+                if frame_ref is not None:
+                    frame_ref[0] = df
+                if aliases is not None:
+                    try:
+                        aliases.add(node.alias)
+                    except AttributeError:
+                        pass
+                resolved.append(("bound", node.alias))
+                continue
+            if len(hits2) == 1:
+                row = hits2[0].asDict()
+                vid = row["vid"]
+                resolved.append(("vid", vid))
+                lb2 = (row.get("@type") or label).split(":")[0]
+                node_state.append((node.alias, lb2, vid, "matched"))
+                if bindings is not None and node.alias:
+                    full = {
+                        k: v for k, v in row.items()
+                        if k not in ("vid",) and not k.startswith("@")
+                        and v is not None
+                    }
+                    bindings.append((node.alias, lb2, vid, full))
+                continue
+            if not node.type_name and not props:
+                # bare MERGE over an empty graph creates one node
+                vid = g.add_vertex_rows(label, [props])[0]
+                created += 1
+                resolved.append(("vid", vid))
+                node_state.append((node.alias, label, vid, "created"))
+                if bindings is not None and node.alias:
+                    bindings.append((node.alias, label, vid, props))
+                continue
         if kind == "merge" and label.lower() in g.vertex_dfs:
             vdf = g.vertices(label)
             cond = F.lit(True)
@@ -2437,11 +2500,10 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 )
             return n
         if w["kind"] == "delete":
+            detach = w.get("detach", False)
             if df is None:
                 raise TranslateError("DELETE needs a preceding MATCH")
             from pyspark.sql.types import StructType as _St
-
-            detach = w.get("detach", False)
 
             def _target_kind(t):
                 if not isinstance(t, str):
@@ -2544,6 +2606,21 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     n += g.remove_vertices_any(matched)
                     continue
                 label = alias_label.get(alias)
+                if alias not in df.columns and any(
+                    b[0] == alias for b in write_bindings
+                ):
+                    # DELETE on a variable bound by CREATE/MERGE in this
+                    # statement: address its vids (TCK Delete4[3])
+                    vids_b = [
+                        vid_ for (a_, _lb, vid_, _p) in write_bindings
+                        if a_ == alias
+                    ]
+                    matched = db.spark.createDataFrame(
+                        [(v,) for v in vids_b], "vid long"
+                    )
+                    _check_deletable(matched)
+                    n += g.remove_vertices_any(matched)
+                    continue
                 matched = df.select(F.col(f"{alias}.vid").alias("vid")).filter(
                     F.col("vid").isNotNull()
                 )
@@ -2693,6 +2770,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 if isinstance(it.expr, ast.Chain) and len(it.expr.parts) == 1
             }
             all_bare = len(renames) == len(keep)
+            pre_bindings = list(write_bindings)
             write_bindings[:] = [
                 (renames[a], label, vid, props)
                 for (a, label, vid, props) in write_bindings
@@ -2707,9 +2785,40 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 df = df.select(*cols) if cols else None
             elif not all_bare:
                 if df is None:
-                    raise TranslateError(
-                        "WITH expressions after a write need a match frame"
+                    # no match frame: materialize the statement's single
+                    # write bindings as a one-row frame so expression
+                    # projections resolve (CREATE (m) WITH {x: m.id} AS m
+                    # — TCK With4[7])
+                    base_b = db.spark.range(1).select(
+                        F.lit(1).alias("__one")
                     )
+                    made = False
+                    seen_b: set = set()
+                    for (a_b, lb_b, vid_b, props_b) in pre_bindings:
+                        if not a_b or a_b in seen_b:
+                            continue
+                        if sum(
+                            1 for b in pre_bindings if b[0] == a_b
+                        ) != 1:
+                            continue
+                        disp_b = g.label_display.get(lb_b.lower(), lb_b)
+                        base_b = base_b.withColumn(
+                            a_b,
+                            F.struct(
+                                F.lit(vid_b).alias("vid"),
+                                F.lit(disp_b).alias("@type"),
+                                *[F.lit(v).alias(k)
+                                  for k, v in (props_b or {}).items()],
+                            ),
+                        )
+                        seen_b.add(a_b)
+                        made = True
+                    if not made:
+                        raise TranslateError(
+                            "WITH expressions after a write need a "
+                            "match frame"
+                        )
+                    df = base_b
                 from arcadedb_spark.graph.match import project_stage
 
                 items = [
@@ -2981,6 +3090,36 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 for w in all_specs
             ):
                 df = _refresh_node_structs(db, g, df)
+            # bind single-entity CREATE/MERGE variables the RETURN
+            # references but the frame lacks (MATCH … DELETE … MERGE (a2)
+            # RETURN a2 — TCK Merge1[14]): constant struct columns
+            from arcadedb_spark.sql.translator import walk as _rwalk
+
+            ret_heads = {
+                nd.parts[0]
+                for it in ret["items"]
+                for nd in _rwalk(it.expr)
+                if isinstance(nd, ast.Chain)
+            }
+            for b_alias in ret_heads:
+                if b_alias in df.columns:
+                    continue
+                binds_r = [
+                    b for b in write_bindings if b[0] == b_alias
+                ]
+                if len({b[2] for b in binds_r}) != 1:
+                    continue
+                _a, lb_r, vid_r, props_r = binds_r[0]
+                disp_r = g.label_display.get(lb_r.lower(), lb_r)
+                df = df.withColumn(
+                    b_alias,
+                    F.struct(
+                        F.lit(vid_r).alias("vid"),
+                        F.lit(disp_r).alias("@type"),
+                        *[F.lit(v).alias(k)
+                          for k, v in (props_r or {}).items()],
+                    ),
+                )
             group_by: tuple = ()
             if any(_contains_aggregate(i.expr) for i in ret["items"]):
                 group_by = tuple(
