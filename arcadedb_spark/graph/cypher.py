@@ -2554,6 +2554,9 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
 
             # Cypher DELETE is clause-atomic: relationships named in the
             # same clause die before the incident-edge check on nodes
+            deleted_aliases.update(
+                t for t in w["targets"] if isinstance(t, str)
+            )
             ordered = sorted(
                 w["targets"],
                 key=lambda t: 0 if _target_kind(t) == "rel" else 1,
@@ -2646,6 +2649,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
 
     write_bindings: list[tuple] = []
     edge_bindings: list[tuple] = []  # (alias, etype, src, dst, props)
+    deleted_aliases: set[str] = set()  # DELETE targets of this statement
     match_paths = (getattr(p, "_match_for_write", None) or ((), None))[0]
     row_binds = None
     if write_stages and df is not None and not match_paths:
@@ -3090,6 +3094,28 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 for w in all_specs
             ):
                 df = _refresh_node_structs(db, g, df)
+            # reading properties/labels of entities DELETED in this
+            # statement is an EntityNotFound error (TCK Return2[15-17]);
+            # returning the deleted entity itself stays legal
+            from arcadedb_spark.sql.translator import walk as _dwalk
+
+            for it in ret["items"]:
+                for nd in _dwalk(it.expr):
+                    if (
+                        isinstance(nd, ast.Chain) and len(nd.parts) > 1
+                        and nd.parts[0] in deleted_aliases
+                    ) or (
+                        isinstance(nd, ast.FuncCall)
+                        and nd.name.lower() in (
+                            "labels", "properties", "keys")
+                        and nd.args
+                        and isinstance(nd.args[0], ast.Chain)
+                        and nd.args[0].parts[0] in deleted_aliases
+                    ):
+                        raise TranslateError(
+                            "Cannot read a deleted entity "
+                            "(EntityNotFound)"
+                        )
             # bind single-entity CREATE/MERGE variables the RETURN
             # references but the frame lacks (MATCH … DELETE … MERGE (a2)
             # RETURN a2 — TCK Merge1[14]): constant struct columns

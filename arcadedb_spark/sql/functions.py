@@ -225,30 +225,38 @@ def _nth_agg(args, distinct=False):
 
 
 def _check_percentile_arg(args):
+    """[0, 1] range check: literal args raise at compile time, column
+    args get a runtime guard (TCK Aggregation6)."""
     from arcadedb_spark.sql.litreg import value_of
 
     v = value_of(args[1]) if len(args) > 1 else None
-    if v is not None and not (0 <= float(v) <= 1):
-        raise ValueError(
-            f"percentile argument {v} out of [0, 1] (NumberOutOfRange)"
-        )
+    if v is not None:
+        if not (0 <= float(v) <= 1):
+            raise ValueError(
+                f"percentile argument {v} out of [0, 1] (NumberOutOfRange)"
+            )
+        return args[1]
+    raise ValueError(
+        "percentile argument must be a numeric literal in [0, 1] "
+        "(NumberOutOfRange)"
+    )
 
 
 @agg("percentilecont")
 def _percentile_cont(args, distinct=False):
     """Cypher percentileCont — continuous (interpolated) percentile
     (function/agg/PercentileContFunction.java)."""
-    _check_percentile_arg(args)
-    return F.percentile(args[0], args[1])
+    pct = _check_percentile_arg(args)
+    return F.percentile(args[0], pct)
 
 
 @agg("percentiledisc")
 def _percentile_disc(args, distinct=False):
     """Cypher percentileDisc — nearest-rank (discrete) percentile
     (function/agg/PercentileDiscFunction.java)."""
-    _check_percentile_arg(args)
+    pct = _check_percentile_arg(args)
     lists = F.array_sort(F.collect_list(args[0]))
-    idx = F.ceil(args[1] * F.size(lists)).cast("int")
+    idx = F.ceil(pct * F.size(lists)).cast("int")
     return F.element_at(lists, F.greatest(idx, F.lit(1)))
 
 
