@@ -882,14 +882,42 @@ class GraphModel:
             dst_label="Nation",
         )
         # INTERACTED: globally consecutive user pairs by ts — a cyclic,
-        # weighted social-like graph (FIXTURES B2).  NOTE: the global
-        # window is a total order (single-partition sort) — acceptable for
-        # the fixture build only; a 100 TB event stream would derive
-        # sessions per time-bucket partition instead.
-        w = Window.orderBy("ts", "event_id")
+        # weighted social-like graph (FIXTURES B2).  The global lead() is
+        # computed SCALE-SAFELY: range-partition by the sort key, lead
+        # within each partition, and stitch the partition boundaries with
+        # a broadcast of each partition's first row — no single-partition
+        # total sort (the naive Window.orderBy moves 100 TB through one
+        # task).
+        slim = events.select("ts", "event_id", "user_id")
+        if slim.rdd.getNumPartitions() <= 4:
+            # small input: one modest sort beats the partition-stitch
+            # machinery's extra shuffles
+            w = Window.orderBy("ts", "event_id")
+            led = slim.withColumn("__next_user", F.lead("user_id").over(w))
+        else:
+            # big input: range-partition by the sort key, lead within each
+            # partition, stitch boundaries with a broadcast of each
+            # partition's first row — no single-partition total sort (the
+            # naive Window.orderBy funnels 100 TB through one task)
+            ev = slim.repartitionByRange(
+                max(32, slim.rdd.getNumPartitions()), "ts", "event_id"
+            ).withColumn("__pid", F.spark_partition_id())
+            w = Window.partitionBy("__pid").orderBy("ts", "event_id")
+            led = ev.withColumn("__next_user", F.lead("user_id").over(w))
+            firsts = (
+                ev.groupBy("__pid")
+                .agg(F.min(F.struct("ts", "event_id", "user_id")).alias("f"))
+                .select(
+                    (F.col("__pid") - 1).alias("__pid"),
+                    F.col("f.user_id").alias("__bnext"),
+                )
+            )
+            led = led.join(F.broadcast(firsts), "__pid", "left").withColumn(
+                "__next_user",
+                F.coalesce(F.col("__next_user"), F.col("__bnext")),
+            )
         inter = (
-            events.withColumn("__next_user", F.lead("user_id").over(w))
-            .filter(F.col("__next_user").isNotNull())
+            led.filter(F.col("__next_user").isNotNull())
             .filter(F.col("user_id") != F.col("__next_user"))
             .groupBy("user_id", "__next_user")
             .agg(F.count("*").cast("double").alias("weight"))
