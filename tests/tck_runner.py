@@ -98,6 +98,8 @@ def parse_value(s: str):
         return True
     if s == "false":
         return False
+    if s == "NaN":
+        return float("nan")
     if re.fullmatch(r"-?\d+", s):
         return int(s)
     if re.fullmatch(r"-?\d+\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", s):
@@ -109,6 +111,10 @@ def parse_value(s: str):
 
         return _unquote(s)
     if s.startswith("[") and s.endswith("]"):
+        m = _REL_CELL.match(s)
+        if m:  # relationship cell [:T {…}] — before the list branch
+            props = parse_value(m.group("props")) if m.group("props") else {}
+            return ("§rel", m.group("type"), _canon_props(props))
         inner = s[1:-1].strip()
         if not inner:
             return []
@@ -400,6 +406,8 @@ def _norm(v):
         # decimal type, compare as float
         return round(float(v), 9)
     if isinstance(v, float):
+        if v != v:
+            return "§nan"  # NaN compares equal to itself in results
         return round(v, 9) + 0.0  # −0.0 → 0.0
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
