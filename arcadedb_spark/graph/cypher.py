@@ -2245,7 +2245,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     for _w in getattr(p, "_writes", ()) or ():
         if _w.get("kind") == "set":
             for _a in _w.get("assignments", ()):
-                _check_no_pattern_values(_a[1])
+                _check_no_pattern_values(_a[2])  # (alias, prop, expr)
 
     g = db.graph()
     df = None

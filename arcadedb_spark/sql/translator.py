@@ -100,6 +100,18 @@ def _lit(v: Any) -> Column:
     return _reg_lit(_pylit(v), v)
 
 
+def _void_like(dt) -> bool:
+    """NULL-typed values (null, [], [null], …) coerce with any sibling
+    type — they never force a heterogeneous (variant) representation."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(dt, _NullType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _void_like(dt.elementType)
+    return False
+
+
 def _type_family(dt) -> "str | None":
     """Cypher comparison family of a static Spark dtype (None = unknown /
     handled elsewhere): numbers N, strings S, booleans B, lists L,
@@ -582,8 +594,8 @@ class ExprCompiler:
             elem = None
             for item in e.items:
                 t = self._static_dtype(item)
-                if t is None:
-                    continue
+                if t is None or _void_like(t):
+                    continue  # nulls/[] coerce with any sibling type
                 if elem is None:
                     elem = t
                 elif elem.simpleString() != t.simpleString():
@@ -1212,7 +1224,7 @@ class ExprCompiler:
             from pyspark.sql.types import DoubleType, FloatType, IntegralType
 
             if (
-                self.ctx.cypher_order  # Cypher-dialect projection only
+                (self.ctx.cypher_order or self.ctx.cypher)  # Cypher only
                 and isinstance(self._static_dtype(le), IntegralType)
                 and isinstance(self._static_dtype(ri), IntegralType)
             ):
@@ -1220,7 +1232,7 @@ class ExprCompiler:
                 # (Spark's / is always float — TCK Precedence2; the SQL
                 # dialect keeps float semantics its oracles assume)
                 return ((l - (l % r)) / r).cast("long")
-            if self.ctx.cypher_order and (
+            if (self.ctx.cypher_order or self.ctx.cypher) and (
                 isinstance(self._static_dtype(le), (FloatType, DoubleType))
                 or isinstance(self._static_dtype(ri), (FloatType, DoubleType))
             ):
@@ -1528,7 +1540,7 @@ class ExprCompiler:
         known = {
             dt.simpleString()
             for dt in (self._static_dtype(i) for i in e.items)
-            if dt is not None
+            if dt is not None and not _void_like(dt)
         }
         if len(known) > 1:
             def _to_v(item: ast.Expr) -> Column:
@@ -3015,6 +3027,18 @@ class Translator:
                         temporal = True
                 sort_plan.append((name, oi.ascending, temporal))
             else:
+                if ctx.cypher_order:
+                    # ORDER BY rel.id where rel is a RETURN alias:
+                    # substitute output aliases with their defining
+                    # expressions (the sort compiles against the
+                    # pre-projection frame — TCK With3[1])
+                    alias_map9 = {
+                        p.alias: p.expr for p in stmt.projections
+                        if p.alias and not isinstance(p.expr, ast.Star)
+                        and p.alias not in ctx.columns
+                    }
+                    if alias_map9:
+                        expr = _subst_alias_refs(expr, alias_map9)
                 hname = f"__ord{next(self._uid)}"
                 hidden.append(compiler.compile(expr).alias(hname))
                 hidden_exprs.append(expr)
