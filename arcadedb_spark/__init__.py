@@ -25,6 +25,7 @@ Entry points
   large-scale training-data pipelines.
 """
 
+import arcadedb_spark.lineage  # noqa: F401  (installs DataFrame.truncate_plan)
 from arcadedb_spark.database import Database
 from arcadedb_spark.session import get_spark
 

@@ -86,7 +86,7 @@ def pagerank(
         )
         ranks = new_ranks
         if i % _CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.truncate_plan()
     return ranks
 
 
@@ -120,7 +120,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
             )
         )
         if i % _CHECKPOINT_EVERY == 0:
-            new_comp = new_comp.localCheckpoint(eager=True)
+            new_comp = new_comp.truncate_plan()
         changed = (
             new_comp.alias("n")
             .join(comp.alias("o"), "vid")
@@ -164,7 +164,7 @@ def shortest_paths(
             "left_anti",
         )
         if depth % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.truncate_plan()
         if nxt.limit(1).count() == 0:
             break
         dist = dist.unionByName(nxt)
@@ -199,7 +199,7 @@ def dijkstra_sssp(
             .agg(F.min("distance").alias("distance"))
         )
         if i % _CHECKPOINT_EVERY == 0:
-            new_dist = new_dist.localCheckpoint(eager=True)
+            new_dist = new_dist.truncate_plan()
         improved = (
             new_dist.alias("n")
             .join(dist.alias("o"), "vid", "left")
@@ -296,7 +296,7 @@ def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
             .select("vid", F.coalesce("new_label", "label").alias("label"))
         )
         if i % _CHECKPOINT_EVERY == 0:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.truncate_plan()
     return labels
 
 
@@ -387,7 +387,7 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
         deg = cur.groupBy("v").agg(F.count("*").alias("d"))
         nxt = deg.filter(F.col("d") >= k).select("v")
         if i % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.truncate_plan()
         removed = alive.count() - nxt.count()
         alive = nxt
         if removed == 0:
@@ -411,7 +411,7 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
         norm = nxt.agg(F.max("x")).collect()[0][0] or 1.0
         x = nxt.select("vid", (F.col("x") / F.lit(norm)).alias("x"))
         if i % _CHECKPOINT_EVERY == 0:
-            x = x.localCheckpoint(eager=True)
+            x = x.truncate_plan()
     return x.select("vid", F.col("x").alias("centrality"))
 
 
@@ -437,7 +437,7 @@ def katz_centrality(
             )
         )
         if i % _CHECKPOINT_EVERY == 0:
-            x = x.localCheckpoint(eager=True)
+            x = x.truncate_plan()
     return x.select("vid", F.col("x").alias("centrality"))
 
 
@@ -526,7 +526,7 @@ def strongly_connected_components(
                 )
             )
             if i % _CHECKPOINT_EVERY == 0:
-                new_color = new_color.localCheckpoint(eager=True)
+                new_color = new_color.truncate_plan()
             changed = (
                 new_color.alias("n")
                 .join(color.alias("o"), "vid")
@@ -556,14 +556,14 @@ def strongly_connected_components(
             ).filter(F.col("color") == F.col("c2")).select("vid", "color")
             nxt = nxt.join(scc.select("vid"), "vid", "left_anti")
             if i % _CHECKPOINT_EVERY == 0:
-                nxt = nxt.localCheckpoint(eager=True)
+                nxt = nxt.truncate_plan()
             if nxt.limit(1).count() == 0:
                 break
             scc = scc.unionByName(nxt)
             frontier = nxt
         assigned = assigned.unionByName(
             scc.select("vid", F.col("color").alias("component"))
-        ).localCheckpoint(eager=True)
+        ).truncate_plan()
         remaining = remaining.join(scc.select("vid"), "vid", "left_anti").cache()
     return assigned
 
@@ -641,8 +641,8 @@ def fastrp_embeddings(
         x = acc.select("vid", "emb")
         acc = acc.select("vid", "acc")
         if it % 2 == 0:
-            acc = acc.localCheckpoint(eager=True)
-            x = x.localCheckpoint(eager=True)
+            acc = acc.truncate_plan()
+            x = x.truncate_plan()
     # L2 normalize
     norm = F.sqrt(F.aggregate("acc", F.lit(0.0), lambda s, v: s + v * v))
     return acc.select(
@@ -701,7 +701,7 @@ def random_walks(
             )
         )
         if (step + 1) % 3 == 0:
-            walks = walks.localCheckpoint(eager=True)
+            walks = walks.truncate_plan()
     return walks.select("start", "walk_id", "path")
 
 
@@ -746,11 +746,11 @@ def betweenness_centrality(
             (nxt["source"] == seen["__s"]) & (nxt["vid"] == seen["__v"]),
             "left_anti",
         ).select("source", "vid", "dist", "sigma")
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.truncate_plan()
         if nxt.limit(1).count() == 0:
             break
         levels.append(nxt)
-        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        state = state.unionByName(nxt).truncate_plan()
         frontier = nxt
 
     # backward accumulation: delta(v) = Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w))
@@ -785,7 +785,7 @@ def betweenness_centrality(
         )
         delta = cur.select("source", "vid").join(
             contrib, ["source", "vid"], "left"
-        ).fillna(0.0, ["delta"]).localCheckpoint(eager=True)
+        ).fillna(0.0, ["delta"]).truncate_plan()
         part = delta.filter(F.col("vid") != F.col("source"))
         acc = part if acc is None else acc.unionByName(part)
     if acc is None:
@@ -940,7 +940,7 @@ def louvain(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
         # superstep by iteration 10 on a 150-vertex graph — pure plan cost).
         # Eager materialization keeps each superstep flat in both plan size
         # and recompute, which is also the 1000-executor behaviour we want.
-        new_comm = new_comm.localCheckpoint(eager=True)
+        new_comm = new_comm.truncate_plan()
         moved = (
             new_comm.alias("n")
             .join(comm.alias("o"), "vid")

@@ -63,6 +63,7 @@ def leiden(
         return _vertices_of(edges).withColumn("community", F.col("vid"))
     deg = adj.groupBy("v").agg(F.count("*").alias("k")).cache()
     comm = deg.select(F.col("v").alias("vid"), F.col("v").alias("community"))
+    quiet = 0
     for i in range(1, max_iterations + 1):
         cmap = comm.select(F.col("vid").alias("n"), F.col("community").alias("nc"))
         ctot = (
@@ -111,16 +112,27 @@ def leiden(
         # synchronous-oscillation symmetry that plain simultaneous moving
         # suffers on regular structures — standard distributed-Louvain trick
         gate = (F.abs(F.xxhash64(F.col("vid"))) + F.lit(i)) % 2 == 0
+        moved = (F.col("gain") > 0) & gate
         comm = (
             comm.join(best, "vid", "left")
             .select(
                 "vid",
-                F.when((F.col("gain") > 0) & gate, F.col("new_c"))
+                F.when(moved, F.col("new_c"))
                 .otherwise(F.col("community"))
                 .alias("community"),
+                moved.alias("__moved"),
             )
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
+        # convergence early-exit (AlgoLeiden.java local-move loop exits when
+        # no vertex moves) — the count scans the just-truncated frame, cheap.
+        # The alternating gate only lets one parity class move per round, so
+        # two consecutive quiet rounds (both parities) are needed to confirm.
+        moves = comm.filter(F.col("__moved")).limit(1).count()
+        comm = comm.drop("__moved")
+        quiet = quiet + 1 if moves == 0 else 0
+        if quiet >= 2:
+            break
     # refinement: split internally-disconnected communities
     cm = comm.select(F.col("vid").alias("a"), F.col("community").alias("ca"))
     intra = (
@@ -201,7 +213,7 @@ def astar(
             .drop("__rn")
         )
         if i % _CHECKPOINT_EVERY == 0:
-            new_best = new_best.localCheckpoint(eager=True)
+            new_best = new_best.truncate_plan()
         frontier = (
             new_best.alias("n")
             .join(best.alias("o"), "vid", "left")
@@ -265,7 +277,7 @@ def k_shortest_paths(
             .drop("__rn")
         )
         if depth % _CHECKPOINT_EVERY == 0:
-            kept = kept.localCheckpoint(eager=True)
+            kept = kept.truncate_plan()
         frontier = kept.join(state, ["vid", "path"], "left_anti")
         state = kept
         if frontier.limit(1).count() == 0:
@@ -313,7 +325,7 @@ def max_flow(
         )
         .groupBy("src", "dst")
         .agg(F.sum("cap").alias("cap"))
-        .localCheckpoint(eager=True)
+        .truncate_plan()
     )
     total = 0.0
     for _ in range(max_augmentations):
@@ -330,7 +342,7 @@ def max_flow(
                 .select(F.col("dst").alias("vid"), F.concat("path", F.array("dst")).alias("path"))
                 .join(seen, "vid", "left_anti")
                 .dropDuplicates(["vid"])
-                .localCheckpoint(eager=True)
+                .truncate_plan()
             )
             hit = exp.filter(F.col("vid") == sink).limit(1).collect()
             if hit:
@@ -338,7 +350,7 @@ def max_flow(
                 break
             if exp.limit(1).count() == 0:
                 break
-            seen = seen.unionByName(exp.select("vid")).localCheckpoint(eager=True)
+            seen = seen.unionByName(exp.select("vid")).truncate_plan()
             frontier = exp
         if found is None:
             break
@@ -357,7 +369,7 @@ def max_flow(
         res = (
             res.join(F.broadcast(delta), ["src", "dst"], "left")
             .select("src", "dst", (F.col("cap") + F.coalesce("d", F.lit(0.0))).alias("cap"))
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
     return spark.createDataFrame(
         [(total, source, sink)], "max_flow double, source_id long, sink_id long"
@@ -417,9 +429,7 @@ def maximal_cliques(
             .agg(F.count("*").alias("hits"))
             .filter(F.col("hits") == size)
         )
-        nxt = ok.select(F.concat("clique", F.array("w")).alias("clique")).localCheckpoint(
-            eager=True
-        )
+        nxt = ok.select(F.concat("clique", F.array("w")).alias("clique")).truncate_plan()
         # maximality of the current level: no vertex (any id) extends it
         ext = cliques.select("clique", F.explode("clique").alias("m")).join(
             adj, F.col("m") == adj["v"], "inner"
@@ -435,7 +445,7 @@ def maximal_cliques(
         if size >= min_size:
             out = out.unionByName(
                 maximal.withColumn("size", F.lit(size))
-            ).localCheckpoint(eager=True)
+            ).truncate_plan()
         if nxt.limit(1).count() == 0:
             return out
         cliques = nxt

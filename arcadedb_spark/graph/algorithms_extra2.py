@@ -43,7 +43,7 @@ def all_simple_paths(
             .select(F.col("dst").alias("vid"), F.concat("path", F.array("dst")).alias("path"))
         )
         if depth % _CHECKPOINT_EVERY == 0:
-            frontier = frontier.localCheckpoint(eager=True)
+            frontier = frontier.truncate_plan()
         hits = frontier.filter(F.col("vid") == target).select("path")
         out = out.unionByName(hits)
         if frontier.limit(1).count() == 0:
@@ -94,10 +94,8 @@ def graph_coloring(edges: DataFrame, max_colors: int = 64) -> DataFrame:
         )
         out = out.unionByName(
             winners.withColumn("color", F.lit(color))
-        ).localCheckpoint(eager=True)
-        uncolored = uncolored.join(winners, "vid", "left_anti").localCheckpoint(
-            eager=True
-        )
+        ).truncate_plan()
+        uncolored = uncolored.join(winners, "vid", "left_anti").truncate_plan()
     return out
 
 
@@ -140,7 +138,7 @@ def densest_subgraph(edges: DataFrame, epsilon: float = 0.1) -> DataFrame:
             cur_v.join(deg, "vid", "left")
             .filter(F.coalesce(F.col("d"), F.lit(0)) > thresh)
             .select("vid")
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
         if keep.count() == nv:
             break
@@ -189,7 +187,7 @@ def vote_rank(edges: DataFrame, k: int = 10) -> DataFrame:
                 .otherwise(F.col("ab"))
                 .alias("ab"),
             )
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
     return spark.createDataFrame(elected or [], "vid long, rank int")
 
@@ -223,7 +221,7 @@ def influence_maximization(edges: DataFrame, k: int = 5) -> DataFrame:
                 "vid", "d",
                 (F.col("t") + F.when(F.col("__hit"), 1).otherwise(0)).alias("t"),
             )
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
     return spark.createDataFrame(
         chosen or [], "vid long, rank int, marginal_gain double"
@@ -326,7 +324,7 @@ def max_k_cut(edges: DataFrame, k: int = 2, max_iterations: int = 10) -> DataFra
                 "vid",
                 F.when(gate, F.col("new_c")).otherwise(F.col("community")).alias("community"),
             )
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
     pa = part.select(F.col("vid").alias("a"), F.col("community").alias("ca"))
     pb = part.select(F.col("vid").alias("b"), F.col("community").alias("cb"))

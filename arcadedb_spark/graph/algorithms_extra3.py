@@ -111,7 +111,7 @@ def bellman_ford_path(
             .drop("__rn")
         )
         if i % _CHECKPOINT_EVERY == 0:
-            new_best = new_best.localCheckpoint(eager=True)
+            new_best = new_best.truncate_plan()
         frontier = (
             new_best.alias("n")
             .join(best.alias("o"), "vid", "left")
@@ -174,7 +174,7 @@ def _bfs_forest(edges: DataFrame, max_depth: int = 64):
     roots = comp.filter(F.col("vid") == F.col("component")).select("vid")
     visited = roots.select(
         "vid", F.lit(0).alias("level"), F.lit(None).cast("long").alias("parent")
-    ).localCheckpoint(eager=True)
+    ).truncate_plan()
     frontier = visited.select("vid")
     depth = 0
     for lvl in range(1, max_depth + 1):
@@ -186,13 +186,13 @@ def _bfs_forest(edges: DataFrame, max_depth: int = 64):
             .withColumn("level", F.lit(lvl))
             .select("vid", "level", "parent")
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.truncate_plan()
         if nxt.limit(1).count() == 0:
             break
         depth = lvl
         visited = visited.unionByName(nxt)
         if lvl % _CHECKPOINT_EVERY == 0:
-            visited = visited.localCheckpoint(eager=True)
+            visited = visited.truncate_plan()
         frontier = nxt.select("vid")
     return visited.filter(F.col("parent").isNotNull()), visited, depth
 
@@ -247,7 +247,7 @@ def bridges(edges: DataFrame, max_depth: int = 64) -> DataFrame:
     )
     base = levels.select("vid").join(t, "vid", "left").select(
         "vid", F.coalesce("t", F.lit(0)).alias("t")
-    ).localCheckpoint(eager=True)
+    ).truncate_plan()
     child_parent = tree.select(F.col("vid"), F.col("parent")).cache()
     # S_{i+1}(v) = T(v) XOR bit_xor over children c of S_i(c);
     # after `depth` rounds S(v) = XOR of T over v's whole subtree.
@@ -263,7 +263,7 @@ def bridges(edges: DataFrame, max_depth: int = 64) -> DataFrame:
             F.col("t").bitwiseXOR(F.coalesce("cs", F.lit(0))).alias("t"),
         )
         if (i + 1) % _CHECKPOINT_EVERY == 0:
-            s = s.localCheckpoint(eager=True)
+            s = s.truncate_plan()
     subtree_xor = s.select("vid", F.col("t").alias("s"))
     return (
         tree.join(subtree_xor, "vid")

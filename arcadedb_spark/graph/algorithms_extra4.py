@@ -61,7 +61,7 @@ def hashgnn(
         F.array(
             *[F.xxhash64("vid", F.lit(seed), F.lit(i)) for i in range(per_round)]
         ).alias("sig"),
-    ).localCheckpoint(eager=True)
+    ).truncate_plan()
     rounds = [sig]
     for r in range(1, iterations):
         neigh = adj.join(sig, adj["n"] == sig["vid"], "inner").select(
@@ -83,7 +83,7 @@ def hashgnn(
             ).alias("sig"),
         )
         if r % _CHECKPOINT_EVERY == 0:
-            sig = sig.localCheckpoint(eager=True)
+            sig = sig.truncate_plan()
         rounds.append(sig)
     out = rounds[0].select("vid", F.col("sig").alias("sig_0"))
     for i, rdf in enumerate(rounds[1:], start=1):
@@ -162,7 +162,7 @@ def graphsage(
     ]
     h = deg.select(
         "vid", F.array(F.log1p("d"), *noise).alias("h")
-    ).localCheckpoint(eager=True)
+    ).truncate_plan()
     for layer in range(layers):
         neigh = adj.join(h, adj["n"] == h["vid"], "inner").select(
             F.col("v").alias("vid"), "h"
@@ -187,7 +187,7 @@ def graphsage(
         )
         proj = _sage_project_udf(2 * dim, dim, seed + layer)
         h = combined.select("vid", proj("x").alias("h"))
-        h = h.localCheckpoint(eager=True)
+        h = h.truncate_plan()
     return h.select(F.col("vid").alias("node"), F.col("h").alias("embedding"))
 
 
@@ -284,7 +284,7 @@ def _sssp_parents(
             .drop("__rn")
         )
         if i % _CHECKPOINT_EVERY == 0:
-            new_best = new_best.localCheckpoint(eager=True)
+            new_best = new_best.truncate_plan()
         frontier = (
             new_best.alias("n")
             .join(best.alias("o"), "vid", "left")
@@ -329,7 +329,7 @@ def steiner_tree(
     allp = maps[0]
     for m in maps[1:]:
         allp = allp.unionByName(m)
-    allp = allp.localCheckpoint(eager=True)
+    allp = allp.truncate_plan()
     # 2. metric closure on terminals (t² rows → driver)
     closure = {
         (r["terminal"], r["vid"]): r["distance"]
@@ -376,7 +376,7 @@ def steiner_tree(
         )
         tree_edges = seg if tree_edges is None else tree_edges.unionByName(seg)
         frontier = step.select("terminal", F.col("parent").alias("cur"))
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier = frontier.truncate_plan()
         if frontier.limit(1).count() == 0:
             break
     if tree_edges is None:
@@ -388,7 +388,7 @@ def steiner_tree(
     ).groupBy("lo", "hi").agg(F.min("w").alias("w"))
     sub = tree_edges.distinct().join(ew, ["lo", "hi"], "inner")
     # 5. iteratively prune non-terminal leaves
-    sub = sub.localCheckpoint(eager=True)
+    sub = sub.truncate_plan()
     term_df = spark.createDataFrame([(t,) for t in terminals], "vid long")
     for _ in range(max_iterations):
         degs = (
@@ -405,7 +405,7 @@ def steiner_tree(
         sub = (
             sub.join(leaves.select(F.col("vid").alias("lo")), "lo", "left_anti")
             .join(leaves.select(F.col("vid").alias("hi")), "hi", "left_anti")
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
     total = sub.agg(F.sum("w")).collect()[0][0] or 0.0
     return sub.select(
@@ -449,12 +449,12 @@ def min_spanning_arborescence(
         F.col("src").alias("u"), F.col("dst").alias("v"), F.col("w"),
         F.col("src").alias("os"), F.col("dst").alias("od"),
         F.col("w").alias("ow"),
-    ).localCheckpoint(eager=True)
+    ).truncate_plan()
     verts = (
         e0.select(F.col("src").alias("vid"))
         .unionByName(e0.select(F.col("dst").alias("vid")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .truncate_plan()
     )
     n_target = verts.filter(F.col("vid") != root).count()
     levels = []  # per contraction: (cycle_map, cyc_edges with orig ids)
@@ -468,7 +468,7 @@ def min_spanning_arborescence(
             cur.withColumn("__rn", F.row_number().over(w_win))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
         cur_verts = (
             E.select(F.col("u").alias("vid"))
@@ -488,7 +488,7 @@ def min_spanning_arborescence(
         )
         cycle_map = comp.join(cyc_ids, "component").select(
             "vid", F.col("component").alias("cid")
-        ).localCheckpoint(eager=True)
+        ).truncate_plan()
         if cycle_map.limit(1).count() == 0:
             final_chosen = chosen
             break
@@ -501,7 +501,7 @@ def min_spanning_arborescence(
                 F.col("mu.cid").alias("cid"), F.col("c.v").alias("head"),
                 F.col("c.os"), F.col("c.od"), F.col("c.ow"),
             )
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
         levels.append((cycle_map, cyc_edges))
         chosen_w = chosen.select(F.col("v").alias("cw_v"), F.col("w").alias("cw"))
@@ -523,7 +523,7 @@ def min_spanning_arborescence(
             )
             .filter(F.col("u") != F.col("v"))
             # head_prev tracks the pre-contraction head for unwinding
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
         # keep only the cheapest representative per (u, v, head_prev)?
         # No — keep all rows; min-selection happens per round.
@@ -532,7 +532,7 @@ def min_spanning_arborescence(
         return empty  # still cyclic after max_contractions
     # Unwind: start from the top-level chosen edges (original ids + the
     # head at the current level), expanding one contraction at a time.
-    sol = final_chosen.select("os", "od", "ow").localCheckpoint(eager=True)
+    sol = final_chosen.select("os", "od", "ow").truncate_plan()
     for cycle_map, cyc_edges in reversed(levels):
         # the solution edge entering cycle `cid` does so at the original
         # head `od` mapped to that level's pre-contraction vertex — which
@@ -547,7 +547,7 @@ def min_spanning_arborescence(
             .filter(F.col("head") != F.col("entry_head"))
             .select("os", "od", "ow")
         )
-        sol = sol.unionByName(add).localCheckpoint(eager=True)
+        sol = sol.unionByName(add).truncate_plan()
     if sol.count() != n_target:
         return empty
     total = sol.agg(F.sum("ow")).collect()[0][0] or 0.0

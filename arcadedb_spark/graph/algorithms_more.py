@@ -119,7 +119,7 @@ def topological_layers(edges: DataFrame, max_iterations: int = 100) -> DataFrame
             break
         out = out.unionByName(
             ready.withColumn("layer", F.lit(layer))
-        ).localCheckpoint(eager=True)
+        ).truncate_plan()
         remaining_v = remaining_v.join(ready, "vid", "left_anti").cache()
         remaining_e = remaining_e.join(
             ready.withColumnRenamed("vid", "src"), "src", "left_anti"
@@ -176,7 +176,7 @@ def longest_path_dag(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
             )
         )
         if i % _CHECKPOINT_EVERY == 0:
-            new_dist = new_dist.localCheckpoint(eager=True)
+            new_dist = new_dist.truncate_plan()
         changed = (
             new_dist.alias("n")
             .join(dist.alias("o"), "vid")
@@ -351,10 +351,10 @@ def bipartite_check(edges: DataFrame, max_depth: int = 20) -> bool:
             .join(color, "vid", "left_anti")
         )
         if depth % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.truncate_plan()
         if nxt.limit(1).count() == 0:
             break
-        color = color.unionByName(nxt).localCheckpoint(eager=True)
+        color = color.unionByName(nxt).truncate_plan()
         frontier = nxt
     e = edges.select("src", "dst")
     bad = (
@@ -472,7 +472,7 @@ def personalized_pagerank(
             )
         )
         if i % _CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.truncate_plan()
     return ranks
 
 
@@ -513,7 +513,7 @@ def article_rank(
             ).alias("rank"),
         )
         if i % _CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.truncate_plan()
     return ranks
 
 
@@ -546,8 +546,8 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
         hmax = new_hub.agg(F.max("hub")).collect()[0][0] or 1.0
         hub = new_hub.select("vid", (F.col("hub") / F.lit(hmax)).alias("hub"))
         if i % _CHECKPOINT_EVERY == 0:
-            hub = hub.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
+            hub = hub.truncate_plan()
+            auth = auth.truncate_plan()
     return hub.join(auth, "vid")
 
 
@@ -593,7 +593,7 @@ def k_truss(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
             .filter(F.col("sup") >= k - 2)
             .select("a", "b")
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.truncate_plan()
         removed = cur.count() - nxt.count()
         cur = nxt
         if removed == 0:
@@ -642,11 +642,9 @@ def mst(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
             .filter(F.col("__rn") == 1)
             .select("a", "b", "weight")
             .distinct()
-            .localCheckpoint(eager=True)
+            .truncate_plan()
         )
-        chosen = chosen.unionByName(picks).dropDuplicates(["a", "b"]).localCheckpoint(
-            eager=True
-        )
+        chosen = chosen.unionByName(picks).dropDuplicates(["a", "b"]).truncate_plan()
         # merge components connected by picked edges (hash-min rounds)
         merge_edges = picks.select("a", "b")
         for _inner in range(max_iterations):
@@ -675,7 +673,7 @@ def mst(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
                 .select(
                     "vid", F.coalesce(F.col("nc"), F.col("component")).alias("component")
                 )
-                .localCheckpoint(eager=True)
+                .truncate_plan()
             )
     return chosen
 
@@ -729,7 +727,7 @@ def slpa(
             .agg(F.sum("cnt").alias("cnt"))
         )
         if it % _CHECKPOINT_EVERY == 0:
-            memory = memory.localCheckpoint(eager=True)
+            memory = memory.truncate_plan()
     totals = memory.groupBy("vid").agg(F.sum("cnt").alias("tot"))
     return (
         memory.join(totals, "vid")
@@ -777,7 +775,7 @@ def simrank(
         diag = verts.select(
             F.col("vid").alias("a"), F.col("vid").alias("b"), F.lit(1.0).alias("s")
         )
-        sim = new_sim.unionByName(diag).localCheckpoint(eager=True)
+        sim = new_sim.unionByName(diag).truncate_plan()
     return (
         sim.filter((F.col("a") < F.col("b")) & (F.col("s") > 0))
         .select("a", "b", F.col("s").alias("similarity"))

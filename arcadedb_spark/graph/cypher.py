@@ -1272,7 +1272,7 @@ def _apply_write(
                 vcol,
                 (F.monotonically_increasing_id() + F.lit(g.mint_vid_block()))
                 .cast("long"),
-            ).localCheckpoint(eager=True)
+            ).truncate_plan()
             ctx = Ctx(cypher=True, db=db, params=params or {},
                       columns=tuple(df.columns), frame_schema=df.schema)
             comp = [

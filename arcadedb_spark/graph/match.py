@@ -264,7 +264,7 @@ def _expand(
                     )
                 )
                 if h % 4 == 0:
-                    frontier = frontier.localCheckpoint(eager=True)
+                    frontier = frontier.truncate_plan()
                 else:
                     frontier = frontier.cache()
                 if frontier.isEmpty():

@@ -103,7 +103,7 @@ def traverse(
             ctx.vars["depth"] = VarBinding("col", col=F.col("depth"))
             nxt = nxt.filter(ExprCompiler(ctx).compile(while_))
         if depth % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.truncate_plan()
         else:
             # each hop is re-read by the emptiness check, the next hop's
             # join and the visited union — cache instead of recomputing
@@ -114,7 +114,7 @@ def traverse(
             break
         visited = visited.unionByName(nxt)
         if depth % _CHECKPOINT_EVERY == 0:
-            visited = visited.localCheckpoint(eager=True)
+            visited = visited.truncate_plan()
         frontier = nxt
     return visited
 
