@@ -3138,64 +3138,12 @@ def q_knn_graph(spark, sf_dir):
 
 
 _PRIORITY = [
-    # round-3 grading rotation: never-graded first, then round-1-only
-    # (re-verify against current code), then the round-2-graded tail.
-    # never graded
-    "q_cypher_pattern_pred",
-    "q_cypher_pattern_size",
-    "q_total_neighbors",
-    "q_astar",
-    "q_ksp",
-    "q_maxflow",
-    "q_cliques",
-    "q_leiden",
-    "q_cypher_quantifiers",
-    "q_temporal_kernel",
-    "q_knn_graph",
-    # last graded round 1 (42)
-    "q_scan_filter_project",
-    "q_tpch_q1",
-    "q_topk_skip_limit",
-    "q_distinct",
-    "q_count_star",
-    "q_agg_suite",
-    "q_in_subquery",
-    "q_not_in_subquery",
-    "q_like_between_in",
-    "q_case_when",
-    "q_string_methods",
-    "q_date_functions",
-    "q_null_handling",
-    "q_unwind",
-    "q_link_2hop",
-    "q_link_3hop",
-    "q_let_per_record",
-    "q_schema_types",
-    "q_match_2hop",
-    "q_match_3hop",
-    "q_match_optional",
-    "q_match_not",
-    "q_traverse_bfs",
-    "q_graph_bfs_hops",
-    "q_degree_centrality",
-    "q_triangle_count",
-    "q_pagerank",
-    "q_wcc",
-    "q_ts_lag_delta",
-    "q_moving_avg",
-    "q_ts_rank",
-    "q_token_count",
-    "q_quality_score",
-    "q_exact_dedup",
-    "q_bm25",
-    "q_ngram_jaccard",
-    "q_language_id",
-    "q_knn_cosine",
-    "q_knn_l2",
+    # round-4 grading rotation: round-1-only graded queries first
+    # (3 queries ungraded since r1), then everything last graded in
+    # round 2, then the round-3-graded set.
     "q_embedding_near_dup",
     "q_vector_quantize",
     "q_binary_quantize_hamming",
-    # graded round 2 (50)
     "q_array_selectors",
     "q_time_bucket",
     "q_promql_range_avg",
@@ -3246,6 +3194,56 @@ _PRIORITY = [
     "q_louvain",
     "q_sessionize",
     "q_match_edge_props",
+    "q_cypher_pattern_pred",
+    "q_cypher_pattern_size",
+    "q_total_neighbors",
+    "q_astar",
+    "q_ksp",
+    "q_maxflow",
+    "q_cliques",
+    "q_leiden",
+    "q_cypher_quantifiers",
+    "q_temporal_kernel",
+    "q_knn_graph",
+    "q_scan_filter_project",
+    "q_tpch_q1",
+    "q_topk_skip_limit",
+    "q_distinct",
+    "q_count_star",
+    "q_agg_suite",
+    "q_in_subquery",
+    "q_not_in_subquery",
+    "q_like_between_in",
+    "q_case_when",
+    "q_string_methods",
+    "q_date_functions",
+    "q_null_handling",
+    "q_unwind",
+    "q_link_2hop",
+    "q_link_3hop",
+    "q_let_per_record",
+    "q_schema_types",
+    "q_match_2hop",
+    "q_match_3hop",
+    "q_match_optional",
+    "q_match_not",
+    "q_traverse_bfs",
+    "q_graph_bfs_hops",
+    "q_degree_centrality",
+    "q_triangle_count",
+    "q_pagerank",
+    "q_wcc",
+    "q_ts_lag_delta",
+    "q_moving_avg",
+    "q_ts_rank",
+    "q_token_count",
+    "q_quality_score",
+    "q_exact_dedup",
+    "q_bm25",
+    "q_ngram_jaccard",
+    "q_language_id",
+    "q_knn_cosine",
+    "q_knn_l2",
 ]
 
 

@@ -53,6 +53,7 @@ class CypherParser(Parser):
         # re-lex with the Cypher rules: `--` is an anonymous undirected
         # relationship, not a line comment
         self.tokens = tokenize(text, cypher=True)
+        self._next_clause_id = 0
 
     # -- entry -------------------------------------------------------------
     def parse_query(self) -> list:
@@ -97,9 +98,19 @@ class CypherParser(Parser):
                 self.advance()
             else:
                 break
-            paths.append(self._parse_pattern(optional))
+            # one MATCH clause = one clause_id across its comma-separated
+            # paths (relationship isomorphism is per clause)
+            cid = self._next_clause_id
+            self._next_clause_id += 1
+            import dataclasses as _dc
+
+            paths.append(
+                _dc.replace(self._parse_pattern(optional), clause_id=cid)
+            )
             while self.eat_op(","):
-                paths.append(self._parse_pattern(optional))
+                paths.append(
+                    _dc.replace(self._parse_pattern(optional), clause_id=cid)
+                )
             if self.at_kw("WHERE"):
                 self.advance()
                 w = self.parse_expr()
@@ -588,7 +599,8 @@ class CypherParser(Parser):
         root = self._parse_node()
         steps: list[ast.MatchStep] = []
         while self.at_op("-", "<"):
-            direction, etypes, min_h, max_h, ealias, eprops = self._parse_rel()
+            (direction, etypes, min_h, max_h, ealias, eprops,
+             var_len) = self._parse_rel()
             node = self._parse_node()
             method = {"out": "out", "in": "in", "both": "both"}[direction]
             steps.append(
@@ -596,6 +608,7 @@ class CypherParser(Parser):
                     method=method, edge_types=etypes, filter=node,
                     min_hops=min_h, max_hops=max_h,
                     edge_alias=ealias, edge_props=eprops,
+                    var_length=var_len,
                 )
             )
         return ast.MatchPath(
@@ -651,7 +664,7 @@ class CypherParser(Parser):
             props=tuple(props), props_braced=braced,
         )
 
-    def _parse_rel(self) -> tuple[str, tuple[str, ...], int, int]:
+    def _parse_rel(self) -> tuple:
         # -[:T]-> | <-[:T]- | -[:T]- | --> | <-- | --
         direction = "both"
         if self.at_op("<"):
@@ -681,7 +694,9 @@ class CypherParser(Parser):
                     self.eat_op(":")
                     etypes.append(self.ident())
             min_h = max_h = 1
+            var_len = False
             if self.at_op("*"):
+                var_len = True
                 # variable-length: *, *n, *n..m, *..m — max_h -1 means
                 # unbounded (path enumeration is relationship-unique, so
                 # expansion terminates when the frontier drains)
@@ -716,12 +731,13 @@ class CypherParser(Parser):
                 # <-[:T]-> is the undirected arrow pair (TCK Match3):
                 # both directions, not an error
                 direction = "both" if direction == "in" else "out"
-            return direction, tuple(etypes), min_h, max_h, ealias, tuple(eprops)
+            return (direction, tuple(etypes), min_h, max_h,
+                    ealias, tuple(eprops), var_len)
         self.expect_op("-")
         if self.at_op(">"):
             self.advance()
             direction = "both" if direction == "in" else "out"
-        return direction, tuple(etypes), 1, 1, None, ()
+        return direction, tuple(etypes), 1, 1, None, (), False
 
 
 def _bare_alias(item: ast.ProjItem) -> str | None:
@@ -1191,13 +1207,18 @@ def _apply_write(
         if s.method == "both":
             if kind == "merge":
                 # MERGE with an undirected relationship creates OUTGOING
-                # (openCypher; TCK Merge5 [11]) — rewrite the step
+                # (openCypher; TCK Merge5 [11]) — rewrite the step, but
+                # remember undirectedness: MATCHING must still consider
+                # both orientations (TCK Merge5 [13])
                 object.__setattr__(s, "method", "out")
+                object.__setattr__(s, "_was_undirected", True)
             else:
                 raise TranslateError(
                     "CREATE relationships need a direction"
                 )
-        if s.max_hops != 1 or s.min_hops != 1:
+        if s.max_hops != 1 or s.min_hops != 1 or getattr(
+            s, "var_length", False
+        ):
             raise TranslateError(
                 "variable-length relationships cannot be created"
             )
@@ -1524,6 +1545,35 @@ def _apply_write(
             _row0[0] = df.first()
         if _row0[0] is None:
             return e
+        # row-0 substitution is only exact when every frame row agrees on
+        # the referenced scalar columns — with divergent multi-row frames
+        # ON MATCH would stamp row 0's values onto every matched entity
+        refcols = [
+            c_ for c_ in df.columns
+            if any(
+                isinstance(x, ast.Chain) and x.parts[0] == c_
+                for x in _tr_walk(e)
+            )
+        ]
+        from pyspark.sql.types import ArrayType as _At
+        from pyspark.sql.types import MapType as _Mt
+        from pyspark.sql.types import StructType as _St
+
+        refexprs = [
+            F.to_json(F.col(c_)).alias(c_)
+            if isinstance(df.schema[c_].dataType, (_St, _Mt, _At))
+            else F.col(c_)
+            for c_ in refcols
+        ]
+        if refexprs and (
+            df.select(*refexprs).distinct().limit(2).count() > 1
+        ):
+            raise TranslateError(
+                "MERGE ON CREATE/ON MATCH SET referencing frame variables "
+                f"({', '.join(refcols)}) requires all match rows to "
+                "agree on those values — got divergent rows (per-row "
+                "frame-wise SET is not supported here)"
+            )
         for c_ in df.columns:
             v_ = _row0[0][c_]
             if hasattr(v_, "asDict"):
@@ -1694,22 +1744,34 @@ def _apply_write(
                     _EC(pctx).compile(e).alias(k)
                     for k, e in step.edge_props
                 ]
+                # no dedup here: CREATE makes one edge per row (parallel
+                # edges with differing props are legitimate); MERGE dedups
+                # below on its full per-row identity
                 frame = df.select(
                     sel_a.alias("src"), sel_b.alias("dst"), *pcols
-                ).dropDuplicates(["src", "dst"])
+                )
             else:
                 frame = df.select(sel_a.alias("src"), sel_b.alias("dst"))
             if kind == "merge":
                 # MERGE-per-row sees its own writes: the first row
                 # creates, later identical rows match — net one edge per
-                # distinct binding (TCK Merge5 [21])
-                frame = frame.dropDuplicates(["src", "dst"])
+                # distinct binding (TCK Merge5 [21]).  Binding identity
+                # includes per-row prop values when props reference the
+                # frame: rows sharing endpoints but differing in props
+                # are distinct bindings and must create distinct edges.
+                merge_keys = ["src", "dst"] + (
+                    [k for k, _ in step.edge_props] if frame_props else []
+                )
+                frame = frame.dropDuplicates(merge_keys)
                 pairs = frame
                 frame = g.filter_new_edges(
                     etype, frame, props=eprops,
                     prop_cols=(
                         [k for k, _ in step.edge_props]
                         if frame_props else ()
+                    ),
+                    both_directions=getattr(
+                        step, "_was_undirected", False
                     ),
                 )
                 if om:
@@ -2695,6 +2757,13 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         segments.append((chunk, None))
         per_row_binds: list[list] = [[] for _ in rows]
         per_row_ebinds: list[list] = [[] for _ in rows]
+        # each pass runs with the frame scoped to ITS row: a bound-endpoint
+        # CREATE reading the full frame would write one edge per frame row
+        # on every pass (rows² duplication)
+        from arcadedb_spark.graph.model import local_df
+
+        full_df = df
+        row_frames: list = [None] * len(rows)
         for chunk, fdel in segments:
             for i, r in enumerate(rows):
                 if not chunk:
@@ -2706,15 +2775,27 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 emark = len(edge_bindings)
                 write_bindings.extend(per_row_binds[i])
                 edge_bindings.extend(per_row_ebinds[i])
+                if row_frames[i] is None:
+                    try:
+                        row_frames[i] = local_df(
+                            db.spark, [r], full_df.schema
+                        )
+                    except Exception:
+                        # non-reconstructible row types (e.g. VARIANT):
+                        # keep the full frame (pre-slicing behavior)
+                        row_frames[i] = full_df
+                df = row_frames[i]
                 for w in chunk:
                     sub = w
                     for c in scalar_cols:
                         sub = subst_write(sub, c, r[c])
                     n += run_one(sub)
+                row_frames[i] = df  # run_one may bind new entity columns
                 per_row_binds[i] = list(write_bindings[mark:])
                 per_row_ebinds[i] = list(edge_bindings[emark:])
                 del write_bindings[mark:]
                 del edge_bindings[emark:]
+            df = full_df
             if fdel is not None:
                 n += run_one(fdel)
         row_binds = [
@@ -3034,7 +3115,12 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                                     F.col("src").alias("__s0"),
                                     F.col("dst").alias("__d0"), es,
                                 )]
-                                if s.method == "both":
+                                if s.method == "both" or getattr(
+                                    s, "_was_undirected", False
+                                ):
+                                    # undirected MERGE binds the stored
+                                    # edge in EITHER orientation, with its
+                                    # stored props (TCK Merge5 [13])
                                     sides.append(e_.select(
                                         F.col("dst").alias("__s0"),
                                         F.col("src").alias("__d0"), es,

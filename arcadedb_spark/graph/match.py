@@ -150,7 +150,10 @@ def _expand(
     # edge frame with normalized (from_vid, to_vid); a Cypher relationship
     # variable (-[r:T]->) rides along as a struct column so RETURN r.prop /
     # type(r) resolve (single-hop only — var-length has no one edge)
-    ealias = step.edge_alias if step.max_hops == 1 and step.min_hops == 1 else None
+    is_vl = getattr(step, "var_length", False)
+    ealias = (step.edge_alias
+              if step.max_hops == 1 and step.min_hops == 1 and not is_vl
+              else None)
     # stable edge identity for Cypher relationship-uniqueness: hash of the
     # full (orientation-independent) edge row.  Deviation (documented):
     # fully identical parallel edges collapse to one identity.
@@ -177,7 +180,7 @@ def _expand(
         if anon_undirected and not rel_unique:
             edge = edge.drop(f"__eid_{alias}")
 
-    if step.min_hops != 1 or step.max_hops != 1:
+    if step.min_hops != 1 or step.max_hops != 1 or is_vl:
         # Variable-length relationship (Cypher -[:T*min..max]->, reference
         # ExpandPathStep.java:57): relationship-unique PATH enumeration —
         # one output row per distinct path, carrying the visited vid list
@@ -238,7 +241,15 @@ def _expand(
             if step.min_hops <= 1:
                 selected.append(one)
             h = 1
-            while (unbounded or h < step.max_hops) and h < 100:
+            # unbounded (*) expansion superstep cap: edge-uniqueness bounds
+            # path length by |E|, but pathological graphs could need huge
+            # hop counts — configurable, and hitting it with a live
+            # frontier is an ERROR (silent truncation would drop paths)
+            cap = int(
+                db.spark.conf.get("arcadedb.match.maxVarLengthHops", "100")
+            )
+            drained = False
+            while (unbounded or h < step.max_hops) and h < cap:
                 h += 1
                 frontier = (
                     frontier.alias("r")
@@ -268,9 +279,29 @@ def _expand(
                 else:
                     frontier = frontier.cache()
                 if frontier.isEmpty():
+                    drained = True
                     break
                 if h >= max(step.min_hops, 1):
                     selected.append(frontier)
+            if unbounded and not drained and h >= cap:
+                # probe one more expansion: only a LIVE frontier means
+                # paths were actually dropped (a longest path of exactly
+                # `cap` hops is complete, not truncated)
+                probe = frontier.alias("r").join(
+                    base.alias("s"),
+                    (F.col("r.__to") == F.col("s.__from"))
+                    & ~F.array_contains(
+                        F.col(f"r.{iname}"), F.col("s.__eid")
+                    ),
+                )
+                if not probe.isEmpty():
+                    raise TranslateError(
+                        f"unbounded var-length expansion exceeded {cap} "
+                        "hops with paths still growing — results would "
+                        "be truncated; raise "
+                        "arcadedb.match.maxVarLengthHops or bound the "
+                        "pattern (*..n)"
+                    )
         if not selected:
             edge = db.spark.createDataFrame(
                 [], StructType(
@@ -319,7 +350,9 @@ def _expand(
     return out, alias
 
 
-def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, list[str]]:
+def translate_path(
+    db, path: ast.MatchPath, params: dict, keep_rel_ids: bool = False
+) -> tuple[DataFrame, list[str]]:
     root_alias = path.root.alias or f"__m{next(_uid)}"
     df = _vertex_df(db, path.root.type_name)
     df = _apply_where(db, df, path.root.where, params)
@@ -394,12 +427,22 @@ def translate_path(db, path: ast.MatchPath, params: dict) -> tuple[DataFrame, li
             df = df.filter(
                 F.size(F.array_distinct(allids)) == F.size(allids)
             )
-        drop = [
-            c for c in df.columns
-            if c.startswith(("__eid_", "__peids_", "__pvids_", "__prels_"))
-        ]
+        # isomorphism applies across ALL comma-separated paths of one
+        # MATCH clause: keep_rel_ids leaves the edge-identity columns for
+        # combine_paths to run the clause-wide all-distinct filter.  The
+        # names are suffixed per path — eid columns are named after the
+        # step's TARGET node alias, and two paths ending at the same bound
+        # node would otherwise collide (TCK Match3[20]).
+        pref = ("__pvids_", "__prels_") if keep_rel_ids else (
+            "__eid_", "__peids_", "__pvids_", "__prels_"
+        )
+        drop = [c for c in df.columns if c.startswith(pref)]
         if drop:
             df = df.drop(*drop)
+        if keep_rel_ids:
+            for c in list(df.columns):
+                if c.startswith(("__eid_", "__peids_")):
+                    df = df.withColumnRenamed(c, f"{c}#{next(_uid)}")
     return df, aliases
 
 
@@ -829,9 +872,23 @@ def combine_paths(
 
     df = base
     seen: set[str] = set(base_aliases or ())
+    # clauses with ≥2 comma-separated paths need the clause-wide
+    # relationship-isomorphism filter (openCypher: no relationship binds
+    # twice across the whole MATCH pattern, not just within one path)
+    clause_sizes: dict[int, int] = {}
+    for p_ in positive:
+        if p_.rel_unique and p_.clause_id >= 0:
+            clause_sizes[p_.clause_id] = clause_sizes.get(p_.clause_id, 0) + 1
+    clause_eids: dict[int, list[str]] = {}
     for path in positive:
         path, hoisted = _hoist_frame_prop_conjuncts(path, seen)
-        pdf, paliases = translate_path(db, path, params)
+        defer_ids = clause_sizes.get(path.clause_id, 0) > 1
+        pdf, paliases = translate_path(db, path, params, keep_rel_ids=defer_ids)
+        if defer_ids:
+            clause_eids.setdefault(path.clause_id, []).extend(
+                c for c in pdf.columns
+                if c.startswith(("__eid_", "__peids_"))
+            )
         shared = [a for a in paliases if a in seen]
         opt_cond = None
         if hoisted and df is not None:
@@ -905,6 +962,34 @@ def combine_paths(
         if post_h is not None:
             df = df.filter(post_h)
         seen.update(paliases)
+
+    # clause-wide relationship isomorphism: all edge identities bound by
+    # one MATCH clause's paths must be pairwise distinct.  Null identities
+    # (unmatched OPTIONAL rows) are excluded — uniqueness constrains only
+    # relationships actually bound.
+    for _cid, cols in clause_eids.items():
+        present = [c for c in cols if c in df.columns]
+        parts = []
+        for c in present:
+            if c.startswith("__eid_"):
+                parts.append(
+                    F.when(F.col(c).isNotNull(), F.array(F.col(c)))
+                    .otherwise(F.array().cast("array<long>"))
+                )
+            else:
+                parts.append(
+                    F.coalesce(F.col(c), F.array().cast("array<long>"))
+                )
+        if len(parts) > 1:
+            allids = F.concat(*parts)
+            df = df.filter(
+                F.size(F.array_distinct(allids)) == F.size(allids)
+            )
+    drop_ids = [
+        c for c in df.columns if c.startswith(("__eid_", "__peids_"))
+    ] if clause_eids and df is not None else []
+    if drop_ids:
+        df = df.drop(*drop_ids)
 
     # global WHERE over bound aliases (Cypher); Catalyst pushes the
     # predicate down through the joins where possible

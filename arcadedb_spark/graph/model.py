@@ -424,14 +424,16 @@ class GraphModel:
 
     def filter_new_edges(
         self, etype: str, frame: DataFrame, props: "dict | None" = None,
-        prop_cols=(),
+        prop_cols=(), both_directions: bool = False,
     ) -> DataFrame:
         """Drop (src, dst) rows whose edge already exists WITH the merge
         pattern's properties — the MERGE-relationship idempotency check
         (MergeStep.java:73).  ``props`` are literal pattern props (same
         value every row); ``prop_cols`` name columns of ``frame`` that
         carry per-row pattern props.  An existing edge lacking a pattern
-        prop matches nothing (missing property = null, TCK Merge5 [6])."""
+        prop matches nothing (missing property = null, TCK Merge5 [6]).
+        ``both_directions``: an undirected MERGE pattern matches a stored
+        edge in either orientation (TCK Merge5 [13])."""
         if etype not in self.edge_meta:
             return frame
         e = self.edges(etype)
@@ -443,9 +445,15 @@ class GraphModel:
         if any(c not in e.columns for c in pcols):
             return frame
         join_cols = ["src", "dst"] + pcols
-        return frame.join(
-            e.select(*join_cols).distinct(), join_cols, "left_anti"
-        )
+        existing = e.select(*join_cols)
+        if both_directions:
+            existing = existing.unionByName(
+                e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    *pcols,
+                )
+            )
+        return frame.join(existing.distinct(), join_cols, "left_anti")
 
     def update_vertices(self, label: str, matched_vids: DataFrame, assignments) -> int:
         """Conditional property rewrite for matched vids.
@@ -891,8 +899,11 @@ class GraphModel:
         slim = events.select("ts", "event_id", "user_id")
         if slim.rdd.getNumPartitions() <= 4:
             # small input: one modest sort beats the partition-stitch
-            # machinery's extra shuffles
-            w = Window.orderBy("ts", "event_id")
+            # machinery's extra shuffles.  The constant partition key makes
+            # the single-partition execution EXPLICIT (this branch is only
+            # taken for ≤4-partition inputs) instead of tripping the
+            # scary-but-intended WindowExec no-partition warning.
+            w = Window.partitionBy(F.lit(0)).orderBy("ts", "event_id")
             led = slim.withColumn("__next_user", F.lead("user_id").over(w))
         else:
             # big input: range-partition by the sort key, lead within each
@@ -904,14 +915,23 @@ class GraphModel:
             ).withColumn("__pid", F.spark_partition_id())
             w = Window.partitionBy("__pid").orderBy("ts", "event_id")
             led = ev.withColumn("__next_user", F.lead("user_id").over(w))
-            firsts = (
-                ev.groupBy("__pid")
-                .agg(F.min(F.struct("ts", "event_id", "user_id")).alias("f"))
-                .select(
-                    (F.col("__pid") - 1).alias("__pid"),
-                    F.col("f.user_id").alias("__bnext"),
+            # each non-empty partition's first row stitches to the
+            # PREVIOUS NON-EMPTY partition (repartitionByRange can leave
+            # empty partitions; pid-1 addressing would drop the pair that
+            # spans the gap).  The firsts frame is one row per partition —
+            # the unpartitioned lag() window is bounded by the partition
+            # count, not the data.  min_by keys the first row strictly on
+            # the (ts, event_id) sort key, matching lead()'s order.
+            firsts0 = ev.groupBy("__pid").agg(
+                F.min_by("user_id", F.struct("ts", "event_id")).alias(
+                    "__first_user"
                 )
             )
+            wp = Window.orderBy("__pid")
+            firsts = firsts0.select(
+                F.lag("__pid").over(wp).alias("__pid"),
+                F.col("__first_user").alias("__bnext"),
+            ).filter(F.col("__pid").isNotNull())
             led = led.join(F.broadcast(firsts), "__pid", "left").withColumn(
                 "__next_user",
                 F.coalesce(F.col("__next_user"), F.col("__bnext")),

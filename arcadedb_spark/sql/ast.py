@@ -371,6 +371,9 @@ class MatchStep:
     # CREATE/MERGE edge-property writes: -[r:T {k: v}]->
     edge_alias: Optional[str] = None
     edge_props: tuple = ()
+    # written with Cypher '*' syntax: even *1..1 is variable-length and
+    # binds the relationship variable as a LIST (TCK Match4[1])
+    var_length: bool = False
 
 
 @dataclass(frozen=True)
@@ -391,6 +394,10 @@ class MatchPath:
     # within one pattern's bindings (Cypher-origin patterns set this; the
     # SQL MATCH dialect keeps walk semantics)
     rel_unique: bool = False
+    # which MATCH clause this path came from (comma-separated paths of one
+    # clause share an id) — relationship isomorphism applies across ALL
+    # paths of one MATCH clause, not per path
+    clause_id: int = -1
 
 
 @dataclass(frozen=True)

@@ -2329,12 +2329,19 @@ def _subst_alias_refs(e: Any, alias_map: dict[str, ast.Expr]) -> Any:
     """Case-sensitively replace single-part Chains naming a projection
     alias with that projection's defining expression (ORDER BY scope in
     aggregating statements)."""
-    if (
-        isinstance(e, ast.Chain)
-        and len(e.parts) == 1
-        and e.parts[0] in alias_map
-    ):
-        return alias_map[e.parts[0]]
+    if isinstance(e, ast.Chain) and e.parts[0] in alias_map:
+        mapped = alias_map[e.parts[0]]
+        rest = e.parts[1:]
+        if not rest:
+            return mapped
+        # ORDER BY rel.id where rel aliases a projected expression: chase
+        # the property path on the substituted expression (TCK With3[1])
+        if isinstance(mapped, ast.Chain):
+            return ast.Chain(parts=mapped.parts + rest)
+        out: ast.Expr = mapped
+        for p in rest:
+            out = ast.Index(base=out, index=ast.Lit(p))
+        return out
     if isinstance(e, ast.Expr):
         kwargs = {
             f_: _subst_alias_refs(getattr(e, f_), alias_map)

@@ -74,8 +74,10 @@ def bm25_search(
         # one scoring projection.  Pass a prebuilt ``postings`` frame to
         # reuse a persisted index instead (the LSMTreeFullTextIndex
         # analog).
+        from arcadedb_spark.parallel import ensure_min_partitions
+
         terms = [t for t in dict.fromkeys(query.lower().split()) if t]
-        toks = docs.select(
+        toks = ensure_min_partitions(docs.select(id_col, text_col)).select(
             F.col(id_col).alias("doc_id"),
             tokenize(F.col(text_col)).alias("__t"),
         )

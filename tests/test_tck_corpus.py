@@ -52,7 +52,10 @@ def _run_area(spark, area: str) -> tuple[int, int, int]:
     [
         ("expressions/quantifier", 430),
         ("clauses/return", 35),
-        ("clauses/with", 45),
+        # clauses/with has 29 scenarios total (the old floor of 45 was
+        # calibrated against a prefix-matched tally that also counted
+        # with-orderBy/with-where/with-skip-limit); 28 pass, 1 skip
+        ("clauses/with", 28),
         ("expressions/boolean", 18),
         ("expressions/null", 20),
     ],
