@@ -64,7 +64,20 @@ class _VertexFrames(dict):
         super().__init__()
         self._model = model
 
-    # reads flush; writes don't need to
+    # reads flush; writes don't need to — but they do invalidate the
+    # model's memoized all-vertices unions
+    def __setitem__(self, k, v) -> None:
+        self._model._invalidate_vertex_unions()
+        super().__setitem__(k, v)
+
+    def __delitem__(self, k) -> None:
+        self._model._invalidate_vertex_unions()
+        super().__delitem__(k)
+
+    def pop(self, k, *a):
+        self._model._invalidate_vertex_unions()
+        return super().pop(k, *a)
+
     def __getitem__(self, k):
         self._model._flush_vertices()
         return super().__getitem__(k)
@@ -115,12 +128,21 @@ class GraphModel:
         # buffered literal rows, materialized lazily (see _VertexFrames)
         self._pending_v: dict[str, list[dict]] = {}
         self._pending_e: list[tuple[str, list[tuple[int, int]], dict]] = []
+        # memoized label-union frames (rebuilding them walks every frame
+        # schema and stacks N unions of py4j calls per MATCH translation)
+        self._av_full: DataFrame | None = None
+        self._av: DataFrame | None = None
         self._flushing = False
         self._vid_counter = 0  # creation vids: (1 << 62) | counter
+
+    def _invalidate_vertex_unions(self) -> None:
+        self._av_full = None
+        self._av = None
 
     def _flush_vertices(self) -> None:
         if self._flushing or not self._pending_v:
             return
+        self._invalidate_vertex_unions()
         self._flushing = True
         try:
             for key, rows in list(self._pending_v.items()):
@@ -257,11 +279,16 @@ class GraphModel:
         return out
 
     def all_vertices(self) -> DataFrame:
-        """Union of (vid, label) across labels — the minimal vertex set."""
+        """Union of (vid, label) across labels — the minimal vertex set.
+        Memoized; invalidated on any vertex mutation."""
+        self._flush_vertices()  # pending literal rows invalidate on flush
+        if self._av is not None:
+            return self._av
         out = None
         for label, df in self.vertex_dfs.items():
             part = df.select(F.col("vid"), F.lit(label).alias("label"))
             out = part if out is None else out.unionByName(part)
+        self._av = out
         return out
 
     def all_vertices_full(self) -> DataFrame:
@@ -274,6 +301,9 @@ class GraphModel:
         ANSI.  Conflicting columns are carried as VARIANT instead: each
         row keeps its own runtime type, and the expression compiler
         dispatches comparisons on ``schema_of_variant``."""
+        self._flush_vertices()  # pending literal rows invalidate on flush
+        if self._av_full is not None:
+            return self._av_full
         frames = list(self.vertex_dfs.values())
         if not frames:
             return None
@@ -297,6 +327,7 @@ class GraphModel:
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True
             )
+        self._av_full = out
         return out
 
     def edges(self, *etypes: str) -> DataFrame:
@@ -896,14 +927,22 @@ class GraphModel:
         # a broadcast of each partition's first row — no single-partition
         # total sort (the naive Window.orderBy moves 100 TB through one
         # task).
+        from arcadedb_spark.parallel import approx_num_partitions
+
         slim = events.select("ts", "event_id", "user_id")
-        if slim.rdd.getNumPartitions() <= 4:
+        nparts = approx_num_partitions(slim)
+        if nparts <= 4:
             # small input: one modest sort beats the partition-stitch
             # machinery's extra shuffles.  The constant partition key makes
             # the single-partition execution EXPLICIT (this branch is only
             # taken for ≤4-partition inputs) instead of tripping the
             # scary-but-intended WindowExec no-partition warning.
-            w = Window.partitionBy(F.lit(0)).orderBy("ts", "event_id")
+            # crc32 of a constant: a single-partition key the optimizer
+            # does not fold away (a bare lit() is stripped from the window
+            # spec, re-triggering the warning)
+            w = Window.partitionBy(F.crc32(F.lit("all"))).orderBy(
+                "ts", "event_id"
+            )
             led = slim.withColumn("__next_user", F.lead("user_id").over(w))
         else:
             # big input: range-partition by the sort key, lead within each
@@ -911,7 +950,7 @@ class GraphModel:
             # partition's first row — no single-partition total sort (the
             # naive Window.orderBy funnels 100 TB through one task)
             ev = slim.repartitionByRange(
-                max(32, slim.rdd.getNumPartitions()), "ts", "event_id"
+                max(32, nparts), "ts", "event_id"
             ).withColumn("__pid", F.spark_partition_id())
             w = Window.partitionBy("__pid").orderBy("ts", "event_id")
             led = ev.withColumn("__next_user", F.lead("user_id").over(w))
