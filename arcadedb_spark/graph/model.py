@@ -937,10 +937,10 @@ class GraphModel:
             # the single-partition execution EXPLICIT (this branch is only
             # taken for ≤4-partition inputs) instead of tripping the
             # scary-but-intended WindowExec no-partition warning.
-            # crc32 of a constant: a single-partition key the optimizer
-            # does not fold away (a bare lit() is stripped from the window
-            # spec, re-triggering the warning)
-            w = Window.partitionBy(F.crc32(F.lit("all"))).orderBy(
+            # column * 0: a constant-valued but non-foldable partition key
+            # — bare literals (and foldable exprs like crc32(lit)) are
+            # stripped from the window spec, re-triggering the warning
+            w = Window.partitionBy(F.col("event_id") * F.lit(0)).orderBy(
                 "ts", "event_id"
             )
             led = slim.withColumn("__next_user", F.lead("user_id").over(w))
