@@ -282,6 +282,7 @@ def k_shortest_paths(
         state = kept
         if frontier.limit(1).count() == 0:
             break
+    # bounded-window ok: at most k candidate paths reach the target
     w_rank = Window.orderBy(F.asc("weight"), F.asc("path"))
     return (
         state.filter(F.col("vid") == target)

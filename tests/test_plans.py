@@ -95,3 +95,49 @@ def test_promql_grid_broadcasts(db, spark):
     plan = _plan(df)
     # the eval grid joins broadcast — samples never shuffle for the join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_unbounded_global_windows_in_algorithms():
+    """Every unpartitioned Window in the graph package must be explicitly
+    marked as bounded (one row per partition/layer/k) — an unmarked
+    Window.orderBy funnels all rows through a single task at scale."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "arcadedb_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "graph", "*.py")):
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines):
+            if "Window.orderBy(" not in line or line.lstrip().startswith("#"):
+                continue
+            context = "\n".join(lines[max(0, i - 3):i])
+            if "bounded-window ok" not in context:
+                offenders.append(f"{os.path.basename(path)}:{i + 1}")
+    assert not offenders, (
+        "unpartitioned Window without a bounded-window marker: "
+        f"{offenders}"
+    )
+
+
+def test_runtime_temporal_kernels_are_arrow_batched(spark):
+    """Per-row temporal math over stored strings must run as Arrow-batched
+    pandas UDFs (ArrowEvalPython), never row-pickled BatchEvalPython."""
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.sql.translator import (
+        _temporal_component_col,
+        _temporal_sort_key_col,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-03-05T10:30:00Z",), ("1999-12-31T23:59:59Z",)], "t string"
+    ).select(
+        _temporal_component_col(F.col("t"), "year").alias("y"),
+        _temporal_sort_key_col(F.col("t")).alias("k"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    rows = {r.y for r in df.collect()}
+    assert rows == {2024, 1999}
