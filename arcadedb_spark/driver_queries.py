@@ -2420,6 +2420,38 @@ def q_gremlin_groupcount(spark, sf_dir):
 
 
 @query(
+    "q_gremlin_repeat",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e AS (SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d),
+    two AS (
+      SELECT e2.d AS dest FROM e e1 JOIN e e2 ON e2.s = e1.d
+    )
+    SELECT dest AS key, count(*) AS count FROM two GROUP BY dest
+    ORDER BY count DESC, key
+    """,
+)
+def q_gremlin_repeat(spark, sf_dir):
+    """Gremlin repeat().times() loop (TinkerPop RepeatStep;
+    GremlinQueryEngine.java:33) — traverser multiplicity preserved, so the
+    per-destination histogram counts 2-hop PATHS, not reachable vertices.
+    Each iteration is one distributed join superstep."""
+    db = _db(spark, sf_dir)
+    base = db.schema.get("customer").bucket_id << 40
+    out = db.query(
+        "g.V('Customer').repeat(out('INTERACTED')).times(2)"
+        ".groupCount().by('vid')",
+        language="gremlin",
+    )
+    return (
+        out.select((F.col("key") - base).alias("key"), "count")
+        .orderBy(F.desc("count"), F.asc("key"))
+    )
+
+
+@query(
     "q_graphql_nested",
     oracle="""
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
@@ -3144,6 +3176,7 @@ _PRIORITY = [
     "q_embedding_near_dup",
     "q_vector_quantize",
     "q_binary_quantize_hamming",
+    "q_gremlin_repeat",
     "q_array_selectors",
     "q_time_bucket",
     "q_promql_range_avg",

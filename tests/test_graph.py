@@ -260,3 +260,89 @@ def test_gremlin_string_queries(db):
         db.query("g.V().teleport()", language="gremlin").collect()
     with _pt.raises(ValueError):
         db.query("x.V()", language="gremlin")
+
+
+def test_gremlin_repeat_times_matches_manual_hops(db):
+    # repeat(out(E)).times(2) ≡ out(E).out(E) — multiplicity preserved
+    n = db.query(
+        "g.V('Customer').repeat(out('INTERACTED')).times(2).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    manual = (
+        db.g().V("Customer").out("INTERACTED").out("INTERACTED").count()
+    )
+    assert n == manual and n > 0
+
+
+def test_gremlin_repeat_until_drains(db):
+    # PLACED from orders goes nowhere: non-matching traversers drain
+    n = db.query(
+        "g.V('Customer').has('c_custkey', 1).repeat(out('PLACED'))"
+        ".until(has('o_orderstatus', 'O')).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    from pyspark.sql import functions as F
+
+    expect = (
+        db.table("orders")
+        .filter((F.col("o_custkey") == 1) & (F.col("o_orderstatus") == "O"))
+        .count()
+    )
+    assert n == expect
+
+
+def test_gremlin_emit_includes_intermediates(db):
+    base = db.query(
+        "g.V('Customer').has('c_custkey', 1).repeat(out('INTERACTED'))"
+        ".times(2).count()", language="gremlin",
+    ).collect()[0]["count"]
+    one = db.query(
+        "g.V('Customer').has('c_custkey', 1).out('INTERACTED').count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    emitted = db.query(
+        "g.V('Customer').has('c_custkey', 1).repeat(out('INTERACTED'))"
+        ".times(2).emit().count()", language="gremlin",
+    ).collect()[0]["count"]
+    assert emitted == 1 + one + base  # source + hop1 + hop2
+
+
+def test_gremlin_path_select_valuemap(db):
+    rows = db.query(
+        "g.V('Customer').has('c_custkey', 1).repeat(out('INTERACTED'))"
+        ".times(2).path()", language="gremlin",
+    ).collect()
+    assert rows and all(len(r.path) == 3 for r in rows)
+    sel = db.query(
+        "g.V('Customer').has('c_custkey', 1).as('a').out('PLACED').as('b')"
+        ".select('a', 'b')", language="gremlin",
+    ).collect()
+    assert sel and all(r.a != r.b for r in sel)
+    vm = db.query(
+        "g.V('Nation').valueMap('n_name')", language="gremlin",
+    ).collect()
+    assert len(vm) == 25 and all("n_name" in r.value_map for r in vm)
+
+
+def test_gremlin_coalesce_union(db):
+    # coalesce: first non-empty sub-traversal per traverser
+    n = db.query(
+        "g.V('Nation').has('n_nationkey', 0)"
+        ".coalesce(out('PLACED'), in('LOCATED_IN')).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    from pyspark.sql import functions as F
+
+    expect = (
+        db.table("customer").filter(F.col("c_nationkey") == 0).count()
+        + db.table("supplier").filter(F.col("s_nationkey") == 0).count()
+    )
+    assert n == expect
+    u = db.query(
+        "g.V('Customer').has('c_custkey', 1)"
+        ".union(out('PLACED'), out('INTERACTED')).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    placed = db.g().V("Customer").has("c_custkey", 1).out("PLACED").count()
+    inter = db.g().V("Customer").has("c_custkey", 1).out("INTERACTED").count()
+    assert u == placed + inter
