@@ -171,6 +171,15 @@ def _expand(
             anon_undirected
         ):
             cols.append(eid_col.alias(f"__eid_{alias}"))
+            # traversal direction relative to the stored edge: 'out' when
+            # walked src→dst — path rendering needs it (TCK Match6[12]).
+            # Self-loops normalize to 'out' so the undirected distinct()
+            # still collapses the two orientations to one binding.
+            cols.append(
+                F.when(F.col(a) == F.col(b), F.lit("out"))
+                .otherwise(F.lit("out" if (a, b) == ("src", "dst") else "in"))
+                .alias(f"__edir_{alias}")
+            )
         parts.append(e.select(*cols))
     edge = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     if len(parts) > 1 and (ealias or anon_undirected):
@@ -178,7 +187,7 @@ def _expand(
         # (TCK countingSubgraphMatches — eid keeps parallel edges apart)
         edge = edge.distinct()
         if anon_undirected and not rel_unique:
-            edge = edge.drop(f"__eid_{alias}")
+            edge = edge.drop(f"__eid_{alias}", f"__edir_{alias}")
 
     if step.min_hops != 1 or step.max_hops != 1 or is_vl:
         # Variable-length relationship (Cypher -[:T*min..max]->, reference
@@ -196,6 +205,7 @@ def _expand(
         vname = f"__pvids_{alias}"
         rname = f"__prels_{alias}"
         iname = f"__peids_{alias}"
+        dname = f"__pdirs_{alias}"
         estruct = F.struct(*[F.col(c) for c in e.columns])
         bparts = []
         for a, b in directions:
@@ -205,6 +215,13 @@ def _expand(
                     F.col(b).alias("__to"),
                     estruct.alias("__rel"),
                     eid_col.alias("__eid"),
+                    # traversal orientation per hop (self-loops normalize
+                    # to 'out' — both orientations are the same binding)
+                    F.when(F.col(a) == F.col(b), F.lit("out"))
+                    .otherwise(F.lit(
+                        "out" if (a, b) == ("src", "dst") else "in"
+                    ))
+                    .alias("__dir"),
                 )
             )
         base = bparts[0]
@@ -227,6 +244,7 @@ def _expand(
                     F.array(F.col("vid")).alias(vname),
                     F.array().cast(rel_t).alias(rname),
                     F.array().cast("array<long>").alias(iname),
+                    F.array().cast("array<string>").alias(dname),
                 )
             )
         if unbounded or step.max_hops >= 1:
@@ -236,6 +254,7 @@ def _expand(
                 F.array(F.col("__from"), F.col("__to")).alias(vname),
                 F.array(F.col("__rel")).alias(rname),
                 F.array(F.col("__eid")).alias(iname),
+                F.array(F.col("__dir")).alias(dname),
             ).cache()
             frontier = one
             if step.min_hops <= 1:
@@ -272,6 +291,9 @@ def _expand(
                         F.concat(
                             F.col(f"r.{iname}"), F.array(F.col("s.__eid"))
                         ).alias(iname),
+                        F.concat(
+                            F.col(f"r.{dname}"), F.array(F.col("s.__dir"))
+                        ).alias(dname),
                     )
                 )
                 if h % 4 == 0:
@@ -310,6 +332,7 @@ def _expand(
                         F.array(F.col("__from")).alias(vname),
                         F.array(F.col("__rel")).alias(rname),
                         F.array(F.col("__eid")).alias(iname),
+                        F.array(F.col("__dir")).alias(dname),
                     ).schema.fields
                 )
             )
@@ -359,6 +382,10 @@ def translate_path(
     df = _structify(df, root_alias)
     aliases = [root_alias]
     hops = [root_alias]  # step-ordered endpoints (repeats kept) for path vids
+    # per-step alias whose __eid_/__edir_/__peids_/__pdirs_ columns carry
+    # the hop's edge identity (differs from the hop alias on cyclic
+    # back-edges, where the expansion uses a fresh name)
+    eid_hops: list[str] = []
     cur = root_alias
     prev = None
     for step in path.steps:
@@ -375,10 +402,12 @@ def translate_path(
                 F.col(f"{fresh}.vid") == F.col(f"{want}.vid")
             ).drop(fresh)
             cur = want
+            eid_hops.append(fresh)
         else:
             df, cur = _expand(db, df, cur, step, params, want,
                               prev_step=prev, rel_unique=path.rel_unique)
             aliases.append(cur)
+            eid_hops.append(want)
         hops.append(want)
         if step.edge_alias and step.edge_alias not in aliases:
             # relationship variable: joinable across clauses for single
@@ -392,15 +421,39 @@ def translate_path(
         # lists (leading endpoint sliced off: already in the prefix).
         vid_parts = [F.array(F.col(f"{root_alias}.vid"))]
         n_rels = None
-        for step, a in zip(path.steps, hops[1:]):
-            pv = f"__pvids_{a}"
+        eid_parts: list = []
+        dir_parts: list = []
+        ids_complete = True
+        for step, a, ea in zip(path.steps, hops[1:], eid_hops):
+            pv = f"__pvids_{ea}"
             if pv in df.columns:
                 vid_parts.append(F.slice(F.col(pv), 2, 1 << 30))
                 seg = F.size(F.col(pv)) - F.lit(1)
+                if f"__peids_{ea}" in df.columns and f"__pdirs_{ea}" in df.columns:
+                    eid_parts.append(F.col(f"__peids_{ea}"))
+                    dir_parts.append(F.col(f"__pdirs_{ea}"))
+                else:
+                    ids_complete = False
             else:
                 vid_parts.append(F.array(F.col(f"{a}.vid")))
                 seg = F.lit(1)
+                if f"__eid_{ea}" in df.columns and f"__edir_{ea}" in df.columns:
+                    eid_parts.append(F.array(F.col(f"__eid_{ea}")))
+                    dir_parts.append(F.array(F.col(f"__edir_{ea}")))
+                else:
+                    ids_complete = False
             n_rels = seg if n_rels is None else (n_rels + seg)
+        # when every hop recorded its edge identity + orientation, the
+        # path carries them: edge identity is part of openCypher path
+        # identity (two paths over the same vids but different parallel
+        # edges differ), and rendering needs the walked direction
+        # (TCK Match6[12,13])
+        extra = []
+        if ids_complete and eid_parts:
+            extra = [
+                F.concat(*eid_parts).alias("eids"),
+                F.concat(*dir_parts).alias("dirs"),
+            ]
         df = df.withColumn(
             path.path_alias,
             F.struct(
@@ -408,6 +461,7 @@ def translate_path(
                 (n_rels if n_rels is not None else F.lit(0))
                 .cast("int")
                 .alias("n_rels"),
+                *extra,
             ),
         )
         aliases = aliases + [path.path_alias]
@@ -433,8 +487,13 @@ def translate_path(
         # names are suffixed per path — eid columns are named after the
         # step's TARGET node alias, and two paths ending at the same bound
         # node would otherwise collide (TCK Match3[20]).
-        pref = ("__pvids_", "__prels_") if keep_rel_ids else (
-            "__eid_", "__peids_", "__pvids_", "__prels_"
+        pref = (
+            ("__pvids_", "__prels_", "__edir_", "__pdirs_")
+            if keep_rel_ids
+            else (
+                "__eid_", "__peids_", "__pvids_", "__prels_",
+                "__edir_", "__pdirs_",
+            )
         )
         drop = [c for c in df.columns if c.startswith(pref)]
         if drop:
@@ -467,6 +526,263 @@ def _collect_pattern_exprs(e, out: list) -> None:
     elif isinstance(e, (tuple, list)):
         for x in e:
             _collect_pattern_exprs(x, out)
+
+
+def enrich_path_columns(db, df: DataFrame, pvars: list[str]) -> DataFrame:
+    """Attach entity payloads to path-struct columns for RESULT cells:
+    {vids, n_rels} → {vids, n_rels, nodes: array<node>, rels: array<rel>}.
+
+    Paths never carry payloads through the match shuffles (they would
+    multiply every frontier row by the full property width at scale);
+    enrichment is one dedup + posexplode + equi-join per returned path
+    column, exactly like nodes(p).  Relationship structs carry a __dir
+    field ('out'/'in') — the stored edge may run either way along the
+    path.  Reference result shape: TCKResultMatcher.java renders paths as
+    alternating node/rel entities."""
+    from pyspark.sql.types import StructType
+
+    g = db.graph()
+    av = g.all_vertices_full()
+    for pv in pvars:
+        dt = df.schema[pv].dataType
+        if not isinstance(dt, StructType) or not (
+            {"vids", "n_rels"} <= set(dt.names)
+        ):
+            continue
+        if "nodes" in dt.names:
+            continue  # already enriched
+        uidc = f"__pe{next(_uid)}"
+        key = F.col(f"{pv}.vids")
+        # identity hash must include edge ids when present: two paths over
+        # the same vids can differ in which parallel edge they walked
+        df = df.withColumn(
+            uidc,
+            F.xxhash64(key, F.col(f"{pv}.eids"))
+            if "eids" in dt.names else F.xxhash64(key),
+        )
+        base = df.select(F.col(uidc), key.alias("__vs")).dropDuplicates(
+            [uidc]
+        )
+        # nodes: position-ordered entity list
+        ex = base.select(
+            F.col(uidc), F.posexplode("__vs").alias("__pos", "__vid")
+        )
+        if av is not None:
+            ent = F.struct(*[F.col(c) for c in av.columns])
+            nj = ex.join(
+                av.select(F.col("vid").alias("__av"), ent.alias("__ent")),
+                F.col("__vid") == F.col("__av"), "left",
+            )
+        else:
+            nj = ex.withColumn("__ent", F.lit(None))
+        nodes_agg = nj.groupBy(uidc).agg(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__pos").alias("p"),
+                             F.col("__ent").alias("e"))
+                )),
+                lambda x: x["e"],
+            ).alias("__nodes")
+        )
+        e_ = g.edges()
+        if "eids" in dt.names and "dirs" in dt.names:
+            # the path recorded which edge it walked and in which
+            # orientation — join by the edge-identity hash (exact even
+            # with parallel edges / both-direction pairs, TCK Match6)
+            ebase = df.select(
+                F.col(uidc),
+                F.col(f"{pv}.eids").alias("__es"),
+                F.col(f"{pv}.dirs").alias("__ds"),
+            ).dropDuplicates([uidc])
+            pairs = ebase.select(
+                F.col(uidc),
+                F.posexplode(
+                    F.zip_with(
+                        "__es", "__ds",
+                        lambda e2, d2: F.struct(
+                            e2.alias("eid"), d2.alias("dir")
+                        ),
+                    )
+                ).alias("__pos", "__pair"),
+            )
+            ehash = F.xxhash64(*[F.col(c) for c in e_.columns])
+            ek = e_.select(
+                ehash.alias("__eh"),
+                F.struct(*[F.col(c) for c in e_.columns]).alias("__er"),
+            ).dropDuplicates(["__eh"])
+            rj = pairs.join(
+                ek, F.col("__pair.eid") == F.col("__eh"), "left"
+            ).select(
+                F.col(uidc), "__pos",
+                F.struct(
+                    F.col("__er.*"), F.col("__pair.dir").alias("__dir")
+                ).alias("__r"),
+            )
+        else:
+            # fallback: consecutive (s, d) pairs joined against the edge
+            # universe in both orientations; parallel edges dedupe to one
+            # deterministic representative
+            pairs = base.select(
+                F.col(uidc),
+                F.posexplode(
+                    F.when(
+                        F.size("__vs") > 1,
+                        F.zip_with(
+                            F.slice("__vs", 1, F.greatest(F.size("__vs") - 1, F.lit(0))),
+                            F.slice("__vs", 2, F.greatest(F.size("__vs") - 1, F.lit(0))),
+                            lambda a, b: F.struct(a.alias("s"), b.alias("d")),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<s:long,d:long>>")),
+                ).alias("__pos", "__pair"),
+            )
+            es = F.struct(
+                *[F.col(c) for c in e_.columns], F.lit("out").alias("__dir")
+            )
+            fwd = e_.groupBy("src", "dst").agg(F.min(es).alias("__rel")).select(
+                F.col("src").alias("__s"), F.col("dst").alias("__d"), "__rel"
+            )
+            es_in = F.struct(
+                *[F.col(c) for c in e_.columns], F.lit("in").alias("__dir")
+            )
+            bwd = e_.groupBy("src", "dst").agg(F.min(es_in).alias("__rel")).select(
+                F.col("dst").alias("__s"), F.col("src").alias("__d"),
+                F.col("__rel").alias("__relb"),
+            )
+            rj = (
+                pairs.join(
+                    fwd,
+                    (F.col("__pair.s") == F.col("__s"))
+                    & (F.col("__pair.d") == F.col("__d")),
+                    "left",
+                )
+                .drop("__s", "__d")
+                .join(
+                    bwd,
+                    (F.col("__pair.s") == F.col("__s"))
+                    & (F.col("__pair.d") == F.col("__d")),
+                    "left",
+                )
+                .select(
+                    F.col(uidc), "__pos",
+                    F.coalesce(F.col("__rel"), F.col("__relb")).alias("__r"),
+                )
+            )
+        rels_agg = rj.groupBy(uidc).agg(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__pos").alias("p"), F.col("__r").alias("e"))
+                )),
+                lambda x: x["e"],
+            ).alias("__rels")
+        )
+        rel_arr_type = rels_agg.schema["__rels"].dataType.simpleString()
+        enj = nodes_agg.join(rels_agg, uidc, "left")
+        df = df.join(enj, uidc, "left").withColumn(
+            pv,
+            # an unmatched OPTIONAL path is NULL, not an empty struct
+            # (TCK Match7[16,18,19])
+            F.when(
+                F.col(f"{pv}.vids").isNotNull(),
+                F.struct(
+                    F.col(f"{pv}.vids").alias("vids"),
+                    F.col(f"{pv}.n_rels").alias("n_rels"),
+                    F.col("__nodes").alias("nodes"),
+                    # single-node paths have no pairs row → null → empty
+                    F.coalesce(
+                        F.col("__rels"), F.array().cast(rel_arr_type)
+                    ).alias("rels"),
+                ),
+            ),
+        ).drop(uidc, "__nodes", "__rels")
+    return df
+
+
+def _rewrite_collected_path_nodes(e, df: DataFrame):
+    """``[x IN collect(p) | … nodes(x) …]`` → ``[x IN collect(nodes(p)) |
+    … x …]`` when p is a path-struct column and every use of x is inside
+    ``nodes(x)``.
+
+    nodes() over a LAMBDA variable cannot be join-enriched (the paths are
+    already inside a collected array); hoisting the extraction onto the
+    direct path column lets the standard posexplode+join enrichment run
+    BEFORE aggregation (TCK List12[4,5])."""
+    from pyspark.sql.types import StructType
+
+    from arcadedb_spark.sql.translator import walk
+
+    def _uses_ok(body, var: str) -> bool:
+        """Every Chain((var,)) appears only as nodes(var)'s sole arg."""
+        if body is None:
+            return True
+        wrapped = set()
+        for n in walk(body):
+            if (
+                isinstance(n, ast.FuncCall) and n.name.lower() == "nodes"
+                and len(n.args) == 1
+                and isinstance(n.args[0], ast.Chain)
+                and n.args[0].parts == (var,)
+            ):
+                wrapped.add(id(n.args[0]))
+        for n in walk(body):
+            if isinstance(n, ast.Chain) and n.parts[0] == var and id(
+                n
+            ) not in wrapped:
+                if n.parts == (var,):
+                    return False
+        return True
+
+    def _strip_nodes(body, var: str):
+        if isinstance(body, ast.FuncCall) and body.name.lower() == "nodes" \
+                and len(body.args) == 1 \
+                and isinstance(body.args[0], ast.Chain) \
+                and body.args[0].parts == (var,):
+            return body.args[0]
+        if isinstance(body, ast.Expr):
+            kwargs = {
+                f_: _strip_nodes(getattr(body, f_), var)
+                for f_ in body.__dataclass_fields__
+            }
+            return type(body)(**kwargs)
+        if isinstance(body, tuple):
+            return tuple(_strip_nodes(x, var) for x in body)
+        return body
+
+    def _rw(e):
+        if (
+            isinstance(e, ast.ListComp)
+            and isinstance(e.source, ast.FuncCall)
+            and e.source.name.lower() == "collect"
+            and len(e.source.args) == 1
+            and isinstance(e.source.args[0], ast.Chain)
+            and len(e.source.args[0].parts) == 1
+        ):
+            pvar = e.source.args[0].parts[0]
+            if pvar in df.columns:
+                dt = df.schema[pvar].dataType
+                if (
+                    isinstance(dt, StructType) and "vids" in dt.names
+                    and _uses_ok(e.pred, e.var) and _uses_ok(e.proj, e.var)
+                ):
+                    return ast.ListComp(
+                        var=e.var,
+                        source=ast.FuncCall(
+                            "collect",
+                            (ast.FuncCall("nodes", (e.source.args[0],)),),
+                            distinct=e.source.distinct,
+                        ),
+                        pred=_strip_nodes(e.pred, e.var),
+                        proj=_strip_nodes(e.proj, e.var),
+                    )
+        if isinstance(e, ast.Expr):
+            kwargs = {
+                f_: _rw(getattr(e, f_)) for f_ in e.__dataclass_fields__
+            }
+            return type(e)(**kwargs)
+        if isinstance(e, tuple):
+            return tuple(_rw(x) for x in e)
+        return e
+
+    return _rw(e)
 
 
 def attach_entity_lookups(
@@ -1048,6 +1364,28 @@ def project_stage(
                 "A pattern is not a value — wrap it in exists(…) or a "
                 "pattern comprehension (UnexpectedSyntax)"
             )
+    if df is not None:
+        returns = [
+            type(p)(**{
+                **{f_: getattr(p, f_) for f_ in p.__dataclass_fields__},
+                "expr": _rewrite_collected_path_nodes(p.expr, df),
+            })
+            for p in returns
+        ]
+        # directly-projected path variables surface full entity payloads
+        # in result cells (TCK Merge1[13]/Merge5[10] path binds); RETURN *
+        # covers every in-scope path column (Return7[1])
+        pvars = [
+            p.expr.parts[0] for p in returns
+            if isinstance(p.expr, ast.Chain) and len(p.expr.parts) == 1
+            and p.expr.parts[0] in df.columns
+        ]
+        if any(isinstance(p.expr, ast.Star) for p in returns):
+            pvars += [
+                c for c in df.columns if not c.startswith(("__", "@"))
+            ]
+        if pvars:
+            df = enrich_path_columns(db, df, list(dict.fromkeys(pvars)))
     select = ast.SelectStmt(
         projections=tuple(returns),
         distinct=distinct,

@@ -333,18 +333,37 @@ def _variant_sort_key_col(col: Column) -> Column:
             if isinstance(v, str):
                 return "5" + v
             if isinstance(v, (int, float)):
+                if isinstance(v, float) and v != v:
+                    return "7\x7f"  # NaN: largest NUMBER, before null
                 return "7" + format(float(v) + SHIFT, "040.9f")
             if isinstance(v, (list, tuple)):
                 return "4" + "\x1f".join(_key(x) for x in v)
             if isinstance(v, dict):
-                return "1" + "\x1f".join(
+                # entity dicts rank per CIP comparability-orderability:
+                # MAP < NODE < REL < LIST < PATH < STRING …  Paths encode
+                # as "4\x7f…" — after every list key ("4" + item keys,
+                # whose first byte is ≤ "9" < \x7f) but before "5" strings.
+                ks = set(v)
+                mapkey = "\x1f".join(
                     f"{k}\x1e{_key(x)}" for k, x in sorted(v.items())
                 )
+                if {"vids", "n_rels"} <= ks:
+                    return "4\x7f" + mapkey
+                if "vid" in ks and "@type" in ks:
+                    return "2" + mapkey
+                if {"etype", "src", "dst"} <= ks:
+                    return "3" + mapkey
+                return "1" + mapkey
             return "8" + str(v)
 
         def _of_json(s):
             if s is None:
                 return "9"
+            if s == '"NaN"':
+                # variant doubles render NaN as the QUOTED string "NaN"
+                # (JSON has no NaN) — rank it as the largest number.
+                # Ambiguity with a genuine 'NaN' string is accepted.
+                return "7\x7f"
             try:
                 return _key(json.loads(s))
             except (ValueError, TypeError):

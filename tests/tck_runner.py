@@ -140,8 +140,43 @@ def parse_value(s: str):
             out[k.strip()] = parse_value(v)
         return out
     if s.startswith("<") and s.endswith(">"):
-        raise ValueError(f"path value not supported: {s}")
+        return _parse_path_cell(s[1:-1].strip())
     raise ValueError(f"unparseable TCK value: {s!r}")
+
+
+_PATH_REL_RE = re.compile(r"\s*(?P<l><-|-)\[(?P<body>[^\]]*)\](?P<r>->|-)\s*")
+
+
+def _parse_path_cell(s: str):
+    """``({num: 1})-[:R]->({num: 2})`` → ("§path", (node, (dir, rel),
+    node, …)) matching the engine's enriched path structs."""
+
+    def read_node(i: int) -> tuple[str, int]:
+        depth = 0
+        start = i
+        while i < len(s):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[start:i + 1], i + 1
+            i += 1
+        raise ValueError(f"unterminated node in path cell: {s!r}")
+
+    items: list = []
+    node, i = read_node(0)
+    items.append(parse_value(node))
+    while i < len(s):
+        m = _PATH_REL_RE.match(s, i)
+        if not m:
+            raise ValueError(f"bad relationship in path cell: {s[i:]!r}")
+        direction = "in" if m.group("l") == "<-" else "out"
+        rel = parse_value("[" + m.group("body").strip() + "]")
+        items.append((direction, rel))
+        node, i = read_node(m.end())
+        items.append(parse_value(node))
+    return ("§path", tuple(items))
 
 
 def _canon_props(d: dict) -> tuple:
@@ -170,9 +205,22 @@ def canon_entity(v):
     if "etype" in v and "src" in v and "dst" in v:
         props = {
             k: x for k, x in v.items()
-            if k not in ("etype", "src", "dst") and x is not None
+            if k not in ("etype", "src", "dst", "__dir") and x is not None
         }
         return ("§rel", v["etype"], _canon_props(props))
+    if "vids" in v and "n_rels" in v and "nodes" in v and "rels" in v:
+        # enriched path struct → alternating node / (dir, rel) items,
+        # mirroring _parse_path_cell's canonical form
+        items: list = []
+        nodes = v.get("nodes") or []
+        rels = v.get("rels") or []
+        for i, nd in enumerate(nodes):
+            items.append(canon_entity(nd) if isinstance(nd, dict) else None)
+            if i < len(rels) and isinstance(rels[i], dict):
+                items.append(
+                    (rels[i].get("__dir", "out"), canon_entity(rels[i]))
+                )
+        return ("§path", tuple(items))
     return None
 
 
@@ -348,6 +396,8 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
             i += 1
         elif line.startswith("Then the result should be, in order"):
             cur.ordered = True
+            if "ignoring element order for lists" in line:
+                cur.lists_unordered = True
             table, i = _parse_table(lines, i + 1)
             cur.expect = table
         elif line.startswith("Then the result should be"):
