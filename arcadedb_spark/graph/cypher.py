@@ -933,10 +933,19 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value,
             from arcadedb_spark.sql.temporal_eval import try_eval as _tev
 
             t_ok, t_v = _tev(expr, params)
+            src_tagged = (
+                isinstance(expr, ast.Chain) and len(expr.parts) == 1
+                and any(
+                    f.name == expr.parts[0]
+                    and f.metadata.get("cy_temporal")
+                    for f in df.schema.fields
+                )
+            )
             df = df.withColumn(alias, exploded)
-            if t_ok and isinstance(t_v, list):
-                # statically-temporal list: tag the exploded column so
-                # ORDER BY sorts by instant, not lexicographically
+            if (t_ok and isinstance(t_v, list)) or src_tagged:
+                # statically-temporal list (direct or via a tagged WITH
+                # projection): tag the exploded column so ORDER BY and
+                # comparisons use instants, not lexicographic strings
                 # (alias(metadata=) is dropped on generator output —
                 # withMetadata survives projections)
                 df = df.withMetadata(alias, {"cy_temporal": True})
@@ -1022,6 +1031,38 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value,
             limit=stage.get("with_limit"),
             order_scope="strict",  # WITH always re-scopes ORDER BY
         )
+        from arcadedb_spark.sql.temporal import sort_key_of_string as _sks
+        from arcadedb_spark.sql.temporal_eval import try_eval as _tev2
+
+        def _is_tstr(x) -> bool:
+            if not isinstance(x, str) or not x or not x[0].isdigit():
+                return False
+            try:
+                return _sks(x) is not None
+            except Exception:
+                return False
+
+        for it in stage["with_items"]:
+            if it.alias and it.alias in df.columns:
+                ok2, v2 = _tev2(it.expr, params)
+                if ok2 and (
+                    _is_tstr(v2)
+                    or (isinstance(v2, list) and v2
+                        and all(_is_tstr(x) for x in v2))
+                ):
+                    # statically-temporal projection (the evaluator
+                    # renders temporals to canonical strings): instants
+                    # drive ORDER BY and comparisons downstream
+                    df = df.withMetadata(it.alias, {"cy_temporal": True})
+        if stage.get("with_order"):
+            # WITH … ORDER BY fixes row order for downstream collect():
+            # carry the position as a hidden column — the ids of a freshly
+            # range-sorted frame increase with the sort (partition index
+            # rides the high bits), and the aggregate path sorts collects
+            # by it (WithOrderBy1[45]: collect after ORDER BY is ordered)
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("__row_order", F.monotonically_increasing_id())
         if w_where is not None and not pre_where:
             from arcadedb_spark.sql.translator import Ctx, ExprCompiler
 

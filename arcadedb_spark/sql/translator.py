@@ -314,6 +314,60 @@ def _temporal_sort_key_col(col: Column) -> Column:
     return _temporal_udfs["sortkey"](col)
 
 
+def _temporal_instant_key_sql(col: Column) -> Column:
+    """Pure-Column UTC-nanos instant key for canonical temporal strings —
+    usable INSIDE higher-order lambdas, where Python UDFs are forbidden
+    (Spark UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF).
+
+    Handles the canonical renderings the static evaluator produces:
+    date, localtime, time+offset, localdatetime, datetime+offset[zone].
+    Non-parsing strings key to null (cross-type order is null anyway).
+    Nanosecond fractions are preserved exactly (decimal(38,0) key)."""
+    s = F.regexp_replace(col, r"\[[^\]]*\]$", "")  # drop [Zone/Name]
+    off = F.regexp_extract(s, r"(Z|[+-]\d{2}:\d{2}(:\d{2})?)$", 1)
+    body = F.when(
+        off != "", F.substring(s, F.lit(1), F.length(s) - F.length(off))
+    ).otherwise(s)
+    has_date = body.rlike(r"^\d{4}-\d{2}-\d{2}")
+    date_part = F.when(has_date, F.substring(body, 1, 10))
+    time_part = F.when(
+        has_date & body.contains("T"), F.substr(body, F.lit(12))
+    ).otherwise(F.when(~has_date, body).otherwise(F.lit("")))
+    days = F.when(
+        has_date, F.datediff(F.to_date(date_part), F.lit("1970-01-01"))
+    ).otherwise(F.lit(0)).cast("decimal(38,0)")
+    def _num(c: Column) -> Column:
+        # '' from a non-matching regexp must yield 0, not an ANSI cast error
+        return F.coalesce(F.nullif(c, F.lit("")).cast("long"), F.lit(0))
+
+    hh = _num(F.regexp_extract(time_part, r"^(\d{2})", 1))
+    mm = _num(F.regexp_extract(time_part, r"^\d{2}:(\d{2})", 1))
+    ss = _num(F.regexp_extract(time_part, r"^\d{2}:\d{2}:(\d{2})", 1))
+    frac = F.regexp_extract(time_part, r"\.(\d+)", 1)
+    nanos = _num(
+        F.when(frac != "", F.rpad(frac, 9, "0")).otherwise(F.lit("0"))
+    )
+    off_sign = F.when(F.substring(off, 1, 1) == "-", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    off_secs = F.when(
+        (off == "") | (off == "Z"), F.lit(0)
+    ).otherwise(
+        off_sign * (
+            _num(F.regexp_extract(off, r"(\d{2}):", 1)) * 3600
+            + _num(F.regexp_extract(off, r":(\d{2})", 1)) * 60
+        )
+    )
+    secs = (
+        days * F.lit(86400)
+        + (hh * 3600 + mm * 60 + ss - off_secs).cast("decimal(38,0)")
+    )
+    key = secs * F.lit(1000000000).cast("decimal(38,0)") + nanos
+    # a temporal string always starts with a digit and contains ':' or '-'
+    looks_temporal = col.rlike(r"^\d")
+    return F.when(col.isNotNull() & looks_temporal, key)
+
+
 def _variant_sort_key_col(col: Column) -> Column:
     """openCypher global-order sort key for heterogeneous values
     (CIP comparability-orderability: MAP < NODE < REL < LIST < PATH <
@@ -1121,6 +1175,20 @@ class ExprCompiler:
                 return F.when(l.isNull() | r.isNull(), nul).otherwise(
                     F.lit(op == "!=")
                 )
+        if (self.ctx.cypher or self.ctx.cypher_order) and op in (
+            "<", "<=", ">", ">="
+        ) and (self._is_temporal_operand(le) or self._is_temporal_operand(ri)):
+            # instant comparison for canonical temporal strings: zoned
+            # values with different offsets order by INSTANT, matching
+            # the ORDER BY sort key (TCK WithOrderBy1[45]).  Pure-Column
+            # kernel — this path runs inside list-comprehension lambdas
+            # where Python UDFs are not allowed.
+            lk = _temporal_instant_key_sql(l)
+            rk = _temporal_instant_key_sql(r)
+            return {
+                "<": lambda: lk < rk, "<=": lambda: lk <= rk,
+                ">": lambda: lk > rk, ">=": lambda: lk >= rk,
+            }[op]()
         if op in ("=", "!="):
             from pyspark.sql.types import MapType
 
@@ -1751,6 +1819,36 @@ class ExprCompiler:
             out = c if out is None else (out & c)
         return out
 
+    def _is_temporal_operand(self, e: ast.Expr) -> bool:
+        """True when ``e`` is a KNOWN temporal value rendered to a
+        canonical string: a statically-evaluated temporal literal, a
+        frame column tagged ``cy_temporal`` (UNWIND over a temporal
+        list), or a lambda variable bound from such a source."""
+        if isinstance(e, ast.Chain) and len(e.parts) == 1:
+            name = e.parts[0]
+            if name in getattr(self, "_bound_temporal", ()):
+                return True
+            if name not in self._bound and self.ctx.frame_schema is not None:
+                f_ = next(
+                    (f for f in self.ctx.frame_schema.fields
+                     if f.name == name), None,
+                )
+                if f_ is not None and f_.metadata.get("cy_temporal"):
+                    return True
+            return False
+        from arcadedb_spark.sql import temporal as _T
+        from arcadedb_spark.sql.temporal_eval import static_value
+
+        try:
+            ok, v = static_value(e, self.ctx.params)
+        except Exception:
+            return False
+        return ok and isinstance(
+            v,
+            (_T.CyDate, _T.CyLocalTime, _T.CyTime, _T.CyLocalDateTime,
+             _T.CyDateTime),
+        )
+
     def _with_bound(self, name: str, expr: ast.Expr, elem_type=None):
         """Build a higher-order-function lambda body compiler: returns a
         fn(Column) → Column that compiles ``expr`` with ``name`` bound to
@@ -2284,7 +2382,33 @@ class ExprCompiler:
                 fn6 = F.max_by if e.name.lower() == "max" else F.min_by
                 agg_col = fn6(c, key)
         if agg_col is None:
-            agg_col = AGGREGATES[e.name.lower()](args, e.distinct)
+            if (
+                e.name.lower() in ("collect", "list", "collect_list")
+                and not e.distinct and args
+                and "__row_order" in (ctx.columns or ())
+            ):
+                # the incoming frame was ORDER BY-ed (WITH … ORDER BY
+                # carries __row_order): collect in that order — Spark's
+                # collect_list is otherwise shuffle-order-dependent
+                # (TCK WithOrderBy1[45])
+                agg_col = F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__row_order").alias("o"),
+                                args[0].alias("v"),
+                            )
+                        ),
+                        # compare on the carried position only — the
+                        # value may be map-typed (not orderable)
+                        lambda l, r: F.when(l["o"] < r["o"], -1)
+                        .when(l["o"] > r["o"], 1)
+                        .otherwise(0),
+                    ),
+                    lambda s: s["v"],
+                )
+            else:
+                agg_col = AGGREGATES[e.name.lower()](args, e.distinct)
         name = f"__agg{len(ctx.agg_cols)}"
         ctx.agg_cols.append(agg_col.alias(name))
         ctx.agg_names[e] = name
