@@ -208,9 +208,16 @@ def _incremental_refresh(db, tdef, select, params: dict) -> int:
     - append-only deltas + aggregate-free view → translate the view over
       ONLY the delta rows and union into the materialized frame (no
       rescan of the full source);
+    - append-only deltas + GROUP BY view → bucket-level recompute: the
+      delta rows determine the DIRTY group keys; the view re-aggregates
+      only source rows in those buckets and splices them over the stored
+      buckets (MaterializedViewRefresher.java's incremental aggregate
+      maintenance).  At scale this reads one bucket's partition slice,
+      not the whole source;
     - no changes at all → no-op (0 rows touched);
-    - updates/deletes or aggregated views → full recompute (aggregation
-      over mutating sources is the continuous-aggregate streaming path,
+    - updates/deletes or non-bucketable aggregates (no GROUP BY, keys
+      not projected) → full recompute (exact aggregation over mutating
+      sources is the continuous-aggregate streaming path,
       streaming/continuous_aggregate.py, which maintains state exactly).
     """
     from arcadedb_spark.sql.translator import _contains_aggregate
@@ -226,6 +233,13 @@ def _incremental_refresh(db, tdef, select, params: dict) -> int:
         bool(select.group_by)
         or any(_contains_aggregate(p.expr) for p in select.projections)
     )
+    if (
+        aggregated and not dirty and pending and src_name
+        and not select.lets and select.group_by
+    ):
+        n = _bucket_refresh(db, tdef, select, params, pending, src_name)
+        if n is not None:
+            return n
     if dirty or aggregated or src_name is None or select.lets:
         df = Translator(db, params).translate(select).cache()
         tdef._df = df
@@ -244,6 +258,70 @@ def _incremental_refresh(db, tdef, select, params: dict) -> int:
         src._df = saved
     merged = tdef.df().unionByName(delta_view, allowMissingColumns=True).cache()
     n = delta_view.count()
+    tdef._df = merged
+    db._plan_cache.clear()
+    return n
+
+
+def _bucket_refresh(db, tdef, select, params, pending, src_name):
+    """GROUP BY view + append-only delta: re-aggregate only the DIRTY
+    buckets.  Returns rows recomputed, or None when the view shape isn't
+    bucketable (a group key isn't projected) — caller falls back to full
+    recompute."""
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+    # each group-by expr must surface as an output column to splice on
+    out_names = []
+    for g in select.group_by:
+        name = None
+        for p in select.projections:
+            if p.expr == g:
+                name = p.alias or getattr(p, "text", None)
+                if name is None and isinstance(p.expr, ast.Chain):
+                    name = p.expr.parts[-1]  # bare column projection
+                break
+        if name is None:
+            return None
+        out_names.append(name)
+
+    src = db.schema.get(src_name)
+    delta = pending[0]
+    for d in pending[1:]:
+        delta = delta.unionByName(d, allowMissingColumns=True)
+
+    def _keys_of(frame):
+        ctx = Ctx(db=db, params=params or {}, columns=tuple(frame.columns),
+                  frame_schema=frame.schema)
+        comp = ExprCompiler(ctx)
+        return [comp.compile(g) for g in select.group_by]
+
+    dirty_keys = delta.select(
+        *[k.alias(f"__k{i}") for i, k in enumerate(_keys_of(delta))]
+    ).distinct().cache()
+
+    saved = src._df
+    try:
+        src_keys = _keys_of(saved)
+        cond = None
+        for i, k in enumerate(src_keys):
+            c = k.eqNullSafe(F.col(f"__k{i}"))
+            cond = c if cond is None else (cond & c)
+        # dirty-bucket slice of the source (broadcast: the delta's
+        # distinct keys are small by construction)
+        src._df = saved.join(F.broadcast(dirty_keys), cond, "left_semi")
+        part = Translator(db, params).translate(select)
+    finally:
+        src._df = saved
+    old = tdef.df()
+    anti = None
+    for i, name in enumerate(out_names):
+        c = F.col(name).eqNullSafe(F.col(f"__k{i}"))
+        anti = c if anti is None else (anti & c)
+    kept = old.join(F.broadcast(dirty_keys), anti, "left_anti")
+    merged = kept.unionByName(part, allowMissingColumns=True).cache()
+    n = part.count()
     tdef._df = merged
     db._plan_cache.clear()
     return n

@@ -75,3 +75,28 @@ def test_periodic_refresher(mdb):
         assert "z" in regions
     finally:
         h.stop()
+
+
+def test_incremental_aggregated_bucket_refresh(mdb):
+    mdb.command(
+        "CREATE MATERIALIZED VIEW RegionTotals AS "
+        "SELECT region, sum(amount) AS total FROM Sale GROUP BY region "
+        "REFRESH INCREMENTAL"
+    )
+    before = {r["region"]: r["total"]
+              for r in mdb.query("SELECT FROM RegionTotals").collect()}
+    assert before == {"n": 10, "s": 20}
+    # delta touches ONE bucket ('n'); refresh must recompute only it
+    mdb.command("INSERT INTO Sale (region, amount) VALUES ('n', 5)")
+    n = mdb.command("REFRESH MATERIALIZED VIEW RegionTotals").collect()[0][0]
+    assert n == 1  # one dirty bucket re-aggregated, not the whole view
+    after = {r["region"]: r["total"]
+             for r in mdb.query("SELECT FROM RegionTotals").collect()}
+    assert after == {"n": 15, "s": 20}
+    # a delta adding a NEW bucket splices in without touching the rest
+    mdb.command("INSERT INTO Sale (region, amount) VALUES ('e', 7)")
+    n = mdb.command("REFRESH MATERIALIZED VIEW RegionTotals").collect()[0][0]
+    assert n == 1
+    after = {r["region"]: r["total"]
+             for r in mdb.query("SELECT FROM RegionTotals").collect()}
+    assert after == {"n": 15, "s": 20, "e": 7}
