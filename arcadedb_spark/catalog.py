@@ -220,15 +220,25 @@ class Catalog:
             ]
             return self.spark.createDataFrame(rows, "name string, bucket string, watermark string")
         if which == "graphanalyticalviews":
-            # GAV ≈ the cached src-partitioned edge frame (graph/model.py
-            # edges_by_src); report registered edge types
-            rows = [
-                (etype, src or "", dst or "")
-                for etype, (src, dst) in getattr(
-                    getattr(self, "_graph_ref", None), "edge_meta", {}
-                ).items()
-            ]
+            # explicit GAVs (CREATE GRAPH ANALYTICAL VIEW — graph/gav.py)
+            # plus one implicit row per edge type (the always-available
+            # cached src-partitioned edge frame, graph/model.py
+            # edges_by_src)
+            rows = []
+            g_ref = getattr(self, "_graph_ref", None)
+            for name, gav in (getattr(self, "_gavs_ref", None) or {}).items():
+                st = gav.stats(g_ref) if g_ref is not None else {}
+                rows.append((
+                    name, st.get("edge_types", ""), "", "",
+                    gav.update_mode, int(st.get("edge_count", 0)),
+                ))
+            for etype, (src, dst) in getattr(
+                g_ref, "edge_meta", {}
+            ).items():
+                rows.append((etype, etype, src or "", dst or "", "IMPLICIT", -1))
             return self.spark.createDataFrame(
-                rows, "edge_type string, src_type string, dst_type string"
+                rows,
+                "name string, edge_type string, src_type string, "
+                "dst_type string, mode string, edge_count long",
             )
         raise KeyError(f"Unknown schema table 'schema:{which}'")

@@ -104,6 +104,9 @@ class Database:
         # (reference function/procedure/ProcedureRegistry.java user slots;
         # also the openCypher-TCK "there exists a procedure" fixture shape)
         self._table_procedures: dict[str, dict] = {}
+        # named Graph Analytical Views (graph/gav.py — CSR-analog
+        # materialized edge frames with delta overlay)
+        self._gavs: dict[str, object] = {}
 
     def register_table_procedure(
         self,
@@ -369,4 +372,5 @@ class Database:
             self._graph = GraphModel.from_database(self)
             # lets `select from schema:graphAnalyticalViews` see edge types
             self.schema._graph_ref = self._graph
+            self.schema._gavs_ref = self._gavs
         return self._graph

@@ -529,6 +529,31 @@ class DropTypeStmt:
 
 
 @dataclass(frozen=True)
+class CreateGavStmt:
+    """CREATE GRAPH ANALYTICAL VIEW (CreateGraphAnalyticalViewStatement.java)."""
+
+    name: str
+    vertex_types: tuple = ()
+    edge_types: tuple = ()
+    properties: tuple = ()
+    edge_properties: tuple = ()
+    update_mode: str = "OFF"
+    compaction_threshold: int = -1
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class RebuildGavStmt:
+    name: str
+
+
+@dataclass(frozen=True)
+class DropGavStmt:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
 class CreateTriggerStmt:
     """CREATE TRIGGER name BEFORE|AFTER CREATE|READ|UPDATE|DELETE
     ON TYPE t EXECUTE SQL '<stmt>'

@@ -73,6 +73,12 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _refresh_mv(db, stmt, params)
     if isinstance(stmt, ast.DropMaterializedViewStmt):
         return _drop_mv(db, stmt)
+    if isinstance(stmt, ast.CreateGavStmt):
+        return _create_gav(db, stmt)
+    if isinstance(stmt, ast.RebuildGavStmt):
+        return _rebuild_gav(db, stmt)
+    if isinstance(stmt, ast.DropGavStmt):
+        return _drop_gav(db, stmt)
     if isinstance(stmt, ast.DefineFunctionStmt):
         return _define_function(db, stmt)
     if isinstance(stmt, ast.CreateTimeSeriesTypeStmt):
@@ -325,6 +331,52 @@ def _bucket_refresh(db, tdef, select, params, pending, src_name):
     tdef._df = merged
     db._plan_cache.clear()
     return n
+
+
+def _create_gav(db, stmt: ast.CreateGavStmt) -> DataFrame:
+    """CREATE GRAPH ANALYTICAL VIEW: build the sorted materialized edge
+    representation immediately (the reference builds asynchronously; the
+    Spark analog is one distributed sort+cache job, so it runs inline).
+    Registered views surface in schema:graphAnalyticalViews."""
+    from arcadedb_spark.graph.gav import GraphAnalyticalView
+
+    gavs = db._gavs
+    if stmt.name in gavs:
+        if stmt.if_not_exists:
+            return _result(db, 0)
+        raise TranslateError(f"GAV '{stmt.name}' already exists")
+    g = db.graph()
+    for et in stmt.edge_types:
+        if et not in g.edge_meta:
+            raise TranslateError(f"Unknown edge type '{et}'")
+    gav = GraphAnalyticalView(
+        name=stmt.name, edge_types=stmt.edge_types,
+        vertex_types=stmt.vertex_types, properties=stmt.properties,
+        edge_properties=stmt.edge_properties,
+        update_mode=stmt.update_mode,
+        compaction_threshold=stmt.compaction_threshold,
+    )
+    n = gav.build(g)
+    gavs[stmt.name] = gav
+    return _result(db, n)
+
+
+def _rebuild_gav(db, stmt: ast.RebuildGavStmt) -> DataFrame:
+    gav = db._gavs.get(stmt.name)
+    if gav is None:
+        raise TranslateError(f"GAV '{stmt.name}' does not exist")
+    return _result(db, gav.build(db.graph()))
+
+
+def _drop_gav(db, stmt: ast.DropGavStmt) -> DataFrame:
+    gav = db._gavs.pop(stmt.name, None)
+    if gav is None:
+        if stmt.if_exists:
+            return _result(db, 0)
+        raise TranslateError(f"GAV '{stmt.name}' does not exist")
+    if gav._base is not None:
+        gav._base.unpersist()
+    return _result(db, 1)
 
 
 def _drop_mv(db, stmt: ast.DropMaterializedViewStmt) -> DataFrame:

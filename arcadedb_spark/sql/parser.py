@@ -113,6 +113,12 @@ class Parser:
             return self.parse_truncate()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "DEFINE":
             return self.parse_define_function()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "REBUILD":
+            # REBUILD GRAPH ANALYTICAL VIEW name
+            self.advance()
+            for _ in range(3):
+                self.advance()  # GRAPH ANALYTICAL VIEW
+            return ast.RebuildGavStmt(name=self.ident())
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "REFRESH":
             self.advance()
             self.advance()  # MATERIALIZED / CONTINUOUS
@@ -384,6 +390,61 @@ class Parser:
                 type_name=tname, prop=prop, dtype=dtype,
                 if_not_exists=if_not_exists, constraints=tuple(constraints.items()),
             )
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "GRAPH":
+            # CREATE GRAPH ANALYTICAL VIEW [IF NOT EXISTS] name
+            #   [VERTEX TYPES (…)] [EDGE TYPES (…)] [PROPERTIES (…)]
+            #   [EDGE PROPERTIES (…)] [UPDATE MODE X] [COMPACTION THRESHOLD n]
+            # (CreateGraphAnalyticalViewStatement.java grammar)
+            self.advance()  # GRAPH
+            self.advance()  # ANALYTICAL
+            self.advance()  # VIEW
+            if_not_exists = self._eat_if_not_exists()
+            name = self.ident()
+            if_not_exists = if_not_exists or self._eat_if_not_exists()
+            vt: list[str] = []
+            et: list[str] = []
+            props: list[str] = []
+            eprops: list[str] = []
+            mode = "OFF"
+            threshold = -1
+
+            def _ident_list(out: list) -> None:
+                self.expect_op("(")
+                while not self.at_op(")"):
+                    out.append(self.ident())
+                    self.eat_op(",")
+                self.expect_op(")")
+
+            while self.cur.kind in ("IDENT", "KEYWORD"):
+                word = self.cur.value.upper()
+                if word == "VERTEX":
+                    self.advance()
+                    self.advance()  # TYPES
+                    _ident_list(vt)
+                elif word == "EDGE":
+                    self.advance()
+                    nxt = self.cur.value.upper()
+                    self.advance()  # TYPES / PROPERTIES
+                    _ident_list(et if nxt == "TYPES" else eprops)
+                elif word == "PROPERTIES":
+                    self.advance()
+                    _ident_list(props)
+                elif word == "UPDATE":
+                    self.advance()
+                    self.advance()  # MODE
+                    mode = self.ident().upper()
+                elif word == "COMPACTION":
+                    self.advance()
+                    self.advance()  # THRESHOLD
+                    threshold = int(self.advance().value)
+                else:
+                    break
+            return ast.CreateGavStmt(
+                name=name, vertex_types=tuple(vt), edge_types=tuple(et),
+                properties=tuple(props), edge_properties=tuple(eprops),
+                update_mode=mode, compaction_threshold=threshold,
+                if_not_exists=if_not_exists,
+            )
         if self.cur.kind == "IDENT" and self.cur.value.upper() in (
             "MATERIALIZED", "CONTINUOUS",
         ):
@@ -481,6 +542,17 @@ class Parser:
                 self.expect_kw("EXISTS")
                 if_exists = True
             return ast.DropMaterializedViewStmt(name=name, if_exists=if_exists)
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "GRAPH":
+            self.advance()
+            self.advance()  # ANALYTICAL
+            self.advance()  # VIEW
+            name = self.ident()
+            if_exists = False
+            if self.at_kw("IF"):
+                self.advance()
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropGavStmt(name=name, if_exists=if_exists)
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRIGGER":
             self.advance()
             name = self.ident()
