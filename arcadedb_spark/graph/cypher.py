@@ -1164,7 +1164,7 @@ def _expand_copy_entity(pairs, params, resolve=None):
             )
         d = {
             k: v for k, v in d.items()
-            if k not in ("vid", "etype", "src", "dst")
+            if k not in ("vid", "etype", "src", "dst", "@eid")
             and not k.startswith("@")
         }
         for k, v in d.items():
@@ -1907,7 +1907,7 @@ def _apply_entity_copy_frame(
             fields = {
                 f.name: col.getField(f.name)
                 for f in dt.fields
-                if f.name not in ("vid", "etype", "src", "dst")
+                if f.name not in ("vid", "etype", "src", "dst", "@eid")
                 and not f.name.startswith("@")
             }
         else:

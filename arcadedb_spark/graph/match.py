@@ -675,7 +675,9 @@ def enrich_path_columns(db, df: DataFrame, pvars: list[str]) -> DataFrame:
                 lambda x: x["e"],
             ).alias("__rels")
         )
-        rel_arr_type = rels_agg.schema["__rels"].dataType.simpleString()
+        # DataType OBJECT, not simpleString: field names like @eid do
+        # not round-trip through the SQL type parser
+        rel_arr_type = rels_agg.schema["__rels"].dataType
         enj = nodes_agg.join(rels_agg, uidc, "left")
         df = df.join(enj, uidc, "left").withColumn(
             pv,
@@ -1140,6 +1142,8 @@ def _join_on_shared(
             keys = ["vid"]
         elif {"etype", "src", "dst"} <= fields:
             keys = ["etype", "src", "dst"]
+            if "@eid" in fields:
+                keys.append("@eid")  # exact identity for parallel edges
         else:
             keys = ["vids"]
         from pyspark.sql.types import NullType as _JNull

@@ -134,6 +134,7 @@ class GraphModel:
         self._av: DataFrame | None = None
         self._flushing = False
         self._vid_counter = 0  # creation vids: (1 << 62) | counter
+        self._eid_counter = 0  # hidden @eid for written edges
 
     def _invalidate_vertex_unions(self) -> None:
         self._av_full = None
@@ -175,8 +176,15 @@ class GraphModel:
         for etype, pairs, props in self._pending_e:
             gk = (etype, tuple(sorted(props)))
             for s, d in pairs:
+                # @eid: hidden per-edge identity so fully identical
+                # parallel edges stay DISTINCT relationships (openCypher
+                # edge identity; TCK Match6[14]).  Rides like @type on
+                # nodes: excluded from keys()/properties() and result
+                # canonicalization.
+                self._eid_counter += 1
                 groups.setdefault(gk, []).append(
-                    {"etype": etype, "src": int(s), "dst": int(d), **props}
+                    {"etype": etype, "src": int(s), "dst": int(d),
+                     "@eid": self._eid_counter, **props}
                 )
         self._pending_e.clear()
         for (_etype, pkeys), rows in groups.items():
@@ -184,6 +192,7 @@ class GraphModel:
                 "etype",
                 F.col("src").cast("long"),
                 F.col("dst").cast("long"),
+                "@eid",
                 *pkeys,
             )
             self._edge_dfs.append(df)
@@ -419,6 +428,7 @@ class GraphModel:
             merged = existing.unionByName(out, allowMissingColumns=True)
         else:
             merged = out
+        self._invalidate_vertex_unions()
         dict.__setitem__(self.vertex_dfs, key, merged)
         return n
 
@@ -449,6 +459,16 @@ class GraphModel:
         """Append one edge per row of (src, dst [, prop…]) — e.g. from a
         MATCH; non-endpoint columns ride along as edge properties."""
         n = frame.count()
+        if "@eid" not in frame.columns:
+            # hidden per-edge identity (see _flush_edges): batch tag +
+            # row id hashed — parallel identical rows get distinct ids
+            self._eid_counter += 1
+            frame = frame.withColumn(
+                "@eid",
+                F.xxhash64(
+                    F.lit(self._eid_counter), F.monotonically_increasing_id()
+                ),
+            )
         props = [c for c in frame.columns if c not in ("src", "dst")]
         self.add_edges(etype, frame, "src", "dst", props=props)
         return n

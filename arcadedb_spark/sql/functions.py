@@ -1347,7 +1347,7 @@ def _cypher_properties(args):
     """properties(entity) — the property struct minus internal fields
     (function/node/NodeProperties.java)."""
     out = args[0]
-    for internal in ("vid", "@type", "etype", "src", "dst"):
+    for internal in ("vid", "@type", "etype", "src", "dst", "@eid"):
         out = out.dropFields(f"`{internal}`")
     return out
 

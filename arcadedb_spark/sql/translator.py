@@ -1741,7 +1741,7 @@ class ExprCompiler:
             # have no common Spark type)
             pairs = []
             for f_ in bt.fields:
-                if f_.name in ("vid", "@type", "etype", "src", "dst"):
+                if f_.name in ("vid", "@type", "etype", "src", "dst", "@eid"):
                     continue
                 pairs.append(F.lit(f_.name))
                 pairs.append(base.getField(f_.name).cast("string"))
@@ -2190,7 +2190,7 @@ class ExprCompiler:
                 base = self.compile(e.args[0])
                 names = [
                     f.name for f in fields
-                    if f.name not in ("vid", "@type", "etype", "src", "dst")
+                    if f.name not in ("vid", "@type", "etype", "src", "dst", "@eid")
                 ]
                 if not names:
                     # property-less entity struct: {} when bound, null
@@ -2207,7 +2207,7 @@ class ExprCompiler:
                     ).otherwise(F.array().cast("array<string>"))
                 if name == "properties":
                     out = base
-                    for internal in ("vid", "@type", "etype", "src", "dst"):
+                    for internal in ("vid", "@type", "etype", "src", "dst", "@eid"):
                         out = out.dropFields(f"`{internal}`")
                     return F.when(base.isNull(), F.lit(None)).otherwise(out)
                 is_entity = any(

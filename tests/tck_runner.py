@@ -205,7 +205,8 @@ def canon_entity(v):
     if "etype" in v and "src" in v and "dst" in v:
         props = {
             k: x for k, x in v.items()
-            if k not in ("etype", "src", "dst", "__dir") and x is not None
+            if k not in ("etype", "src", "dst", "__dir")
+            and not k.startswith("@") and x is not None
         }
         return ("§rel", v["etype"], _canon_props(props))
     if "vids" in v and "n_rels" in v and "nodes" in v and "rels" in v:
