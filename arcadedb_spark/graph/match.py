@@ -505,7 +505,11 @@ def translate_path(
     return df, aliases
 
 
-def _collect_pattern_exprs(e, out: list) -> None:
+def _collect_pattern_exprs(e, out: list, bound: frozenset = frozenset()) -> None:
+    """Collect PatternExpr/PatternComp nodes with the set of LAMBDA
+    variables (list-comprehension/quantifier/reduce vars) in scope at
+    each — a pattern rooted at a lambda variable needs the deferred
+    per-element marker (TCK Pattern2[7])."""
     if isinstance(e, ast.FuncCall) and e.name.lower() == "size" and any(
         isinstance(a, ast.PatternExpr) for a in e.args
     ):
@@ -518,14 +522,24 @@ def _collect_pattern_exprs(e, out: list) -> None:
             "comprehension: size([pattern | 1])"
         )
     if isinstance(e, (ast.PatternExpr, ast.PatternComp)):
-        out.append(e)
+        out.append((e, bound))
+        return
+    if isinstance(e, ast.ListComp):
+        _collect_pattern_exprs(e.source, out, bound)
+        inner = bound | {e.var}
+        _collect_pattern_exprs(e.pred, out, inner)
+        _collect_pattern_exprs(e.proj, out, inner)
+        return
+    if isinstance(e, ast.Quantifier):
+        _collect_pattern_exprs(e.source, out, bound)
+        _collect_pattern_exprs(e.pred, out, bound | {e.var})
         return
     if hasattr(e, "__dataclass_fields__"):
         for f_ in e.__dataclass_fields__:
-            _collect_pattern_exprs(getattr(e, f_), out)
+            _collect_pattern_exprs(getattr(e, f_), out, bound)
     elif isinstance(e, (tuple, list)):
         for x in e:
-            _collect_pattern_exprs(x, out)
+            _collect_pattern_exprs(x, out, bound)
 
 
 def enrich_path_columns(db, df: DataFrame, pvars: list[str]) -> DataFrame:
@@ -810,6 +824,7 @@ def attach_entity_lookups(
                 targets.append(node)
     if df is not None:
         df = _attach_path_node_lists(db, df, exprs, markers)
+        df = _attach_path_rel_lists(db, df, exprs, markers)
     if not targets or df is None:
         return df
     g = db.graph()
@@ -902,6 +917,81 @@ def _attach_path_node_lists(db, df: DataFrame, exprs, markers: dict):
     return df
 
 
+def _attach_path_rel_lists(db, df: DataFrame, exprs, markers: dict):
+    """relationships(p) over a path struct → the relationship ENTITY
+    list (TCK Path2, Quantifier1-4 [9]).  Paths carry the walked edge
+    ids; one enrichment join materializes the rel structs, and the
+    marker reads the struct's rels field."""
+    from pyspark.sql.types import StructType
+
+    from arcadedb_spark.sql.translator import walk
+
+    targets = []
+    for e in exprs:
+        for node in walk(e):
+            if (
+                isinstance(node, ast.FuncCall)
+                and node.name.lower() == "relationships"
+                and len(node.args) == 1
+                and isinstance(node.args[0], ast.Chain)
+                and len(node.args[0].parts) == 1
+            ):
+                targets.append(node)
+    if not targets:
+        return df
+    for t in targets:
+        if id(t) in markers:
+            continue
+        alias = t.args[0].parts[0]
+        if alias not in df.columns:
+            continue
+        adt = df.schema[alias].dataType
+        if not isinstance(adt, StructType) or "vids" not in adt.names:
+            continue
+        if "rels" not in adt.names:
+            df = enrich_path_columns(db, df, [alias])
+        markers[id(t)] = F.col(alias).getField("rels")
+    return df
+
+
+def _lambda_pattern_marker(db, df, pe, params, marker_cols):
+    """Per-element pattern count for a comprehension rooted at a lambda
+    variable: lower the pattern with an anonymous root, group match
+    counts by root vid, broadcast ONE map column onto the frame, and
+    hand the compiler a deferred marker it resolves per element
+    (coalesce(map[x.vid], 0) → array_repeat).  Scale: the map holds one
+    entry per vertex WITH matches — the same size as the grouped count
+    frame a correlated join would build.
+
+    Returns (df, marker) or None when the shape is out of scope (only
+    literal projections without an inner WHERE are supported)."""
+    import dataclasses
+
+    if pe.where is not None or not isinstance(pe.proj, ast.Lit):
+        return None
+    fresh = f"__lamroot{next(_uid)}"
+    path2 = dataclasses.replace(
+        pe.path, root=dataclasses.replace(pe.path.root, alias=fresh),
+        path_alias=None,
+    )
+    try:
+        pdf, _ = translate_path(db, path2, params)
+    except TranslateError:
+        return None
+    name = f"__lampm{next(_uid)}"
+    counts = pdf.groupBy(
+        F.col(f"{fresh}.vid").alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    mrow = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__v"), F.col("__c")))
+        ).alias(name)
+    )
+    df = df.crossJoin(F.broadcast(mrow))
+    marker_cols.append(name)
+    return df, ("__lam_pat__", name, pe.path.root.alias, pe.proj.value)
+
+
 def attach_pattern_markers(
     db, df: DataFrame, exprs, params: dict, markers: dict,
     marker_cols: list,
@@ -915,10 +1005,23 @@ def attach_pattern_markers(
     pes: list = []
     for e in exprs:
         _collect_pattern_exprs(e, pes)
-    for pe in pes:
+    for pe, lam_vars in pes:
         if id(pe) in markers:
             continue
         is_comp = isinstance(pe, ast.PatternComp)
+        root_alias = getattr(getattr(pe, "path", None), "root", None)
+        root_alias = getattr(root_alias, "alias", None)
+        if (
+            is_comp and root_alias and root_alias in lam_vars
+            and root_alias not in df.columns
+        ):
+            # pattern rooted at a LAMBDA variable ([x IN nodes(p) |
+            # size([(x)-->(:Y) | 1])]): one per-vertex count map joined
+            # once, read per element inside the lambda (TCK Pattern2[7])
+            mk = _lambda_pattern_marker(db, df, pe, params, marker_cols)
+            if mk is not None:
+                df, markers[id(pe)] = mk
+                continue
         where_handled = False
         if not is_comp and getattr(pe, "block", None):
             # full-query EXISTS { … } block: correlated pipeline frame
@@ -968,10 +1071,33 @@ def attach_pattern_markers(
         name = f"__pe{next(_uid)}"
         proj_col = None
         if is_comp:
+            # a path variable projected as a VALUE surfaces entity
+            # payloads ([p = (n)-->() | p] — TCK Pattern2[1-3,10,11])
+            from arcadedb_spark.sql.translator import walk as _pw
+            from pyspark.sql.types import StructType as _PSt
+
+            ppaths = []
+            for nd in _pw(pe.proj):
+                if (
+                    isinstance(nd, ast.Chain) and len(nd.parts) == 1
+                    and nd.parts[0] in pdf.columns
+                ):
+                    pdt = pdf.schema[nd.parts[0]].dataType
+                    if isinstance(pdt, _PSt) and "vids" in pdt.names:
+                        ppaths.append(nd.parts[0])
+            if ppaths:
+                pdf = enrich_path_columns(
+                    db, pdf, list(dict.fromkeys(ppaths))
+                )
             # compile the projection against the pattern frame — new
             # variables introduced by the comprehension scope to it
+            inner_pm: dict = {}
+            pdf = attach_entity_lookups(
+                db, pdf, [pe.proj], params, inner_pm
+            )
             pctx = Ctx(cypher=True, db=db, params=params,
-                       columns=tuple(pdf.columns), frame_schema=pdf.schema)
+                       columns=tuple(pdf.columns), frame_schema=pdf.schema,
+                       precompiled=inner_pm)
             proj_col = ExprCompiler(pctx).compile(pe.proj)
         if not shared:
             if is_comp:
@@ -1400,17 +1526,19 @@ def project_stage(
     )
     markers: dict = {}
     marker_cols: list = []
-    df = attach_pattern_markers(
-        db, df,
+    # group_by holds the ORIGINAL AST objects (projection exprs are
+    # rebuilt by the collected-path rewrite above) — attach markers for
+    # both so id-keyed precompiled lookups hit in the aggregate path
+    attach_exprs = (
         [p.expr for p in select.projections]
-        + [o.expr for o in select.order_by],
-        params, markers, marker_cols,
+        + [o.expr for o in select.order_by]
+        + list(select.group_by)
+    )
+    df = attach_pattern_markers(
+        db, df, attach_exprs, params, markers, marker_cols,
     )
     df = attach_entity_lookups(
-        db, df,
-        [p.expr for p in select.projections]
-        + [o.expr for o in select.order_by],
-        params, markers,
+        db, df, attach_exprs, params, markers,
     )
     tr = Translator(db, params)
     ctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),

@@ -1407,8 +1407,25 @@ class ExprCompiler:
 
     def _c_patterncomp(self, e) -> Column:
         """Pattern comprehension value: the collected projection list.
-        Pre-joined by attach_pattern_markers as a collect_list marker."""
+        Pre-joined by attach_pattern_markers as a collect_list marker.
+        A deferred lambda marker resolves per element: the pattern's
+        per-vertex count map is read at the lambda variable's vid."""
         pre = self.ctx.precompiled.get(id(e))
+        if (
+            isinstance(pre, tuple) and len(pre) == 4
+            and pre[0] == "__lam_pat__"
+        ):
+            _tag, mapname, root, proj_val = pre
+            elem = self._bound.get(root)
+            if elem is None:
+                raise TranslateError(
+                    f"pattern comprehension root '{root}' is not in scope"
+                )
+            cnt = F.coalesce(
+                F.try_element_at(F.col(mapname), elem.getField("vid")),
+                F.lit(0),
+            )
+            return F.array_repeat(F.lit(proj_val), cnt.cast("int"))
         if pre is None:
             raise TranslateError(
                 "pattern comprehensions are supported in MATCH/WITH/RETURN "
@@ -1808,8 +1825,18 @@ class ExprCompiler:
     def _c_labelpred(self, e: ast.LabelPred) -> Column:
         """``n:Label`` — label-set membership on the vertex struct's
         colon-joined @type (multiple predicate labels AND together;
-        the internal "_" unlabeled bucket matches nothing)."""
+        the internal "_" unlabeled bucket matches nothing).  On a
+        RELATIONSHIP struct the label expression checks the edge type
+        (openCypher label expressions on relationships, TCK Graph5[2])."""
         base = self.compile(e.base)
+        fields = self._struct_fields_of(e.base)
+        if fields is not None and any(f.name == "etype" for f in fields) \
+                and not any(f.name == "@type" for f in fields):
+            out = None
+            for lbl in e.labels:
+                c = base.getField("etype") == F.lit(lbl)
+                out = c if out is None else (out & c)
+            return out
         lset = F.split(base.getField("@type"), ":")
         out = None
         for lbl in e.labels:

@@ -17,6 +17,29 @@ from dataclasses import dataclass, field
 
 TCK_ROOT = "/root/reference/engine/src/test/resources/opencypher/tck/features"
 
+# Named fixture graphs ("Given the <name> graph" — reference
+# TCKStepDefinitions.java:105,127)
+_BT = """
+CREATE (a:A {{name: 'a'}}), (b1:X {{name: 'b1'}}), (b2:X {{name: 'b2'}}),
+       (b3:X {{name: 'b3'}}), (b4:X {{name: 'b4'}}),
+       (c11:X {{name: 'c11'}}), (c12:{c1} {{name: 'c12'}}),
+       (c21:X {{name: 'c21'}}), (c22:{c1} {{name: 'c22'}}),
+       (c31:X {{name: 'c31'}}), (c32:{c1} {{name: 'c32'}}),
+       (c41:X {{name: 'c41'}}), (c42:{c1} {{name: 'c42'}})
+CREATE (a)-[:KNOWS]->(b1), (a)-[:KNOWS]->(b2),
+       (a)-[:FOLLOWS]->(b3), (a)-[:FOLLOWS]->(b4)
+CREATE (b1)-[:FRIEND]->(c11), (b1)-[:FRIEND]->(c12),
+       (b2)-[:FRIEND]->(c21), (b2)-[:FRIEND]->(c22),
+       (b3)-[:FRIEND]->(c31), (b3)-[:FRIEND]->(c32),
+       (b4)-[:FRIEND]->(c41), (b4)-[:FRIEND]->(c42)
+CREATE (b1)-[:FRIEND]->(b2), (b2)-[:FRIEND]->(b3),
+       (b3)-[:FRIEND]->(b4), (b4)-[:FRIEND]->(b1)
+"""
+NAMED_GRAPHS = {
+    "binary-tree-1": _BT.format(c1="X"),
+    "binary-tree-2": _BT.format(c1="Y"),
+}
+
 
 @dataclass
 class Scenario:
@@ -355,6 +378,15 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
     while i < len(lines):
         line = lines[i].strip()
         if line.startswith(("Given an empty graph", "Given any graph")):
+            i += 1
+        elif line.startswith("Given the ") and line.rstrip().endswith(" graph"):
+            # named fixture graph (reference TCKStepDefinitions.java @Given)
+            gname = line[len("Given the "):].rstrip()[:-len(" graph")].strip()
+            fixture = NAMED_GRAPHS.get(gname)
+            if fixture is None:
+                cur.skip = cur.skip or f"unknown named graph: {gname}"
+            else:
+                cur.setup.append(fixture)
             i += 1
         elif line.startswith("Given"):
             cur.skip = cur.skip or f"unsupported Given: {line}"
