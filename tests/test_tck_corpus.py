@@ -58,6 +58,13 @@ def _run_area(spark, area: str) -> tuple[int, int, int]:
         ("clauses/with", 28),
         ("expressions/boolean", 18),
         ("expressions/null", 20),
+        # round-4 conformance floors (areas at or near 100%)
+        ("clauses/match", 378),
+        ("clauses/merge", 75),
+        ("clauses/with-orderBy", 292),
+        ("expressions/pattern", 50),
+        ("expressions/path", 7),
+        ("useCases", 30),
     ],
 )
 def test_tck_area_floor(spark, area, floor):
