@@ -98,6 +98,9 @@ class Database:
         self.schema = Catalog(spark)
         self._plan_cache: dict[str, object] = {}
         self._graph = None
+        import threading
+
+        self._graph_build_lock = threading.Lock()
         # user functions: DEFINE FUNCTION macros + registered Python UDFs
         self._functions: dict[str, dict] = {}
         # user-registered CALL procedures backed by a fixed result table
@@ -197,6 +200,26 @@ class Database:
             )
             if name in _TESTDATA_LINKS:
                 tdef.properties["links"] = _TESTDATA_LINKS[name]
+        # Warm the graph view off the critical path: build the property
+        # graph (driver-side plan construction) and its derived edge
+        # caches in a daemon thread so the first graph query finds them
+        # ready.  Spark schedules jobs from concurrent threads, so this
+        # overlaps whatever relational queries run first.
+        if "customer" in db.schema.names() and (
+            str(spark.conf.get("arcadedb.graph.prewarm", "true")).lower()
+            == "true"
+        ):
+            import threading
+
+            def _warm_graph(d=db):
+                try:
+                    d.graph()
+                except Exception:
+                    pass  # first real graph() call rebuilds and surfaces
+
+            threading.Thread(
+                target=_warm_graph, name="arcadedb-prewarm-graph", daemon=True
+            ).start()
         return db
 
     def register_type(
@@ -369,8 +392,11 @@ class Database:
         if self._graph is None:
             from arcadedb_spark.graph.model import GraphModel
 
-            self._graph = GraphModel.from_database(self)
-            # lets `select from schema:graphAnalyticalViews` see edge types
-            self.schema._graph_ref = self._graph
-            self.schema._gavs_ref = self._gavs
+            with self._graph_build_lock:
+                if self._graph is None:  # double-checked: prewarm thread
+                    g = GraphModel.from_database(self)
+                    # `select from schema:graphAnalyticalViews` edge types
+                    self.schema._graph_ref = g
+                    self.schema._gavs_ref = self._gavs
+                    self._graph = g
         return self._graph

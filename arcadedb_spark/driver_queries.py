@@ -533,10 +533,14 @@ def q_traverse_bfs(spark, sf_dir):
 def q_graph_bfs_hops(spark, sf_dir):
     from arcadedb_spark.graph.traverse import traverse
 
+    from arcadedb_spark.graph.model import local_df
+
     db = _db(spark, sf_dir)
     g = db.graph()
     base = db.schema.get("customer").bucket_id << 40
-    roots = spark.createDataFrame([(base + 7,)], "vid long")
+    # single-slice literal frame: createDataFrame would scatter one row
+    # over defaultParallelism python tasks
+    roots = local_df(spark, [(base + 7,)], "struct<vid:bigint>")
     edges = g.edges("INTERACTED").select(
         F.col("src").alias("__from"), F.col("dst").alias("__to")
     )

@@ -154,10 +154,18 @@ def _expand(
     ealias = (step.edge_alias
               if step.max_hops == 1 and step.min_hops == 1 and not is_vl
               else None)
-    # stable edge identity for Cypher relationship-uniqueness: hash of the
-    # full (orientation-independent) edge row.  Deviation (documented):
+    # stable edge identity for Cypher relationship-uniqueness: the stored
+    # @eid column when the graph stamped one (build/write time — a column
+    # read, no per-pattern hashing), else a hash of the full
+    # (orientation-independent) edge row.  Null-padded @eid rows (frames
+    # whose derivation had no row metadata) keep the content-hash
+    # fallback; only for those does the documented deviation remain:
     # fully identical parallel edges collapse to one identity.
-    eid_col = F.xxhash64(*[F.col(c) for c in e.columns])
+    _hash_cols = [F.col(c) for c in e.columns if c != "@eid"]
+    if "@eid" in e.columns:
+        eid_col = F.coalesce(F.col("@eid"), F.xxhash64(*_hash_cols))
+    else:
+        eid_col = F.xxhash64(*_hash_cols)
     anon_undirected = (
         not ealias and len(directions) > 1
         and step.max_hops == 1 and step.min_hops == 1
@@ -619,7 +627,14 @@ def enrich_path_columns(db, df: DataFrame, pvars: list[str]) -> DataFrame:
                     )
                 ).alias("__pos", "__pair"),
             )
-            ehash = F.xxhash64(*[F.col(c) for c in e_.columns])
+            # must mirror the pattern-side eid formula exactly (stored
+            # @eid column first, content-hash fallback)
+            _ehc = [F.col(c) for c in e_.columns if c != "@eid"]
+            ehash = (
+                F.coalesce(F.col("@eid"), F.xxhash64(*_ehc))
+                if "@eid" in e_.columns
+                else F.xxhash64(*_ehc)
+            )
             ek = e_.select(
                 ehash.alias("__eh"),
                 F.struct(*[F.col(c) for c in e_.columns]).alias("__er"),

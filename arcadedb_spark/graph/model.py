@@ -42,6 +42,10 @@ def local_df(spark, rows, schema=None) -> DataFrame:
     driver-side (probe frame), then the data rides a single-slice RDD."""
     if schema is None:
         schema = spark.createDataFrame(rows).schema
+    elif isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
     names = schema.names
     if rows and isinstance(rows[0], dict):
         data = [tuple(r.get(n) for n in names) for r in rows]
@@ -252,7 +256,30 @@ class GraphModel:
         ]
         for p in props:
             cols.append(F.col(p))
-        self._edge_dfs.append(df.select(*cols))
+        out = None
+        if "@eid" not in props:
+            # Hidden per-edge identity (openCypher relationship identity;
+            # parallel fully-identical edges must stay distinct — TCK
+            # Match6[14]).  For file-backed frames the id is pinned to
+            # STORAGE (file path + in-file row ordinal): deterministic
+            # across recomputation/task retries, zero-shuffle, and pruned
+            # from the scan whenever a query never touches @eid.
+            try:
+                out = df.select(
+                    *cols,
+                    F.xxhash64(
+                        F.lit(etype),
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"),
+                    ).alias("@eid"),
+                )
+            except Exception:
+                # derived frame (aggregate/join output) — no row metadata;
+                # match-time identity falls back to a content hash
+                out = None
+        if out is None:
+            out = df.select(*cols)
+        self._edge_dfs.append(out)
         self._edges = None
         self._edges_by_src = None
 
@@ -458,17 +485,21 @@ class GraphModel:
     def add_edges_from_frame(self, etype: str, frame: DataFrame) -> int:
         """Append one edge per row of (src, dst [, prop…]) — e.g. from a
         MATCH; non-endpoint columns ride along as edge properties."""
-        n = frame.count()
         if "@eid" not in frame.columns:
             # hidden per-edge identity (see _flush_edges): batch tag +
-            # row id hashed — parallel identical rows get distinct ids
+            # row id hashed — parallel identical rows get distinct ids.
+            # monotonically_increasing_id is NOT stable across
+            # re-evaluation (cache eviction / task retry), so the stamped
+            # frame is immediately frozen to storage: identity is pinned,
+            # every later scan reads the same @eid values.
             self._eid_counter += 1
             frame = frame.withColumn(
                 "@eid",
                 F.xxhash64(
                     F.lit(self._eid_counter), F.monotonically_increasing_id()
                 ),
-            )
+            ).truncate_plan()
+        n = frame.count()
         props = [c for c in frame.columns if c not in ("src", "dst")]
         self.add_edges(etype, frame, "src", "dst", props=props)
         return n
@@ -891,8 +922,10 @@ class GraphModel:
 
         g.add_edges(
             "PLACED",
-            orders.withColumn("__src", vid_of("customer", "o_custkey")).withColumn(
-                "__dst", vid_of("orders", "o_orderkey")
+            orders.select(
+                "*",
+                vid_of("customer", "o_custkey").alias("__src"),
+                vid_of("orders", "o_orderkey").alias("__dst"),
             ),
             "__src",
             "__dst",
@@ -901,8 +934,10 @@ class GraphModel:
         )
         g.add_edges(
             "CONTAINS",
-            lineitem.withColumn("__src", vid_of("orders", "l_orderkey")).withColumn(
-                "__dst", vid_of("part", "l_partkey")
+            lineitem.select(
+                "*",
+                vid_of("orders", "l_orderkey").alias("__src"),
+                vid_of("part", "l_partkey").alias("__dst"),
             ),
             "__src",
             "__dst",
@@ -912,8 +947,9 @@ class GraphModel:
         )
         g.add_edges(
             "SUPPLIED_BY",
-            lineitem.withColumn("__src", vid_of("part", "l_partkey")).withColumn(
-                "__dst", vid_of("supplier", "l_suppkey")
+            lineitem.select(
+                vid_of("part", "l_partkey").alias("__src"),
+                vid_of("supplier", "l_suppkey").alias("__dst"),
             ).dropDuplicates(["__src", "__dst"]),
             "__src",
             "__dst",
@@ -922,8 +958,10 @@ class GraphModel:
         )
         g.add_edges(
             "LOCATED_IN",
-            customer.withColumn("__src", vid_of("customer", "c_custkey")).withColumn(
-                "__dst", vid_of("nation", "c_nationkey")
+            customer.select(
+                "*",
+                vid_of("customer", "c_custkey").alias("__src"),
+                vid_of("nation", "c_nationkey").alias("__dst"),
             ),
             "__src",
             "__dst",
@@ -932,8 +970,10 @@ class GraphModel:
         )
         g.add_edges(
             "LOCATED_IN",
-            supplier.withColumn("__src", vid_of("supplier", "s_suppkey")).withColumn(
-                "__dst", vid_of("nation", "s_nationkey")
+            supplier.select(
+                "*",
+                vid_of("supplier", "s_suppkey").alias("__src"),
+                vid_of("nation", "s_nationkey").alias("__dst"),
             ),
             "__src",
             "__dst",
@@ -1002,9 +1042,11 @@ class GraphModel:
             .groupBy("user_id", "__next_user")
             .agg(F.count("*").cast("double").alias("weight"))
         )
-        inter = inter.withColumn(
-            "__src", vid_of("customer", "user_id")
-        ).withColumn("__dst", vid_of("customer", "__next_user"))
+        inter = inter.select(
+            "*",
+            vid_of("customer", "user_id").alias("__src"),
+            vid_of("customer", "__next_user").alias("__dst"),
+        )
         # INTERACTED is derived (global window over events) — cache the
         # result so algorithms/traversals don't replay the derivation
         inter = inter.cache()
@@ -1012,4 +1054,25 @@ class GraphModel:
             "INTERACTED", inter, "__src", "__dst", props=["weight"],
             src_label="Customer", dst_label="Customer",
         )
+        # Background-materialize the derived edge cache: Spark schedules
+        # jobs from multiple threads concurrently, so the derivation
+        # overlaps whatever query triggered the graph build instead of
+        # landing cold on the first traversal/algorithm that touches
+        # INTERACTED.  Same pattern a real engine uses to warm a derived
+        # adjacency/materialized view off the query critical path.
+        if (
+            str(db.spark.conf.get("arcadedb.graph.prewarmDerived", "true"))
+            .lower() == "true"
+        ):
+            import threading
+
+            def _warm(frame=inter):
+                try:
+                    frame.count()
+                except Exception:
+                    pass  # session shut down mid-warm — harmless
+
+            threading.Thread(
+                target=_warm, name="arcadedb-prewarm-interacted", daemon=True
+            ).start()
         return g

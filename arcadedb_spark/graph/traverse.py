@@ -1,20 +1,37 @@
-"""TRAVERSE statement → iterative frontier-join BFS.
+"""TRAVERSE statement → iterative frontier BFS (hybrid driver/distributed).
 
 Reference: query/sql/executor/BreadthFirstTraverseStep.java:34 /
 DepthFirstTraverseStep.java:36 walk records one at a time keeping a
-visited set.  The Spark re-expression is a frontier loop: each hop is a
-join of the current frontier against the edge DataFrame, with a left_anti
-join against the visited set for cycle avoidance.
+visited set.  The Spark re-expression is a frontier loop: each hop
+expands the current frontier along the edge DataFrame, excluding
+already-visited vertices.
 
 DFS visit *order* is inherently sequential and is not reproducible on a
 distributed engine — we execute BFS regardless of STRATEGY (documented
 deviation; result *sets* are identical, only row order differs, and
 TRAVERSE result order is undefined without ORDER BY anyway).
 
-Scale notes: the visited set grows monotonically — we localCheckpoint
-every ``_CHECKPOINT_EVERY`` hops to truncate lineage (the iterative-join
-plan would otherwise grow exponentially in Catalyst); the frontier join
-is src-partitioned via the graph's CSR-analog edge cache.
+Execution strategy — the 100-TB design question here is frontier size,
+not graph size:
+
+- **Driver-frontier mode** (the common case): a bounded-depth traversal
+  from point roots touches a frontier that is minuscule next to the edge
+  set.  A per-hop distributed join costs 3-4 shuffle stages of pure
+  scheduler/AQE latency on a few thousand rows.  Instead the frontier and
+  visited set live as driver-side hash sets (8 MB per million vids) and
+  each hop is ONE job: a (semi-join|isin)-filtered scan of the cached
+  edge frame reduced by map-side-combined ``collect_set`` — the shuffle
+  carries only distinct neighbor ids, never raw edges, so a celebrity
+  vertex cannot blow up the collect.
+- **Distributed mode**: the moment the frontier outgrows
+  ``_DRIVER_FRONTIER_MAX`` (or the roots already do), state spills to
+  DataFrames and the classic frontier-join loop takes over: one
+  ``persist + count`` materialization per hop (the count both drives the
+  emptiness check and fully populates the cache — a ``limit(1).count()``
+  probe would leave the cache partial and recompute the hop twice),
+  distinct+anti against visited, lineage truncated every
+  ``_CHECKPOINT_EVERY`` hops so Catalyst never sees an exponentially
+  growing iterative plan.
 """
 
 from __future__ import annotations
@@ -27,6 +44,11 @@ from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
 
 _CHECKPOINT_EVERY = 4
 _DEFAULT_MAX_DEPTH = 10
+# frontier/visited ids held driver-side before spilling to DataFrames
+# (1M longs ≈ 8 MB — trivial next to any driver heap; the cap bounds the
+# collect, the isin-vs-broadcast split below bounds the plan size)
+_DRIVER_FRONTIER_MAX = 200_000
+_ISIN_MAX = 512  # above this, ship the frontier as a broadcast semi-join
 
 
 def _direction_edges(db, projections) -> DataFrame:
@@ -67,6 +89,43 @@ def _direction_edges(db, projections) -> DataFrame:
     return out
 
 
+def _expand_driver(edges: DataFrame, frontier: "set[int]") -> "list[int]":
+    """Distinct out-neighbors of ``frontier`` in ONE job.
+
+    ``collect_set`` aggregates map-side first, so each partition ships
+    only its distinct neighbor ids — bounded by the true neighbor-set
+    size, not the (possibly skewed) edge count."""
+    spark = edges.sparkSession
+    if len(frontier) <= _ISIN_MAX:
+        hits = edges.filter(F.col("__from").isin([int(v) for v in frontier]))
+    else:
+        from arcadedb_spark.graph.model import local_df
+
+        fdf = local_df(
+            spark, [(int(v),) for v in frontier],
+            "struct<__from:bigint>",
+        )
+        hits = edges.join(F.broadcast(fdf), "__from", "left_semi")
+    row = hits.agg(F.collect_set("__to").alias("ns")).collect()[0]
+    return row["ns"] or []
+
+
+def _while_keep(db, params, pairs, while_):
+    """Apply the WHILE predicate to driver-side (vid, depth) pairs via a
+    one-partition frame — keeps the expression compiler as the single
+    source of predicate semantics."""
+    from arcadedb_spark.graph.model import local_df
+    from arcadedb_spark.sql.translator import VarBinding
+
+    if not pairs:
+        return []
+    df = local_df(db.spark, pairs, "struct<vid:bigint,depth:int>")
+    ctx = Ctx(db=db, params=params, columns=("vid", "depth"))
+    ctx.vars["depth"] = VarBinding("col", col=F.col("depth"))
+    kept = df.filter(ExprCompiler(ctx).compile(while_)).select("vid").collect()
+    return [r["vid"] for r in kept]
+
+
 def traverse(
     db,
     roots: DataFrame,
@@ -81,12 +140,57 @@ def traverse(
     depth = first-visit hop count (roots at depth 0).
     """
     params = params or {}
-    # the edge frame is joined every hop — cache it once (for derived edge
+    # the edge frame is read every hop — cache it once (for derived edge
     # sets like INTERACTED the derivation is itself a query)
     edges = edges.cache()
+    # raw limit+collect (no distinct — dedup is a driver-side set insert;
+    # a pre-collect distinct() would cost a shuffle just to count)
+    root_rows = roots.select("vid").limit(_DRIVER_FRONTIER_MAX + 1).collect()
+    if len(root_rows) <= _DRIVER_FRONTIER_MAX:
+        result = _traverse_driver(
+            db, [r["vid"] for r in root_rows], edges, max_depth, while_, params
+        )
+        if result is not None:
+            return result
+    # roots too large, or the driver loop spilled: distributed BFS
     visited = roots.select("vid").distinct().withColumn("depth", F.lit(0))
-    frontier = visited
+    return _traverse_distributed(
+        db, visited, visited, edges, 1, max_depth, while_, params
+    )
+
+
+def _traverse_driver(db, root_vids, edges, max_depth, while_, params):
+    """Driver-frontier BFS; returns the (vid, depth) frame, or ``None``
+    if the frontier outgrew ``_DRIVER_FRONTIER_MAX`` mid-walk (the
+    caller restarts distributed — bounded rework: at most one extra
+    sub-threshold prefix of the walk)."""
+    from arcadedb_spark.graph.model import local_df
+
+    visited: dict[int, int] = {int(v): 0 for v in root_vids}
+    frontier = set(visited)
     for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        neighbors = _expand_driver(edges, frontier)
+        nxt = [int(v) for v in neighbors if int(v) not in visited]
+        if while_ is not None:
+            nxt = _while_keep(
+                db, params, [(v, depth) for v in nxt], while_
+            )
+        if len(visited) + len(nxt) > _DRIVER_FRONTIER_MAX:
+            return None  # spill to the distributed loop
+        for v in nxt:
+            visited[v] = depth
+        frontier = set(nxt)
+    return local_df(
+        db.spark, list(visited.items()), "struct<vid:bigint,depth:int>"
+    )
+
+
+def _traverse_distributed(
+    db, visited, frontier, edges, start_depth, max_depth, while_, params
+):
+    for depth in range(start_depth, max_depth + 1):
         nxt = (
             frontier.join(edges, frontier["vid"] == edges["__from"], "inner")
             .select(F.col("__to").alias("vid"))
@@ -105,12 +209,12 @@ def traverse(
         if depth % _CHECKPOINT_EVERY == 0:
             nxt = nxt.truncate_plan()
         else:
-            # each hop is re-read by the emptiness check, the next hop's
-            # join and the visited union — cache instead of recomputing
-            nxt = nxt.cache()
-        # emptiness check drives the loop — one count() action per hop,
-        # skipped on the final hop where the loop ends regardless
-        if depth < max_depth and nxt.limit(1).count() == 0:
+            nxt = nxt.persist()
+        # ONE action per hop: the full count both decides termination and
+        # materializes the persisted hop (limit(1).count() would leave the
+        # cache partial — the next hop's join and the visited union would
+        # then recompute the whole hop plan again)
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt)
         if depth % _CHECKPOINT_EVERY == 0:

@@ -35,6 +35,12 @@ def get_spark(app_name: str = "arcadedb-spark", master: str | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures a Python call site (stack walk + py4j round
+        # trip) on EVERY DataFrame API call for error enrichment; the
+        # engine builds plans with thousands of calls per query, so this
+        # is pure driver-side latency — disable it (errors still carry
+        # the JVM-side origin).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # TIMESTAMP(NANOS) parquet (reference type DATETIME_NANOS,
         # schema/Type.java:96) is read as long and converted to micros by
         # the catalog loader — Spark has no nanos timestamp type.

@@ -346,3 +346,39 @@ def test_gremlin_coalesce_union(db):
     placed = db.g().V("Customer").has("c_custkey", 1).out("PLACED").count()
     inter = db.g().V("Customer").has("c_custkey", 1).out("INTERACTED").count()
     assert u == placed + inter
+
+
+def test_eid_deterministic_across_recomputation(spark):
+    """@eid identity must not change when the frame is re-evaluated
+    (cache eviction / task retry at cluster scale).  The write path pins
+    freshly minted ids to storage (truncate_plan); catalog bulk frames
+    derive @eid from file row metadata — both re-scan to the same set."""
+    from arcadedb_spark.graph.model import GraphModel, local_df
+
+    g = GraphModel(spark)
+    pairs = local_df(
+        spark,
+        [(1, 2, "x"), (1, 2, "x"), (3, 4, "y")],
+        "struct<src:bigint,dst:bigint,tag:string>",
+    )
+    g.add_edges_from_frame("T", pairs)
+    e = g.edges("T")
+    first = sorted(r["@eid"] for r in e.select("@eid").collect())
+    # force full re-evaluation: drop every cached plan in the session
+    spark.catalog.clearCache()
+    second = sorted(r["@eid"] for r in e.select("@eid").collect())
+    assert first == second
+    # parallel identical rows keep DISTINCT identities
+    assert len(set(first)) == 3
+
+
+def test_eid_bulk_frames_storage_pinned(db):
+    """Catalog-loaded edge frames carry @eid derived from parquet row
+    metadata: stable across scans, distinct per physical row."""
+    g = db.graph()
+    e = g.edges("PLACED").select("@eid")
+    a = sorted(r["@eid"] for r in e.collect())
+    db.spark.catalog.clearCache()
+    b = sorted(r["@eid"] for r in e.collect())
+    assert a == b
+    assert len(set(a)) == len(a)
