@@ -48,7 +48,12 @@ _DEFAULT_MAX_DEPTH = 10
 # (1M longs ≈ 8 MB — trivial next to any driver heap; the cap bounds the
 # collect, the isin-vs-broadcast split below bounds the plan size)
 _DRIVER_FRONTIER_MAX = 200_000
-_ISIN_MAX = 512  # above this, ship the frontier as a broadcast semi-join
+# ≤ this, filter via array_contains(lit(ids), …): the array literal rides
+# the codegen `references` table, so every hop (any id set) reuses ONE
+# compiled plan — an isin() literal list would embed in the generated
+# source and recompile per hop.  Above it, the per-row linear array scan
+# loses to a broadcast semi-join on an Arrow-built frame.
+_ARRAY_FILTER_MAX = 256
 
 
 def _direction_edges(db, projections) -> DataFrame:
@@ -96,14 +101,18 @@ def _expand_driver(edges: DataFrame, frontier: "set[int]") -> "list[int]":
     only its distinct neighbor ids — bounded by the true neighbor-set
     size, not the (possibly skewed) edge count."""
     spark = edges.sparkSession
-    if len(frontier) <= _ISIN_MAX:
-        hits = edges.filter(F.col("__from").isin([int(v) for v in frontier]))
+    if len(frontier) <= _ARRAY_FILTER_MAX:
+        hits = edges.filter(
+            F.array_contains(
+                F.lit([int(v) for v in frontier]), F.col("__from")
+            )
+        )
     else:
-        from arcadedb_spark.graph.model import local_df
+        import pandas as pd
 
-        fdf = local_df(
-            spark, [(int(v),) for v in frontier],
-            "struct<__from:bigint>",
+        # Arrow path: the frame lands JVM-side without python workers
+        fdf = spark.createDataFrame(
+            pd.DataFrame({"__from": [int(v) for v in frontier]})
         )
         hits = edges.join(F.broadcast(fdf), "__from", "left_semi")
     row = hits.agg(F.collect_set("__to").alias("ns")).collect()[0]
