@@ -85,6 +85,28 @@ class CypherParser(Parser):
             or (t.kind == "KEYWORD" and t.value == word)
         )
 
+    def _capture_brace_block(self) -> str:
+        """Consume a balanced ``{ … }`` token run and return the inner
+        source text (used by CALL { … } subqueries — the block is parsed
+        as its own query at lowering time)."""
+        if not (self.cur.kind == "OP" and self.cur.value == "{"):
+            raise ParseError(f"Expected '{{' at {self.cur!r}")
+        open_tok = self.cur
+        depth = 0
+        j = self.i
+        while j < len(self.tokens):
+            t = self.tokens[j]
+            if t.kind == "OP" and t.value == "{":
+                depth += 1
+            elif t.kind == "OP" and t.value == "}":
+                depth -= 1
+                if depth == 0:
+                    inner = self.text[open_tok.pos + 1 : t.pos]
+                    self.i = j + 1
+                    return inner.strip()
+            j += 1
+        raise ParseError("Unbalanced '{' in CALL subquery")
+
     def _parse_match_segment(self) -> tuple[list, "ast.Expr | None"]:
         paths: list[ast.MatchPath] = []
         where = None
@@ -266,6 +288,18 @@ class CypherParser(Parser):
             or self._at_ident("CALL")
         ):
             if self._at_ident("CALL"):
+                if self.peek().kind == "OP" and self.peek().value == "{":
+                    # CALL { … } subquery (Cypher25Parser.g4 callClause /
+                    # CallStep.java:71): capture the braced block verbatim
+                    # and lower it at translation time
+                    self.advance()
+                    sub_text = self._capture_brace_block()
+                    self._stages.append(
+                        {"paths": paths, "where": where,
+                         "subquery": sub_text}
+                    )
+                    paths, where = self._parse_match_segment()
+                    continue
                 # in-query CALL: the procedure frame joins the pipeline
                 spec = self.parse_call(consume_return=False)
                 self._stages.append(
@@ -852,6 +886,138 @@ def _run_pipeline_stages(db, stmt, stages, params, env, _T, static_value):
     )
 
 
+def _lower_call_subquery(db, df, aliases, text, params,
+                         env, _T, static_value):
+    """Lower ``CALL { … }`` (reference CallStep.java:71; Cypher25Parser.g4
+    callClause) — Spark-first DECORRELATION instead of per-row execution:
+
+    - Uncorrelated (no importing WITH): the subquery runs ONCE and its
+      result crossJoins the pipeline frame (Catalyst broadcasts the small
+      side) — never once per input row.
+    - Correlated (leading ``WITH a, b`` importing outer variables): the
+      subquery is keyed by the DISTINCT imported values (one evaluation
+      per distinct binding, not per row) and joined back — the classic
+      aggregate-decorrelation rewrite, so a 10^9-row outer frame with
+      10^3 distinct keys costs 10^3 subquery evaluations.
+    - A returning subquery with zero rows for a binding eliminates those
+      outer rows (openCypher CALL semantics — inner join back).
+
+    Documented deviations: unit (non-returning, write-only) subqueries
+    and per-invocation ORDER BY … LIMIT under correlation are rejected
+    with a clear error instead of silently mis-executing.
+    """
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.graph.match import combine_paths, project_stage
+    from arcadedb_spark.sql.translator import (
+        TranslateError, _contains_aggregate, _safe_distinct,
+    )
+
+    sub = CypherParser(text)
+    stmts = sub.parse_query()
+    if sub.cur.kind != "EOF":
+        raise ParseError(f"Trailing input in CALL subquery at {sub.cur!r}")
+    if any(s is None for s, _ in stmts):
+        raise TranslateError(
+            "CALL { … } unit (write-only) subqueries are not supported — "
+            "use MATCH … CREATE/MERGE clause chaining instead"
+        )
+    # importing WITH: single branch whose first stage is a bare-variable
+    # WITH over columns bound in the outer frame
+    imports: list[str] = []
+    if len(stmts) == 1 and df is not None:
+        stmt0, stages0 = stmts[0]
+        if stages0:
+            st0 = stages0[0]
+            if (
+                not st0["paths"] and st0["where"] is None
+                and "with_items" in st0
+                and st0.get("with_where") is None
+                and not st0.get("with_order")
+                and st0.get("with_skip") is None
+                and st0.get("with_limit") is None
+                and not st0.get("with_distinct")
+                and all(
+                    isinstance(it.expr, ast.Chain)
+                    and len(it.expr.parts) == 1 and it.alias is None
+                    for it in st0["with_items"]
+                )
+            ):
+                names = [it.expr.parts[0] for it in st0["with_items"]]
+                if all(n in df.columns for n in names):
+                    imports = names
+                    stmts = [(stmt0, stages0[1:])]
+    if imports:
+        stmt0, inner_stages = stmts[0]
+        if stmt0.skip is not None or stmt0.limit is not None:
+            raise TranslateError(
+                "CALL { … } with importing WITH and SKIP/LIMIT runs "
+                "per-invocation — not supported; lift the LIMIT out or "
+                "drop the import"
+            )
+        ret_aliases = [
+            it.alias or _bare_alias(it) or f"__c{i}"
+            for i, it in enumerate(stmt0.returns)
+        ]
+        clash = [a for a in ret_aliases if a in df.columns]
+        if clash:
+            raise TranslateError(
+                f"CALL subquery returns already-bound variable(s): {clash}"
+            )
+        key = df.select(
+            *[F.col(n).alias(f"__imp_{n}") for n in imports]
+        ).dropDuplicates()
+        base_in = key.select(
+            *[F.col(f"__imp_{n}").alias(n) for n in imports]
+        )
+        inner, inner_aliases = _lower_stage_frames(
+            db, inner_stages, params, env, _T, static_value,
+            base=base_in, base_aliases=set(imports),
+        )
+        inner, _ = combine_paths(
+            db, stmt0.paths, stmt0.where, params,
+            base=inner, base_aliases=inner_aliases,
+        )
+        items = tuple(
+            ast.ProjItem(it.expr, a)
+            for it, a in zip(stmt0.returns, ret_aliases)
+        ) + tuple(
+            ast.ProjItem(ast.Chain((n,)), f"__imp_{n}") for n in imports
+        )
+        group_by = stmt0.group_by
+        if any(_contains_aggregate(it.expr) for it in stmt0.returns):
+            group_by = tuple(group_by) + tuple(
+                ast.Chain((n,)) for n in imports
+            )
+        sub_out = project_stage(
+            db, inner, items, params,
+            distinct=stmt0.distinct, group_by=group_by,
+            order_by=stmt0.order_by,
+        )
+        cond = None
+        for n in imports:
+            c = df[n].eqNullSafe(sub_out[f"__imp_{n}"])
+            cond = c if cond is None else cond & c
+        out = df.join(sub_out, cond, "inner").drop(
+            *[f"__imp_{n}" for n in imports]
+        )
+        return out, set(aliases) | set(ret_aliases)
+    # uncorrelated: one evaluation, crossJoin into the pipeline
+    sub_out = None
+    for stmt0, stages0 in stmts:
+        part = _translate_pipeline(db, stmt0, list(stages0), params)
+        sub_out = part if sub_out is None else sub_out.unionByName(part)
+    if len(stmts) > 1 and not getattr(sub, "_union_all", False):
+        sub_out = _safe_distinct(sub_out)
+    clash = [c for c in sub_out.columns if df is not None and c in df.columns]
+    if clash:
+        raise TranslateError(
+            f"CALL subquery returns already-bound variable(s): {clash}"
+        )
+    out = sub_out if df is None else df.crossJoin(sub_out)
+    return out, set(aliases) | set(sub_out.columns)
+
+
 def _lower_stage_frames(db, stages, params, env, _T, static_value,
                         base=None, base_aliases=None):
     """Lower WITH/UNWIND pipeline stages to (frame, bound-aliases)."""
@@ -866,15 +1032,28 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value,
                 db, stage["paths"], stage["where"], params,
                 base=df, base_aliases=aliases,
             )
+        if "subquery" in stage:
+            df, aliases = _lower_call_subquery(
+                db, df, aliases, stage["subquery"], params,
+                env, _T, static_value,
+            )
+            continue
         if "call" in stage:
             from arcadedb_spark.graph.procedures import call_procedure
             from arcadedb_spark.sql.translator import TranslateError
             from pyspark.sql import functions as F
 
             spec = stage["call"]
+            if not spec["parens"]:
+                # implicit (parenthesis-less) calls are standalone-only
+                # (openCypher; TCK Call2[4] expects SyntaxError in-query)
+                raise TranslateError(
+                    "In-query procedure calls must use explicit "
+                    "arguments — implicit CALL is standalone-only"
+                )
             proc_df = call_procedure(
                 db, spec["proc"], spec["args"],
-                params=params, implicit=not spec["parens"],
+                params=params, implicit=False,
             )
             if not proc_df.columns:
                 # VOID procedure in-query: cardinality-preserving no-op
@@ -3399,6 +3578,14 @@ def lower_exists_block(db, text: str, outer_df, params: dict):
     p = CypherParser(text)
     stmts = p.parse_query()
     stmt, stages = stmts[0]
+    if stmt is None:
+        from arcadedb_spark.sql.translator import TranslateError
+
+        # write clauses inside EXISTS { … } (TCK ExistentialSubquery2[3])
+        raise TranslateError(
+            "An EXISTS subquery cannot contain update clauses "
+            "(InvalidClauseComposition)"
+        )
     base = None
     base_aliases: set = set()
     if outer_df is not None:
@@ -3429,7 +3616,9 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
     """Run a Cypher query → DataFrame (OpenCypherQueryEngine.query analog,
     query/opencypher/query/OpenCypherQueryEngine.java:150)."""
     p = CypherParser(text)
-    if p._at_ident("CALL"):
+    if p._at_ident("CALL") and not (
+        p.peek().kind == "OP" and p.peek().value == "{"
+    ):
         from arcadedb_spark.graph.match import project_stage
         from arcadedb_spark.graph.procedures import call_procedure
         from arcadedb_spark.sql.translator import _contains_aggregate
@@ -3442,6 +3631,16 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
             p = CypherParser(text)
             spec = None
         if spec is not None:
+            if spec["return"] is not None and not spec["parens"]:
+                # CALL … YIELD … RETURN is an in-query call; implicit
+                # argument passing is standalone-only (openCypher
+                # InvalidArgumentPassingMode, TCK Call2[4])
+                from arcadedb_spark.sql.translator import TranslateError
+
+                raise TranslateError(
+                    "In-query procedure calls must use explicit "
+                    "arguments — implicit CALL is standalone-only"
+                )
             df = call_procedure(
                 db, spec["proc"], spec["args"],
                 params=params, implicit=not spec["parens"],

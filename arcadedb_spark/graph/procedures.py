@@ -632,14 +632,18 @@ def _table_proc_frame(db, tp: dict, args: list) -> DataFrame:
     """Invoke a user table-backed procedure (Database.register_table_
     procedure): filter its rows on the input columns = the literal
     arguments, project the output columns with signature-declared types."""
+    from arcadedb_spark.sql.translator import TranslateError
+
     if len(args) != len(tp["in"]):
-        raise ValueError(
+        # wrong arity is a SyntaxError-class rejection (TCK Call1)
+        raise TranslateError(
             f"procedure expects {len(tp['in'])} arguments, got {len(args)}"
         )
     for (c, t), a in zip(tp["in"], args):
         if not _arg_type_ok(a, t):
-            raise TypeError(
+            raise TranslateError(
                 f"procedure argument '{c}' expects {t}, got {type(a).__name__}"
+                " (InvalidArgumentType)"
             )
     matched = [
         r
@@ -672,13 +676,18 @@ def call_procedure(
             try:
                 args = [params[c] for c, _t in tp["in"]]
             except KeyError as e:
-                raise ValueError(
+                from arcadedb_spark.sql.translator import ParameterMissing
+
+                raise ParameterMissing(
                     f"implicit CALL needs parameter {e.args[0]!r}"
                 ) from None
         return _table_proc_frame(db, tp, args)
     fn = PROCEDURES.get(name.lower())
     if fn is None:
-        raise KeyError(
-            f"Unknown procedure '{name}' (available: {sorted(PROCEDURES)})"
+        from arcadedb_spark.sql.translator import ProcedureError
+
+        raise ProcedureError(
+            f"Unknown procedure '{name}' (ProcedureNotFound; available: "
+            f"{sorted(PROCEDURES)})"
         )
     return fn(db, args)

@@ -606,7 +606,11 @@ def _range(args):
     if len(args) > 2:
         step = args[2]
         if value_of(step) == 0:
-            raise ValueError("range() step must not be zero")
+            from arcadedb_spark.sql.translator import TranslateError
+
+            raise TranslateError(
+                "range() step must not be zero (NumberOutOfRange)"
+            )
     else:
         # Cypher default step is +1: range(0, -10) is EMPTY, not a
         # descending sequence (Spark's sequence auto-descends)

@@ -47,6 +47,18 @@ class TranslateError(ValueError):
     pass
 
 
+# TCK error taxonomy (reference TCKResultMatcher.java asserts these
+# classes): specific subclasses let the TCK runner distinguish
+# ProcedureError / ParameterMissing from plain SyntaxError-class
+# rejections without string matching.
+class ProcedureError(TranslateError):
+    """Unknown procedure / procedure invocation failure."""
+
+
+class ParameterMissing(TranslateError):
+    """A referenced query parameter was not supplied."""
+
+
 @dataclass
 class VarBinding:
     kind: str  # 'col' | 'df' | 'value'
@@ -490,7 +502,7 @@ class ExprCompiler:
 
     def _c_param(self, e: ast.Param) -> Column:
         if e.name not in self.ctx.params:
-            raise TranslateError(f"Missing query parameter :{e.name}")
+            raise ParameterMissing(f"Missing query parameter :{e.name}")
         return _lit(self.ctx.params[e.name])
 
     def _c_var(self, e: ast.Var) -> Column:
@@ -2970,7 +2982,15 @@ class Translator:
             raise TranslateError(
                 "InvalidArgumentType: SKIP/LIMIT must be an integer"
             )
-        return int(v)
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            # non-numeric constant (e.g. SKIP over a frame variable that
+            # compiled to a non-constant) — NonConstantExpression
+            raise TranslateError(
+                "SKIP/LIMIT must be a constant non-negative integer "
+                f"(got {type(v).__name__}) — NonConstantExpression"
+            ) from None
 
     def _try_semi_join(
         self, df: DataFrame, conj: ast.Expr, ctx: Ctx

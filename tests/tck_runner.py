@@ -52,6 +52,7 @@ class Scenario:
     lists_unordered: bool = False  # "(ignoring element order for lists)"
     skip: str | None = None  # reason this scenario is out of scope
     expect_error: bool = False  # "Then a XError should be raised …"
+    error_class: str | None = None  # TCK error class (SyntaxError/…)
     params: dict = field(default_factory=dict)  # "And parameters are:"
     procedures: list = field(default_factory=list)  # fixture procedures
 
@@ -439,11 +440,14 @@ def _parse_scenario(feature: str, name: str, lines: list[str]) -> Scenario:
             table, i = _parse_table(lines, i + 1)
             cur.expect = table
         elif re.match(r"Then an? \w+ should be raised", line):
-            # error-category conformance: PASS = the engine rejects the
-            # statement (any exception); the TCK's error taxonomy
-            # (SyntaxError vs TypeError, compile vs runtime) is not
-            # distinguished — same posture as most TCK harnesses.
+            # error-category conformance: the raised exception must map
+            # to the TCK error class (SyntaxError/TypeError/…) via
+            # _error_class_matches — the reference asserts the same
+            # taxonomy (TCKResultMatcher.java); the finer detail code
+            # (e.g. UndefinedVariable) is recorded but not asserted.
             cur.expect_error = True
+            m = re.match(r"Then an? (\w+) should be raised", line)
+            cur.error_class = m.group(1)
             i += 1
         elif line.startswith("And the side effects should be") or line.startswith(
             "Then the side effects"
@@ -502,6 +506,66 @@ def _norm(v):
     return v
 
 
+def _error_class_matches(klass: "str | None", e: Exception) -> bool:
+    """Map a raised exception onto the TCK error taxonomy (reference
+    TCKResultMatcher.java asserts the same classes).
+
+    Posture: engine-raised diagnoses (ParseError/LexError/TranslateError
+    and its tagged subclasses) and typed Spark analysis/runtime errors
+    count for the class they plausibly represent; RAW python crashes
+    (KeyError/AttributeError/TypeError/…) never count — a crash is not a
+    diagnosis.  The finer TCK detail code (e.g. UndefinedVariable) is
+    carried in our messages but not asserted."""
+    from arcadedb_spark.sql.lexer import LexError
+    from arcadedb_spark.sql.parser import ParseError
+    from arcadedb_spark.sql.translator import (
+        ParameterMissing, ProcedureError, TranslateError,
+    )
+
+    name = type(e).__name__
+    msg = str(e)
+    ours = isinstance(e, (ParseError, LexError, TranslateError))
+    # typed JVM-side rejections (analysis or runtime kernels we emit)
+    sparkish = name in (
+        "AnalysisException", "SparkRuntimeException",
+        "NumberFormatException", "SparkArithmeticException",
+        "ArithmeticException", "IllegalArgumentException",
+        "SparkNumberFormatException", "DateTimeException",
+    )
+    if not klass:
+        return ours or sparkish
+    if klass == "SyntaxError":
+        return (
+            ours and not isinstance(e, (ProcedureError, ParameterMissing))
+        ) or sparkish
+    if klass == "TypeError":
+        return (
+            ours and not isinstance(e, (ParseError, LexError))
+        ) or sparkish
+    if klass == "ArgumentError":
+        return ours or sparkish or (
+            isinstance(e, ValueError) and "NumberOutOfRange" in msg
+        )
+    if klass == "SemanticError":
+        return ours
+    if klass == "ConstraintVerificationFailed":
+        return ours and (
+            "relationship" in msg.lower() or "Constraint" in msg
+        )
+    if klass == "EntityNotFound":
+        return "EntityNotFound" in msg or "deleted entity" in msg
+    if klass == "ParameterMissing":
+        return isinstance(e, ParameterMissing) or (
+            ours and "parameter" in msg.lower()
+        )
+    if klass == "ProcedureError":
+        return isinstance(e, ProcedureError) or (
+            ours and "procedure" in msg.lower()
+        )
+    # unknown class in a future TCK drop: any engine diagnosis passes
+    return ours or sparkish
+
+
 def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
     """Execute one scenario on a fresh empty Database.
 
@@ -523,8 +587,13 @@ def run_scenario(spark, sc: Scenario) -> tuple[bool, str]:
             return False, f"SKIP: setup failed: {type(e).__name__}"
         try:
             db.query(sc.query, language="cypher", **sc.params).collect()
-        except Exception:  # noqa: BLE001 — the expected outcome
-            return True, ""
+        except Exception as e:  # noqa: BLE001 — the expected outcome
+            if _error_class_matches(sc.error_class, e):
+                return True, ""
+            return False, (
+                f"FAIL: expected {sc.error_class}, got "
+                f"{type(e).__name__}: {str(e)[:120]}"
+            )
         return False, "FAIL: expected an error, statement succeeded"
     if not sc.query or sc.expect is None:
         return False, "SKIP: no query/expectation parsed"

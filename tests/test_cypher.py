@@ -390,3 +390,86 @@ def test_delete_after_create_preserves_clause_order(db):
     # it — a dangling edge to the deleted vertex would remain if the
     # delete had been hoisted before the create
     assert g.edges("T2").count() == 0
+
+
+def _scratch(spark):
+    from arcadedb_spark.database import Database
+
+    return Database(spark)
+
+
+def test_call_subquery_uncorrelated(spark):
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name: 'a'}), (:P {name: 'b'}), "
+           "(:Q {name: 'a'}), (:Q {name: 'a'}), (:Q {name: 'b'})")
+    rows = cy(
+        db,
+        "MATCH (p:P) CALL { MATCH (q:Q) RETURN count(q) AS nq } "
+        "RETURN p.name AS n, nq ORDER BY n",
+    ).collect()
+    assert [(r["n"], r["nq"]) for r in rows] == [("a", 3), ("b", 3)]
+
+
+def test_call_subquery_correlated_agg(spark):
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name: 'a'}), (:P {name: 'b'}), "
+           "(:Q {name: 'a'}), (:Q {name: 'a'}), (:Q {name: 'b'})")
+    rows = cy(
+        db,
+        "MATCH (p:P) CALL { WITH p MATCH (q:Q {name: p.name}) "
+        "RETURN count(q) AS nq } RETURN p.name AS n, nq ORDER BY n",
+    ).collect()
+    assert [(r["n"], r["nq"]) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_call_subquery_correlated_rows_and_elimination(spark):
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name: 'a'}), (:P {name: 'zzz'}), "
+           "(:Q {name: 'a'}), (:Q {name: 'a'})")
+    rows = cy(
+        db,
+        "MATCH (p:P) CALL { WITH p MATCH (q:Q) WHERE q.name = p.name "
+        "RETURN q.name AS qn } RETURN p.name AS n, qn",
+    ).collect()
+    # zero-row subquery bindings eliminate the outer row ('zzz' gone)
+    assert sorted((r["n"], r["qn"]) for r in rows) == [("a", "a"), ("a", "a")]
+
+
+def test_call_subquery_leading_and_union(spark):
+    db = _scratch(spark)
+    cy(db, "CREATE (:Q {name: 'a'}), (:Q {name: 'b'})")
+    rows = cy(
+        db,
+        "CALL { MATCH (q:Q) RETURN q.name AS qn "
+        "UNION MATCH (q:Q) RETURN q.name AS qn } RETURN qn ORDER BY qn",
+    ).collect()
+    assert [r["qn"] for r in rows] == ["a", "b"]
+
+
+def test_call_subquery_unsupported_shapes_raise(spark):
+    import pytest
+
+    from arcadedb_spark.sql.translator import TranslateError
+
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name: 'a'}), (:Q {name: 'a'})")
+    with pytest.raises(TranslateError):
+        cy(db, "MATCH (p:P) CALL { CREATE (:R) } RETURN p").collect()
+    with pytest.raises(TranslateError):
+        cy(
+            db,
+            "MATCH (p:P) CALL { WITH p MATCH (q:Q) RETURN q LIMIT 1 } "
+            "RETURN p",
+        ).collect()
+
+
+def test_match_create_with_match_continuation(spark):
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name: 'a'}), (:P {name: 'b'})")
+    rows = cy(
+        db,
+        "MATCH (p:P) CREATE (q:Q2 {name: p.name}) "
+        "WITH p MATCH (q2:Q2 {name: p.name}) "
+        "RETURN p.name AS pn, q2.name AS qn",
+    ).collect()
+    assert sorted((r["pn"], r["qn"]) for r in rows) == [("a", "a"), ("b", "b")]

@@ -60,6 +60,14 @@ def _run_area(spark, area: str) -> tuple[int, int, int]:
         ("expressions/null", 20),
         # round-4 conformance floors (areas at or near 100%)
         ("clauses/match", 378),
+        # round-5 floors: CALL (incl. error-class assertions), VARIANT-
+        # backed heterogeneous collections, strict error taxonomy
+        ("clauses/call", 52),
+        ("expressions/list", 183),
+        ("expressions/literals", 129),
+        ("expressions/map", 44),
+        ("expressions/comparison", 72),
+        ("expressions/typeConversion", 47),
         ("clauses/merge", 75),
         ("clauses/with-orderBy", 292),
         ("expressions/pattern", 50),
