@@ -1618,6 +1618,7 @@ def q_rrf_hybrid(spark, sf_dir):
         .limit(20)
         .select(
             "doc_id",
+            # bounded-window ok: input is .limit(20) — 20 rows total
             F.row_number()
             .over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
                 F.desc("score"), F.asc("doc_id")
@@ -1638,6 +1639,7 @@ def q_rrf_hybrid(spark, sf_dir):
         .limit(20)
         .select(
             "doc_id",
+            # bounded-window ok: input is .limit(20) — 20 rows total
             F.row_number()
             .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
             .alias("rank"),
@@ -1781,6 +1783,71 @@ def q_dml_roundtrip(spark, sf_dir):
     db.command("UPDATE DmlScratch SET score = 99.0 WHERE name = 'a'")
     db.command("DELETE FROM DmlScratch WHERE name = 'b'")
     return db.query("SELECT name, score FROM DmlScratch ORDER BY name")
+
+
+@query(
+    "q_gav_read",
+    oracle="""
+    SELECT o_custkey AS custkey, count(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_gav_read(spark, sf_dir):
+    """Graph Analytical View read parity: per-customer out-degree over a
+    built GAV (CSR analog: src-partitioned sorted cached edge frame,
+    graph/olap/CSRBuilder.java) equals the live-edge aggregation."""
+    db = _db(spark, sf_dir)
+    db.command(
+        "CREATE GRAPH ANALYTICAL VIEW IF NOT EXISTS placedView "
+        "EDGE TYPES (PLACED)"
+    )
+    g = db.graph()
+    gav = db._gavs["placedView"]
+    base = db.schema.get("customer").bucket_id << 40
+    return (
+        gav.edges(g)
+        .select((F.col("src") - F.lit(base)).alias("custkey"))
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q_mv_incremental_equiv",
+    oracle="""
+    SELECT region, CAST(total AS DOUBLE) AS total FROM (VALUES
+      ('e', 30.0), ('n', 10.0), ('s', 20.0), ('w', 45.0)
+    ) AS t(region, total) ORDER BY region
+    """,
+)
+def q_mv_incremental_equiv(spark, sf_dir):
+    """Aggregated-MV incremental refresh equivalence
+    (schema/MaterializedViewRefresher.java INCREMENTAL): after an
+    append-only delta, the dirty-bucket recompute must equal a full
+    recompute of the view query (pinned literal oracle — the scratch
+    type never touches the driver tables)."""
+    db = _db(spark, sf_dir)
+    db.command("DROP MATERIALIZED VIEW MvScratchTotals IF EXISTS")
+    db.command("DROP TYPE MvScratchSale IF EXISTS")
+    db.command("CREATE DOCUMENT TYPE MvScratchSale")
+    db.command(
+        "INSERT INTO MvScratchSale (region, amount) VALUES "
+        "('n', 10.0), ('s', 20.0), ('w', 40.0)"
+    )
+    db.command(
+        "CREATE MATERIALIZED VIEW MvScratchTotals AS "
+        "SELECT region, sum(amount) AS total FROM MvScratchSale "
+        "GROUP BY region REFRESH INCREMENTAL"
+    )
+    db.command(
+        "INSERT INTO MvScratchSale (region, amount) VALUES "
+        "('e', 30.0), ('w', 5.0)"
+    )
+    db.command("REFRESH MATERIALIZED VIEW MvScratchTotals")
+    return db.query(
+        "SELECT region, total FROM MvScratchTotals ORDER BY region"
+    )
 
 
 _EVENTS_UND_ADJ = """
@@ -2453,6 +2520,45 @@ def q_gremlin_repeat(spark, sf_dir):
         out.select((F.col("key") - base).alias("key"), "count")
         .orderBy(F.desc("count"), F.asc("key"))
     )
+
+
+@query(
+    "q_gremlin_group",
+    oracle="""
+    SELECT c_mktsegment AS key,
+           list_sort(list(c_custkey)) AS values
+    FROM customer WHERE c_acctbal > 9000
+    GROUP BY c_mktsegment ORDER BY key
+    """,
+)
+def q_gremlin_group(spark, sf_dir):
+    """Gremlin tier-3 steps: predicate argument (gt) + group().by().by()
+    (TinkerPop GroupStep; GremlinQueryEngine.java:33) — one hash
+    aggregation, values collected per group."""
+    return _db(spark, sf_dir).query(
+        "g.V('Customer').has('c_acctbal', gt(9000))"
+        ".group().by('c_mktsegment').by('c_custkey')",
+        language="gremlin",
+    )
+
+
+@query(
+    "q_gremlin_project",
+    oracle="""
+    SELECT n.n_name AS name, count(s.s_suppkey) AS nsup
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY name
+    """,
+)
+def q_gremlin_project(spark, sf_dir):
+    """Gremlin project().by(prop).by(subTraversal) — the sub-traversal
+    column decorrelates to ONE grouped count joined back (TinkerPop
+    ProjectStep), never a per-traverser evaluation."""
+    return _db(spark, sf_dir).query(
+        "g.V('Nation').project('name', 'nsup')"
+        ".by('n_name').by(in('LOCATED_IN').hasLabel('Supplier'))",
+        language="gremlin",
+    ).orderBy("name")
 
 
 @query(

@@ -39,8 +39,61 @@ def _carry_cols(df: DataFrame) -> list[str]:
     — NOT arbitrary __-prefixed data columns the vertex frames may carry."""
     return [
         c for c in df.columns
-        if c == "__path" or c == "__coal" or c.startswith("__as_")
+        if c in ("__path", "__coal", "__wsrc", "__usrc", "__psrc")
+        or c.startswith("__as_")
     ]
+
+
+class P:
+    """TinkerPop predicate argument (``has('p', gt(5))``, ``within(…)``).
+
+    Reference: org.apache.tinkerpop.gremlin.process.traversal.P — the
+    embedded TinkerPop accepts these in has()/is()/where() steps
+    (GremlinQueryEngine.java:33).  Compiled to a Column condition."""
+
+    def __init__(self, op: str, *vals) -> None:
+        self.op = op
+        self.vals = vals
+
+    def cond(self, col) -> F.Column:
+        c = F.col(col) if isinstance(col, str) else col
+        v = self.vals
+        if self.op == "eq":
+            return c == F.lit(v[0])
+        if self.op == "neq":
+            return c != F.lit(v[0])
+        if self.op == "gt":
+            return c > F.lit(v[0])
+        if self.op == "gte":
+            return c >= F.lit(v[0])
+        if self.op == "lt":
+            return c < F.lit(v[0])
+        if self.op == "lte":
+            return c <= F.lit(v[0])
+        if self.op == "within":
+            return c.isin(list(v))
+        if self.op == "without":
+            return ~c.isin(list(v))
+        if self.op == "between":  # [a, b) — TinkerPop P.between
+            return (c >= F.lit(v[0])) & (c < F.lit(v[1]))
+        if self.op == "inside":  # (a, b) exclusive
+            return (c > F.lit(v[0])) & (c < F.lit(v[1]))
+        if self.op == "outside":
+            return (c < F.lit(v[0])) | (c > F.lit(v[1]))
+        raise ValueError(f"Unsupported predicate P.{self.op}")
+
+
+def gt(v) -> P: return P("gt", v)          # noqa: E704
+def gte(v) -> P: return P("gte", v)        # noqa: E704
+def lt(v) -> P: return P("lt", v)          # noqa: E704
+def lte(v) -> P: return P("lte", v)        # noqa: E704
+def eq(v) -> P: return P("eq", v)          # noqa: E704
+def neq(v) -> P: return P("neq", v)        # noqa: E704
+def within(*v) -> P: return P("within", *v)    # noqa: E704
+def without(*v) -> P: return P("without", *v)  # noqa: E704
+def between(a, b) -> P: return P("between", a, b)  # noqa: E704
+def inside(a, b) -> P: return P("inside", a, b)    # noqa: E704
+def outside(a, b) -> P: return P("outside", a, b)  # noqa: E704
 
 
 class GraphTraversal:
@@ -83,11 +136,34 @@ class GraphTraversal:
             return self._wrap(
                 self._df.filter(F.col(prop).isNotNull()), self._label
             )
+        if isinstance(value, P):
+            return self._wrap(
+                self._df.filter(value.cond(prop)), self._label
+            )
         return self._wrap(
             self._df.filter(F.col(prop) == F.lit(value)), self._label
         )
 
     def where(self, cond) -> "GraphTraversal":
+        """``where(Column)`` filter, or ``where(sub-traversal)`` existence
+        filter: keep traversers for which the sub yields ≥ 1 result
+        (TinkerPop where(traversal)) — one tagged sub-evaluation + a
+        semi-join, never per-traverser execution."""
+        from pyspark.sql import Column
+
+        if callable(cond) and not isinstance(cond, Column):
+            tagged = self._wrap(
+                self._df.withColumn("__wsrc", F.col("vid")), self._label
+            )
+            sub_out = cond(tagged)
+            sub_df = (
+                sub_out._df if isinstance(sub_out, GraphTraversal)
+                else sub_out
+            )
+            produced = sub_df.select(F.col("__wsrc").alias("vid")).distinct()
+            return self._wrap(
+                self._df.join(produced, "vid", "left_semi"), self._label
+            )
         return self._wrap(self._df.filter(cond), self._label)
 
     # -- traversal ---------------------------------------------------------
@@ -178,9 +254,34 @@ class GraphTraversal:
                 raise ValueError("repeat() needs times= or until=")
             for i in range(_REPEAT_CAP):
                 cur = sub(cur)
-                stopped = until(cur)
-                out_frames.append(stopped._df)
-                continuing = cur._df.subtract(stopped._df)
+                u_out = until(cur)
+                stopped_df = (
+                    u_out._df if isinstance(u_out, GraphTraversal) else u_out
+                )
+                if set(stopped_df.columns) != set(cur._df.columns):
+                    # moving until-sub (e.g. out('E')): TinkerPop
+                    # semantics are EXISTENCE — a traverser stops when
+                    # the sub yields anything.  Evaluate keyed by source
+                    # vid and semi-join (the hopped frame itself must
+                    # never be emitted as the stopped traversers)
+                    tagged = cur._wrap(
+                        cur._df.withColumn("__usrc", F.col("vid")),
+                        cur._label,
+                    )
+                    u2 = until(tagged)
+                    u2df = (
+                        u2._df if isinstance(u2, GraphTraversal) else u2
+                    )
+                    produced = (
+                        u2df.select(F.col("__usrc").alias("vid")).distinct()
+                    )
+                    stopped_df = cur._df.join(produced, "vid", "left_semi")
+                out_frames.append(stopped_df)
+                # exceptAll, not subtract: bag multiplicity survives in
+                # until-mode exactly as it does in times-mode
+                continuing = cur._df.exceptAll(
+                    stopped_df.select(*cur._df.columns)
+                )
                 cur = cur._wrap(continuing, cur._label)
                 if i % 4 == 3:
                     cur = cur._wrap(cur._df.truncate_plan(), cur._label)
@@ -296,6 +397,41 @@ class GraphTraversal:
 
     group_count = groupCount
 
+    def group(self) -> "_Group":
+        return _Group(self)
+
+    def choose(self, pred_sub, true_sub, false_sub) -> "GraphTraversal":
+        """``choose(filterSub, trueSub, falseSub)`` — traversers passing
+        the filter flow through trueSub, the rest through falseSub
+        (TinkerPop branch step).  One filter + exceptAll split, two sub
+        evaluations — multiplicities preserved."""
+        matched = pred_sub(self)
+        matched = matched._df if isinstance(matched, GraphTraversal) else matched
+        if set(matched.columns) != set(self._df.columns):
+            # moving predicate sub: existence semantics keyed on source
+            tagged = self._wrap(
+                self._df.withColumn("__wsrc", F.col("vid")), self._label
+            )
+            produced = (
+                pred_sub(tagged)._df.select(F.col("__wsrc").alias("vid"))
+                .distinct()
+            )
+            matched = self._df.join(produced, "vid", "left_semi")
+        unmatched = self._df.exceptAll(matched.select(*self._df.columns))
+        t = true_sub(self._wrap(matched, self._label))
+        f_ = false_sub(self._wrap(unmatched, self._label))
+        t_term = not isinstance(t, GraphTraversal)
+        f_term = not isinstance(f_, GraphTraversal)
+        t_df = t if t_term else t._df
+        f_df = f_ if f_term else f_._df
+        merged = t_df.unionByName(f_df, allowMissingColumns=True)
+        if t_term or f_term:
+            return merged  # terminal subs (values/count/…) end the chain
+        return self._wrap(merged, None)
+
+    def project(self, *names: str) -> "_Project":
+        return _Project(self, names)
+
     def toDF(self) -> DataFrame:
         return self._df
 
@@ -326,6 +462,79 @@ class _GroupCount:
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.desc("count"), F.asc("key"))
         )
+
+
+class _Group:
+    """``.group().by(key[, 'desc']).by(value)`` — TinkerPop group step
+    rendered as one (key, values sorted array) row per group; without a
+    second by() the grouped elements' vids are collected."""
+
+    def __init__(self, t: GraphTraversal) -> None:
+        self._t = t
+        self._key: str | None = None
+
+    def by(self, col: str) -> "_Group | DataFrame":
+        if self._key is None:
+            self._key = col
+            return self
+        return (
+            self._t._df.groupBy(F.col(self._key).alias("key"))
+            .agg(F.array_sort(F.collect_list(F.col(col))).alias("values"))
+            .orderBy(F.asc("key"))
+        )
+
+    def toDF(self) -> DataFrame:
+        if self._key is None:
+            raise ValueError("group() needs .by(key)")
+        return (
+            self._t._df.groupBy(F.col(self._key).alias("key"))
+            .agg(F.array_sort(F.collect_list(F.col("vid"))).alias("values"))
+            .orderBy(F.asc("key"))
+        )
+
+
+class _Project:
+    """``.project('a','b').by(x).by(y)`` — one output column per name;
+    each by() is a property name or a sub-traversal ending in count()
+    (computed as a grouped count joined back — never per-traverser)."""
+
+    def __init__(self, t: GraphTraversal, names: tuple) -> None:
+        self._t = t
+        self._names = list(names)
+        self._bys: list = []
+
+    def by(self, spec) -> "_Project | DataFrame":
+        self._bys.append(spec)
+        if len(self._bys) < len(self._names):
+            return self
+        return self._finish()
+
+    def _finish(self) -> DataFrame:
+        t = self._t
+        df = t._df
+        out_cols = []
+        for name, spec in zip(self._names, self._bys):
+            if isinstance(spec, str):
+                out_cols.append(F.col(spec).alias(name))
+                continue
+            # sub-traversal by(): per-source count via one grouped join
+            tagged = t._wrap(
+                df.withColumn("__psrc", F.col("vid")), t._label
+            )
+            sub_out = spec(tagged)
+            sub_df = (
+                sub_out._df if isinstance(sub_out, GraphTraversal)
+                else sub_out
+            )
+            counts = sub_df.groupBy(F.col("__psrc").alias("vid")).agg(
+                F.count(F.lit(1)).alias(f"__pv_{name}")
+            )
+            df = df.join(counts, "vid", "left").withColumn(
+                f"__pv_{name}",
+                F.coalesce(F.col(f"__pv_{name}"), F.lit(0)),
+            )
+            out_cols.append(F.col(f"__pv_{name}").alias(name))
+        return df.select(*out_cols)
 
 
 class GraphTraversalSource:
@@ -449,12 +658,36 @@ def _sub_of(chain: list) -> Callable[[GraphTraversal], GraphTraversal]:
     return _apply
 
 
+_PRED_NAMES = (
+    "gt", "gte", "lt", "lte", "eq", "neq", "within", "without",
+    "between", "inside", "outside",
+)
+
+
+def _maybe_pred(arg) -> "P | None":
+    """``gt(5)`` / ``within('a','b')`` argument → predicate object."""
+    if (
+        arg[0] == "chain" and len(arg[1]) == 1
+        and arg[1][0][0] in _PRED_NAMES
+        and all(k == "lit" for k, _ in arg[1][0][1])
+    ):
+        nm, pargs = arg[1][0]
+        return P(nm, *[v for _, v in pargs])
+    return None
+
+
 def _arg_values(args: list) -> list:
     out = []
-    for kind, v in args:
-        if kind != "lit":
-            raise ValueError("literal argument expected")
-        out.append(v)
+    for arg in args:
+        kind, v = arg
+        if kind == "lit":
+            out.append(v)
+            continue
+        p = _maybe_pred(arg)
+        if p is not None:
+            out.append(p)
+            continue
+        raise ValueError("literal argument expected")
     return out
 
 
@@ -520,6 +753,49 @@ def _run_calls(cur, calls: list):
             if nxt is None or nxt[0] != "by":
                 raise ValueError("groupCount() needs .by(prop)")
             return cur.groupCount().by(*_arg_values(nxt[1]))
+        if name == "group":
+            # group().by(key)[.by(value)] — terminal
+            grp = cur.group()
+            j = i + 1
+            while j < len(calls) and calls[j][0] == "by":
+                grp = grp.by(*_arg_values(calls[j][1]))
+                j += 1
+                if isinstance(grp, DataFrame):
+                    return grp
+            if isinstance(grp, _Group):
+                return grp.toDF()
+            return grp
+        if name == "project":
+            prj = cur.project(*_arg_values(args))
+            j = i + 1
+            while j < len(calls) and calls[j][0] == "by":
+                barg = calls[j][1][0]
+                spec = (
+                    barg[1] if barg[0] == "lit" else _sub_of(barg[1])
+                )
+                prj = prj.by(spec)
+                j += 1
+                if isinstance(prj, DataFrame):
+                    return prj
+            raise ValueError("project() needs one .by(…) per name")
+        if name == "choose":
+            subs = [_sub_of(a[1]) for a in args if a[0] == "chain"]
+            if len(subs) != 3 or len(args) != 3:
+                raise ValueError(
+                    "choose() takes (predicate, trueSub, falseSub)"
+                )
+            res = cur.choose(*subs)
+            if isinstance(res, DataFrame):
+                return res  # terminal branch subs
+            cur = res
+            i += 1
+            continue
+        if name == "where" and args and args[0][0] == "chain" and (
+            _maybe_pred(args[0]) is None
+        ):
+            cur = cur.where(_sub_of(args[0][1]))
+            i += 1
+            continue
         step = getattr(cur, name, None)
         if step is None:
             raise ValueError(f"Unsupported Gremlin step: {name}()")

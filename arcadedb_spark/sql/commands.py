@@ -242,6 +242,11 @@ def _incremental_refresh(db, tdef, select, params: dict) -> int:
     if (
         aggregated and not dirty and pending and src_name
         and not select.lets and select.group_by
+        # order-dependent clauses: a LIMIT/SKIP applied only to the
+        # recomputed dirty-bucket slice and then unioned with kept rows
+        # would be wrong — fall back to full recompute
+        and select.limit is None and select.skip is None
+        and not select.order_by
     ):
         n = _bucket_refresh(db, tdef, select, params, pending, src_name)
         if n is not None:

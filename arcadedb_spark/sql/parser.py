@@ -114,15 +114,36 @@ class Parser:
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "DEFINE":
             return self.parse_define_function()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "REBUILD":
-            # REBUILD GRAPH ANALYTICAL VIEW name
+            # REBUILD GRAPH ANALYTICAL VIEW name — each keyword is
+            # validated so e.g. the reference dialect's REBUILD INDEX
+            # gets a targeted unsupported-statement error, not a
+            # confusing downstream misparse
             self.advance()
-            for _ in range(3):
-                self.advance()  # GRAPH ANALYTICAL VIEW
+            for kw in ("GRAPH", "ANALYTICAL", "VIEW"):
+                if not (
+                    self.cur.kind in ("IDENT", "KEYWORD")
+                    and str(self.cur.value).upper() == kw
+                ):
+                    raise ParseError(
+                        f"Unsupported REBUILD statement: expected {kw}, "
+                        f"got {self.cur!r} (only REBUILD GRAPH ANALYTICAL "
+                        "VIEW is supported; indexes need no rebuild — "
+                        "scan+pushdown replaces them)"
+                    )
+                self.advance()
             return ast.RebuildGavStmt(name=self.ident())
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "REFRESH":
             self.advance()
-            self.advance()  # MATERIALIZED / CONTINUOUS
-            self.advance()  # VIEW / AGGREGATE
+            for alts in (("MATERIALIZED", "CONTINUOUS"), ("VIEW", "AGGREGATE")):
+                if not (
+                    self.cur.kind in ("IDENT", "KEYWORD")
+                    and str(self.cur.value).upper() in alts
+                ):
+                    raise ParseError(
+                        f"Unsupported REFRESH statement: expected one of "
+                        f"{alts}, got {self.cur!r}"
+                    )
+                self.advance()
             return ast.RefreshMaterializedViewStmt(name=self.ident())
         raise ParseError(f"Unsupported statement start: {self.cur!r}")
 

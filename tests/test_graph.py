@@ -382,3 +382,86 @@ def test_eid_bulk_frames_storage_pinned(db):
     b = sorted(r["@eid"] for r in e.collect())
     assert a == b
     assert len(set(a)) == len(a)
+
+
+def test_gremlin_predicates(db):
+    n = db.query(
+        "g.V('Customer').has('c_acctbal', between(0, 1000)).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    expect = db.table("customer").filter(
+        "c_acctbal >= 0 AND c_acctbal < 1000"
+    ).count()
+    assert n == expect
+    n2 = db.query(
+        "g.V('Customer').has('c_mktsegment', "
+        "within('BUILDING', 'MACHINERY')).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    expect2 = db.table("customer").filter(
+        "c_mktsegment IN ('BUILDING', 'MACHINERY')"
+    ).count()
+    assert n2 == expect2
+    n3 = db.query(
+        "g.V('Nation').has('n_nationkey', without(0, 1)).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    assert n3 == 23
+
+
+def test_gremlin_group_by_by(db):
+    rows = db.query(
+        "g.V('Nation').has('n_nationkey', lt(4))"
+        ".group().by('n_regionkey').by('n_name')",
+        language="gremlin",
+    ).collect()
+    assert all(r["values"] == sorted(r["values"]) for r in rows)
+    assert sum(len(r["values"]) for r in rows) == 4
+
+
+def test_gremlin_project_count_sub(db):
+    rows = db.query(
+        "g.V('Nation').project('name', 'ncust')"
+        ".by('n_name').by(in('LOCATED_IN').hasLabel('Customer'))",
+        language="gremlin",
+    ).collect()
+    assert len(rows) == 25
+    from pyspark.sql import functions as F
+
+    per_nation = {
+        r["n_nationkey"]: r["n"]
+        for r in db.table("customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(r["ncust"] for r in rows)
+    assert total == sum(per_nation.values())
+
+
+def test_gremlin_choose_branches(db):
+    n = db.query(
+        "g.V('Customer').has('c_custkey', lt(10))"
+        ".choose(has('c_acctbal', gt(5000)), out('PLACED'), "
+        "out('LOCATED_IN')).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    hi = db.table("customer").filter("c_custkey < 10 AND c_acctbal > 5000")
+    lo_n = db.table("customer").filter(
+        "c_custkey < 10 AND NOT (c_acctbal > 5000)"
+    ).count()
+    hi_orders = (
+        db.table("orders")
+        .join(hi.select("c_custkey"),
+              hi["c_custkey"] == db.table("orders")["o_custkey"])
+        .count()
+    )
+    assert n == hi_orders + lo_n  # each low customer has ONE nation edge
+
+
+def test_gremlin_where_traversal(db):
+    n = db.query(
+        "g.V('Customer').where(out('PLACED')).count()",
+        language="gremlin",
+    ).collect()[0]["count"]
+    expect = db.table("orders").select("o_custkey").distinct().count()
+    assert n == expect

@@ -98,15 +98,16 @@ def test_promql_grid_broadcasts(db, spark):
 
 
 def test_no_unbounded_global_windows_in_algorithms():
-    """Every unpartitioned Window in the graph package must be explicitly
-    marked as bounded (one row per partition/layer/k) — an unmarked
-    Window.orderBy funnels all rows through a single task at scale."""
+    """Every unpartitioned Window anywhere in the package must be
+    explicitly marked as bounded (one row per partition/layer/k, or a
+    limit()-capped input) — an unmarked Window.orderBy funnels all rows
+    through a single task at scale."""
     import glob
     import os
 
     root = os.path.join(os.path.dirname(__file__), "..", "arcadedb_spark")
     offenders = []
-    for path in glob.glob(os.path.join(root, "graph", "*.py")):
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
         lines = open(path).read().splitlines()
         for i, line in enumerate(lines):
             if "Window.orderBy(" not in line or line.lstrip().startswith("#"):
