@@ -53,6 +53,29 @@ def local_df(spark, rows, schema=None) -> DataFrame:
         data = rows
     if not data:
         return spark.createDataFrame([], schema)
+    # Arrow fast path for fully-atomic typed rows: the frame lands as JVM
+    # Arrow batches, so neither its creation nor later collects need a
+    # python worker (the parallelize path pays a worker round-trip per
+    # action).  Gated to non-null atomic types — pandas' None→NaN
+    # coercion and nested values keep the exact pickled path instead.
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, FloatType, IntegerType, LongType,
+        StringType,
+    )
+
+    atomic = (LongType, IntegerType, DoubleType, FloatType, StringType,
+              BooleanType)
+    if all(isinstance(f.dataType, atomic) for f in schema.fields) and all(
+        v is not None and not isinstance(v, (list, dict, tuple))
+        for row in data for v in row
+    ):
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(data, columns=names)
+            return spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            pass  # fall through to the exact pickled path
     rdd = spark.sparkContext.parallelize(data, 1)
     return spark.createDataFrame(rdd, schema)
 

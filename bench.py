@@ -45,8 +45,10 @@ def main() -> None:
     qs = entrymod.queries()
 
     # Warm the JVM/codegen path with a trivial action against the smallest
-    # table so per-query timings measure the engine, not session startup.
+    # table, and spawn the python worker pool — both are session startup,
+    # not query work; per-query timings should measure the engine.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    spark.sparkContext.parallelize([1], 1).count()
 
     sf = None
     try:
