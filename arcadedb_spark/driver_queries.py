@@ -3279,6 +3279,235 @@ def q_knn_graph(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Unit-only components promoted to oracle coverage (round 5): bucket scan,
+# RID lookup, SELECT without target, scalar set ops, SQL script engine,
+# downsampling tiers, line protocol, triggers, DEFINE FUNCTION
+# ===========================================================================
+
+
+@query(
+    "q_select_no_target",
+    oracle="SELECT 3 AS x, 'AB' AS s, CAST(2.5 AS DOUBLE) AS h",
+)
+def q_select_no_target(spark, sf_dir):
+    """SELECT without a target (query/sql/executor/SelectExecutionPlanner
+    handles projection-only statements on a one-row source)."""
+    return _db(spark, sf_dir).query(
+        "SELECT 1 + 2 AS x, 'ab'.toUpperCase() AS s, 5 / 2.0 AS h"
+    )
+
+
+@query(
+    "q_bucket_scan",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM customer
+    """,
+)
+def q_bucket_scan(spark, sf_dir):
+    """FetchFromClusterExecutionStep analog: `bucket:name` scans the
+    bucket non-polymorphically (no subtype union)."""
+    return _db(spark, sf_dir).query(
+        "SELECT count(*) AS n, sum(c_acctbal.asDecimal()).asDouble() "
+        "AS total FROM bucket:customer"
+    )
+
+
+@query(
+    "q_rid_lookup",
+    oracle="""
+    SELECT c_name, c_mktsegment FROM customer
+    WHERE c_custkey IN (3, 5) ORDER BY c_custkey
+    """,
+)
+def q_rid_lookup(spark, sf_dir):
+    """FetchFromRids point lookup (FetchFromRidsStep.java:32): customer
+    is bucket #1 (registration order is sorted filenames), offset =
+    natural key."""
+    return _db(spark, sf_dir).query(
+        "SELECT c_name, c_mktsegment FROM [#1:3, #1:5] ORDER BY c_name"
+    )
+
+
+@query(
+    "q_set_ops_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           [x FOR x IN [o_custkey, -1] IF list_contains([-1, o_custkey], x)] AS i,
+           [x FOR x IN [-1, -2, o_custkey] IF NOT list_contains([-2], x)] AS d,
+           list_concat([o_custkey], [-1, o_custkey]) AS u
+    FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey
+    """,
+)
+def q_set_ops_scalar(spark, sf_dir):
+    """Multi-argument (scalar) set functions — SQLFunctionIntersect/
+    Difference/UnionAll.java dispatch on argument count; one-argument
+    forms stay aggregates."""
+    return _db(spark, sf_dir).query(
+        "SELECT o_orderkey, intersect([o_custkey, -1], [-1, o_custkey]) AS i, "
+        "difference([-1, -2, o_custkey], [-2]) AS d, "
+        "unionall([o_custkey], [-1, o_custkey]) AS u "
+        "FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey"
+    )
+
+
+@query(
+    "q_sql_script",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_acctbal > 9900 ORDER BY c_custkey LIMIT 5
+    """,
+)
+def q_sql_script(spark, sf_dir):
+    """SQL script engine (LET / IF / WHILE / RETURN —
+    query/sql/executor/ScriptExecutionPlan.java): the script computes a
+    threshold imperatively, then returns a query result."""
+    db = _db(spark, sf_dir)
+    return db.script(
+        """
+        LET $t = 9000;
+        WHILE ($t < 9900) {
+          LET $t = $t + 300;
+        };
+        IF ($t >= 9900) {
+          LET $out = (SELECT c_custkey, c_name FROM customer
+                      WHERE c_acctbal > $t ORDER BY c_custkey LIMIT 5);
+          RETURN $out;
+        };
+        RETURN null
+        """
+    )
+
+
+@query(
+    "q_downsample_tiers",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_ms(ts)) AS now_ms FROM events),
+    g AS (
+      SELECT event_type, epoch_ms(ts) AS ems,
+             CASE WHEN (SELECT now_ms FROM mx) - epoch_ms(ts) > 86400000
+                  THEN 86400000
+                  WHEN (SELECT now_ms FROM mx) - epoch_ms(ts) > 3600000
+                  THEN 3600000 ELSE 60000 END AS granularity_ms,
+             value
+      FROM events
+    )
+    SELECT CAST(ems // granularity_ms AS BIGINT) * granularity_ms
+             AS bucket_ms,
+           granularity_ms, event_type,
+           count(*) AS n, round(avg(value), 4) AS avg_v
+    FROM g GROUP BY 1, 2, 3 ORDER BY bucket_ms, event_type
+    """,
+)
+def q_downsample_tiers(spark, sf_dir):
+    """Age-tiered downsampling (timeseries retention/rollup tiers —
+    engine/timeseries downsampling): >1d-old rows roll to daily buckets,
+    >1h-old to hourly, fresh rows keep 60s buckets.  now = max(ts), so
+    the result is deterministic."""
+    from arcadedb_spark.timeseries.downsample import (
+        DownsamplingTier, downsample,
+    )
+
+    ev = _db(spark, sf_dir).table("events")
+    tiers = [
+        DownsamplingTier(after_ms=3_600_000, granularity_ms=3_600_000),
+        DownsamplingTier(after_ms=86_400_000, granularity_ms=86_400_000),
+    ]
+    return downsample(
+        ev, "ts", tiers,
+        {"n": F.count(F.lit(1)), "avg_v": F.round(F.avg("value"), 4)},
+        group_by=["event_type"],
+        base_granularity_ms=60_000,
+    ).orderBy("bucket_ms", "event_type")
+
+
+@query(
+    "q_line_protocol",
+    oracle="""
+    SELECT measurement, host, CAST(usage AS DOUBLE) AS usage, ts_millis
+    FROM (VALUES
+      ('cpu', 'h1', 0.5, 1700000000000),
+      ('cpu', 'h2', 0.75, 1700000001000),
+      ('mem', 'h1', 0.9, 1700000002000)
+    ) AS t(measurement, host, usage, ts_millis)
+    ORDER BY ts_millis
+    """,
+)
+def q_line_protocol(spark, sf_dir):
+    """InfluxDB line-protocol ingestion (timeseries
+    LineProtocolParser.java parity) — in-memory payload parsed to the
+    typed samples frame."""
+    from arcadedb_spark.sources.line_protocol import line_protocol_df
+
+    df = line_protocol_df(
+        spark,
+        "cpu,host=h1 usage=0.5 1700000000\n"
+        "cpu,host=h2 usage=0.75 1700000001\n"
+        "mem,host=h1 usage=0.9 1700000002",
+        precision="s",
+    )
+    return df.select(
+        "measurement",
+        F.col("tags")["host"].alias("host"),
+        F.col("fields_double")["usage"].alias("usage"),
+        "ts_millis",
+    ).orderBy("ts_millis")
+
+
+@query(
+    "q_trigger_after_insert",
+    oracle="""
+    SELECT * FROM (VALUES ('created'), ('created'), ('seed'))
+    AS t(event) ORDER BY event
+    """,
+)
+def q_trigger_after_insert(spark, sf_dir):
+    """AFTER CREATE trigger side effects (schema/trigger/
+    TriggerExecutor.java, SQLTriggerExecutor.java): each insert fires
+    one audit append; result = the audit trail."""
+    db = _db(spark, sf_dir)
+    db.command("DROP TYPE TrigAudit IF EXISTS")
+    db.command("DROP TYPE TrigPerson IF EXISTS")
+    db.command("CREATE DOCUMENT TYPE TrigAudit")
+    db.command("INSERT INTO TrigAudit (event) VALUES ('seed')")
+    db.command("CREATE DOCUMENT TYPE TrigPerson")
+    db.command(
+        "CREATE TRIGGER trig_q AFTER CREATE ON TYPE TrigPerson "
+        "EXECUTE SQL 'INSERT INTO TrigAudit (event) VALUES (''created'')'"
+    )
+    db.command("INSERT INTO TrigPerson (name) VALUES ('x')")
+    db.command("INSERT INTO TrigPerson (name) VALUES ('y')")
+    db.command("DROP TRIGGER trig_q")
+    return db.query("SELECT event FROM TrigAudit ORDER BY event")
+
+
+@query(
+    "q_define_function",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem WHERE l_orderkey < 10
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_define_function(spark, sf_dir):
+    """DEFINE FUNCTION SQL macro (function/SQLFunctionLibrary analog):
+    the macro body inlines into the Catalyst plan — no UDF boundary."""
+    db = _db(spark, sf_dir)
+    db.command(
+        "DEFINE FUNCTION qdf.net \"price * (1 - disc)\" "
+        "PARAMETERS [price, disc] LANGUAGE sql"
+    )
+    return db.query(
+        "SELECT l_orderkey, l_linenumber, "
+        "round(qdf.net(l_extendedprice, l_discount), 4) AS net "
+        "FROM lineitem WHERE l_orderkey < 10 "
+        "ORDER BY l_orderkey, l_linenumber"
+    )
+
+
 _PRIORITY = [
     # round-4 grading rotation: round-1-only graded queries first
     # (3 queries ungraded since r1), then everything last graded in

@@ -80,6 +80,24 @@ def local_df(spark, rows, schema=None) -> DataFrame:
     return spark.createDataFrame(rdd, schema)
 
 
+def _metadata_safe(df: DataFrame) -> bool:
+    """True when ``df`` is a pure projection/filter over a file scan —
+    the only plans where the hidden ``_metadata`` column resolves.
+    Inspected from the analyzed plan instead of try/except so derived
+    frames (aggregates, windows, joins) don't log a failed-analysis
+    error on every graph build."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    nodes = re.findall(r"^[\s+\-:|]*([A-Za-z]+)", plan, flags=re.M)
+    allowed = {"Project", "Filter", "Relation", "LogicalRelation",
+               "SubqueryAlias", "View"}
+    return bool(nodes) and all(n in allowed for n in nodes)
+
+
 class _VertexFrames(dict):
     """dict(label-key → DataFrame) that materializes buffered literal
     vertex rows on ANY read — so row-at-a-time Cypher CREATE stays O(1)
@@ -280,7 +298,7 @@ class GraphModel:
         for p in props:
             cols.append(F.col(p))
         out = None
-        if "@eid" not in props:
+        if "@eid" not in props and _metadata_safe(df):
             # Hidden per-edge identity (openCypher relationship identity;
             # parallel fully-identical edges must stay distinct — TCK
             # Match6[14]).  For file-backed frames the id is pinned to

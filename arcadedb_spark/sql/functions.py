@@ -42,8 +42,18 @@ def scalar(name: str, *aliases: str):
     return deco
 
 
-def is_aggregate(name: str) -> bool:
-    return name.lower() in AGGREGATES
+# Names that are BOTH aggregate (one collection argument, folded across
+# the group) and scalar (two+ collection arguments, per row) in the
+# reference dialect (SQLFunctionIntersect/Difference/UnionAll.java
+# dispatch on argument count at execute time).
+DUAL_MODE = {"intersect", "difference", "unionall", "symmetricdifference"}
+
+
+def is_aggregate(name: str, nargs: "int | None" = None) -> bool:
+    key = name.lower()
+    if key in DUAL_MODE and nargs is not None and nargs >= 2:
+        return False  # multi-argument form is the per-row scalar
+    return key in AGGREGATES
 
 
 # ---------------------------------------------------------------------------
@@ -628,12 +638,26 @@ def _size(args):
 
 @scalar("intersect")
 def _intersect(args):
-    return F.array_intersect(args[0], args[1])
+    out = args[0]
+    for a in args[1:]:
+        out = F.array_intersect(out, a)
+    return out
 
 
 @scalar("difference")
 def _difference(args):
-    return F.array_except(args[0], args[1])
+    # first collection minus every later one (SQLFunctionDifference.java)
+    out = args[0]
+    for a in args[1:]:
+        out = F.array_except(out, a)
+    return out
+
+
+@scalar("unionall")
+def _unionall_scalar(args):
+    # multi-argument form: concatenation, duplicates kept
+    # (SQLFunctionUnionAll.java scalar mode)
+    return F.concat(*args)
 
 
 @scalar("symmetricdifference")

@@ -2302,7 +2302,7 @@ class ExprCompiler:
                         "(InvalidArgumentValue)"
                     )),
                 ).otherwise(val)
-        if is_aggregate(name):
+        if is_aggregate(name, len(e.args)):
             return self._compile_aggregate(e)
         if name in SCALARS:
             args = [self.compile(a) for a in e.args]
@@ -2595,7 +2595,9 @@ def _validate_agg_mixed(e: ast.Expr, stmt: ast.SelectStmt) -> None:
     ] + list(stmt.group_by or ())
 
     def ok(node: ast.Expr, bound: frozenset = frozenset()) -> bool:
-        if isinstance(node, ast.FuncCall) and is_aggregate(node.name):
+        if isinstance(node, ast.FuncCall) and is_aggregate(
+            node.name, len(node.args)
+        ):
             return True
         if (
             isinstance(node, ast.Method)
@@ -2650,7 +2652,9 @@ def walk(e: Any):
 
 def _contains_aggregate(e: ast.Expr) -> bool:
     for node in walk(e):
-        if isinstance(node, ast.FuncCall) and is_aggregate(node.name):
+        if isinstance(node, ast.FuncCall) and is_aggregate(
+            node.name, len(node.args)
+        ):
             return True
         if (
             isinstance(node, ast.Method)
