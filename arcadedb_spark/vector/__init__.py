@@ -1,11 +1,35 @@
-"""Vector search: distances, exact kNN, LSH-bucketed ANN.
+"""Vector search: distances, exact kNN, LSH-bucketed + IVF ANN.
 
 Reference: index/vector/LSMVectorIndex.java (jVector HNSW, LSM-staged,
 quantization) + function/sql/vector/*.java (51 files: distances,
 normalize, quantize, neighbors, RRF/MMR hybrid scoring).  Spark has no
-HNSW; the scalable shapes are brute-force top-k (exact, one pass) and
-random-hyperplane LSH bucketing (approximate, shuffle-bounded) —
-SURVEY.md §2.9 maps vector.neighbors to exactly these.
+HNSW; the scalable shapes are brute-force top-k (exact, one pass),
+random-hyperplane LSH bucketing, and IVF (KMeans cells + pruned probe)
+— SURVEY.md §2.9 maps vector.neighbors to exactly these.
+
+Recall/latency envelope vs the reference's HNSW (measured round 5,
+sf0.1: 2000×64d, 20 queries, k=10, 16 IVF lists):
+
+    exact            recall 1.000   scans 100% of corpus
+    ivf nprobe=1     recall 0.340   scans ~6%  (1/16 cells)
+    ivf nprobe=2     recall 0.520   scans ~13%
+    ivf nprobe=4     recall 0.695   scans ~25%
+    ivf nprobe=8     recall 0.895   scans ~50%
+    lsh (12 planes, 3 bands)  recall ≥ 0.9 on the clustered-near-dup
+                     workload (tests/test_text_vector_dedup.py)
+
+Per-query wall time at this toy scale is scheduler-bound (~0.25 s flat),
+so the scalable metric is the SCANNED FRACTION — at 100 TB, IVF cost is
+(nprobe/n_lists)·corpus with n_lists ~ sqrt(N), i.e. the classic IVF
+envelope: ~1-5% of corpus per query at recall 0.9+ with tuned lists.
+Where HNSW wins is single-query latency on one node (graph walk touches
+a few thousand vectors regardless of N); where IVF wins on Spark is
+batch/throughput shapes (the probe is a pruned columnar scan that
+parallelizes and broadcasts, no per-node pointer chasing) — the
+LSH/IVF + exact-verify pipeline is the standard distributed design.
+Recall floors are pinned in tests/test_vector_quantize_sparse_ivf.py
+(test_ivf_recall_and_exact_fallback, test_ann_recall_at_k_driver_settings)
+and tests/test_text_vector_dedup.py (test_knn_lsh_recall_vs_exact).
 """
 
 from arcadedb_spark.vector.distance import (
