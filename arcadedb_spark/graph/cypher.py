@@ -1759,12 +1759,18 @@ def _apply_write(
         if bindings is not None and node.alias:
             bindings.append((node.alias, label, vid, props))
     # ON CREATE SET / ON MATCH SET over the pattern's own aliases
-    _row0 = [None]
+    _row_cache: dict = {}
 
-    def _resolve_frame_refs(e):
+    def _resolve_frame_refs(e, which: str = "first"):
         """ON CREATE/ON MATCH values referencing match-frame aliases
-        (SET city.name = person.bornIn) substitute the triggering row —
-        creation happens on the first row (MergeStep row semantics)."""
+        (SET city.name = person.bornIn) substitute the triggering row.
+        Reference MergeStep applies rows one at a time: the entity is
+        CREATED on the first row (ON CREATE sees row 0) and every later
+        row re-matches it (ON MATCH re-runs per row, so the LAST row's
+        value is the one that survives) — ``which`` picks the row
+        accordingly.  Remaining documented deviation: self-referential
+        ON MATCH assignments (SET n.x = n.x + 1) apply once here, not
+        once per frame row."""
         from arcadedb_spark.sql.translator import walk as _tr_walk
 
         bare_ref = any(
@@ -1776,19 +1782,16 @@ def _apply_write(
             _expr_refs_columns((e,), set(df.columns)) or bare_ref
         ):
             return e
-        if _row0[0] is None:
-            _row0[0] = df.first()
-        if _row0[0] is None:
+        if which not in _row_cache:
+            _row_cache[which] = (
+                df.first() if which == "first"
+                else next(iter(df.tail(1)), None)
+            )
+        row = _row_cache[which]
+        if row is None:
             return e
-        # Documented deviation: with a multi-row frame whose referenced
-        # values diverge, the reference applies ON MATCH row-by-row (last
-        # row's value wins on the shared entity); here row 0's values are
-        # substituted once.  Observable only through the final property
-        # VALUE when rows disagree — creation/match cardinality and
-        # property counts are identical (TCK Merge2[5]/Merge3[4]/
-        # Merge4[2] assert counts, not the winning value).
         for c_ in df.columns:
-            v_ = _row0[0][c_]
+            v_ = row[c_]
             if hasattr(v_, "asDict"):
                 v_ = v_.asDict()
             e = _subst_var(e, c_, v_)
@@ -1802,12 +1805,19 @@ def _apply_write(
     edge_set: dict = {"created": {}, "matched": {}}
     for assignments, want in ((on_create, "created"), (on_match, "matched")):
         _validate_set_assignments(assignments, known_merge, params)
+        # reference row semantics: creation triggers on the FIRST frame
+        # row; re-matching re-applies ON MATCH per row, last value wins
+        _which = "first" if want == "created" else "last"
+
+        def _rfr(e, _w=_which):
+            return _resolve_frame_refs(e, _w)
+
         per_alias: dict[str, list] = {}
         for alias, prop, expr in assignments:
-            per_alias.setdefault(alias, []).append((prop, _resolve_frame_refs(expr)))
+            per_alias.setdefault(alias, []).append((prop, _rfr(expr)))
         for alias in list(per_alias):
             per_alias[alias] = _expand_copy_entity(
-                per_alias[alias], params, _resolve_frame_refs
+                per_alias[alias], params, _rfr
             )
             if alias in edge_aliases:
                 # relationship-alias assignments apply in the edge loop

@@ -473,3 +473,18 @@ def test_match_create_with_match_continuation(spark):
         "RETURN p.name AS pn, q2.name AS qn",
     ).collect()
     assert sorted((r["pn"], r["qn"]) for r in rows) == [("a", "a"), ("b", "b")]
+
+
+def test_merge_on_match_last_row_wins(spark):
+    # reference MergeStep applies ON MATCH once per frame row — the last
+    # row's value is the one that survives on the shared entity
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name: 'a', v: 1}), (:P {name: 'b', v: 2}), "
+           "(:T {k: 1})")
+    cy(db, "MATCH (p:P) MERGE (t:T {k: 1}) ON MATCH SET t.seen = p.v")
+    assert cy(db, "MATCH (t:T) RETURN t.seen AS s").collect()[0]["s"] == 2
+    # creation triggers on the FIRST row — ON CREATE sees row 0
+    cy(db, "MATCH (p:P) MERGE (t2:T2 {k: 1}) ON CREATE SET t2.first = p.v")
+    assert (
+        cy(db, "MATCH (t2:T2) RETURN t2.first AS f").collect()[0]["f"] == 1
+    )
