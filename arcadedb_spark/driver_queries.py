@@ -3508,6 +3508,76 @@ def q_define_function(spark, sf_dir):
     )
 
 
+@query(
+    "q_match_cartesian_roots",
+    oracle="""
+    SELECT a.n_name AS an, b.n_name AS bn, count(*) AS n
+    FROM nation a, nation b
+    WHERE a.n_regionkey = 0 AND b.n_regionkey = 1
+    GROUP BY 1, 2 ORDER BY an, bn
+    """,
+)
+def q_match_cartesian_roots(spark, sf_dir):
+    """Disconnected MATCH roots = cartesian product of the root frames
+    (MatchExecutionPlanner.java cartesian step): two Nation filters with
+    no connecting pattern."""
+    return _db(spark, sf_dir).query(
+        "MATCH {type: Nation, as: a, where: (n_regionkey = 0)}, "
+        "{type: Nation, as: b, where: (n_regionkey = 1)} "
+        "RETURN a.n_name AS an, b.n_name AS bn, count(*) AS n "
+        "GROUP BY an, bn ORDER BY an, bn"
+    )
+
+
+@query(
+    "q_apply_defaults",
+    oracle="""
+    SELECT name, status, CAST(score AS DOUBLE) AS score FROM (VALUES
+      ('a', 'new', 0.5), ('b', 'old', 0.5)
+    ) AS t(name, status, score) ORDER BY name
+    """,
+)
+def q_apply_defaults(spark, sf_dir):
+    """ApplyDefaults + declared-property validation (schema/Property
+    DEFAULT constraint; query/sql executor ApplyDefaults step): absent
+    insert columns take the declared default."""
+    db = _db(spark, sf_dir)
+    db.command("DROP TYPE DefScratch IF EXISTS")
+    db.command("CREATE DOCUMENT TYPE DefScratch")
+    db.command("CREATE PROPERTY DefScratch.status STRING (DEFAULT 'new')")
+    db.command("CREATE PROPERTY DefScratch.score DOUBLE (DEFAULT 0.5)")
+    db.command("INSERT INTO DefScratch (name) VALUES ('a')")
+    db.command("INSERT INTO DefScratch (name, status) VALUES ('b', 'old')")
+    return db.query("SELECT name, status, score FROM DefScratch ORDER BY name")
+
+
+@query(
+    "q_csv_import",
+    oracle="""
+    SELECT kind, count(*) AS n, CAST(sum(qty) AS BIGINT) AS total
+    FROM (VALUES ('x', 1), ('x', 3), ('y', 5)) AS t(kind, qty)
+    GROUP BY kind ORDER BY kind
+    """,
+)
+def q_csv_import(spark, sf_dir):
+    """CSV import (integration importer CSV format analog — spark.read
+    .csv with header/schema inference is the Spark-native path): write a
+    payload, import it as a type, aggregate."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "arcade_q_csv_import.csv")
+    with open(path, "w") as fh:
+        fh.write("kind,qty\nx,1\nx,3\ny,5\n")
+    db = _db(spark, sf_dir)
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    db.schema.register("csv_scratch", df)
+    return db.query(
+        "SELECT kind, count(*) AS n, sum(qty) AS total FROM csv_scratch "
+        "GROUP BY kind ORDER BY kind"
+    )
+
+
 _PRIORITY = [
     # round-4 grading rotation: round-1-only graded queries first
     # (3 queries ungraded since r1), then everything last graded in
