@@ -465,3 +465,27 @@ def test_gremlin_where_traversal(db):
     ).collect()[0]["count"]
     expect = db.table("orders").select("o_custkey").distinct().count()
     assert n == expect
+
+
+def test_traverse_spills_to_distributed(db, monkeypatch):
+    """Forcing a tiny driver-frontier cap must produce identical results
+    through the distributed frontier-join loop."""
+    from pyspark.sql import functions as F
+
+    import arcadedb_spark.graph.traverse as tv
+
+    g = db.graph()
+    roots = g.vertices("Customer").filter(F.col("c_custkey") < 5).select("vid")
+    edges = g.edges("PLACED", "CONTAINS").select(
+        F.col("src").alias("__from"), F.col("dst").alias("__to")
+    )
+    expected = {
+        (r["vid"], r["depth"])
+        for r in tv.traverse(db, roots, edges, max_depth=2).collect()
+    }
+    monkeypatch.setattr(tv, "_DRIVER_FRONTIER_MAX", 2)
+    got = {
+        (r["vid"], r["depth"])
+        for r in tv.traverse(db, roots, edges, max_depth=2).collect()
+    }
+    assert got == expected and len(expected) > 4
