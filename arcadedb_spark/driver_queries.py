@@ -3578,6 +3578,59 @@ def q_csv_import(spark, sf_dir):
     )
 
 
+@query(
+    "q_backup_restore",
+    oracle="""
+    SELECT k, CAST(v AS BIGINT) AS v FROM (VALUES ('a', 1), ('b', 2), ('c', 3))
+    AS t(k, v) ORDER BY k
+    """,
+)
+def q_backup_restore(spark, sf_dir):
+    """Backup → restore roundtrip (integration exporter / Backup.java
+    analog): a scratch database written to parquet re-opens with
+    Database.open and serves identical rows."""
+    import os
+    import tempfile
+
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    db.command("CREATE DOCUMENT TYPE BakScratch")
+    db.command("INSERT INTO BakScratch (k, v) VALUES ('a', 1), ('b', 2), ('c', 3)")
+    target = os.path.join(tempfile.gettempdir(), "arcade_q_backup")
+    db.backup(target)
+    restored = Database.open(spark, target)
+    return restored.query("SELECT k, v FROM bakscratch ORDER BY k")
+
+
+@query(
+    "q_glove_import",
+    oracle="""
+    SELECT token, CAST(d0 AS DOUBLE) AS d0, dim FROM (VALUES
+      ('king', 0.1, 3), ('queen', 0.4, 3)
+    ) AS t(token, d0, dim) ORDER BY token
+    """,
+)
+def q_glove_import(spark, sf_dir):
+    """GloVe text import (integration importer vector formats): token +
+    float vector parsed JVM-side from text splits."""
+    import os
+    import tempfile
+
+    from arcadedb_spark.sources.readers import read_glove
+
+    path = os.path.join(tempfile.gettempdir(), "arcade_q_glove.txt")
+    with open(path, "w") as fh:
+        fh.write("king 0.1 0.2 0.3\nqueen 0.4 0.5 0.6\n")
+    df = read_glove(spark, path)
+    return df.select(
+        "token",
+        # float32 storage: round the float->double widening artifact away
+        F.round(F.element_at("vector", 1).cast("double"), 4).alias("d0"),
+        F.size("vector").alias("dim"),
+    ).orderBy("token")
+
+
 _PRIORITY = [
     # round-4 grading rotation: round-1-only graded queries first
     # (3 queries ungraded since r1), then everything last graded in
