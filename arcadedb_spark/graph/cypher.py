@@ -998,9 +998,34 @@ def _lower_call_subquery(db, df, aliases, text, params,
         for n in imports:
             c = df[n].eqNullSafe(sub_out[f"__imp_{n}"])
             cond = c if cond is None else cond & c
-        out = df.join(sub_out, cond, "inner").drop(
+        # openCypher: a RETURN of ONLY aggregates yields exactly one row
+        # per invocation even over zero matches (count(…)=0, sum=0,
+        # collect=[]) — the grouped decorrelation produces no group row
+        # for zero-match bindings, so join back LEFT and fill the
+        # aggregate identities.  With grouping keys in the RETURN, zero
+        # rows legitimately eliminate the binding (inner join).
+        pure_agg = bool(stmt0.returns) and not stmt0.group_by and all(
+            _contains_aggregate(it.expr) for it in stmt0.returns
+        )
+        how = "left" if pure_agg else "inner"
+        out = df.join(sub_out, cond, how).drop(
             *[f"__imp_{n}" for n in imports]
         )
+        if pure_agg:
+            for it, a in zip(stmt0.returns, ret_aliases):
+                fn = it.expr.name.lower() if isinstance(
+                    it.expr, ast.FuncCall
+                ) else ""
+                if fn in ("count", "sum"):
+                    out = out.withColumn(a, F.coalesce(F.col(a), F.lit(0)))
+                elif fn in ("collect", "list", "set"):
+                    out = out.withColumn(
+                        a,
+                        F.coalesce(
+                            F.col(a),
+                            F.array().cast(out.schema[a].dataType),
+                        ),
+                    )
         return out, set(aliases) | set(ret_aliases)
     # uncorrelated: one evaluation, crossJoin into the pipeline
     sub_out = None

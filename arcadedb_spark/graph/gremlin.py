@@ -207,7 +207,15 @@ class GraphTraversal:
                 "vid", "inner",
             )
         else:
-            av = g.all_vertices()
+            # heterogeneous/unknown target: the FULL property union so
+            # later has()/values() steps still see vertex properties
+            # (column pruning drops the unused ones); `label` keeps the
+            # lowercase label-key surface of the minimal union
+            av = g.all_vertices_full()
+            if av is None:
+                av = g.all_vertices()
+            elif "label" not in av.columns and "@type" in av.columns:
+                av = av.withColumn("label", F.lower(F.col("@type")))
             df = hop.join(
                 av.drop(*[c for c in carry if c in av.columns]),
                 "vid", "inner",
@@ -254,34 +262,26 @@ class GraphTraversal:
                 raise ValueError("repeat() needs times= or until=")
             for i in range(_REPEAT_CAP):
                 cur = sub(cur)
-                u_out = until(cur)
-                stopped_df = (
-                    u_out._df if isinstance(u_out, GraphTraversal) else u_out
+                # TinkerPop until(pred): a traverser STOPS when the
+                # predicate traversal yields anything for it — existence
+                # keyed by source vid for every sub shape (a filter sub
+                # passes ⇔ it yields the traverser itself; a moving sub's
+                # hopped frame must never be emitted as the stopped
+                # traversers, and a column-set heuristic would misfire on
+                # same-schema hops like a Customer→Customer edge)
+                tagged = cur._wrap(
+                    cur._df.withColumn("__usrc", F.col("vid")), cur._label
                 )
-                if set(stopped_df.columns) != set(cur._df.columns):
-                    # moving until-sub (e.g. out('E')): TinkerPop
-                    # semantics are EXISTENCE — a traverser stops when
-                    # the sub yields anything.  Evaluate keyed by source
-                    # vid and semi-join (the hopped frame itself must
-                    # never be emitted as the stopped traversers)
-                    tagged = cur._wrap(
-                        cur._df.withColumn("__usrc", F.col("vid")),
-                        cur._label,
-                    )
-                    u2 = until(tagged)
-                    u2df = (
-                        u2._df if isinstance(u2, GraphTraversal) else u2
-                    )
-                    produced = (
-                        u2df.select(F.col("__usrc").alias("vid")).distinct()
-                    )
-                    stopped_df = cur._df.join(produced, "vid", "left_semi")
+                u2 = until(tagged)
+                u2df = u2._df if isinstance(u2, GraphTraversal) else u2
+                produced = (
+                    u2df.select(F.col("__usrc").alias("vid")).distinct()
+                )
+                # semi/anti joins preserve bag multiplicity; the stop
+                # decision is per vertex, so duplicates stop together
+                stopped_df = cur._df.join(produced, "vid", "left_semi")
                 out_frames.append(stopped_df)
-                # exceptAll, not subtract: bag multiplicity survives in
-                # until-mode exactly as it does in times-mode
-                continuing = cur._df.exceptAll(
-                    stopped_df.select(*cur._df.columns)
-                )
+                continuing = cur._df.join(produced, "vid", "left_anti")
                 cur = cur._wrap(continuing, cur._label)
                 if i % 4 == 3:
                     cur = cur._wrap(cur._df.truncate_plan(), cur._label)
@@ -405,19 +405,20 @@ class GraphTraversal:
         the filter flow through trueSub, the rest through falseSub
         (TinkerPop branch step).  One filter + exceptAll split, two sub
         evaluations — multiplicities preserved."""
-        matched = pred_sub(self)
-        matched = matched._df if isinstance(matched, GraphTraversal) else matched
-        if set(matched.columns) != set(self._df.columns):
-            # moving predicate sub: existence semantics keyed on source
-            tagged = self._wrap(
-                self._df.withColumn("__wsrc", F.col("vid")), self._label
-            )
-            produced = (
-                pred_sub(tagged)._df.select(F.col("__wsrc").alias("vid"))
-                .distinct()
-            )
-            matched = self._df.join(produced, "vid", "left_semi")
-        unmatched = self._df.exceptAll(matched.select(*self._df.columns))
+        # TinkerPop predicate semantics: a traverser takes the TRUE
+        # branch when the predicate traversal yields anything for it —
+        # existence keyed by source vid for every sub shape (a filter
+        # sub passes ⇔ it yields the traverser itself; a column-set
+        # heuristic would misfire on same-schema hops like a
+        # Customer→Customer edge)
+        tagged = self._wrap(
+            self._df.withColumn("__wsrc", F.col("vid")), self._label
+        )
+        p_out = pred_sub(tagged)
+        p_df = p_out._df if isinstance(p_out, GraphTraversal) else p_out
+        produced = p_df.select(F.col("__wsrc").alias("vid")).distinct()
+        matched = self._df.join(produced, "vid", "left_semi")
+        unmatched = self._df.join(produced, "vid", "left_anti")
         t = true_sub(self._wrap(matched, self._label))
         f_ = false_sub(self._wrap(unmatched, self._label))
         t_term = not isinstance(t, GraphTraversal)
@@ -517,9 +518,15 @@ class _Project:
             if isinstance(spec, str):
                 out_cols.append(F.col(spec).alias(name))
                 continue
-            # sub-traversal by(): per-source count via one grouped join
+            # sub-traversal by(): per-source count via one grouped join.
+            # Sources dedupe on vid FIRST — duplicate traversers of the
+            # same vertex must each see the per-vertex count, not a
+            # dup-multiplied sum (TinkerPop ProjectStep is per traverser)
             tagged = t._wrap(
-                df.withColumn("__psrc", F.col("vid")), t._label
+                df.dropDuplicates(["vid"]).withColumn(
+                    "__psrc", F.col("vid")
+                ),
+                t._label,
             )
             sub_out = spec(tagged)
             sub_df = (
@@ -754,17 +761,21 @@ def _run_calls(cur, calls: list):
                 raise ValueError("groupCount() needs .by(prop)")
             return cur.groupCount().by(*_arg_values(nxt[1]))
         if name == "group":
-            # group().by(key)[.by(value)] — terminal
+            # group().by(key)[.by(value)] — terminal: trailing steps
+            # would be silently dropped, so reject them loudly
             grp = cur.group()
             j = i + 1
             while j < len(calls) and calls[j][0] == "by":
                 grp = grp.by(*_arg_values(calls[j][1]))
                 j += 1
                 if isinstance(grp, DataFrame):
-                    return grp
-            if isinstance(grp, _Group):
-                return grp.toDF()
-            return grp
+                    break
+            if j < len(calls):
+                raise ValueError(
+                    f"steps after group().by(…) are not supported: "
+                    f"{calls[j][0]}()"
+                )
+            return grp.toDF() if isinstance(grp, _Group) else grp
         if name == "project":
             prj = cur.project(*_arg_values(args))
             j = i + 1
@@ -776,8 +787,15 @@ def _run_calls(cur, calls: list):
                 prj = prj.by(spec)
                 j += 1
                 if isinstance(prj, DataFrame):
-                    return prj
-            raise ValueError("project() needs one .by(…) per name")
+                    break
+            if not isinstance(prj, DataFrame):
+                raise ValueError("project() needs one .by(…) per name")
+            if j < len(calls):
+                raise ValueError(
+                    f"steps after project().by(…) are not supported: "
+                    f"{calls[j][0]}()"
+                )
+            return prj
         if name == "choose":
             subs = [_sub_of(a[1]) for a in args if a[0] == "chain"]
             if len(subs) != 3 or len(args) != 3:

@@ -36,44 +36,31 @@ def _parse_bytes(v) -> int:
     return int(float(s)) * mult
 
 
-def _local_file_sizes(df: DataFrame) -> "list[int] | None":
-    """Sizes of the frame's input files, or None when not file-backed /
-    not locally stat-able (remote object storage)."""
+def _input_file_info(df: DataFrame) -> "tuple[list[str], list[int] | None]":
+    """(input files, their sizes) — sizes is None when any file is not
+    locally stat-able (remote object storage)."""
     try:
         files = df.inputFiles()
     except Exception:
-        return None
-    if not files:
-        return None
-    sizes = []
+        return [], None
+    sizes: "list[int] | None" = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("", "file"):
-            return None
+            return files, None
         try:
             sizes.append(os.path.getsize(u.path or f))
         except OSError:
-            return None
-    return sizes
+            return files, None
+    return files, sizes
 
 
-def approx_num_partitions(df: DataFrame) -> int:
-    """Cheap scan-partition estimate WITHOUT converting the plan to an
-    RDD (``df.rdd.getNumPartitions()`` triggers plan compilation — ~1 s
-    on first call per frame).
-
-    Mirrors Spark's own file-split rule (FilePartition.maxSplitBytes):
+def _estimate_partitions(spark, sizes: "list[int]") -> int:
+    """Mirror Spark's file-split rule (FilePartition.maxSplitBytes):
     maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
-    totalBytes/defaultParallelism)); files are then bin-packed into
-    splits of ≤ maxSplitBytes counting openCost per file.  Non-local
-    storage falls back to the exact RDD probe — rare on a real cluster
-    because multi-file inputs short-circuit on file count alone.
-    """
-    spark = df.sparkSession
+    totalBytes/defaultParallelism)); files are bin-packed into splits of
+    ≤ maxSplitBytes counting openCost per file."""
     target = spark.sparkContext.defaultParallelism
-    sizes = _local_file_sizes(df)
-    if sizes is None:
-        return df.rdd.getNumPartitions()
     max_bytes = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
@@ -83,6 +70,27 @@ def approx_num_partitions(df: DataFrame) -> int:
     total = sum(sizes) + open_cost * len(sizes)
     max_split = min(max_bytes, max(open_cost, total // max(1, target)))
     return max(1, -(-total // max(1, max_split)))
+
+
+def approx_num_partitions(df: DataFrame) -> int:
+    """Cheap scan-partition estimate WITHOUT converting the plan to an
+    RDD (``df.rdd.getNumPartitions()`` triggers plan compilation — ~1 s
+    on first call per frame).
+
+    Local files are sized and bin-packed like Spark itself would; on
+    non-stat-able storage (s3://, hdfs://) a multi-file input
+    short-circuits on file count alone (close enough for the ≥-target
+    comparisons this feeds), and only single-file remote inputs pay the
+    exact RDD probe.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files, sizes = _input_file_info(df)
+    if sizes is not None and files:
+        return _estimate_partitions(spark, sizes)
+    if len(files) >= target:
+        return len(files)
+    return df.rdd.getNumPartitions()
 
 
 def ensure_min_partitions(
@@ -101,12 +109,17 @@ def ensure_min_partitions(
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    sizes = _local_file_sizes(df)
-    if sizes is not None:
-        by_size = max(1, -(-sum(sizes) // bytes_per_core))
-        target = min(target, by_size)
+    files, sizes = _input_file_info(df)
     try:
-        current = approx_num_partitions(df)
+        if sizes is not None and files:
+            # one listing serves both the size bound and the current-
+            # partition estimate (no second stat pass)
+            target = min(target, max(1, -(-sum(sizes) // bytes_per_core)))
+            current = _estimate_partitions(spark, sizes)
+        elif len(files) >= target:
+            current = len(files)
+        else:
+            current = df.rdd.getNumPartitions()
     except Exception:
         return df.repartition(target)
     if current >= target:

@@ -488,3 +488,20 @@ def test_merge_on_match_last_row_wins(spark):
     assert (
         cy(db, "MATCH (t2:T2) RETURN t2.first AS f").collect()[0]["f"] == 1
     )
+
+
+def test_call_subquery_agg_zero_match_keeps_outer_row(spark):
+    # pure-aggregate CALL subqueries yield one row per invocation even
+    # over zero inner matches: count -> 0 (openCypher aggregate-over-
+    # empty semantics; inner-join-back would drop the binding)
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name: 'a'}), (:P {name: 'zzz'}), (:Q {name: 'a'})")
+    rows = cy(
+        db,
+        "MATCH (p:P) CALL { WITH p MATCH (q:Q {name: p.name}) "
+        "RETURN count(q) AS nq, collect(q.name) AS names } "
+        "RETURN p.name AS n, nq, names ORDER BY n",
+    ).collect()
+    assert [(r["n"], r["nq"], r["names"]) for r in rows] == [
+        ("a", 1, ["a"]), ("zzz", 0, []),
+    ]

@@ -489,3 +489,55 @@ def test_traverse_spills_to_distributed(db, monkeypatch):
         for r in tv.traverse(db, roots, edges, max_depth=2).collect()
     }
     assert got == expected and len(expected) > 4
+
+
+def test_gremlin_until_same_schema_hop(spark):
+    """until(out('E')) where E is same-label→same-label must stop the
+    CURRENT traversers that have an out-edge — never emit the hopped
+    neighbors (the old column-set heuristic misfired here)."""
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    db.query(
+        "CREATE (:C {name: 'a'})-[:E]->(:C {name: 'b'})-[:E]->"
+        "(:C {name: 'c'})",
+        language="cypher",
+    )
+    rows = db.query(
+        "g.V('C').has('name', 'a').repeat(out('E')).until(out('E'))"
+        ".values('name')",
+        language="gremlin",
+    ).collect()
+    assert [r["name"] for r in rows] == ["b"]
+
+
+def test_gremlin_project_sub_count_per_traverser(spark):
+    """project().by(sub) on duplicate traversers: each duplicate sees
+    the per-vertex count, not a duplicate-multiplied sum."""
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    db.query(
+        "CREATE (n:N {name: 'x'}), (:M {k: 1})-[:TO]->(n), "
+        "(:M {k: 2})-[:TO]->(n), (:L {j: 1})-[:OF]->(n), "
+        "(:L {j: 2})-[:OF]->(n), (:L {j: 3})-[:OF]->(n)",
+        language="cypher",
+    )
+    # two TO-edges produce two duplicate traversers on n
+    rows = db.query(
+        "g.V('M').out('TO').project('name', 'nof').by('name').by(in('OF'))",
+        language="gremlin",
+    ).collect()
+    assert sorted((r["name"], r["nof"]) for r in rows) == [
+        ("x", 3), ("x", 3),
+    ]
+
+
+def test_gremlin_trailing_steps_after_group_rejected(db):
+    import pytest
+
+    with pytest.raises(ValueError):
+        db.query(
+            "g.V('Nation').group().by('n_regionkey').by('n_name').count()",
+            language="gremlin",
+        )
