@@ -204,3 +204,41 @@ def test_ann_recall_at_k_driver_settings(spark):
         ).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.9
+
+
+def test_pq_recall_and_rerank(spark):
+    """PQ ADC recall floor + exact top-k recovery via re-rank
+    (vector/pq.py; reference jVector PQ quantization mode)."""
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.vector.knn import knn_exact
+    from arcadedb_spark.vector.pq import pq_build, pq_search
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).cache()
+    idx = pq_build(emb, "vec_id", "embedding", m=8, k=16)
+    idx.codes = idx.codes.cache()
+    hits_adc = hits_ref = 0
+    queries = [r["embedding"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    for q in queries:
+        qf = [float(x) for x in q]
+        truth = {
+            r["vec_id"]
+            for r in knn_exact(emb, "embedding", qf, k=5, metric="l2").collect()
+        }
+        adc = {r["id"] for r in pq_search(idx, qf, k=5).collect()}
+        ref = {
+            r["id"]
+            for r in pq_search(
+                idx, qf, k=5, refine=80, data=emb,
+                id_col="vec_id", vec_col="embedding",
+            ).collect()
+        }
+        hits_adc += len(adc & truth)
+        hits_ref += len(ref & truth)
+    assert hits_adc / 25 >= 0.3   # raw ADC floor (coarse codes)
+    assert hits_ref / 25 >= 0.8  # re-rank recovers nearly everything
+    # compression: 8 int codes per 64-float vector
+    row = idx.codes.first()
+    assert len(row["codes"]) == 8
