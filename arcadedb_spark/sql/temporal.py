@@ -31,6 +31,127 @@ class TemporalError(ValueError):
     pass
 
 
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (java.time semantics).
+
+    `int(a / b)` loses precision for |a| beyond 2^53 (large-year month
+    counts like 23_999_999_987 — TCK Temporal10 [9]); this stays exact.
+    """
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+# --- proleptic-Gregorian arithmetic for years outside datetime.date -------
+# java.time supports years ±999_999_999 (TCK Temporal10 [9][10]); Python's
+# datetime stops at 1..9999.  BigDate duck-types the slice of the date API
+# this kernel uses (year/month/day, ordering, subtraction -> .days,
+# isoformat) with exact integer math on the same proleptic calendar.
+
+_DIM = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _is_leap(y: int) -> bool:
+    return y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+
+
+def _days_in_month(y: int, m: int) -> int:
+    if m == 2 and _is_leap(y):
+        return 29
+    return _DIM[m - 1]
+
+
+def _ymd_ordinal(y: int, m: int, d: int) -> int:
+    yy = y - 1
+    days = yy * 365 + yy // 4 - yy // 100 + yy // 400
+    days += sum(_DIM[: m - 1]) + (1 if m > 2 and _is_leap(y) else 0)
+    return days + d
+
+
+@dataclass(frozen=True)
+class _DayDelta:
+    days: int
+
+
+@dataclass(frozen=True)
+class BigDate:
+    year: int
+    month: int
+    day: int
+
+    def toordinal(self) -> int:
+        return _ymd_ordinal(self.year, self.month, self.day)
+
+    def isoformat(self) -> str:
+        y = self.year
+        sign = "-" if y < 0 else ("+" if y > 9999 else "")
+        return f"{sign}{abs(y):04d}-{self.month:02d}-{self.day:02d}"
+
+    @staticmethod
+    def _ord(other) -> int:
+        return other.toordinal()
+
+    def __sub__(self, other):
+        return _DayDelta(self.toordinal() - self._ord(other))
+
+    def __rsub__(self, other):
+        return _DayDelta(self._ord(other) - self.toordinal())
+
+    def __add__(self, delta):
+        return _date_from_ordinal(self.toordinal() + delta.days)
+
+    __radd__ = __add__
+
+    def __lt__(self, other):
+        return self.toordinal() < self._ord(other)
+
+    def __le__(self, other):
+        return self.toordinal() <= self._ord(other)
+
+    def __gt__(self, other):
+        return self.toordinal() > self._ord(other)
+
+    def __ge__(self, other):
+        return self.toordinal() >= self._ord(other)
+
+    def __eq__(self, other):
+        if isinstance(other, (BigDate, _dt.date)):
+            return self.toordinal() == other.toordinal()
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(("BigDate", self.toordinal()))
+
+
+def _date_from_ordinal(n: int):
+    """Proleptic ordinal -> date (BigDate outside datetime's range)."""
+    if 1 <= n <= 3652059:  # datetime.date.max.toordinal()
+        return _dt.date.fromordinal(n)
+    n0 = n - 1
+    n400, n0 = divmod(n0, 146097)
+    n100, n0 = divmod(n0, 36524)
+    n4, n0 = divmod(n0, 1461)
+    n1, n0 = divmod(n0, 365)
+    year = n400 * 400 + n100 * 100 + n4 * 4 + n1 + 1
+    if n1 == 4 or n100 == 4:
+        return _make_date(year - 1, 12, 31)
+    month = 1
+    while n0 >= _days_in_month(year, month):
+        n0 -= _days_in_month(year, month)
+        month += 1
+    return _make_date(year, month, n0 + 1)
+
+
+def _make_date(y: int, m: int, d: int):
+    """date when in datetime's range, BigDate otherwise (java ±1e9 years)."""
+    if 1 <= y <= 9999:
+        return _dt.date(y, m, d)
+    if abs(y) > 999_999_999:
+        raise TemporalError(f"year out of range: {y}")
+    if not (1 <= m <= 12) or not (1 <= d <= _days_in_month(y, m)):
+        raise TemporalError(f"invalid date: {y}-{m}-{d}")
+    return BigDate(y, m, d)
+
+
 def _frac_str(nanos: int) -> str:
     """Fractional-second suffix: trailing zeros trimmed, '' when zero."""
     if nanos == 0:
@@ -178,7 +299,7 @@ class CyDuration:
         if self.months == 0 and self.days == 0 and self.nanos == 0:
             return "PT0S"
         out = "P"
-        years = int(self.months / 12)
+        years = _trunc_div(self.months, 12)
         months = self.months - years * 12
         if years:
             out += f"{years}Y"
@@ -207,14 +328,14 @@ class CyDuration:
         n = name.lower()
         total_sec = self.nanos // NANOS
         return {
-            "years": int(self.months / 12), "months": self.months,
-            "monthsofyear": self.months - int(self.months / 12) * 12,
-            "quarters": int(self.months / 3),
-            "quartersofyear": int(self.months / 3) - int(self.months / 12) * 4,
-            "monthsofquarter": self.months - int(self.months / 3) * 3,
-            "weeks": int(self.days / 7),
+            "years": _trunc_div(self.months, 12), "months": self.months,
+            "monthsofyear": self.months - _trunc_div(self.months, 12) * 12,
+            "quarters": _trunc_div(self.months, 3),
+            "quartersofyear": _trunc_div(self.months, 3) - _trunc_div(self.months, 12) * 4,
+            "monthsofquarter": self.months - _trunc_div(self.months, 3) * 3,
+            "weeks": _trunc_div(self.days, 7),
             "days": self.days,
-            "daysofweek": self.days - int(self.days / 7) * 7,
+            "daysofweek": self.days - _trunc_div(self.days, 7) * 7,
             "hours": self.nanos // 3_600_000_000_000,
             "minutes": self.nanos // 60_000_000_000,
             "minutesofhour": (self.nanos // 60_000_000_000) % 60,
@@ -238,21 +359,21 @@ TEMPORAL_TYPES = (CyDate, CyLocalTime, CyTime, CyLocalDateTime, CyDateTime,
 # ---------------------------------------------------------------------------
 
 _DATE_RES = [
-    (re.compile(r"^([+-]?\d{4})-(\d{2})-(\d{2})$"), "ymd"),
-    (re.compile(r"^([+-]?\d{4})(\d{2})(\d{2})$"), "ymd"),
-    (re.compile(r"^([+-]?\d{4})-(\d{2})$"), "ym"),
-    (re.compile(r"^([+-]?\d{4})(\d{2})$"), "ym_compact"),
-    (re.compile(r"^([+-]?\d{4})-W(\d{2})-(\d)$"), "ywd"),
-    (re.compile(r"^([+-]?\d{4})W(\d{2})(\d)$"), "ywd"),
-    (re.compile(r"^([+-]?\d{4})-W(\d{2})$"), "yw"),
-    (re.compile(r"^([+-]?\d{4})W(\d{2})$"), "yw"),
-    (re.compile(r"^([+-]?\d{4})-Q(\d)-(\d{2})$"), "yqd"),
-    (re.compile(r"^([+-]?\d{4})Q(\d)(\d{2})$"), "yqd"),
-    (re.compile(r"^([+-]?\d{4})-Q(\d)$"), "yq"),
-    (re.compile(r"^([+-]?\d{4})Q(\d)$"), "yq"),
-    (re.compile(r"^([+-]?\d{4})-(\d{3})$"), "yo"),
-    (re.compile(r"^([+-]?\d{4})(\d{3})$"), "yo"),
-    (re.compile(r"^([+-]?\d{4})$"), "y"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})-(\d{2})-(\d{2})$"), "ymd"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})(\d{2})(\d{2})$"), "ymd"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})-(\d{2})$"), "ym"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})(\d{2})$"), "ym_compact"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})-W(\d{2})-(\d)$"), "ywd"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})W(\d{2})(\d)$"), "ywd"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})-W(\d{2})$"), "yw"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})W(\d{2})$"), "yw"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})-Q(\d)-(\d{2})$"), "yqd"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})Q(\d)(\d{2})$"), "yqd"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})-Q(\d)$"), "yq"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})Q(\d)$"), "yq"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})-(\d{3})$"), "yo"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})(\d{3})$"), "yo"),
+    (re.compile(r"^([+-]\d{4,9}|\d{4})$"), "y"),
 ]
 
 
@@ -262,12 +383,15 @@ def parse_date(s: str) -> CyDate:
         if not m:
             continue
         g = [int(x) for x in m.groups()]
+        big = not (1 <= g[0] <= 9999)
+        if big and kind not in ("ymd", "ym", "y"):
+            raise TemporalError(f"year out of datetime range: {s!r}")
         if kind == "ymd":
-            return CyDate(_dt.date(g[0], g[1], g[2]))
+            return CyDate(_make_date(g[0], g[1], g[2]))
         if kind in ("ym", "ym_compact"):
             if kind == "ym_compact" and not (1 <= g[1] <= 12):
                 continue  # 2015 07 vs ordinal ambiguity is resolved by regex order
-            return CyDate(_dt.date(g[0], g[1], 1))
+            return CyDate(_make_date(g[0], g[1], 1))
         if kind == "ywd":
             return CyDate(_dt.date.fromisocalendar(g[0], g[1], g[2]))
         if kind == "yw":
@@ -279,7 +403,7 @@ def parse_date(s: str) -> CyDate:
         if kind == "yo":
             return CyDate(_dt.date(g[0], 1, 1) + _dt.timedelta(days=g[1] - 1))
         if kind == "y":
-            return CyDate(_dt.date(g[0], 1, 1))
+            return CyDate(_make_date(g[0], 1, 1))
     raise TemporalError(f"Cannot parse date: {s!r}")
 
 
@@ -346,10 +470,34 @@ def parse_datetime(s: str):
     return CyLocalDateTime(d.d, t)
 
 
+_ZONE_CACHE: dict = {}
+
+
 def _zoneinfo(zone: str):
+    """Resolve an IANA zone, preferring the pip ``tzdata`` package.
+
+    The reference's java.time uses the standard IANA build, where zones
+    merged since tzdata 2022f (Europe/Stockholm -> Europe/Berlin, …) are
+    links; many distro /usr/share/zoneinfo builds include backzone data
+    with the pre-merge LMT offsets instead (TCK Temporal2 [6] expects the
+    merged +00:53:28 for 1818 Stockholm, not backzone's +01:12:12).
+    """
     from zoneinfo import ZoneInfo
 
-    return ZoneInfo(zone)
+    tz = _ZONE_CACHE.get(zone)
+    if tz is not None:
+        return tz
+    try:
+        import importlib.resources as _res
+
+        head, _, name = zone.rpartition("/")
+        pkg = "tzdata.zoneinfo" + ("." + head.replace("/", ".") if head else "")
+        with _res.files(pkg).joinpath(name).open("rb") as f:
+            tz = ZoneInfo.from_file(f, key=zone)
+    except Exception:
+        tz = ZoneInfo(zone)
+    _ZONE_CACHE[zone] = tz
+    return tz
 
 
 def _zoned(d: _dt.date, t: CyLocalTime, zone: str) -> CyDateTime:
@@ -829,13 +977,11 @@ def months_days(start: _dt.date, months: int) -> int:
     return (_add_months(start, months) - start).days
 
 
-def _add_months(d: _dt.date, months: int) -> _dt.date:
+def _add_months(d, months: int):
     y = d.year + (d.month - 1 + months) // 12
     m = (d.month - 1 + months) % 12 + 1
-    import calendar
-
-    day = min(d.day, calendar.monthrange(y, m)[1])
-    return _dt.date(y, m, day)
+    day = min(d.day, _days_in_month(y, m))
+    return _make_date(y, m, day)
 
 
 def add_duration(v, dur: CyDuration):

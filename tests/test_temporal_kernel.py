@@ -111,3 +111,39 @@ def test_statement_clock_shared():
     )
     ok, v = TE.try_eval(e, {})
     assert ok and v == "PT0S"
+
+
+def test_big_year_dates_parse_and_render():
+    # java.time supports years ±999_999_999 (TCK Temporal10 [9][10])
+    lo = d("-999999999-01-01")
+    hi = d("+999999999-12-31")
+    assert str(lo) == "-999999999-01-01"
+    assert str(hi) == "+999999999-12-31"
+    # ordinal round-trip on the proleptic calendar
+    assert T._date_from_ordinal(lo.d.toordinal()) == lo.d
+    assert T._date_from_ordinal(hi.d.toordinal()) == hi.d
+    # ordinary years still produce datetime.date (fast path)
+    import datetime
+    assert isinstance(d("2015-07-21").d, datetime.date)
+
+
+def test_big_year_duration_between():
+    a, b = d("-999999999-01-01"), d("+999999999-12-31")
+    assert str(T.duration_between(a, b)) == "P1999999998Y11M30D"
+    la = T.parse_datetime("-999999999-01-01")
+    lb = T.parse_datetime("+999999999-12-31T23:59:59")
+    assert (str(T.duration_between(la, lb, "inseconds"))
+            == "PT17531639991215H59M59S")
+    # reversed direction negates cleanly
+    assert str(T.duration_between(b, a)) == "P-1999999998Y-11M-30D"
+
+
+def test_merged_tzdb_zone_resolution():
+    # tzdata >= 2022f merges Europe/Stockholm into Europe/Berlin; java.time
+    # (the reference) resolves pre-1879 Stockholm to Berlin's LMT +00:53:28,
+    # not backzone's +01:12:12 (TCK Temporal2 [6])
+    out = T.parse_datetime("1818-07-21T21:40:32.142[Europe/Stockholm]")
+    assert str(out) == "1818-07-21T21:40:32.142+00:53:28[Europe/Stockholm]"
+    # modern dates are unaffected
+    out2 = T.parse_datetime("2017-10-29T04:00[Europe/Stockholm]")
+    assert str(out2) == "2017-10-29T04:00+01:00[Europe/Stockholm]"
