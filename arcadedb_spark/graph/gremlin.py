@@ -39,7 +39,8 @@ def _carry_cols(df: DataFrame) -> list[str]:
     — NOT arbitrary __-prefixed data columns the vertex frames may carry."""
     return [
         c for c in df.columns
-        if c in ("__path", "__coal", "__wsrc", "__usrc", "__psrc")
+        if c in ("__path", "__coal", "__wsrc", "__usrc", "__psrc",
+                 "__sack", "__esrc")
         or c.startswith("__as_")
     ]
 
@@ -103,16 +104,21 @@ class GraphTraversal:
         df: DataFrame,
         label: str | None,
         track_path: bool = False,
+        edge_state: bool = False,
     ) -> None:
         self.db = db
         self._label = label  # current vertex label when known (full props)
         self._track_path = track_path
-        if track_path and "__path" not in df.columns:
+        self._edge = edge_state  # traversers are edge rows (after outE/…)
+        if track_path and not edge_state and "__path" not in df.columns:
             df = df.withColumn("__path", F.array(F.col("vid")))
         self._df = df
 
-    def _wrap(self, df: DataFrame, label=None) -> "GraphTraversal":
-        return GraphTraversal(self.db, df, label, self._track_path)
+    def _wrap(self, df: DataFrame, label=None, edge=None) -> "GraphTraversal":
+        return GraphTraversal(
+            self.db, df, label, self._track_path,
+            self._edge if edge is None else edge,
+        )
 
     # -- filters -----------------------------------------------------------
     def hasLabel(self, label: str) -> "GraphTraversal":
@@ -230,6 +236,76 @@ class GraphTraversal:
 
     def both(self, *etypes: str) -> "GraphTraversal":
         return self._hop("both", etypes)
+
+    # -- edge-state steps ----------------------------------------------------
+    def _edge_hop(self, direction: str, etypes: tuple) -> "GraphTraversal":
+        """outE/inE/bothE: traversers become incident-edge rows.  Each
+        orientation is its own equi-join (an OR-join would degrade to a
+        broadcast nested loop at scale); ``__esrc`` remembers which
+        endpoint we arrived from so otherV() can leave via the other."""
+        g = self.db.graph()
+        e = g.edges(*etypes) if etypes else g.edges()
+        carry = _carry_cols(self._df)
+        trav = self._df.select(F.col("vid").alias("__esrc"), *carry)
+        e = e.drop(*[c for c in carry + ["__esrc"] if c in e.columns])
+        frames = []
+        if direction in ("out", "both"):
+            frames.append(trav.join(e, trav["__esrc"] == e["src"]))
+        if direction in ("in", "both"):
+            frames.append(trav.join(e, trav["__esrc"] == e["dst"]))
+        df = frames[0]
+        for fr in frames[1:]:
+            df = df.unionByName(fr)
+        t = self._wrap(df, None, edge=True)
+        t._edge_types = etypes
+        return t
+
+    def outE(self, *etypes: str) -> "GraphTraversal":
+        return self._edge_hop("out", etypes)
+
+    def inE(self, *etypes: str) -> "GraphTraversal":
+        return self._edge_hop("in", etypes)
+
+    def bothE(self, *etypes: str) -> "GraphTraversal":
+        return self._edge_hop("both", etypes)
+
+    out_e, in_e, both_e = outE, inE, bothE
+
+    def _edge_to_vertex(self, vid_expr) -> "GraphTraversal":
+        if not self._edge:
+            raise ValueError("inV()/outV()/otherV() need an edge step first")
+        g = self.db.graph()
+        carry = [c for c in _carry_cols(self._df) if c != "__esrc"]
+        hop = self._df.select(vid_expr.alias("vid"), *carry)
+        if self._track_path:
+            hop = hop.withColumn(
+                "__path", F.concat(F.col("__path"), F.array(F.col("vid")))
+            )
+        av = g.all_vertices_full()
+        if av is None:
+            av = g.all_vertices()
+        elif "label" not in av.columns and "@type" in av.columns:
+            av = av.withColumn("label", F.lower(F.col("@type")))
+        df = hop.join(
+            av.drop(*[c for c in carry if c in av.columns]), "vid", "inner"
+        )
+        return self._wrap(df, None, edge=False)
+
+    def inV(self) -> "GraphTraversal":
+        return self._edge_to_vertex(F.col("dst"))
+
+    def outV(self) -> "GraphTraversal":
+        return self._edge_to_vertex(F.col("src"))
+
+    def otherV(self) -> "GraphTraversal":
+        if "__esrc" not in self._df.columns:
+            raise ValueError("otherV() needs an incident-edge step (outE/…)")
+        return self._edge_to_vertex(
+            F.when(F.col("src") == F.col("__esrc"), F.col("dst"))
+            .otherwise(F.col("src"))
+        )
+
+    in_v, out_v, other_v = inV, outV, otherV
 
     # -- branching / looping -------------------------------------------------
     def repeat(
@@ -387,7 +463,66 @@ class GraphTraversal:
         return self._wrap(self._df.limit(n), self._label)
 
     def dedup(self) -> "GraphTraversal":
+        if "vid" not in self._df.columns:  # edge state
+            return self._wrap(self._df.dropDuplicates(), self._label)
         return self._wrap(self._df.dropDuplicates(["vid"]), self._label)
+
+    def simplePath(self) -> "GraphTraversal":
+        """Keep only traversers whose path has no repeated vertex
+        (TinkerPop SimplePathStep) — a pure Column filter on the path
+        history, no extra join."""
+        if "__path" not in self._df.columns:
+            raise ValueError(
+                "simplePath() needs path tracking — g.V(track_path=True)"
+            )
+        return self._wrap(
+            self._df.filter(
+                F.size("__path") == F.size(F.array_distinct("__path"))
+            ),
+            self._label,
+        )
+
+    simple_path = simplePath
+
+    def fold(self) -> "GraphTraversal":
+        """Collect the traverser stream into ONE list-valued traverser
+        (vids for vertex state).  Map-side combine via collect_list."""
+        key = "vid" if "vid" in self._df.columns else self._df.columns[0]
+        return self._wrap(
+            self._df.agg(F.array_sort(F.collect_list(key)).alias("folded")),
+            None,
+        )
+
+    def unfold(self) -> "GraphTraversal":
+        if "folded" not in self._df.columns:
+            raise ValueError("unfold() needs a fold() upstream")
+        g = self.db.graph()
+        ex = self._df.select(F.explode("folded").alias("vid"))
+        av = g.all_vertices_full() or g.all_vertices()
+        return self._wrap(ex.join(av, "vid", "inner"), None)
+
+    def sack(self, op: str | None = None):
+        """``sack()`` terminal -> sack values; ``sack(op).by(prop)``
+        folds a property into the per-traverser sack (TinkerPop
+        SackStep; ops: sum/minus/mult/div/min/max/assign).  The sack is
+        a plain column, so every update stays whole-stage codegen."""
+        if op is None:
+            if "__sack" not in self._df.columns:
+                raise ValueError("sack() needs g.withSack(initial)")
+            return self._df.select(F.col("__sack").alias("sack"))
+        return _SackMod(self, op)
+
+    def sum_(self, prop: str) -> DataFrame:
+        return self._df.agg(F.sum(prop).alias("sum"))
+
+    def mean_(self, prop: str) -> DataFrame:
+        return self._df.agg(F.avg(prop).alias("mean"))
+
+    def max_(self, prop: str) -> DataFrame:
+        return self._df.agg(F.max(prop).alias("max"))
+
+    def min_(self, prop: str) -> DataFrame:
+        return self._df.agg(F.min(prop).alias("min"))
 
     def order(self) -> "_Ordered":
         return _Ordered(self)
@@ -438,6 +573,29 @@ class GraphTraversal:
 
     def toList(self) -> list:
         return self._df.collect()
+
+
+class _SackMod:
+    """``.sack('sum').by(prop)`` modulator — updates the __sack column."""
+
+    _OPS = ("sum", "minus", "mult", "div", "min", "max", "assign")
+
+    def __init__(self, t: GraphTraversal, op: str) -> None:
+        if op not in self._OPS:
+            raise ValueError(f"sack(): unsupported operator {op!r}")
+        self._t = t
+        self._op = op
+
+    def by(self, prop: str) -> GraphTraversal:
+        t = self._t
+        if "__sack" not in t._df.columns:
+            raise ValueError("sack(op) needs g.withSack(initial)")
+        s, c = F.col("__sack"), F.col(prop)
+        expr = {
+            "sum": s + c, "minus": s - c, "mult": s * c, "div": s / c,
+            "min": F.least(s, c), "max": F.greatest(s, c), "assign": c,
+        }[self._op]
+        return t._wrap(t._df.withColumn("__sack", expr), t._label)
 
 
 class _Ordered:
@@ -547,18 +705,25 @@ class _Project:
 class GraphTraversalSource:
     """``g`` — entry point (TinkerPop GraphTraversalSource analog)."""
 
-    def __init__(self, db) -> None:
+    def __init__(self, db, sack_init=None) -> None:
         self.db = db
+        self._sack_init = sack_init
+
+    def withSack(self, initial) -> "GraphTraversalSource":
+        """``g.withSack(0)`` — every traverser starts with this sack
+        value (a plain __sack column on the frame)."""
+        return GraphTraversalSource(self.db, initial)
+
+    with_sack = withSack
 
     def V(
         self, label: str | None = None, track_path: bool = False
     ) -> GraphTraversal:
         g = self.db.graph()
-        if label is not None:
-            return GraphTraversal(
-                self.db, g.vertices(label), label, track_path
-            )
-        return GraphTraversal(self.db, g.all_vertices(), None, track_path)
+        df = g.vertices(label) if label is not None else g.all_vertices()
+        if self._sack_init is not None:
+            df = df.withColumn("__sack", F.lit(self._sack_init))
+        return GraphTraversal(self.db, df, label, track_path)
 
     def E(self, *etypes: str) -> DataFrame:
         return self.db.graph().edges(*etypes)
@@ -711,7 +876,32 @@ def _run_calls(cur, calls: list):
         if name == "count":
             return db.spark.createDataFrame([(cur.count(),)], "count long")
         if name == "values":
-            return cur.values(*_arg_values(args))
+            vals = _arg_values(args)
+            vdf = cur.values(*vals)
+            if nxt is not None and nxt[0] in ("sum", "mean", "max", "min"):
+                if i + 2 < len(calls):
+                    raise ValueError(
+                        f"steps after values().{nxt[0]}() are not supported"
+                    )
+                fn = {"sum": F.sum, "mean": F.avg,
+                      "max": F.max, "min": F.min}[nxt[0]]
+                return vdf.agg(fn(vals[0]).alias(nxt[0]))
+            if i + 1 < len(calls):
+                raise ValueError(
+                    f"steps after values(…) are not supported: "
+                    f"{calls[i + 1][0]}()"
+                )
+            return vdf
+        if name == "sack" and not args:
+            if i + 1 < len(calls):
+                raise ValueError("steps after terminal sack() not supported")
+            return cur.sack()
+        if name == "sack":
+            if nxt is None or nxt[0] != "by":
+                raise ValueError("sack(op) needs .by(prop)")
+            cur = cur.sack(*_arg_values(args)).by(*_arg_values(nxt[1]))
+            i += 2
+            continue
         if name in ("valueMap", "value_map"):
             return cur.valueMap(*_arg_values(args))
         if name == "path":
@@ -839,18 +1029,26 @@ def gremlin_query(db, text: str) -> DataFrame:
         raise ValueError(
             f"Trailing Gremlin input near token {parser.i}"
         )
+    src = GraphTraversalSource(db)
+    if calls and calls[0][0] in ("withSack", "with_sack"):
+        src = src.withSack(*_arg_values(calls[0][1]))
+        calls = calls[1:]
     if not calls or calls[0][0] not in ("V", "E"):
         raise ValueError("Gremlin chain must start with g.V() or g.E()")
 
-    src = GraphTraversalSource(db)
     head, head_args = calls[0]
     if head == "E":
         df = src.E(*_arg_values(head_args))
-        if len(calls) > 1:
-            raise ValueError("g.E() supports no further steps")
-        return df
+        if len(calls) == 1:
+            return df
+        # edge-state chain: g.E('T').has(...).count() / .inV()…
+        t = GraphTraversal(db, df, None, False, edge_state=True)
+        t._edge_types = tuple(_arg_values(head_args))
+        out = _run_calls(t, calls[1:])
+        return out._df if isinstance(out, GraphTraversal) else out
     needs_path = any(c[0] == "path" for c in calls) or any(
-        c[0] in ("as", "as_", "select") for c in calls
+        c[0] in ("as", "as_", "select", "simplePath", "simple_path")
+        for c in calls
     )
     cur: object = src.V(*_arg_values(head_args), track_path=needs_path)
     out = _run_calls(cur, calls[1:])

@@ -541,3 +541,64 @@ def test_gremlin_trailing_steps_after_group_rejected(db):
             "g.V('Nation').group().by('n_regionkey').by('n_name').count()",
             language="gremlin",
         )
+
+
+def test_gremlin_edge_steps(db):
+    """outE/inE/otherV/inV/outV — TinkerPop edge-state traversals
+    (gremlin/src/main/java/com/arcadedb/gremlin/query/GremlinQueryEngine.java:33)."""
+    g = db.g()
+    # outE: one edge traverser per incident PLACED edge
+    n_edges = g.V("Customer").outE("PLACED").count()
+    assert n_edges == db.table("orders").count()
+    # outE().inV() == out()
+    via_e = g.V("Customer").outE("PLACED").inV().count()
+    assert via_e == g.V("Customer").out("PLACED").count()
+    # otherV leaves via the opposite endpoint
+    via_other = g.V("Customer").outE("PLACED").otherV().count()
+    assert via_other == via_e
+    # outV returns to the source side
+    back = g.V("Customer").has("c_custkey", 3).outE("PLACED").outV().count()
+    from pyspark.sql import functions as F
+    expect = db.table("orders").filter(F.col("o_custkey") == 3).count()
+    assert back == expect
+    # string front end: g.E with a chain
+    cnt = db.query("g.E('PLACED').count()", language="gremlin").collect()[0][0]
+    assert cnt == db.table("orders").count()
+
+
+def test_gremlin_sack(db):
+    """withSack/sack(op).by(prop)/terminal sack() (TinkerPop SackStep)."""
+    rows = db.query(
+        "g.withSack(0).V('Customer').sack('sum').by('c_custkey').sack()",
+        language="gremlin",
+    ).collect()
+    assert sorted(r["sack"] for r in rows) == sorted(
+        r[0] for r in db.table("customer").select("c_custkey").collect()
+    )
+    # fluent: multiplicative sack
+    vals = (
+        db.g().withSack(2).V("Nation").sack("mult").by("n_nationkey").sack()
+    ).collect()
+    expect = [2 * r[0] for r in db.table("nation").select("n_nationkey").collect()]
+    assert sorted(v["sack"] for v in vals) == sorted(expect)
+
+
+def test_gremlin_fold_unfold_simplepath_aggregates(db):
+    g = db.g()
+    folded = g.V("Nation").fold()._df.collect()
+    assert len(folded) == 1 and len(folded[0]["folded"]) == db.table("nation").count()
+    assert g.V("Nation").fold().unfold().count() == db.table("nation").count()
+    # simplePath drops looped traversers
+    t = g.V("Customer", track_path=True).out("PLACED").in_("PLACED")
+    total = t.count()
+    simple = t.simplePath().count()
+    assert simple < total  # the 2-hop out-in always revisits the source
+    # terminal aggregates via the string front end
+    s = db.query(
+        "g.V('Nation').values('n_nationkey').sum()", language="gremlin"
+    ).collect()[0][0]
+    assert s == sum(r[0] for r in db.table("nation").select("n_nationkey").collect())
+    m = db.query(
+        "g.V('Nation').values('n_nationkey').max()", language="gremlin"
+    ).collect()[0][0]
+    assert m == 24
