@@ -77,6 +77,13 @@ def bm25_search(
         from arcadedb_spark.parallel import ensure_min_partitions
 
         terms = [t for t in dict.fromkeys(query.lower().split()) if t]
+        if not terms:  # empty query matches nothing (reference: empty
+            # Lucene query parses to no clauses — zero hits)
+            return (
+                docs.select(F.col(id_col).alias("doc_id"))
+                .withColumn("score", F.lit(0.0))
+                .limit(0)
+            )
         toks = ensure_min_partitions(docs.select(id_col, text_col)).select(
             F.col(id_col).alias("doc_id"),
             tokenize(F.col(text_col)).alias("__t"),
@@ -87,28 +94,31 @@ def bm25_search(
         for i, t in enumerate(terms):
             toks = toks.withColumn(f"__tf{i}", F.size(F.filter("__t", _eq(t))))
         toks = toks.withColumn("__dl", F.size("__t")).drop("__t").cache()
+        # Corpus stats ride a 1-row broadcast join instead of a driver
+        # collect(): the whole search is ONE action / one DAG (the
+        # broadcast exchange materializes the cached token frame, the
+        # probe side re-reads it), which both drops a job's fixed
+        # latency here and keeps stats executor-side at cluster scale.
         stats = toks.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("__dl").alias("avgdl"),
+            F.count(F.lit(1)).alias("__n"),
+            F.coalesce(F.avg("__dl"), F.lit(1.0)).alias("__avgdl"),
             *[
-                F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
+                F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
                 for i in range(len(terms))
             ],
-        ).collect()[0]
-        n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
-        import math
-
-        idfs = [
-            math.log((n_docs - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5) + 1.0)
-            for i in range(len(terms))
-        ]
-        denom_norm = k1 * (1 - b + b * F.col("__dl") / F.lit(float(avgdl)))
+        )
+        joined = toks.crossJoin(F.broadcast(stats))
+        denom_norm = k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
         score = None
         for i in range(len(terms)):
             tf = F.col(f"__tf{i}")
+            idf = F.log(
+                (F.col("__n") - F.col(f"__df{i}") + 0.5)
+                / (F.col(f"__df{i}") + 0.5)
+                + 1.0
+            )
             s = F.when(
-                tf > 0,
-                F.lit(idfs[i]) * (tf * (k1 + 1)) / (tf + denom_norm),
+                tf > 0, idf * (tf * (k1 + 1)) / (tf + denom_norm)
             ).otherwise(F.lit(0.0))
             score = s if score is None else score + s
         matched = None
@@ -116,7 +126,7 @@ def bm25_search(
             c = F.col(f"__tf{i}") > 0
             matched = c if matched is None else matched | c
         return (
-            toks.filter(matched if matched is not None else F.lit(False))
+            joined.filter(matched if matched is not None else F.lit(False))
             .select("doc_id", score.alias("score"))
         )
     if lengths is None:
