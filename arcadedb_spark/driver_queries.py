@@ -2562,6 +2562,47 @@ def q_gremlin_project(spark, sf_dir):
 
 
 @query(
+    "q_gremlin_edge_steps",
+    oracle="""
+    SELECT o.o_orderkey FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_gremlin_edge_steps(spark, sf_dir):
+    """Gremlin edge-state steps: outE('T') turns traversers into
+    incident-edge rows (equi-join per orientation), otherV() leaves via
+    the opposite endpoint (TinkerPop EdgeVertexStep;
+    GremlinQueryEngine.java:33)."""
+    return _db(spark, sf_dir).query(
+        "g.V('Customer').has('c_mktsegment', 'BUILDING')"
+        ".outE('PLACED').otherV().values('o_orderkey')",
+        language="gremlin",
+    )
+
+
+@query(
+    "q_gremlin_sack",
+    oracle="""
+    SELECT c.c_acctbal + o.o_totalprice AS sack
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 50
+    """,
+)
+def q_gremlin_sack(spark, sf_dir):
+    """Gremlin sack: per-traverser accumulator carried across hops as a
+    plain column (TinkerPop SackStep; GremlinQueryEngine.java:33) —
+    every update stays inside whole-stage codegen, no traverser-side
+    state object."""
+    return _db(spark, sf_dir).query(
+        "g.withSack(0).V('Customer').has('c_custkey', lte(50))"
+        ".sack('sum').by('c_acctbal')"
+        ".out('PLACED').sack('sum').by('o_totalprice').sack()",
+        language="gremlin",
+    )
+
+
+@query(
     "q_graphql_nested",
     oracle="""
     SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
@@ -3666,59 +3707,30 @@ def q_knn_pq(spark, sf_dir):
 
 
 _PRIORITY = [
-    # round-4 grading rotation: round-1-only graded queries first
-    # (3 queries ungraded since r1), then everything last graded in
-    # round 2, then the round-3-graded set.
-    "q_embedding_near_dup",
-    "q_vector_quantize",
-    "q_binary_quantize_hamming",
-    "q_gremlin_repeat",
-    "q_array_selectors",
-    "q_time_bucket",
-    "q_promql_range_avg",
-    "q_ts_rate",
-    "q_continuous_aggregate",
-    "q_minhash_dedup",
-    "q_simhash_dedup",
-    "q_knn_lsh",
-    "q_sparse_dot",
-    "q_knn_ivf",
-    "q_multimodal_features",
-    "q_expand",
-    "q_ts_sql_bucket",
-    "q_ts_sql_lag_grouped",
-    "q_rrf_hybrid",
-    "q_interpolate",
-    "q_contains_ops",
-    "q_math_functions",
-    "q_conversion_methods",
-    "q_dml_roundtrip",
-    "q_common_neighbors",
-    "q_jaccard_link_prediction",
-    "q_adamic_adar",
-    "q_k_core",
-    "q_preferential_attachment",
-    "q_resource_allocation",
-    "q_clustering_coefficient",
-    "q_harmonic_centrality",
-    "q_hits",
-    "q_article_rank",
-    "q_cypher_match",
-    "q_cypher_optional",
-    "q_cypher_string_preds",
-    "q_geo_distance",
-    "q_geo_radius_join",
-    "q_gremlin_groupcount",
-    "q_graphql_nested",
-    "q_mongo_find",
-    "q_agg_tail",
-    "q_geo_polygon",
-    "q_json_dynamic_props",
-    "q_agg_percentiles",
-    "q_collect_sorted",
-    "q_cypher_varlength",
-    "q_scc",
-    "q_fastrp",
+    # round-5 grading rotation: the 21 queries added this round have
+    # never been driver-graded -- they go first; next the set last
+    # graded in rounds 2-3; the 50 graded in CORRECTNESS_r04 go last.
+    "q_gav_read",
+    "q_mv_incremental_equiv",
+    "q_gremlin_group",
+    "q_gremlin_project",
+    "q_gremlin_edge_steps",
+    "q_gremlin_sack",
+    "q_select_no_target",
+    "q_bucket_scan",
+    "q_rid_lookup",
+    "q_set_ops_scalar",
+    "q_sql_script",
+    "q_downsample_tiers",
+    "q_line_protocol",
+    "q_trigger_after_insert",
+    "q_define_function",
+    "q_match_cartesian_roots",
+    "q_apply_defaults",
+    "q_csv_import",
+    "q_backup_restore",
+    "q_glove_import",
+    "q_knn_pq",
     "q_search_predicate",
     "q_louvain",
     "q_sessionize",
@@ -3773,6 +3785,56 @@ _PRIORITY = [
     "q_language_id",
     "q_knn_cosine",
     "q_knn_l2",
+    "q_embedding_near_dup",
+    "q_vector_quantize",
+    "q_binary_quantize_hamming",
+    "q_gremlin_repeat",
+    "q_array_selectors",
+    "q_time_bucket",
+    "q_promql_range_avg",
+    "q_ts_rate",
+    "q_continuous_aggregate",
+    "q_minhash_dedup",
+    "q_simhash_dedup",
+    "q_knn_lsh",
+    "q_sparse_dot",
+    "q_knn_ivf",
+    "q_multimodal_features",
+    "q_expand",
+    "q_ts_sql_bucket",
+    "q_ts_sql_lag_grouped",
+    "q_rrf_hybrid",
+    "q_interpolate",
+    "q_contains_ops",
+    "q_math_functions",
+    "q_conversion_methods",
+    "q_dml_roundtrip",
+    "q_common_neighbors",
+    "q_jaccard_link_prediction",
+    "q_adamic_adar",
+    "q_k_core",
+    "q_preferential_attachment",
+    "q_resource_allocation",
+    "q_clustering_coefficient",
+    "q_harmonic_centrality",
+    "q_hits",
+    "q_article_rank",
+    "q_cypher_match",
+    "q_cypher_optional",
+    "q_cypher_string_preds",
+    "q_geo_distance",
+    "q_geo_radius_join",
+    "q_gremlin_groupcount",
+    "q_graphql_nested",
+    "q_mongo_find",
+    "q_agg_tail",
+    "q_geo_polygon",
+    "q_json_dynamic_props",
+    "q_agg_percentiles",
+    "q_collect_sorted",
+    "q_cypher_varlength",
+    "q_scc",
+    "q_fastrp",
 ]
 
 
