@@ -2360,6 +2360,39 @@ def q_cypher_pattern_size(spark, sf_dir):
 
 
 @query(
+    "q_cypher_count_collect",
+    oracle="""
+    SELECT c.c_custkey AS k,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n,
+           (SELECT count(DISTINCT o.o_orderpriority) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS np,
+           coalesce((SELECT list(o.o_orderkey ORDER BY o.o_orderkey)
+                     FROM orders o WHERE o.o_custkey = c.c_custkey),
+                    []::BIGINT[]) AS l
+    FROM customer c WHERE c.c_custkey <= 30 ORDER BY k
+    """,
+)
+def q_cypher_count_collect(spark, sf_dir):
+    """Cypher-25 COUNT { } / COLLECT { } subquery expressions
+    (Cypher25Parser.g4 countExpression/collectExpression) — each block
+    lowers ONCE to a grouped marker joined back on the shared alias,
+    never a correlated per-row subplan; RETURN DISTINCT inside COUNT
+    counts distinct values, COLLECT honors the block's ORDER BY."""
+    return _db(spark, sf_dir).query(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 30 "
+        "RETURN c.c_custkey AS k, "
+        "COUNT { MATCH (c)-[:PLACED]->(o) } AS n, "
+        "COUNT { MATCH (c)-[:PLACED]->(o) "
+        "  RETURN DISTINCT o.o_orderpriority } AS np, "
+        "COLLECT { MATCH (c)-[:PLACED]->(o) RETURN o.o_orderkey "
+        "  ORDER BY o.o_orderkey } AS l "
+        "ORDER BY k",
+        language="cypher",
+    )
+
+
+@query(
     "q_cypher_optional",
     oracle="""
     SELECT n.n_name AS nation, count(s.s_suppkey) AS ns
@@ -3707,6 +3740,7 @@ def q_knn_pq(spark, sf_dir):
 
 
 _PRIORITY = [
+    "q_cypher_count_collect",
     # round-5 grading rotation: the 21 queries added this round have
     # never been driver-graded -- they go first; next the set last
     # graded in rounds 2-3; the 50 graded in CORRECTNESS_r04 go last.

@@ -2535,7 +2535,10 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     # (compile-time SyntaxError — TCK Pattern1[24])
     def _check_no_pattern_values(expr):
         def rec(x, under_exists=False):
-            if isinstance(x, ast.PatternExpr) and not under_exists:
+            if (
+                isinstance(x, ast.PatternExpr) and not under_exists
+                and not x.subquery
+            ):
                 raise TranslateError(
                     "A pattern is not a value — wrap it in exists(…) "
                     "(UnexpectedSyntax)"
@@ -3645,6 +3648,110 @@ def lower_exists_block(db, text: str, outer_df, params: dict):
     finally:
         pop_env()
     return df, seen
+
+
+def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
+    """Shared lowering for COUNT/COLLECT { … } subquery expressions
+    (Cypher25Parser.g4 countExpression/collectExpression).
+
+    Same decorrelated shape as EXISTS blocks — the block runs ONCE seeded
+    with the outer frame's bound aliases and is grouped/joined back on the
+    shared keys, never per outer row.  Returns (frame, aliases, value
+    Columns, order (Column, asc)|None, distinct)."""
+    from arcadedb_spark.graph.match import (
+        attach_entity_lookups, attach_pattern_markers, combine_paths,
+    )
+    from arcadedb_spark.sql import temporal as _T
+    from arcadedb_spark.sql.temporal_eval import (
+        pop_env, push_env, static_value,
+    )
+    from arcadedb_spark.sql.translator import (
+        Ctx, ExprCompiler, TranslateError, _contains_aggregate,
+    )
+
+    p = CypherParser(text)
+    stmts = p.parse_query()
+    stmt, stages = stmts[0]
+    if stmt is None:
+        raise TranslateError(
+            f"A {want.upper()} subquery cannot contain update clauses "
+            "(InvalidClauseComposition)"
+        )
+    if want == "collect" and len(stmt.returns) != 1:
+        raise TranslateError(
+            "A COLLECT subquery must RETURN exactly one column"
+        )
+    for r in stmt.returns:
+        if _contains_aggregate(r.expr):
+            raise TranslateError(
+                f"Aggregates inside {want.upper()} {{ … }} are not "
+                "supported — aggregate over the result instead"
+            )
+    base = None
+    base_aliases: set = set()
+    if outer_df is not None:
+        keep = [
+            c for c in outer_df.columns if not c.startswith(("__", "@"))
+        ]
+        if keep:
+            base = outer_df.select(*keep)
+            base_aliases = set(keep)
+    env: dict = {}
+    push_env(env)
+    try:
+        df, aliases = _lower_stage_frames(
+            db, stages, params or {}, env, _T, static_value,
+            base=base, base_aliases=base_aliases,
+        )
+        df, seen = combine_paths(
+            db, stmt.paths, stmt.where, params or {},
+            base=df, base_aliases=aliases,
+        )
+        # the RETURN values (and ORDER BY key) compile against the block
+        # frame; nested pattern expressions inside them resolve here
+        exprs = [r.expr for r in stmt.returns] + [
+            o.expr for o in (stmt.order_by or ())
+        ]
+        inner_m: dict = {}
+        df = attach_pattern_markers(db, df, exprs, params or {}, inner_m, [])
+        df = attach_entity_lookups(db, df, exprs, params or {}, inner_m)
+        ctx = Ctx(
+            cypher=True, db=db, params=params or {},
+            columns=tuple(df.columns), frame_schema=df.schema,
+            precompiled=inner_m,
+        )
+        comp = ExprCompiler(ctx)
+        vals = [comp.compile(r.expr) for r in stmt.returns]
+        order = None
+        if stmt.order_by and want == "collect":
+            if len(stmt.order_by) > 1:
+                raise TranslateError(
+                    "COLLECT { … ORDER BY } supports one sort key"
+                )
+            o = stmt.order_by[0]
+            order = (comp.compile(o.expr), o.ascending)
+    finally:
+        pop_env()
+    return df, seen, vals, order, stmt.distinct
+
+
+def lower_collect_block(db, text: str, outer_df, params: dict):
+    """COLLECT { … RETURN expr } → (frame, aliases, value Column,
+    order, distinct); the caller collect_lists per shared key."""
+    df, seen, vals, order, dist = _lower_value_block(
+        db, text, outer_df, params, "collect"
+    )
+    return df, seen, vals[0], order, dist
+
+
+def lower_count_block(db, text: str, outer_df, params: dict):
+    """COUNT { … [RETURN [DISTINCT] …] } → (frame, aliases, value
+    Columns (empty when no RETURN), distinct); with RETURN DISTINCT the
+    caller counts distinct value tuples per key, else rows."""
+    df, seen, vals, _order, dist = _lower_value_block(
+        db, text, outer_df, params, "count"
+    )
+    return df, seen, vals, dist
 
 
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:

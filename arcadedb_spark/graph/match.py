@@ -1038,7 +1038,36 @@ def attach_pattern_markers(
                 df, markers[id(pe)] = mk
                 continue
         where_handled = False
-        if not is_comp and getattr(pe, "block", None):
+        pe_mode = getattr(pe, "mode", "exists")
+        is_collect = not is_comp and pe_mode == "collect"
+        collect_order = None
+        collect_distinct = False
+        count_vals = None  # COUNT { … RETURN DISTINCT … } value columns
+        proj_col = None
+        if is_collect:
+            # COLLECT { … RETURN expr } block: the RETURN column is the
+            # collected value (Cypher25Parser.g4 collectExpression)
+            from arcadedb_spark.graph.cypher import lower_collect_block
+
+            pdf, paliases, proj_col, collect_order, collect_distinct = (
+                lower_collect_block(db, pe.block, df, params)
+            )
+            where_handled = True
+        elif (
+            not is_comp and getattr(pe, "block", None)
+            and pe_mode == "count"
+        ):
+            # COUNT { … RETURN [DISTINCT] … } block: rows counted per
+            # key; RETURN DISTINCT counts distinct value tuples
+            from arcadedb_spark.graph.cypher import lower_count_block
+
+            pdf, paliases, cvals, cdist = lower_count_block(
+                db, pe.block, df, params
+            )
+            if cdist and cvals:
+                count_vals = cvals
+            where_handled = True
+        elif not is_comp and getattr(pe, "block", None):
             # full-query EXISTS { … } block: correlated pipeline frame
             from arcadedb_spark.graph.cypher import lower_exists_block
 
@@ -1084,7 +1113,7 @@ def attach_pattern_markers(
             if inner_c:
                 pdf = pdf.drop(*inner_c)
         name = f"__pe{next(_uid)}"
-        proj_col = None
+        wants_list = is_comp or is_collect
         if is_comp:
             # a path variable projected as a VALUE surfaces entity
             # payloads ([p = (n)-->() | p] — TCK Pattern2[1-3,10,11])
@@ -1115,21 +1144,25 @@ def attach_pattern_markers(
                        precompiled=inner_pm)
             proj_col = ExprCompiler(pctx).compile(pe.proj)
         if not shared:
-            if is_comp:
-                # uncorrelated comprehension: one-row aggregate,
+            if wants_list:
+                # uncorrelated comprehension/COLLECT: one-row aggregate,
                 # broadcast cross-joined onto the frame (struct-wrapped:
                 # collect_list drops bare nulls — TCK Pattern2[4])
-                agg1 = pdf.agg(
-                    F.collect_list(F.struct(proj_col.alias("v"))).alias(name)
+                sel1 = pdf.select(
+                    _collect_struct(proj_col, collect_order).alias("__cv")
                 )
+                if collect_distinct:
+                    sel1 = sel1.dropDuplicates()
+                agg1 = sel1.agg(F.collect_list("__cv").alias(name))
                 df = df.crossJoin(F.broadcast(agg1))
-                markers[id(pe)] = F.transform(
-                    F.coalesce(F.col(name), F.array()), lambda x: x["v"]
-                )
+                markers[id(pe)] = _collect_marker(name, collect_order)
                 marker_cols.append(name)
                 continue
             # uncorrelated existence: one scalar count
-            cnt = pdf.count()
+            if count_vals is not None:
+                cnt = pdf.select(*count_vals).distinct().count()
+            else:
+                cnt = pdf.count()
             markers[id(pe)] = F.lit(cnt)
             continue
         key_cols = []
@@ -1161,26 +1194,46 @@ def attach_pattern_markers(
                 c = F.col(kn) == F.col(f"{a}.{k}")
                 cond = c if cond is None else (cond & c)
         pjn = f"__pj{name[4:]}"
+        extra = []
+        if wants_list:
+            extra = [_collect_struct(proj_col, collect_order).alias(pjn)]
+        elif count_vals is not None:
+            extra = [v.alias(f"__cd{j}") for j, v in enumerate(count_vals)]
+        sel = pdf.select(*key_cols, *extra)
+        if collect_distinct or count_vals is not None:
+            sel = sel.dropDuplicates()
         mdf = (
-            pdf.select(*key_cols, *(
-                [F.struct(proj_col.alias("v")).alias(pjn)]
-                if is_comp else []
-            ))
-            .groupBy(*key_names)
+            sel.groupBy(*key_names)
             .agg(
-                (F.collect_list(F.col(pjn)) if is_comp
+                (F.collect_list(F.col(pjn)) if wants_list
                  else F.count(F.lit(1))).alias(name)
             )
         )
         df = df.join(mdf, cond, "left_outer").drop(*key_names)
         markers[id(pe)] = (
-            F.transform(
-                F.coalesce(F.col(name), F.array()), lambda x: x["v"]
-            ) if is_comp
+            _collect_marker(name, collect_order) if wants_list
             else F.coalesce(F.col(name), F.lit(0))
         )
         marker_cols.append(name)
     return df
+
+
+def _collect_struct(proj_col, order):
+    """Struct payload for a collect marker: the ORDER BY key (when the
+    COLLECT block carries one) leads the struct so array_sort orders by
+    it, the value rides as .v."""
+    if order is None:
+        return F.struct(proj_col.alias("v"))
+    return F.struct(order[0].alias("o"), proj_col.alias("v"))
+
+
+def _collect_marker(name, order):
+    arr = F.coalesce(F.col(name), F.array())
+    if order is not None:
+        arr = F.array_sort(arr)
+        if not order[1]:  # descending
+            arr = F.reverse(arr)
+    return F.transform(arr, lambda x: x["v"])
 
 
 def _hoist_frame_prop_conjuncts(path, seen: set):
@@ -1502,9 +1555,10 @@ def project_stage(
             "RETURN * is not allowed when there are no variables in scope"
         )
     for p in returns:
-        if isinstance(p.expr, ast.PatternExpr):
+        if isinstance(p.expr, ast.PatternExpr) and not p.expr.subquery:
             # a bare pattern is a predicate, not a value (TCK Pattern1
-            # [22-24]) — only exists()/size-comprehension forms project
+            # [22-24]) — EXISTS/COUNT/COLLECT { … } subquery expressions
+            # project fine (boolean/long/list values)
             raise TranslateError(
                 "A pattern is not a value — wrap it in exists(…) or a "
                 "pattern comprehension (UnexpectedSyntax)"

@@ -416,6 +416,11 @@ class PatternExpr(Expr):
     # full-query EXISTS { MATCH … WITH … RETURN … } block: raw text,
     # lowered as a correlated pipeline frame (cypher.lower_exists_block)
     block: Optional[str] = None
+    # Cypher-25 subquery-expression family (Cypher25Parser.g4
+    # existsExpression/countExpression/collectExpression):
+    # "exists" -> boolean ≥1-match, "count" -> the match count as a
+    # value, "collect" -> the block's RETURN column as a list
+    mode: str = "exists"
 
 
 @dataclass(frozen=True)

@@ -1386,14 +1386,15 @@ class Parser:
         if tok.kind == "IDENT":
             if (
                 self.cypher
-                and tok.value.lower() == "exists"
+                and tok.value.lower() in ("exists", "count", "collect")
                 and self.peek().kind == "OP"
                 and self.peek().value == "{"
                 and hasattr(self, "_parse_pattern")
             ):
-                # EXISTS { [MATCH] pattern [WHERE expr] } existential
-                # subquery (openCypher; TCK ExistentialSubquery1)
-                return self._parse_exists_block()
+                # EXISTS/COUNT/COLLECT { … } subquery expressions
+                # (Cypher25Parser.g4 existsExpression/countExpression/
+                # collectExpression; TCK ExistentialSubquery1)
+                return self._parse_exists_block(mode=tok.value.lower())
             if self.peek().kind == "OP" and self.peek().value == "(":
                 return self._parse_func_call()
             self.advance()
@@ -1506,31 +1507,41 @@ class Parser:
         self.expect_kw("END")
         return ast.Case(operand, tuple(whens), else_)
 
-    def _parse_exists_block(self) -> "ast.PatternExpr":
-        """EXISTS { … } with the cursor ON the EXISTS token.
+    def _parse_exists_block(self, mode: str = "exists") -> "ast.PatternExpr":
+        """EXISTS/COUNT/COLLECT { … } with the cursor ON the head token.
 
         Simple form (single pattern [WHERE] [RETURN]) parses structurally;
         a full-query form (WITH pipelines, multiple MATCH segments) keeps
         the raw block text for correlated lowering
-        (cypher.lower_exists_block — TCK ExistentialSubquery2/3)."""
-        self.advance()  # EXISTS
+        (cypher.lower_exists_block — TCK ExistentialSubquery2/3).
+        COLLECT always takes the block path (its RETURN column IS the
+        value — Cypher25Parser.g4 collectExpression requires a full
+        query); COUNT falls back to it when a RETURN is present (RETURN
+        DISTINCT changes the count)."""
+        self.advance()  # EXISTS / COUNT / COLLECT
         self.advance()  # {
         save = self.i
-        try:
-            self.eat_kw("MATCH")
-            path = self._parse_pattern(False)
-            where = None
-            if self.eat_kw("WHERE"):
-                where = self.parse_expr()
-            if self.at_kw("RETURN"):
-                # the RETURN projection is irrelevant to existence
-                self.advance()
-                self.eat_kw("DISTINCT")
-                self.parse_projection_list()
-            self.expect_op("}")
-            return ast.PatternExpr(path, where=where, subquery=True)
-        except ParseError:
-            self.i = save
+        if mode != "collect":
+            try:
+                self.eat_kw("MATCH")
+                path = self._parse_pattern(False)
+                where = None
+                if self.eat_kw("WHERE"):
+                    where = self.parse_expr()
+                has_return = self.at_kw("RETURN")
+                if has_return:
+                    # the RETURN projection is irrelevant to existence
+                    self.advance()
+                    self.eat_kw("DISTINCT")
+                    self.parse_projection_list()
+                if has_return and mode == "count":
+                    raise ParseError("count-block RETURN needs block path")
+                self.expect_op("}")
+                return ast.PatternExpr(
+                    path, where=where, subquery=True, mode=mode
+                )
+            except ParseError:
+                self.i = save
         depth = 1
         j = self.i
         while depth and self.tokens[j].kind != "EOF":
@@ -1543,12 +1554,12 @@ class Parser:
                     break
             j += 1
         if depth:
-            raise ParseError("Unclosed EXISTS { … } block")
+            raise ParseError(f"Unclosed {mode.upper()} {{ … }} block")
         start = self.tokens[save].pos
         end = self.tokens[j].pos
         self.i = j + 1  # past the closing brace
         return ast.PatternExpr(
-            None, subquery=True, block=self.text[start:end]
+            None, subquery=True, block=self.text[start:end], mode=mode
         )
 
     def _parse_map_entry(self) -> tuple[str, ast.Expr]:

@@ -1408,13 +1408,20 @@ class ExprCompiler:
 
     def _c_patternexpr(self, e) -> Column:
         """Pattern predicate in boolean position: at least one match.
-        The count marker is pre-joined by attach_pattern_markers."""
+        The count marker is pre-joined by attach_pattern_markers.
+        COUNT { … } reads the marker as its value, COLLECT { … } reads
+        the collected list (Cypher-25 subquery expressions)."""
         pre = self.ctx.precompiled.get(id(e))
         if pre is None:
             raise TranslateError(
                 "pattern expressions are supported in MATCH/WITH/RETURN "
                 "contexts only"
             )
+        mode = getattr(e, "mode", "exists")
+        if mode == "count":
+            return pre.cast("long")
+        if mode == "collect":
+            return pre
         return pre > 0
 
     def _c_patterncomp(self, e) -> Column:

@@ -505,3 +505,63 @@ def test_call_subquery_agg_zero_match_keeps_outer_row(spark):
     assert [(r["n"], r["nq"], r["names"]) for r in rows] == [
         ("a", 1, ["a"]), ("zzz", 0, []),
     ]
+
+
+def test_count_collect_subquery_expressions(db):
+    """COUNT { } / COLLECT { } subquery expressions (Cypher25Parser.g4
+    countExpression/collectExpression) — decorrelated to grouped markers
+    joined on the shared aliases, never a per-row subplan."""
+    rows = db.query(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 3 "
+        "RETURN c.c_custkey AS k, "
+        "COUNT { MATCH (c)-[:PLACED]->(o) } AS n ORDER BY k",
+        language="cypher",
+    ).collect()
+    from pyspark.sql import functions as F
+
+    expect = {
+        r["o_custkey"]: r["count"]
+        for r in db.table("orders").filter(F.col("o_custkey") <= 3)
+        .groupBy("o_custkey").count().collect()
+    }
+    assert {r["k"]: r["n"] for r in rows} == expect
+    # COUNT with RETURN DISTINCT counts distinct values, not rows
+    np = db.query(
+        "MATCH (c:Customer) WHERE c.c_custkey = 0 RETURN "
+        "COUNT { MATCH (c)-[:PLACED]->(o) RETURN DISTINCT o.o_orderpriority } AS np",
+        language="cypher",
+    ).collect()[0]["np"]
+    expect_np = (
+        db.table("orders").filter(F.col("o_custkey") == 0)
+        .select("o_orderpriority").distinct().count()
+    )
+    assert np == expect_np
+    # COLLECT respects the block's ORDER BY (incl. DESC) and DISTINCT
+    got = db.query(
+        "MATCH (c:Customer) WHERE c.c_custkey = 1 RETURN "
+        "COLLECT { MATCH (c)-[:PLACED]->(o) RETURN o.o_orderkey "
+        "ORDER BY o.o_orderkey DESC } AS l",
+        language="cypher",
+    ).collect()[0]["l"]
+    exp = [
+        r[0] for r in db.table("orders").filter(F.col("o_custkey") == 1)
+        .select("o_orderkey").orderBy(F.desc("o_orderkey")).collect()
+    ]
+    assert got == exp
+    # zero matches: COUNT -> 0, COLLECT -> []
+    z = db.query(
+        "MATCH (s:Supplier) WHERE s.s_suppkey = 1 RETURN "
+        "COUNT { (s)-[:PLACED]->() } AS n, "
+        "COLLECT { MATCH (s)-[:PLACED]->(o) RETURN o.o_orderkey } AS l",
+        language="cypher",
+    ).collect()[0]
+    assert z["n"] == 0 and z["l"] == []
+    # bare patterns are still not values
+    import pytest as _pt
+    from arcadedb_spark.sql.translator import TranslateError
+
+    with _pt.raises(TranslateError):
+        db.query(
+            "MATCH (c:Customer) RETURN (c)-[:PLACED]->()",
+            language="cypher",
+        )
