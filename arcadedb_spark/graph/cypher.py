@@ -670,6 +670,15 @@ class CypherParser(Parser):
         # GraphModel.vertices() applies superset matching
         while self.cur.kind == "PARAM":
             type_name = f"{type_name}:{self.advance().value}"
+        # label disjunction (n:A|B[|C]) — pipe-joined alternatives
+        # (Cypher-25 label expressions; reference
+        # CypherLabelDisjunctionTest.java — issue #4211)
+        while type_name is not None and self.at_op("|"):
+            self.advance()
+            alt = self.ident()
+            while self.cur.kind == "PARAM":  # (n:A|B:C) conjunction alt
+                alt = f"{alt}:{self.advance().value}"
+            type_name = f"{type_name}|{alt}"
         props: list[tuple] = []
         braced = False
         if self.at_op("{"):
@@ -1490,6 +1499,15 @@ def _apply_write(
                 f"Relationship variable '{s.edge_alias}' already bound"
             )
     nodes = [path.root] + [s.filter for s in path.steps]
+    for _n in nodes:
+        if _n.type_name and "|" in _n.type_name:
+            # label disjunction is a read-pattern construct; writes take
+            # conjunctions only (Cypher25Parser.g4
+            # insertNodeLabelExpression — SyntaxError on |)
+            raise TranslateError(
+                f"{kind.upper()} cannot use a label disjunction "
+                f"({_n.type_name!r}); list labels with ':'"
+            )
     resolved: list[tuple[str, object]] = []  # ('bound', alias) | ('vid', vid)
     node_state: list[tuple] = []  # (alias, label, vid, 'created'|'matched')
     created = 0

@@ -337,17 +337,26 @@ class GraphModel:
         (openCypher pattern-label semantics: ``(n:A)`` matches any node
         carrying label A).  Single-label catalog types hit the dict key
         directly — no scan of other frames."""
-        want = [p for p in label.lower().split(":") if p]
+        alts = [
+            {p for p in alt.split(":") if p}
+            for alt in label.lower().split("|")
+            if alt
+        ]
         exact = self.vertex_dfs.get(label.lower())
-        if len(want) <= 1 and exact is not None and not any(
-            ":" in k for k in self.vertex_dfs
+        if (
+            len(alts) == 1 and len(alts[0]) <= 1 and exact is not None
+            and not any(":" in k for k in self.vertex_dfs)
         ):
             return exact  # fast path: single-label graph, direct hit
-        wset = set(want)
+        # disjunction (n:A|B — Cypher-25 label expressions, reference
+        # CypherLabelDisjunctionTest.java): a stored frame matches when
+        # its label set is a superset of ANY alternative; each frame
+        # unions at most once, so a node carrying both labels appears
+        # once, not per matching alternative
         frames = [
             df
             for key, df in self.vertex_dfs.items()
-            if wset <= set(key.split(":"))
+            if any(w <= set(key.split(":")) for w in alts)
         ]
         if not frames:
             # matching a non-existent label is an empty result, not an

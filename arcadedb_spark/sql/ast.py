@@ -164,6 +164,16 @@ class ArrayLit(Expr):
 
 
 @dataclass(frozen=True)
+class TypePred(Expr):
+    """Cypher-25 type predicate ``x IS [NOT] :: TYPE`` (GQL value-type
+    check; reference CypherFollowUpsIssue5602Test.java:105)."""
+
+    base: Expr
+    type_name: str  # normalized UPPER
+    negated: bool = False
+
+
+@dataclass(frozen=True)
 class LabelPred(Expr):
     """Cypher label predicate ``n:Label[:Label2]`` in expression position
     (WHERE / RETURN).  True iff the node's label matches every listed

@@ -1104,6 +1104,27 @@ class Parser:
                 return ast.IsNull(left, negated)
             if self.eat_kw("DEFINED"):
                 return ast.IsDefined(left, negated)
+            if self.cypher and self.at_op(":"):
+                # x IS [NOT] :: TYPE (Cypher-25 type predicate; the ':: T'
+                # lexes as ':' + PARAM('T') through the SQL ':name' rule)
+                self.advance()
+                if self.cur.kind == "PARAM":
+                    tname = self.advance().value
+                elif self.at_op(":"):
+                    self.advance()
+                    tname = self.ident()
+                else:
+                    raise ParseError(
+                        f"Expected type name after IS :: at {self.cur!r}"
+                    )
+                # multi-word names (SIGNED INTEGER, LOCAL TIME)
+                while self.cur.kind in ("IDENT", "KEYWORD") and (
+                    self.cur.value.upper() in (
+                        "INTEGER", "TIME", "DATETIME", "PRECISION",
+                    )
+                ):
+                    tname = f"{tname} {self.advance().value}"
+                return ast.TypePred(left, tname.upper(), negated)
             raise ParseError(f"Expected NULL or DEFINED after IS at {self.cur!r}")
         negated = False
         if self.at_kw("NOT") and self.peek().kind == "KEYWORD" and self.peek().value in (
@@ -1240,6 +1261,23 @@ class Parser:
                 labels = [self.advance().value]
                 while self.cur.kind == "PARAM":
                     labels.append(self.advance().value)
+                # label disjunction n:A|B (Cypher-25; reference issue
+                # #4108/#4211).  `|` is also the comprehension projection
+                # separator — only treat `| ident` as a label alternative
+                # when the ident isn't the start of a larger expression
+                # ([x IN l WHERE x:A | x.name] keeps its projection)
+                while (
+                    self.at_op("|")
+                    and self.peek().kind in ("IDENT", "KEYWORD")
+                    and not (
+                        self.peek(2).kind == "OP"
+                        and self.peek(2).value in (
+                            ".", "[", "(", "]", "+", "-", "*", "/", "%", "^",
+                        )
+                    )
+                ):
+                    self.advance()
+                    labels[-1] = f"{labels[-1]}|{self.ident()}"
                 expr = ast.LabelPred(expr, tuple(labels))
             elif self.at_op("."):
                 self.advance()

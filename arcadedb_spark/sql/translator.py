@@ -1841,6 +1841,50 @@ class ExprCompiler:
             low.isNull() | high.isNull(), F.lit(None)
         ).otherwise(F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0))))
 
+    _TYPE_PRED_SETS = {
+        "INTEGER": ("tinyint", "smallint", "int", "bigint"),
+        "INT": ("tinyint", "smallint", "int", "bigint"),
+        "SIGNED INTEGER": ("tinyint", "smallint", "int", "bigint"),
+        "FLOAT": ("float", "double"),
+        "STRING": ("string",),
+        "VARCHAR": ("string",),
+        "BOOLEAN": ("boolean",),
+        "BOOL": ("boolean",),
+        "NULL": (),  # handled by the null branch
+    }
+
+    def _c_typepred(self, e) -> Column:
+        """``x IS [NOT] :: TYPE`` (Cypher-25/GQL type predicate;
+        reference CypherFollowUpsIssue5602Test.java:105).  The engine's
+        columns are statically typed, so typeof() resolves at codegen —
+        no per-row reflection.  null conforms to every type (nullable
+        value types; Neo4j/GQL semantics): null IS :: T is true."""
+        base = self.compile(e.base)
+        t = F.call_function("typeof", base)
+        name = e.type_name
+        if name in ("ANY", "ANY VALUE"):
+            cond = F.lit(True)
+        elif name == "NULL":
+            cond = base.isNull()
+        elif name in ("LIST", "ARRAY", "LIST ANY"):
+            cond = t.startswith("array")
+        elif name == "MAP":
+            cond = t.startswith("map") | t.startswith("struct")
+        elif name in ("NUMBER", "NUMERIC"):
+            cond = t.isin(
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+            ) | t.startswith("decimal")
+        elif name in self._TYPE_PRED_SETS:
+            cond = t.isin(*self._TYPE_PRED_SETS[name])
+        else:
+            raise TranslateError(
+                f"Unsupported type name in IS :: predicate: {name}"
+            )
+        if name != "NULL":
+            # null is a member of every (nullable) value type
+            cond = F.when(base.isNull(), F.lit(True)).otherwise(cond)
+        return ~cond if e.negated else cond
+
     def _c_labelpred(self, e: ast.LabelPred) -> Column:
         """``n:Label`` — label-set membership on the vertex struct's
         colon-joined @type (multiple predicate labels AND together;
@@ -1853,15 +1897,20 @@ class ExprCompiler:
                 and not any(f.name == "@type" for f in fields):
             out = None
             for lbl in e.labels:
-                c = base.getField("etype") == F.lit(lbl)
+                # r:A|B — any listed type matches (reference issue #4108)
+                c = base.getField("etype").isin(*lbl.split("|"))
                 out = c if out is None else (out & c)
             return out
         lset = F.split(base.getField("@type"), ":")
         out = None
         for lbl in e.labels:
-            c = F.array_contains(lset, lbl) & (
-                base.getField("@type") != F.lit("_")
-            )
+            # n:A|B disjunction within one predicate; multiple predicate
+            # labels (n:A:B spelling) still AND together
+            alt = None
+            for one in lbl.split("|"):
+                c1 = F.array_contains(lset, one)
+                alt = c1 if alt is None else (alt | c1)
+            c = alt & (base.getField("@type") != F.lit("_"))
             out = c if out is None else (out & c)
         return out
 

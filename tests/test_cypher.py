@@ -565,3 +565,37 @@ def test_count_collect_subquery_expressions(db):
             "MATCH (c:Customer) RETURN (c)-[:PLACED]->()",
             language="cypher",
         )
+
+
+def test_label_disjunction_and_type_predicates(db):
+    """Cypher-25 label expressions (n:A|B) and IS :: type predicates
+    (reference CypherLabelDisjunctionTest.java — issues #4211/#4105;
+    CypherFollowUpsIssue5602Test.java:105)."""
+    n = db.query(
+        "MATCH (n:Customer|Supplier) RETURN count(*) AS n",
+        language="cypher",
+    ).collect()[0]["n"]
+    expect = db.table("customer").count() + db.table("supplier").count()
+    assert n == expect
+    # predicate position
+    m = db.query(
+        "MATCH (n) WHERE n:Customer|Supplier RETURN count(*) AS n",
+        language="cypher",
+    ).collect()[0]["n"]
+    assert m == expect
+    # IS :: / IS NOT :: — null conforms to every value type
+    r = db.query(
+        "RETURN 1 IS :: INTEGER AS a, 'x' IS :: INTEGER AS b, "
+        "1.5 IS :: FLOAT AS c, [1] IS :: LIST AS d, "
+        "1 IS NOT :: STRING AS e, null IS :: INTEGER AS f",
+        language="cypher",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+        True, False, True, True, True, True,
+    )
+    # writes reject disjunctions
+    import pytest as _pt
+    from arcadedb_spark.sql.translator import TranslateError
+
+    with _pt.raises(TranslateError):
+        db.query("CREATE (n:A|B)", language="cypher")
