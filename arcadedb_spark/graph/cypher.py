@@ -37,9 +37,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+import itertools as _itools
+
 from arcadedb_spark.sql import ast
 from arcadedb_spark.sql.lexer import Token
 from arcadedb_spark.sql.parser import ParseError, Parser
+
+_suid = _itools.count()  # hidden shortest-path alias counter
 
 
 class CypherParser(Parser):
@@ -630,6 +634,18 @@ class CypherParser(Parser):
         ):
             path_alias = self.ident()
             self.advance()  # '='
+        shortest = None
+        if self.cur.kind == "IDENT" and self.cur.value.lower() in (
+            "shortestpath", "allshortestpaths",
+        ) and self.peek().kind == "OP" and self.peek().value == "(":
+            # MATCH p = shortestPath((a)-[:T*..n]->(b)) (reference
+            # CypherShortestPathEdgeFilterTest; lowered as the bounded
+            # var-length expansion + a per-endpoint-pair min-hop window)
+            shortest = (
+                "single" if self.advance().value.lower() == "shortestpath"
+                else "all"
+            )
+            self.advance()  # '('
         root = self._parse_node()
         steps: list[ast.MatchStep] = []
         while self.at_op("-", "<"):
@@ -645,9 +661,15 @@ class CypherParser(Parser):
                     var_length=var_len,
                 )
             )
+        if shortest is not None:
+            self.expect_op(")")
+            if path_alias is None:
+                # the min-hop filter reads the path struct; synthesize a
+                # hidden alias (stripped from results like every __ col)
+                path_alias = f"__sp_path{next(_suid)}"
         return ast.MatchPath(
             root=root, steps=tuple(steps), optional=optional,
-            path_alias=path_alias, rel_unique=True,
+            path_alias=path_alias, rel_unique=True, shortest=shortest,
         )
 
     def _parse_node(self) -> ast.MatchFilter:

@@ -510,6 +510,27 @@ def translate_path(
             for c in list(df.columns):
                 if c.startswith(("__eid_", "__peids_")):
                     df = df.withColumnRenamed(c, f"{c}#{next(_uid)}")
+    if getattr(path, "shortest", None) and path.path_alias:
+        # shortestPath()/allShortestPaths(): among the (uniqueness-
+        # filtered) enumerated walks keep only minimal-hop ones per
+        # endpoint pair — a partitioned window, no global sort
+        # (reference CypherShortestPathEdgeFilterTest)
+        from pyspark.sql import Window as _W
+
+        pc = F.col(path.path_alias)
+        src_v = F.element_at(pc.getField("vids"), 1)
+        dst_v = F.element_at(pc.getField("vids"), -1)
+        w = _W.partitionBy(src_v, dst_v)
+        df = df.withColumn(
+            "__sp_min", F.min(pc.getField("n_rels")).over(w)
+        ).filter(pc.getField("n_rels") == F.col("__sp_min")).drop("__sp_min")
+        if path.shortest == "single":
+            w2 = _W.partitionBy(src_v, dst_v).orderBy(pc.getField("vids"))
+            df = (
+                df.withColumn("__sp_rn", F.row_number().over(w2))
+                .filter(F.col("__sp_rn") == 1)
+                .drop("__sp_rn")
+            )
     return df, aliases
 
 

@@ -396,6 +396,10 @@ class MatchPath:
     # (vids array<long>, n_rels int) — enough for length(p) and vid-level
     # path inspection (full node/rel entity paths are out of scope)
     path_alias: "Optional[str]" = None
+    # shortestPath()/allShortestPaths() wrapper (reference
+    # CypherShortestPathEdgeFilterTest): "single" keeps one minimal-hop
+    # path per endpoint pair, "all" keeps every co-minimal path
+    shortest: "Optional[str]" = None
     # WHERE attached to an OPTIONAL MATCH clause: evaluated as part of
     # the left-outer join (rows null-pad instead of dropping — openCypher
     # OPTIONAL MATCH … WHERE semantics, TCK MatchWhere6)

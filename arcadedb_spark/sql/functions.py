@@ -110,6 +110,8 @@ def _mode(args, distinct=False):
 
 
 @agg("stddev")
+@agg("stdev")
+@agg("stdev_samp")
 def _stddev(args, distinct=False):
     return F.stddev_samp(args[0])
 
@@ -1478,3 +1480,382 @@ def _geo_geohash(args):
 
     precision = int(value_of(args[2]) or 9) if len(args) > 2 else 9
     return geohash_col(args[0], args[1], precision)
+
+
+# ---------------------------------------------------------------------------
+# Cypher-25 / reference function tail (CypherMissingFunctionsTest.java,
+# CypherFollowUpsIssue5602Test.java, Issue5292TypeOnSpecialFloatTest.java):
+# string trim family, unicode normalization, *OrNull/*List conversions,
+# valueType/isEmpty, math tail.  Null-in -> null-out throughout (Cypher).
+# ---------------------------------------------------------------------------
+
+
+@scalar("lower")
+def _lower_alias(args):
+    return F.lower(args[0])
+
+
+@scalar("upper")
+def _upper_alias(args):
+    return F.upper(args[0])
+
+
+@scalar("trim")
+def _trim(args):
+    if len(args) > 1:  # trim(s, chars)
+        return F.call_function("btrim", args[0], args[1])
+    return F.trim(args[0])
+
+
+@scalar("btrim")
+def _btrim(args):
+    if len(args) > 1:
+        return F.call_function("btrim", args[0], args[1])
+    return F.trim(args[0])
+
+
+@scalar("ltrim")
+def _ltrim(args):
+    if len(args) > 1:
+        # strip leading chars-set (Cypher-25 two-arg form)
+        from arcadedb_spark.sql.litreg import value_of
+        import re as _re
+
+        chars = value_of(args[1])
+        if chars is None:
+            raise ValueError("ltrim(s, chars) needs a literal chars string")
+        return F.regexp_replace(
+            args[0], "^[" + _re.escape(str(chars)) + "]+", ""
+        )
+    return F.ltrim(args[0])
+
+
+@scalar("rtrim")
+def _rtrim(args):
+    if len(args) > 1:
+        from arcadedb_spark.sql.litreg import value_of
+        import re as _re
+
+        chars = value_of(args[1])
+        if chars is None:
+            raise ValueError("rtrim(s, chars) needs a literal chars string")
+        return F.regexp_replace(
+            args[0], "[" + _re.escape(str(chars)) + "]+$", ""
+        )
+    return F.rtrim(args[0])
+
+
+@scalar("left")
+def _left(args):
+    # negative n is invalid in Cypher; Spark substring handles 0 fine
+    return F.when(
+        args[0].isNull() | args[1].isNull(), F.lit(None).cast("string")
+    ).otherwise(F.substring(args[0], 1, args[1]))
+
+
+@scalar("right")
+def _right(args):
+    n = args[1]
+    ln = F.length(args[0])
+    return F.when(
+        args[0].isNull() | n.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.substring(args[0], F.greatest(ln - n + 1, F.lit(1)), F.least(n, ln))
+    )
+
+
+@scalar("replace")
+def _replace(args):
+    return F.replace(args[0], args[1], args[2])
+
+
+@scalar("char_length", "character_length", "charlength")
+def _char_length(args):
+    return F.length(args[0])
+
+
+@scalar("nullif")
+def _nullif(args):
+    return F.when(args[0].eqNullSafe(args[1]), F.lit(None)).otherwise(args[0])
+
+
+@scalar("valuetype")
+def _valuetype(args):
+    """valueType(x) — GQL type name (Neo4j/reference spelling:
+    Issue5292TypeOnSpecialFloatTest — NaN/Infinity are FLOAT)."""
+    t = F.call_function("typeof", args[0])
+    return (
+        F.when(args[0].isNull(), F.lit("NULL"))
+        .when(t.isin("tinyint", "smallint", "int", "bigint"),
+              F.lit("INTEGER NOT NULL"))
+        .when(t.isin("float", "double") | t.startswith("decimal"),
+              F.lit("FLOAT NOT NULL"))
+        .when(t == "string", F.lit("STRING NOT NULL"))
+        .when(t == "boolean", F.lit("BOOLEAN NOT NULL"))
+        .when(t.startswith("array"), F.lit("LIST NOT NULL"))
+        .when(t.startswith("map") | t.startswith("struct"),
+              F.lit("MAP NOT NULL"))
+        .otherwise(F.upper(t))
+    )
+
+
+@scalar("timestamp")
+def _timestamp(args):
+    """timestamp() — epoch millis; reuses the statement-scoped clock
+    when a temporal evaluation is active so datetime()/timestamp() agree
+    within one statement."""
+    import datetime as _dt
+
+    from arcadedb_spark.sql.temporal_eval import _NOW
+
+    now = _NOW[-1] if _NOW else _dt.datetime.now(_dt.timezone.utc)
+    return F.lit(int(now.timestamp() * 1000))
+
+
+def _boolean_or_null(c):
+    """Neo4j toBooleanOrNull: 'true'/'false' strings, booleans, and
+    integers (0 -> false, else true); everything else -> null."""
+    t = F.call_function("typeof", c)
+    s = F.lower(c.cast("string"))
+    return (
+        F.when(t == "boolean", c.cast("boolean"))
+        .when(t.isin("tinyint", "smallint", "int", "bigint"),
+              c.cast("long") != 0)
+        .when(s == "true", F.lit(True))
+        .when(s == "false", F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+@scalar("tobooleanornull")
+def _to_boolean_or_null(args):
+    return _boolean_or_null(args[0])
+
+
+@scalar("tointegerornull")
+def _to_integer_or_null(args):
+    return args[0].try_cast("bigint")
+
+
+@scalar("tofloatornull")
+def _to_float_or_null(args):
+    return args[0].try_cast("double")
+
+
+@scalar("tostringornull")
+def _to_string_or_null(args):
+    t = F.call_function("typeof", args[0])
+    return F.when(
+        t.startswith("array") | t.startswith("map") | t.startswith("struct"),
+        F.lit(None).cast("string"),
+    ).otherwise(args[0].cast("string"))
+
+
+@scalar("tostringlist")
+def _to_string_list(args):
+    return F.transform(args[0], lambda x: x.cast("string"))
+
+
+@scalar("tointegerlist")
+def _to_integer_list(args):
+    return F.transform(args[0], lambda x: x.try_cast("bigint"))
+
+
+@scalar("tofloatlist")
+def _to_float_list(args):
+    return F.transform(args[0], lambda x: x.try_cast("double"))
+
+
+@scalar("tobooleanlist")
+def _to_boolean_list(args):
+    return F.transform(args[0], _boolean_or_null)
+
+
+@scalar("cot")
+def _cot(args):
+    return F.cos(args[0]) / F.sin(args[0])
+
+
+@scalar("coth")
+def _coth(args):
+    return F.cosh(args[0]) / F.sinh(args[0])
+
+
+@scalar("haversin")
+def _haversin(args):
+    return (1.0 - F.cos(args[0])) / 2.0
+
+
+@scalar("log10")
+def _log10(args):
+    return F.log10(args[0])
+
+
+@scalar("e")
+def _e_const(args):
+    import math as _m
+
+    return F.lit(_m.e)
+
+
+def _nfc_kernel(form_default: str, check: bool):
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.functions import pandas_udf
+
+    if check:
+        @pandas_udf("boolean")
+        def _k(s, form):
+            import unicodedata
+
+            return pd.Series([
+                None if v is None else unicodedata.is_normalized(
+                    (f or form_default).upper(), v
+                )
+                for v, f in zip(s, form)
+            ])
+    else:
+        @pandas_udf("string")
+        def _k(s, form):
+            import unicodedata
+
+            return pd.Series([
+                None if v is None else unicodedata.normalize(
+                    (f or form_default).upper(), v
+                )
+                for v, f in zip(s, form)
+            ])
+    return _k
+
+
+_NORMALIZE_UDF = None
+_IS_NORMALIZED_UDF = None
+
+
+@scalar("normalize")
+def _normalize(args):
+    """normalize(s[, form]) — unicode normalization, NFC default
+    (Cypher-25; CypherMissingFunctionsTest.normalize)."""
+    global _NORMALIZE_UDF
+    if _NORMALIZE_UDF is None:
+        _NORMALIZE_UDF = _nfc_kernel("NFC", check=False)
+    form = args[1] if len(args) > 1 else F.lit("NFC")
+    return _NORMALIZE_UDF(args[0], form)
+
+
+@scalar("isnormalized")
+def _is_normalized(args):
+    global _IS_NORMALIZED_UDF
+    if _IS_NORMALIZED_UDF is None:
+        _IS_NORMALIZED_UDF = _nfc_kernel("NFC", check=True)
+    form = args[1] if len(args) > 1 else F.lit("NFC")
+    return _IS_NORMALIZED_UDF(args[0], form)
+
+
+@scalar("exists")
+def _exists_value(args):
+    """exists(value) — true iff the value is not null (reference
+    CypherExistsTest value form; pattern/property forms are handled
+    upstream in the compiler)."""
+    return args[0].isNotNull()
+
+
+# --- coll.* namespace (reference coll/apoc.coll function family,
+# CypherMissingFunctionsTest.java) -----------------------------------------
+
+
+@scalar("coll.distinct", "apoc.coll.distinct")
+def _coll_distinct(args):
+    return F.array_distinct(args[0])
+
+
+@scalar("coll.sort", "apoc.coll.sort")
+def _coll_sort(args):
+    return F.array_sort(args[0])
+
+
+@scalar("coll.max", "apoc.coll.max")
+def _coll_max(args):
+    return F.array_max(args[0])
+
+
+@scalar("coll.min", "apoc.coll.min")
+def _coll_min(args):
+    return F.array_min(args[0])
+
+
+@scalar("coll.indexof", "apoc.coll.indexof")
+def _coll_indexof(args):
+    # 0-based first index, -1 when absent (array_position is 1-based
+    # with 0-absent, so a constant shift covers both)
+    return (F.array_position(args[0], args[1]) - 1).cast("long")
+
+
+@scalar("coll.insert", "apoc.coll.insert")
+def _coll_insert(args):
+    lst, idx, val = args[0], args[1].cast("int"), args[2]
+    return F.concat(
+        F.slice(lst, F.lit(1), idx),
+        F.array(val),
+        F.slice(lst, idx + 1, F.greatest(F.size(lst) - idx, F.lit(0))),
+    )
+
+
+@scalar("coll.remove", "apoc.coll.remove")
+def _coll_remove(args):
+    lst, idx = args[0], args[1].cast("int")
+    cnt = args[2].cast("int") if len(args) > 2 else F.lit(1)
+    return F.concat(
+        F.slice(lst, F.lit(1), idx),
+        F.slice(
+            lst, idx + cnt + 1,
+            F.greatest(F.size(lst) - idx - cnt, F.lit(0)),
+        ),
+    )
+
+
+@scalar("coll.flatten", "apoc.coll.flatten")
+def _coll_flatten(args):
+    """coll.flatten(list[, depth]) — one level by default; depth 0 is a
+    no-op, null depth -> null.  Requires a uniformly-nested list
+    (array<array<T>>) — Spark's type system has no partial flatten over
+    mixed-depth variant elements."""
+    from arcadedb_spark.sql.litreg import value_of
+
+    if len(args) > 1:
+        d = value_of(args[1])
+        if d is None:
+            # a null literal depth -> null result (reference semantics);
+            # non-literal depths unsupported
+            return F.lit(None)
+        d = int(d)
+        out = args[0]
+        for _ in range(d):
+            out = F.flatten(out)
+        return out
+    return F.flatten(args[0])
+
+
+# --- vector.* namespace (reference vector value functions) ----------------
+
+
+@scalar("vector")
+def _vector_ctor(args):
+    return F.transform(args[0], lambda x: x.cast("float"))
+
+
+@scalar("vector.norm")
+def _vector_norm(args):
+    return F.sqrt(
+        F.aggregate(
+            args[0], F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+@scalar("vector.dimension.count")
+def _vector_dim_count(args):
+    return F.when(args[0].isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(args[0])
+    )

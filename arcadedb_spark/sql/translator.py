@@ -2225,6 +2225,22 @@ class ExprCompiler:
                     )
                     .otherwise(F.lit(None))
                 )
+        if name == "isempty" and e.args:
+            # isEmpty(string|list|map) — static-type dispatch like size()
+            # (Cypher-25; CypherMissingFunctionsTest.isEmpty)
+            from pyspark.sql.types import ArrayType, MapType, StringType
+
+            c = self.compile(e.args[0])
+            dt = self._static_dtype(e.args[0])
+            if isinstance(dt, StringType):
+                inner_e = F.length(c) == 0
+            elif isinstance(dt, (ArrayType, MapType)):
+                inner_e = F.size(c) == 0
+            else:
+                inner_e = F.length(c.cast("string")) == 0
+            return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+                inner_e
+            )
         if (
             name == "exists"
             and e.args
@@ -2518,8 +2534,10 @@ class ExprCompiler:
     def _c_method(self, e: ast.Method) -> Column:
         # Namespaced function call: ts.lag(...) / vector.cosine(...) parse as
         # Method(base=Chain(('ts',)), name='lag').
-        if isinstance(e.base, ast.Chain) and len(e.base.parts) == 1:
-            ns = e.base.parts[0].lower()
+        if isinstance(e.base, ast.Chain) and len(e.base.parts) <= 2 and all(
+            isinstance(p, str) for p in e.base.parts
+        ):
+            ns = ".".join(p.lower() for p in e.base.parts)
             qual = f"{ns}.{e.name.lower()}"
             if qual in TS_WINDOW:
                 args = [self.compile(a) for a in e.args]

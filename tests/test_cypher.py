@@ -599,3 +599,57 @@ def test_label_disjunction_and_type_predicates(db):
 
     with _pt.raises(TranslateError):
         db.query("CREATE (n:A|B)", language="cypher")
+
+
+def test_shortest_path_pattern_function(spark):
+    """shortestPath()/allShortestPaths() pattern functions (reference
+    CypherShortestPathEdgeFilterTest): minimal-hop walks per endpoint
+    pair via a partitioned window — no global sort."""
+    db = _scratch(spark)
+    cy(db, "CREATE (a:N {name:'a'}), (b:N {name:'b'}), (c:N {name:'c'}), "
+           "(d:N {name:'d'}), (e:N {name:'e'}), (f:N {name:'f'})")
+    for s, t, w in [("a","b",1),("a","c",1),("b","d",1),("c","d",2),
+                    ("a","e",1),("e","f",1),("f","d",1)]:
+        cy(db, f"MATCH (x:N {{name:'{s}'}}), (y:N {{name:'{t}'}}) "
+               f"CREATE (x)-[:L {{w:{w}}}]->(y)")
+    one = cy(db, "MATCH p = shortestPath((a:N {name:'a'})-[:L*1..3]->"
+                 "(d:N {name:'d'})) RETURN length(p) AS l").collect()
+    assert [r["l"] for r in one] == [2]
+    both = cy(db, "MATCH p = allShortestPaths((a:N {name:'a'})-[:L*1..3]->"
+                  "(d:N {name:'d'})) RETURN length(p) AS l").collect()
+    assert [r["l"] for r in both] == [2, 2]
+    # inline edge filter restricts the walk during expansion
+    filt = cy(db, "MATCH p = shortestPath((a:N {name:'a'})-[:L*1..3 {w:1}]"
+                  "->(d:N {name:'d'})) RETURN length(p) AS l").collect()
+    assert [r["l"] for r in filt] == [2]
+
+
+def test_cypher25_function_tail(spark):
+    """Reference function-surface tail (CypherMissingFunctionsTest.java):
+    coll.*/vector.* namespaces, trim family, conversions, valueType."""
+    db = _scratch(spark)
+    r = cy(db, "RETURN coll.distinct([1,2,2,3]) AS a, "
+               "coll.indexOf([10,20,30], 20) AS b, "
+               "coll.insert([1,3,4], 1, 2) AS c, "
+               "coll.remove([1,2,3,4,5], 1, 2) AS d, "
+               "coll.sort([3,1,2]) AS e, coll.max(['b','a','c']) AS f"
+           ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+        [1, 2, 3], 1, [1, 2, 3, 4], [1, 4, 5], [1, 2, 3], "c",
+    )
+    r = cy(db, "RETURN vector.norm(vector([3.0,4.0])) AS n, "
+               "vector.dimension.count(vector([1.0,2.0])) AS d").collect()[0]
+    assert (r["n"], r["d"]) == (5.0, 2)
+    r = cy(db, "RETURN trim('  x ') AS a, btrim('--y--', '-') AS b, "
+               "left('hello',2) AS c, right('hello',2) AS d, "
+               "replace('aba','a','c') AS e, nullIf(1,1) AS f, "
+               "isEmpty('') AS g, isEmpty([1]) AS h, "
+               "valueType(1) AS i, toIntegerOrNull('x') AS j, "
+               "toStringList([1,2]) AS k, normalize('café') AS l"
+           ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
+        "x", "y", "he", "lo", "cbc",
+    )
+    assert r["f"] is None and r["g"] is True and r["h"] is False
+    assert r["i"] == "INTEGER NOT NULL" and r["j"] is None
+    assert r["k"] == ["1", "2"] and r["l"] == "café"
