@@ -151,6 +151,28 @@ class CypherParser(Parser):
                     paths[-1] = dataclasses.replace(paths[-1], opt_where=w)
                 else:
                     where = w if where is None else ast.Bin("AND", where, w)
+            # inline pattern predicates ((n WHERE …), -[r WHERE …]->)
+            # fold into the clause WHERE; on OPTIONAL clauses into the
+            # left-outer join condition of their own path
+            import dataclasses as _dc2
+
+            for i_, p_ in enumerate(paths):
+                iw = getattr(p_, "inline_where", None)
+                if iw is None:
+                    continue
+                if p_.optional:
+                    ow = p_.opt_where
+                    paths[i_] = _dc2.replace(
+                        p_,
+                        opt_where=iw if ow is None
+                        else ast.Bin("AND", ow, iw),
+                        inline_where=None,
+                    )
+                else:
+                    where = iw if where is None else ast.Bin(
+                        "AND", where, iw
+                    )
+                    paths[i_] = _dc2.replace(p_, inline_where=None)
         return paths, where
 
     def parse_call(self, consume_return: bool = True) -> dict:
@@ -572,6 +594,10 @@ class CypherParser(Parser):
                 patterns = [self._parse_pattern(False)]
                 while self.eat_op(","):
                     patterns.append(self._parse_pattern(False))
+                if any(p.inline_where is not None for p in patterns):
+                    raise ParseError(
+                        "MERGE patterns cannot carry inline WHERE"
+                    )
                 on_create: list = []
                 on_match: list = []
                 # ON CREATE SET … / ON MATCH SET … (MergeStep.java:73)
@@ -622,10 +648,37 @@ class CypherParser(Parser):
             patterns = [self._parse_pattern(False)]
             while self.eat_op(","):
                 patterns.append(self._parse_pattern(False))
+            if any(p.inline_where is not None for p in patterns):
+                raise ParseError("CREATE patterns cannot carry inline WHERE")
             self._writes.append({"kind": "create", "patterns": patterns})
 
     # -- patterns ----------------------------------------------------------
+    @property
+    def _inline_wheres(self) -> list:
+        if not hasattr(self, "_iw_stack"):
+            self._iw_stack = [[]]
+        return self._iw_stack[-1]
+
     def _parse_pattern(self, optional: bool) -> ast.MatchPath:
+        # scope the inline-WHERE accumulator per pattern: predicates
+        # inside an inline WHERE may themselves contain patterns
+        if not hasattr(self, "_iw_stack"):
+            self._iw_stack = [[]]
+        self._iw_stack.append([])
+        try:
+            path = self._parse_pattern_inner(optional)
+        finally:
+            collected = self._iw_stack.pop()
+        if collected:
+            iw = collected[0]
+            for c in collected[1:]:
+                iw = ast.Bin("AND", iw, c)
+            import dataclasses as _dc
+
+            path = _dc.replace(path, inline_where=iw)
+        return path
+
+    def _parse_pattern_inner(self, optional: bool) -> ast.MatchPath:
         path_alias = None
         if (
             self.cur.kind == "IDENT"
@@ -723,6 +776,13 @@ class CypherParser(Parser):
             self.expect_op("}")
             for c in conds:
                 where = c if where is None else ast.Bin("AND", where, c)
+        if self.at_kw("WHERE"):
+            # (n:P WHERE pred) inline node predicate (Cypher-25;
+            # reference CypherInlinePatternWhereTest) — folded into the
+            # clause WHERE by _parse_pattern (handles correlation and
+            # OPTIONAL semantics for free)
+            self.advance()
+            self._inline_wheres.append(self.parse_expr())
         self.expect_op(")")
         return ast.MatchFilter(
             type_name=type_name, alias=alias, where=where,
@@ -789,6 +849,17 @@ class CypherParser(Parser):
                     eprops.append((key, val))
                     self.eat_op(",")
                 self.expect_op("}")
+            if self.at_kw("WHERE"):
+                # -[r:T WHERE pred]-> inline relationship predicate
+                # (Cypher-25; reference CypherInlinePatternWhereTest) —
+                # folded into the clause WHERE by _parse_pattern
+                self.advance()
+                if var_len:
+                    raise ParseError(
+                        "inline WHERE on a variable-length relationship "
+                        "is not supported — filter the bound list instead"
+                    )
+                self._inline_wheres.append(self.parse_expr())
             self.expect_op("]")
             self.expect_op("-")
             if self.at_op(">"):

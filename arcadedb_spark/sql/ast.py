@@ -164,6 +164,16 @@ class ArrayLit(Expr):
 
 
 @dataclass(frozen=True)
+class MapProjection(Expr):
+    """Cypher map projection ``n{.name, .age, key: expr, .*}``
+    (reference OpenCypherExpressionTest map-projection tests).  Items:
+    ("prop", name) | ("entry", key, Expr) | ("var", name) | ("star",)."""
+
+    base: Expr
+    items: tuple
+
+
+@dataclass(frozen=True)
 class TypePred(Expr):
     """Cypher-25 type predicate ``x IS [NOT] :: TYPE`` (GQL value-type
     check; reference CypherFollowUpsIssue5602Test.java:105)."""
@@ -404,6 +414,10 @@ class MatchPath:
     # the left-outer join (rows null-pad instead of dropping — openCypher
     # OPTIONAL MATCH … WHERE semantics, TCK MatchWhere6)
     opt_where: "Optional[Expr]" = None
+    # Cypher-25 inline pattern predicates ((n:P WHERE n.age > 18),
+    # -[r:T WHERE r.w < 5]->; reference CypherInlinePatternWhereTest) —
+    # AND-folded into the clause WHERE (or the optional join condition)
+    inline_where: "Optional[Expr]" = None
     # openCypher relationship-uniqueness: no relationship may appear twice
     # within one pattern's bindings (Cypher-origin patterns set this; the
     # SQL MATCH dialect keeps walk semantics)

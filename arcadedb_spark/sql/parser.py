@@ -1104,10 +1104,26 @@ class Parser:
                 return ast.IsNull(left, negated)
             if self.eat_kw("DEFINED"):
                 return ast.IsDefined(left, negated)
-            if self.cypher and self.at_op(":"):
-                # x IS [NOT] :: TYPE (Cypher-25 type predicate; the ':: T'
-                # lexes as ':' + PARAM('T') through the SQL ':name' rule)
-                self.advance()
+            if self.cypher and (
+                self.at_op(":")
+                or (self.cur.kind == "IDENT"
+                    and self.cur.value.upper() == "TYPED")
+            ):
+                # x IS [NOT] :: TYPE / IS [NOT] TYPED TYPE (Cypher-25
+                # type predicates — GQL spells both; the ':: T' lexes as
+                # ':' + PARAM('T') through the SQL ':name' rule)
+                if self.at_op(":"):
+                    self.advance()
+                else:
+                    self.advance()  # TYPED
+                    tname = self.ident()
+                    while self.cur.kind in ("IDENT", "KEYWORD") and (
+                        self.cur.value.upper() in (
+                            "INTEGER", "TIME", "DATETIME", "PRECISION",
+                        )
+                    ):
+                        tname = f"{tname} {self.advance().value}"
+                    return ast.TypePred(left, tname.upper(), negated)
                 if self.cur.kind == "PARAM":
                     tname = self.advance().value
                 elif self.at_op(":"):
@@ -1279,6 +1295,17 @@ class Parser:
                     self.advance()
                     labels[-1] = f"{labels[-1]}|{self.ident()}"
                 expr = ast.LabelPred(expr, tuple(labels))
+            elif (
+                self.cypher and self.at_op("{")
+                and isinstance(expr, ast.Chain)
+                and (
+                    self.peek().kind == "OP" and self.peek().value == "."
+                    or (self.peek().kind in ("IDENT", "KEYWORD", "PARAM"))
+                )
+            ):
+                # map projection n{.name, key: expr, .*} (Cypher-25;
+                # reference OpenCypherExpressionTest)
+                expr = self._parse_map_projection(expr)
             elif self.at_op("."):
                 self.advance()
                 name = self.ident()
@@ -1446,7 +1473,11 @@ class Parser:
                     try:
                         path = self._parse_pattern(False)  # CypherParser
                         if path.steps:
-                            return ast.PatternExpr(path)
+                            # inline (n WHERE …) predicates become the
+                            # pattern expression's inner WHERE
+                            return ast.PatternExpr(
+                                path, where=path.inline_where
+                            )
                     except ParseError:
                         pass
                     self.i = save
@@ -1476,9 +1507,12 @@ class Parser:
                     try:
                         path = self._parse_pattern(False)
                         if path.steps:
-                            where = None
+                            where = path.inline_where
                             if self.eat_kw("WHERE"):
-                                where = self.parse_expr()
+                                w2 = self.parse_expr()
+                                where = w2 if where is None else ast.Bin(
+                                    "AND", where, w2
+                                )
                             self.expect_op("|")
                             proj = self.parse_expr()
                             self.expect_op("]")
@@ -1563,9 +1597,12 @@ class Parser:
             try:
                 self.eat_kw("MATCH")
                 path = self._parse_pattern(False)
-                where = None
+                where = path.inline_where
                 if self.eat_kw("WHERE"):
-                    where = self.parse_expr()
+                    w2 = self.parse_expr()
+                    where = w2 if where is None else ast.Bin(
+                        "AND", where, w2
+                    )
                 has_return = self.at_kw("RETURN")
                 if has_return:
                     # the RETURN projection is irrelevant to existence
@@ -1600,6 +1637,43 @@ class Parser:
             None, subquery=True, block=self.text[start:end], mode=mode
         )
 
+    def _parse_map_projection(self, base: ast.Expr) -> ast.Expr:
+        """``n{.prop, key: expr, var, .*}`` with the cursor ON '{'."""
+        self.advance()  # '{'
+        items: list = []
+        while not self.at_op("}"):
+            if self.at_op("."):
+                self.advance()
+                if self.eat_op("*"):
+                    items.append(("star",))
+                else:
+                    items.append(("prop", self.ident()))
+            else:
+                if self.cur.kind == "PARAM":
+                    # 'key:value' with no space lexes as IDENT? no —
+                    # as key-IDENT + PARAM(value-head); resplit the PARAM
+                    # into ':' + IDENT so the entry value parses fully
+                    tok = self.cur
+                    self.tokens[self.i:self.i + 1] = [
+                        Token("OP", ":", tok.pos),
+                        Token("IDENT", tok.value, tok.pos + 1),
+                    ]
+                key = self.ident()
+                if self.cur.kind == "PARAM":
+                    tok = self.cur
+                    self.tokens[self.i:self.i + 1] = [
+                        Token("OP", ":", tok.pos),
+                        Token("IDENT", tok.value, tok.pos + 1),
+                    ]
+                if self.eat_op(":"):
+                    items.append(("entry", key, self.parse_expr()))
+                else:
+                    items.append(("var", key))
+            if not self.eat_op(","):
+                break
+        self.expect_op("}")
+        return ast.MapProjection(base, tuple(items))
+
     def _parse_map_entry(self) -> tuple[str, ast.Expr]:
         tok = self.advance()
         if tok.kind not in ("IDENT", "STRING", "KEYWORD"):
@@ -1619,6 +1693,21 @@ class Parser:
         name = self.ident()
         self.expect_op("(")
         low = name.lower()
+        if (
+            self.cypher and low == "trim"
+            and self.cur.kind == "IDENT"
+            and self.cur.value.upper() in ("BOTH", "LEADING", "TRAILING")
+        ):
+            # SQL-standard trim(BOTH|LEADING|TRAILING chars FROM src)
+            # (Cypher-25; reference CypherFunctionArityRegistryTest:96)
+            spec = self.advance().value.upper()
+            chars = self.parse_expr()
+            self.expect_kw("FROM")
+            src = self.parse_expr()
+            self.expect_op(")")
+            fn = {"BOTH": "btrim", "LEADING": "ltrim",
+                  "TRAILING": "rtrim"}[spec]
+            return ast.FuncCall(fn, (src, chars), False)
         # Cypher quantified / comprehension forms: name(x IN src ...)
         if (
             self.cypher

@@ -1841,6 +1841,50 @@ class ExprCompiler:
             low.isNull() | high.isNull(), F.lit(None)
         ).otherwise(F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0))))
 
+    def _c_mapprojection(self, e) -> Column:
+        """``n{.name, key: expr, var, .*}`` — one struct per row, field
+        order as written (reference OpenCypherExpressionTest map
+        projections).  Property selectors compile through the normal
+        chain path, so schema-missing properties surface as null."""
+        base = self.compile(e.base)
+        base_var = (
+            e.base.parts[0]
+            if isinstance(e.base, ast.Chain) and len(e.base.parts) == 1
+            else None
+        )
+        fields = self._struct_fields_of(e.base)
+        out: dict[str, Column] = {}
+        for item in e.items:
+            kind = item[0]
+            if kind == "prop":
+                name = item[1]
+                if base_var is not None:
+                    out[name] = self.compile(ast.Chain((base_var, name)))
+                elif fields is not None and any(
+                    f.name == name for f in fields
+                ):
+                    out[name] = base.getField(name)
+                else:
+                    out[name] = F.lit(None)
+            elif kind == "entry":
+                out[item[1]] = self.compile(item[2])
+            elif kind == "var":
+                out[item[1]] = self.compile(ast.Chain((item[1],)))
+            else:  # star: every stored property of the entity
+                if fields is None:
+                    raise TranslateError(
+                        "map projection .* needs a node/relationship "
+                        "with a known schema"
+                    )
+                for f_ in fields:
+                    if f_.name.startswith(("__", "@")) or f_.name in (
+                        "vid", "src", "dst", "etype",
+                    ):
+                        continue
+                    out[f_.name] = base.getField(f_.name)
+        st = F.struct(*[c.alias(k) for k, c in out.items()])
+        return F.when(base.isNull(), F.lit(None)).otherwise(st)
+
     _TYPE_PRED_SETS = {
         "INTEGER": ("tinyint", "smallint", "int", "bigint"),
         "INT": ("tinyint", "smallint", "int", "bigint"),

@@ -653,3 +653,42 @@ def test_cypher25_function_tail(spark):
     assert r["f"] is None and r["g"] is True and r["h"] is False
     assert r["i"] == "INTEGER NOT NULL" and r["j"] is None
     assert r["k"] == ["1", "2"] and r["l"] == "café"
+
+
+def test_inline_pattern_where_and_map_projection(spark):
+    """Cypher-25 inline pattern predicates and map projections
+    (reference CypherInlinePatternWhereTest, OpenCypherExpressionTest)."""
+    db = _scratch(spark)
+    cy(db, "CREATE (a:P {name:'Alice', age:30}), (b:P {name:'Bob', age:17}),"
+           " (c:P {name:'Carol', age:25})")
+    cy(db, "MATCH (a:P {name:'Alice'}), (b:P {name:'Bob'}) "
+           "CREATE (a)-[:KNOWS {since:1995}]->(b)")
+    cy(db, "MATCH (a:P {name:'Alice'}), (c:P {name:'Carol'}) "
+           "CREATE (a)-[:KNOWS {since:2010}]->(c)")
+    got = [r["name"] for r in cy(
+        db, "MATCH (n:P WHERE n.age > 18) RETURN n.name AS name "
+            "ORDER BY name").collect()]
+    assert got == ["Alice", "Carol"]
+    # inline rel predicate, correlated with an outer alias
+    got = [r["name"] for r in cy(
+        db, "MATCH (n:P {name:'Alice'})-[r:KNOWS WHERE r.since < "
+            "n.age + 1970]->(m) RETURN m.name AS name").collect()]
+    assert got == ["Bob"]
+    # OPTIONAL keeps the row, null-padding the failed inline predicate
+    row = cy(db, "MATCH (n:P {name:'Alice'}) OPTIONAL MATCH "
+                 "(m:P WHERE m.age > 200) RETURN n.name AS name, "
+                 "m AS other").collect()[0]
+    assert row["name"] == "Alice" and row["other"] is None
+    # map projections: props, computed entries, star, missing -> null
+    p = cy(db, "MATCH (n:P {name:'Alice'}) RETURN "
+               "n{.name, doubleAge: n.age * 2, .missing} AS m").collect()[0]["m"]
+    assert p["name"] == "Alice" and p["doubleAge"] == 60
+    assert p["missing"] is None
+    star = cy(db, "MATCH (n:P {name:'Alice'}) RETURN n{.*} AS m"
+              ).collect()[0]["m"].asDict()
+    assert star == {"name": "Alice", "age": 30}
+    # trim keyword form + IS TYPED spelling
+    r = cy(db, "RETURN trim(LEADING 'x' FROM 'xxaxx') AS a, "
+               "trim(BOTH 'x' FROM 'xxaxx') AS b, "
+               "1 IS TYPED INTEGER AS c").collect()[0]
+    assert (r["a"], r["b"], r["c"]) == ("axx", "a", True)
