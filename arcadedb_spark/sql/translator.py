@@ -1841,6 +1841,90 @@ class ExprCompiler:
             low.isNull() | high.isNull(), F.lit(None)
         ).otherwise(F.slice(base, lo + 1, F.greatest(hi - lo, F.lit(0))))
 
+    def _c_cypher_point(self, e) -> Column:
+        """Cypher ``point({latitude, longitude} | {x, y[, srid]})`` — a
+        typed struct value (field access .x/.y/.srid/.crs works through
+        the normal struct path; reference Issue4305Test,
+        CypherFunctionArgumentValidationIssue5794/5910Test)."""
+        arg = e.args[0]
+        if not isinstance(arg, ast.MapLit):
+            raise TranslateError(
+                "point() takes a map like {latitude, longitude} or "
+                "{x, y} (InvalidArgumentValue)"
+            )
+        keys = {k.lower(): v for k, v in arg.entries}
+        geo = {"latitude", "longitude"} <= set(keys)
+        cart = {"x", "y"} <= set(keys)
+        if not geo and not cart:
+            raise TranslateError(
+                "point() map needs latitude/longitude or x/y keys "
+                "(InvalidArgumentValue)"
+            )
+        def num(k):
+            c = self.compile(keys[k])
+            return c.cast("double")
+        if geo:
+            x, y = num("longitude"), num("latitude")
+            srid = F.lit(4326)
+            crs = "wgs-84"
+        else:
+            x, y = num("x"), num("y")
+            srid = (
+                self.compile(keys["srid"]).cast("int")
+                if "srid" in keys else F.lit(7203)
+            )
+            crs = "cartesian"
+        st = F.struct(
+            x.alias("x"), y.alias("y"), srid.alias("srid"),
+            F.lit(crs).alias("crs"),
+        )
+        # a null coordinate nulls the whole point (reference
+        # CypherOptionalArgumentNullIssue5629Test)
+        return F.when(x.isNull() | y.isNull(), F.lit(None)).otherwise(st)
+
+    def _is_point_struct(self, a) -> bool:
+        from pyspark.sql.types import StructType
+
+        if (
+            isinstance(a, ast.FuncCall) and a.name.lower() == "point"
+            and len(a.args) == 1 and isinstance(a.args[0], ast.MapLit)
+        ):
+            return True
+        dt = self._static_dtype(a)
+        return isinstance(dt, StructType) and {"x", "y", "srid"} <= set(
+            dt.names
+        )
+
+    def _c_point_distance(self, e) -> Column:
+        """distance(point, point) — haversine meters for geographic
+        points, euclidean for cartesian (reference
+        CypherFunctionArityRegistryTest)."""
+        if len(e.args) != 2 or not self._is_point_struct(e.args[1]):
+            raise TranslateError(
+                "distance() takes exactly two points "
+                "(InvalidArgumentValue)"
+            )
+        p1 = self.compile(e.args[0])
+        p2 = self.compile(e.args[1])
+        lon1, lat1 = p1.getField("x"), p1.getField("y")
+        lon2, lat2 = p2.getField("x"), p2.getField("y")
+        dlat = F.radians(lat2 - lat1) / 2
+        dlon = F.radians(lon2 - lon1) / 2
+        h = (
+            F.sin(dlat) * F.sin(dlat)
+            + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+            * F.sin(dlon) * F.sin(dlon)
+        )
+        geo_m = F.lit(2 * 6371000.0) * F.asin(F.sqrt(h))
+        eucl = F.sqrt(
+            (lon2 - lon1) * (lon2 - lon1) + (lat2 - lat1) * (lat2 - lat1)
+        )
+        return F.when(
+            p1.isNull() | p2.isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.when(p1.getField("srid") == 4326, geo_m).otherwise(eucl)
+        )
+
     def _c_mapprojection(self, e) -> Column:
         """``n{.name, key: expr, var, .*}`` — one struct per row, field
         order as written (reference OpenCypherExpressionTest map
@@ -2418,11 +2502,30 @@ class ExprCompiler:
                         "(InvalidArgumentValue)"
                     )),
                 ).otherwise(val)
+        if name == "point" and self.ctx.cypher and len(e.args) == 1 and (
+            isinstance(e.args[0], ast.MapLit) or not isinstance(
+                e.args[0], ast.Lit
+            )
+        ):
+            return self._c_cypher_point(e)
+        if name == "distance" and self.ctx.cypher and e.args and (
+            self._is_point_struct(e.args[0])
+        ):
+            return self._c_point_distance(e)
         if is_aggregate(name, len(e.args)):
             return self._compile_aggregate(e)
         if name in SCALARS:
             args = [self.compile(a) for a in e.args]
-            return SCALARS[name](args)
+            try:
+                return SCALARS[name](args)
+            except (IndexError, TypeError) as ex:
+                # wrong arity/shape must surface as a typed dialect
+                # error, not a Python crash (reference
+                # CypherNumericFunctionArgumentIssue5484Test)
+                raise TranslateError(
+                    f"Invalid arguments to {e.name}() "
+                    f"(InvalidArgumentValue): {ex}"
+                ) from None
         custom = self._custom_fn(name)
         if custom is not None:
             return self._compile_custom(custom, e.args)

@@ -692,3 +692,33 @@ def test_inline_pattern_where_and_map_projection(spark):
                "trim(BOTH 'x' FROM 'xxaxx') AS b, "
                "1 IS TYPED INTEGER AS c").collect()[0]
     assert (r["a"], r["b"], r["c"]) == ("axx", "a", True)
+
+
+def test_cypher_point_and_distance(spark):
+    """Cypher point({latitude,longitude}|{x,y[,srid]}) structs + 2-arg
+    distance() (reference Issue4305Test,
+    CypherFunctionArgumentValidationIssue5794/5910Test) — wrong
+    arity/shape raises a typed error, never a Python crash."""
+    db = _scratch(spark)
+    p = cy(db, "RETURN point({latitude: 1, longitude: 2}) AS p"
+           ).collect()[0]["p"]
+    assert (p["x"], p["y"], p["srid"], p["crs"]) == (2.0, 1.0, 4326, "wgs-84")
+    r = cy(db, "RETURN point({x: 1, y: 2}).x AS x, "
+               "point({x: 1, y: 2, srid: 4326}).srid AS s, "
+               "point({x: 1.0, y: null}) AS n").collect()[0]
+    assert r["x"] == 1.0 and r["s"] == 4326 and r["n"] is None
+    d = cy(db, "RETURN distance(point({latitude: 0, longitude: 0}), "
+               "point({latitude: 0, longitude: 1})) AS m, "
+               "distance(point({x: 0, y: 0}), point({x: 3, y: 4})) AS e"
+           ).collect()[0]
+    assert abs(d["m"] - 111194.93) < 1.0 and d["e"] == 5.0
+    import pytest as _pt
+    from arcadedb_spark.sql.translator import TranslateError
+
+    for bad in [
+        "RETURN point({foo: 1}) AS r",
+        "RETURN distance(point({x:0,y:0})) AS r",
+        "RETURN sqrt() AS r",
+    ]:
+        with _pt.raises(TranslateError):
+            cy(db, bad)
