@@ -320,6 +320,13 @@ class CypherParser(Parser):
                     # and lower it at translation time
                     self.advance()
                     sub_text = self._capture_brace_block()
+                    spliced = self._try_splice_unit_call(sub_text)
+                    if spliced:
+                        # unit (write-only) block: inlined as
+                        # `WITH * <writes>` right here — identical
+                        # per-row semantics, block-local bindings
+                        # renamed so they stay out of the outer scope
+                        continue
                     self._stages.append(
                         {"paths": paths, "where": where,
                          "subquery": sub_text}
@@ -412,6 +419,73 @@ class CypherParser(Parser):
             limit=spec["limit"],
         )
         return (stmt, self._stages)
+
+    def _try_splice_unit_call(self, sub_text: str) -> bool:
+        """Inline a unit (write-only, non-returning) ``CALL { … }`` block
+        into the token stream as ``WITH * <writes>`` (reference executes
+        unit subqueries once per input row — CallStep.java:71; identical
+        to the inlined clause chain).  Block-local bindings are renamed
+        to hidden names so they do not leak into the outer scope; the
+        importing ``WITH a, b`` prefix is dropped (WITH * carries a
+        superset).  Returns False when the block is not a unit write
+        block (the decorrelating read path handles it)."""
+        from arcadedb_spark.sql.lexer import tokenize as _tok
+
+        probe = CypherParser(sub_text)
+        try:
+            pstmts = probe.parse_query()
+        except Exception:
+            return False
+        if not pstmts or any(s is not None for s, _ in pstmts):
+            return False
+        if getattr(probe, "_write_return", None) is not None:
+            return False  # returning write subquery — not a unit block
+        # created aliases = block-local; rename them to hidden names
+        created: set[str] = set()
+
+        def _walk_writes(writes):
+            for w in writes:
+                for pat in w.get("patterns", ()):
+                    nodes = [pat.root] + [s.filter for s in pat.steps]
+                    for nd in nodes:
+                        if nd.alias:
+                            created.add(nd.alias)
+                    for s in pat.steps:
+                        if s.edge_alias:
+                            created.add(s.edge_alias)
+
+        _walk_writes(getattr(probe, "_writes", []) or [])
+        for blk in getattr(probe, "_write_blocks", []) or []:
+            _walk_writes(blk.get("writes", []) or [])
+        toks = [t for t in _tok(sub_text) if t.kind != "EOF"]
+        # drop an importing `WITH a, b` prefix (bare names only)
+        if toks and toks[0].kind == "KEYWORD" and toks[0].value == "WITH":
+            j = 1
+            ok = False
+            while j < len(toks) and toks[j].kind == "IDENT":
+                j += 1
+                if j < len(toks) and toks[j].kind == "OP" \
+                        and toks[j].value == ",":
+                    j += 1
+                    continue
+                ok = True
+                break
+            if ok:
+                imports = {
+                    t.value for t in toks[1:j] if t.kind == "IDENT"
+                }
+                created -= imports
+                toks = toks[j:]
+        uid = next(_suid)
+        pos = self.cur.pos
+        out = [Token("KEYWORD", "WITH", pos), Token("OP", "*", pos)]
+        for t in toks:
+            if t.kind == "IDENT" and t.value in created:
+                out.append(Token("IDENT", f"__call{uid}_{t.value}", t.pos))
+            else:
+                out.append(t)
+        self.tokens[self.i:self.i] = out
+        return True
 
     def _parse_write_continuations(self) -> None:
         """``… write clauses WITH <proj> [MATCH …] write clauses …`` —

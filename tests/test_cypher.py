@@ -446,15 +446,23 @@ def test_call_subquery_leading_and_union(spark):
     assert [r["qn"] for r in rows] == ["a", "b"]
 
 
-def test_call_subquery_unsupported_shapes_raise(spark):
+def test_call_subquery_unit_writes_and_unsupported_shapes(spark):
     import pytest
 
     from arcadedb_spark.sql.translator import TranslateError
 
     db = _scratch(spark)
     cy(db, "CREATE (:P {name: 'a'}), (:Q {name: 'a'})")
+    # unit (write-only) subqueries inline as per-row writes (reference
+    # CallStep.java:71 runs them once per input row)
+    rows = cy(db, "MATCH (p:P) CALL { CREATE (:R) } RETURN p.name AS n"
+              ).collect()
+    assert [r["n"] for r in rows] == ["a"]
+    assert cy(db, "MATCH (r:R) RETURN count(*) AS n").collect()[0]["n"] == 1
+    # block-local bindings stay local
     with pytest.raises(TranslateError):
-        cy(db, "MATCH (p:P) CALL { CREATE (:R) } RETURN p").collect()
+        cy(db, "MATCH (p:P) CALL { CREATE (z:R) } RETURN z").collect()
+    # correlated SKIP/LIMIT still rejected (per-invocation semantics)
     with pytest.raises(TranslateError):
         cy(
             db,
@@ -722,3 +730,19 @@ def test_cypher_point_and_distance(spark):
     ]:
         with _pt.raises(TranslateError):
             cy(db, bad)
+
+
+def test_call_subquery_unit_write_per_row(spark):
+    """Unit CALL blocks execute their writes once per outer row with
+    imported variables in scope (reference CallStep.java:71)."""
+    db = _scratch(spark)
+    rows = cy(
+        db,
+        "UNWIND [1, 2] AS x CALL { WITH x CREATE (:CN {v: x}) } RETURN x",
+    ).collect()
+    assert [r["x"] for r in rows] == [1, 2]
+    got = cy(db, "MATCH (c:CN) RETURN c.v AS v ORDER BY v").collect()
+    assert [r["v"] for r in got] == [1, 2]
+    # uncorrelated unit block still runs per input row
+    cy(db, "UNWIND [1, 2, 3] AS x CALL { CREATE (:U) } RETURN x").collect()
+    assert cy(db, "MATCH (u:U) RETURN count(*) AS n").collect()[0]["n"] == 3
