@@ -691,3 +691,62 @@ def call_procedure(
             f"{sorted(PROCEDURES)})"
         )
     return fn(db, args)
+
+
+# --- db.* catalog introspection (Neo4j-compatible procedure surface the
+# reference exposes through its Cypher engine; tested e.g. in
+# CypherCallYieldWithVariablesTest.java) ------------------------------------
+
+
+@procedure("db.labels")
+def _p_db_labels(db, args) -> DataFrame:
+    g = db.graph()
+    labels = sorted({
+        disp
+        for key in g.vertex_dfs
+        for disp in [g.label_display.get(key, key)]
+        if key != "_"
+    }) if g.vertex_dfs else []
+    return db.spark.createDataFrame(
+        [(l,) for l in labels], "label string"
+    )
+
+
+@procedure("db.relationshipTypes")
+def _p_db_rel_types(db, args) -> DataFrame:
+    g = db.graph()
+    types = sorted(set(getattr(g, "edge_meta", {}) or {}))
+    if not types and getattr(g, "_edge_dfs", None):
+        types = sorted({
+            r["etype"]
+            for r in g.edges().select("etype").distinct().collect()
+        })
+    return db.spark.createDataFrame(
+        [(t,) for t in types], "relationshipType string"
+    )
+
+
+@procedure("db.propertyKeys")
+def _p_db_prop_keys(db, args) -> DataFrame:
+    g = db.graph()
+    keys: set = set()
+    for df in g.vertex_dfs.values():
+        keys.update(
+            c for c in df.columns
+            if not c.startswith(("__", "@")) and c != "vid"
+        )
+    if getattr(g, "_edge_dfs", None):
+        keys.update(
+            c for c in g.edges().columns
+            if not c.startswith(("__", "@")) and c not in (
+                "src", "dst", "etype",
+            )
+        )
+    return db.spark.createDataFrame(
+        [(k,) for k in sorted(keys)], "propertyKey string"
+    )
+
+
+@procedure("db.ping")
+def _p_db_ping(db, args) -> DataFrame:
+    return db.spark.createDataFrame([(True,)], "ok boolean")

@@ -276,6 +276,56 @@ def _static(e, params) -> object:
             )
         if name in ("statement", "realtime", "transaction"):
             raise NotStatic("clock")
+        if ns == "date" and name == "add":
+            # date.add(epochMillis, delta, unit) — epoch arithmetic with
+            # overflow checking (reference CypherFunctionSecurityTest:228)
+            if args and args[0] is None:
+                return None
+            unit_ms = {
+                "ms": 1, "s": 1000, "sec": 1000, "second": 1000,
+                "m": 60_000, "min": 60_000, "minute": 60_000,
+                "h": 3_600_000, "hour": 3_600_000,
+                "d": 86_400_000, "day": 86_400_000,
+            }.get(str(args[2]).lower() if len(args) > 2 else "ms")
+            if unit_ms is None:
+                raise T.TemporalError(
+                    f"date.add: unknown unit {args[2]!r}"
+                )
+            out = int(args[0]) + int(args[1]) * unit_ms
+            if not (-(2**63) <= out < 2**63):
+                raise T.TemporalError("date.add overflows a 64-bit epoch")
+            return out
+        if ns == "date" and name == "fields":
+            # date.fields(text, javaFormat, tz) — parsed calendar fields
+            # as a map (apoc.date.fields analog the reference exposes)
+            if args and args[0] is None:
+                return None
+            import datetime as _dt
+            from zoneinfo import ZoneInfo as _ZI
+
+            fmt = str(args[1]) if len(args) > 1 else "yyyy-MM-dd"
+            pyfmt = (
+                fmt.replace("'T'", "T").replace("yyyy", "%Y")
+                .replace("MM", "%m").replace("dd", "%d")
+                .replace("HH", "%H").replace("mm", "%M")
+                .replace("ss", "%S")
+            )
+            try:
+                dtv = _dt.datetime.strptime(str(args[0]), pyfmt)
+            except ValueError as ex:
+                raise T.TemporalError(f"date.fields: {ex}") from None
+            if len(args) > 2 and args[2] is not None:
+                try:
+                    _ZI(str(args[2]))
+                except Exception:
+                    raise T.TemporalError(
+                        f"date.fields: unknown timezone {args[2]!r}"
+                    ) from None
+            return {
+                "years": dtv.year, "months": dtv.month, "days": dtv.day,
+                "hours": dtv.hour, "minutes": dtv.minute,
+                "seconds": dtv.second, "weekdays": dtv.isoweekday(),
+            }
         raise T.TemporalError(f"Unknown temporal function {ns}.{name}")
     if isinstance(e, ast.Index):
         base = _static(e.base, params)

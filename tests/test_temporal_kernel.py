@@ -147,3 +147,25 @@ def test_merged_tzdb_zone_resolution():
     # modern dates are unaffected
     out2 = T.parse_datetime("2017-10-29T04:00[Europe/Stockholm]")
     assert str(out2) == "2017-10-29T04:00+01:00[Europe/Stockholm]"
+
+
+def test_date_add_and_fields():
+    # epoch helpers the reference exposes through the cypher registry
+    # (CypherFunctionSecurityTest.java:228)
+    from arcadedb_spark.sql import ast
+    from arcadedb_spark.sql.temporal_eval import try_eval
+
+    def ev(q_args, name):
+        e = ast.Method(ast.Chain(("date",)), name, tuple(q_args))
+        ok, v = try_eval(e, {})
+        assert ok
+        return v
+
+    lit = lambda v: ast.Lit(v)  # noqa: E731
+    assert ev([lit(1000), lit(500), lit("ms")], "add") == 1500
+    assert ev([lit(0), lit(2), lit("h")], "add") == 7_200_000
+    assert ev([lit(None), lit(100), lit("ms")], "add") is None
+    f = ev([lit("2024-01-15"), lit("yyyy-MM-dd"), lit("UTC")], "fields")
+    assert f["years"] == 2024 and f["months"] == 1 and f["days"] == 15
+    with pytest.raises(T.TemporalError):
+        ev([lit(2**63 - 1), lit(1), lit("ms")], "add")
