@@ -64,6 +64,10 @@ class CypherParser(Parser):
         """Returns one (MatchStmt, with_stages) per UNION branch."""
         self._union_all = False
         stmts = [self._parse_single()]
+        if self._at_ident("FINISH"):
+            # Cypher-25 FINISH: explicit no-result query terminator
+            # (Cypher25Parser.g4 finishClause) — same as omitting RETURN
+            self.advance()
         kinds: list[bool] = []
         while self._at_ident("UNION"):
             self.advance()
@@ -124,6 +128,14 @@ class CypherParser(Parser):
                 self.advance()
             else:
                 break
+            if (
+                self.cur.kind == "IDENT"
+                and self.cur.value.upper() in ("NODE", "RELATIONSHIP")
+                and self.peek().kind == "OP" and self.peek().value == "("
+            ):
+                # Cypher-25 match mode prefix (MATCH NODE (n:…)) — the
+                # default element-pattern semantics, accepted and ignored
+                self.advance()
             # one MATCH clause = one clause_id across its comma-separated
             # paths (relationship isomorphism is per clause)
             cid = self._next_clause_id

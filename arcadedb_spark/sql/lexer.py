@@ -50,7 +50,7 @@ _TOKEN_TEMPLATE = r"""
   | (?P<FLOAT>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<INT>\d+)
   | (?P<STRING>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")
-  | (?P<BTICK>`[^`]*`)
+  | (?P<BTICK>`(?:[^`]|``)*`)
   | (?P<PPARAM>\$\d+)
   | (?P<VAR>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<NPARAM>:[A-Za-z_][A-Za-z0-9_]*)
@@ -130,7 +130,12 @@ def tokenize(text: str, cypher: bool = False) -> list[Token]:
             else:
                 tokens.append(Token("IDENT", value, pos))
         elif kind == "BTICK":
-            tokens.append(Token("IDENT", value[1:-1], pos))
+            # doubled backticks escape a literal backtick inside the
+            # quoted name (Cypher25 escapedSymbolicNameString)
+            tokens.append(
+                Token("IDENT", value[1:-1].replace(2 * chr(96), chr(96)),
+                      pos)
+            )
         elif kind == "STRING":
             tokens.append(Token("STRING", _unquote(value), pos))
         elif kind == "NPARAM":

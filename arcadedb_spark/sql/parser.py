@@ -1698,16 +1698,19 @@ class Parser:
             and self.cur.kind == "IDENT"
             and self.cur.value.upper() in ("BOTH", "LEADING", "TRAILING")
         ):
-            # SQL-standard trim(BOTH|LEADING|TRAILING chars FROM src)
+            # SQL-standard trim(BOTH|LEADING|TRAILING [chars] FROM src)
             # (Cypher-25; reference CypherFunctionArityRegistryTest:96)
             spec = self.advance().value.upper()
-            chars = self.parse_expr()
+            chars = None
+            if not self.at_kw("FROM"):
+                chars = self.parse_expr()
             self.expect_kw("FROM")
             src = self.parse_expr()
             self.expect_op(")")
             fn = {"BOTH": "btrim", "LEADING": "ltrim",
                   "TRAILING": "rtrim"}[spec]
-            return ast.FuncCall(fn, (src, chars), False)
+            args = (src,) if chars is None else (src, chars)
+            return ast.FuncCall(fn, args, False)
         # Cypher quantified / comprehension forms: name(x IN src ...)
         if (
             self.cypher

@@ -746,3 +746,19 @@ def test_call_subquery_unit_write_per_row(spark):
     # uncorrelated unit block still runs per input row
     cy(db, "UNWIND [1, 2, 3] AS x CALL { CREATE (:U) } RETURN x").collect()
     assert cy(db, "MATCH (u:U) RETURN count(*) AS n").collect()[0]["n"] == 3
+
+
+def test_small_cypher25_syntax_tail(spark):
+    """FINISH terminator, MATCH NODE mode prefix, chars-less trim FROM,
+    doubled-backtick name escapes (reference Issue4141DeprecatedSyntax /
+    CypherBacktickedVariableTest / CypherFunctionArityRegistryTest)."""
+    db = _scratch(spark)
+    assert cy(db, "CREATE (n:Person {name: 'Alice'}) FINISH").collect() == []
+    got = cy(db, "MATCH NODE (p:Person) RETURN p.name AS n").collect()
+    assert [r["n"] for r in got] == ["Alice"]
+    r = cy(db, "RETURN trim(BOTH FROM '  hi  ') AS a, "
+               "trim(TRAILING FROM 'x ') AS b").collect()[0]
+    assert (r["a"], r["b"]) == ("hi", "x")
+    n = cy(db, "MATCH (n:Person) WHERE n.`a``b` IS NULL "
+               "RETURN count(*) AS c").collect()[0]["c"]
+    assert n == 1
