@@ -409,6 +409,19 @@ class CypherParser(Parser):
             if self.at_kw("RETURN"):
                 self._write_return = self._parse_return_spec()
             return (None, [])
+        if self._at_ident("FINISH"):
+            # Cypher-25 FINISH on a read query: validate, run nothing,
+            # yield the empty no-column result (finishClause)
+            self.advance()
+            self._finish = True
+            return (
+                ast.MatchStmt(
+                    paths=tuple(paths), where=where,
+                    returns=(ast.ProjItem(ast.Lit(1), "__finish"),),
+                    limit=ast.Lit(0),
+                ),
+                self._stages,
+            )
         spec = self._parse_return_spec()
         returns = spec["items"]
         # Cypher implicit grouping: when RETURN mixes aggregates and plain
@@ -470,8 +483,12 @@ class CypherParser(Parser):
         for blk in getattr(probe, "_write_blocks", []) or []:
             _walk_writes(blk.get("writes", []) or [])
         toks = [t for t in _tok(sub_text) if t.kind != "EOF"]
-        # drop an importing `WITH a, b` prefix (bare names only)
-        if toks and toks[0].kind == "KEYWORD" and toks[0].value == "WITH":
+        # drop an importing `WITH a, b` prefix (bare names only): the
+        # spliced WITH * already carries a superset, and leaving the
+        # block's WITH in place would NARROW the outer scope (WITH is
+        # an IDENT token — it is not in the keyword table)
+        if toks and toks[0].kind in ("KEYWORD", "IDENT") \
+                and toks[0].value.upper() == "WITH":
             j = 1
             ok = False
             while j < len(toks) and toks[j].kind == "IDENT":
@@ -491,8 +508,19 @@ class CypherParser(Parser):
         uid = next(_suid)
         pos = self.cur.pos
         out = [Token("KEYWORD", "WITH", pos), Token("OP", "*", pos)]
-        for t in toks:
-            if t.kind == "IDENT" and t.value in created:
+        for k, t in enumerate(toks):
+            prev_op = toks[k - 1] if k else None
+            nxt_op = toks[k + 1] if k + 1 < len(toks) else None
+            is_var_ref = (
+                t.kind == "IDENT" and t.value in created
+                # not a property access (n.x) nor a map key ({x: 1}) —
+                # those are property NAMES, not variable references
+                and not (prev_op is not None and prev_op.kind == "OP"
+                         and prev_op.value == ".")
+                and not (nxt_op is not None and nxt_op.kind == "OP"
+                         and nxt_op.value == ":")
+            )
+            if is_var_ref:
                 out.append(Token("IDENT", f"__call{uid}_{t.value}", t.pos))
             else:
                 out.append(t)

@@ -464,7 +464,14 @@ class GraphTraversal:
 
     def dedup(self) -> "GraphTraversal":
         if "vid" not in self._df.columns:  # edge state
-            return self._wrap(self._df.dropDuplicates(), self._label)
+            # identity excludes traversal-internal state (__esrc/__path/
+            # __sack): bothE() yields each edge once per arrival
+            # endpoint and dedup must collapse those to one
+            ident = [
+                c for c in self._df.columns
+                if c not in _carry_cols(self._df)
+            ]
+            return self._wrap(self._df.dropDuplicates(ident), self._label)
         return self._wrap(self._df.dropDuplicates(["vid"]), self._label)
 
     def simplePath(self) -> "GraphTraversal":
@@ -592,7 +599,8 @@ class _SackMod:
             raise ValueError("sack(op) needs g.withSack(initial)")
         s, c = F.col("__sack"), F.col(prop)
         expr = {
-            "sum": s + c, "minus": s - c, "mult": s * c, "div": s / c,
+            "sum": s + c, "minus": s - c, "mult": s * c,
+            "div": F.try_divide(s, c),  # zero divisor -> null, not ANSI abort
             "min": F.least(s, c), "max": F.greatest(s, c), "assign": c,
         }[self._op]
         return t._wrap(t._df.withColumn("__sack", expr), t._label)

@@ -701,14 +701,19 @@ def call_procedure(
 @procedure("db.labels")
 def _p_db_labels(db, args) -> DataFrame:
     g = db.graph()
-    labels = sorted({
-        disp
-        for key in g.vertex_dfs
-        for disp in [g.label_display.get(key, key)]
-        if key != "_"
-    }) if g.vertex_dfs else []
+    labels: set = set()
+    for key in g.vertex_dfs:
+        if key == "_":
+            continue
+        # composite keys store multi-label nodes ("a:b"); db.labels lists
+        # each distinct label once (Neo4j procedure contract).  The
+        # display map may carry either the composite or the single label.
+        disp = g.label_display.get(key, key)
+        for part in disp.split(":"):
+            if part:
+                labels.add(g.label_display.get(part.lower(), part))
     return db.spark.createDataFrame(
-        [(l,) for l in labels], "label string"
+        [(l,) for l in sorted(labels)], "label string"
     )
 
 

@@ -1604,6 +1604,8 @@ def _timestamp(args):
     """timestamp() — epoch millis; reuses the statement-scoped clock
     when a temporal evaluation is active so datetime()/timestamp() agree
     within one statement."""
+    if args:
+        raise ValueError("timestamp() takes no arguments")
     import datetime as _dt
 
     from arcadedb_spark.sql.temporal_eval import _NOW
@@ -1673,12 +1675,14 @@ def _to_boolean_list(args):
 
 @scalar("cot")
 def _cot(args):
-    return F.cos(args[0]) / F.sin(args[0])
+    # pow(0, -1) -> Infinity (IEEE), where a plain division would raise
+    # DIVIDE_BY_ZERO under ANSI mode; Neo4j cot(0) is Infinity
+    return F.cos(args[0]) * F.pow(F.sin(args[0]), F.lit(-1.0))
 
 
 @scalar("coth")
 def _coth(args):
-    return F.cosh(args[0]) / F.sinh(args[0])
+    return F.cosh(args[0]) * F.pow(F.sinh(args[0]), F.lit(-1.0))
 
 
 @scalar("haversin")

@@ -385,7 +385,10 @@ def parse_date(s: str) -> CyDate:
         g = [int(x) for x in m.groups()]
         big = not (1 <= g[0] <= 9999)
         if big and kind not in ("ymd", "ym", "y"):
-            raise TemporalError(f"year out of datetime range: {s!r}")
+            # a big year only exists for the calendar forms; fall through
+            # so e.g. '+2015067' can still match the ordinal pattern with
+            # a 4-digit year instead of dying as ym_compact year 20150
+            continue
         if kind == "ymd":
             return CyDate(_make_date(g[0], g[1], g[2]))
         if kind in ("ym", "ym_compact"):

@@ -279,7 +279,11 @@ def _static(e, params) -> object:
         if ns == "date" and name == "add":
             # date.add(epochMillis, delta, unit) — epoch arithmetic with
             # overflow checking (reference CypherFunctionSecurityTest:228)
-            if args and args[0] is None:
+            if len(args) < 2:
+                raise T.TemporalError(
+                    "date.add(value, delta[, unit]) takes 2-3 arguments"
+                )
+            if args[0] is None or args[1] is None:
                 return None
             unit_ms = {
                 "ms": 1, "s": 1000, "sec": 1000, "second": 1000,
@@ -298,7 +302,9 @@ def _static(e, params) -> object:
         if ns == "date" and name == "fields":
             # date.fields(text, javaFormat, tz) — parsed calendar fields
             # as a map (apoc.date.fields analog the reference exposes)
-            if args and args[0] is None:
+            if not args or args[0] is None or (
+                len(args) > 1 and args[1] is None
+            ):
                 return None
             import datetime as _dt
             from zoneinfo import ZoneInfo as _ZI

@@ -2683,6 +2683,12 @@ class ExprCompiler:
         # Method(base=Chain(('ts',)), name='lag').
         if isinstance(e.base, ast.Chain) and len(e.base.parts) <= 2 and all(
             isinstance(p, str) for p in e.base.parts
+        ) and (
+            # a bound column named like a namespace keeps its METHOD
+            # meaning: WITH [3,1] AS coll RETURN coll.sort() is a list
+            # sort on the variable, not SCALARS['coll.sort']
+            e.base.parts[0] not in (self.ctx.columns or ())
+            and e.base.parts[0] not in getattr(self, "_bound", {})
         ):
             ns = ".".join(p.lower() for p in e.base.parts)
             qual = f"{ns}.{e.name.lower()}"
@@ -2691,7 +2697,13 @@ class ExprCompiler:
                 return TS_WINDOW[qual](args, self.ctx.ts_partition)
             if qual in SCALARS:
                 args = [self.compile(a) for a in e.args]
-                return SCALARS[qual](args)
+                try:
+                    return SCALARS[qual](args)
+                except (IndexError, TypeError) as ex:
+                    raise TranslateError(
+                        f"Invalid arguments to {qual}() "
+                        f"(InvalidArgumentValue): {ex}"
+                    ) from None
             if is_aggregate(qual):
                 return self._compile_aggregate(
                     ast.FuncCall(qual, e.args, False)

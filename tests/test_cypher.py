@@ -762,3 +762,31 @@ def test_small_cypher25_syntax_tail(spark):
     n = cy(db, "MATCH (n:Person) WHERE n.`a``b` IS NULL "
                "RETURN count(*) AS c").collect()[0]["c"]
     assert n == 1
+
+
+def test_review_fixes_unit_call_scope_and_misc(spark):
+    """Regression net for the round-5 review findings: unit CALL keeps
+    the full outer scope and property keys named like block aliases;
+    cot(0) is Infinity; coll-named variables keep list methods;
+    db.labels splits composite keys."""
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name:'a'}), (:Q {name:'z'})")
+    r = cy(db, "MATCH (p:P), (q:Q) CALL { WITH p CREATE (:R {n: p.name}) }"
+               " RETURN q.name AS n").collect()
+    assert [x["n"] for x in r] == ["z"]
+    assert cy(db, "MATCH (r:R) RETURN r.n AS n").collect()[0]["n"] == "a"
+    cy(db, "MATCH (p:P) CALL { CREATE (x:T {x: 1}) } RETURN p.name AS m"
+       ).collect()
+    assert cy(db, "MATCH (t:T) RETURN t.x AS x").collect()[0]["x"] == 1
+    import math
+    c = cy(db, "RETURN cot(0) AS c").collect()[0]["c"]
+    assert math.isinf(c)
+    s = cy(db, "WITH [3,1,2] AS coll RETURN coll.sort() AS s"
+           ).collect()[0]["s"]
+    assert s == [1, 2, 3]
+    cy(db, "CREATE (:A:B)")
+    labels = {r[0] for r in cy(db, "CALL db.labels()").collect()}
+    assert {"A", "B"} <= labels and "A:B" not in labels
+    from arcadedb_spark.sql.temporal import parse_date
+    assert str(parse_date("+2015067")) == "2015-03-08"
+    assert cy(db, "MATCH (n:P) FINISH").collect() == []
