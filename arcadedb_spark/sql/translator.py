@@ -2683,12 +2683,18 @@ class ExprCompiler:
         # Method(base=Chain(('ts',)), name='lag').
         if isinstance(e.base, ast.Chain) and len(e.base.parts) <= 2 and all(
             isinstance(p, str) for p in e.base.parts
-        ) and (
+        ) and not (
             # a bound column named like a namespace keeps its METHOD
-            # meaning: WITH [3,1] AS coll RETURN coll.sort() is a list
-            # sort on the variable, not SCALARS['coll.sort']
-            e.base.parts[0] not in (self.ctx.columns or ())
-            and e.base.parts[0] not in getattr(self, "_bound", {})
+            # meaning when the name IS a method: WITH [3,1] AS coll
+            # RETURN coll.sort() is a list sort on the variable, not
+            # SCALARS['coll.sort'].  ts.timeBucket(...) still resolves
+            # as the namespace even next to a 'ts' column — timeBucket
+            # is not a value method.
+            e.name.lower() in METHODS
+            and (
+                e.base.parts[0] in (self.ctx.columns or ())
+                or e.base.parts[0] in getattr(self, "_bound", {})
+            )
         ):
             ns = ".".join(p.lower() for p in e.base.parts)
             qual = f"{ns}.{e.name.lower()}"
