@@ -49,7 +49,7 @@ _suid = _itools.count()  # hidden shortest-path alias counter
 class CypherParser(Parser):
     """Extends the SQL expression parser with Cypher pattern syntax."""
 
-    def __init__(self, text: str) -> None:
+    def __init__(self, text: str, params: "dict | None" = None) -> None:
         from arcadedb_spark.sql.lexer import tokenize
 
         super().__init__(text)
@@ -58,6 +58,27 @@ class CypherParser(Parser):
         # relationship, not a line comment
         self.tokens = tokenize(text, cypher=True)
         self._next_clause_id = 0
+        # bound $parameters, needed at PARSE time only for parameter
+        # property maps ((n:L $props), -[r:T $props]->) whose keys come
+        # from the bound value
+        self._params = params or {}
+
+    def _expand_param_props(self) -> list:
+        """`$props` in a node/rel property-map position — expand the
+        bound map's entries like an inline {k: v, …} literal
+        (Cypher25Parser.g4 `properties : map | parameter`)."""
+        pname = self.advance().value
+        if pname not in self._params:
+            raise ParseError(
+                f"Parameter map ${pname} is not bound (ParameterMissing)"
+            )
+        val = self._params[pname]
+        if not isinstance(val, dict):
+            raise ParseError(
+                f"Parameter ${pname} must be a map for a property "
+                "position (InvalidArgumentType)"
+            )
+        return [(k, ast.Lit(v)) for k, v in val.items()]
 
     # -- entry -------------------------------------------------------------
     def parse_query(self) -> list:
@@ -890,6 +911,13 @@ class CypherParser(Parser):
             self.expect_op("}")
             for c in conds:
                 where = c if where is None else ast.Bin("AND", where, c)
+        elif self.cur.kind == "VAR":
+            # (n:L $props) — parameter property map
+            braced = True
+            for k, v in self._expand_param_props():
+                props.append((k, v))
+                c = ast.Bin("=", ast.Chain((k,)), v)
+                where = c if where is None else ast.Bin("AND", where, c)
         if self.at_kw("WHERE"):
             # (n:P WHERE pred) inline node predicate (Cypher-25;
             # reference CypherInlinePatternWhereTest) — folded into the
@@ -963,6 +991,9 @@ class CypherParser(Parser):
                     eprops.append((key, val))
                     self.eat_op(",")
                 self.expect_op("}")
+            elif self.cur.kind == "VAR":
+                # -[r:T $props]-> — parameter property map
+                eprops.extend(self._expand_param_props())
             if self.at_kw("WHERE"):
                 # -[r:T WHERE pred]-> inline relationship predicate
                 # (Cypher-25; reference CypherInlinePatternWhereTest) —
@@ -1129,7 +1160,7 @@ def _lower_call_subquery(db, df, aliases, text, params,
         TranslateError, _contains_aggregate, _safe_distinct,
     )
 
-    sub = CypherParser(text)
+    sub = CypherParser(text, params)
     stmts = sub.parse_query()
     if sub.cur.kind != "EOF":
         raise ParseError(f"Trailing input in CALL subquery at {sub.cur!r}")
@@ -3838,7 +3869,7 @@ def lower_exists_block(db, text: str, outer_df, params: dict):
         pop_env, push_env, static_value,
     )
 
-    p = CypherParser(text)
+    p = CypherParser(text, params)
     stmts = p.parse_query()
     stmt, stages = stmts[0]
     if stmt is None:
@@ -3894,7 +3925,7 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
         Ctx, ExprCompiler, TranslateError, _contains_aggregate,
     )
 
-    p = CypherParser(text)
+    p = CypherParser(text, params)
     stmts = p.parse_query()
     stmt, stages = stmts[0]
     if stmt is None:
@@ -3982,7 +4013,7 @@ def lower_count_block(db, text: str, outer_df, params: dict):
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
     """Run a Cypher query → DataFrame (OpenCypherQueryEngine.query analog,
     query/opencypher/query/OpenCypherQueryEngine.java:150)."""
-    p = CypherParser(text)
+    p = CypherParser(text, params)
     if p._at_ident("CALL") and not (
         p.peek().kind == "OP" and p.peek().value == "{"
     ):
@@ -3995,7 +4026,7 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
         if p.cur.kind != "EOF":
             # CALL … YIELD … WITH/MATCH …: a pipeline, not a standalone
             # call — reparse through the normal stage machinery
-            p = CypherParser(text)
+            p = CypherParser(text, params)
             spec = None
         if spec is not None:
             if spec["return"] is not None and not spec["parens"]:

@@ -790,3 +790,27 @@ def test_review_fixes_unit_call_scope_and_misc(spark):
     from arcadedb_spark.sql.temporal import parse_date
     assert str(parse_date("+2015067")) == "2015-03-08"
     assert cy(db, "MATCH (n:P) FINISH").collect() == []
+
+
+def test_parameter_property_maps(spark):
+    """(n:L $props) / -[r:T $props]-> parameter property maps
+    (Cypher25Parser.g4 `properties : map | parameter`)."""
+    db = _scratch(spark)
+    cy2 = lambda q, **kw: db.query(q, language="cypher", **kw)  # noqa: E731
+    cy2("CREATE (:P {name: 'x', v: 1}), (:P {name: 'y', v: 2})").collect()
+    cy2("CREATE (n:Q $props)", props={"a": 1, "b": "two"}).collect()
+    row = cy2("MATCH (q:Q) RETURN q.a AS a, q.b AS b").collect()[0]
+    assert (row["a"], row["b"]) == (1, "two")
+    got = cy2("MATCH (n:P $props) RETURN n.name AS m",
+              props={"v": 1}).collect()
+    assert [r["m"] for r in got] == ["x"]
+    cy2("MATCH (a:P {name:'x'}), (b:P {name:'y'}) "
+        "CREATE (a)-[:L {w: 5}]->(b)").collect()
+    got = cy2("MATCH (a)-[r:L $rp]->(b) RETURN b.name AS m",
+              rp={"w": 5}).collect()
+    assert [r["m"] for r in got] == ["y"]
+    import pytest as _pt
+    from arcadedb_spark.sql.parser import ParseError
+
+    with _pt.raises(ParseError):
+        cy2("MATCH (n:P $nope) RETURN n")
