@@ -118,6 +118,7 @@ def _stddev(args, distinct=False):
 
 @agg("stddevpop")
 @agg("stddevp")
+@agg("stdevp")
 def _stddevpop(args, distinct=False):
     return F.stddev_pop(args[0])
 
@@ -1863,3 +1864,36 @@ def _vector_dim_count(args):
     return F.when(args[0].isNull(), F.lit(None).cast("int")).otherwise(
         F.size(args[0])
     )
+
+
+@scalar("vector.distance")
+def _vector_distance(args):
+    """vector.distance(v1, v2) — euclidean (reference vector function
+    family; vector.norm/dimension.count siblings above)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                args[0], args[1],
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+@scalar("vector.cosinesimilarity")
+def _vector_cosine_sim(args):
+    dot = F.aggregate(
+        F.zip_with(args[0], args[1],
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(
+        args[0], F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    n2 = F.sqrt(F.aggregate(
+        args[1], F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot * F.pow(n1 * n2, F.lit(-1.0))

@@ -1817,10 +1817,18 @@ class ExprCompiler:
                     f"(got {it.simpleString()}) — InvalidArgumentType"
                 )
         v = value_of(idx)
+        if isinstance(v, int) and not isinstance(v, bool):
+            # negative indices count from the end, out-of-range -> null
+            # (openCypher list access; reference Issue5476 $list[-1])
+            ordinal = v if v < 0 else v + 1
+            return F.try_element_at(base, F.lit(ordinal).cast("int"))
         if v is not None:
-            return base.getItem(v)  # 0-based for arrays, key for maps/structs
-        # element_at requires an INT ordinal (a long index analysis-fails)
-        return F.element_at(base, (idx + 1).cast("int"))
+            return base.getItem(v)  # key access for maps/structs
+        # element_at requires an INT ordinal (a long index analysis-fails);
+        # negative dynamic indices pass through (element_at is end-relative
+        # for negatives), non-negative shift to the 1-based ordinal
+        ordinal = F.when(idx < 0, idx).otherwise(idx + 1)
+        return F.try_element_at(base, ordinal.cast("int"))
 
     def _c_slice(self, e: ast.Slice) -> Column:
         # openCypher list slicing: negative indices count from the end,
@@ -2512,6 +2520,42 @@ class ExprCompiler:
             self._is_point_struct(e.args[0])
         ):
             return self._c_point_distance(e)
+        if name == "vector" and len(e.args) > 1:
+            # vector(list, dimension, FLOAT32) — reference 3-arg ctor;
+            # the element type is a bare identifier
+            elem = "float"
+            if len(e.args) > 2 and isinstance(e.args[2], ast.Chain):
+                elem = {
+                    "FLOAT32": "float", "FLOAT64": "double",
+                    "INT8": "tinyint", "INT32": "int",
+                }.get(str(e.args[2].parts[0]).upper(), "float")
+            arr = self.compile(e.args[0])
+            return F.transform(arr, lambda x: x.cast(elem))
+        if name == "vector_distance" and len(e.args) >= 2:
+            # vector_distance(v1, v2[, EUCLIDEAN|COSINE|DOT]) — the
+            # metric is a bare identifier in the reference dialect
+            metric = "EUCLIDEAN"
+            if len(e.args) > 2:
+                m = e.args[2]
+                if isinstance(m, ast.Chain) and len(m.parts) == 1:
+                    metric = str(m.parts[0]).upper()
+                elif isinstance(m, ast.Lit):
+                    metric = str(m.value).upper()
+            v1, v2 = self.compile(e.args[0]), self.compile(e.args[1])
+            fn = SCALARS[
+                "vector.cosinesimilarity" if metric == "COSINE"
+                else "vector.distance"
+            ]
+            if metric == "DOT":
+                return F.aggregate(
+                    F.zip_with(
+                        v1, v2,
+                        lambda a, b: a.cast("double") * b.cast("double"),
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+            out = fn([v1, v2])
+            return (1.0 - out) if metric == "COSINE" else out
         if is_aggregate(name, len(e.args)):
             return self._compile_aggregate(e)
         if name in SCALARS:

@@ -814,3 +814,19 @@ def test_parameter_property_maps(spark):
 
     with _pt.raises(ParseError):
         cy2("MATCH (n:P $nope) RETURN n")
+
+
+def test_negative_list_index_and_vector_distance(spark):
+    """Negative list indices count from the end with out-of-range null
+    (reference Issue5476 $list[-1]); vector_distance metric forms."""
+    db = _scratch(spark)
+    r = cy(db, "RETURN [1,2,3][-1] AS a, [1,2,3][9] AS b, "
+               "[1,2,3][-9] AS c").collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (3, None, None)
+    r = db.query("RETURN $l[-1] AS x", language="cypher",
+                 l=[5, 6, 7]).collect()[0]
+    assert r["x"] == 7
+    d = cy(db, "RETURN vector_distance(vector([0.0,0.0], 2, FLOAT32), "
+               "vector([3.0,4.0], 2, FLOAT32), EUCLIDEAN) AS d"
+           ).collect()[0]["d"]
+    assert d == 5.0
