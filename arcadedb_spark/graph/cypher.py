@@ -347,12 +347,49 @@ class CypherParser(Parser):
             or self._at_ident("CALL")
         ):
             if self._at_ident("CALL"):
-                if self.peek().kind == "OP" and self.peek().value == "{":
+                scope_vars = None
+                if self.peek().kind == "OP" and self.peek().value == "(":
+                    # Cypher-25 variable-scope clause: CALL (a, b) { … } /
+                    # CALL () { … } — sugar for the importing-WITH form
+                    save_scope = self.i
+                    self.advance()  # CALL
+                    self.advance()  # '('
+                    names: list[str] = []
+                    star = False
+                    if self.at_op("*"):
+                        self.advance()
+                        star = True
+                    else:
+                        while self.cur.kind == "IDENT":
+                            names.append(self.ident())
+                            if not self.eat_op(","):
+                                break
+                    if self.at_op(")") and self.peek().kind == "OP" \
+                            and self.peek().value == "{":
+                        self.advance()  # ')'
+                        if star:
+                            raise ParseError(
+                                "CALL (*) { … } is not supported — list "
+                                "the imported variables explicitly"
+                            )
+                        scope_vars = names
+                    else:
+                        self.i = save_scope  # not the scoped form
+                if scope_vars is not None or (
+                    self.peek().kind == "OP" and self.peek().value == "{"
+                ):
                     # CALL { … } subquery (Cypher25Parser.g4 callClause /
                     # CallStep.java:71): capture the braced block verbatim
                     # and lower it at translation time
-                    self.advance()
+                    if scope_vars is None:
+                        self.advance()  # CALL (scoped form already ate it)
                     sub_text = self._capture_brace_block()
+                    if scope_vars:
+                        # desugar to the importing-WITH spelling the
+                        # lowering already understands
+                        sub_text = (
+                            "WITH " + ", ".join(scope_vars) + " " + sub_text
+                        )
                     spliced = self._try_splice_unit_call(sub_text)
                     if spliced:
                         # unit (write-only) block: inlined as

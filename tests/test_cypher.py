@@ -830,3 +830,25 @@ def test_negative_list_index_and_vector_distance(spark):
                "vector([3.0,4.0], 2, FLOAT32), EUCLIDEAN) AS d"
            ).collect()[0]["d"]
     assert d == 5.0
+
+
+def test_scoped_call_subquery_syntax(spark):
+    """Cypher-25 CALL (a, b) { … } variable-scope clause — sugar for
+    the importing-WITH subquery form (Cypher25Parser.g4 callClause)."""
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name:'a', v:1}), (:P {name:'b', v:2}), "
+           "(:Q {name:'a'})")
+    rows = cy(db, "MATCH (p:P) CALL (p) { MATCH (q:Q {name: p.name}) "
+                  "RETURN count(q) AS nq } RETURN p.name AS n, nq "
+                  "ORDER BY n").collect()
+    assert [(r["n"], r["nq"]) for r in rows] == [("a", 1), ("b", 0)]
+    # unit write form
+    cy(db, "MATCH (p:P) CALL (p) { CREATE (:CN {v: p.v}) } "
+           "RETURN p.name AS n").collect()
+    got = cy(db, "MATCH (c:CN) RETURN c.v AS v ORDER BY v").collect()
+    assert [r["v"] for r in got] == [1, 2]
+    import pytest as _pt
+    from arcadedb_spark.sql.parser import ParseError
+
+    with _pt.raises(ParseError):
+        cy(db, "MATCH (p:P) CALL (*) { RETURN 1 AS x } RETURN x")
