@@ -2367,9 +2367,10 @@ def q_cypher_pattern_size(spark, sf_dir):
             WHERE o.o_custkey = c.c_custkey) AS n,
            (SELECT count(DISTINCT o.o_orderpriority) FROM orders o
             WHERE o.o_custkey = c.c_custkey) AS np,
-           coalesce((SELECT list(o.o_orderkey ORDER BY o.o_orderkey)
-                     FROM orders o WHERE o.o_custkey = c.c_custkey),
-                    []::BIGINT[]) AS l
+           array_to_string(
+             coalesce((SELECT list(o.o_orderkey ORDER BY o.o_orderkey)
+                       FROM orders o WHERE o.o_custkey = c.c_custkey),
+                      []::BIGINT[]), ',') AS l
     FROM customer c WHERE c.c_custkey <= 30 ORDER BY k
     """,
 )
@@ -2378,8 +2379,11 @@ def q_cypher_count_collect(spark, sf_dir):
     (Cypher25Parser.g4 countExpression/collectExpression) — each block
     lowers ONCE to a grouped marker joined back on the shared alias,
     never a correlated per-row subplan; RETURN DISTINCT inside COUNT
-    counts distinct values, COLLECT honors the block's ORDER BY."""
-    return _db(spark, sf_dir).query(
+    counts distinct values, COLLECT honors the block's ORDER BY.
+
+    The COLLECT column is joined to a comma string for the grade only —
+    the driver's pandas canonicalizer can't sort list-typed columns."""
+    df = _db(spark, sf_dir).query(
         "MATCH (c:Customer) WHERE c.c_custkey <= 30 "
         "RETURN c.c_custkey AS k, "
         "COUNT { MATCH (c)-[:PLACED]->(o) } AS n, "
@@ -2389,6 +2393,9 @@ def q_cypher_count_collect(spark, sf_dir):
         "  ORDER BY o.o_orderkey } AS l "
         "ORDER BY k",
         language="cypher",
+    )
+    return df.withColumn(
+        "l", F.concat_ws(",", F.col("l").cast("array<string>"))
     )
 
 
@@ -2559,7 +2566,7 @@ def q_gremlin_repeat(spark, sf_dir):
     "q_gremlin_group",
     oracle="""
     SELECT c_mktsegment AS key,
-           list_sort(list(c_custkey)) AS values
+           array_to_string(list_sort(list(c_custkey)), ',') AS values
     FROM customer WHERE c_acctbal > 9000
     GROUP BY c_mktsegment ORDER BY key
     """,
@@ -2567,11 +2574,18 @@ def q_gremlin_repeat(spark, sf_dir):
 def q_gremlin_group(spark, sf_dir):
     """Gremlin tier-3 steps: predicate argument (gt) + group().by().by()
     (TinkerPop GroupStep; GremlinQueryEngine.java:33) — one hash
-    aggregation, values collected per group."""
-    return _db(spark, sf_dir).query(
+    aggregation, values collected per group.
+
+    The group-values column is joined to a comma string for the grade
+    only — the driver's pandas canonicalizer can't sort list columns."""
+    df = _db(spark, sf_dir).query(
         "g.V('Customer').has('c_acctbal', gt(9000))"
         ".group().by('c_mktsegment').by('c_custkey')",
         language="gremlin",
+    )
+    return df.withColumn(
+        "values",
+        F.concat_ws(",", F.sort_array("values").cast("array<string>")),
     )
 
 
@@ -3409,22 +3423,31 @@ def q_rid_lookup(spark, sf_dir):
     "q_set_ops_scalar",
     oracle="""
     SELECT o_orderkey,
-           [x FOR x IN [o_custkey, -1] IF list_contains([-1, o_custkey], x)] AS i,
-           [x FOR x IN [-1, -2, o_custkey] IF NOT list_contains([-2], x)] AS d,
-           list_concat([o_custkey], [-1, o_custkey]) AS u
+           array_to_string([x FOR x IN [o_custkey, -1]
+                            IF list_contains([-1, o_custkey], x)], ',') AS i,
+           array_to_string([x FOR x IN [-1, -2, o_custkey]
+                            IF NOT list_contains([-2], x)], ',') AS d,
+           array_to_string(list_concat([o_custkey], [-1, o_custkey]), ',') AS u
     FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey
     """,
 )
 def q_set_ops_scalar(spark, sf_dir):
     """Multi-argument (scalar) set functions — SQLFunctionIntersect/
     Difference/UnionAll.java dispatch on argument count; one-argument
-    forms stay aggregates."""
-    return _db(spark, sf_dir).query(
+    forms stay aggregates.
+
+    The array results are joined to comma strings (order preserved, so
+    element order is still under test) for the grade only — the
+    driver's pandas canonicalizer can't sort list-typed columns."""
+    df = _db(spark, sf_dir).query(
         "SELECT o_orderkey, intersect([o_custkey, -1], [-1, o_custkey]) AS i, "
         "difference([-1, -2, o_custkey], [-2]) AS d, "
         "unionall([o_custkey], [-1, o_custkey]) AS u "
         "FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey"
     )
+    for c in ("i", "d", "u"):
+        df = df.withColumn(c, F.concat_ws(",", F.col(c).cast("array<string>")))
+    return df
 
 
 @query(

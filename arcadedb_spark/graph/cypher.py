@@ -519,10 +519,51 @@ class CypherParser(Parser):
             pstmts = probe.parse_query()
         except Exception:
             return False
-        if not pstmts or any(s is not None for s, _ in pstmts):
+        if not pstmts or len(pstmts) > 1 \
+                or any(s is not None for s, _ in pstmts):
             return False
         if getattr(probe, "_write_return", None) is not None:
             return False  # returning write subquery — not a unit block
+        # A spliced unit block must not change outer cardinality or bind
+        # read aliases: only pure write clauses, optionally after ONE
+        # bare importing `WITH a, b`.  A block containing MATCH / UNWIND
+        # / an expression WITH parses to (None, …) too, but inlining it
+        # as `WITH * …` would multiply outer rows by the block's internal
+        # cardinality and leak its read aliases — those blocks go through
+        # the decorrelating subquery stage path instead.
+        mfw = getattr(probe, "_match_for_write", None)
+        if mfw and (mfw[0] or mfw[1] is not None):
+            return False
+        pre_stages = getattr(probe, "_write_stages", None) or []
+        if len(pre_stages) > 1:
+            return False
+        for st in pre_stages:
+            if st.get("paths") or st.get("where") is not None:
+                return False
+            if st.get("unwind") or st.get("call") or st.get("subquery"):
+                return False
+            items = st.get("with_items")
+            if (
+                items is None
+                or st.get("with_where") is not None
+                or st.get("with_distinct")
+                or st.get("with_order")
+                or st.get("with_skip") is not None
+                or st.get("with_limit") is not None
+                or not all(
+                    isinstance(it.expr, ast.Chain)
+                    and len(it.expr.parts) == 1
+                    and it.alias in (None, it.expr.parts[0])
+                    for it in items
+                )
+            ):
+                return False
+        for blk in getattr(probe, "_write_blocks", []) or []:
+            bm = blk.get("match") or ([], None)
+            if bm[0] or bm[1] is not None or blk.get("unwind") \
+                    or blk.get("keep") != "*" \
+                    or blk.get("where_post") is not None:
+                return False
         # created aliases = block-local; rename them to hidden names
         created: set[str] = set()
 
@@ -1203,8 +1244,11 @@ def _lower_call_subquery(db, df, aliases, text, params,
         raise ParseError(f"Trailing input in CALL subquery at {sub.cur!r}")
     if any(s is None for s, _ in stmts):
         raise TranslateError(
-            "CALL { … } unit (write-only) subqueries are not supported — "
-            "use MATCH … CREATE/MERGE clause chaining instead"
+            "CALL { … } unit (write) subqueries may only contain write "
+            "clauses after an optional bare importing WITH — a MATCH / "
+            "UNWIND / expression WITH inside a non-returning block is "
+            "not supported; use MATCH … CREATE/MERGE clause chaining "
+            "instead"
         )
     # importing WITH: single branch whose first stage is a bare-variable
     # WITH over columns bound in the outer frame

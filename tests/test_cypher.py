@@ -852,3 +852,39 @@ def test_scoped_call_subquery_syntax(spark):
 
     with _pt.raises(ParseError):
         cy(db, "MATCH (p:P) CALL (*) { RETURN 1 AS x } RETURN x")
+
+
+def test_unit_call_rejects_cardinality_changing_blocks(spark):
+    """A non-returning CALL { } block containing MATCH / UNWIND / an
+    expression WITH must not be spliced inline — doing so would multiply
+    outer cardinality by the block's internal row count and leak its
+    read aliases (reference unit subqueries leave outer cardinality
+    unchanged — CallStep.java:71).  Pure write blocks still splice."""
+    import pytest as _pt
+
+    from arcadedb_spark.sql.translator import TranslateError
+
+    db = _scratch(spark)
+    cy(db, "CREATE (:P {name:'a'}), (:P {name:'b'}), (:P {name:'c'})")
+    # pure write block: cardinality preserved, one write per outer row
+    r = cy(db, "MATCH (p:P) CALL { CREATE (:L1) } RETURN count(*) AS n"
+           ).collect()
+    assert r[0]["n"] == 3
+    assert cy(db, "MATCH (l:L1) RETURN count(*) AS n").collect()[0]["n"] == 3
+    # bare importing WITH still splices
+    r = cy(db, "MATCH (p:P) CALL { WITH p CREATE (:L2 {w: p.name}) } "
+               "RETURN count(*) AS n").collect()
+    assert r[0]["n"] == 3
+    got = cy(db, "MATCH (l:L2) RETURN l.w AS w ORDER BY w").collect()
+    assert [x["w"] for x in got] == ["a", "b", "c"]
+    # read clauses inside a unit block: typed rejection, never a splice
+    for bad in [
+        "MATCH (p:P) CALL { MATCH (m:P) CREATE (:L3) } RETURN count(*) AS n",
+        "MATCH (p:P) CALL { UNWIND [1,2] AS x CREATE (:L3) } "
+        "RETURN count(*) AS n",
+        "MATCH (p:P) CALL { WITH p.name AS y CREATE (:L3) } "
+        "RETURN count(*) AS n",
+    ]:
+        with _pt.raises(TranslateError):
+            cy(db, bad).collect()
+    assert cy(db, "MATCH (l:L3) RETURN count(*) AS n").collect()[0]["n"] == 0
