@@ -382,7 +382,8 @@ def _expand(
 
 
 def translate_path(
-    db, path: ast.MatchPath, params: dict, keep_rel_ids: bool = False
+    db, path: ast.MatchPath, params: dict, keep_rel_ids: bool = False,
+    defer_shortest: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     root_alias = path.root.alias or f"__m{next(_uid)}"
     df = _vertex_df(db, path.root.type_name)
@@ -510,28 +511,38 @@ def translate_path(
             for c in list(df.columns):
                 if c.startswith(("__eid_", "__peids_")):
                     df = df.withColumnRenamed(c, f"{c}#{next(_uid)}")
-    if getattr(path, "shortest", None) and path.path_alias:
-        # shortestPath()/allShortestPaths(): among the (uniqueness-
-        # filtered) enumerated walks keep only minimal-hop ones per
-        # endpoint pair — a partitioned window, no global sort
-        # (reference CypherShortestPathEdgeFilterTest)
-        from pyspark.sql import Window as _W
-
-        pc = F.col(path.path_alias)
-        src_v = F.element_at(pc.getField("vids"), 1)
-        dst_v = F.element_at(pc.getField("vids"), -1)
-        w = _W.partitionBy(src_v, dst_v)
-        df = df.withColumn(
-            "__sp_min", F.min(pc.getField("n_rels")).over(w)
-        ).filter(pc.getField("n_rels") == F.col("__sp_min")).drop("__sp_min")
-        if path.shortest == "single":
-            w2 = _W.partitionBy(src_v, dst_v).orderBy(pc.getField("vids"))
-            df = (
-                df.withColumn("__sp_rn", F.row_number().over(w2))
-                .filter(F.col("__sp_rn") == 1)
-                .drop("__sp_rn")
-            )
+    if getattr(path, "shortest", None) and path.path_alias \
+            and not defer_shortest:
+        df = _apply_shortest_selection(df, path.path_alias, path.shortest)
     return df, aliases
+
+
+def _apply_shortest_selection(df: DataFrame, path_alias: str,
+                              kind: str) -> DataFrame:
+    """shortestPath()/allShortestPaths(): among the (uniqueness-filtered)
+    enumerated walks keep only minimal-hop ones per endpoint pair — a
+    partitioned window, no global sort (reference
+    CypherShortestPathEdgeFilterTest).  When the clause WHERE references
+    the path, combine_paths defers this selection until after that
+    predicate so the result is the shortest path SATISFYING it, not an
+    empty set when the globally-shortest one fails it."""
+    from pyspark.sql import Window as _W
+
+    pc = F.col(path_alias)
+    src_v = F.element_at(pc.getField("vids"), 1)
+    dst_v = F.element_at(pc.getField("vids"), -1)
+    w = _W.partitionBy(src_v, dst_v)
+    df = df.withColumn(
+        "__sp_min", F.min(pc.getField("n_rels")).over(w)
+    ).filter(pc.getField("n_rels") == F.col("__sp_min")).drop("__sp_min")
+    if kind == "single":
+        w2 = _W.partitionBy(src_v, dst_v).orderBy(pc.getField("vids"))
+        df = (
+            df.withColumn("__sp_rn", F.row_number().over(w2))
+            .filter(F.col("__sp_rn") == 1)
+            .drop("__sp_rn")
+        )
+    return df
 
 
 def _collect_pattern_exprs(e, out: list, bound: frozenset = frozenset()) -> None:
@@ -1390,6 +1401,52 @@ def _join_on_shared(
     return out
 
 
+def _and_conjuncts(e) -> list:
+    """Split an expression on top-level ANDs."""
+    if isinstance(e, ast.Bin) and e.op.upper() == "AND":
+        return _and_conjuncts(e.left) + _and_conjuncts(e.right)
+    return [e]
+
+
+def _mentions_alias(e, alias: str) -> bool:
+    """True when the expression references the given bound alias."""
+    if isinstance(e, ast.Chain):
+        return bool(e.parts) and e.parts[0] == alias
+    if hasattr(e, "__dataclass_fields__"):
+        return any(
+            _mentions_alias(getattr(e, f_), alias)
+            for f_ in e.__dataclass_fields__
+        )
+    if isinstance(e, (tuple, list)):
+        return any(_mentions_alias(x, alias) for x in e)
+    return False
+
+
+def _apply_where_conjuncts(db, df: DataFrame, conjs: list,
+                           params: dict) -> DataFrame:
+    """Compile and apply a list of WHERE conjuncts (pattern markers
+    attached as needed) as one filter."""
+    if not conjs:
+        return df
+    markers: dict = {}
+    marker_cols: list = []
+    df = attach_pattern_markers(db, df, conjs, params, markers, marker_cols)
+    # relationships(p)/nodes(p)/startNode/endNode inside WHERE need the
+    # same entity enrichment RETURN expressions get
+    df = attach_entity_lookups(db, df, conjs, params, markers)
+    wctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
+               frame_schema=df.schema, precompiled=markers)
+    comp = ExprCompiler(wctx)
+    cond = None
+    for c in conjs:
+        cc = comp.compile(c)
+        cond = cc if cond is None else (cond & cc)
+    df = df.filter(cond)
+    if marker_cols:
+        df = df.drop(*marker_cols)
+    return df
+
+
 def combine_paths(
     db,
     paths,
@@ -1415,10 +1472,26 @@ def combine_paths(
         if p_.rel_unique and p_.clause_id >= 0:
             clause_sizes[p_.clause_id] = clause_sizes.get(p_.clause_id, 0) + 1
     clause_eids: dict[int, list[str]] = {}
+    # shortestPath whose clause WHERE references the path (or its
+    # relationships/nodes): the predicate must filter candidate walks
+    # BEFORE minimal-hop selection — openCypher returns the shortest
+    # path SATISFYING the predicate, not empty when the globally
+    # shortest path fails it (reference shortest-path edge-filter
+    # behavior, CypherShortestPathEdgeFilterTest)
+    deferred_sp: list[tuple[str, str]] = []
     for path in positive:
         path, hoisted = _hoist_frame_prop_conjuncts(path, seen)
         defer_ids = clause_sizes.get(path.clause_id, 0) > 1
-        pdf, paliases = translate_path(db, path, params, keep_rel_ids=defer_ids)
+        defer_sp = bool(
+            getattr(path, "shortest", None) and path.path_alias
+            and not path.optional and where is not None
+            and _mentions_alias(where, path.path_alias)
+        )
+        pdf, paliases = translate_path(db, path, params,
+                                       keep_rel_ids=defer_ids,
+                                       defer_shortest=defer_sp)
+        if defer_sp:
+            deferred_sp.append((path.path_alias, path.shortest))
         if defer_ids:
             clause_eids.setdefault(path.clause_id, []).extend(
                 c for c in pdf.columns
@@ -1528,17 +1601,22 @@ def combine_paths(
 
     # global WHERE over bound aliases (Cypher); Catalyst pushes the
     # predicate down through the joins where possible
-    if where is not None:
-        markers: dict = {}
-        marker_cols: list = []
-        df = attach_pattern_markers(
-            db, df, [where], params, markers, marker_cols
-        )
-        wctx = Ctx(cypher=True, db=db, params=params, columns=tuple(df.columns),
-                   frame_schema=df.schema, precompiled=markers)
-        df = df.filter(ExprCompiler(wctx).compile(where))
-        if marker_cols:
-            df = df.drop(*marker_cols)
+    if where is not None and deferred_sp:
+        # split conjuncts: path-referencing ones filter the candidate
+        # walks first, THEN minimal-hop selection runs, then the rest
+        conjs = _and_conjuncts(where)
+        pre_idx = {
+            i for i, c in enumerate(conjs)
+            if any(_mentions_alias(c, a) for a, _ in deferred_sp)
+        }
+        pre = [conjs[i] for i in sorted(pre_idx)]
+        post = [c for i, c in enumerate(conjs) if i not in pre_idx]
+        df = _apply_where_conjuncts(db, df, pre, params)
+        for a, kind in deferred_sp:
+            df = _apply_shortest_selection(df, a, kind)
+        df = _apply_where_conjuncts(db, df, post, params)
+    elif where is not None:
+        df = _apply_where_conjuncts(db, df, [where], params)
 
     for path in negative:
         pdf, paliases = translate_path(db, path, params)

@@ -1818,6 +1818,14 @@ class ExprCompiler:
                 )
         v = value_of(idx)
         if isinstance(v, int) and not isinstance(v, bool):
+            from pyspark.sql.types import StructType as _StT
+
+            if isinstance(bt, _StT):
+                # positional field access on a struct — try_element_at
+                # fails analysis on structs; getItem resolves the 0-based
+                # ordinal via GetStructField
+                return base.getItem(v) if 0 <= v < len(bt.fields) \
+                    else _lit(None)
             # negative indices count from the end, out-of-range -> null
             # (openCypher list access; reference Issue5476 $list[-1])
             ordinal = v if v < 0 else v + 1

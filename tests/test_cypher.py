@@ -888,3 +888,30 @@ def test_unit_call_rejects_cardinality_changing_blocks(spark):
         with _pt.raises(TranslateError):
             cy(db, bad).collect()
     assert cy(db, "MATCH (l:L3) RETURN count(*) AS n").collect()[0]["n"] == 0
+
+
+def test_shortest_path_where_filters_before_minhop(spark):
+    """WHERE conjuncts referencing the shortestPath path filter the
+    candidate walks BEFORE minimal-hop selection: the result is the
+    shortest path SATISFYING the predicate, not empty when the globally
+    shortest one fails it (reference shortest-path edge-filter
+    semantics, CypherShortestPathEdgeFilterTest)."""
+    db = _scratch(spark)
+    cy(db, "CREATE (a:N {name:'a'})-[:E {w:1}]->(b:N {name:'b'})"
+           "-[:E {w:2}]->(c:N {name:'c'})-[:E {w:3}]->(d:N {name:'d'}), "
+           "(a)-[:E {w:9}]->(d)")
+    r = cy(db, "MATCH p = shortestPath((a:N {name:'a'})-[:E*..6]->"
+               "(d:N {name:'d'})) "
+               "WHERE all(r IN relationships(p) WHERE r.w < 5) "
+               "RETURN length(p) AS l").collect()
+    assert [x["l"] for x in r] == [3]
+    # without the predicate the direct heavy edge wins
+    r2 = cy(db, "MATCH p = shortestPath((a:N {name:'a'})-[:E*..6]->"
+                "(d:N {name:'d'})) RETURN length(p) AS l").collect()
+    assert [x["l"] for x in r2] == [1]
+    # non-path conjuncts mix in (they apply around the deferral split)
+    r3 = cy(db, "MATCH p = shortestPath((a:N)-[:E*..6]->(d:N)) "
+                "WHERE a.name = 'a' AND d.name = 'd' AND "
+                "all(r IN relationships(p) WHERE r.w < 5) "
+                "RETURN length(p) AS l").collect()
+    assert sorted(x["l"] for x in r3) == [3]
