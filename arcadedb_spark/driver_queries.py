@@ -2717,6 +2717,50 @@ def q_mongo_find(spark, sf_dir):
 
 
 @query(
+    "q_mongo_aggregate",
+    oracle="""
+    SELECT o_orderpriority AS _id,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS total,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+    ORDER BY total DESC
+    LIMIT 3
+    """,
+)
+def q_mongo_aggregate(spark, sf_dir):
+    """MongoDB aggregation pipeline (MongoDBDatabaseWrapper.
+    aggregateCollection:245-266): $match pushes into the parquet scan,
+    $group is one hash aggregation, $sort+$limit fuse to
+    TakeOrderedAndProject."""
+    import json
+
+    return _db(spark, sf_dir).query(
+        json.dumps({
+            "aggregate": "orders",
+            "pipeline": [
+                {"$match": {"o_orderstatus": "F",
+                            "o_totalprice": {"$gt": 50000}}},
+                {"$group": {"_id": "$o_orderpriority",
+                            "n": {"$sum": 1},
+                            "total": {"$sum": {"$toDecimal":
+                                               "$o_totalprice"}},
+                            "avg_price": {"$avg": "$o_totalprice"}}},
+                {"$addFields": {"total": {"$toDouble": "$total"},
+                                "avg_price": {"$round":
+                                              ["$avg_price", 4]}}},
+                {"$sort": {"total": -1}},
+                {"$limit": 3},
+            ],
+        }),
+        language="mongo",
+    )
+
+
+@query(
     "q_agg_tail",
     oracle="""
     SELECT c_mktsegment,
@@ -3763,6 +3807,10 @@ def q_knn_pq(spark, sf_dir):
 
 
 _PRIORITY = [
+    # round-6 rotation: new queries first (never driver-graded), then the
+    # three reshaped canon-safe queries (ERR in r5), then least-recently
+    # graded.
+    "q_mongo_aggregate",
     "q_cypher_count_collect",
     # round-5 grading rotation: the 21 queries added this round have
     # never been driver-graded -- they go first; next the set last

@@ -92,6 +92,8 @@ def mongo_query(db, text: str) -> DataFrame:
     """Query envelope → DataFrame
     (MongoDBDatabaseWrapper.query :142-166)."""
     q = json.loads(text)
+    if "aggregate" in q:
+        return mongo_aggregate(db, q)
     if "collection" not in q:
         raise ValueError("Mongo query needs a 'collection' field")
     df = db.schema.table(q["collection"])
@@ -117,4 +119,283 @@ def mongo_query(db, text: str) -> DataFrame:
         df = df.offset(skip)
     if limit:
         df = df.limit(limit)
+    return df
+
+
+# ===========================================================================
+# Aggregation pipeline (MongoDBDatabaseWrapper.aggregateCollection:245-266 —
+# the reference delegates stage semantics to mongo-java-server's
+# Aggregation; this is the same stage set compiled to DataFrame ops so
+# Catalyst plans it like any SQL query: $match pushes into the scan,
+# $group is one hash aggregation, $sort/$limit fuse to TakeOrdered.)
+# ===========================================================================
+
+_EXPR_OPS = {
+    "$add", "$subtract", "$multiply", "$divide", "$mod", "$pow", "$abs",
+    "$ceil", "$floor", "$round", "$sqrt", "$concat", "$toLower", "$toUpper",
+    "$strLenCP", "$substrCP", "$trim", "$cond", "$ifNull", "$eq", "$ne",
+    "$lt", "$lte", "$gt", "$gte", "$and", "$or", "$not", "$literal",
+    "$toString", "$toInt", "$toLong", "$toDouble", "$size", "$year",
+    "$month", "$dayOfMonth", "$hour", "$minute", "$second",
+}
+
+
+def compile_expr(spec) -> Column:
+    """Aggregation expression → Column: ``"$field"`` references, literals,
+    operator documents ({$add: [...]}, {$cond: ...})."""
+    if isinstance(spec, str) and spec.startswith("$"):
+        return F.col(spec[1:])
+    if isinstance(spec, dict):
+        if len(spec) != 1:
+            raise ValueError(
+                f"Aggregation expression must have exactly one operator: "
+                f"{sorted(spec)}"
+            )
+        op, args = next(iter(spec.items()))
+        if not op.startswith("$"):
+            raise ValueError(f"Unknown aggregation expression field: {op}")
+        if op == "$literal":
+            return F.lit(args)
+        if op == "$cond" and isinstance(args, dict):
+            return F.when(
+                compile_expr(args["if"]), compile_expr(args["then"])
+            ).otherwise(compile_expr(args["else"]))
+        if op == "$trim":
+            return F.trim(compile_expr(
+                args["input"] if isinstance(args, dict) else args
+            ))
+        a = [compile_expr(x) for x in args] if isinstance(args, list) \
+            else [compile_expr(args)]
+        if op == "$add":
+            out = a[0]
+            for c in a[1:]:
+                out = out + c
+            return out
+        if op == "$subtract":
+            return a[0] - a[1]
+        if op == "$multiply":
+            out = a[0]
+            for c in a[1:]:
+                out = out * c
+            return out
+        if op == "$divide":
+            return a[0] / a[1]
+        if op == "$mod":
+            return a[0] % a[1]
+        if op == "$pow":
+            return F.pow(a[0], a[1])
+        if op == "$abs":
+            return F.abs(a[0])
+        if op == "$ceil":
+            return F.ceil(a[0])
+        if op == "$floor":
+            return F.floor(a[0])
+        if op == "$round":
+            return F.round(a[0], 0) if len(a) == 1 else F.round(
+                a[0], int(args[1])
+            )
+        if op == "$sqrt":
+            return F.sqrt(a[0])
+        if op == "$concat":
+            return F.concat(*a)
+        if op == "$toLower":
+            return F.lower(a[0])
+        if op == "$toUpper":
+            return F.upper(a[0])
+        if op == "$strLenCP":
+            return F.length(a[0])
+        if op == "$substrCP":
+            # Mongo is 0-based, substring() 1-based
+            return F.substring(a[0], compile_expr(args[1]) + 1,
+                               compile_expr(args[2]))
+        if op == "$cond":
+            return F.when(a[0], a[1]).otherwise(a[2])
+        if op == "$ifNull":
+            return F.coalesce(*a)
+        if op == "$eq":
+            return a[0].eqNullSafe(a[1])
+        if op == "$ne":
+            return ~a[0].eqNullSafe(a[1])
+        if op == "$lt":
+            return a[0] < a[1]
+        if op == "$lte":
+            return a[0] <= a[1]
+        if op == "$gt":
+            return a[0] > a[1]
+        if op == "$gte":
+            return a[0] >= a[1]
+        if op == "$and":
+            out = a[0]
+            for c in a[1:]:
+                out = out & c
+            return out
+        if op == "$or":
+            out = a[0]
+            for c in a[1:]:
+                out = out | c
+            return out
+        if op == "$not":
+            return ~a[0]
+        if op == "$toString":
+            return a[0].cast("string")
+        if op == "$toInt":
+            return a[0].cast("int")
+        if op == "$toLong":
+            return a[0].cast("long")
+        if op == "$toDouble":
+            return a[0].cast("double")
+        if op == "$toDecimal":
+            return a[0].cast("decimal(25,6)")
+        if op == "$size":
+            return F.size(a[0])
+        if op == "$year":
+            return F.year(a[0])
+        if op == "$month":
+            return F.month(a[0])
+        if op == "$dayOfMonth":
+            return F.dayofmonth(a[0])
+        if op == "$hour":
+            return F.hour(a[0])
+        if op == "$minute":
+            return F.minute(a[0])
+        if op == "$second":
+            return F.second(a[0])
+        raise ValueError(f"Unsupported aggregation operator: {op}")
+    return F.lit(spec)
+
+
+def _group_acc(spec: dict) -> Column:
+    """Accumulator document → aggregate Column ($group stage)."""
+    if not (isinstance(spec, dict) and len(spec) == 1):
+        raise ValueError(f"Accumulator must be a one-operator doc: {spec}")
+    op, arg = next(iter(spec.items()))
+    if op == "$sum":
+        if isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            # {$sum: 1} = count; {$sum: k} = k * count
+            return (F.count(F.lit(1)) * F.lit(arg)) if arg != 1 \
+                else F.count(F.lit(1))
+        return F.sum(compile_expr(arg))
+    if op == "$avg":
+        return F.avg(compile_expr(arg))
+    if op == "$min":
+        return F.min(compile_expr(arg))
+    if op == "$max":
+        return F.max(compile_expr(arg))
+    if op == "$count":
+        return F.count(F.lit(1))
+    if op == "$first":
+        return F.first(compile_expr(arg), ignorenulls=False)
+    if op == "$last":
+        return F.last(compile_expr(arg), ignorenulls=False)
+    if op == "$push":
+        return F.collect_list(compile_expr(arg))
+    if op == "$addToSet":
+        return F.array_distinct(F.collect_list(compile_expr(arg)))
+    if op == "$stdDevPop":
+        return F.stddev_pop(compile_expr(arg))
+    if op == "$stdDevSamp":
+        return F.stddev_samp(compile_expr(arg))
+    raise ValueError(f"Unsupported $group accumulator: {op}")
+
+
+def _stage_group(df: DataFrame, spec: dict) -> DataFrame:
+    gid = spec.get("_id", "missing")
+    keys: list[Column] = []
+    if gid is None:
+        pass  # single global group
+    elif isinstance(gid, dict):
+        keys = [compile_expr(v).alias(k) for k, v in gid.items()]
+    else:
+        keys = [compile_expr(gid).alias("_id")]
+    aggs = [
+        _group_acc(acc).alias(name)
+        for name, acc in spec.items()
+        if name != "_id"
+    ]
+    if not aggs:
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")) \
+                 .drop("__n") if keys else df.select(F.lit(None).alias("_id")).limit(1)
+    if keys:
+        out = df.groupBy(*keys).agg(*aggs)
+        if isinstance(gid, dict):
+            # compound _id: rewrap the key columns as an _id struct
+            out = out.select(
+                F.struct(*[F.col(k) for k in gid]).alias("_id"),
+                *[a for a in out.columns if a not in gid],
+            )
+        return out
+    out = df.agg(*aggs)
+    return out.select(F.lit(None).alias("_id"), *out.columns)
+
+
+def _stage_project(df: DataFrame, spec: dict) -> DataFrame:
+    includes: list[Column] = []
+    excludes: list[str] = []
+    inclusive = None
+    for k, v in spec.items():
+        if v in (0, False):
+            if k != "_id":
+                inclusive = False if inclusive is None else inclusive
+            excludes.append(k)
+        elif v in (1, True):
+            inclusive = True
+            includes.append(F.col(k).alias(k))
+        else:
+            inclusive = True
+            includes.append(compile_expr(v).alias(k))
+    if inclusive is False or (inclusive is None and excludes):
+        keep = [c for c in df.columns if c not in excludes]
+        return df.select(*keep)
+    return df.select(*includes)
+
+
+def mongo_aggregate(db, doc: dict) -> DataFrame:
+    """``{"aggregate": coll, "pipeline": [...]}`` →  DataFrame
+    (MongoDBDatabaseWrapper.aggregateCollection:245-266).  Stages:
+    $match $group $project $addFields/$set $unset $sort $skip $limit
+    $unwind $count.  $changeStream is the streaming path and is not
+    supported in batch."""
+    df = db.schema.table(doc["aggregate"])
+    for stage in doc.get("pipeline", []) or []:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise ValueError(f"Each pipeline stage is a one-key doc: {stage}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            df = df.filter(compile_filter(spec))
+        elif op == "$group":
+            df = _stage_group(df, spec)
+        elif op == "$project":
+            df = _stage_project(df, spec)
+        elif op in ("$addFields", "$set"):
+            for k, v in spec.items():
+                df = df.withColumn(k, compile_expr(v))
+        elif op == "$unset":
+            df = df.drop(*(spec if isinstance(spec, list) else [spec]))
+        elif op == "$sort":
+            df = df.orderBy(*[
+                F.col(k).asc() if int(v) >= 0 else F.col(k).desc()
+                for k, v in spec.items()
+            ])
+        elif op == "$skip":
+            df = df.offset(int(spec))
+        elif op == "$limit":
+            df = df.limit(int(spec))
+        elif op == "$count":
+            df = df.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$unwind":
+            path = spec["path"] if isinstance(spec, dict) else spec
+            fld = path[1:] if path.startswith("$") else path
+            if isinstance(spec, dict) and spec.get(
+                "preserveNullAndEmptyArrays"
+            ):
+                df = df.withColumn(fld, F.explode_outer(F.col(fld)))
+            else:
+                df = df.withColumn(fld, F.explode(F.col(fld)))
+        elif op == "$changeStream":
+            raise ValueError(
+                "$changeStream is a streaming cursor — use the Structured "
+                "Streaming surface (arcadedb_spark.streaming) instead"
+            )
+        else:
+            raise ValueError(f"Unsupported pipeline stage: {op}")
     return df

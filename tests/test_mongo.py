@@ -60,3 +60,94 @@ def test_mongo_not_exists_regex(db):
     assert rx == 10
     with pytest.raises(ValueError):
         mq(db, {"collection": "customer", "query": {"c_name": {"$weird": 1}}}).count()
+
+
+def test_mongo_aggregate_match_group_sort(db):
+    """$match → $group (accumulators) → $sort → $limit chain
+    (MongoDBDatabaseWrapper.aggregateCollection:245-266)."""
+    rows = mq(db, {
+        "aggregate": "customer",
+        "pipeline": [
+            {"$match": {"c_acctbal": {"$gt": 9000}}},
+            {"$group": {"_id": "$c_mktsegment",
+                        "n": {"$sum": 1},
+                        "mx": {"$max": "$c_acctbal"},
+                        "names": {"$push": "$c_name"}}},
+            {"$sort": {"_id": 1}},
+        ],
+    }).collect()
+    segs = [r["_id"] for r in rows]
+    assert segs == sorted(segs) and len(segs) >= 3
+    for r in rows:
+        assert r["n"] == len(r["names"]) and r["mx"] > 9000
+
+
+def test_mongo_aggregate_compound_id_and_null_id(db):
+    rows = mq(db, {
+        "aggregate": "orders",
+        "pipeline": [
+            {"$group": {"_id": {"pri": "$o_orderpriority",
+                                "st": "$o_orderstatus"},
+                        "n": {"$sum": 1}}},
+        ],
+    }).collect()
+    assert all(set(r["_id"].asDict()) == {"pri", "st"} for r in rows)
+    total = sum(r["n"] for r in rows)
+    # null _id = one global group
+    g = mq(db, {
+        "aggregate": "orders",
+        "pipeline": [{"$group": {"_id": None, "n": {"$sum": 1}}}],
+    }).collect()
+    assert len(g) == 1 and g[0]["n"] == total and g[0]["_id"] is None
+
+
+def test_mongo_aggregate_project_addfields_unwind_count(db):
+    rows = mq(db, {
+        "aggregate": "nation",
+        "pipeline": [
+            {"$addFields": {"up": {"$toUpper": "$n_name"},
+                            "k2": {"$multiply": ["$n_nationkey", 2]}}},
+            {"$project": {"up": 1, "k2": 1, "_id": 0}},
+            {"$sort": {"k2": 1}},
+            {"$limit": 2},
+        ],
+    }).collect()
+    assert [set(r.asDict()) for r in rows] == [{"up", "k2"}] * 2
+    assert rows[0]["k2"] == 0 and rows[0]["up"] == rows[0]["up"].upper()
+    # $count terminal
+    c = mq(db, {
+        "aggregate": "region",
+        "pipeline": [{"$count": "regions"}],
+    }).collect()
+    assert c[0]["regions"] == 5
+    # $unwind multiplies rows by array length
+    u = mq(db, {
+        "aggregate": "nation",
+        "pipeline": [
+            {"$limit": 1},
+            {"$addFields": {"tags": {"$literal": [1, 2, 3]}}},
+            {"$unwind": "$tags"},
+        ],
+    }).collect()
+    assert len(u) == 3 and sorted(r["tags"] for r in u) == [1, 2, 3]
+
+
+def test_mongo_aggregate_cond_ifnull_errors(db):
+    rows = mq(db, {
+        "aggregate": "region",
+        "pipeline": [
+            {"$addFields": {
+                "flag": {"$cond": {"if": {"$lte": ["$r_regionkey", 2]},
+                                   "then": "low", "else": "high"}},
+                "nn": {"$ifNull": ["$r_name", "?"]}}},
+            {"$group": {"_id": "$flag", "n": {"$sum": 1}}},
+            {"$sort": {"_id": 1}},
+        ],
+    }).collect()
+    assert [(r["_id"], r["n"]) for r in rows] == [("high", 2), ("low", 3)]
+    with pytest.raises(ValueError):
+        mq(db, {"aggregate": "region",
+                "pipeline": [{"$weird": {}}]}).count()
+    with pytest.raises(ValueError):
+        mq(db, {"aggregate": "region",
+                "pipeline": [{"$changeStream": {}}]}).count()
