@@ -276,6 +276,14 @@ class Database:
         Pipeline analog of SQLQueryEngine.java:85: parse (cached) →
         translate to a DataFrame program → Catalyst plans/executes.
         """
+        head = text.lstrip()
+        kw = head[:8].upper()
+        if kw.startswith("EXPLAIN") and (len(head) == 7 or head[7].isspace()):
+            return self._explain(head[7:].lstrip(), language, params,
+                                 profile=False)
+        if kw.startswith("PROFILE") and (len(head) == 7 or head[7].isspace()):
+            return self._explain(head[7:].lstrip(), language, params,
+                                 profile=True)
         if language.lower() in ("cypher", "opencypher"):
             from arcadedb_spark.graph.cypher import cypher_query
 
@@ -301,6 +309,52 @@ class Database:
             stmt = parse(text)
             self._plan_cache[key] = stmt
         return Translator(self, params=params).translate(stmt)
+
+    _WRITE_HEADS = (
+        "INSERT", "UPDATE", "DELETE", "CREATE", "MERGE", "DROP", "ALTER",
+        "TRUNCATE", "BACKUP", "IMPORT", "EXPORT", "DEFINE", "REMOVE",
+        "FOREACH", "DETACH", "REBUILD", "CHECK",
+    )
+
+    def _explain(self, inner: str, language: str, params: dict,
+                 profile: bool) -> DataFrame:
+        """EXPLAIN/PROFILE <statement> (parser/ExplainStatement.java,
+        ProfileStatement.java, ExplainResultSet.java): one row with the
+        physical plan Catalyst chose.  EXPLAIN never runs a job — the
+        plan comes from analysis only; PROFILE executes once and attaches
+        the row count and wall time (ProfileStatement returns the plan
+        annotated with execution stats)."""
+        import contextlib
+        import io
+        import time as _t
+
+        if not inner:
+            raise ValueError("EXPLAIN/PROFILE requires a statement")
+        head = inner.split(None, 1)[0].upper()
+        if head in self._WRITE_HEADS:
+            raise ValueError(
+                "EXPLAIN/PROFILE of write statements is not supported — "
+                "writes here execute eagerly (documented deviation); "
+                "EXPLAIN covers SELECT/MATCH/TRAVERSE reads"
+            )
+        df = self.query(inner, language=language, **params)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if not profile:
+            return self.spark.createDataFrame(
+                [(inner, language, plan)],
+                "statement string, language string, plan string",
+            )
+        t0 = _t.perf_counter()
+        n = df.count()
+        elapsed_ms = (_t.perf_counter() - t0) * 1000.0
+        return self.spark.createDataFrame(
+            [(inner, language, plan, n, float(elapsed_ms))],
+            "statement string, language string, plan string, "
+            "rows bigint, elapsed_ms double",
+        )
 
     def command(self, text: str, language: str = "sql", **params) -> DataFrame:
         """DML/DDL entry point (LocalDatabase.command :1738).
