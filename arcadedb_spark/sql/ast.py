@@ -556,6 +556,34 @@ class AlterTimeSeriesTypeStmt:
 
 
 @dataclass(frozen=True)
+class AlterTypeStmt:
+    """ALTER TYPE <name> <attribute> <value>
+    (parser/AlterTypeStatement.java:28) — attributes: NAME, SUPERTYPE
+    (±list), BUCKET (±list), BUCKETSELECTIONSTRATEGY, CUSTOM k = v."""
+
+    name: str
+    attr: Optional[str] = None  # name|supertype|bucket|bucketselectionstrategy
+    value: Optional[str] = None
+    # (add: bool, ident) pairs for SUPERTYPE/BUCKET ±lists
+    add_remove: tuple = ()
+    custom_key: Optional[str] = None
+    custom_value: object = None
+
+
+@dataclass(frozen=True)
+class AlterPropertyStmt:
+    """ALTER PROPERTY <type>.<prop> <setting> <value> | CUSTOM k = v
+    (parser/AlterPropertyStatement.java)."""
+
+    type_name: str
+    prop: str
+    setting: Optional[str] = None
+    value: object = None
+    custom_key: Optional[str] = None
+    custom_value: object = None
+
+
+@dataclass(frozen=True)
 class DropTypeStmt:
     name: str
     if_exists: bool = False

@@ -56,6 +56,10 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _drop_type(db, stmt)
     if isinstance(stmt, ast.CreatePropertyStmt):
         return _create_property(db, stmt)
+    if isinstance(stmt, ast.AlterTypeStmt):
+        return _alter_type(db, stmt)
+    if isinstance(stmt, ast.AlterPropertyStmt):
+        return _alter_property(db, stmt)
     if isinstance(stmt, ast.CreateIndexStmt):
         if stmt.type_name:
             name = f"{stmt.type_name}[{','.join(stmt.props)}]"
@@ -617,6 +621,115 @@ def _create_property(db, stmt: ast.CreatePropertyStmt) -> DataFrame:
         **{k: v for k, v in stmt.constraints},
     }
     return _result(db, 1)
+
+
+def _op_result(db, **cols) -> DataFrame:
+    """One-row result frame mirroring the reference's ALTER result shape
+    (operation/oldValue/newValue properties on a ResultInternal)."""
+    vals = tuple(None if v is None else str(v) for v in cols.values())
+    schema = ", ".join(f"`{k}` string" for k in cols)
+    return db.spark.createDataFrame([vals], schema)
+
+
+def _alter_type(db, stmt: ast.AlterTypeStmt) -> DataFrame:
+    """ALTER TYPE (AlterTypeStatement.java:115): NAME renames the type in
+    the catalog (subtype parent links follow), SUPERTYPE/BUCKET apply
+    ±lists, BUCKETSELECTIONSTRATEGY and CUSTOM are catalog metadata."""
+    if not db.schema.exists(stmt.name):
+        raise TranslateError(f"Type not found: {stmt.name}")
+    tdef = db.schema.get(stmt.name)
+    if stmt.custom_key is not None:
+        tdef.properties.setdefault("custom", {})[stmt.custom_key] = \
+            stmt.custom_value
+        return _op_result(db, operation="alter type custom",
+                          custom=f"{stmt.custom_key}={stmt.custom_value}")
+    if stmt.attr == "name":
+        new = stmt.value
+        if db.schema.exists(new):
+            raise TranslateError(f"Type '{new}' already exists")
+        old = tdef.name
+        db.schema._types.pop(old.lower(), None)
+        tdef.name = new
+        db.schema._types[new.lower()] = tdef
+        # subtype parent links follow the rename
+        for t in db.schema._types.values():
+            if any(p.lower() == old.lower() for p in t.parents):
+                t.parents = tuple(
+                    new if p.lower() == old.lower() else p
+                    for p in t.parents
+                )
+        db._plan_cache.clear()
+        return _op_result(db, operation="alter type name",
+                          oldValue=old, newValue=new)
+    if stmt.attr == "supertype":
+        parents = list(tdef.parents)
+        for add, ident in stmt.add_remove:
+            if add:
+                if not db.schema.exists(ident):
+                    raise TranslateError(f"Type not found: {ident}")
+                if ident not in parents:
+                    parents.append(ident)
+            else:
+                parents = [p for p in parents
+                           if p.lower() != ident.lower()]
+        tdef.parents = tuple(parents)
+        db._plan_cache.clear()
+        return _op_result(db, operation="alter type supertype",
+                          supertype=",".join(parents))
+    if stmt.attr == "bucket":
+        buckets = list(tdef.properties.get("extra_buckets", ()))
+        for add, ident in stmt.add_remove:
+            if add:
+                if ident not in buckets:
+                    buckets.append(ident)
+            else:
+                buckets = [b for b in buckets if b != ident]
+        tdef.properties["extra_buckets"] = buckets
+        return _op_result(db, operation="alter type bucket",
+                          buckets=",".join(buckets))
+    if stmt.attr == "bucketselectionstrategy":
+        old = tdef.properties.get("bucket_selection_strategy")
+        tdef.properties["bucket_selection_strategy"] = stmt.value
+        return _op_result(db, operation="alter type bucketselectionstrategy",
+                          oldValue=old, newValue=stmt.value)
+    raise TranslateError(
+        f"Error on alter type: property '{stmt.attr}' not valid"
+    )
+
+
+def _alter_property(db, stmt: ast.AlterPropertyStmt) -> DataFrame:
+    """ALTER PROPERTY (AlterPropertyStatement.java:49-140): updates the
+    declared-property constraint map; the next INSERT/UPDATE re-validates
+    through _validate_row against the new constraints."""
+    if not db.schema.exists(stmt.type_name):
+        raise TranslateError(f"Type not found: {stmt.type_name}")
+    tdef = db.schema.get(stmt.type_name)
+    declared = tdef.properties.setdefault("declared", {})
+    spec = declared.get(stmt.prop)
+    if spec is None:
+        raise TranslateError(
+            f"Property '{stmt.prop}' not found on type {stmt.type_name}"
+        )
+    if stmt.custom_key is not None:
+        old = spec.setdefault("custom", {}).get(stmt.custom_key)
+        spec["custom"][stmt.custom_key] = stmt.custom_value
+        return _op_result(
+            db, type=stmt.type_name, property=stmt.prop,
+            operation="alter property custom",
+            customAttribute=stmt.custom_key, oldValue=old,
+            newValue=stmt.custom_value,
+        )
+    old = spec.get(stmt.setting)
+    if stmt.value is None and stmt.setting in ("min", "max", "default",
+                                               "regexp"):
+        spec.pop(stmt.setting, None)  # NULL clears the constraint
+    else:
+        spec[stmt.setting] = stmt.value
+    return _op_result(
+        db, type=stmt.type_name, property=stmt.prop,
+        operation="alter property", attribute=stmt.setting,
+        oldValue=old, newValue=stmt.value,
+    )
 
 
 def _validate_row(db, type_name: str, row: dict) -> dict:

@@ -335,9 +335,28 @@ class Parser:
     def parse_alter(self) -> ast.Statement:
         # ALTER TIMESERIES TYPE name ADD DOWNSAMPLING POLICY
         #   (AFTER n unit GRANULARITY n unit)+ | DROP DOWNSAMPLING POLICY
+        # ALTER TYPE name <attr> <value> (AlterTypeStatement.java:28)
+        # ALTER PROPERTY type.prop <setting> <value> | CUSTOM k = v
+        # ALTER BUCKET name <attr> <value> (AlterBucketStatement.java —
+        #   the reference's own executeDDL throws UnsupportedOperation)
         self.advance()  # ALTER
+        if self.at_kw("TYPE"):
+            return self._parse_alter_type()
+        if self.at_kw("PROPERTY") or (
+            self.cur.kind == "IDENT" and self.cur.value.upper() == "PROPERTY"
+        ):
+            return self._parse_alter_property()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKET":
+            raise ParseError(
+                "ALTER BUCKET is not supported (the reference's own "
+                "AlterBucketStatement.executeDDL throws "
+                "UnsupportedOperationException — AlterBucketStatement."
+                "java:92); buckets here are parquet partitions"
+            )
         if not (self.cur.kind == "IDENT" and self.cur.value.upper() == "TIMESERIES"):
-            raise ParseError("Only ALTER TIMESERIES TYPE is supported")
+            raise ParseError(
+                "Expected TYPE, PROPERTY or TIMESERIES after ALTER"
+            )
         self.advance()
         self.expect_kw("TYPE")
         name = self.ident()
@@ -362,6 +381,121 @@ class Parser:
         if not tiers:
             raise ParseError("ADD DOWNSAMPLING POLICY needs ≥1 AFTER…GRANULARITY tier")
         return ast.AlterTimeSeriesTypeStmt(name=name, add_tiers=tuple(tiers))
+
+    def _parse_alter_type(self) -> ast.AlterTypeStmt:
+        self.expect_kw("TYPE")
+        name = self.ident()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "CUSTOM":
+            self.advance()
+            ck = self.ident()
+            self.expect_op("=")
+            cv = self._literal_token_value()
+            return ast.AlterTypeStmt(name=name, custom_key=ck,
+                                     custom_value=cv)
+        attr = (
+            self.advance().value.lower()
+            if self.cur.kind in ("IDENT", "KEYWORD")
+            else ""
+        )
+        if attr == "name":
+            return ast.AlterTypeStmt(name=name, attr="name",
+                                     value=self.ident())
+        if attr in ("supertype", "bucket"):
+            pairs: list = []
+            while True:
+                add = True
+                if self.at_op("+"):
+                    self.advance()
+                elif self.at_op("-"):
+                    self.advance()
+                    add = False
+                pairs.append((add, self.ident()))
+                if not self.eat_op(","):
+                    break
+            return ast.AlterTypeStmt(name=name, attr=attr,
+                                     add_remove=tuple(pairs))
+        if attr == "bucketselectionstrategy":
+            strat = self.ident()
+            if self.at_op("("):
+                # strategy arguments, e.g. partitioned('key') — captured
+                # verbatim into the stored value
+                depth = 0
+                parts = [strat]
+                while True:
+                    t = self.advance()
+                    parts.append(str(t.value))
+                    if t.kind == "OP" and t.value == "(":
+                        depth += 1
+                    elif t.kind == "OP" and t.value == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                strat = "".join(parts)
+            return ast.AlterTypeStmt(name=name,
+                                     attr="bucketselectionstrategy",
+                                     value=strat)
+        raise ParseError(
+            f"ALTER TYPE attribute '{attr}' not valid — supported: NAME, "
+            "SUPERTYPE, BUCKET, BUCKETSELECTIONSTRATEGY, CUSTOM"
+        )
+
+    def _parse_alter_property(self) -> ast.AlterPropertyStmt:
+        self.advance()  # PROPERTY
+        tname = self.ident()
+        self.expect_op(".")
+        prop = self.ident()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "CUSTOM":
+            self.advance()
+            ck = self.ident()
+            self.expect_op("=")
+            return ast.AlterPropertyStmt(
+                type_name=tname, prop=prop, custom_key=ck,
+                custom_value=self._literal_token_value(),
+            )
+        setting = self.advance().value.lower() \
+            if self.cur.kind in ("IDENT", "KEYWORD") else ""
+        if setting not in (
+            "mandatory", "notnull", "readonly", "hidden", "min", "max",
+            "default", "regexp",
+        ):
+            raise ParseError(
+                f"ALTER PROPERTY setting '{setting}' not supported "
+                "(AlterPropertyStatement.java settings: mandatory notnull "
+                "readonly hidden min max default regexp)"
+            )
+        self.eat_op("=")  # optional '=' accepted
+        return ast.AlterPropertyStmt(
+            type_name=tname, prop=prop, setting=setting,
+            value=self._literal_token_value(),
+        )
+
+    def _literal_token_value(self):
+        """One literal value for DDL settings: number, string, bool,
+        null, or a bare identifier (stored as its string)."""
+        neg = False
+        if self.at_op("-"):
+            self.advance()
+            neg = True
+        t = self.advance()
+        v = t.value
+        if t.kind == "INT":
+            v = int(v)
+            return -v if neg else v
+        if t.kind == "FLOAT":
+            v = float(v)
+            return -v if neg else v
+        if t.kind == "STRING":
+            return v
+        if t.kind in ("IDENT", "KEYWORD"):
+            u = str(v).upper()
+            if u == "TRUE":
+                return True
+            if u == "FALSE":
+                return False
+            if u == "NULL":
+                return None
+            return str(v)
+        raise ParseError(f"Expected a literal value, got {t!r}")
 
     def parse_create(self) -> ast.Statement:
         self.expect_kw("CREATE")
