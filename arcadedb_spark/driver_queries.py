@@ -3720,6 +3720,32 @@ def q_csv_import(spark, sf_dir):
 
 
 @query(
+    "q_import_statement",
+    oracle="""
+    SELECT kind, count(*) AS n, CAST(sum(qty) AS BIGINT) AS total
+    FROM (VALUES ('x', 1), ('x', 3), ('y', 5)) AS t(kind, qty)
+    GROUP BY kind ORDER BY kind
+    """,
+)
+def q_import_statement(spark, sf_dir):
+    """IMPORT DATABASE statement form (parser/ImportDatabaseStatement.
+    java) — the SQL twin of q_csv_import: the statement registers the
+    file as a type, then plain SQL aggregates it."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "arcade_q_import_stmt.csv")
+    with open(path, "w") as fh:
+        fh.write("kind,qty\nx,1\nx,3\ny,5\n")
+    db = _db(spark, sf_dir)
+    db.command(f"IMPORT DATABASE file://{path} WITH typeName = import_stmt")
+    return db.query(
+        "SELECT kind, count(*) AS n, sum(qty) AS total FROM import_stmt "
+        "GROUP BY kind ORDER BY kind"
+    )
+
+
+@query(
     "q_backup_restore",
     oracle="""
     SELECT k, CAST(v AS BIGINT) AS v FROM (VALUES ('a', 1), ('b', 2), ('c', 3))
@@ -3811,6 +3837,7 @@ _PRIORITY = [
     # three reshaped canon-safe queries (ERR in r5), then least-recently
     # graded.
     "q_mongo_aggregate",
+    "q_import_statement",
     "q_cypher_count_collect",
     # round-5 grading rotation: the 21 queries added this round have
     # never been driver-graded -- they go first; next the set last

@@ -556,6 +556,33 @@ class AlterTimeSeriesTypeStmt:
 
 
 @dataclass(frozen=True)
+class ImportDatabaseStmt:
+    """IMPORT DATABASE <url> [WITH k = v, …]
+    (parser/ImportDatabaseStatement.java)."""
+
+    url: Optional[str]
+    options: tuple = ()  # (key, value) pairs
+
+
+@dataclass(frozen=True)
+class ExportDatabaseStmt:
+    """EXPORT DATABASE <url> [WITH k = v, …]
+    (parser/ExportDatabaseStatement.java)."""
+
+    url: Optional[str]
+    options: tuple = ()
+
+
+@dataclass(frozen=True)
+class CheckDatabaseStmt:
+    """CHECK DATABASE [TYPE <t>, …] [FIX]
+    (parser/CheckDatabaseStatement.java)."""
+
+    types: tuple = ()
+    fix: bool = False
+
+
+@dataclass(frozen=True)
 class AlterTypeStmt:
     """ALTER TYPE <name> <attribute> <value>
     (parser/AlterTypeStatement.java:28) — attributes: NAME, SUPERTYPE

@@ -60,6 +60,12 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _alter_type(db, stmt)
     if isinstance(stmt, ast.AlterPropertyStmt):
         return _alter_property(db, stmt)
+    if isinstance(stmt, ast.ImportDatabaseStmt):
+        return _import_database(db, stmt)
+    if isinstance(stmt, ast.ExportDatabaseStmt):
+        return _export_database(db, stmt)
+    if isinstance(stmt, ast.CheckDatabaseStmt):
+        return _check_database(db, stmt)
     if isinstance(stmt, ast.CreateIndexStmt):
         if stmt.type_name:
             name = f"{stmt.type_name}[{','.join(stmt.props)}]"
@@ -621,6 +627,147 @@ def _create_property(db, stmt: ast.CreatePropertyStmt) -> DataFrame:
         **{k: v for k, v in stmt.constraints},
     }
     return _result(db, 1)
+
+
+def _strip_url(url: str) -> str:
+    for pfx in ("file://", "file:"):
+        if url.startswith(pfx):
+            return url[len(pfx):]
+    return url
+
+
+def _import_database(db, stmt: ast.ImportDatabaseStmt) -> DataFrame:
+    """IMPORT DATABASE (ImportDatabaseStatement.java → integration
+    importer formats): the format comes from WITH fileType/type or the
+    file extension; the file registers as a queryable type (WITH
+    typeName/name overrides the stem).  Spark reads the file directly —
+    csv/json go through spark.read (distributed, schema-inferred), the
+    specialty formats through arcadedb_spark.sources.readers."""
+    import os as _os
+
+    opts = {k.lower(): v for k, v in stmt.options}
+    url = stmt.url or opts.get("url") or opts.get("vertices")
+    if not url:
+        raise TranslateError("IMPORT DATABASE needs a URL")
+    if str(url).startswith(("http://", "https://")):
+        raise TranslateError(
+            "http(s) import is not supported here — download the file "
+            "and import via file:// (network fetch belongs to the "
+            "ingestion layer, not the query engine)"
+        )
+    path = _strip_url(str(url))
+    if not _os.path.exists(path):
+        raise TranslateError(f"IMPORT DATABASE: file not found: {path}")
+    fmt = str(
+        opts.get("filetype") or opts.get("format") or opts.get("type")
+        or _os.path.splitext(path)[1].lstrip(".")
+    ).lower()
+    name = str(
+        opts.get("typename") or opts.get("name")
+        or _os.path.splitext(_os.path.basename(path))[0]
+    )
+    spark = db.spark
+    if fmt == "csv":
+        df = spark.read.csv(
+            path, header=bool(opts.get("header", True)),
+            inferSchema=True,
+            sep=str(opts.get("delimiter", ",")),
+        )
+    elif fmt in ("json", "jsonl"):
+        df = spark.read.json(path)
+    elif fmt == "xml":
+        from arcadedb_spark.sources.readers import read_xml
+
+        df = read_xml(spark, path, row_tag=str(opts.get("rowtag", "row")))
+    elif fmt == "glove":
+        from arcadedb_spark.sources.readers import read_glove
+
+        df = read_glove(spark, path)
+    elif fmt == "word2vec":
+        from arcadedb_spark.sources.readers import read_word2vec
+
+        df = read_word2vec(spark, path)
+    elif fmt in ("rdf", "ntriples", "nt"):
+        from arcadedb_spark.sources.readers import read_ntriples
+
+        df = read_ntriples(spark, path)
+    elif fmt == "neo4j":
+        from arcadedb_spark.sources.readers import import_neo4j_graph
+
+        counts = import_neo4j_graph(db, path)
+        return _op_result(db, operation="import database", format="neo4j",
+                          result=str(counts))
+    elif fmt in ("orientdb", "orient"):
+        from arcadedb_spark.sources.readers import read_orientdb_export
+
+        df = read_orientdb_export(spark, path)
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        raise TranslateError(
+            f"IMPORT DATABASE: unsupported format '{fmt}' (csv, json, "
+            "jsonl, xml, glove, word2vec, rdf, neo4j, orientdb, parquet)"
+        )
+    db.schema.register(name, df, kind=str(opts.get("kind", "document")))
+    return _op_result(db, operation="import database", format=fmt,
+                      type=name, rows=df.count())
+
+
+def _export_database(db, stmt: ast.ExportDatabaseStmt) -> DataFrame:
+    """EXPORT DATABASE (ExportDatabaseStatement.java): every type to
+    <url>/<name>.jsonl|.parquet via Database.backup."""
+    opts = {k.lower(): v for k, v in stmt.options}
+    fmt = str(opts.get("format", "jsonl")).lower()
+    if fmt.startswith("graphson") or fmt.startswith("graphml"):
+        raise TranslateError(
+            f"EXPORT DATABASE format '{fmt}' is not supported — use "
+            "jsonl or parquet"
+        )
+    counts = db.backup(_strip_url(str(stmt.url)),
+                       format="parquet" if fmt == "parquet" else "jsonl")
+    return _op_result(db, operation="export database", format=fmt,
+                      types=len(counts), rows=sum(counts.values()))
+
+
+def _check_database(db, stmt: ast.CheckDatabaseStmt) -> DataFrame:
+    """CHECK DATABASE (CheckDatabaseStatement.java / integrity check):
+    one row per type with row counts; edge types additionally count
+    dangling endpoints (src/dst not present in the vertex universe) —
+    the Spark analog of the reference's broken-edge scan.  FIX is not
+    supported (storage here is immutable parquet)."""
+    if stmt.fix:
+        raise TranslateError(
+            "CHECK DATABASE FIX is not supported — storage is immutable "
+            "parquet; re-import or rewrite the affected type instead"
+        )
+    names = list(stmt.types) or list(db.schema.names())
+    rows = []
+    g = None
+    vids = None
+    for name in names:
+        tdef = db.schema.get(name)
+        n = tdef.df().count()
+        dangling = None
+        if tdef.kind == "edge":
+            if vids is None:
+                g = db.graph()
+                av = g.all_vertices()
+                vids = av.select(F.col("vid")).distinct() \
+                    if av is not None else None
+            if vids is not None:
+                e = tdef.df()
+                if "src" in e.columns and "dst" in e.columns:
+                    dangling = (
+                        e.join(vids.withColumnRenamed("vid", "src"),
+                               "src", "left_anti").count()
+                        + e.join(vids.withColumnRenamed("vid", "dst"),
+                                 "dst", "left_anti").count()
+                    )
+        rows.append((name, tdef.kind, n,
+                     None if dangling is None else int(dangling)))
+    return db.spark.createDataFrame(
+        rows, "type string, kind string, rows long, dangling_edges long"
+    )
 
 
 def _op_result(db, **cols) -> DataFrame:

@@ -111,6 +111,12 @@ class Parser:
             return self.parse_alter()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "TRUNCATE":
             return self.parse_truncate()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() in (
+            "IMPORT", "EXPORT",
+        ):
+            return self._parse_import_export()
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "CHECK":
+            return self._parse_check_database()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "DEFINE":
             return self.parse_define_function()
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "REBUILD":
@@ -468,6 +474,91 @@ class Parser:
             type_name=tname, prop=prop, setting=setting,
             value=self._literal_token_value(),
         )
+
+    def _parse_import_export(self):
+        """IMPORT/EXPORT DATABASE <url> [WITH k = v, …]
+        (ImportDatabaseStatement.java, ExportDatabaseStatement.java).
+        The URL may be quoted or bare (file:///x, http://…) — bare URLs
+        are taken verbatim from the source text up to WITH/end."""
+        kind = self.advance().value.upper()  # IMPORT | EXPORT
+        if not (self.cur.kind in ("IDENT", "KEYWORD")
+                and str(self.cur.value).upper() == "DATABASE"):
+            raise ParseError(f"Expected DATABASE after {kind}")
+        self.advance()
+        url = None
+        opts: list = []
+        if self.cur.kind == "STRING":
+            url = self.advance().value
+            opts = self._parse_with_opts()
+        elif not (
+            self.cur.kind == "EOF"
+            or (self.cur.kind in ("IDENT", "KEYWORD")
+                and str(self.cur.value).upper() == "WITH")
+        ):
+            # bare URL (file:///x, http://…): `//` lexes as a line
+            # comment, so the URL and everything after it may be absent
+            # from the token stream — parse this tail from the raw text
+            import re as _re
+
+            raw = self.text[self.cur.pos:]
+            m = _re.search(r"\bWITH\b", raw, _re.IGNORECASE)
+            url = (raw[:m.start()] if m else raw).strip().rstrip(";")
+            if not url:
+                raise ParseError(f"Expected a URL after {kind} DATABASE")
+            while self.cur.kind != "EOF":
+                self.advance()  # tail was consumed from raw text
+            if m:
+                sub = Parser(raw[m.end():])
+                opts = sub._parse_with_opts(already_in_with=True)
+        else:
+            opts = self._parse_with_opts()
+        if kind == "IMPORT":
+            if url is None and not opts:
+                raise ParseError("IMPORT DATABASE needs a URL or WITH opts")
+            return ast.ImportDatabaseStmt(url=url, options=tuple(opts))
+        if url is None:
+            raise ParseError("EXPORT DATABASE needs a target URL")
+        return ast.ExportDatabaseStmt(url=url, options=tuple(opts))
+
+    def _parse_with_opts(self, already_in_with: bool = False) -> list:
+        """``WITH k = v (, k = v)*`` (parens tolerated) → (k, v) list."""
+        if not already_in_with:
+            if not (self.cur.kind in ("IDENT", "KEYWORD")
+                    and str(self.cur.value).upper() == "WITH"):
+                return []
+            self.advance()
+        paren = self.eat_op("(")
+        opts: list = []
+        while True:
+            k = self.ident()
+            self.expect_op("=")
+            opts.append((k, self._literal_token_value()))
+            if not self.eat_op(","):
+                break
+        if paren:
+            self.expect_op(")")
+        return opts
+
+    def _parse_check_database(self):
+        """CHECK DATABASE [TYPE t (, t)*] [FIX]
+        (CheckDatabaseStatement.java)."""
+        self.advance()  # CHECK
+        if not (self.cur.kind in ("IDENT", "KEYWORD")
+                and str(self.cur.value).upper() == "DATABASE"):
+            raise ParseError("Expected DATABASE after CHECK")
+        self.advance()
+        types: list = []
+        if self.at_kw("TYPE"):
+            self.advance()
+            types.append(self.ident())
+            while self.eat_op(","):
+                types.append(self.ident())
+        fix = False
+        if self.cur.kind in ("IDENT", "KEYWORD") \
+                and str(self.cur.value).upper() == "FIX":
+            self.advance()
+            fix = True
+        return ast.CheckDatabaseStmt(types=tuple(types), fix=fix)
 
     def _literal_token_value(self):
         """One literal value for DDL settings: number, string, bool,

@@ -148,3 +148,65 @@ def test_read_orientdb_export(spark, tmp_path):
     assert by_rid["#9:0"]["class"] == "Person"
     assert '"age": 3' in by_rid["#9:0"]["_props"]
     assert by_rid["#10:0"]["class"] == "City"
+
+
+def test_import_database_statement_roundtrip(spark):
+    """IMPORT DATABASE file://…csv WITH (type=…) round-trips
+    (parser/ImportDatabaseStatement.java; the integration importer's
+    CSV format)."""
+    import os
+    import tempfile
+
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    p = os.path.join(tempfile.gettempdir(), "imp_stmt_test.csv")
+    with open(p, "w") as fh:
+        fh.write("kind,qty\nx,1\nx,3\ny,5\n")
+    r = db.command(f"IMPORT DATABASE file://{p} WITH typeName = stuff"
+                   ).collect()[0]
+    assert r["type"] == "stuff" and r["rows"] == "3"
+    rows = db.query(
+        "SELECT kind, sum(qty) AS s FROM stuff GROUP BY kind ORDER BY kind"
+    ).collect()
+    assert [(x["kind"], x["s"]) for x in rows] == [("x", 4), ("y", 5)]
+    # quoted URL + parenthesized WITH form
+    r2 = db.command(
+        f"IMPORT DATABASE '{p}' WITH (typeName = q2, header = true)"
+    ).collect()[0]
+    assert r2["type"] == "q2"
+    # jsonl round-trip through EXPORT
+    out = tempfile.mkdtemp()
+    r3 = db.command(f"EXPORT DATABASE file://{out}").collect()[0]
+    assert int(r3["types"]) >= 2
+    assert os.path.exists(os.path.join(out, "backup_manifest.json"))
+    # error paths
+    import pytest
+
+    from arcadedb_spark.sql.translator import TranslateError
+
+    with pytest.raises(TranslateError):
+        db.command("IMPORT DATABASE file:///does/not/exist.csv")
+    with pytest.raises(TranslateError):
+        db.command("IMPORT DATABASE http://example.invalid/x.csv")
+
+
+def test_check_database_statement(spark):
+    """CHECK DATABASE counts rows per type and dangling edge endpoints
+    (CheckDatabaseStatement.java integrity-check analog)."""
+    import pytest
+
+    from arcadedb_spark.database import Database
+    from arcadedb_spark.sql.translator import TranslateError
+
+    db = Database(spark)
+    db.command("CREATE DOCUMENT TYPE D1")
+    db.command("INSERT INTO D1 SET a = 1")
+    db.command("INSERT INTO D1 SET a = 2")
+    rows = {r["type"]: r for r in db.command("CHECK DATABASE").collect()}
+    assert rows["D1"]["rows"] == 2
+    assert rows["D1"]["dangling_edges"] is None
+    only = db.command("CHECK DATABASE TYPE D1").collect()
+    assert len(only) == 1 and only[0]["type"] == "D1"
+    with pytest.raises(TranslateError):
+        db.command("CHECK DATABASE FIX")
