@@ -87,3 +87,116 @@ class KeyValueStore:
 
     def dbsize(self) -> int:
         return self._df().count()
+
+    # -- string tail (RedisNetworkExecutor.java:237-298) ---------------------
+
+    def getdel(self, key: str) -> str | None:
+        """GETDEL — return the value then delete the key
+        (RedisNetworkExecutor.getDel:385)."""
+        v = self.get(key)
+        if v is not None:
+            self.delete(key)
+        return v
+
+    def decr(self, key: str, by: int = 1) -> int:
+        """DECR/DECRBY (RedisNetworkExecutor.decrBy:351) — missing key
+        counts from 0; a non-integer value is an error."""
+        cur = self.get(key)
+        if cur is not None:
+            try:
+                cur = int(cur)
+            except ValueError:
+                raise ValueError(f"Key '{key}' is not a number") from None
+        val = (cur if cur is not None else 0) - by
+        self.set(key, val)
+        return val
+
+    def incrbyfloat(self, key: str, by: float) -> float:
+        """INCRBYFLOAT (RedisNetworkExecutor.incrBy(…, true))."""
+        cur = self.get(key)
+        if cur is not None:
+            try:
+                cur = float(cur)
+            except ValueError:
+                raise ValueError(f"Key '{key}' is not a number") from None
+        val = (cur if cur is not None else 0.0) + float(by)
+        self.set(key, val)
+        return val
+
+    # -- hash commands (RedisNetworkExecutor.java hSet/hGet/hMGet/hDel/
+    #    hExists) — a (key, field, value) frame; at 100 TB the table
+    #    would be bucketed by key so every point op prunes to one bucket
+
+    _HASH_SCHEMA = "key string, field string, value string"
+
+    def _hdf(self):
+        hname = f"{self.type_name}__hash"
+        if not self.db.schema.exists(hname):
+            self.db.schema.register(
+                hname,
+                self.db.spark.createDataFrame([], self._HASH_SCHEMA),
+                key="key",
+            )
+        return self.db.schema.get(hname).df()
+
+    def _hreplace(self, df) -> None:
+        tdef = self.db.schema.get(f"{self.type_name}__hash")
+        tdef._df = df.cache()
+        self.db._plan_cache.clear()
+
+    def hset(self, key: str, mapping: dict | None = None, **fields) -> int:
+        """HSET/HMSET — upsert fields of one hash; returns the number of
+        NEW fields (Redis HSET reply)."""
+        items = dict(mapping or {}, **fields)
+        if not items:
+            return 0
+        df = self._hdf()
+        existing = {
+            r["field"]
+            for r in df.filter(
+                (F.col("key") == key) & F.col("field").isin(list(items))
+            ).select("field").collect()
+        }
+        new = self.db.spark.createDataFrame(
+            [(key, f, str(v)) for f, v in items.items()], self._HASH_SCHEMA
+        )
+        self._hreplace(
+            df.filter(
+                ~((F.col("key") == key) & F.col("field").isin(list(items)))
+            ).unionByName(new)
+        )
+        return len(items) - len(existing)
+
+    def hget(self, key: str, field: str) -> str | None:
+        rows = self._hdf().filter(
+            (F.col("key") == key) & (F.col("field") == field)
+        ).limit(1).collect()
+        return rows[0]["value"] if rows else None
+
+    def hmget(self, key: str, fields: list[str]) -> dict:
+        rows = self._hdf().filter(
+            (F.col("key") == key) & F.col("field").isin(list(fields))
+        ).collect()
+        found = {r["field"]: r["value"] for r in rows}
+        return {f: found.get(f) for f in fields}
+
+    def hgetall(self, key: str) -> dict:
+        return {
+            r["field"]: r["value"]
+            for r in self._hdf().filter(F.col("key") == key).collect()
+        }
+
+    def hdel(self, key: str, *fields: str) -> int:
+        df = self._hdf()
+        cond = (F.col("key") == key) & F.col("field").isin(list(fields))
+        n = df.filter(cond).count()
+        if n:
+            self._hreplace(df.filter(~cond))
+        return n
+
+    def hexists(self, key: str, field: str) -> bool:
+        return bool(
+            self._hdf().filter(
+                (F.col("key") == key) & (F.col("field") == field)
+            ).limit(1).count()
+        )
