@@ -217,6 +217,23 @@ class Database:
                 except Exception:
                     pass  # first real graph() call rebuilds and surfaces
 
+            def _warm_tables(d=db):
+                # First touch of a type pays parquet footer reads + the
+                # @eid metadata column wiring (catalog._with_metadata) —
+                # ~0.2 s of driver-side JVM round trips per table.  Warm
+                # every registered type's cached DataFrame off the
+                # critical path; TypeDef.df() memoizes so the first real
+                # query finds it ready.
+                for nm in list(d.schema.names()):
+                    try:
+                        d.schema.get(nm).df()
+                    except Exception:
+                        pass
+
+            threading.Thread(
+                target=_warm_tables, name="arcadedb-prewarm-tables",
+                daemon=True,
+            ).start()
             threading.Thread(
                 target=_warm_graph, name="arcadedb-prewarm-graph", daemon=True
             ).start()
