@@ -157,6 +157,16 @@ class CypherParser(Parser):
                 # Cypher-25 match mode prefix (MATCH NODE (n:…)) — the
                 # default element-pattern semantics, accepted and ignored
                 self.advance()
+            path_mode = None
+            if (
+                self.cur.kind == "IDENT"
+                and self.cur.value.upper() in ("TRAIL", "ACYCLIC", "WALK")
+                and self.peek().kind == "OP" and self.peek().value == "("
+            ):
+                # Cypher-25 path mode prefix (reference ast/PathMode.java):
+                # TRAIL = edge-unique (the default here), ACYCLIC adds
+                # vertex uniqueness, WALK lifts uniqueness (bounded only)
+                path_mode = self.advance().value.lower()
             # one MATCH clause = one clause_id across its comma-separated
             # paths (relationship isomorphism is per clause)
             cid = self._next_clause_id
@@ -170,6 +180,25 @@ class CypherParser(Parser):
                 paths.append(
                     _dc.replace(self._parse_pattern(optional), clause_id=cid)
                 )
+            if path_mode:
+                for i_, p_ in enumerate(paths):
+                    if p_.clause_id != cid:
+                        continue
+                    if path_mode == "walk":
+                        if any(
+                            s.var_length and s.max_hops < 0
+                            for s in p_.steps
+                        ):
+                            raise ParseError(
+                                "MATCH WALK requires an explicit max hop "
+                                "bound (unbounded walks do not terminate "
+                                "— PathMode.java)"
+                            )
+                        paths[i_] = _dc.replace(
+                            p_, path_mode="walk", rel_unique=False
+                        )
+                    else:
+                        paths[i_] = _dc.replace(p_, path_mode=path_mode)
             if self.at_kw("WHERE"):
                 self.advance()
                 w = self.parse_expr()
@@ -491,8 +520,25 @@ class CypherParser(Parser):
             group_by = tuple(
                 p.expr for p in returns if not _contains_aggregate(p.expr)
             )
+        # expression-position shortestPath()/allShortestPaths(): hoist
+        # each FuncCall over a pattern into an OPTIONAL shortest path of
+        # the clause (null when no path exists — Neo4j function form),
+        # rewriting the expression to the hidden path alias
+        hoisted_paths: list = []
+        returns = [
+            ast.ProjItem(
+                self._hoist_shortest_fns(p.expr, hoisted_paths),
+                p.alias, p.text,
+            )
+            for p in returns
+        ]
+        if group_by:
+            group_by = tuple(
+                p.expr for p in returns
+                if not _contains_aggregate(p.expr)
+            )
         stmt = ast.MatchStmt(
-            paths=tuple(paths),
+            paths=tuple(paths) + tuple(hoisted_paths),
             returns=tuple(returns),
             distinct=spec["distinct"],
             where=where,
@@ -502,6 +548,40 @@ class CypherParser(Parser):
             limit=spec["limit"],
         )
         return (stmt, self._stages)
+
+    def _hoist_shortest_fns(self, e, out: list):
+        """Rewrite ``shortestPath(pattern)`` / ``allShortestPaths(pattern)``
+        used as expressions into hidden OPTIONAL shortest paths appended
+        to the clause (reference evaluates the function per row; here the
+        path lowers once into the join like the MATCH-clause form)."""
+        import dataclasses as _dc
+
+        if isinstance(e, ast.FuncCall) and e.name.lower() in (
+            "shortestpath", "allshortestpaths",
+        ) and len(e.args) == 1 and isinstance(e.args[0], ast.PatternExpr) \
+                and e.args[0].path is not None:
+            alias = f"__sp_path{next(_suid)}"
+            out.append(_dc.replace(
+                e.args[0].path,
+                path_alias=alias,
+                shortest=(
+                    "single" if e.name.lower() == "shortestpath" else "all"
+                ),
+                optional=True,
+                rel_unique=True,
+            ))
+            return ast.Chain((alias,))
+        if hasattr(e, "__dataclass_fields__"):
+            if isinstance(e, (ast.PatternExpr, ast.PatternComp)):
+                return e  # nested patterns keep their own lowering
+            kwargs = {
+                f_: self._hoist_shortest_fns(getattr(e, f_), out)
+                for f_ in e.__dataclass_fields__
+            }
+            return type(e)(**kwargs)
+        if isinstance(e, tuple):
+            return tuple(self._hoist_shortest_fns(x, out) for x in e)
+        return e
 
     def _try_splice_unit_call(self, sub_text: str) -> bool:
         """Inline a unit (write-only, non-returning) ``CALL { … }`` block
@@ -732,6 +812,19 @@ class CypherParser(Parser):
                 assignments.append(
                     (chain.parts[0], chain.parts[1], self.parse_expr())
                 )
+            elif (
+                isinstance(chain, ast.Index)
+                and isinstance(chain.base, ast.Chain)
+                and len(chain.base.parts) == 1
+            ):
+                # SET d[key] = v — Cypher-25 dynamic property (reference
+                # dynamic-property SET); the key must resolve to a
+                # constant string at plan time
+                self.expect_op("=")
+                key = _const_string_key(chain.index)
+                assignments.append(
+                    (chain.base.parts[0], key, self.parse_expr())
+                )
             else:
                 raise ParseError("SET expects alias.prop = expr")
             if not self.eat_op(","):
@@ -796,6 +889,17 @@ class CypherParser(Parser):
                         assignments.append(
                             (chain.parts[0], chain.parts[1], ast.Lit(None))
                         )
+                    elif (
+                        isinstance(chain, ast.Index)
+                        and isinstance(chain.base, ast.Chain)
+                        and len(chain.base.parts) == 1
+                    ):
+                        # REMOVE d[key] — dynamic property removal
+                        assignments.append((
+                            chain.base.parts[0],
+                            _const_string_key(chain.index),
+                            ast.Lit(None),
+                        ))
                     else:
                         raise ParseError("REMOVE expects alias.prop")
                     if not self.eat_op(","):
@@ -1077,12 +1181,21 @@ class CypherParser(Parser):
                 # (Cypher-25; reference CypherInlinePatternWhereTest) —
                 # folded into the clause WHERE by _parse_pattern
                 self.advance()
+                pred = self.parse_expr()
                 if var_len:
-                    raise ParseError(
-                        "inline WHERE on a variable-length relationship "
-                        "is not supported — filter the bound list instead"
+                    # -[r:T*1..n WHERE pred]-> applies the predicate to
+                    # EVERY traversed relationship (reference
+                    # VariableLengthPathTraverser edge filters): desugar
+                    # to all(e IN r WHERE pred[r := e]) over the bound
+                    # relationship list
+                    if ealias is None:
+                        ealias = f"__vlr{next(_suid)}"
+                    lam = f"__ie{next(_suid)}"
+                    pred = _rename_var(pred, ealias, lam)
+                    pred = ast.Quantifier(
+                        "all", lam, ast.Chain((ealias,)), pred
                     )
-                self._inline_wheres.append(self.parse_expr())
+                self._inline_wheres.append(pred)
             self.expect_op("]")
             self.expect_op("-")
             if self.at_op(">"):
@@ -1097,6 +1210,45 @@ class CypherParser(Parser):
             self.advance()
             direction = "both" if direction == "in" else "out"
         return direction, tuple(etypes), 1, 1, None, (), False
+
+
+def _const_string_key(e) -> str:
+    """Resolve a dynamic-property key expression to a constant string at
+    plan time (SET d[k] = v / REMOVE d[k]): string literals and literal
+    string concatenations fold; anything frame-dependent is rejected."""
+    if isinstance(e, ast.Lit) and isinstance(e.value, str):
+        return e.value
+    if isinstance(e, ast.Bin) and e.op == "+":
+        return _const_string_key(e.left) + _const_string_key(e.right)
+    if isinstance(e, ast.FuncCall) and e.name.lower() == "tostring" \
+            and len(e.args) == 1 and isinstance(e.args[0], ast.Lit):
+        return str(e.args[0].value)
+    raise ParseError(
+        "dynamic property keys must be constant strings at plan time "
+        "(SET d[k]: per-row keys would make the write schema data-"
+        "dependent)"
+    )
+
+
+def _rename_var(e, old: str, new: str):
+    """Rewrite references to bound variable ``old`` as ``new`` inside an
+    expression tree (dataclass-pure; Chain heads only — property names
+    and map keys are untouched)."""
+    if isinstance(e, ast.Chain):
+        if e.parts and e.parts[0] == old:
+            return ast.Chain((new,) + e.parts[1:])
+        return e
+    if hasattr(e, "__dataclass_fields__"):
+        kwargs = {
+            f_: _rename_var(getattr(e, f_), old, new)
+            for f_ in e.__dataclass_fields__
+        }
+        return type(e)(**kwargs)
+    if isinstance(e, tuple):
+        return tuple(_rename_var(x, old, new) for x in e)
+    if isinstance(e, list):
+        return [_rename_var(x, old, new) for x in e]
+    return e
 
 
 def _bare_alias(item: ast.ProjItem) -> str | None:
@@ -4091,10 +4243,166 @@ def lower_count_block(db, text: str, outer_df, params: dict):
     return df, seen, vals, dist
 
 
+def _cypher_schema_ddl(db, p: "CypherParser", text: str,
+                       params: dict) -> DataFrame:
+    """Neo4j-style schema DDL on the Cypher surface (reference
+    CypherMultiLabelConstraintReloadTest / CypherQueryStatisticsTest):
+
+    - CREATE [RANGE|TEXT|POINT|LOOKUP] INDEX [name] [IF NOT EXISTS]
+      FOR (n:Label) ON (n.p1[, n.p2 …])
+    - CREATE CONSTRAINT [name] [IF NOT EXISTS] FOR (n:Label)
+      REQUIRE n.p IS UNIQUE | IS NOT NULL | IS TYPED <type>
+    - DROP CONSTRAINT|INDEX name [IF EXISTS]
+
+    Indexes are execution no-ops on Spark (scan+pushdown replaces them)
+    but register in the catalog like SQL CREATE INDEX; NOT NULL / TYPED
+    constraints update the declared-property map so INSERT re-validates
+    when the label is a catalog type."""
+    action = p.advance().value.upper()  # CREATE | DROP
+    kindtok = str(p.advance().value).upper()
+    if kindtok in ("RANGE", "TEXT", "POINT", "LOOKUP"):
+        p.advance()  # INDEX
+        kindtok = "INDEX"
+
+    def _one_row(**cols):
+        vals = tuple(None if v is None else str(v) for v in cols.values())
+        schema = ", ".join(f"`{k}` string" for k in cols)
+        return db.spark.createDataFrame([vals], schema)
+
+    if action == "DROP":
+        name = p.ident()
+        if p._at_ident("IF"):
+            p.advance()
+            p.advance()  # EXISTS
+        dropped = db.schema.indexes.pop(name, None) is not None
+        return _one_row(operation=f"drop {kindtok.lower()}", name=name,
+                        dropped=dropped)
+    name = None
+    if p.cur.kind == "IDENT" and p.cur.value.upper() not in ("IF", "FOR"):
+        name = p.ident()
+    if p._at_ident("IF"):
+        p.advance()
+        p.advance()  # NOT
+        p.advance()  # EXISTS
+        if name is not None and name in db.schema.indexes:
+            return _one_row(operation="noop", name=name)
+    if not p._at_ident("FOR"):
+        raise ParseError(f"Expected FOR in CREATE {kindtok}")
+    p.advance()
+    p.expect_op("(")
+    var = p.ident()
+    label = p.advance().value if p.cur.kind == "PARAM" else None
+    if label is None:
+        p.expect_op(":")
+        label = p.ident()
+    while p.cur.kind == "PARAM" or p.at_op(":"):
+        # multi-label constraint target — recorded against each label
+        if p.cur.kind == "PARAM":
+            label = f"{label}:{p.advance().value}"
+        else:
+            p.advance()
+            label = f"{label}:{p.ident()}"
+    p.expect_op(")")
+
+    def _props_list() -> list[str]:
+        props = []
+        paren = p.eat_op("(")
+        while True:
+            a = p.ident()
+            if p.at_op("."):
+                p.advance()
+                props.append(p.ident())
+            else:
+                props.append(a)
+            if not p.eat_op(","):
+                break
+        if paren:
+            p.expect_op(")")
+        return props
+
+    if kindtok == "INDEX":
+        if not p._at_ident("ON"):
+            raise ParseError("Expected ON in CREATE INDEX FOR")
+        p.advance()
+        props = _props_list()
+        key = name or f"{label}[{','.join(props)}]"
+        db.schema.indexes[key] = {
+            "type": label, "props": tuple(props), "kind": "notunique",
+        }
+        return _one_row(operation="create index", name=key, type=label,
+                        properties=",".join(props))
+    # CONSTRAINT … REQUIRE
+    if not p._at_ident("REQUIRE"):
+        raise ParseError("Expected REQUIRE in CREATE CONSTRAINT")
+    p.advance()
+    props = _props_list()
+    if not p.at_kw("IS"):
+        raise ParseError("Expected IS <UNIQUE|NOT NULL|TYPED> in REQUIRE")
+    p.advance()
+    kind = None
+    type_name = None
+    if p._at_ident("UNIQUE"):
+        p.advance()
+        kind = "unique"
+    elif p.at_kw("NOT") or p._at_ident("NOT"):
+        p.advance()
+        p.advance()  # NULL
+        kind = "notnull"
+    elif p._at_ident("TYPED") or p.at_op("::"):
+        if p._at_ident("TYPED"):
+            p.advance()
+        else:
+            p.advance()
+        parts = []
+        while p.cur.kind in ("IDENT", "KEYWORD") or p.at_op("<") \
+                or p.at_op(">"):
+            parts.append(str(p.advance().value))
+        type_name = " ".join(parts)
+        kind = "typed"
+    else:
+        raise ParseError(
+            "Constraint must be IS UNIQUE, IS NOT NULL or IS TYPED"
+        )
+    key = name or f"constraint:{label}[{','.join(props)}]:{kind}"
+    db.schema.indexes[key] = {
+        "type": label, "props": tuple(props), "kind": kind,
+        "constraint": True, **({"value_type": type_name} if type_name
+                               else {}),
+    }
+    # best-effort declared-property update so SQL INSERT re-validates
+    for lbl in label.split(":"):
+        if db.schema.exists(lbl) and kind == "notnull":
+            declared = db.schema.get(lbl).properties.setdefault(
+                "declared", {}
+            )
+            for pr in props:
+                declared.setdefault(pr, {})["notnull"] = True
+    return _one_row(operation="create constraint", name=key, type=label,
+                    properties=",".join(props), kind=kind)
+
+
 def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
     """Run a Cypher query → DataFrame (OpenCypherQueryEngine.query analog,
     query/opencypher/query/OpenCypherQueryEngine.java:150)."""
     p = CypherParser(text, params)
+    if p._at_ident("CREATE") or p._at_ident("DROP"):
+        nxt = p.peek()
+        v1 = str(nxt.value).upper() if nxt.kind in ("IDENT", "KEYWORD") \
+            else ""
+        if v1 in ("VERTEX", "EDGE", "DOCUMENT", "TYPE", "PROPERTY",
+                  "TIMESERIES", "MATERIALIZED", "GRAPH"):
+            # SQL DDL through the Cypher surface — the reference accepts
+            # its schema DDL from any query language endpoint
+            from arcadedb_spark.sql.commands import execute_command
+            from arcadedb_spark.sql.parser import parse as _sql_parse
+
+            return execute_command(db, _sql_parse(text), params or {})
+        if v1 == "CONSTRAINT" or v1 == "INDEX" or (
+            v1 in ("RANGE", "TEXT", "POINT", "LOOKUP")
+            and p.peek(2).kind in ("IDENT", "KEYWORD")
+            and str(p.peek(2).value).upper() == "INDEX"
+        ):
+            return _cypher_schema_ddl(db, p, text, params or {})
     if p._at_ident("CALL") and not (
         p.peek().kind == "OP" and p.peek().value == "{"
     ):

@@ -276,17 +276,19 @@ def _expand(
                 db.spark.conf.get("arcadedb.match.maxVarLengthHops", "100")
             )
             drained = False
+            # WALK mode (rel_unique=False, bounded): edges may repeat —
+            # drop the anti-reuse conjunct; termination comes from the
+            # explicit max-hop bound (PathMode.java WALK)
+            join_cond = F.col("r.__to") == F.col("s.__from")
+            if rel_unique or unbounded:
+                join_cond = join_cond & ~F.array_contains(
+                    F.col(f"r.{iname}"), F.col("s.__eid")
+                )
             while (unbounded or h < step.max_hops) and h < cap:
                 h += 1
                 frontier = (
                     frontier.alias("r")
-                    .join(
-                        base.alias("s"),
-                        (F.col("r.__to") == F.col("s.__from"))
-                        & ~F.array_contains(
-                            F.col(f"r.{iname}"), F.col("s.__eid")
-                        ),
-                    )
+                    .join(base.alias("s"), join_cond)
                     .select(
                         F.col("r.__from").alias("__from"),
                         F.col("s.__to").alias("__to"),
@@ -424,6 +426,20 @@ def translate_path(
             # a relationship LIST for var-length steps
             aliases.append(step.edge_alias)
         prev = step
+    if getattr(path, "path_mode", None) == "acyclic" and path.steps:
+        # MATCH ACYCLIC (PathMode.java): no vertex repeats along the
+        # path — concat every hop's vids and require all-distinct.
+        # (TRAIL is the default edge-uniqueness; WALK cleared rel_unique
+        # at parse.)
+        av_parts = [F.array(F.col(f"{root_alias}.vid"))]
+        for step, a, ea in zip(path.steps, hops[1:], eid_hops):
+            pv = f"__pvids_{ea}"
+            if pv in df.columns:
+                av_parts.append(F.slice(F.col(pv), 2, 1 << 30))
+            else:
+                av_parts.append(F.array(F.col(f"{a}.vid")))
+        allv = F.concat(*av_parts)
+        df = df.filter(F.size(F.array_distinct(allv)) == F.size(allv))
     if getattr(path, "path_alias", None):
         # p = (a)-[..]->(b): struct(vids, n_rels) — supports length(p) /
         # nodes(p).  Var-length steps contribute their enumerated vid
@@ -511,6 +527,17 @@ def translate_path(
             for c in list(df.columns):
                 if c.startswith(("__eid_", "__peids_")):
                     df = df.withColumnRenamed(c, f"{c}#{next(_uid)}")
+    if getattr(path, "shortest", None) and getattr(
+        path, "inline_where", None
+    ) is not None:
+        # function-form shortestPath((a)-[r:T* WHERE pred]->(b)): the
+        # inline predicate filters candidate walks BEFORE minimal-hop
+        # selection (reference applies edge filters during expansion) —
+        # clause-form paths had inline_where folded into the clause
+        # WHERE at parse, so this only fires for hoisted function paths
+        df = _apply_where_conjuncts(
+            db, df, _and_conjuncts(path.inline_where), params
+        )
     if getattr(path, "shortest", None) and path.path_alias \
             and not defer_shortest:
         df = _apply_shortest_selection(df, path.path_alias, path.shortest)
@@ -1482,16 +1509,28 @@ def combine_paths(
     for path in positive:
         path, hoisted = _hoist_frame_prop_conjuncts(path, seen)
         defer_ids = clause_sizes.get(path.clause_id, 0) > 1
+        static_bound = {path.path_alias} if path.path_alias else set()
+        if getattr(path, "shortest", None):
+            if path.root.alias:
+                static_bound.add(path.root.alias)
+            for s_ in path.steps:
+                if s_.filter.alias:
+                    static_bound.add(s_.filter.alias)
+                if s_.edge_alias:
+                    static_bound.add(s_.edge_alias)
         defer_sp = bool(
             getattr(path, "shortest", None) and path.path_alias
             and not path.optional and where is not None
-            and _mentions_alias(where, path.path_alias)
+            and any(_mentions_alias(where, a) for a in static_bound)
         )
         pdf, paliases = translate_path(db, path, params,
                                        keep_rel_ids=defer_ids,
                                        defer_shortest=defer_sp)
         if defer_sp:
-            deferred_sp.append((path.path_alias, path.shortest))
+            deferred_sp.append(
+                (path.path_alias, path.shortest,
+                 frozenset(paliases) | {path.path_alias})
+            )
         if defer_ids:
             clause_eids.setdefault(path.clause_id, []).extend(
                 c for c in pdf.columns
@@ -1607,12 +1646,15 @@ def combine_paths(
         conjs = _and_conjuncts(where)
         pre_idx = {
             i for i, c in enumerate(conjs)
-            if any(_mentions_alias(c, a) for a, _ in deferred_sp)
+            if any(
+                any(_mentions_alias(c, a) for a in bound)
+                for _pa, _k, bound in deferred_sp
+            )
         }
         pre = [conjs[i] for i in sorted(pre_idx)]
         post = [c for i, c in enumerate(conjs) if i not in pre_idx]
         df = _apply_where_conjuncts(db, df, pre, params)
-        for a, kind in deferred_sp:
+        for a, kind, _bound in deferred_sp:
             df = _apply_shortest_selection(df, a, kind)
         df = _apply_where_conjuncts(db, df, post, params)
     elif where is not None:

@@ -228,6 +228,20 @@ class ReduceExpr(Expr):
 
 
 @dataclass(frozen=True)
+class AllReduceExpr(Expr):
+    """Cypher-25 ``allReduce(acc = init, x IN src | body, pred)`` —
+    true when the predicate holds after every accumulation step; empty
+    or null list is vacuous truth (ast/AllReduceExpression.java:66)."""
+
+    acc: str
+    init: Expr
+    var: str
+    source: Expr
+    body: Expr
+    pred: Expr
+
+
+@dataclass(frozen=True)
 class MapLit(Expr):
     entries: tuple[tuple[str, Expr], ...]
 
@@ -426,6 +440,10 @@ class MatchPath:
     # clause share an id) — relationship isomorphism applies across ALL
     # paths of one MATCH clause, not per path
     clause_id: int = -1
+    # Cypher-25 MATCH path mode (ast/PathMode.java): None/TRAIL = edge-
+    # unique (the default), ACYCLIC adds vertex uniqueness, WALK lifts
+    # uniqueness entirely (requires a bounded max hop)
+    path_mode: "Optional[str]" = None
 
 
 @dataclass(frozen=True)

@@ -1897,3 +1897,129 @@ def _vector_cosine_sim(args):
         args[1], F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
     return dot * F.pow(n1 * n2, F.lit(-1.0))
+
+
+# ---------------------------------------------------------------------------
+# Namespaced Cypher function tail (function/CypherFunctionRegistry.java:
+# math.* text.* util.* — reference function/math, function/text,
+# function/util families)
+# ---------------------------------------------------------------------------
+
+
+@scalar("math.sigmoid")
+def _math_sigmoid(args):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-args[0].cast("double")))
+
+
+@scalar("math.sigmoidprime")
+def _math_sigmoid_prime(args):
+    # σ'(x) = σ(x)(1 − σ(x)) (function/math/MathSigmoidPrime.java)
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-args[0].cast("double")))
+    return s * (F.lit(1.0) - s)
+
+
+@scalar("math.double", "cypher.double")
+def _math_double(args):
+    return args[0].cast("double")
+
+
+@scalar("charat", "text.charat")
+def _charat(args):
+    """charAt(s, i) — 0-based single character (function/text/
+    TextCharAt.java); out-of-range → null."""
+    s = args[0].cast("string")
+    i = args[1].cast("int")
+    c = F.substring(s, i + F.lit(1), F.lit(1))
+    return F.when((i < 0) | (i >= F.length(s)), F.lit(None)).otherwise(c)
+
+
+@scalar("ceiling")
+def _ceiling(args):
+    return F.ceil(args[0])
+
+
+_LPAD_MAX = 10 * 1024 * 1024  # function/text/TextLpad.java MAX_STRING_LENGTH
+
+
+def _pad(args, left: bool):
+    s = args[0].cast("string")
+    n = args[1].cast("int")
+    p = F.coalesce(F.substring(args[2].cast("string"), 1, 1), F.lit(" "))
+    bad = (
+        F.when(n < 0, F.raise_error(F.concat(
+            F.lit("Invalid length: "), n.cast("string"),
+            F.lit(" (must be non-negative)"))))
+        .when(n > F.lit(_LPAD_MAX), F.raise_error(F.concat(
+            F.lit("Padding length exceeds maximum allowed "
+                  f"({_LPAD_MAX}): "), n.cast("string"))))
+    )
+    # F.lpad needs a python-literal pad char; build from a column pad
+    # char via repeat+concat instead
+    fill = F.repeat(p, F.greatest(n - F.length(s), F.lit(0)))
+    out = F.concat(fill, s) if left else F.concat(s, fill)
+    return F.when(s.isNull(), F.lit(None)).otherwise(
+        F.coalesce(bad.cast("string"),
+                   F.when(F.length(s) >= n, s).otherwise(out))
+    )
+
+
+@scalar("lpad", "text.lpad")
+def _lpad(args):
+    """text.lpad(s, length, padChar) (function/text/TextLpad.java):
+    negative or >10MiB lengths raise; null string → null."""
+    return _pad(args, left=True)
+
+
+@scalar("rpad", "text.rpad")
+def _rpad(args):
+    return _pad(args, left=False)
+
+
+@scalar("regexreplace", "text.regexreplace")
+def _regex_replace(args):
+    """text.regexReplace(s, pattern, replacement)
+    (function/text/TextRegexReplace.java); null input → null."""
+    return F.regexp_replace(
+        args[0].cast("string"), args[1].cast("string"),
+        args[2].cast("string"),
+    )
+
+
+@scalar("text.levenshteindistance", "levenshteindistance")
+def _levenshtein_distance_ns(args):
+    return F.levenshtein(args[0].cast("string"), args[1].cast("string"))
+
+
+@scalar("text.levenshteinsimilarity")
+def _levenshtein_similarity_ns(args):
+    a, b = args[0].cast("string"), args[1].cast("string")
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, 1.0).otherwise(1.0 - F.levenshtein(a, b) / mx)
+
+
+@scalar("util.compress")
+def _util_compress(args):
+    """util.compress(data[, algorithm]) → base64 deflate/gzip
+    (function/util/UtilCompress.java).  Spark has no gzip-string
+    expression; 'deflate' maps to compress()+base64 (zlib stream), the
+    default 'gzip' is rejected with a pointer to deflate."""
+    from arcadedb_spark.sql.litreg import value_of
+
+    algo = "gzip"
+    if len(args) > 1:
+        v = value_of(args[1])
+        if v is not None:
+            algo = str(v).lower()
+    if algo != "deflate":
+        raise ValueError(
+            "util.compress: only 'deflate' is supported here (zlib via "
+            "Spark compress()); gzip framing has no JVM-side expression"
+        )
+    import pyspark.sql.functions as _F2
+
+    if not hasattr(_F2, "compress"):
+        raise ValueError(
+            "util.compress requires a Spark build with the compress() "
+            "expression"
+        )
+    return F.base64(_F2.compress(args[0].cast("binary")))

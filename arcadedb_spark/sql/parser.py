@@ -608,6 +608,14 @@ class Parser:
                 elif self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKETS":
                     self.advance()
                     buckets = int(self.advance().value)
+                elif self.cur.kind == "IDENT" and self.cur.value.upper() in (
+                    "UNIDIRECTIONAL", "BIDIRECTIONAL",
+                ) and kind == "edge":
+                    # CREATE EDGE TYPE … UNIDIRECTIONAL (schema/
+                    # LocalEdgeType bidirectional flag) — storage here is
+                    # a (src, dst) table either way; accepted, recorded
+                    # by the executor via the statement text elsewhere
+                    self.advance()
                 else:
                     break
             return ast.CreateTypeStmt(
@@ -1911,6 +1919,15 @@ class Parser:
             raw = self.text[tok.pos:tok.pos + len(tok.value)]
             if raw.lower() == tok.value.lower():
                 key = raw
+        if self.cypher and tok.kind in ("IDENT", "KEYWORD") \
+                and self.at_op("}"):
+            # legacy Neo4j-2.x parameter spelling in value position
+            # (reference Issue4141DeprecatedSyntaxTest): targeted hint,
+            # not a generic map-literal error
+            raise ParseError(
+                f"{{{key}}} is the removed legacy parameter syntax — "
+                f"use ${key}"
+            )
         self.expect_op(":")
         return (key, self.parse_expr())
 
@@ -1964,7 +1981,7 @@ class Parser:
                 return ast.ListComp(var, source, pred, proj)
         if (
             self.cypher
-            and low == "reduce"
+            and low in ("reduce", "allreduce")
             and self.cur.kind == "IDENT"
             and self.peek().kind == "OP"
             and self.peek().value == "="
@@ -1978,6 +1995,13 @@ class Parser:
             source = self.parse_expr()
             self.expect_op("|")
             body = self.parse_expr()
+            if low == "allreduce":
+                # allReduce(acc = 0, x IN l | acc + x, acc < 10) —
+                # Cypher-25 stepwise predicate (AllReduceExpression.java)
+                self.expect_op(",")
+                pred = self.parse_expr()
+                self.expect_op(")")
+                return ast.AllReduceExpr(acc, init, var, source, body, pred)
             self.expect_op(")")
             return ast.ReduceExpr(acc, init, var, source, body)
         distinct = self.eat_kw("DISTINCT")

@@ -2198,6 +2198,71 @@ class ExprCompiler:
 
         return F.aggregate(src, init, merge)
 
+    def _c_allreduceexpr(self, e: ast.AllReduceExpr) -> Column:
+        """Cypher-25 allReduce (AllReduceExpression.java:66): the struct
+        accumulator carries {acc, ok}; each step updates acc via the
+        reduce body, then ANDs the predicate evaluated with the NEW
+        accumulator and the element bound.  Null/empty list → true; a
+        null predicate result counts as failure (only Boolean.TRUE
+        passes)."""
+        from pyspark.sql.types import NullType as _NT
+
+        st = self._static_dtype(e.source)
+        if (st is not None and isinstance(st, _NT)) or (
+            isinstance(e.source, ast.Lit) and e.source.value is None
+        ):
+            return F.lit(True)  # null list → vacuous truth
+        src = self.compile(e.source)
+        init = self.compile(e.init)
+        elem_t = self._elem_type(e.source)
+
+        def _with_bound(names_vals, fn):
+            prevs = [
+                (n, self._bound.get(n, _MISSING)) for n, _ in names_vals
+            ]
+            for n, v in names_vals:
+                self._bound[n] = v
+            try:
+                return fn()
+            finally:
+                for n, prev in prevs:
+                    if prev is _MISSING:
+                        del self._bound[n]
+                    else:
+                        self._bound[n] = prev
+
+        def merge(s: Column, x: Column) -> Column:
+            prev_xt = self._bound_types.get(e.var, _MISSING)
+            if elem_t is not None:
+                self._bound_types[e.var] = elem_t
+            try:
+                new_acc = _with_bound(
+                    [(e.acc, s.getField("acc")), (e.var, x)],
+                    lambda: self.compile(e.body),
+                )
+                ok_p = _with_bound(
+                    [(e.acc, new_acc), (e.var, x)],
+                    lambda: self.compile(e.pred),
+                )
+            finally:
+                if prev_xt is _MISSING:
+                    self._bound_types.pop(e.var, None)
+                else:
+                    self._bound_types[e.var] = prev_xt
+            return F.struct(
+                new_acc.alias("acc"),
+                (s.getField("ok") & F.coalesce(ok_p, F.lit(False)))
+                .alias("ok"),
+            )
+
+        agg = F.aggregate(
+            src,
+            F.struct(init.alias("acc"), F.lit(True).alias("ok")),
+            merge,
+            lambda s: s.getField("ok"),
+        )
+        return F.when(src.isNull(), F.lit(True)).otherwise(agg)
+
     def _c_arrayfilter(self, e: ast.ArrayFilter) -> Column:
         """``base[cond]`` → F.filter with the condition compiled against
         the array element (arrayConditionSelector; the reference iterates

@@ -915,3 +915,127 @@ def test_shortest_path_where_filters_before_minhop(spark):
                 "all(r IN relationships(p) WHERE r.w < 5) "
                 "RETURN length(p) AS l").collect()
     assert sorted(x["l"] for x in r3) == [3]
+
+
+def test_allreduce_function(spark):
+    """Cypher-25 allReduce (ast/AllReduceExpression.java:66): predicate
+    checked after every accumulation step; empty/null lists are vacuous
+    truth."""
+    db = _scratch(spark)
+    rows = cy(db, "RETURN "
+                  "allReduce(acc = 0, x IN [1, 2, 3] | acc + x, acc < 10) "
+                  "AS a, "
+                  "allReduce(acc = 0, x IN [1, 2, 3] | acc + x, acc < 3) "
+                  "AS b, "
+                  "allReduce(acc = 0, x IN [] | acc + x, false) AS c, "
+                  "allReduce(acc = 0, x IN null | acc + x, false) AS d"
+              ).collect()[0]
+    assert (rows["a"], rows["b"], rows["c"], rows["d"]) == (
+        True, False, True, True,
+    )
+
+
+def test_varlength_inline_where(spark):
+    """-[r:T* WHERE pred]-> filters EVERY traversed relationship
+    (reference VariableLengthPathTraverser edge filters)."""
+    db = _scratch(spark)
+    cy(db, "CREATE (a:VA {v:1})-[:E {tag:'ok'}]->(b:VA {v:2})"
+           "-[:E {tag:'nope'}]->(c:VA {v:3})")
+    got = cy(db, "MATCH (a:VA {v:1})-[r:E*1..2 WHERE r.tag = 'ok']->(x:VA) "
+                 "RETURN x.v AS v").collect()
+    assert [r["v"] for r in got] == [2]
+    assert cy(db, "MATCH (a:VA {v:1})-[r:E*1..1 WHERE false]->(x:VA) "
+                  "RETURN count(*) AS c").collect()[0]["c"] == 0
+    # single-hop inline WHERE unchanged
+    got2 = cy(db, "MATCH (a:VA {v:1})-[r:E WHERE r.tag = 'ok']->(x:VA) "
+                  "RETURN x.v AS v").collect()
+    assert [r["v"] for r in got2] == [2]
+
+
+def test_path_modes_trail_acyclic_walk(spark):
+    """MATCH TRAIL/ACYCLIC/WALK path modes (reference ast/PathMode.java):
+    TRAIL = edge-unique default, ACYCLIC adds vertex uniqueness, WALK
+    lifts uniqueness and requires a bounded max hop."""
+    import pytest as _pt
+
+    from arcadedb_spark.sql.parser import ParseError
+
+    db = _scratch(spark)
+    cy(db, "CREATE (a:PM {name:'A'})-[:L]->(b:PM {name:'B'})"
+           "-[:L]->(c:PM {name:'C'})-[:L]->(a), (a)-[:L]->(d:PM {name:'D'})")
+    trail = cy(db, "MATCH TRAIL (a:PM {name:'A'})-[:L*1..4]->(b) "
+                   "RETURN count(*) AS c").collect()[0]["c"]
+    acyclic = {r["n"] for r in cy(
+        db, "MATCH ACYCLIC (a:PM {name:'A'})-[:L*1..5]->(b) "
+            "RETURN DISTINCT b.name AS n").collect()}
+    walk = cy(db, "MATCH WALK (a:PM {name:'A'})-[:L*1..4]->(b) "
+                  "RETURN count(*) AS c").collect()[0]["c"]
+    assert "A" not in acyclic and {"B", "C", "D"} <= acyclic
+    assert walk > trail  # edge reuse allowed
+    with _pt.raises(ParseError):
+        cy(db, "MATCH WALK (a:PM)-[:L*]->(b) RETURN b")
+
+
+def test_dynamic_properties_and_fn_shortestpath(spark):
+    """SET d[k] / REMOVE d[k] with constant keys; expression-position
+    shortestPath() hoists to an optional shortest path (null when no
+    path exists)."""
+    import pytest as _pt
+
+    from arcadedb_spark.sql.parser import ParseError
+
+    db = _scratch(spark)
+    cy(db, "CREATE (:DS {name:'dyn'})")
+    r = cy(db, "MATCH (d:DS {name:'dyn'}) SET d['propA'] = 'hello' "
+               "RETURN d.propA AS p").collect()
+    assert [x["p"] for x in r] == ["hello"]
+    cy(db, "MATCH (d:DS {name:'dyn'}) SET d['key_' + toString(1)] = 'w'")
+    assert cy(db, "MATCH (d:DS) RETURN d.key_1 AS v"
+              ).collect()[0]["v"] == "w"
+    cy(db, "MATCH (d:DS) REMOVE d['propA']")
+    assert cy(db, "MATCH (d:DS) RETURN d.propA AS p"
+              ).collect()[0]["p"] is None
+    with _pt.raises(ParseError):
+        cy(db, "MATCH (d:DS) WITH d, 'k' AS k SET d[k] = 1")
+    # function-form shortestPath
+    cy(db, "CREATE (a:SPN {id:1})-[:LK {w:1}]->(b:SPN {id:2})"
+           "-[:LK {w:1}]->(c:SPN {id:3}), (a)-[:LK {w:9}]->(c)")
+    r2 = cy(db, "MATCH (a:SPN {id:1}), (c:SPN {id:3}) "
+                "RETURN length(shortestPath((a)-[:LK*..4]->(c))) AS l"
+            ).collect()
+    assert [x["l"] for x in r2] == [1]
+    r3 = cy(db, "MATCH (a:SPN {id:1}), (c:SPN {id:3}) RETURN "
+                "length(shortestPath((a)-[r:LK*..4 WHERE r.w < 5]->(c))) "
+                "AS l").collect()
+    assert [x["l"] for x in r3] == [2]
+    r4 = cy(db, "MATCH (c:SPN {id:3}), (a:SPN {id:1}) "
+                "RETURN shortestPath((c)-[:LK*..4]->(a)) AS p").collect()
+    assert r4[0]["p"] is None
+
+
+def test_cypher_schema_ddl_surface(spark):
+    """Neo4j-style CREATE CONSTRAINT/INDEX + SQL DDL delegation on the
+    Cypher surface (CypherMultiLabelConstraintReloadTest,
+    CypherQueryStatisticsTest)."""
+    import pytest as _pt
+
+    from arcadedb_spark.sql.parser import ParseError
+
+    db = _scratch(spark)
+    r = cy(db, "CREATE CONSTRAINT FOR (n:Foo) REQUIRE n.id IS UNIQUE"
+           ).collect()[0]
+    assert r["kind"] == "unique" and "Foo" in r["name"]
+    cy(db, "CREATE CONSTRAINT IF NOT EXISTS FOR (p:Emp2) "
+           "REQUIRE p.id IS UNIQUE")
+    cy(db, "CREATE INDEX FOR (p:Product) ON (p.sku)")
+    assert "Product[sku]" in db.schema.indexes
+    cy(db, "CREATE RANGE INDEX r1 FOR (s:Snap) ON (s.id, s.event)")
+    assert db.schema.indexes["r1"]["props"] == ("id", "event")
+    # SQL DDL delegates through the cypher surface
+    cy(db, "CREATE VERTEX TYPE Account IF NOT EXISTS")
+    assert db.schema.exists("Account")
+    cy(db, "CREATE EDGE TYPE KNOWS UNIDIRECTIONAL")
+    cy(db, "CREATE PROPERTY Account.bank IF NOT EXISTS STRING")
+    # legacy {param} syntax gets the targeted hint
+    with _pt.raises(ParseError, match=r"\$name"):
+        cy(db, "MATCH (p:Person) WHERE p.name = {name} RETURN p")
