@@ -1329,6 +1329,32 @@ class Parser:
                 return left
             left = nxt
 
+    def _parse_type_name_tail(self, tname: str) -> str:
+        """Multi-word names (SIGNED INTEGER, LOCAL TIME), parameterized
+        LIST<INNER> (GQL issue #3365), and the NOT NULL nullability
+        suffix (null does not conform to a NOT NULL type)."""
+        while self.cur.kind in ("IDENT", "KEYWORD") and (
+            self.cur.value.upper() in (
+                "INTEGER", "TIME", "DATETIME", "PRECISION",
+            )
+        ):
+            tname = f"{tname} {self.advance().value}"
+        if tname.upper() in ("LIST", "ARRAY") and self.at_op("<"):
+            self.advance()
+            if self.cur.kind not in ("IDENT", "KEYWORD"):
+                raise ParseError(
+                    f"Expected a type name in LIST<…> at {self.cur!r}"
+                )
+            inner = self._parse_type_name_tail(str(self.advance().value))
+            self.expect_op(">")
+            tname = f"{tname}<{inner}>"
+        if self.at_kw("NOT") and self.peek().kind == "KEYWORD" \
+                and self.peek().value.upper() == "NULL":
+            self.advance()
+            self.advance()
+            tname = f"{tname} NOT NULL"
+        return tname
+
     def _parse_one_postfix_predicate(self, left: ast.Expr) -> "ast.Expr | None":
         if self.at_kw("IS"):
             self.advance()
@@ -1349,13 +1375,7 @@ class Parser:
                     self.advance()
                 else:
                     self.advance()  # TYPED
-                    tname = self.ident()
-                    while self.cur.kind in ("IDENT", "KEYWORD") and (
-                        self.cur.value.upper() in (
-                            "INTEGER", "TIME", "DATETIME", "PRECISION",
-                        )
-                    ):
-                        tname = f"{tname} {self.advance().value}"
+                    tname = self._parse_type_name_tail(self.ident())
                     return ast.TypePred(left, tname.upper(), negated)
                 if self.cur.kind == "PARAM":
                     tname = self.advance().value
@@ -1366,13 +1386,7 @@ class Parser:
                     raise ParseError(
                         f"Expected type name after IS :: at {self.cur!r}"
                     )
-                # multi-word names (SIGNED INTEGER, LOCAL TIME)
-                while self.cur.kind in ("IDENT", "KEYWORD") and (
-                    self.cur.value.upper() in (
-                        "INTEGER", "TIME", "DATETIME", "PRECISION",
-                    )
-                ):
-                    tname = f"{tname} {self.advance().value}"
+                tname = self._parse_type_name_tail(tname)
                 return ast.TypePred(left, tname.upper(), negated)
             raise ParseError(f"Expected NULL or DEFINED after IS at {self.cur!r}")
         negated = False

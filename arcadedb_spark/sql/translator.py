@@ -2006,12 +2006,39 @@ class ExprCompiler:
         base = self.compile(e.base)
         t = F.call_function("typeof", base)
         name = e.type_name
+        not_null = False
+        if name.endswith(" NOT NULL"):
+            # GQL: null does not conform to a NOT NULL type
+            not_null = True
+            name = name[: -len(" NOT NULL")].strip()
         if name in ("ANY", "ANY VALUE"):
             cond = F.lit(True)
         elif name == "NULL":
             cond = base.isNull()
-        elif name in ("LIST", "ARRAY", "LIST ANY"):
+        elif name in ("LIST", "ARRAY", "LIST ANY", "LIST<ANY>"):
             cond = t.startswith("array")
+        elif name.startswith(("LIST<", "ARRAY<")) and name.endswith(">"):
+            # parameterized list type (issue #3365): the static element
+            # type must be in the inner type's Spark-name set
+            inner = name[name.index("<") + 1:-1].strip()
+            if inner in ("ANY", "ANY VALUE"):
+                cond = t.startswith("array")
+            elif inner in self._TYPE_PRED_SETS:
+                cond = t.isin(
+                    *[f"array<{el}>" for el in self._TYPE_PRED_SETS[inner]]
+                )
+            elif inner in ("NUMBER", "NUMERIC"):
+                cond = t.isin(*[
+                    f"array<{el}>" for el in (
+                        "tinyint", "smallint", "int", "bigint", "float",
+                        "double",
+                    )
+                ])
+            else:
+                raise TranslateError(
+                    f"Unsupported element type in LIST<…> predicate: "
+                    f"{inner}"
+                )
         elif name == "MAP":
             cond = t.startswith("map") | t.startswith("struct")
         elif name in ("NUMBER", "NUMERIC"):
@@ -2025,8 +2052,11 @@ class ExprCompiler:
                 f"Unsupported type name in IS :: predicate: {name}"
             )
         if name != "NULL":
-            # null is a member of every (nullable) value type
-            cond = F.when(base.isNull(), F.lit(True)).otherwise(cond)
+            # null is a member of every (nullable) value type — unless
+            # the type carries the NOT NULL suffix
+            cond = F.when(
+                base.isNull(), F.lit(not not_null)
+            ).otherwise(cond)
         return ~cond if e.negated else cond
 
     def _c_labelpred(self, e: ast.LabelPred) -> Column:
