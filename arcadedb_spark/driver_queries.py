@@ -3833,140 +3833,139 @@ def q_knn_pq(spark, sf_dir):
 
 
 _PRIORITY = [
-    # round-6 rotation: new queries first (never driver-graded), then the
-    # three reshaped canon-safe queries (ERR in r5), then least-recently
-    # graded.
+    # round-6 grading rotation: never-driver-graded queries first
+    # (q_mongo_aggregate, q_import_statement), then the three
+    # canon-reshaped queries that ERRed in r5, then every other
+    # query ordered by the round it was last driver-graded
+    # (least-recent first) so the ~50-query gate rotates coverage.
     "q_mongo_aggregate",
     "q_import_statement",
     "q_cypher_count_collect",
-    # round-5 grading rotation: the 21 queries added this round have
-    # never been driver-graded -- they go first; next the set last
-    # graded in rounds 2-3; the 50 graded in CORRECTNESS_r04 go last.
-    "q_gav_read",
-    "q_mv_incremental_equiv",
     "q_gremlin_group",
-    "q_gremlin_project",
-    "q_gremlin_edge_steps",
-    "q_gremlin_sack",
-    "q_select_no_target",
-    "q_bucket_scan",
-    "q_rid_lookup",
     "q_set_ops_scalar",
-    "q_sql_script",
-    "q_downsample_tiers",
-    "q_line_protocol",
-    "q_trigger_after_insert",
-    "q_define_function",
-    "q_match_cartesian_roots",
-    "q_apply_defaults",
-    "q_csv_import",
-    "q_backup_restore",
-    "q_glove_import",
-    "q_knn_pq",
-    "q_search_predicate",
-    "q_louvain",
-    "q_sessionize",
-    "q_match_edge_props",
-    "q_cypher_pattern_pred",
-    "q_cypher_pattern_size",
-    "q_total_neighbors",
-    "q_astar",
-    "q_ksp",
-    "q_maxflow",
-    "q_cliques",
-    "q_leiden",
-    "q_cypher_quantifiers",
-    "q_temporal_kernel",
-    "q_knn_graph",
-    "q_scan_filter_project",
-    "q_tpch_q1",
-    "q_topk_skip_limit",
-    "q_distinct",
-    "q_count_star",
-    "q_agg_suite",
-    "q_in_subquery",
-    "q_not_in_subquery",
-    "q_like_between_in",
-    "q_case_when",
-    "q_string_methods",
-    "q_date_functions",
-    "q_null_handling",
-    "q_unwind",
-    "q_link_2hop",
-    "q_link_3hop",
-    "q_let_per_record",
-    "q_schema_types",
-    "q_match_2hop",
-    "q_match_3hop",
-    "q_match_optional",
-    "q_match_not",
-    "q_traverse_bfs",
-    "q_graph_bfs_hops",
-    "q_degree_centrality",
-    "q_triangle_count",
-    "q_pagerank",
-    "q_wcc",
-    "q_ts_lag_delta",
-    "q_moving_avg",
-    "q_ts_rank",
-    "q_token_count",
-    "q_quality_score",
-    "q_exact_dedup",
     "q_bm25",
-    "q_ngram_jaccard",
-    "q_language_id",
+    "q_degree_centrality",
+    "q_exact_dedup",
+    "q_graph_bfs_hops",
     "q_knn_cosine",
     "q_knn_l2",
-    "q_embedding_near_dup",
-    "q_vector_quantize",
-    "q_binary_quantize_hamming",
-    "q_gremlin_repeat",
-    "q_array_selectors",
-    "q_time_bucket",
-    "q_promql_range_avg",
-    "q_ts_rate",
-    "q_continuous_aggregate",
-    "q_minhash_dedup",
-    "q_simhash_dedup",
-    "q_knn_lsh",
-    "q_sparse_dot",
-    "q_knn_ivf",
-    "q_multimodal_features",
-    "q_expand",
-    "q_ts_sql_bucket",
-    "q_ts_sql_lag_grouped",
-    "q_rrf_hybrid",
-    "q_interpolate",
-    "q_contains_ops",
-    "q_math_functions",
-    "q_conversion_methods",
-    "q_dml_roundtrip",
-    "q_common_neighbors",
-    "q_jaccard_link_prediction",
+    "q_language_id",
+    "q_let_per_record",
+    "q_link_2hop",
+    "q_link_3hop",
+    "q_match_2hop",
+    "q_match_3hop",
+    "q_match_not",
+    "q_match_optional",
+    "q_moving_avg",
+    "q_ngram_jaccard",
+    "q_pagerank",
+    "q_quality_score",
+    "q_schema_types",
+    "q_token_count",
+    "q_traverse_bfs",
+    "q_triangle_count",
+    "q_ts_lag_delta",
+    "q_ts_rank",
+    "q_unwind",
+    "q_wcc",
     "q_adamic_adar",
-    "q_k_core",
-    "q_preferential_attachment",
-    "q_resource_allocation",
-    "q_clustering_coefficient",
-    "q_harmonic_centrality",
-    "q_hits",
+    "q_agg_percentiles",
+    "q_agg_tail",
+    "q_array_selectors",
     "q_article_rank",
+    "q_binary_quantize_hamming",
+    "q_clustering_coefficient",
+    "q_collect_sorted",
+    "q_common_neighbors",
+    "q_contains_ops",
+    "q_continuous_aggregate",
+    "q_conversion_methods",
     "q_cypher_match",
     "q_cypher_optional",
     "q_cypher_string_preds",
-    "q_geo_distance",
-    "q_geo_radius_join",
-    "q_gremlin_groupcount",
-    "q_graphql_nested",
-    "q_mongo_find",
-    "q_agg_tail",
-    "q_geo_polygon",
-    "q_json_dynamic_props",
-    "q_agg_percentiles",
-    "q_collect_sorted",
     "q_cypher_varlength",
-    "q_scc",
+    "q_dml_roundtrip",
+    "q_embedding_near_dup",
+    "q_expand",
     "q_fastrp",
+    "q_geo_distance",
+    "q_geo_polygon",
+    "q_geo_radius_join",
+    "q_graphql_nested",
+    "q_gremlin_groupcount",
+    "q_gremlin_repeat",
+    "q_harmonic_centrality",
+    "q_hits",
+    "q_interpolate",
+    "q_jaccard_link_prediction",
+    "q_json_dynamic_props",
+    "q_k_core",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_math_functions",
+    "q_minhash_dedup",
+    "q_mongo_find",
+    "q_multimodal_features",
+    "q_preferential_attachment",
+    "q_promql_range_avg",
+    "q_resource_allocation",
+    "q_rrf_hybrid",
+    "q_scc",
+    "q_simhash_dedup",
+    "q_sparse_dot",
+    "q_time_bucket",
+    "q_ts_rate",
+    "q_ts_sql_bucket",
+    "q_ts_sql_lag_grouped",
+    "q_vector_quantize",
+    "q_agg_suite",
+    "q_apply_defaults",
+    "q_astar",
+    "q_backup_restore",
+    "q_bucket_scan",
+    "q_case_when",
+    "q_cliques",
+    "q_count_star",
+    "q_csv_import",
+    "q_cypher_pattern_pred",
+    "q_cypher_pattern_size",
+    "q_cypher_quantifiers",
+    "q_date_functions",
+    "q_define_function",
+    "q_distinct",
+    "q_downsample_tiers",
+    "q_gav_read",
+    "q_glove_import",
+    "q_gremlin_edge_steps",
+    "q_gremlin_project",
+    "q_gremlin_sack",
+    "q_in_subquery",
+    "q_knn_graph",
+    "q_knn_pq",
+    "q_ksp",
+    "q_leiden",
+    "q_like_between_in",
+    "q_line_protocol",
+    "q_louvain",
+    "q_match_cartesian_roots",
+    "q_match_edge_props",
+    "q_maxflow",
+    "q_mv_incremental_equiv",
+    "q_not_in_subquery",
+    "q_null_handling",
+    "q_rid_lookup",
+    "q_scan_filter_project",
+    "q_search_predicate",
+    "q_select_no_target",
+    "q_sessionize",
+    "q_sql_script",
+    "q_string_methods",
+    "q_temporal_kernel",
+    "q_topk_skip_limit",
+    "q_total_neighbors",
+    "q_tpch_q1",
+    "q_trigger_after_insert",
 ]
 
 
