@@ -1212,6 +1212,21 @@ class CypherParser(Parser):
         return direction, tuple(etypes), 1, 1, None, (), False
 
 
+def _mentions_frame_col(e, cols) -> bool:
+    """True when the expression references any bound frame column."""
+    colset = set(cols)
+    if isinstance(e, ast.Chain):
+        return bool(e.parts) and e.parts[0] in colset
+    if hasattr(e, "__dataclass_fields__"):
+        return any(
+            _mentions_frame_col(getattr(e, f_), colset)
+            for f_ in e.__dataclass_fields__
+        )
+    if isinstance(e, (tuple, list)):
+        return any(_mentions_frame_col(x, colset) for x in e)
+    return False
+
+
 def _const_string_key(e) -> str:
     """Resolve a dynamic-property key expression to a constant string at
     plan time (SET d[k] = v / REMOVE d[k]): string literals and literal
@@ -3134,17 +3149,60 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
             # ForeachStep.java:53 — driver-side loop over the evaluated
             # list, loop variable substituted as a literal per element
             ctx = Ctx(cypher=True, db=db, params=params or {})
-            col = ExprCompiler(ctx).compile(w["list"])
-            lst = value_of(col)
-            if lst is None:  # not a registered literal — evaluate on a 1-row frame
-                lst = db.spark.range(1).select(col.alias("__l")).collect()[0][0]
+            lst = None
+            col = None
+            try:
+                col = ExprCompiler(ctx).compile(w["list"])
+                lst = value_of(col)
+            except TranslateError:
+                pass  # frame-bound list (references a WITH column)
+            if (lst is None and df is not None) and (
+                col is None or _mentions_frame_col(w["list"], df.columns)
+            ):
+                # frame-bound list (WITH collect(a) AS xs FOREACH (x IN
+                # xs | …)): explode each row's list into a per-element
+                # binding column and run the body against the widened
+                # frame — fully distributed, no driver loop
+                fctx = Ctx(cypher=True, db=db, params=params or {},
+                           columns=tuple(df.columns),
+                           frame_schema=df.schema)
+                lcol = ExprCompiler(fctx).compile(w["list"])
+                saved_df = df
+                df = df.withColumn(w["var"], F.explode(lcol))
+                try:
+                    total = 0
+                    for inner in w["body"]:
+                        total += run_one(inner)
+                finally:
+                    df = saved_df
+                return total
+            if lst is None and col is not None:
+                # not a registered literal — evaluate on a 1-row frame
+                lst = db.spark.range(1).select(
+                    col.alias("__l")
+                ).collect()[0][0]
             total = 0
             for elem in (lst or []):
                 # per-element binding scope: aliases created in one
                 # FOREACH iteration must not alias-bind the next one
                 mark = len(write_bindings)
+                sub_elem = elem
+                if hasattr(elem, "asDict"):
+                    sub_elem = elem.asDict()
+                if isinstance(sub_elem, dict) and "vid" in sub_elem:
+                    # entity element (FOREACH (x IN collect(a) | …)):
+                    # register the loop var as a binding so alias-target
+                    # writes (DETACH DELETE x / SET x.p) address its vid;
+                    # property refs in expressions substitute from the
+                    # entity's map
+                    write_bindings.append((
+                        w["var"], sub_elem.get("@type"),
+                        sub_elem.get("vid"),
+                        {k: v for k, v in sub_elem.items()
+                         if k not in ("vid", "@type")},
+                    ))
                 for inner in w["body"]:
-                    total += run_one(subst_write(inner, w["var"], elem))
+                    total += run_one(subst_write(inner, w["var"], sub_elem))
                 del write_bindings[mark:]
             return total
         n = 0
@@ -4290,19 +4348,42 @@ def _cypher_schema_ddl(db, p: "CypherParser", text: str,
         raise ParseError(f"Expected FOR in CREATE {kindtok}")
     p.advance()
     p.expect_op("(")
-    var = p.ident()
-    label = p.advance().value if p.cur.kind == "PARAM" else None
-    if label is None:
-        p.expect_op(":")
-        label = p.ident()
-    while p.cur.kind == "PARAM" or p.at_op(":"):
-        # multi-label constraint target — recorded against each label
+    is_rel = False
+    if p.at_op(")"):
+        # relationship target ()-[r:TYPE]-() — constraint/index on an
+        # edge type
+        p.advance()
+        p.expect_op("-")
+        p.expect_op("[")
+        if p.cur.kind == "IDENT":
+            p.ident()  # rel variable (unused)
         if p.cur.kind == "PARAM":
-            label = f"{label}:{p.advance().value}"
+            label = p.advance().value
         else:
+            p.expect_op(":")
+            label = p.ident()
+        p.expect_op("]")
+        p.expect_op("-")
+        if p.at_op(">"):
             p.advance()
-            label = f"{label}:{p.ident()}"
-    p.expect_op(")")
+        p.expect_op("(")
+        p.expect_op(")")
+        is_rel = True
+    else:
+        var = p.ident()
+        label = p.advance().value if p.cur.kind == "PARAM" else None
+        if label is None:
+            p.expect_op(":")
+            label = p.ident()
+        while p.cur.kind == "PARAM" or p.at_op(":"):
+            # multi-label constraint target — recorded per label
+            if p.cur.kind == "PARAM":
+                label = f"{label}:{p.advance().value}"
+            else:
+                p.advance()
+                label = f"{label}:{p.ident()}"
+        p.expect_op(")")
+        _ = var
 
     def _props_list() -> list[str]:
         props = []
@@ -4359,10 +4440,21 @@ def _cypher_schema_ddl(db, p: "CypherParser", text: str,
             parts.append(str(p.advance().value))
         type_name = " ".join(parts)
         kind = "typed"
+    elif p._at_ident("NODE") or p._at_ident("RELATIONSHIP") \
+            or p._at_ident("REL"):
+        # IS NODE KEY / IS RELATIONSHIP KEY — composite unique + notnull
+        p.advance()
+        if not (p.cur.kind in ("IDENT", "KEYWORD")
+                and str(p.cur.value).upper() == "KEY"):
+            raise ParseError("Expected KEY after IS NODE/RELATIONSHIP")
+        p.advance()
+        kind = "key"
     else:
         raise ParseError(
-            "Constraint must be IS UNIQUE, IS NOT NULL or IS TYPED"
+            "Constraint must be IS UNIQUE, IS NOT NULL, IS TYPED or "
+            "IS NODE/RELATIONSHIP KEY"
         )
+    _ = is_rel
     key = name or f"constraint:{label}[{','.join(props)}]:{kind}"
     db.schema.indexes[key] = {
         "type": label, "props": tuple(props), "kind": kind,
@@ -4402,10 +4494,41 @@ def cypher_query(db, text: str, params: dict | None = None) -> DataFrame:
             and p.peek(2).kind in ("IDENT", "KEYWORD")
             and str(p.peek(2).value).upper() == "INDEX"
         ):
+            import re as _re
+
+            if v1 == "INDEX" and not _re.search(
+                r"\bFOR\s*\(", text, _re.IGNORECASE
+            ):
+                # SQL-form CREATE INDEX name ON Type (props) [kind] —
+                # delegate like the other SQL DDL heads
+                from arcadedb_spark.sql.commands import execute_command
+                from arcadedb_spark.sql.parser import parse as _sql_parse
+
+                return execute_command(db, _sql_parse(text), params or {})
             return _cypher_schema_ddl(db, p, text, params or {})
+    def _is_scoped_call_subquery() -> bool:
+        # leading scoped CALL (a, b) { … } / CALL () { … } — a subquery,
+        # not a procedure call: the token after the matching ')' is '{'
+        if not (p.peek().kind == "OP" and p.peek().value == "("):
+            return False
+        depth = 0
+        j = p.i + 1
+        while j < len(p.tokens) and p.tokens[j].kind != "EOF":
+            t = p.tokens[j]
+            if t.kind == "OP" and t.value == "(":
+                depth += 1
+            elif t.kind == "OP" and t.value == ")":
+                depth -= 1
+                if depth == 0:
+                    nxt = p.tokens[j + 1] if j + 1 < len(p.tokens) else None
+                    return (nxt is not None and nxt.kind == "OP"
+                            and nxt.value == "{")
+            j += 1
+        return False
+
     if p._at_ident("CALL") and not (
         p.peek().kind == "OP" and p.peek().value == "{"
-    ):
+    ) and not _is_scoped_call_subquery():
         from arcadedb_spark.graph.match import project_stage
         from arcadedb_spark.graph.procedures import call_procedure
         from arcadedb_spark.sql.translator import _contains_aggregate

@@ -618,6 +618,8 @@ def _drop_type(db, stmt: ast.DropTypeStmt) -> DataFrame:
 
 
 def _create_property(db, stmt: ast.CreatePropertyStmt) -> DataFrame:
+    if not db.schema.exists(stmt.type_name):
+        raise TranslateError(f"Type not found: {stmt.type_name}")
     tdef = db.schema.get(stmt.type_name)
     declared = tdef.properties.setdefault("declared", {})
     if stmt.prop in declared and stmt.if_not_exists:

@@ -2023,3 +2023,10 @@ def _util_compress(args):
             "expression"
         )
     return F.base64(_F2.compress(args[0].cast("binary")))
+
+
+@scalar("char.length", "character.length", "char_length",
+        "character_length")
+def _char_length_ns(args):
+    # GQL char_length spellings (function/text/CharLengthFunction.java)
+    return F.length(args[0].cast("string"))

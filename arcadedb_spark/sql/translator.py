@@ -2200,6 +2200,13 @@ class ExprCompiler:
         return out
 
     def _c_reduceexpr(self, e: ast.ReduceExpr) -> Column:
+        from pyspark.sql.types import NullType as _RNT
+
+        st = self._static_dtype(e.source)
+        if (st is not None and isinstance(st, _RNT)) or (
+            isinstance(e.source, ast.Lit) and e.source.value is None
+        ):
+            return F.lit(None)  # reduce over null list → null (Cypher)
         src = self.compile(e.source)
         init = self.compile(e.init)
 
