@@ -457,6 +457,16 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     n = new_df.count()
     _replace_df(db, name, merged)
     _notify_mvs(db, name, delta=new_df)
+    # vertex-kind types are shared with the graph surface: an SQL INSERT
+    # must be visible to Cypher MATCH (reference: one record store under
+    # both engines).  Graph-side append mirrors the rows; vids come from
+    # the graph's creation counter.  SQL UPDATE/DELETE divergence is a
+    # documented deviation (NOTES.md).
+    if (
+        db.schema.exists(name) and db.schema.get(name).kind == "vertex"
+        and stmt.from_select is None and rows
+    ):
+        db.graph().add_vertex_rows(db.schema.get(name).name, rows)
     if trig_rows is not None:
         from arcadedb_spark.triggers import fire
 

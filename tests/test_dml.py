@@ -197,3 +197,27 @@ def test_timeseries_type_ddl(scratch):
     assert db.schema.get("SensorData").properties["timeseries"]["downsampling"] == []
     # IF NOT EXISTS is a no-op
     db.command("CREATE TIMESERIES TYPE SensorData IF NOT EXISTS")
+
+
+def test_sql_insert_visible_to_cypher_match(spark):
+    """Vertex-kind types share one logical store across surfaces: SQL
+    INSERT rows are visible to Cypher MATCH (reference: a single record
+    store under every query engine).  UPDATE/DELETE mirror divergence is
+    a documented deviation (NOTES.md)."""
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    db.command("CREATE VERTEX TYPE InteropV")
+    db.command("INSERT INTO InteropV SET name = 'a', id = 1")
+    db.command("INSERT INTO InteropV (name, id) VALUES ('b', 2), ('c', 3)")
+    assert db.query("SELECT count(*) AS n FROM InteropV"
+                    ).collect()[0]["n"] == 3
+    got = db.query("MATCH (p:InteropV) RETURN p.name AS n ORDER BY n",
+                   language="cypher").collect()
+    assert [r["n"] for r in got] == ["a", "b", "c"]
+    # Cypher writes address the mirrored vertices
+    db.query("MATCH (p:InteropV {id: 2}) SET p.flag = true",
+             language="cypher").collect()
+    n = db.query("MATCH (p:InteropV) WHERE p.flag RETURN count(*) AS n",
+                 language="cypher").collect()[0]["n"]
+    assert n == 1
