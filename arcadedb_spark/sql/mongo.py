@@ -391,6 +391,36 @@ def mongo_aggregate(db, doc: dict) -> DataFrame:
                 df = df.withColumn(fld, F.explode_outer(F.col(fld)))
             else:
                 df = df.withColumn(fld, F.explode(F.col(fld)))
+        elif op == "$lookup":
+            # left outer equality join collecting matches into an array
+            # field (classic $lookup form)
+            other = db.schema.table(spec["from"])
+            ff = spec["foreignField"]
+            lf = spec["localField"]
+            arr = F.collect_list(
+                F.struct(*[F.col(c) for c in other.columns])
+            ).alias("__lk_arr")
+            grouped = other.groupBy(F.col(ff).alias("__lk_key")).agg(arr)
+            df = (
+                df.join(grouped, F.col(lf) == F.col("__lk_key"),
+                        "left_outer")
+                .withColumn(
+                    spec["as"],
+                    F.coalesce(
+                        F.col("__lk_arr"),
+                        F.expr("array()").cast(
+                            grouped.schema["__lk_arr"].dataType
+                        ),
+                    ),
+                )
+                .drop("__lk_key", "__lk_arr")
+            )
+        elif op == "$sortByCount":
+            df = (
+                df.groupBy(compile_expr(spec).alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.col("count").desc(), F.col("_id"))
+            )
         elif op == "$changeStream":
             raise ValueError(
                 "$changeStream is a streaming cursor — use the Structured "

@@ -151,3 +151,27 @@ def test_mongo_aggregate_cond_ifnull_errors(db):
     with pytest.raises(ValueError):
         mq(db, {"aggregate": "region",
                 "pipeline": [{"$changeStream": {}}]}).count()
+
+
+def test_mongo_aggregate_lookup_and_sortbycount(db):
+    """$lookup left-joins matches into an array field; $sortByCount
+    groups + orders by frequency."""
+    rows = mq(db, {
+        "aggregate": "nation",
+        "pipeline": [
+            {"$match": {"n_nationkey": {"$lt": 3}}},
+            {"$lookup": {"from": "region", "localField": "n_regionkey",
+                         "foreignField": "r_regionkey", "as": "region"}},
+            {"$sort": {"n_nationkey": 1}},
+        ],
+    }).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r["region"]) == 1
+        assert r["region"][0]["r_regionkey"] == r["n_regionkey"]
+    top = mq(db, {
+        "aggregate": "customer",
+        "pipeline": [{"$sortByCount": "$c_mktsegment"}],
+    }).collect()
+    assert top[0]["count"] >= top[-1]["count"]
+    assert sum(r["count"] for r in top) == 150
