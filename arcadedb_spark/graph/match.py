@@ -987,7 +987,10 @@ def _attach_path_node_lists(db, df: DataFrame, exprs, markers: dict):
             ).alias(lstc)
         )
         df = df.join(agg, uidc, "left").drop(uidc)
-        markers[id(t)] = F.coalesce(F.col(lstc), F.array())
+        # nodes(null) is null (unmatched OPTIONAL path), not []
+        markers[id(t)] = F.when(
+            F.col(alias).isNull() | key.isNull(), F.lit(None)
+        ).otherwise(F.coalesce(F.col(lstc), F.array()))
     return df
 
 
