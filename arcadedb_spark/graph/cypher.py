@@ -1082,8 +1082,10 @@ class CypherParser(Parser):
             while not self.at_op("}"):
                 key = self.ident()
                 if self.cur.kind == "PARAM":
-                    # colon-fused identifier value: {status:active}
-                    val: ast.Expr = ast.Chain((self.advance().value,))
+                    # colon-fused value: {status:active} — keyword
+                    # literals ({done:true}) fuse too and must stay
+                    # literals, not variable refs
+                    val = _fused_prop_value(self.advance().value)
                 else:
                     self.expect_op(":")
                     val = self.parse_expr()
@@ -1166,7 +1168,7 @@ class CypherParser(Parser):
                 while not self.at_op("}"):
                     key = self.ident()
                     if self.cur.kind == "PARAM":
-                        val: ast.Expr = ast.Chain((self.advance().value,))
+                        val = _fused_prop_value(self.advance().value)
                     else:
                         self.expect_op(":")
                         val = self.parse_expr()
@@ -1210,6 +1212,20 @@ class CypherParser(Parser):
             self.advance()
             direction = "both" if direction == "in" else "out"
         return direction, tuple(etypes), 1, 1, None, (), False
+
+
+def _fused_prop_value(word: str) -> "ast.Expr":
+    """Value of a colon-fused property pair ({k:v} lexes ':v' as one
+    PARAM token): boolean/null keywords are literals, anything else a
+    bare identifier reference."""
+    low = word.lower()
+    if low == "true":
+        return ast.Lit(True)
+    if low == "false":
+        return ast.Lit(False)
+    if low == "null":
+        return ast.Lit(None)
+    return ast.Chain((word,))
 
 
 def _mentions_frame_col(e, cols) -> bool:

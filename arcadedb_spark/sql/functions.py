@@ -1656,22 +1656,44 @@ def _to_string_or_null(args):
 
 @scalar("tostringlist")
 def _to_string_list(args):
-    return F.transform(args[0], lambda x: x.cast("string"))
+    return F.transform(_typed_list_arg(args[0]),
+                       lambda x: x.cast("string"))
 
 
 @scalar("tointegerlist")
 def _to_integer_list(args):
-    return F.transform(args[0], lambda x: x.try_cast("bigint"))
+    return F.transform(_typed_list_arg(args[0]),
+                       lambda x: x.try_cast("bigint"))
 
 
 @scalar("tofloatlist")
 def _to_float_list(args):
-    return F.transform(args[0], lambda x: x.try_cast("double"))
+    return F.transform(_typed_list_arg(args[0]),
+                       lambda x: x.try_cast("double"))
 
 
 @scalar("tobooleanlist")
 def _to_boolean_list(args):
-    return F.transform(args[0], _boolean_or_null)
+    return F.transform(_typed_list_arg(args[0]), _boolean_or_null)
+
+
+def _typed_list_arg(arg):
+    """to*List(null): a NULL-typed literal fails transform() analysis —
+    pin it to array<string> (the value is null either way).  Registered
+    literal None is the compile-time signal; frame columns are already
+    array-typed."""
+    from arcadedb_spark.sql.litreg import value_of
+
+    if isinstance(arg, Column) and id(arg) in _litreg_ids() \
+            and value_of(arg) is None:
+        return F.lit(None).cast("array<string>")
+    return arg
+
+
+def _litreg_ids():
+    from arcadedb_spark.sql import litreg
+
+    return litreg._literals
 
 
 @scalar("cot")
@@ -2030,3 +2052,35 @@ def _util_compress(args):
 def _char_length_ns(args):
     # GQL char_length spellings (function/text/CharLengthFunction.java)
     return F.length(args[0].cast("string"))
+
+
+# --- vector.* Cypher function tail (CypherFunctionFactory.java:351-359) ----
+
+
+@scalar("vector.create")
+def _vector_create(args):
+    """vector.create(list[, dims, type]) — float32 vector constructor
+    (the Cypher vector() constructor's namespaced spelling)."""
+    return F.transform(args[0], lambda x: x.cast("float"))
+
+
+@scalar("vector.distance.euclidean")
+def _vector_dist_euclid(args):
+    return _vector_distance(args)
+
+
+@scalar("vector.distance.manhattan")
+def _vector_dist_manhattan(args):
+    return F.aggregate(
+        F.zip_with(args[0], args[1],
+                   lambda a, b: F.abs(a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+@scalar("vector.distance.cosine")
+def _vector_dist_cosine(args):
+    return 1.0 - _vector_cosine_sim(args)
+
+
+

@@ -2641,6 +2641,26 @@ class ExprCompiler:
                 }.get(str(e.args[2].parts[0]).upper(), "float")
             arr = self.compile(e.args[0])
             return F.transform(arr, lambda x: x.cast(elem))
+        if name == "vector_norm" and e.args:
+            # vector_norm(v[, EUCLIDEAN|MANHATTAN]) — bare-identifier
+            # metric (CypherFunctionFactory.java:359 vector.norm bridge)
+            metric = "EUCLIDEAN"
+            if len(e.args) > 1:
+                m = e.args[1]
+                if isinstance(m, ast.Chain) and len(m.parts) == 1:
+                    metric = str(m.parts[0]).upper()
+                elif isinstance(m, ast.Lit):
+                    metric = str(m.value).upper()
+            v = self.compile(e.args[0])
+            if metric == "MANHATTAN":
+                return F.aggregate(
+                    v, F.lit(0.0),
+                    lambda acc, x: acc + F.abs(x.cast("double")),
+                )
+            return F.sqrt(F.aggregate(
+                v, F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ))
         if name == "vector_distance" and len(e.args) >= 2:
             # vector_distance(v1, v2[, EUCLIDEAN|COSINE|DOT]) — the
             # metric is a bare identifier in the reference dialect
