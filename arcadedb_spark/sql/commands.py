@@ -629,7 +629,22 @@ def _drop_type(db, stmt: ast.DropTypeStmt) -> DataFrame:
 
 def _create_property(db, stmt: ast.CreatePropertyStmt) -> DataFrame:
     if not db.schema.exists(stmt.type_name):
-        raise TranslateError(f"Type not found: {stmt.type_name}")
+        # a label created by Cypher CREATE lives in the graph, not the
+        # catalog — register it as a vertex type so declared-property
+        # constraints attach (the reference's schema is one registry)
+        g = db._graph
+        if g is not None and stmt.type_name.lower() in getattr(
+            g, "label_display", {}
+        ):
+            db.schema.register(
+                stmt.type_name,
+                loader=lambda: db.spark.createDataFrame(
+                    [], "dummy string"
+                ).limit(0).drop("dummy"),
+                kind="vertex",
+            )
+        else:
+            raise TranslateError(f"Type not found: {stmt.type_name}")
     tdef = db.schema.get(stmt.type_name)
     declared = tdef.properties.setdefault("declared", {})
     if stmt.prop in declared and stmt.if_not_exists:

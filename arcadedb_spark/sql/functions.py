@@ -112,6 +112,7 @@ def _mode(args, distinct=False):
 @agg("stddev")
 @agg("stdev")
 @agg("stdev_samp")
+@agg("stddev_samp")
 def _stddev(args, distinct=False):
     return F.stddev_samp(args[0])
 
@@ -119,6 +120,8 @@ def _stddev(args, distinct=False):
 @agg("stddevpop")
 @agg("stddevp")
 @agg("stdevp")
+@agg("stdev_pop")
+@agg("stddev_pop")
 def _stddevpop(args, distinct=False):
     return F.stddev_pop(args[0])
 
@@ -1522,11 +1525,15 @@ def _ltrim(args):
         from arcadedb_spark.sql.litreg import value_of
         import re as _re
 
+        from arcadedb_spark.sql.litreg import is_registered_null
+
+        if is_registered_null(args[1]):
+            return F.lit(None)  # null chars → null (Cypher propagation)
         chars = value_of(args[1])
         if chars is None:
             raise ValueError("ltrim(s, chars) needs a literal chars string")
         return F.regexp_replace(
-            args[0], "^[" + _re.escape(str(chars)) + "]+", ""
+            args[0].cast("string"), "^[" + _re.escape(str(chars)) + "]+", ""
         )
     return F.ltrim(args[0])
 
@@ -1537,11 +1544,15 @@ def _rtrim(args):
         from arcadedb_spark.sql.litreg import value_of
         import re as _re
 
+        from arcadedb_spark.sql.litreg import is_registered_null
+
+        if is_registered_null(args[1]):
+            return F.lit(None)
         chars = value_of(args[1])
         if chars is None:
             raise ValueError("rtrim(s, chars) needs a literal chars string")
         return F.regexp_replace(
-            args[0], "[" + _re.escape(str(chars)) + "]+$", ""
+            args[0].cast("string"), "[" + _re.escape(str(chars)) + "]+$", ""
         )
     return F.rtrim(args[0])
 

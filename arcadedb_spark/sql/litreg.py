@@ -33,3 +33,10 @@ def value_of(col: Any) -> Any:
     if not isinstance(col, Column):
         return col
     return _literals.get(id(col))
+
+
+def is_registered_null(col: Any) -> bool:
+    """True when the Column was compiled from a literal null (distinct
+    from 'not a registered literal', where value_of is also None)."""
+    return isinstance(col, Column) and id(col) in _literals \
+        and _literals[id(col)] is None
