@@ -258,6 +258,15 @@ class CypherParser(Parser):
                 return e.parts[0]
             if isinstance(e, ast.ArrayLit):
                 return [_lit_arg(x) for x in e.items]
+            if isinstance(e, (ast.Var, ast.Param)):
+                # $param CALL arguments resolve from the bound values
+                if e.name in self._params:
+                    return self._params[e.name]
+                raise ParseError(
+                    f"Missing parameter ${e.name} for CALL argument"
+                )
+            if isinstance(e, ast.MapLit):
+                return {k: _lit_arg(v) for k, v in e.entries}
             raise ParseError("CALL arguments must be literals")
 
         args: list = []
