@@ -65,9 +65,25 @@ def local_df(spark, rows, schema=None) -> DataFrame:
 
     atomic = (LongType, IntegerType, DoubleType, FloatType, StringType,
               BooleanType)
+
+    def _val_ok(v, dt) -> bool:
+        # the value's python type must MATCH the declared column type —
+        # a mismatch (int under a string column from a heterogeneous
+        # Cypher variable) makes Arrow raise-and-fall-back, which is
+        # both a warning and the slow pickled path
+        if v is None:
+            return False
+        if isinstance(dt, BooleanType):
+            return isinstance(v, bool)
+        if isinstance(dt, (LongType, IntegerType)):
+            return isinstance(v, int) and not isinstance(v, bool)
+        if isinstance(dt, (DoubleType, FloatType)):
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        return isinstance(v, str)  # StringType
+
     if all(isinstance(f.dataType, atomic) for f in schema.fields) and all(
-        v is not None and not isinstance(v, (list, dict, tuple))
-        for row in data for v in row
+        _val_ok(v, f.dataType)
+        for row in data for v, f in zip(row, schema.fields)
     ):
         try:
             import pandas as pd
