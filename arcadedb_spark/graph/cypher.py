@@ -4253,12 +4253,22 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
         raise TranslateError(
             "A COLLECT subquery must RETURN exactly one column"
         )
+    collect_agg = None
     for r in stmt.returns:
         if _contains_aggregate(r.expr):
-            raise TranslateError(
-                f"Aggregates inside {want.upper()} {{ … }} are not "
-                "supported — aggregate over the result instead"
-            )
+            if (
+                want == "collect" and len(stmt.returns) == 1
+                and isinstance(r.expr, ast.FuncCall)
+                and not stmt.order_by
+            ):
+                # COLLECT { … RETURN count(m) }: the block aggregates per
+                # shared key and the collected list is [aggregate]
+                collect_agg = r.expr
+            else:
+                raise TranslateError(
+                    f"Aggregates inside {want.upper()} {{ … }} are not "
+                    "supported — aggregate over the result instead"
+                )
     base = None
     base_aliases: set = set()
     if outer_df is not None:
@@ -4293,7 +4303,22 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
             precompiled=inner_m,
         )
         comp = ExprCompiler(ctx)
-        vals = [comp.compile(r.expr) for r in stmt.returns]
+        if collect_agg is not None:
+            from arcadedb_spark.sql.functions import AGGREGATES
+
+            nm = collect_agg.name.lower()
+            if nm not in AGGREGATES:
+                raise TranslateError(
+                    f"Aggregates inside {want.upper()} {{ … }} are not "
+                    "supported — aggregate over the result instead"
+                )
+            aargs = [
+                F.lit(1) if isinstance(a, ast.Star) else comp.compile(a)
+                for a in collect_agg.args
+            ] or [F.lit(1)]
+            vals = [AGGREGATES[nm](aargs, collect_agg.distinct)]
+        else:
+            vals = [comp.compile(r.expr) for r in stmt.returns]
         order = None
         if stmt.order_by and want == "collect":
             if len(stmt.order_by) > 1:
@@ -4304,23 +4329,25 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
             order = (comp.compile(o.expr), o.ascending)
     finally:
         pop_env()
-    return df, seen, vals, order, stmt.distinct
+    return df, seen, vals, order, stmt.distinct, collect_agg is not None
 
 
 def lower_collect_block(db, text: str, outer_df, params: dict):
     """COLLECT { … RETURN expr } → (frame, aliases, value Column,
-    order, distinct); the caller collect_lists per shared key."""
-    df, seen, vals, order, dist = _lower_value_block(
+    order, distinct, is_agg); the caller collect_lists per shared key
+    (or, for an aggregated RETURN, aggregates per key and wraps the
+    scalar in a one-element list)."""
+    df, seen, vals, order, dist, is_agg = _lower_value_block(
         db, text, outer_df, params, "collect"
     )
-    return df, seen, vals[0], order, dist
+    return df, seen, vals[0], order, dist, is_agg
 
 
 def lower_count_block(db, text: str, outer_df, params: dict):
     """COUNT { … [RETURN [DISTINCT] …] } → (frame, aliases, value
     Columns (empty when no RETURN), distinct); with RETURN DISTINCT the
     caller counts distinct value tuples per key, else rows."""
-    df, seen, vals, _order, dist = _lower_value_block(
+    df, seen, vals, _order, dist, _ia = _lower_value_block(
         db, text, outer_df, params, "count"
     )
     return df, seen, vals, dist

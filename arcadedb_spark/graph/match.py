@@ -1104,6 +1104,7 @@ def attach_pattern_markers(
         is_collect = not is_comp and pe_mode == "collect"
         collect_order = None
         collect_distinct = False
+        collect_is_agg = False
         count_vals = None  # COUNT { … RETURN DISTINCT … } value columns
         proj_col = None
         if is_collect:
@@ -1111,9 +1112,8 @@ def attach_pattern_markers(
             # collected value (Cypher25Parser.g4 collectExpression)
             from arcadedb_spark.graph.cypher import lower_collect_block
 
-            pdf, paliases, proj_col, collect_order, collect_distinct = (
-                lower_collect_block(db, pe.block, df, params)
-            )
+            (pdf, paliases, proj_col, collect_order, collect_distinct,
+             collect_is_agg) = lower_collect_block(db, pe.block, df, params)
             where_handled = True
         elif (
             not is_comp and getattr(pe, "block", None)
@@ -1206,6 +1206,14 @@ def attach_pattern_markers(
                        precompiled=inner_pm)
             proj_col = ExprCompiler(pctx).compile(pe.proj)
         if not shared:
+            if wants_list and collect_is_agg:
+                # uncorrelated COLLECT of an aggregate: one scalar over
+                # the whole block, wrapped as a one-element list
+                agg1 = pdf.agg(proj_col.alias(name))
+                df = df.crossJoin(F.broadcast(agg1))
+                markers[id(pe)] = F.array(F.col(name))
+                marker_cols.append(name)
+                continue
             if wants_list:
                 # uncorrelated comprehension/COLLECT: one-row aggregate,
                 # broadcast cross-joined onto the frame (struct-wrapped:
@@ -1255,6 +1263,19 @@ def attach_pattern_markers(
                 key_names.append(kn)
                 c = F.col(kn) == F.col(f"{a}.{k}")
                 cond = c if cond is None else (cond & c)
+        if wants_list and collect_is_agg:
+            # correlated COLLECT of an aggregate: aggregate per shared
+            # key, wrap the scalar; unmatched outer rows take the
+            # aggregate's empty-group value (count→0, sum→null, …)
+            zero = pdf.limit(0).agg(proj_col.alias("__z")).collect()[0][0]
+            mdf = pdf.groupBy(*key_cols).agg(proj_col.alias(name))
+            df = df.join(mdf, cond, "left_outer").drop(*key_names)
+            scalar = F.col(name)
+            if zero is not None:
+                scalar = F.coalesce(scalar, F.lit(zero))
+            markers[id(pe)] = F.array(scalar)
+            marker_cols.append(name)
+            continue
         pjn = f"__pj{name[4:]}"
         extra = []
         if wants_list:

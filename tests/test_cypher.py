@@ -1039,3 +1039,23 @@ def test_cypher_schema_ddl_surface(spark):
     # legacy {param} syntax gets the targeted hint
     with _pt.raises(ParseError, match=r"\$name"):
         cy(db, "MATCH (p:Person) WHERE p.name = {name} RETURN p")
+
+
+def test_collect_block_aggregates(spark):
+    """COLLECT { … RETURN count(m)/sum(…) }: the block aggregates per
+    shared key (or globally when uncorrelated) and the collected list is
+    the one-element [aggregate] (reference Cypher-25 collect blocks)."""
+    db = _scratch(spark)
+    cy(db, "CREATE (:Big {v:1}), (:Big {v:2}), "
+           "(:CP {name:'a'}), (:CP {name:'b'}), "
+           "(:CQ {name:'a'}), (:CQ {name:'a'}), (:CQ {name:'b'})")
+    r = cy(db, "RETURN COLLECT { MATCH (m:Big) RETURN count(m) } AS c"
+           ).collect()
+    assert r[0]["c"] == [2]
+    r2 = cy(db, "MATCH (p:CP) RETURN p.name AS n, "
+                "COLLECT { MATCH (q:CQ) WHERE q.name = p.name "
+                "RETURN count(q) } AS c ORDER BY n").collect()
+    assert [(x["n"], x["c"]) for x in r2] == [("a", [2]), ("b", [1])]
+    r3 = cy(db, "RETURN COLLECT { MATCH (m:Big) RETURN sum(m.v) } AS c"
+            ).collect()
+    assert r3[0]["c"] == [3]
