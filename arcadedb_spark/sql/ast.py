@@ -574,6 +574,20 @@ class AlterTimeSeriesTypeStmt:
 
 
 @dataclass(frozen=True)
+class CreateEdgeStmt:
+    """CREATE EDGE <type> FROM <endpoint> TO <endpoint> [SET k = v, …]
+    (parser/CreateEdgeStatement.java) — endpoints are (SELECT …)
+    subqueries or RID literals."""
+
+    etype: str
+    src: object  # SelectStmt | RidLit | tuple[RidLit, ...]
+    dst: object
+    sets: tuple = ()  # (prop, expr)
+    if_not_exists: bool = False
+    unidirectional: bool = False
+
+
+@dataclass(frozen=True)
 class ImportDatabaseStmt:
     """IMPORT DATABASE <url> [WITH k = v, …]
     (parser/ImportDatabaseStatement.java)."""

@@ -60,6 +60,8 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _alter_type(db, stmt)
     if isinstance(stmt, ast.AlterPropertyStmt):
         return _alter_property(db, stmt)
+    if isinstance(stmt, ast.CreateEdgeStmt):
+        return _create_edge(db, stmt, params)
     if isinstance(stmt, ast.ImportDatabaseStmt):
         return _import_database(db, stmt)
     if isinstance(stmt, ast.ExportDatabaseStmt):
@@ -654,6 +656,62 @@ def _create_property(db, stmt: ast.CreatePropertyStmt) -> DataFrame:
         **{k: v for k, v in stmt.constraints},
     }
     return _result(db, 1)
+
+
+def _endpoint_vids(db, ep, params: dict, side: str) -> list[int]:
+    """Resolve a CREATE EDGE endpoint to graph vids.
+
+    (SELECT FROM Type WHERE …) applies the predicate against the GRAPH
+    vertex frame for the type (Cypher-created and SQL-mirrored vertices
+    both live there); RID literals address bucket vids."""
+    g = db.graph()
+    if isinstance(ep, ast.RidLit):
+        return [_rid_vid(ep)]
+    if isinstance(ep, tuple):
+        return [_rid_vid(r) for r in ep]
+    if isinstance(ep, ast.SelectStmt):
+        tgt = ep.target
+        tname = getattr(tgt, "name", None)
+        if tname is None:
+            raise TranslateError(
+                f"CREATE EDGE {side} subquery must select FROM a type"
+            )
+        vdf = g.vertices(tname)
+        if "vid" not in vdf.columns:
+            raise TranslateError(
+                f"Type '{tname}' has no graph vertices to link"
+            )
+        if ep.where is not None:
+            ctx = Ctx(db=db, params=params or {},
+                      columns=tuple(vdf.columns), frame_schema=vdf.schema)
+            vdf = vdf.filter(ExprCompiler(ctx).compile(ep.where))
+        rows = vdf.select("vid").limit(10_001).collect()
+        if len(rows) > 10_000:
+            raise TranslateError(
+                "CREATE EDGE endpoint matches > 10000 vertices — use a "
+                "MATCH … CREATE edge write for bulk linking"
+            )
+        return [r["vid"] for r in rows]
+    raise TranslateError(f"Unsupported CREATE EDGE endpoint: {ep!r}")
+
+
+def _rid_vid(r: ast.RidLit) -> int:
+    from arcadedb_spark.graph.model import _VID_SHIFT
+
+    return (r.bucket << _VID_SHIFT) + r.position
+
+
+def _create_edge(db, stmt: ast.CreateEdgeStmt, params: dict) -> DataFrame:
+    """CREATE EDGE <type> FROM <ep> TO <ep> [SET …]
+    (parser/CreateEdgeStatement.java): one edge per (src, dst) pair of
+    the endpoint cartesian (reference semantics), properties from the
+    literal SET items."""
+    src = _endpoint_vids(db, stmt.src, params, "FROM")
+    dst = _endpoint_vids(db, stmt.dst, params, "TO")
+    props = {p: _literal_value(db, e, params) for p, e in stmt.sets}
+    pairs = [(s, d) for s in src for d in dst]
+    n = db.graph().add_edge_rows(stmt.etype, pairs, props or None)
+    return _result(db, n)
 
 
 def _strip_url(url: str) -> str:

@@ -520,6 +520,66 @@ class Parser:
             raise ParseError("EXPORT DATABASE needs a target URL")
         return ast.ExportDatabaseStmt(url=url, options=tuple(opts))
 
+    def _parse_create_edge(self) -> "ast.CreateEdgeStmt":
+        self.advance()  # EDGE
+        etype = self.ident()
+        if_not_exists = self._eat_if_not_exists()
+        uni = False
+        if self.cur.kind == "IDENT" \
+                and self.cur.value.upper() == "UNIDIRECTIONAL":
+            self.advance()
+            uni = True
+
+        def _endpoint():
+            if self.at_op("("):
+                self.advance()
+                stmt = self.parse_statement()  # (SELECT …)
+                self.expect_op(")")
+                return stmt
+            if self.cur.kind == "RID":
+                b, pos = self.advance().value.lstrip("#").split(":")
+                return ast.RidLit(int(b), int(pos))
+            if self.at_op("["):
+                self.advance()
+                rids = []
+                while not self.at_op("]"):
+                    if self.cur.kind != "RID":
+                        raise ParseError(
+                            f"Expected a RID in endpoint list at {self.cur!r}"
+                        )
+                    b, pos = self.advance().value.lstrip("#").split(":")
+                    rids.append(ast.RidLit(int(b), int(pos)))
+                    self.eat_op(",")
+                self.expect_op("]")
+                return tuple(rids)
+            raise ParseError(
+                f"CREATE EDGE endpoint must be (SELECT …), a RID or a "
+                f"RID list — got {self.cur!r}"
+            )
+
+        if not (self.cur.kind == "KEYWORD" and self.cur.value == "FROM"):
+            raise ParseError("Expected FROM in CREATE EDGE")
+        self.advance()
+        src = _endpoint()
+        if not (self.cur.kind in ("IDENT", "KEYWORD")
+                and str(self.cur.value).upper() == "TO"):
+            raise ParseError("Expected TO in CREATE EDGE")
+        self.advance()
+        dst = _endpoint()
+        sets: list = []
+        if self.at_kw("SET"):
+            self.advance()
+            while True:
+                prop = self.ident()
+                self.expect_op("=")
+                sets.append((prop, self.parse_expr()))
+                if not self.eat_op(","):
+                    break
+        return ast.CreateEdgeStmt(
+            etype=etype, src=src, dst=dst, sets=tuple(sets),
+            if_not_exists=if_not_exists, unidirectional=uni,
+        )
+
     def _parse_with_opts(self, already_in_with: bool = False) -> list:
         """``WITH k = v (, k = v)*`` (parens tolerated) → (k, v) list."""
         if not already_in_with:
@@ -592,6 +652,12 @@ class Parser:
         self.expect_kw("CREATE")
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "TIMESERIES":
             return self.parse_create_timeseries()
+        if self.at_kw("EDGE") and not (
+            self.peek().kind == "KEYWORD" and self.peek().value == "TYPE"
+        ):
+            # CREATE EDGE <type> FROM <ep> TO <ep> [SET …]
+            # (parser/CreateEdgeStatement.java)
+            return self._parse_create_edge()
         if self.at_kw("DOCUMENT", "VERTEX", "EDGE", "TYPE"):
             kind = "document"
             if self.at_kw("DOCUMENT", "VERTEX", "EDGE"):

@@ -221,3 +221,41 @@ def test_sql_insert_visible_to_cypher_match(spark):
     n = db.query("MATCH (p:InteropV) WHERE p.flag RETURN count(*) AS n",
                  language="cypher").collect()[0]["n"]
     assert n == 1
+
+
+def test_create_edge_from_to_statement(spark):
+    """CREATE EDGE <type> FROM (SELECT …) TO (SELECT …) [SET …]
+    (parser/CreateEdgeStatement.java): endpoints resolve against the
+    graph vertex frames (SQL-inserted vertices included via the mirror);
+    one edge per endpoint-cartesian pair."""
+    import pytest
+
+    from arcadedb_spark.database import Database
+    from arcadedb_spark.sql.translator import TranslateError
+
+    db = Database(spark)
+    db.command("CREATE VERTEX TYPE EPerson")
+    db.command("CREATE VERTEX TYPE ECar")
+    db.command("CREATE EDGE TYPE EDrives")
+    db.command("INSERT INTO EPerson SET id = 1, name = 'Alice'")
+    db.command("INSERT INTO EPerson SET id = 2, name = 'Bob'")
+    db.command("INSERT INTO ECar SET id = 10, model = 'T'")
+    r = db.command(
+        "CREATE EDGE EDrives FROM (SELECT FROM EPerson WHERE id = 1) "
+        "TO (SELECT FROM ECar WHERE id = 10) SET since = 2024"
+    ).collect()
+    assert r[0]["count"] == 1
+    rows = db.query(
+        "MATCH (p:EPerson)-[d:EDrives]->(c:ECar) "
+        "RETURN p.name AS n, c.model AS m, d.since AS s",
+        language="cypher",
+    ).collect()
+    assert [(x["n"], x["m"], x["s"]) for x in rows] == [("Alice", "T", 2024)]
+    # cartesian: 2 persons × 1 car
+    r2 = db.command(
+        "CREATE EDGE EDrives FROM (SELECT FROM EPerson) "
+        "TO (SELECT FROM ECar)"
+    ).collect()
+    assert r2[0]["count"] == 2
+    with pytest.raises(Exception):
+        db.command("CREATE EDGE EDrives FROM xyz TO (SELECT FROM ECar)")
