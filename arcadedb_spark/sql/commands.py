@@ -438,10 +438,26 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     if stmt.from_select is not None:
         new_df = Translator(db, params).translate(stmt.from_select)
     else:
+        if not rows:
+            # CREATE VERTEX V with no SET — one empty record
+            # (CreateVertexStatementEmpty.java)
+            rows = [{}]
         if db.schema.exists(name):
             rows = [_validate_row(db, name, r) for r in rows]
-        new_df = db.spark.createDataFrame([tuple(r.values()) for r in rows],
-                                          list(rows[0].keys()))
+        if not any(rows[0]):
+            # empty record: typed null row(s) against the existing
+            # columns (zero-column frame when the type has none yet)
+            new_df = db.spark.range(len(rows)).drop("id")
+            if db.schema.exists(name):
+                for f_ in db.schema.get(name).df().schema.fields:
+                    new_df = new_df.withColumn(
+                        f_.name, F.lit(None).cast(f_.dataType)
+                    )
+            rows = [{} for _ in rows]
+        else:
+            new_df = db.spark.createDataFrame(
+                [tuple(r.values()) for r in rows], list(rows[0].keys())
+            )
 
     trig_rows = _trigger_rows(db, "CREATE", name, new_df)
     if trig_rows is not None:

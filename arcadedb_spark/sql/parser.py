@@ -658,6 +658,26 @@ class Parser:
             # CREATE EDGE <type> FROM <ep> TO <ep> [SET …]
             # (parser/CreateEdgeStatement.java)
             return self._parse_create_edge()
+        if self.at_kw("VERTEX", "DOCUMENT") and not (
+            self.peek().kind == "KEYWORD" and self.peek().value == "TYPE"
+        ):
+            # CREATE VERTEX <type> [SET k = v, …] — sugar for INSERT
+            # (parser/CreateVertexStatement.java; same executor, so the
+            # vertex lands in BOTH the catalog table and the graph)
+            self.advance()
+            tname = self.ident()
+            sets: list = []
+            if self.at_kw("SET"):
+                self.advance()
+                while True:
+                    prop = self.ident()
+                    self.expect_op("=")
+                    sets.append((prop, self.parse_expr()))
+                    if not self.eat_op(","):
+                        break
+            return ast.InsertStmt(
+                type_name=tname, set_items=tuple(sets),
+            )
         if self.at_kw("DOCUMENT", "VERTEX", "EDGE", "TYPE"):
             kind = "document"
             if self.at_kw("DOCUMENT", "VERTEX", "EDGE"):
