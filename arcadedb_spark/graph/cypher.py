@@ -136,6 +136,12 @@ class CypherParser(Parser):
             j += 1
         raise ParseError("Unbalanced '{' in CALL subquery")
 
+    def _at_insert_clause(self) -> bool:
+        # Cypher-25 INSERT = CREATE synonym (OpenCypherCypher25ClausesTest
+        # INSERT (n:Person {…})) — only in clause position before a '('
+        return self.at_kw("INSERT") and self.peek().kind == "OP" \
+            and self.peek().value == "("
+
     def _parse_match_segment(self) -> tuple[list, "ast.Expr | None"]:
         paths: list[ast.MatchPath] = []
         where = None
@@ -370,6 +376,7 @@ class CypherParser(Parser):
             self.at_kw("CREATE", "MERGE")
             or self._at_ident("MERGE")
             or self._at_ident("FOREACH")
+            or self._at_insert_clause()
         ):
             # standalone write query (no leading MATCH)
             self._parse_writes()
@@ -496,6 +503,7 @@ class CypherParser(Parser):
             or self._at_ident("DETACH")
             or self._at_ident("REMOVE")
             or self._at_ident("FOREACH")
+            or self._at_insert_clause()
         ):
             # MATCH … CREATE/SET/REMOVE/DELETE/FOREACH …
             self._match_for_write = (paths, where)
@@ -847,6 +855,7 @@ class CypherParser(Parser):
             or self._at_ident("DETACH")
             or self._at_ident("REMOVE")
             or self._at_ident("FOREACH")
+            or self._at_insert_clause()
         ):
             if self.at_kw("SET"):
                 self.advance()
@@ -970,7 +979,10 @@ class CypherParser(Parser):
                     {"kind": "delete", "targets": targets, "detach": detach}
                 )
                 continue
-            self.expect_kw("CREATE")
+            if self._at_insert_clause():
+                self.advance()  # INSERT — Cypher-25 CREATE synonym
+            else:
+                self.expect_kw("CREATE")
             patterns = [self._parse_pattern(False)]
             while self.eat_op(","):
                 patterns.append(self._parse_pattern(False))

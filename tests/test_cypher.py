@@ -1059,3 +1059,27 @@ def test_collect_block_aggregates(spark):
     r3 = cy(db, "RETURN COLLECT { MATCH (m:Big) RETURN sum(m.v) } AS c"
             ).collect()
     assert r3[0]["c"] == [3]
+
+
+def test_cypher25_insert_synonym(spark):
+    """Cypher-25 INSERT is a CREATE synonym in clause position
+    (OpenCypherCypher25ClausesTest); inside COUNT/COLLECT blocks it is
+    still an update clause (InvalidClauseComposition guard)."""
+    import pytest as _pt
+
+    from arcadedb_spark.sql.translator import TranslateError
+
+    db = _scratch(spark)
+    assert cy(db, "INSERT (n:IP {name: 'Bob'}) FINISH").collect() == []
+    r = cy(db, "INSERT (n:IP {name: 'Alice', age: 30}) RETURN n").collect()
+    assert len(r) == 1
+    cy(db, "INSERT (a:IP {name: 'X'}), (b:IP {name: 'Y'})").collect()
+    assert cy(db, "MATCH (p:IP) RETURN count(*) AS n"
+              ).collect()[0]["n"] == 4
+    with _pt.raises(TranslateError):
+        cy(db, "RETURN COUNT { INSERT (m:T {name:'x'}) RETURN m } AS v"
+           ).collect()
+    # a property named insert is untouched ({insert: 1})
+    cy(db, "CREATE (:IP2 {insert: 1})").collect()
+    assert cy(db, "MATCH (n:IP2) RETURN n.insert AS i"
+              ).collect()[0]["i"] == 1
