@@ -4316,6 +4316,8 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
         )
         comp = ExprCompiler(ctx)
         if collect_agg is not None:
+            from pyspark.sql import functions as F
+
             from arcadedb_spark.sql.functions import AGGREGATES
 
             nm = collect_agg.name.lower()
