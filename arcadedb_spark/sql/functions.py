@@ -2095,3 +2095,26 @@ def _vector_dist_cosine(args):
 
 
 
+
+
+@scalar("util.sleep")
+def _util_sleep(args):
+    """util.sleep(ms) — driver-side sleep, capped at 60 s
+    (function/util/UtilSleep.java:49); null/non-positive is a no-op,
+    over-cap raises. Returns null. A deliberate driver-side effect —
+    never ship a sleep into an executor task."""
+    import time as _t
+
+    from arcadedb_spark.sql.litreg import value_of
+
+    ms = value_of(args[0])
+    if ms is None:
+        return F.lit(None)
+    ms = int(ms)
+    if ms > 60000:
+        raise ValueError(
+            f"Sleep duration exceeds maximum allowed (60000ms): {ms}ms"
+        )
+    if ms > 0:
+        _t.sleep(ms / 1000.0)
+    return F.lit(None)
