@@ -2322,7 +2322,9 @@ def _apply_write(
         created += 1
         resolved.append(("vid", vid))
         node_state.append((node.alias, label, vid, "created"))
-        if bindings is not None and node.alias:
+        if bindings is not None:
+            # anonymous nodes record too (alias None): path variables
+            # over anonymous patterns need their vids positionally
             bindings.append((node.alias, label, vid, props))
     # ON CREATE SET / ON MATCH SET over the pattern's own aliases
     _row_cache: dict = {}
@@ -4107,7 +4109,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         cols = []
         seen = set()
         for alias, label, vid, props in write_bindings:
-            if alias in seen:
+            if alias is None or alias in seen:
                 continue
             seen.add(alias)
             fields = [F.lit(vid).alias("vid"), F.lit(label).alias("@type")]
@@ -4128,6 +4130,24 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
         # p = (a)-[:R]->(b) in a standalone write: bind the path variable
         # over the written entities' vids (Merge1[13]/Merge5[10]); entity
         # payloads attach in project_stage when RETURNed
+        used_anon: set = set()
+
+        def _vid_for(a, label):
+            if a:
+                return next(
+                    (b[2] for b in write_bindings if b[0] == a), None
+                )
+            # anonymous node: consume bindings positionally (creation
+            # order matches pattern order), label-checked when declared
+            for i_, b in enumerate(write_bindings):
+                if i_ in used_anon or b[0] is not None:
+                    continue
+                if label and b[1] and b[1].lower() != label.lower():
+                    continue
+                used_anon.add(i_)
+                return b[2]
+            return None
+
         for w in p._writes:
             if w.get("kind") not in ("create", "merge"):
                 continue
@@ -4135,14 +4155,13 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 pa = getattr(path, "path_alias", None)
                 if not pa or pa in seen:
                     continue
-                chain = [path.root.alias] + [
-                    s.filter.alias for s in path.steps
+                chain = [(path.root.alias, path.root.type_name)] + [
+                    (s.filter.alias, s.filter.type_name)
+                    for s in path.steps
                 ]
                 vids = []
-                for a in chain:
-                    vb = next(
-                        (b[2] for b in write_bindings if b[0] == a), None
-                    )
+                for a, lbl in chain:
+                    vb = _vid_for(a, lbl)
                     if vb is None:
                         break
                     vids.append(vb)

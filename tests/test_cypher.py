@@ -1083,3 +1083,16 @@ def test_cypher25_insert_synonym(spark):
     cy(db, "CREATE (:IP2 {insert: 1})").collect()
     assert cy(db, "MATCH (n:IP2) RETURN n.insert AS i"
               ).collect()[0]["i"] == 1
+
+
+def test_create_path_alias_anonymous_nodes(spark):
+    """CREATE p = (:A)-[:R]->(:B) RETURN length(p): path variables over
+    standalone writes bind even with anonymous nodes (vids consumed
+    positionally from the creation bindings)."""
+    db = _scratch(spark)
+    r = cy(db, "CREATE p=(:CP1)-[:Rel]->(:CP2) RETURN length(p) AS l"
+           ).collect()
+    assert [x["l"] for x in r] == [1]
+    r2 = cy(db, "CREATE q=(a:CP3 {n:'a'})-[:R]->(:CP4)-[:R]->"
+                "(c:CP3 {n:'c'}) RETURN length(q) AS l").collect()
+    assert [x["l"] for x in r2] == [2]
