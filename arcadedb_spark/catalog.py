@@ -39,8 +39,15 @@ class TypeDef:
     parents: tuple[str, ...] = ()
     properties: dict[str, str] = field(default_factory=dict)  # declared props
     _df: DataFrame | None = None
+    # live types delegate storage to the property graph (one record store
+    # under both the SQL and Cypher surfaces — QueryEngineManager.java:60):
+    # df() re-reads the graph frame every call so writes from EITHER
+    # surface are immediately visible to the other.
+    live: bool = False
 
     def df(self) -> DataFrame:
+        if self.live:
+            return self.loader()
         if self._df is None:
             self._df = self.loader()
         return self._df
@@ -124,6 +131,24 @@ class Catalog:
     # -- resolution -------------------------------------------------------
     def _with_metadata(self, tdef: TypeDef) -> DataFrame:
         df = tdef.df()
+        if tdef.live and "vid" in df.columns:
+            # graph-backed type: record identity IS the graph vid, stable
+            # across both surfaces (SQL @rid ↔ Cypher node identity)
+            rid = F.concat(
+                F.lit(f"#{tdef.bucket_id}:"), F.col("vid").cast("string")
+            )
+            out = df.withColumn(RID_COL, rid)
+            if TYPE_COL not in out.columns:
+                out = out.withColumn(TYPE_COL, F.lit(tdef.name))
+            return out.drop("vid")
+        if tdef.live and "@eid" in df.columns:
+            # graph-backed edge type: identity from the hidden edge id
+            rid = F.concat(
+                F.lit(f"#{tdef.bucket_id}:"), F.col("@eid").cast("string")
+            )
+            return df.withColumn(RID_COL, rid).withColumn(
+                TYPE_COL, F.lit(tdef.name)
+            ).drop("@eid")
         if tdef.key is not None and tdef.key in df.columns:
             offset = F.col(tdef.key).cast("long")
         else:

@@ -249,6 +249,25 @@ class Database:
     ) -> None:
         self.schema.register(name, df, kind=kind, key=key, parents=parents)
 
+    def register_graph_type(self, name: str, kind: str = "vertex"):
+        """Register a LIVE graph-backed type: both SQL and Cypher read and
+        write the same graph store (one record store under every query
+        language — QueryEngineManager.java:60).  SQL SELECT re-reads the
+        graph frame on every query, so Cypher writes are immediately
+        visible, and SQL DML delegates to the graph layer (commands.py).
+        """
+        if self.schema.exists(name):
+            return self.schema.get(name)
+        if kind == "edge":
+            loader = lambda db=self, n=name: db.graph().edges(n)  # noqa: E731
+        else:
+            g = self.graph()
+            g.label_display.setdefault(name.lower(), name)
+            loader = lambda db=self, n=name: db.graph().vertices(n)  # noqa: E731
+        tdef = self.schema.register(name, loader=loader, kind=kind)
+        tdef.live = True
+        return tdef
+
     def backup(self, path: str, format: str = "parquet") -> dict[str, int]:
         """Write every type to ``path/<name>.parquet`` (or ``.jsonl``) —
         integration/…/exporter + Backup.java analog.  A parquet backup
@@ -466,6 +485,10 @@ class Database:
             with self._graph_build_lock:
                 if self._graph is None:  # double-checked: prewarm thread
                     g = GraphModel.from_database(self)
+                    # one-store wiring: graph writes auto-register their
+                    # labels as live catalog types (Cypher CREATE rows
+                    # become visible to SQL SELECT)
+                    g._db_ref = self
                     # `select from schema:graphAnalyticalViews` edge types
                     self.schema._graph_ref = g
                     self.schema._gavs_ref = self._gavs

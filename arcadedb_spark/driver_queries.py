@@ -3832,7 +3832,51 @@ def q_knn_pq(spark, sf_dir):
     ).orderBy("dist", "vec_id")
 
 
+@query(
+    "q_cross_surface_roundtrip",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_name,
+             CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             CASE WHEN n_nationkey < 10
+                  THEN CAST(n_nationkey * 2 AS BIGINT) END AS flag
+      FROM nation WHERE n_nationkey <> 24
+      UNION ALL
+      SELECT 'zz_extra', CAST(99 AS BIGINT), CAST(7 AS BIGINT)
+    ) ORDER BY n_nationkey, n_name
+    """,
+)
+def q_cross_surface_roundtrip(spark, sf_dir):
+    """One-store symmetry (QueryEngineManager.java:60 — one record store
+    under every language): SQL INSERT FROM SELECT → Cypher SET → Cypher
+    CREATE → SQL DELETE → SQL SELECT, every write visible across both
+    surfaces with stable identity."""
+    db = _db(spark, sf_dir)
+    db.command("DROP TYPE XsPerson IF EXISTS")
+    db.command("CREATE VERTEX TYPE XsPerson")
+    db.command(
+        "INSERT INTO XsPerson FROM SELECT n_name, n_nationkey FROM nation"
+    )
+    db.query(
+        "MATCH (p:XsPerson) WHERE p.n_nationkey < 10 "
+        "SET p.flag = p.n_nationkey * 2",
+        language="cypher",
+    ).collect()
+    db.query(
+        "CREATE (:XsPerson {n_name: 'zz_extra', n_nationkey: 99, flag: 7})",
+        language="cypher",
+    ).collect()
+    db.command("DELETE FROM XsPerson WHERE n_nationkey = 24")
+    return db.query(
+        "SELECT n_name, n_nationkey.asLong() AS n_nationkey, "
+        "flag.asLong() AS flag "
+        "FROM XsPerson ORDER BY n_nationkey, n_name"
+    )
+
+
 _PRIORITY = [
+    # round-7 rotation: the new one-store round-trip gate first
+    "q_cross_surface_roundtrip",
     # round-6 grading rotation: never-driver-graded queries first
     # (q_mongo_aggregate, q_import_statement), then the three
     # canon-reshaped queries that ERRed in r5, then every other

@@ -201,6 +201,21 @@ class GraphModel:
         self._av_full = None
         self._av = None
 
+    def _notify_label(self, label: str) -> None:
+        """One-store hook: a label written through the graph surface
+        (Cypher CREATE/MERGE/SET :Label) registers as a LIVE catalog type
+        so SQL SELECT sees the rows (the reference has one record store
+        under every query language, QueryEngineManager.java:60)."""
+        db = getattr(self, "_db_ref", None)
+        if db is None:
+            return
+        for part in str(label).split(":"):
+            if part and part != "_" and not db.schema.exists(part):
+                try:
+                    db.register_graph_type(part, kind="vertex")
+                except Exception:
+                    pass  # catalog registration must never fail a write
+
     def _flush_vertices(self) -> None:
         if self._flushing or not self._pending_v:
             return
@@ -498,6 +513,7 @@ class GraphModel:
         self.label_display.setdefault(key_l, label)
         # buffered: materialized on first read (see _VertexFrames)
         self._pending_v.setdefault(key_l, []).extend(enriched)
+        self._notify_label(label)
         return vids
 
     def mint_vid_block(self) -> int:
@@ -526,6 +542,7 @@ class GraphModel:
             merged = out
         self._invalidate_vertex_unions()
         dict.__setitem__(self.vertex_dfs, key, merged)
+        self._notify_label(label)
         return n
 
     def add_edge_rows(
@@ -734,6 +751,7 @@ class GraphModel:
             .localCheckpoint(eager=True)
         )
         self.label_display[new_label.lower()] = new_label
+        self._notify_label(new_label)
         moved = moving.withColumn("@type", F.lit(new_label))
         dst = self.vertex_dfs.get(new_label.lower())
         if dst is None:

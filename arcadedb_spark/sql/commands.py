@@ -464,10 +464,38 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
         from arcadedb_spark.triggers import fire
 
         fire(db, "BEFORE", "CREATE", name, trig_rows)
-    if db.schema.exists(name) and db.schema.get(name)._df is not None:
-        base = db.schema.get(name).df()
+    tdef = db.schema.get(name) if db.schema.exists(name) else None
+    if tdef is not None and tdef.live:
+        # one-store write: vertex/edge-kind types persist in the GRAPH
+        # (both surfaces read the same records; SQL SELECT re-reads the
+        # live graph frame, so this INSERT is visible to Cypher MATCH and
+        # vice versa).  No catalog-side copy exists to diverge.
+        if tdef.kind == "edge":
+            raise TranslateError(
+                f"Cannot INSERT into edge type '{tdef.name}' — use "
+                "CREATE EDGE ... FROM ... TO ... (edges need endpoints)"
+            )
+        g = db.graph()
+        if stmt.from_select is not None:
+            # frame-wise append: mint a vid block and freeze the ids
+            base_vid = g.mint_vid_block()
+            store = new_df.withColumn(
+                "vid", F.lit(base_vid) + F.monotonically_increasing_id()
+            ).truncate_plan()
+            n = g.append_vertex_frame(tdef.name, store)
+        else:
+            g.add_vertex_rows(tdef.name, rows)
+            n = len(rows)
+        _notify_mvs(db, name, delta=new_df)
+        if trig_rows is not None:
+            from arcadedb_spark.triggers import fire
+
+            fire(db, "AFTER", "CREATE", name, trig_rows)
+        return _result(db, n)
+    if tdef is not None and tdef._df is not None:
+        base = tdef.df()
         merged = base.unionByName(new_df, allowMissingColumns=True)
-    elif db.schema.exists(name):
+    elif tdef is not None:
         merged = new_df
     else:
         db.schema.register(name, new_df)
@@ -475,15 +503,12 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     n = new_df.count()
     _replace_df(db, name, merged)
     _notify_mvs(db, name, delta=new_df)
-    # vertex-kind types are shared with the graph surface: an SQL INSERT
-    # must be visible to Cypher MATCH (reference: one record store under
-    # both engines).  Graph-side append mirrors the rows; vids come from
-    # the graph's creation counter.  SQL UPDATE/DELETE divergence is a
-    # documented deviation (NOTES.md).
     if (
         db.schema.exists(name) and db.schema.get(name).kind == "vertex"
         and stmt.from_select is None and rows
     ):
+        # legacy mirror for NON-live vertex types (registered directly
+        # with a DataFrame): keep INSERT-then-MATCH working
         db.graph().add_vertex_rows(db.schema.get(name).name, rows)
     if trig_rows is not None:
         from arcadedb_spark.triggers import fire
@@ -529,9 +554,77 @@ def _trigger_rows(db, event: str, type_name: str, df) -> "list[dict] | None":
 # -- UPDATE -----------------------------------------------------------------
 
 
+def _with_rid(frame, tdef):
+    """Attach the surface @rid (derived from the graph vid — the same
+    identity Catalog._with_metadata exposes to SELECT) so WHERE can
+    address records by rid on the write path too."""
+    if "@rid" in frame.columns or "vid" not in frame.columns:
+        return frame
+    return frame.withColumn(
+        "@rid",
+        F.concat(F.lit(f"#{tdef.bucket_id}:"), F.col("vid").cast("string")),
+    )
+
+
+def _graph_frames_for(db, tdef):
+    """(key, frame) pairs of graph vertex frames carrying ``tdef``'s label
+    (a multi-label node created as (:A:B) lives under the 'a:b' key but
+    must answer SQL DML on type A)."""
+    g = db.graph()
+    g._flush_vertices()
+    want = tdef.name.lower()
+    return [
+        (key, dict.get(g.vertex_dfs, key))
+        for key in list(g.vertex_dfs)
+        if want in set(key.split(":"))
+    ]
+
+
+def _update_live(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
+    """UPDATE on a graph-backed type: per-label-frame conditional rewrite
+    through the graph layer (one store — the change is visible to Cypher
+    MATCH immediately)."""
+    g = db.graph()
+    set_items = list(stmt.set_items)
+    if stmt.content is not None:
+        set_items += list(stmt.content.entries)
+    matched = 0
+    for key, frame in _graph_frames_for(db, tdef):
+        cf = _with_rid(frame, tdef)
+        ctx = Ctx(db=db, params=params, columns=tuple(cf.columns),
+                  frame_schema=cf.schema)
+        compiler = ExprCompiler(ctx)
+        cond = (compiler.compile(stmt.where) if stmt.where is not None
+                else F.lit(True))
+        m = cf.filter(cond).select("vid")
+        actx = Ctx(db=db, params=params, columns=tuple(frame.columns),
+                   frame_schema=frame.schema)
+        acomp = ExprCompiler(actx)
+        assignments = [
+            (p, acomp.compile(e) if isinstance(e, ast.Expr) else F.lit(e))
+            for p, e in set_items
+        ]
+        assignments += [
+            (p, F.lit(None)) for p in stmt.remove_fields
+            if p in frame.columns
+        ]
+        matched += g.update_vertices(key, m, assignments)
+    if matched == 0 and stmt.upsert:
+        row = {p: _literal_value(db, e, params) for p, e in set_items}
+        g.add_vertex_rows(tdef.name, [row])
+        matched = 1
+    _notify_mvs(db, tdef.name)
+    return _result(db, matched)
+
+
 def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     name = stmt.type_name
-    base = db.schema.get(name).df()
+    tdef = db.schema.get(name)
+    if tdef.live and tdef.kind == "vertex":
+        return _update_live(db, tdef, stmt, params)
+    if tdef.live and tdef.kind == "edge":
+        return _update_live_edges(db, tdef, stmt, params)
+    base = tdef.df()
     ctx = Ctx(db=db, params=params, columns=tuple(base.columns))
     compiler = ExprCompiler(ctx)
     cond = compiler.compile(stmt.where) if stmt.where is not None else F.lit(True)
@@ -582,9 +675,66 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
 # -- DELETE -----------------------------------------------------------------
 
 
+def _update_live_edges(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
+    """UPDATE on a graph-backed edge type (SET r.p = v through SQL)."""
+    g = db.graph()
+    frame = g.edges(tdef.name)
+    ctx = Ctx(db=db, params=params, columns=tuple(frame.columns),
+              frame_schema=frame.schema)
+    compiler = ExprCompiler(ctx)
+    cond = (compiler.compile(stmt.where) if stmt.where is not None
+            else F.lit(True))
+    set_items = list(stmt.set_items)
+    if stmt.content is not None:
+        set_items += list(stmt.content.entries)
+    assignments = [
+        (p, compiler.compile(e) if isinstance(e, ast.Expr) else F.lit(e))
+        for p, e in set_items
+    ]
+    assignments += [
+        (p, F.lit(None)) for p in stmt.remove_fields if p in frame.columns
+    ]
+    pairs = frame.filter(cond).select("src", "dst")
+    n = g.update_edges(tdef.name, pairs, assignments)
+    _notify_mvs(db, tdef.name)
+    return _result(db, n)
+
+
+def _delete_live(db, tdef, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
+    """DELETE on a graph-backed type: vertices detach their incident
+    edges (reference vertex delete semantics); edges drop by (src, dst).
+    One store — the deletion is visible to Cypher MATCH immediately."""
+    g = db.graph()
+    if tdef.kind == "edge":
+        frame = g.edges(tdef.name)
+        ctx = Ctx(db=db, params=params, columns=tuple(frame.columns),
+                  frame_schema=frame.schema)
+        cond = (ExprCompiler(ctx).compile(stmt.where)
+                if stmt.where is not None else F.lit(True))
+        pairs = frame.filter(cond).select("src", "dst")
+        n = g.remove_edges(tdef.name, pairs)
+        _notify_mvs(db, tdef.name)
+        return _result(db, n)
+    matched = None
+    for _key, frame in _graph_frames_for(db, tdef):
+        cf = _with_rid(frame, tdef)
+        ctx = Ctx(db=db, params=params, columns=tuple(cf.columns),
+                  frame_schema=cf.schema)
+        cond = (ExprCompiler(ctx).compile(stmt.where)
+                if stmt.where is not None else F.lit(True))
+        m = cf.filter(cond).select("vid")
+        matched = m if matched is None else matched.unionByName(m)
+    n = g.remove_vertices_any(matched) if matched is not None else 0
+    _notify_mvs(db, tdef.name)
+    return _result(db, n)
+
+
 def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
     name = stmt.type_name
-    base = db.schema.get(name).df()
+    tdef = db.schema.get(name)
+    if tdef.live:
+        return _delete_live(db, tdef, stmt, params)
+    base = tdef.df()
     if stmt.where is None:
         n = base.count()
         _notify_mvs(db, name)
@@ -625,6 +775,14 @@ def _create_type(db, stmt: ast.CreateTypeStmt) -> DataFrame:
             return _result(db, 0)
         raise TranslateError(f"Type '{stmt.name}' already exists")
     parents = (stmt.extends,) if stmt.extends else ()
+    if stmt.kind in ("vertex", "edge"):
+        # vertex/edge types are LIVE graph-backed: one record store under
+        # both the SQL and Cypher surfaces (QueryEngineManager.java:60) —
+        # SQL DML delegates to the graph layer, SQL SELECT re-reads the
+        # graph frame, so writes on either surface see each other.
+        tdef = db.register_graph_type(stmt.name, kind=stmt.kind)
+        tdef.parents = parents
+        return _result(db, 1)
     tdef = db.schema.register(
         stmt.name,
         loader=lambda: db.spark.createDataFrame([], "dummy string").limit(0).drop("dummy"),
@@ -640,6 +798,30 @@ def _drop_type(db, stmt: ast.DropTypeStmt) -> DataFrame:
         if stmt.if_exists:
             return _result(db, 0)
         raise TranslateError(f"Type '{stmt.name}' does not exist")
+    tdef = db.schema.get(stmt.name)
+    if tdef.live:
+        # graph-backed type: dropping the type drops its records from the
+        # shared store (reference DROP TYPE deletes the type's buckets)
+        g = db._graph
+        if g is not None:
+            key = tdef.name.lower()
+            if tdef.kind == "edge":
+                g._pending_e = [
+                    p for p in g._pending_e if p[0] != tdef.name
+                ]
+                g._edge_dfs = [
+                    e.filter(F.col("etype") != F.lit(tdef.name))
+                    for e in g._edge_dfs
+                ]
+                g.edge_meta.pop(tdef.name, None)
+                g._edges = None
+                g._edges_by_src = None
+            else:
+                g._pending_v.pop(key, None)
+                if dict.__contains__(g.vertex_dfs, key):
+                    dict.__delitem__(g.vertex_dfs, key)
+                g.label_display.pop(key, None)
+                g._invalidate_vertex_unions()
     db.schema.drop(stmt.name)
     db._plan_cache.clear()
     return _result(db, 1)
@@ -1017,7 +1199,20 @@ def _validate_row(db, type_name: str, row: dict) -> dict:
 
 
 def _truncate(db, stmt: ast.TruncateTypeStmt) -> DataFrame:
-    base = db.schema.get(stmt.name).df()
+    tdef = db.schema.get(stmt.name)
+    if tdef.live:
+        g = db.graph()
+        if tdef.kind == "edge":
+            e = g.edges(tdef.name)
+            n = g.remove_edges(tdef.name, e.select("src", "dst"))
+            return _result(db, n)
+        matched = None
+        for _key, frame in _graph_frames_for(db, tdef):
+            m = frame.select("vid")
+            matched = m if matched is None else matched.unionByName(m)
+        n = g.remove_vertices_any(matched) if matched is not None else 0
+        return _result(db, n)
+    base = tdef.df()
     n = base.count()
     _replace_df(db, stmt.name, base.limit(0))
     return _result(db, n)
