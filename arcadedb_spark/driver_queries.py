@@ -3833,6 +3833,33 @@ def q_knn_pq(spark, sf_dir):
 
 
 @query(
+    "q_load_csv",
+    oracle="""
+    SELECT name, CAST(age AS BIGINT) AS age, CAST(ln AS BIGINT) AS ln
+    FROM (VALUES ('alpha', 10, 2), ('beta', 20, 3), ('gamma', 30, 4))
+      AS t(name, age, ln)
+    ORDER BY name
+    """,
+)
+def q_load_csv(spark, sf_dir):
+    """Cypher LOAD CSV (LoadCSVStep.java:61): WITH HEADERS row-map
+    binding, toInteger conversion, linenumber() (header = line 1)."""
+    import os
+    import tempfile
+
+    db = _db(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "arcade_q_loadcsv.csv")
+    with open(path, "w") as fh:
+        fh.write("name,age\nalpha,10\nbeta,20\ngamma,30\n")
+    return db.query(
+        f"LOAD CSV WITH HEADERS FROM '{path}' AS row "
+        "RETURN row.name AS name, toInteger(row.age) AS age, "
+        "linenumber() AS ln ORDER BY name",
+        language="cypher",
+    )
+
+
+@query(
     "q_cross_surface_roundtrip",
     oracle="""
     SELECT * FROM (
@@ -3875,8 +3902,9 @@ def q_cross_surface_roundtrip(spark, sf_dir):
 
 
 _PRIORITY = [
-    # round-7 rotation: the new one-store round-trip gate first
+    # round-7 rotation: the new operators first
     "q_cross_surface_roundtrip",
+    "q_load_csv",
     # round-6 grading rotation: never-driver-graded queries first
     # (q_mongo_aggregate, q_import_statement), then the three
     # canon-reshaped queries that ERRed in r5, then every other

@@ -136,6 +136,51 @@ class CypherParser(Parser):
             j += 1
         raise ParseError("Unbalanced '{' in CALL subquery")
 
+    def _at_load_csv(self) -> bool:
+        # LOAD CSV clause head (CypherASTBuilder.java:1003
+        # visitLoadCSVClause) — LOAD alone can be an identifier
+        nxt = self.peek()
+        return self._at_ident("LOAD") and (
+            (nxt.kind == "IDENT" and nxt.value.upper() == "CSV")
+            or (nxt.kind == "KEYWORD" and nxt.value == "CSV")
+        )
+
+    def _parse_load_csv(self) -> dict:
+        """``LOAD CSV [WITH HEADERS] FROM <expr> AS <var>
+        [FIELDTERMINATOR '<c>']`` (LoadCSVStep.java:61; grammar
+        Cypher25Parser.g4 loadCSVClause)."""
+        self.advance()  # LOAD
+        self.advance()  # CSV
+        headers = False
+        if self._at_ident("WITH"):
+            self.advance()
+            if not self._at_ident("HEADERS"):
+                raise ParseError("Expected HEADERS after LOAD CSV WITH")
+            self.advance()
+            headers = True
+        if not self._at_ident("FROM"):
+            raise ParseError("Expected FROM in LOAD CSV")
+        self.advance()
+        url = self.parse_expr()
+        self.expect_kw("AS")
+        alias = self.ident()
+        sep = ","
+        if self._at_ident("FIELDTERMINATOR"):
+            self.advance()
+            t = self.parse_expr()
+            if not isinstance(t, ast.Lit) or not isinstance(t.value, str):
+                raise ParseError(
+                    "FIELDTERMINATOR must be a string literal"
+                )
+            sep = t.value
+        return {
+            "url": url, "alias": alias, "headers": headers, "sep": sep,
+            # the line-number window is inherently sequential (one
+            # partition) — attach it only when the query text can call
+            # linenumber(), so the common scan stays fully distributed
+            "need_ln": "linenumber" in self.text.lower(),
+        }
+
     def _at_insert_clause(self) -> bool:
         # Cypher-25 INSERT = CREATE synonym (OpenCypherCypher25ClausesTest
         # INSERT (n:Person {…})) — only in clause position before a '('
@@ -389,8 +434,15 @@ class CypherParser(Parser):
         self._stages: list[dict] = []
         while (
             self._at_ident("WITH") or self._at_ident("UNWIND")
-            or self._at_ident("CALL")
+            or self._at_ident("CALL") or self._at_load_csv()
         ):
+            if self._at_load_csv():
+                self._stages.append(
+                    {"paths": paths, "where": where,
+                     "load_csv": self._parse_load_csv()}
+                )
+                paths, where = self._parse_match_segment()
+                continue
             if self._at_ident("CALL"):
                 scope_vars = None
                 if self.peek().kind == "OP" and self.peek().value == "(":
@@ -1575,6 +1627,97 @@ def _lower_call_subquery(db, df, aliases, text, params,
     return out, set(aliases) | set(sub_out.columns)
 
 
+def _lower_load_csv(db, df, aliases, spec, params):
+    """Lower a LOAD CSV stage (LoadCSVStep.java:61) onto the pipeline.
+
+    Spark-first: the file reads through ``spark.read.csv`` (distributed,
+    RFC-4180 quote handling with ``""`` doubling, multiline quoted
+    fields).  Without WITH HEADERS the bound variable is a
+    ``array<string>`` per row; with WITH HEADERS it is a
+    ``map<string,string>`` (missing trailing fields → null values, same
+    as the reference's LinkedHashMap padding).  ``file()`` /
+    ``linenumber()`` read the hidden ``__loadCSV_*`` columns the stage
+    attaches — Catalyst prunes the line-number window when the query
+    never calls linenumber(), so the scan stays fully distributed on the
+    common path."""
+    import os as _os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError
+
+    url_expr = spec["url"]
+    cols = tuple(df.columns) if df is not None else ()
+    ctx = Ctx(cypher=True, db=db, params=params or {}, columns=cols)
+    from arcadedb_spark.sql.litreg import value_of
+
+    url = value_of(ExprCompiler(ctx).compile(url_expr))
+    if url is None:
+        # constant expression (e.g. concat of params) — evaluate once
+        try:
+            url = db.spark.range(1).select(
+                ExprCompiler(ctx).compile(url_expr).alias("__u")
+            ).collect()[0][0]
+        except Exception:
+            url = None
+    if url is None:
+        raise TranslateError(
+            "LOAD CSV URL must be a constant expression or parameter "
+            "(per-row URLs are not supported here)"
+        )
+    url = str(url)
+    if url.startswith(("http://", "https://")):
+        raise TranslateError(
+            "http(s) LOAD CSV is not supported here — download the file "
+            "and load via file:// (network fetch belongs to the "
+            "ingestion layer)"
+        )
+    path = url
+    for pfx in ("file://", "file:"):
+        if path.startswith(pfx):
+            path = path[len(pfx):]
+            break
+    if not _os.path.exists(path):
+        raise TranslateError(f"LOAD CSV: file not found: {url}")
+    reader = (
+        db.spark.read
+        .option("header", spec["headers"])
+        .option("inferSchema", False)
+        .option("sep", spec["sep"])
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        # the reference keeps empty unquoted fields as '' (LoadCSVStep
+        # parseCSVLine); Spark's default nullValue='' would null them
+        .option("nullValue", "\u0000")
+    )
+    cdf = reader.csv(path)
+    alias = spec["alias"]
+    if spec["headers"]:
+        names = cdf.columns
+        row_col = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in names]),
+            F.array(*[F.col(c).cast("string") for c in names]),
+        )
+        first_line = 2  # the header line is line 1 (LoadCSVStep:190)
+    else:
+        row_col = F.array(*[F.col(c).cast("string") for c in cdf.columns])
+        first_line = 1
+    cols = [row_col.alias(alias), F.lit(url).alias("__loadCSV_file")]
+    if spec.get("need_ln"):
+        ln = (
+            F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            )
+            + F.lit(first_line - 1)
+        ).cast("long")
+        cols.append(ln.alias("__loadCSV_linenumber"))
+    csv_frame = cdf.select(*cols)
+    out = csv_frame if df is None else df.crossJoin(csv_frame)
+    return out, set(aliases) | {alias}
+
+
 def _lower_stage_frames(db, stages, params, env, _T, static_value,
                         base=None, base_aliases=None):
     """Lower WITH/UNWIND pipeline stages to (frame, bound-aliases)."""
@@ -1629,6 +1772,11 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value,
             # Catalyst broadcasts the small side)
             df = proc_df if df is None else df.crossJoin(proc_df)
             aliases = set(aliases)
+            continue
+        if "load_csv" in stage:
+            df, aliases = _lower_load_csv(
+                db, df, aliases, stage["load_csv"], params
+            )
             continue
         if "unwind" in stage:
             from pyspark.sql import functions as F
@@ -3063,6 +3211,70 @@ def _delete_expression_target(db, g, df, expr, params, detach=True) -> int:
     return n
 
 
+def _try_frame_create(db, g, p, df, params) -> "int | None":
+    """Vectorized UNWIND/LOAD CSV → CREATE fast path: when every write is
+    a pure single-node CREATE with frame-computable properties and no
+    later clause references the created aliases, the whole write is ONE
+    frame append per pattern (CreateStep.java frame semantics) — no
+    per-row driver loop, no 10k row cap.  Returns the created count, or
+    None when the shape needs the strict clause-at-a-time loop."""
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler, walk as _wk
+
+    if getattr(p, "_write_return", None) is not None:
+        return None
+    if getattr(p, "_write_blocks", None):
+        return None
+    defined: set[str] = set()
+    specs: list[tuple[str, tuple]] = []
+    for w in p._writes:
+        if w["kind"] != "create" or w.get("on_create") or w.get("on_match"):
+            return None
+        if w.get("body") is not None:
+            return None
+        for path in w["patterns"]:
+            if path.steps or getattr(path, "path_alias", None):
+                return None
+            node = path.root
+            if node.alias and (
+                node.alias in defined or node.alias in df.columns
+            ):
+                return None  # rebinding → strict path raises properly
+            if node.alias:
+                defined.add(node.alias)
+            specs.append((node.type_name or "_", node.props))
+    if not specs:
+        return None
+    # property expressions must not read other created aliases and must
+    # not embed patterns/subqueries (those need per-row evaluation)
+    for _label, props in specs:
+        for _k, e in props:
+            for sub in _wk(e):
+                if isinstance(sub, ast.Chain) and sub.parts[0] in defined:
+                    return None
+                if isinstance(sub, (ast.PatternExpr, ast.PatternComp)):
+                    return None
+    ctx = Ctx(cypher=True, db=db, params=params or {},
+              columns=tuple(df.columns), frame_schema=df.schema)
+    comp = ExprCompiler(ctx)
+    total = 0
+    for label, props in specs:
+        cols = []
+        try:
+            for k, e in props:
+                cols.append(comp.compile(e).alias(k))
+        except Exception:
+            return None  # the strict path re-raises real errors
+        base_vid = g.mint_vid_block()
+        frame = df.select(
+            (F.lit(base_vid) + F.monotonically_increasing_id()).alias("vid"),
+            *cols,
+        ).truncate_plan()
+        total += g.append_vertex_frame(label, frame)
+    return total
+
+
 def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -3552,6 +3764,12 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
     match_paths = (getattr(p, "_match_for_write", None) or ((), None))[0]
     row_binds = None
     if write_stages and df is not None and not match_paths:
+        fast_n = _try_frame_create(db, g, p, df, params)
+        if fast_n is not None:
+            # write query without RETURN: empty result (TCK create)
+            from pyspark.sql.types import StructType as _ST9
+
+            return db.spark.createDataFrame([], _ST9([]))
         # stage-driven writes (UNWIND … CREATE …): one write pass per
         # frame row with the row's scalar columns substituted — the
         # driver-side bounded loop FOREACH already uses

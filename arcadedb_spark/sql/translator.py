@@ -2375,6 +2375,16 @@ class ExprCompiler:
             # attach_entity_lookups)
             return pre
         name = e.name.lower()
+        if name in ("file", "linenumber") and not e.args:
+            # LOAD CSV context functions (LoadCSVStep.java hidden
+            # __loadCSV_* row properties; functions/
+            # OpenCypherLoadCsvFunctionsComprehensiveTest.java): null
+            # when no LOAD CSV clause is in scope
+            hidden = "__loadCSV_file" if name == "file" \
+                else "__loadCSV_linenumber"
+            if hidden in (self.ctx.columns or ()):
+                return F.col(hidden)
+            return _lit(None)
         if (
             len(e.args) == 1
             and name in ("labels", "type", "id", "startnode", "endnode",
