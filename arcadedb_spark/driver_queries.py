@@ -3833,6 +3833,32 @@ def q_knn_pq(spark, sf_dir):
 
 
 @query(
+    "q_cypher_qpp",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id AS s, lead(user_id) OVER (ORDER BY ts, event_id) AS d
+      FROM events
+    ), e AS (SELECT DISTINCT s, d FROM pairs WHERE d IS NOT NULL AND s <> d),
+    r1 AS (SELECT d AS v FROM e WHERE s = 7),
+    r2 AS (SELECT e2.d AS v FROM r1 JOIN e e2 ON e2.s = r1.v)
+    SELECT DISTINCT v AS k
+    FROM (SELECT v FROM r1 UNION ALL SELECT v FROM r2) ORDER BY k
+    """,
+)
+def q_cypher_qpp(spark, sf_dir):
+    """GQL quantified path pattern (Cypher25Parser.g4:419
+    parenthesizedPath; CypherASTBuilder.java absorbParenthesizedPath):
+    ((x)-[:R]->(y)){1,2} lowers onto the var-length expansion; distinct
+    reachable endpoints within 2 hops."""
+    return _db(spark, sf_dir).query(
+        "MATCH (a:Customer {c_custkey: 7}) "
+        "((x)-[:INTERACTED]->(y)){1,2} (b:Customer) "
+        "RETURN DISTINCT b.c_custkey AS k ORDER BY k",
+        language="cypher",
+    )
+
+
+@query(
     "q_load_csv",
     oracle="""
     SELECT name, CAST(age AS BIGINT) AS age, CAST(ln AS BIGINT) AS ln
@@ -3905,6 +3931,7 @@ _PRIORITY = [
     # round-7 rotation: the new operators first
     "q_cross_surface_roundtrip",
     "q_load_csv",
+    "q_cypher_qpp",
     # round-6 grading rotation: never-driver-graded queries first
     # (q_mongo_aggregate, q_import_statement), then the three
     # canon-reshaped queries that ERRed in r5, then every other

@@ -1089,11 +1089,40 @@ class CypherParser(Parser):
                 else "all"
             )
             self.advance()  # '('
-        root = self._parse_node()
         steps: list[ast.MatchStep] = []
-        while self.at_op("-", "<"):
+        if self._at_qpp():
+            # leading parenthesized quantified path pattern:
+            # ((a)-[:R]->(b))+ — the inner start node is the leading
+            # boundary (CypherASTBuilder.java:1694 absorbParenthesizedPath)
+            root, step = self._parse_qpp()
+            if self.at_op("(") and not self._at_qpp():
+                import dataclasses as _dc
+
+                step = _dc.replace(step, filter=self._parse_node())
+            steps.append(step)
+        else:
+            root = self._parse_node()
+        while self.at_op("-", "<") or self._at_qpp():
+            if self._at_qpp():
+                # mid-chain QPP: the previous outer node is the leading
+                # boundary; the inner end node trails unless an outer
+                # node follows (reference nextIsOuterNode rule)
+                _ir, step = self._parse_qpp()
+                if self.at_op("(") and not self._at_qpp():
+                    import dataclasses as _dc
+
+                    step = _dc.replace(step, filter=self._parse_node())
+                steps.append(step)
+                continue
             (direction, etypes, min_h, max_h, ealias, eprops,
              var_len) = self._parse_rel()
+            q = self._parse_rel_quantifier_opt()
+            if q is not None:
+                # GQL relationship quantifier -[:R]->{m,n} / + / *
+                # (Cypher25Parser.g4 quantifier;
+                # CypherASTBuilder.java:1781 applyQuantifier)
+                min_h, max_h = q
+                var_len = not (min_h == 1 and max_h == 1)
             node = self._parse_node()
             method = {"out": "out", "in": "in", "both": "both"}[direction]
             steps.append(
@@ -1114,6 +1143,105 @@ class CypherParser(Parser):
             root=root, steps=tuple(steps), optional=optional,
             path_alias=path_alias, rel_unique=True, shortest=shortest,
         )
+
+    def _at_qpp(self) -> bool:
+        # parenthesized quantified path pattern head: '(' '(' — a node
+        # pattern never starts with a nested '(' (Cypher25Parser.g4
+        # parenthesizedPath vs nodePattern)
+        return (
+            self.cur.kind == "OP" and self.cur.value == "("
+            and self.peek().kind == "OP" and self.peek().value == "("
+        )
+
+    def _parse_quantifier_body(self) -> "tuple[int, int] | None":
+        """``{n}`` / ``{m,n}`` / ``{m,}`` / ``{,n}`` / ``+`` / ``*``
+        (Cypher25Parser.g4:376 quantifier) → (min, max) with -1 =
+        unbounded; None when the tokens are not a quantifier (position
+        restored)."""
+        if self.at_op("+"):
+            self.advance()
+            return (1, -1)
+        if self.at_op("*"):
+            self.advance()
+            return (0, -1)
+        if self.at_op("{"):
+            save = self.i
+            self.advance()
+            lo = hi = None
+            comma = False
+            if self.cur.kind == "INT":
+                lo = int(self.advance().value)
+            if self.at_op(","):
+                comma = True
+                self.advance()
+                if self.cur.kind == "INT":
+                    hi = int(self.advance().value)
+            if not self.at_op("}") or (lo is None and not comma):
+                self.i = save
+                return None
+            self.advance()
+            if not comma:
+                return (lo, lo)
+            return (lo if lo is not None else 0,
+                    hi if hi is not None else -1)
+        return None
+
+    def _parse_rel_quantifier_opt(self) -> "tuple[int, int] | None":
+        """Relationship quantifier — only when a node pattern follows
+        (grammar: relationshipPattern quantifier? nodePattern), so an
+        expression-position ``*``/``+`` after a pattern stays arithmetic."""
+        save = self.i
+        q = self._parse_quantifier_body()
+        if q is None:
+            return None
+        if not (self.cur.kind == "OP" and self.cur.value == "("):
+            self.i = save
+            return None
+        return q
+
+    def _parse_qpp(self) -> "tuple[ast.MatchFilter, ast.MatchStep]":
+        """Parenthesized quantified path pattern ``((a)-[:R]->(b)){m,n}``
+        (Cypher25Parser.g4:419 parenthesizedPath;
+        CypherASTBuilder.java:1694 absorbParenthesizedPath Phase A):
+        single-relationship inner patterns lower onto the var-length
+        machinery; returns (inner start node, lowered step whose filter
+        is the inner end node)."""
+        import dataclasses as _dc
+
+        self.advance()  # outer '('
+        inner = self._parse_pattern_inner(False)
+        if self.at_kw("WHERE"):
+            raise ParseError(
+                "FeatureNotImplemented: WHERE inside a quantified path "
+                "pattern is not yet supported"
+            )
+        self.expect_op(")")
+        q = self._parse_quantifier_body()
+        if len(inner.steps) != 1:
+            raise ParseError(
+                "FeatureNotImplemented: only single-relationship inner "
+                "patterns are supported in quantified path patterns"
+            )
+        if q is not None:
+            mn, mx = q
+            if mx == 0:
+                raise ParseError(
+                    "InvalidSyntax: quantifier upper bound must be "
+                    "greater than zero in quantified path pattern"
+                )
+            if mx != -1 and mn > mx:
+                raise ParseError(
+                    "InvalidSyntax: quantifier lower bound exceeds upper "
+                    "bound in quantified path pattern"
+                )
+        else:
+            mn, mx = 1, 1  # absent quantifier: 1..1 collapses to a triplet
+        s = inner.steps[0]
+        step = _dc.replace(
+            s, min_hops=mn, max_hops=mx,
+            var_length=not (mn == 1 and mx == 1),
+        )
+        return inner.root, step
 
     def _parse_node(self) -> ast.MatchFilter:
         self.expect_op("(")
