@@ -3833,6 +3833,34 @@ def q_knn_pq(spark, sf_dir):
 
 
 @query(
+    "q_path_expand",
+    oracle="""
+    WITH o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 7),
+    d2 AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l, n FROM (
+      SELECT 1 AS l, count(*) AS n FROM o
+      UNION ALL
+      SELECT 2 AS l, count(*) AS n FROM d2
+    ) ORDER BY l
+    """,
+)
+def q_path_expand(spark, sf_dir):
+    """CALL path.expand (procedures/path/PathExpand.java:54): bounded
+    undirected simple-path enumeration from a bound node, relationship-
+    type filtered; lowered to one distributed frontier BFS, not a
+    per-row driver loop."""
+    return _db(spark, sf_dir).query(
+        "MATCH (c:Customer {c_custkey: 7}) "
+        "CALL path.expand(c, 'PLACED,CONTAINS', null, 1, 2) YIELD path "
+        "RETURN length(path) AS l, count(*) AS n ORDER BY l",
+        language="cypher",
+    )
+
+
+@query(
     "q_cypher_qpp",
     oracle="""
     WITH pairs AS (
@@ -3932,6 +3960,7 @@ _PRIORITY = [
     "q_cross_surface_roundtrip",
     "q_load_csv",
     "q_cypher_qpp",
+    "q_path_expand",
     # round-6 grading rotation: never-driver-graded queries first
     # (q_mongo_aggregate, q_import_statement), then the three
     # canon-reshaped queries that ERRed in r5, then every other

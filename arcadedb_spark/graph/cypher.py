@@ -1879,6 +1879,35 @@ def _lower_stage_frames(db, stages, params, env, _T, static_value,
                     "In-query procedure calls must use explicit "
                     "arguments — implicit CALL is standalone-only"
                 )
+            import arcadedb_spark.graph.procedures_path as _pp
+            from arcadedb_spark.graph.procedures import normalize_proc_name
+
+            key = normalize_proc_name(spec["proc"])
+            if key in _pp.FRAME_PROCEDURES:
+                # frame-aware procedure (path.expand & co): the bound
+                # node args resolve against the pipeline frame; the
+                # result REPLACES the frame (per-input-row streaming,
+                # CallStep.java:71 — here one distributed join)
+                if not spec["yields"] or spec.get("star"):
+                    raise TranslateError(
+                        f"In-query CALL {spec['proc']} must YIELD its "
+                        "outputs explicitly (YIELD * is standalone-only)"
+                    )
+                out, ycols = _pp.FRAME_PROCEDURES[key](
+                    db, spec["args"], df, params
+                )
+                carried = [c for c in out.columns if c not in ycols]
+                sel = [out[c] for c in carried]
+                for c, a in spec["yields"]:
+                    if c not in ycols:
+                        raise TranslateError(
+                            f"Unknown YIELD column '{c}' for "
+                            f"{spec['proc']} (yields: {ycols})"
+                        )
+                    sel.append(F.col(c).alias(a))
+                df = out.select(*sel)
+                aliases = set(aliases) | {a for _, a in spec["yields"]}
+                continue
             proc_df = call_procedure(
                 db, spec["proc"], spec["args"],
                 params=params, implicit=False,

@@ -663,10 +663,25 @@ def _table_proc_frame(db, tp: dict, args: list) -> DataFrame:
     return db.spark.createDataFrame(out_rows, schema)
 
 
+def normalize_proc_name(name: str) -> str:
+    """Lowercase + strip the Neo4j/APOC compatibility prefix
+    (CypherProcedureRegistry.java:136 APOC_PREFIX handling —
+    'apoc.merge.relationship' resolves to 'merge.relationship')."""
+    key = name.lower()
+    return key[5:] if key.startswith("apoc.") else key
+
+
 def call_procedure(
     db, name: str, args: list, params: dict | None = None,
-    implicit: bool = False,
+    implicit: bool = False, frame: "DataFrame | None" = None,
 ) -> DataFrame:
+    import arcadedb_spark.graph.procedures_path as _pp  # registers path/meta/merge
+
+    key = normalize_proc_name(name)
+    if key in _pp.FRAME_PROCEDURES:
+        out, _ycols = _pp.FRAME_PROCEDURES[key](db, args, frame, params)
+        return out
+    name = key
     tp = getattr(db, "_table_procedures", {}).get(name.lower())
     if tp is not None:
         if implicit and not args and tp["in"]:
