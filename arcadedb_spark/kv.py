@@ -19,9 +19,17 @@ _SCHEMA = "key string, value string"
 
 
 class KeyValueStore:
+    # plan-lineage cap: every write stacks filter+union nodes on the
+    # cached frame; a long sequential command stream would chain
+    # thousands of plan nodes (analysis cost grows per command).  Every
+    # N writes the frame is localCheckpoint-frozen, which resets the
+    # lineage to a materialized block scan.
+    _CHECKPOINT_EVERY = 64
+
     def __init__(self, db, type_name: str) -> None:
         self.db = db
         self.type_name = type_name
+        self._writes = 0
         if not db.schema.exists(type_name):
             db.schema.register(
                 type_name, db.spark.createDataFrame([], _SCHEMA), key="key"
@@ -30,9 +38,15 @@ class KeyValueStore:
     def _df(self):
         return self.db.schema.get(self.type_name).df()
 
+    def _freeze(self, df):
+        self._writes += 1
+        if self._writes % self._CHECKPOINT_EVERY == 0:
+            return df.localCheckpoint(eager=True)
+        return df
+
     def _replace(self, df) -> None:
         tdef = self.db.schema.get(self.type_name)
-        tdef._df = df.cache()
+        tdef._df = self._freeze(df).cache()
         self.db._plan_cache.clear()
 
     # -- commands -----------------------------------------------------------
@@ -141,7 +155,7 @@ class KeyValueStore:
 
     def _hreplace(self, df) -> None:
         tdef = self.db.schema.get(f"{self.type_name}__hash")
-        tdef._df = df.cache()
+        tdef._df = self._freeze(df).cache()
         self.db._plan_cache.clear()
 
     def hset(self, key: str, mapping: dict | None = None, **fields) -> int:
