@@ -1834,8 +1834,12 @@ def _lower_load_csv(db, df, aliases, spec, params):
         first_line = 1
     cols = [row_col.alias(alias), F.lit(url).alias("__loadCSV_file")]
     if spec.get("need_ln"):
+        # bounded-window ok: linenumber() is inherently sequential (a
+        # per-file line counter) and only attaches when the query calls
+        # it — the common LOAD CSV scan stays fully distributed
         ln = (
             F.row_number().over(
+                # bounded-window ok (see above: opt-in, per-file counter)
                 Window.orderBy(F.monotonically_increasing_id())
             )
             + F.lit(first_line - 1)
@@ -3594,9 +3598,22 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 # per-element binding scope: aliases created in one
                 # FOREACH iteration must not alias-bind the next one
                 mark = len(write_bindings)
+                emark = len(edge_bindings)
                 sub_elem = elem
                 if hasattr(elem, "asDict"):
                     sub_elem = elem.asDict()
+                if isinstance(sub_elem, dict) and "vid" not in sub_elem \
+                        and {"etype", "src", "dst"} <= set(sub_elem):
+                    # relationship element (FOREACH (r IN
+                    # relationships(p) | DELETE r)): register an edge
+                    # binding so DELETE r addresses (etype, src, dst)
+                    edge_bindings.append((
+                        w["var"], sub_elem.get("etype"),
+                        sub_elem.get("src"), sub_elem.get("dst"),
+                        {k: v for k, v in sub_elem.items()
+                         if k not in ("etype", "src", "dst", "@eid",
+                                      "__dir")},
+                    ))
                 if isinstance(sub_elem, dict) and "vid" in sub_elem:
                     # entity element (FOREACH (x IN collect(a) | …)):
                     # register the loop var as a binding so alias-target
@@ -3612,6 +3629,7 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                 for inner in w["body"]:
                     total += run_one(subst_write(inner, w["var"], sub_elem))
                 del write_bindings[mark:]
+                del edge_bindings[emark:]
             return total
         n = 0
         if w["kind"] == "set":
@@ -3877,6 +3895,21 @@ def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
                     n += g.remove_vertices_any(matched)
                     continue
                 label = alias_label.get(alias)
+                ebinds = [b for b in edge_bindings if b[0] == alias]
+                if alias not in df.columns and ebinds:
+                    # DELETE on a relationship loop variable (FOREACH
+                    # (r IN relationships(p) | DELETE r)) — the element
+                    # registered as an edge binding; delete by
+                    # (etype, src, dst)
+                    from arcadedb_spark.graph.model import local_df
+
+                    triples = local_df(
+                        db.spark,
+                        [(b[1], b[2], b[3]) for b in ebinds],
+                        "etype string, src long, dst long",
+                    )
+                    n += g.remove_edges_typed(triples)
+                    continue
                 if alias not in df.columns and any(
                     b[0] == alias for b in write_bindings
                 ):
@@ -4647,8 +4680,16 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
         Ctx, ExprCompiler, TranslateError, _contains_aggregate,
     )
 
-    p = CypherParser(text, params)
-    stmts = p.parse_query()
+    try:
+        p = CypherParser(text, params)
+        stmts = p.parse_query()
+    except ParseError:
+        if want != "count":
+            raise
+        # COUNT body without a RETURN (COUNT { UNWIND [1,2] AS y } —
+        # Issue5715): counting rows is RETURN-invariant, append one
+        p = CypherParser(text + " RETURN 1 AS __cnt1", params)
+        stmts = p.parse_query()
     stmt, stages = stmts[0]
     if stmt is None:
         raise TranslateError(
@@ -4658,6 +4699,21 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
     if want == "collect" and len(stmt.returns) != 1:
         raise TranslateError(
             "A COLLECT subquery must RETURN exactly one column"
+        )
+    from pyspark.sql import functions as _F9
+
+    if (
+        want == "count" and stmt.returns
+        and all(_contains_aggregate(r.expr) for r in stmt.returns)
+        and stmt.limit is None and stmt.skip is None
+    ):
+        # aggregate-only RETURN yields exactly ONE row whatever the
+        # input (count over empty input is still a row) — COUNT { …
+        # RETURN count(m) } = 1 (Issue5715
+        # countOverABodyThatDoesNotProduceOneRowPerMatch)
+        return (
+            db.spark.range(1).select(_F9.lit(1).alias("__c1")),
+            set(), [], None, False, False,
         )
     collect_agg = None
     for r in stmt.returns:
@@ -4691,10 +4747,19 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
             db, stages, params or {}, env, _T, static_value,
             base=base, base_aliases=base_aliases,
         )
-        df, seen = combine_paths(
-            db, stmt.paths, stmt.where, params or {},
-            base=df, base_aliases=aliases,
-        )
+        if not stmt.paths and stmt.where is None:
+            # match-less body (COUNT { RETURN 1 } / pure UNWIND): the
+            # stage frame (or a one-row seed) IS the row set
+            if df is None:
+                from pyspark.sql import functions as F
+
+                df = db.spark.range(1).select(F.lit(1).alias("__one"))
+            seen = set(aliases)
+        else:
+            df, seen = combine_paths(
+                db, stmt.paths, stmt.where, params or {},
+                base=df, base_aliases=aliases,
+            )
         # the RETURN values (and ORDER BY key) compile against the block
         # frame; nested pattern expressions inside them resolve here
         exprs = [r.expr for r in stmt.returns] + [
@@ -4735,6 +4800,35 @@ def _lower_value_block(db, text: str, outer_df, params: dict, want: str):
                 )
             o = stmt.order_by[0]
             order = (comp.compile(o.expr), o.ascending)
+        if want == "count" and (
+            stmt.limit is not None or stmt.skip is not None
+        ):
+            # SKIP/LIMIT change the counted row set (Issue5715: COUNT {
+            # … RETURN m LIMIT 7 } = 7).  Uncorrelated: materialize the
+            # body rows and bound them here; correlated would need a
+            # per-key window — typed reject instead of a silent
+            # unbounded count.
+            if base is not None:
+                raise TranslateError(
+                    "SKIP/LIMIT inside a correlated COUNT { … } body is "
+                    "not supported — apply it in the outer query"
+                )
+            from pyspark.sql import functions as F
+
+            from arcadedb_spark.sql.translator import _safe_distinct
+
+            bdf = (
+                df.select(*[
+                    c.alias(f"__cv{i}") for i, c in enumerate(vals)
+                ]) if vals else df.select(F.lit(1).alias("__cv0"))
+            )
+            if stmt.distinct:
+                bdf = _safe_distinct(bdf)
+            if stmt.skip is not None:
+                bdf = bdf.offset(int(_ast_literal(stmt.skip, params)))
+            if stmt.limit is not None:
+                bdf = bdf.limit(int(_ast_literal(stmt.limit, params)))
+            return bdf, set(), [], None, False, False
     finally:
         pop_env()
     return df, seen, vals, order, stmt.distinct, collect_agg is not None

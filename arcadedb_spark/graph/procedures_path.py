@@ -673,6 +673,76 @@ def _p_meta_rtp(db, args) -> DataFrame:
     )
 
 
+@procedure("db.schema.visualization")
+def _p_db_schema_viz(db, args) -> DataFrame:
+    """db.schema.visualization() — Neo4j-compatible schema graph (same
+    virtual nodes/relationships as meta.graph; reference routes both
+    through the procedure registry)."""
+    return _p_meta_graph(db, args)
+
+
+@procedure("vector.neighbors")
+def _p_vector_neighbors(db, args) -> DataFrame:
+    """vector.neighbors('Type[prop]', <vector | record key>, k) YIELD
+    name, distance (CypherCallVectorNeighborsTest.java; SQL-surface twin
+    of the LSMVectorIndex neighbor search).  A string second argument
+    names an existing record (its id property); its stored vector is the
+    query and the record itself is excluded.  distance = cosine
+    distance, ascending."""
+    if len(args) != 3:
+        raise _err("vector.neighbors() expects (indexSpec, vector|key, k)")
+    spec = str(args[0])
+    k = int(args[2])
+    if "[" in spec and spec.endswith("]"):
+        type_name, prop = spec[:-1].split("[", 1)
+    else:
+        meta = db.schema.indexes.get(spec)
+        if meta is None:
+            raise _err(f"vector index '{spec}' not found")
+        type_name, prop = meta["type"], meta["props"][0]
+    base = db.schema.table(type_name)
+    if prop not in base.columns:
+        raise _err(f"type '{type_name}' has no vector column '{prop}'")
+    tdef = db.schema.get(type_name)
+    id_col = tdef.key
+    if id_col is None or id_col not in base.columns:
+        # id property: first string column (the reference's vector index
+        # is keyed by a declared string id property)
+        id_col = next(
+            (c for c, t in base.dtypes if t == "string"
+             and not c.startswith("@")),
+            None,
+        )
+    if id_col is None:
+        raise _err(f"type '{type_name}' has no id property for neighbors")
+    from arcadedb_spark.vector.distance import cosine_similarity
+
+    exclude = None
+    if isinstance(args[1], str):
+        rows = base.filter(F.col(id_col) == args[1]) \
+            .select(prop).limit(1).collect()
+        if not rows:
+            raise _err(f"record '{args[1]}' not found in {type_name}")
+        qvec = [float(x) for x in rows[0][0]]
+        exclude = args[1]
+    else:
+        qvec = [float(x) for x in args[1]]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    out = base
+    if exclude is not None:
+        out = out.filter(F.col(id_col) != exclude)
+    return (
+        out.select(
+            F.col(id_col).alias("name"),
+            (F.lit(1.0) - cosine_similarity(
+                F.col(prop).cast("array<double>"), q
+            )).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc())
+        .limit(k)
+    )
+
+
 # --- db.index.vector.queryNodes (DbIndexVectorQueryNodes.java) --------------
 
 

@@ -695,7 +695,7 @@ class Parser:
                     self.advance()
                     buckets = int(self.advance().value)
                 elif self.cur.kind == "IDENT" and self.cur.value.upper() in (
-                    "UNIDIRECTIONAL", "BIDIRECTIONAL",
+                    "UNIDIRECTIONAL", "BIDIRECTIONAL", "LIGHTWEIGHT",
                 ) and kind == "edge":
                     # CREATE EDGE TYPE … UNIDIRECTIONAL (schema/
                     # LocalEdgeType bidirectional flag) — storage here is
@@ -1648,6 +1648,8 @@ class Parser:
                     if not self.at_op(")"):
                         args.append(self.parse_expr())
                         while self.eat_op(","):
+                            if self.at_op(")"):
+                                break  # trailing comma (Issue5495)
                             args.append(self.parse_expr())
                     self.expect_op(")")
                     expr = ast.Method(expr, name, tuple(args))
@@ -1874,6 +1876,8 @@ class Parser:
                 if not self.at_op("]"):
                     items.append(self.parse_expr())
                     while self.eat_op(","):
+                        if self.at_op("]"):
+                            break  # trailing comma ([1, 2,] — Issue5495)
                         items.append(self.parse_expr())
                 self.expect_op("]")
                 return ast.ArrayLit(tuple(items))
@@ -1883,6 +1887,8 @@ class Parser:
                 if not self.at_op("}"):
                     entries.append(self._parse_map_entry())
                     while self.eat_op(","):
+                        if self.at_op("}"):
+                            break  # trailing comma ({a: 1,} — Issue5495)
                         entries.append(self._parse_map_entry())
                 self.expect_op("}")
                 return ast.MapLit(tuple(entries))
@@ -2109,6 +2115,8 @@ class Parser:
         if not self.at_op(")"):
             args.append(self.parse_expr())
             while self.eat_op(","):
+                if self.at_op(")"):
+                    break  # trailing comma (Issue5495)
                 args.append(self.parse_expr())
         self.expect_op(")")
         if self.cypher and low in ("first", "last"):

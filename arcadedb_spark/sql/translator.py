@@ -2190,7 +2190,25 @@ class ExprCompiler:
                 "Aggregation inside a list comprehension body is not "
                 "allowed (InvalidAggregation)"
             )
+        from pyspark.sql.types import NullType as _LCNT
+
+        st = self._static_dtype(e.source)
+        if (st is not None and isinstance(st, _LCNT)) or (
+            isinstance(e.source, ast.Lit) and e.source.value is None
+        ):
+            # comprehension over a null list → null (Cypher null
+            # propagation); a raw NULL source would fail Catalyst's
+            # transform/filter type check (empty-graph nodes(p))
+            return F.lit(None)
         src = self.compile(e.source)
+        try:
+            if src._jc.toString() == "NULL":
+                # precompiled null marker (nodes(p)/relationships(p) on a
+                # graph with no vertex universe): comprehension over null
+                # is null, and a raw NULL would fail transform's typecheck
+                return F.lit(None)
+        except Exception:
+            pass
         et = self._elem_type(e.source)
         out = src
         if e.pred is not None:
@@ -3756,7 +3774,11 @@ class Translator:
             if stmt.distinct:
                 df = _safe_distinct(df)
         for name, ascending, temporal in sort_plan:
-            c = F.col(name)
+            # exact-name resolution: an unaliased projection is NAMED by
+            # its verbatim text ("p.name"), and a bare F.col would parse
+            # the dot as struct navigation — against an empty-label match
+            # frame the struct lacks the field and analysis fails
+            c = F.col(f"`{name}`") if "." in name else F.col(name)
             if ctx.cypher_order:
                 from pyspark.sql.types import ArrayType as _AT
                 from pyspark.sql.types import VariantType as _VT

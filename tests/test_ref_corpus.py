@@ -54,6 +54,23 @@ def test_reference_corpus_parse_floor():
             ok += 1
         except Exception:
             pass
-    # round-6 measured 2526/2760 (91.5%); floor with head-room for
+    # round-7 measured 2537/2760 (92%); floor with head-room for
     # corpus drift.  Raise as coverage grows — never lower.
-    assert ok >= 2450, f"parse-OK floor regressed: {ok}/{len(queries)}"
+    assert ok >= 2480, f"parse-OK floor regressed: {ok}/{len(queries)}"
+
+
+def test_reference_corpus_plan_floor_note():
+    """Plan-probe floor (round-7: 2413/2760 plan-OK via
+    tools/probe_ref_corpus.py — too heavy for pytest, it builds every
+    query's DataFrame plan against per-class scratch Databases).  Of the
+    347 remaining failures, the dominant share are the reference's own
+    ERROR-EXPECTATION tests (argument-validation/guard classes assert
+    the query THROWS — failing here is parity) plus mined string
+    fragments; the triage lives in NOTES.md round-7.  This test pins the
+    probe tool's existence so the number stays reproducible."""
+    import os
+
+    assert os.path.exists(
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "probe_ref_corpus.py")
+    )
