@@ -69,6 +69,36 @@ class Catalog:
         # execution no-ops on Spark (scan+pushdown replaces them) but
         # full-text entries resolve search_index() to their fields.
         self.indexes: dict[str, dict] = {}
+        # named buckets (engine/LocalBucket.java; CREATE BUCKET /
+        # CREATE TYPE … BUCKET b1,b2): name → {owner: type-name|None,
+        # bucket_id, df: DataFrame|None}.  A bucket is a named
+        # horizontal slice of its owner type — at scale it maps to a
+        # partition directory; here to a per-bucket frame unioned into
+        # the type scan.
+        self.named_buckets: dict[str, dict] = {}
+
+    def register_bucket(self, name: str, owner: str | None = None) -> dict:
+        meta = self.named_buckets.get(name.lower())
+        if meta is None:
+            meta = {"name": name, "owner": owner, "bucket_id": self._next_bucket,
+                    "df": None}
+            self._next_bucket += 1
+            self.named_buckets[name.lower()] = meta
+        elif owner is not None:
+            meta["owner"] = owner
+        return meta
+
+    def _bucket_frame(self, bname: str, tdef: TypeDef) -> DataFrame | None:
+        meta = self.named_buckets.get(bname.lower())
+        if meta is None or meta["df"] is None:
+            return None
+        rid = F.concat(
+            F.lit(f"#{meta['bucket_id']}:"),
+            F.monotonically_increasing_id().cast("string"),
+        )
+        return meta["df"].withColumn(RID_COL, rid).withColumn(
+            TYPE_COL, F.lit(tdef.name)
+        )
 
     # -- registration -----------------------------------------------------
     def register(
@@ -168,6 +198,10 @@ class Catalog:
             return self._schema_table(name.split(":", 1)[1])
         tdef = self.get(name)
         df = self._with_metadata(tdef)
+        for b in tdef.properties.get("extra_buckets", ()):
+            bdf = self._bucket_frame(b, tdef)
+            if bdf is not None:
+                df = df.unionByName(bdf, allowMissingColumns=True)
         if polymorphic:
             for sub in self.subtypes(name):
                 df = df.unionByName(self._with_metadata(sub), allowMissingColumns=True)

@@ -275,6 +275,7 @@ class Database:
         {type: row_count}."""
         import json as _json
 
+        os.makedirs(path, exist_ok=True)
         counts: dict[str, int] = {}
         for name in list(self.schema.names()):
             tdef = self.schema.get(name)

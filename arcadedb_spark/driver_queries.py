@@ -3833,6 +3833,56 @@ def q_knn_pq(spark, sf_dir):
 
 
 @query(
+    "q_having",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n
+    FROM supplier GROUP BY s_nationkey
+    HAVING count(*) >= 3 ORDER BY s_nationkey
+    """,
+)
+def q_having(spark, sf_dir):
+    """GROUP BY … HAVING (reference SQL dialect post-aggregation
+    filter): compiles in agg mode, filters the aggregated frame before
+    projection."""
+    return _db(spark, sf_dir).query(
+        "SELECT s_nationkey, count(*) AS n FROM supplier "
+        "GROUP BY s_nationkey HAVING count(*) >= 3 ORDER BY s_nationkey"
+    )
+
+
+@query(
+    "q_named_buckets",
+    oracle="""
+    SELECT firstName, region FROM (VALUES
+      ('Enzo', 'Europe'), ('Jack', 'Americas')
+    ) AS t(firstName, region) ORDER BY firstName
+    """,
+)
+def q_named_buckets(spark, sf_dir):
+    """Named buckets (engine/LocalBucket.java; CREATE BUCKET + CREATE
+    TYPE … BUCKET + INSERT INTO bucket: + bucket scan): the type scan
+    unions its bucket slices; a bucket scan reads one slice."""
+    db = _db(spark, sf_dir)
+    db.command("DROP TYPE NbCst IF EXISTS")
+    db.command("DROP BUCKET Nb_Europe IF EXISTS")
+    db.command("DROP BUCKET Nb_Americas IF EXISTS")
+    db.command("CREATE BUCKET Nb_Europe")
+    db.command("CREATE BUCKET Nb_Americas")
+    db.command("CREATE DOCUMENT TYPE NbCst BUCKET Nb_Europe,Nb_Americas")
+    db.command(
+        "INSERT INTO bucket:Nb_Europe CONTENT "
+        "{ firstName: 'Enzo', region: 'Europe' }"
+    )
+    db.command(
+        "INSERT INTO bucket:Nb_Americas CONTENT "
+        "{ firstName: 'Jack', region: 'Americas' }"
+    )
+    return db.query(
+        "SELECT firstName, region FROM NbCst ORDER BY firstName"
+    )
+
+
+@query(
     "q_path_expand",
     oracle="""
     WITH o AS (SELECT o_orderkey FROM orders WHERE o_custkey = 7),
@@ -3961,6 +4011,8 @@ _PRIORITY = [
     "q_load_csv",
     "q_cypher_qpp",
     "q_path_expand",
+    "q_having",
+    "q_named_buckets",
     # round-6 grading rotation: never-driver-graded queries first
     # (q_mongo_aggregate, q_import_statement), then the three
     # canon-reshaped queries that ERRed in r5, then every other

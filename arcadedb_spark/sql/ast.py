@@ -369,6 +369,7 @@ class SelectStmt:
     unwind: tuple[UnwindItem, ...] = ()
     skip: Optional[Expr] = None
     limit: Optional[Expr] = None
+    having: Optional[Expr] = None  # GROUP BY … HAVING <pred>
 
 
 # MATCH (query/sql/executor/MatchExecutionPlanner.java:59)
@@ -515,6 +516,7 @@ Statement = Union[SelectStmt, MatchStmt, TraverseStmt]
 class InsertStmt:
     type_name: str
     fields: tuple[str, ...] = ()
+    bucket_name: Optional[str] = None  # INSERT INTO bucket:<name>
     values_rows: tuple[tuple[Expr, ...], ...] = ()  # VALUES (...), (...)
     set_items: tuple[tuple[str, Expr], ...] = ()  # SET f = e, ...
     content: Optional[MapLit] = None  # CONTENT {...}
@@ -546,6 +548,7 @@ class CreateTypeStmt:
     if_not_exists: bool = False
     extends: Optional[str] = None
     buckets: Optional[int] = None
+    bucket_names: tuple[str, ...] = ()  # BUCKET b1,b2 association
 
 
 @dataclass(frozen=True)
@@ -713,6 +716,28 @@ class CreateIndexStmt:
 @dataclass(frozen=True)
 class TruncateTypeStmt:
     name: str
+
+
+@dataclass(frozen=True)
+class CreateBucketStmt:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass(frozen=True)
+class DropBucketStmt:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class TruncateBucketStmt:
+    name: str
+
+
+@dataclass(frozen=True)
+class BackupDatabaseStmt:
+    url: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -79,6 +79,52 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
         return _result(db, 0)  # execution no-op: scan+pushdown replaces it
     if isinstance(stmt, ast.TruncateTypeStmt):
         return _truncate(db, stmt)
+    if isinstance(stmt, ast.BackupDatabaseStmt):
+        # BACKUP DATABASE ['<url>'] (BackupDatabaseStatement.java →
+        # Backup.java): every type to <dir>/<name>.jsonl; a .zip/.tgz
+        # url backs up to a DIRECTORY of that stem (archive framing has
+        # no distributed writer — documented deviation)
+        import time as _time
+
+        url = stmt.url or f"backups/backup-{int(_time.time())}"
+        path = _strip_url(str(url))
+        for ext in (".zip", ".tgz", ".tar.gz"):
+            if path.endswith(ext):
+                path = path[: -len(ext)]
+                break
+        counts = db.backup(path, format="jsonl")
+        return _op_result(db, operation="backup database", path=path,
+                          types=len(counts), rows=sum(counts.values()))
+    if isinstance(stmt, ast.CreateBucketStmt):
+        if stmt.name.lower() in db.schema.named_buckets:
+            if stmt.if_not_exists:
+                return _result(db, 0)
+            raise TranslateError(f"Bucket '{stmt.name}' already exists")
+        db.schema.register_bucket(stmt.name)
+        return _result(db, 1)
+    if isinstance(stmt, ast.DropBucketStmt):
+        meta = db.schema.named_buckets.pop(stmt.name.lower(), None)
+        if meta is None:
+            if stmt.if_exists:
+                return _result(db, 0)
+            raise TranslateError(f"Bucket '{stmt.name}' does not exist")
+        owner = meta.get("owner")
+        if owner and db.schema.exists(owner):
+            props = db.schema.get(owner).properties
+            props["extra_buckets"] = [
+                b for b in props.get("extra_buckets", ())
+                if b.lower() != stmt.name.lower()
+            ]
+        db._plan_cache.clear()
+        return _result(db, 1)
+    if isinstance(stmt, ast.TruncateBucketStmt):
+        meta = db.schema.named_buckets.get(stmt.name.lower())
+        if meta is None:
+            raise TranslateError(f"Bucket '{stmt.name}' does not exist")
+        n = meta["df"].count() if meta["df"] is not None else 0
+        meta["df"] = None
+        db._plan_cache.clear()
+        return _result(db, n)
     if isinstance(stmt, ast.CreateMaterializedViewStmt):
         return _create_mv(db, stmt, params)
     if isinstance(stmt, ast.RefreshMaterializedViewStmt):
@@ -420,6 +466,8 @@ def _replace_df(db, name: str, df: DataFrame) -> None:
 
 def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     name = stmt.type_name
+    if stmt.bucket_name is not None:
+        return _insert_bucket(db, stmt, params)
     rows: list[dict] = []
     if stmt.values_rows:
         if not stmt.fields:
@@ -515,6 +563,52 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
 
         fire(db, "AFTER", "CREATE", name, trig_rows)
     return _result(db, n)
+
+
+def _insert_bucket(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
+    """INSERT INTO bucket:<name> — direct bucket insert
+    (InsertStatement.java targetBucket / LocalBucket.java): rows land in
+    the named bucket's slice; the owner type's scan unions them in."""
+    meta = db.schema.named_buckets.get(stmt.bucket_name.lower())
+    if meta is None:
+        raise TranslateError(f"Bucket '{stmt.bucket_name}' does not exist")
+    owner = meta.get("owner")
+    if owner is None or not db.schema.exists(owner):
+        raise TranslateError(
+            f"Bucket '{stmt.bucket_name}' is not associated with a type"
+        )
+    rows: list[dict] = []
+    if stmt.values_rows:
+        if not stmt.fields:
+            raise TranslateError("INSERT VALUES requires a field list")
+        for vr in stmt.values_rows:
+            rows.append({
+                f: _literal_value(db, e, params)
+                for f, e in zip(stmt.fields, vr)
+            })
+    elif stmt.set_items:
+        rows.append(
+            {f: _literal_value(db, e, params) for f, e in stmt.set_items}
+        )
+    elif stmt.content is not None:
+        rows.append(
+            {k: _literal_value(db, v, params) for k, v in stmt.content.entries}
+        )
+    if not rows:
+        raise TranslateError("bucket INSERT needs VALUES/SET/CONTENT")
+    rows = [_validate_row(db, owner, r) for r in rows]
+    new_df = db.spark.createDataFrame(
+        [tuple(r.values()) for r in rows], list(rows[0].keys())
+    )
+    if meta["df"] is None:
+        meta["df"] = new_df
+    else:
+        meta["df"] = meta["df"].unionByName(
+            new_df, allowMissingColumns=True
+        ).cache()
+    db._plan_cache.clear()
+    _notify_mvs(db, owner, delta=new_df)
+    return _result(db, len(rows))
 
 
 def _notify_mvs(db, src_name: str, delta=None) -> None:
@@ -782,6 +876,7 @@ def _create_type(db, stmt: ast.CreateTypeStmt) -> DataFrame:
         # graph frame, so writes on either surface see each other.
         tdef = db.register_graph_type(stmt.name, kind=stmt.kind)
         tdef.parents = parents
+        _attach_named_buckets(db, tdef, stmt.bucket_names)
         return _result(db, 1)
     tdef = db.schema.register(
         stmt.name,
@@ -790,7 +885,18 @@ def _create_type(db, stmt: ast.CreateTypeStmt) -> DataFrame:
         parents=parents,
     )
     tdef._df = None
+    _attach_named_buckets(db, tdef, stmt.bucket_names)
     return _result(db, 1)
+
+
+def _attach_named_buckets(db, tdef, bucket_names) -> None:
+    """CREATE TYPE … BUCKET b1,b2: associate (and create if needed) the
+    named buckets; the type's scan unions their slices."""
+    if not bucket_names:
+        return
+    tdef.properties["extra_buckets"] = list(bucket_names)
+    for b in bucket_names:
+        db.schema.register_bucket(b, owner=tdef.name)
 
 
 def _drop_type(db, stmt: ast.DropTypeStmt) -> DataFrame:
@@ -1112,8 +1218,12 @@ def _alter_type(db, stmt: ast.AlterTypeStmt) -> DataFrame:
             if add:
                 if ident not in buckets:
                     buckets.append(ident)
+                db.schema.register_bucket(ident, owner=tdef.name)
             else:
                 buckets = [b for b in buckets if b != ident]
+                meta = db.schema.named_buckets.get(str(ident).lower())
+                if meta is not None and meta.get("owner") == tdef.name:
+                    meta["owner"] = None
         tdef.properties["extra_buckets"] = buckets
         return _op_result(db, operation="alter type bucket",
                           buckets=",".join(buckets))

@@ -151,6 +151,17 @@ class Parser:
                     )
                 self.advance()
             return ast.RefreshMaterializedViewStmt(name=self.ident())
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "BACKUP":
+            # BACKUP DATABASE ['<url>'] (parser/BackupDatabaseStatement)
+            self.advance()
+            if not (self.cur.kind in ("IDENT", "KEYWORD")
+                    and str(self.cur.value).upper() == "DATABASE"):
+                raise ParseError("Expected DATABASE after BACKUP")
+            self.advance()
+            url = None
+            if self.cur.kind == "STRING":
+                url = self.advance().value
+            return ast.BackupDatabaseStmt(url=url)
         raise ParseError(f"Unsupported statement start: {self.cur!r}")
 
     # DML ------------------------------------------------------------------
@@ -158,6 +169,13 @@ class Parser:
         self.expect_kw("INSERT")
         self.expect_kw("INTO")
         name = self.ident()
+        bucket_name = None
+        if name.lower() == "bucket" and self.cur.kind == "PARAM":
+            # INSERT INTO bucket:<name> — direct bucket insert
+            # (parser/InsertStatement.java targetBucket); ':name' lexes
+            # as one PARAM token
+            bucket_name = str(self.advance().value)
+            name = ""
         fields: list[str] = []
         values_rows: list[tuple] = []
         set_items: list[tuple] = []
@@ -201,6 +219,7 @@ class Parser:
                 from_select = self.parse_statement()
         return ast.InsertStmt(
             type_name=name,
+            bucket_name=bucket_name,
             fields=tuple(fields),
             values_rows=tuple(values_rows),
             set_items=tuple(set_items),
@@ -687,6 +706,7 @@ class Parser:
             if_not_exists = self._eat_if_not_exists()
             extends = None
             buckets = None
+            bucket_names: list[str] = []
             while True:
                 if self.at_kw("EXTENDS"):
                     self.advance()
@@ -694,6 +714,14 @@ class Parser:
                 elif self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKETS":
                     self.advance()
                     buckets = int(self.advance().value)
+                elif self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKET":
+                    # CREATE … TYPE <n> BUCKET b1[,b2…] — named bucket
+                    # association (parser/CreateTypeAbstractStatement
+                    # bucket list)
+                    self.advance()
+                    bucket_names.append(self.ident())
+                    while self.eat_op(","):
+                        bucket_names.append(self.ident())
                 elif self.cur.kind == "IDENT" and self.cur.value.upper() in (
                     "UNIDIRECTIONAL", "BIDIRECTIONAL", "LIGHTWEIGHT",
                 ) and kind == "edge":
@@ -707,6 +735,7 @@ class Parser:
             return ast.CreateTypeStmt(
                 kind=kind, name=name, if_not_exists=if_not_exists,
                 extends=extends, buckets=buckets,
+                bucket_names=tuple(bucket_names),
             )
         if self.at_kw("PROPERTY"):
             self.advance()
@@ -715,6 +744,15 @@ class Parser:
             prop = self.ident()
             if_not_exists = self._eat_if_not_exists()
             dtype = self.ident()
+            of_type = None
+            if (
+                self.cur.kind in ("IDENT", "KEYWORD")
+                and str(self.cur.value).upper() == "OF"
+            ):
+                # LINK OF <Type> / LIST OF <TYPE> / MAP OF <TYPE>
+                # (parser/CreatePropertyStatement ofType)
+                self.advance()
+                of_type = self.ident()
             constraints: dict = {}
             if self.at_op("("):
                 # (MANDATORY true, NOTNULL true, DEFAULT x, MIN n, MAX n,
@@ -726,6 +764,8 @@ class Parser:
                     constraints[key] = val.value if isinstance(val, ast.Lit) else val
                     self.eat_op(",")
                 self.expect_op(")")
+            if of_type is not None:
+                constraints.setdefault("of", of_type)
             return ast.CreatePropertyStmt(
                 type_name=tname, prop=prop, dtype=dtype,
                 if_not_exists=if_not_exists, constraints=tuple(constraints.items()),
@@ -858,6 +898,14 @@ class Parser:
             return ast.CreateIndexStmt(
                 type_name=tname, props=tuple(props), index_kind=kind
             )
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKET":
+            # CREATE BUCKET <name> [IF NOT EXISTS]
+            # (parser/CreateBucketStatement.java)
+            self.advance()
+            name = self.ident()
+            return ast.CreateBucketStmt(
+                name=name, if_not_exists=self._eat_if_not_exists()
+            )
         raise ParseError(f"Unsupported CREATE statement at {self.cur!r}")
 
     def _eat_if_not_exists(self) -> bool:
@@ -902,6 +950,16 @@ class Parser:
                 self.expect_kw("EXISTS")
                 if_exists = True
             return ast.DropTriggerStmt(name=name, if_exists=if_exists)
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKET":
+            # DROP BUCKET <name> (parser/DropBucketStatement.java)
+            self.advance()
+            name = str(self.advance().value)
+            if_exists = False
+            if self.at_kw("IF"):
+                self.advance()
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropBucketStmt(name=name, if_exists=if_exists)
         self.expect_kw("TYPE")
         name = self.ident()
         if_exists = False
@@ -947,6 +1005,10 @@ class Parser:
 
     def parse_truncate(self) -> ast.TruncateTypeStmt:
         self.advance()  # TRUNCATE
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKET":
+            # TRUNCATE BUCKET <name> (parser/TruncateBucketStatement.java)
+            self.advance()
+            return ast.TruncateBucketStmt(name=self.ident())
         self.expect_kw("TYPE")
         name = self.ident()
         while self.cur.kind == "KEYWORD":  # POLYMORPHIC / UNSAFE
@@ -991,6 +1053,7 @@ class Parser:
         unwind: list[ast.UnwindItem] = []
         skip = None
         limit = None
+        having = None
         while True:
             if self.at_kw("GROUP"):
                 self.advance()
@@ -1020,6 +1083,13 @@ class Parser:
                 self.parse_expr()  # accepted, ignored (no-op on Spark)
             elif self.at_kw("PARALLEL"):
                 self.advance()  # Spark is always parallel
+            elif (
+                self.cur.kind in ("IDENT", "KEYWORD")
+                and str(self.cur.value).upper() == "HAVING"
+            ):
+                # GROUP BY … HAVING <pred> — post-aggregation filter
+                self.advance()
+                having = self.parse_expr()
             else:
                 break
 
@@ -1034,6 +1104,7 @@ class Parser:
             unwind=tuple(unwind),
             skip=skip,
             limit=limit,
+            having=having,
         )
 
     def parse_projection_list(self) -> list[ast.ProjItem]:

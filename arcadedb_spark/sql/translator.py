@@ -3149,6 +3149,22 @@ class Translator:
         if isinstance(target, ast.TypeTarget):
             return self.db.schema.table(target.name), target.name
         if isinstance(target, ast.BucketTarget):
+            meta = self.db.schema.named_buckets.get(target.name.lower())
+            if meta is not None:
+                # named bucket (CREATE BUCKET): scan only that slice
+                owner = meta.get("owner")
+                if owner is None or not self.db.schema.exists(owner):
+                    raise TranslateError(
+                        f"Bucket '{target.name}' is not associated with "
+                        "a type"
+                    )
+                tdef = self.db.schema.get(owner)
+                bdf = self.db.schema._bucket_frame(target.name, tdef)
+                if bdf is None:
+                    bdf = self.db.schema.table(
+                        owner, polymorphic=False
+                    ).limit(0)
+                return bdf, owner
             return self.db.schema.table(target.name, polymorphic=False), target.name
         if isinstance(target, ast.SchemaTarget):
             return self.db.schema.table(f"schema:{target.name}"), None
@@ -3328,6 +3344,10 @@ class Translator:
         df, type_name = self._resolve_target(stmt.target)
         ctx = Ctx(db=self.db, params=self.params)
         ctx.columns = tuple(df.columns)
+        # schemaless reads: a property absent from the scan schema is
+        # null, not an analysis error (matters for freshly-created /
+        # truncated types whose frame has no data columns yet)
+        ctx.frame_schema = df.schema
         ctx.type_name = type_name
 
         df = self._apply_link_joins(df, stmt, type_name, ctx)
@@ -3385,6 +3405,7 @@ class Translator:
         is_agg = not has_ts_window and (
             any(_contains_aggregate(p.expr) for p in stmt.projections)
             or bool(stmt.group_by)
+            or getattr(stmt, "having", None) is not None
         )
         if is_agg:
             df = self._translate_aggregate(df, stmt, ctx)
@@ -3844,6 +3865,15 @@ class Translator:
             post_exprs.append(bare.alias(name))
             out_names.append(name)
 
+        having_col = None
+        if getattr(stmt, "having", None) is not None:
+            # HAVING compiles in agg mode AFTER the projections so its
+            # aggregates land in ctx.agg_cols; alias references resolve
+            # to their defining expressions (HAVING avg_price > 100)
+            having_col = compiler.compile(
+                _subst_alias_refs(stmt.having, alias_map)
+            )
+
         if key_cols:
             grouped = df.groupBy(*key_cols)
         else:
@@ -3853,6 +3883,8 @@ class Translator:
             agged = grouped.agg(F.count(F.lit(1)).alias("__cnt"))
         else:
             agged = grouped.agg(*ctx.agg_cols)
+        if having_col is not None:
+            agged = agged.filter(having_col)
 
         # ORDER BY over the agged frame (where __gk/__agg live).  An alias
         # reference sorts by that projection's defining expression.

@@ -1,0 +1,121 @@
+"""HAVING, named buckets, BACKUP DATABASE, CREATE PROPERTY … OF.
+
+Reference: query/sql test corpus (GroupBy*Test HAVING usage,
+bucket DDL/DML tests — CREATE BUCKET / CREATE TYPE … BUCKET /
+INSERT INTO bucket: / TRUNCATE BUCKET / DROP BUCKET,
+BackupDatabaseStatement, CreatePropertyStatement ofType).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def sdb(spark):
+    from arcadedb_spark.database import Database
+
+    return Database(spark)
+
+
+def test_having_filters_groups(sdb):
+    sdb.command("CREATE DOCUMENT TYPE Prod")
+    sdb.command(
+        "INSERT INTO Prod (category, price) VALUES "
+        "('a', 50.0), ('a', 200.0), ('b', 10.0)"
+    )
+    rows = sdb.query(
+        "SELECT category, AVG(price) as avg_price FROM Prod "
+        "GROUP BY category HAVING AVG(price) > 100"
+    ).collect()
+    assert [(r["category"], r["avg_price"]) for r in rows] == [("a", 125.0)]
+
+
+def test_having_references_alias(sdb):
+    sdb.command("CREATE DOCUMENT TYPE Prod2")
+    sdb.command(
+        "INSERT INTO Prod2 (c, v) VALUES ('a', 1), ('a', 2), ('b', 9)"
+    )
+    rows = sdb.query(
+        "SELECT c, count(*) AS n FROM Prod2 GROUP BY c HAVING n > 1"
+    ).collect()
+    assert [(r["c"], r["n"]) for r in rows] == [("a", 2)]
+
+
+def test_named_buckets_roundtrip(sdb):
+    sdb.command("CREATE BUCKET B_Europe IF NOT EXISTS")
+    sdb.command("CREATE BUCKET B_Americas IF NOT EXISTS")
+    sdb.command("CREATE DOCUMENT TYPE Cst BUCKET B_Europe,B_Americas")
+    sdb.command(
+        "INSERT INTO bucket:B_Europe CONTENT "
+        "{ firstName: 'Enzo', region: 'Europe' }"
+    )
+    sdb.command(
+        "INSERT INTO bucket:B_Americas CONTENT "
+        "{ firstName: 'Jack', region: 'Americas' }"
+    )
+    # the type scan unions every associated bucket slice
+    assert sorted(
+        r["firstName"]
+        for r in sdb.query("SELECT firstName FROM Cst").collect()
+    ) == ["Enzo", "Jack"]
+    # a bucket scan sees only its slice
+    assert [
+        r["firstName"]
+        for r in sdb.query(
+            "SELECT firstName FROM bucket:B_Europe"
+        ).collect()
+    ] == ["Enzo"]
+
+
+def test_truncate_and_drop_bucket(sdb):
+    sdb.command("CREATE BUCKET TB1")
+    sdb.command("CREATE DOCUMENT TYPE TBT BUCKET TB1")
+    sdb.command("INSERT INTO bucket:TB1 SET x = 1")
+    sdb.command("TRUNCATE BUCKET TB1")
+    assert sdb.query("SELECT x FROM TBT").count() == 0
+    sdb.command("DROP BUCKET TB1")
+    with pytest.raises(Exception):
+        sdb.query("SELECT FROM bucket:TB1").collect()
+    # type survives with no buckets
+    assert sdb.query("SELECT FROM TBT").count() == 0
+
+
+def test_bucket_insert_requires_owner(sdb):
+    sdb.command("CREATE BUCKET Orphan1")
+    with pytest.raises(Exception, match="not associated"):
+        sdb.command("INSERT INTO bucket:Orphan1 SET x = 1")
+
+
+def test_alter_type_bucket_attaches(sdb):
+    sdb.command("CREATE DOCUMENT TYPE AT1")
+    sdb.command("ALTER TYPE AT1 BUCKET +ABkt")
+    sdb.command("INSERT INTO bucket:ABkt SET y = 7")
+    assert [r["y"] for r in sdb.query("SELECT y FROM AT1").collect()] == [7]
+
+
+def test_backup_database_statement(sdb, tmp_path):
+    sdb.command("CREATE DOCUMENT TYPE BT1")
+    sdb.command("INSERT INTO BT1 (a) VALUES (1), (2)")
+    out = sdb.command(
+        f"BACKUP DATABASE 'file://{tmp_path}/bk.zip'"
+    ).collect()[0]
+    assert out["operation"] == "backup database"
+    assert out["rows"] == "2"
+    import os
+
+    assert os.path.exists(f"{tmp_path}/bk/backup_manifest.json")
+
+
+def test_create_property_of_types(sdb):
+    sdb.command("CREATE DOCUMENT TYPE OT1")
+    sdb.command("CREATE PROPERTY OT1.owner IF NOT EXISTS LINK OF OT1")
+    sdb.command("CREATE PROPERTY OT1.tags IF NOT EXISTS LIST OF STRING")
+    declared = sdb.schema.get("OT1").properties["declared"]
+    assert declared["owner"]["of"] == "OT1"
+    assert declared["tags"]["type"] == "list"
+
+
+def test_create_edge_type_lightweight(sdb):
+    sdb.command("CREATE EDGE TYPE Lt LIGHTWEIGHT")
+    assert sdb.schema.get("Lt").kind == "edge"
