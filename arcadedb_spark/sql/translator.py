@@ -148,6 +148,17 @@ def _type_family(dt) -> "str | None":
     return None
 
 
+def _py_spark_type(v) -> str:
+    """Spark DDL type of a python literal (literal expand() rows)."""
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    return "string"
+
+
 def _safe_distinct(df: DataFrame) -> DataFrame:
     """DISTINCT that tolerates map/variant-typed columns (Spark set
     operations reject MAP): dedupe on a canonical JSON key instead."""
@@ -3281,12 +3292,52 @@ class Translator:
         """``SELECT expand(out('E')) FROM V [WHERE …]`` — replace each row
         with the records its edges point to (ExpandStep.java:36).  One row
         per traversed edge (duplicates preserved, like the reference)."""
-        if len(stmt.projections) != 1 or not isinstance(stmt.target, ast.TypeTarget):
+        if len(stmt.projections) != 1:
             return None
         e = stmt.projections[0].expr
+        nested = None
+        if isinstance(e, ast.NestedProj):
+            nested, e = e, e.base
         if not (isinstance(e, ast.FuncCall) and e.name.lower() == "expand" and e.args):
             return None
         inner = e.args[0]
+        if stmt.target is None and isinstance(inner, ast.ArrayLit):
+            # SELECT expand([{…}, …])[:{a,b}] — expand a literal list of
+            # maps into rows (ExpandParseTest.java literal forms)
+            rows = []
+            keys: list[str] = []
+            for item in inner.items:
+                if not isinstance(item, ast.MapLit):
+                    raise TranslateError(
+                        "expand() over a literal list needs map elements"
+                    )
+                row = {}
+                for k, v in item.entries:
+                    if not isinstance(v, ast.Lit):
+                        return None
+                    row[k] = v.value
+                    if k not in keys:
+                        keys.append(k)
+                rows.append(row)
+            if not rows:
+                return None
+            if nested is not None:
+                if nested.include != ("*",):
+                    keys = [k for k in keys if k in nested.include]
+                keys = [k for k in keys if k not in nested.exclude]
+            from arcadedb_spark.graph.model import local_df
+
+            out = local_df(
+                self.db.spark,
+                [tuple(r.get(k) for k in keys) for r in rows],
+                ", ".join(f"`{k}` {_py_spark_type(r_v)}" for k, r_v in (
+                    (k, next((r[k] for r in rows if r.get(k) is not None),
+                             None)) for k in keys
+                )),
+            )
+            return out
+        if not isinstance(stmt.target, ast.TypeTarget):
+            return None
         if not (
             isinstance(inner, ast.FuncCall)
             and inner.name.lower() in ("out", "in", "both")
