@@ -517,6 +517,7 @@ class InsertStmt:
     type_name: str
     fields: tuple[str, ...] = ()
     bucket_name: Optional[str] = None  # INSERT INTO bucket:<name>
+    return_expr: Optional[Expr] = None  # INSERT … RETURN <expr>
     values_rows: tuple[tuple[Expr, ...], ...] = ()  # VALUES (...), (...)
     set_items: tuple[tuple[str, Expr], ...] = ()  # SET f = e, ...
     content: Optional[MapLit] = None  # CONTENT {...}
@@ -532,6 +533,10 @@ class UpdateStmt:
     upsert: bool = False
     where: Optional[Expr] = None
     limit: Optional[Expr] = None
+    # RETURN AFTER/BEFORE [expr] — yield the matched records' state
+    # (parser/UpdateStatement.java returnBefore/returnAfter)
+    return_mode: Optional[str] = None  # 'after' | 'before' | 'count'
+    return_expr: Optional[Expr] = None
 
 
 @dataclass(frozen=True)

@@ -464,6 +464,21 @@ def _replace_df(db, name: str, df: DataFrame) -> None:
 # -- INSERT -----------------------------------------------------------------
 
 
+def _dml_return_frame(db, ret_df: DataFrame, expr, params) -> DataFrame:
+    """Project a DML RETURN expression over the affected-rows frame
+    (UpdateStatement.java returnBefore/After, InsertStatement RETURN).
+    ``@this`` / ``*`` yield the full records."""
+    if expr is None or isinstance(expr, ast.Star) or (
+        isinstance(expr, ast.Chain) and expr.parts == ("@this",)
+    ):
+        return ret_df
+    ctx = Ctx(db=db, params=params or {}, columns=tuple(ret_df.columns),
+              frame_schema=ret_df.schema)
+    col = ExprCompiler(ctx).compile(expr)
+    out_name = expr.parts[-1] if isinstance(expr, ast.Chain) else "result"
+    return ret_df.select(col.alias(out_name))
+
+
 def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     name = stmt.type_name
     if stmt.bucket_name is not None:
@@ -524,6 +539,8 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
                 "CREATE EDGE ... FROM ... TO ... (edges need endpoints)"
             )
         g = db.graph()
+        new_vids: list[int] | None = None
+        base_vid = None
         if stmt.from_select is not None:
             # frame-wise append: mint a vid block and freeze the ids
             base_vid = g.mint_vid_block()
@@ -532,13 +549,21 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
             ).truncate_plan()
             n = g.append_vertex_frame(tdef.name, store)
         else:
-            g.add_vertex_rows(tdef.name, rows)
+            new_vids = g.add_vertex_rows(tdef.name, rows)
             n = len(rows)
         _notify_mvs(db, name, delta=new_df)
         if trig_rows is not None:
             from arcadedb_spark.triggers import fire
 
             fire(db, "AFTER", "CREATE", name, trig_rows)
+        if stmt.return_expr is not None:
+            vdf = g.vertices(tdef.name)
+            if new_vids is not None:
+                vdf = vdf.filter(F.col("vid").isin(new_vids))
+            else:
+                vdf = vdf.filter(F.col("vid") >= F.lit(base_vid))
+            ret = _with_rid(vdf, tdef).drop("vid")
+            return _dml_return_frame(db, ret, stmt.return_expr, params)
         return _result(db, n)
     if tdef is not None and tdef._df is not None:
         base = tdef.df()
@@ -562,6 +587,26 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
         from arcadedb_spark.triggers import fire
 
         fire(db, "AFTER", "CREATE", name, trig_rows)
+    if stmt.return_expr is not None:
+        tdef2 = db.schema.get(name)
+        base_n = 0
+        if tdef2.key is None:
+            # positional rid offsets continue the pre-insert row count
+            base_n = merged.count() - n
+        rid = (
+            F.concat(F.lit(f"#{tdef2.bucket_id}:"),
+                     F.col(tdef2.key).cast("long").cast("string"))
+            if tdef2.key is not None and tdef2.key in new_df.columns
+            else F.concat(
+                F.lit(f"#{tdef2.bucket_id}:"),
+                (F.lit(base_n) + F.monotonically_increasing_id())
+                .cast("string"),
+            )
+        )
+        ret = new_df.withColumn("@rid", rid).withColumn(
+            "@type", F.lit(tdef2.name)
+        )
+        return _dml_return_frame(db, ret, stmt.return_expr, params)
     return _result(db, n)
 
 
@@ -728,26 +773,33 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     if stmt.content is not None:
         set_items += list(stmt.content.entries)
 
-    new_df = base
+    # the match set is decided BEFORE assignments rewrite predicate
+    # columns (UPDATE … SET title='Y' RETURN AFTER WHERE title='X' must
+    # return the rewritten rows) — freeze it as a hidden column
+    hit = F.col("__upd_hit")
+    new_df = base.withColumn("__upd_hit", cond)
     for prop, e in set_items:
         val = compiler.compile(e) if isinstance(e, ast.Expr) else F.lit(e)
-        if prop in new_df.columns:
-            new_df = new_df.withColumn(prop, F.when(cond, val).otherwise(F.col(prop)))
+        if prop in base.columns:
+            new_df = new_df.withColumn(prop, F.when(hit, val).otherwise(F.col(prop)))
         else:
-            new_df = new_df.withColumn(prop, F.when(cond, val))
+            new_df = new_df.withColumn(prop, F.when(hit, val))
     for prop in stmt.remove_fields:
         # REMOVE on a fixed schema nulls the property for matched rows
-        if prop in new_df.columns:
+        if prop in base.columns:
             new_df = new_df.withColumn(
-                prop, F.when(cond, F.lit(None)).otherwise(F.col(prop))
+                prop, F.when(hit, F.lit(None)).otherwise(F.col(prop))
             )
 
+    ret_after = new_df.filter(hit).drop("__upd_hit")
+    new_df = new_df.drop("__upd_hit")
     if matched == 0 and stmt.upsert:
         # UPSERT: no match → insert one document from the SET items
         # (UpsertStep.java:37)
         row = {p: _literal_value(db, e, params) for p, e in set_items}
         ins = db.spark.createDataFrame([tuple(row.values())], list(row.keys()))
         new_df = base.unionByName(ins, allowMissingColumns=True)
+        ret_after = ins
         matched = 1
 
     _notify_mvs(db, name)
@@ -756,13 +808,18 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
         from arcadedb_spark.triggers import fire
 
         new_rows = [
-            r.asDict(recursive=True) for r in new_df.filter(cond).collect()
+            r.asDict(recursive=True) for r in ret_after.collect()
         ]
         fire(db, "BEFORE", "UPDATE", name, new_rows, old_rows)
         _replace_df(db, name, new_df)
         fire(db, "AFTER", "UPDATE", name, new_rows, old_rows)
         return _result(db, matched)
     _replace_df(db, name, new_df)
+    if stmt.return_mode in ("after", "before"):
+        # BEFORE reads the pre-update rows (the old frame object stays
+        # valid lazily); AFTER reads the frozen match set post-rewrite
+        ret = base.filter(cond) if stmt.return_mode == "before" else ret_after
+        return _dml_return_frame(db, ret, stmt.return_expr, params)
     return _result(db, matched)
 
 

@@ -209,7 +209,13 @@ class Parser:
             if not isinstance(m, ast.MapLit):
                 raise ParseError("CONTENT requires a JSON object")
             content = m
-        elif self.at_kw("FROM"):
+        return_expr = None
+        if self.at_kw("RETURN"):
+            # INSERT … RETURN <expr> (InsertStatement.java returnStatement)
+            # — may precede FROM (INSERT INTO dst RETURN @rid FROM SELECT)
+            self.advance()
+            return_expr = self.parse_expr()
+        if self.at_kw("FROM"):
             self.advance()
             if self.at_op("("):
                 self.advance()
@@ -217,9 +223,13 @@ class Parser:
                 self.expect_op(")")
             else:
                 from_select = self.parse_statement()
+        if return_expr is None and self.at_kw("RETURN"):
+            self.advance()
+            return_expr = self.parse_expr()
         return ast.InsertStmt(
             type_name=name,
             bucket_name=bucket_name,
+            return_expr=return_expr,
             fields=tuple(fields),
             values_rows=tuple(values_rows),
             set_items=tuple(set_items),
@@ -241,6 +251,8 @@ class Parser:
         upsert = False
         where = None
         limit = None
+        return_mode = None
+        return_expr = None
         while True:
             if self.at_kw("SET"):
                 self.advance()
@@ -267,6 +279,23 @@ class Parser:
             elif self.at_kw("LIMIT"):
                 self.advance()
                 limit = self.parse_expr()
+            elif self.at_kw("RETURN"):
+                # RETURN AFTER/BEFORE [proj] / RETURN COUNT — the WHERE
+                # may follow (UpdateStatement.java grammar order)
+                self.advance()
+                if self.cur.kind in ("IDENT", "KEYWORD") and \
+                        str(self.cur.value).upper() in ("AFTER", "BEFORE"):
+                    return_mode = str(self.advance().value).lower()
+                elif self.cur.kind in ("IDENT",) and \
+                        str(self.cur.value).upper() == "COUNT":
+                    self.advance()
+                    return_mode = "count"
+                else:
+                    return_mode = "after"
+                if not (
+                    self.at_kw("WHERE", "LIMIT") or self.cur.kind == "EOF"
+                ):
+                    return_expr = self.parse_expr()
             else:
                 break
         return ast.UpdateStmt(
@@ -277,6 +306,8 @@ class Parser:
             upsert=upsert,
             where=where,
             limit=limit,
+            return_mode=return_mode,
+            return_expr=return_expr,
         )
 
     def parse_delete(self) -> ast.DeleteStmt:
@@ -1217,8 +1248,12 @@ class Parser:
         asc = True
         if self.eat_kw("DESC") or self._eat_ident("DESCENDING"):
             asc = False
-        elif not self.eat_kw("ASC"):
-            self._eat_ident("ASCENDING")
+        elif self.eat_kw("ASC") or self._eat_ident("ASCENDING"):
+            pass
+        elif not self.cypher and self.at_kw("TRUE", "FALSE"):
+            # ORDER BY col true/false — boolean ascending flag
+            # (reference TestOrderParam forms: true = ascending)
+            asc = str(self.advance().value).upper() == "TRUE"
         return ast.OrderItem(expr, asc)
 
     def _eat_ident(self, word: str) -> bool:

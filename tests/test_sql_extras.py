@@ -119,3 +119,47 @@ def test_create_property_of_types(sdb):
 def test_create_edge_type_lightweight(sdb):
     sdb.command("CREATE EDGE TYPE Lt LIGHTWEIGHT")
     assert sdb.schema.get("Lt").kind == "edge"
+
+
+def test_insert_return_this_and_rid(sdb):
+    sdb.command("CREATE DOCUMENT TYPE Rt1")
+    rows = sdb.command(
+        "INSERT INTO Rt1 SET title = 'T1', priority = 1 RETURN @this"
+    ).collect()
+    assert rows[0]["title"] == "T1" and rows[0]["@rid"].startswith("#")
+    rows = sdb.command("INSERT INTO Rt1 SET title = 'T2' RETURN @rid").collect()
+    assert rows[0]["@rid"].startswith("#")
+
+
+def test_update_return_after_and_before(sdb):
+    sdb.command("CREATE DOCUMENT TYPE Rt2")
+    sdb.command("INSERT INTO Rt2 (name, val) VALUES ('a', 1), ('b', 2)")
+    rows = sdb.command(
+        "UPDATE Rt2 SET name = 'after' RETURN AFTER WHERE val = 1"
+    ).collect()
+    assert [(r["name"], r["val"]) for r in rows] == [("after", 1)]
+    rows = sdb.command(
+        "UPDATE Rt2 SET name = 'b2' RETURN BEFORE WHERE val = 2"
+    ).collect()
+    assert [(r["name"]) for r in rows] == ["b"]
+    # AFTER keeps matching when SET rewrites the predicate column
+    rows = sdb.command(
+        "UPDATE Rt2 SET name = 'c' RETURN AFTER name WHERE name = 'b2'"
+    ).collect()
+    assert [r["name"] for r in rows] == ["c"]
+
+
+def test_order_by_boolean_direction(sdb):
+    sdb.command("CREATE DOCUMENT TYPE Ob1")
+    sdb.command("INSERT INTO Ob1 (n) VALUES (2), (1), (3)")
+    asc = sdb.query("SELECT n FROM Ob1 ORDER BY n true").collect()
+    assert [r["n"] for r in asc] == [1, 2, 3]
+    desc = sdb.query("SELECT n FROM Ob1 ORDER BY n false").collect()
+    assert [r["n"] for r in desc] == [3, 2, 1]
+
+
+def test_expand_literal_maps(sdb):
+    rows = sdb.query(
+        "SELECT expand([{'a':1,'b':2,'c':3}, {'a':4,'b':5,'c':6}]):{a,c}"
+    ).collect()
+    assert [(r["a"], r["c"]) for r in rows] == [(1, 3), (4, 6)]
