@@ -3388,6 +3388,114 @@ class Translator:
             out = out.limit(self._int_of(stmt.limit, Ctx(db=self.db, params=self.params)))
         return out
 
+    _NAV_FNS = {
+        "out": ("out", "v"), "in": ("in", "v"), "both": ("both", "v"),
+        "oute": ("out", "e"), "ine": ("in", "e"), "bothe": ("both", "e"),
+    }
+
+    def _attach_nav_markers(self, df: DataFrame, stmt: ast.SelectStmt,
+                            type_name: Optional[str], ctx: Ctx) -> DataFrame:
+        """SQL graph-navigation functions over a vertex scan
+        (function/sql/graph/SQLFunction{Out,In,Both,OutE,InE,BothE}.java):
+        ``SELECT out('E').name, inE()[0].@rid FROM V``.
+
+        Each distinct call becomes ONE grouped equi-join producing an
+        array<struct> marker column (collect_list of neighbor/edge
+        records keyed by the row's graph vid) — per-row navigation with
+        no per-row lookups; downstream ``.field`` / ``[i]`` access rides
+        Spark's native array-struct extraction."""
+        if type_name is None or not self.db.schema.exists(type_name):
+            return df
+        exprs: list = [p.expr for p in stmt.projections]
+        if stmt.where is not None:
+            exprs.append(stmt.where)
+        exprs += [o.expr for o in stmt.order_by] + list(stmt.group_by)
+        targets = []
+        for e in exprs:
+            for node in walk(e):
+                if (
+                    isinstance(node, ast.FuncCall)
+                    and node.name.lower() in self._NAV_FNS
+                    and all(isinstance(a, ast.Lit) for a in node.args)
+                    and id(node) not in ctx.precompiled
+                    and all(node is not t for t in targets)
+                ):
+                    targets.append(node)
+        if not targets:
+            return df
+        g = self.db.graph()
+        tdef = self.db.schema.get(type_name)
+        if type_name.lower() not in g.vertex_dfs:
+            raise TranslateError(
+                f"graph navigation from '{type_name}' needs a vertex type"
+            )
+        if RID_COL not in df.columns:
+            return df
+        # reconstruct the graph vid from @rid: live types store the vid
+        # as the rid offset; catalog types use (bucket_id << 40) | key
+        offset = F.split(F.col(RID_COL), ":").getItem(1).cast("long")
+        vid_col = offset if tdef.live else (
+            F.lit(tdef.bucket_id * (1 << 40)) + offset
+        )
+        av = None
+        for i, t in enumerate(targets):
+            direction, kind = self._NAV_FNS[t.name.lower()]
+            etypes = [a.value for a in t.args]
+            e = g.edges(*etypes) if etypes else g.edges()
+            frames = []
+            if direction in ("out", "both"):
+                frames.append(e.withColumn("__nk", F.col("src"))
+                              .withColumn("__nv", F.col("dst")))
+            if direction in ("in", "both"):
+                frames.append(e.withColumn("__nk", F.col("dst"))
+                              .withColumn("__nv", F.col("src")))
+            pairs = frames[0]
+            for fr in frames[1:]:
+                pairs = pairs.unionByName(fr)
+            kname, cname = f"__navk{i}", f"__nav{i}"
+            if kind == "v":
+                if av is None:
+                    av = g.all_vertices_full()
+                ent = F.struct(*[
+                    F.col(c) for c in av.columns if not c.startswith("__")
+                ])
+                nbrs = (
+                    pairs.select("__nk", "__nv")
+                    .join(av, F.col("__nv") == av["vid"])
+                    .groupBy(F.col("__nk").alias(kname))
+                    .agg(F.collect_list(ent).alias(cname))
+                )
+            else:
+                ecols = [
+                    F.col(c) for c in pairs.columns
+                    if not c.startswith(("__", "@"))
+                ]
+                # edge records carry @rid/@in/@out identity strings
+                # (RID-shaped; the hidden @eid provides uniqueness)
+                rid_src = F.col("@eid") if "@eid" in pairs.columns else \
+                    F.xxhash64("etype", "src", "dst")
+                ent = F.struct(
+                    *ecols,
+                    F.concat(F.lit("#e:"), rid_src.cast("string"))
+                    .alias("@rid"),
+                    F.concat(F.lit("#g:"), F.col("dst").cast("string"))
+                    .alias("@in"),
+                    F.concat(F.lit("#g:"), F.col("src").cast("string"))
+                    .alias("@out"),
+                )
+                nbrs = (
+                    pairs.groupBy(F.col("__nk").alias(kname))
+                    .agg(F.collect_list(ent).alias(cname))
+                )
+            empty = F.array().cast(nbrs.schema[cname].dataType)
+            df = df.join(
+                nbrs, vid_col == F.col(kname), "left"
+            ).drop(kname)
+            ctx.precompiled[id(t)] = F.coalesce(F.col(cname), empty)
+        ctx.columns = tuple(df.columns)
+        ctx.frame_schema = df.schema
+        return df
+
     def translate_select(self, stmt: ast.SelectStmt) -> DataFrame:
         expanded = self._try_expand(stmt)
         if expanded is not None:
@@ -3402,6 +3510,7 @@ class Translator:
         ctx.type_name = type_name
 
         df = self._apply_link_joins(df, stmt, type_name, ctx)
+        df = self._attach_nav_markers(df, stmt, type_name, ctx)
 
         # LET split: global vs per-record (SelectExecutionPlanner.java:745)
         for let in stmt.lets:

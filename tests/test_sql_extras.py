@@ -163,3 +163,38 @@ def test_expand_literal_maps(sdb):
         "SELECT expand([{'a':1,'b':2,'c':3}, {'a':4,'b':5,'c':6}]):{a,c}"
     ).collect()
     assert [(r["a"], r["c"]) for r in rows] == [(1, 3), (4, 6)]
+
+
+def test_sql_graph_nav_functions(sdb):
+    """out/in/both/outE/inE SQL navigation (function/sql/graph/
+    SQLFunction{Out,In,Both,OutE,InE}.java): grouped equi-join markers,
+    array-struct field extraction downstream."""
+    sdb.command("CREATE VERTEX TYPE NV")
+    sdb.command("CREATE EDGE TYPE NE")
+    sdb.query(
+        "CREATE (:NV {name:'a'})-[:NE {w:1}]->(:NV {name:'b'})"
+        "-[:NE {w:2}]->(:NV {name:'c'})",
+        language="cypher",
+    ).collect()
+    rows = sdb.query(
+        "SELECT name, out('NE').name AS nbr FROM NV ORDER BY name"
+    ).collect()
+    assert [(r["name"], list(r["nbr"])) for r in rows] == [
+        ("a", ["b"]), ("b", ["c"]), ("c", [])
+    ]
+    rows = sdb.query(
+        "SELECT name, both().size() AS deg FROM NV ORDER BY name"
+    ).collect()
+    assert [r["deg"] for r in rows] == [1, 2, 1]
+    rows = sdb.query(
+        "SELECT name, outE('NE').w AS ws FROM NV ORDER BY name"
+    ).collect()
+    assert [list(r["ws"]) for r in rows] == [[1], [2], []]
+    rows = sdb.query(
+        "SELECT inE()[0].@rid AS r FROM NV WHERE name = 'b'"
+    ).collect()
+    assert rows[0]["r"].startswith("#")
+    rows = sdb.query(
+        "SELECT name FROM NV WHERE out('NE').size() > 0 ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in rows] == ["a", "b"]
