@@ -3410,6 +3410,7 @@ class Translator:
         if stmt.where is not None:
             exprs.append(stmt.where)
         exprs += [o.expr for o in stmt.order_by] + list(stmt.group_by)
+        df = self._attach_edge_endpoint_markers(df, exprs, type_name, ctx)
         targets = []
         for e in exprs:
             for node in walk(e):
@@ -3492,6 +3493,59 @@ class Translator:
                 nbrs, vid_col == F.col(kname), "left"
             ).drop(kname)
             ctx.precompiled[id(t)] = F.coalesce(F.col(cname), empty)
+        ctx.columns = tuple(df.columns)
+        ctx.frame_schema = df.schema
+        return df
+
+    def _attach_edge_endpoint_markers(self, df: DataFrame, exprs,
+                                      type_name: str, ctx: Ctx) -> DataFrame:
+        """outV()/inV()/bothV() over an EDGE scan
+        (function/sql/graph/SQLFunction{OutV,InV,BothV}.java): the
+        edge's endpoint vertex record(s) via one equi-join per call."""
+        if "src" not in df.columns or "dst" not in df.columns:
+            return df
+        targets = []
+        for e in exprs:
+            for node in walk(e):
+                if (
+                    isinstance(node, ast.FuncCall)
+                    and node.name.lower() in ("outv", "inv", "bothv")
+                    and not node.args
+                    and id(node) not in ctx.precompiled
+                    and all(node is not t for t in targets)
+                ):
+                    targets.append(node)
+        if not targets:
+            return df
+        g = self.db.graph()
+        av = g.all_vertices_full()
+        if av is None:
+            return df
+        ent = F.struct(*[
+            F.col(c) for c in av.columns if not c.startswith("__")
+        ])
+        for i, t in enumerate(targets):
+            which = t.name.lower()
+            kname, cname = f"__epk{i}", f"__ep{i}"
+            lk = av.select(F.col("vid").alias(kname), ent.alias(cname))
+            if which == "outv":
+                df = df.join(lk, df["src"] == F.col(kname), "left")
+                ctx.precompiled[id(t)] = F.col(cname)
+            elif which == "inv":
+                df = df.join(lk, df["dst"] == F.col(kname), "left")
+                ctx.precompiled[id(t)] = F.col(cname)
+            else:  # bothV: [outV, inV]
+                lk2 = av.select(
+                    F.col("vid").alias(kname + "b"),
+                    ent.alias(cname + "b"),
+                )
+                df = df.join(lk, df["src"] == F.col(kname), "left").join(
+                    lk2, df["dst"] == F.col(kname + "b"), "left"
+                ).drop(kname + "b")
+                ctx.precompiled[id(t)] = F.array(
+                    F.col(cname), F.col(cname + "b")
+                )
+            df = df.drop(kname)
         ctx.columns = tuple(df.columns)
         ctx.frame_schema = df.schema
         return df

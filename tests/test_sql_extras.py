@@ -198,3 +198,20 @@ def test_sql_graph_nav_functions(sdb):
         "SELECT name FROM NV WHERE out('NE').size() > 0 ORDER BY name"
     ).collect()
     assert [r["name"] for r in rows] == ["a", "b"]
+
+
+def test_sql_edge_endpoint_functions(sdb):
+    """outV()/inV()/bothV() over an edge scan (SQLFunction{OutV,InV,
+    BothV}.java)."""
+    sdb.command("CREATE VERTEX TYPE PV")
+    sdb.command("CREATE EDGE TYPE PE")
+    sdb.query(
+        "CREATE (:PV {name:'a'})-[:PE {w:1}]->(:PV {name:'b'})",
+        language="cypher",
+    ).collect()
+    rows = sdb.query(
+        "SELECT outV().name AS s, inV().name AS d FROM PE"
+    ).collect()
+    assert (rows[0]["s"], rows[0]["d"]) == ("a", "b")
+    rows = sdb.query("SELECT bothV().name AS ns FROM PE").collect()
+    assert list(rows[0]["ns"]) == ["a", "b"]
