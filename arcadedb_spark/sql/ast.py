@@ -544,6 +544,9 @@ class DeleteStmt:
     type_name: str
     where: Optional[Expr] = None
     limit: Optional[Expr] = None
+    # RETURN BEFORE [expr] — yield the deleted records' prior state
+    return_mode: Optional[str] = None  # 'before' | 'count'
+    return_expr: Optional[Expr] = None
 
 
 @dataclass(frozen=True)

@@ -914,6 +914,11 @@ def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
         from arcadedb_spark.triggers import fire
 
         fire(db, "AFTER", "DELETE", name, del_rows)
+    if stmt.return_mode == "before":
+        # the pre-delete frame object stays valid lazily
+        return _dml_return_frame(
+            db, base.filter(cond), stmt.return_expr, params
+        )
     return _result(db, n)
 
 

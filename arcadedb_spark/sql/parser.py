@@ -316,6 +316,8 @@ class Parser:
         name = self.ident()
         where = None
         limit = None
+        return_mode = None
+        return_expr = None
         while True:
             if self.at_kw("WHERE"):
                 self.advance()
@@ -323,9 +325,30 @@ class Parser:
             elif self.at_kw("LIMIT"):
                 self.advance()
                 limit = self.parse_expr()
+            elif self.at_kw("RETURN"):
+                # RETURN BEFORE [proj] / RETURN COUNT
+                # (DeleteStatement.java returnBefore)
+                self.advance()
+                if self.cur.kind in ("IDENT", "KEYWORD") and \
+                        str(self.cur.value).upper() == "BEFORE":
+                    self.advance()
+                    return_mode = "before"
+                elif self.cur.kind == "IDENT" and \
+                        str(self.cur.value).upper() == "COUNT":
+                    self.advance()
+                    return_mode = "count"
+                else:
+                    return_mode = "before"
+                if not (
+                    self.at_kw("WHERE", "LIMIT") or self.cur.kind == "EOF"
+                ):
+                    return_expr = self.parse_expr()
             else:
                 break
-        return ast.DeleteStmt(type_name=name, where=where, limit=limit)
+        return ast.DeleteStmt(
+            type_name=name, where=where, limit=limit,
+            return_mode=return_mode, return_expr=return_expr,
+        )
 
     # DDL ------------------------------------------------------------------
     _TS_UNIT_MS = {

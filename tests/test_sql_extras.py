@@ -215,3 +215,14 @@ def test_sql_edge_endpoint_functions(sdb):
     assert (rows[0]["s"], rows[0]["d"]) == ("a", "b")
     rows = sdb.query("SELECT bothV().name AS ns FROM PE").collect()
     assert list(rows[0]["ns"]) == ["a", "b"]
+
+
+def test_delete_return_before(sdb):
+    sdb.command("CREATE DOCUMENT TYPE Rt3")
+    sdb.command("INSERT INTO Rt3 (name, v) VALUES ('a', 1), ('b', 2)")
+    rows = sdb.command(
+        "DELETE FROM Rt3 RETURN BEFORE WHERE v = 1"
+    ).collect()
+    assert [(r["name"], r["v"]) for r in rows] == [("a", 1)]
+    assert [r["name"] for r in sdb.query("SELECT name FROM Rt3").collect()] \
+        == ["b"]
