@@ -4005,8 +4005,42 @@ def q_cross_surface_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "q_in_subquery_same_name",
+    oracle="""
+    SELECT m, n FROM (
+      SELECT 'in' AS m, count(*) AS n FROM orders
+      WHERE o_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_totalprice > 400000)
+      UNION ALL
+      SELECT 'notin' AS m, count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 400000)
+    ) ORDER BY m
+    """,
+)
+def q_in_subquery_same_name(spark, sf_dir):
+    """``x IN (SELECT x ...)`` where the outer and subquery column names
+    collide — the default IN-subquery shape (InConditionSubqueryTest.java
+    :74-120 asserts rows).  The subquery output is renamed to the join
+    alias pre-join, so the semi/anti condition can never be ambiguous."""
+    db = _db(spark, sf_dir)
+    a = db.query(
+        "SELECT 'in' AS m, count(*) AS n FROM orders WHERE o_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
+    )
+    b = db.query(
+        "SELECT 'notin' AS m, count(*) AS n FROM orders "
+        "WHERE o_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
+    )
+    return a.unionByName(b).orderBy("m")
+
+
 _PRIORITY = [
-    # round-7 rotation: the new operators first
+    # round-8 rotation: the new operators first
+    "q_in_subquery_same_name",
+    # round-7 rotation
     "q_cross_surface_roundtrip",
     "q_load_csv",
     "q_cypher_qpp",

@@ -3707,10 +3707,13 @@ class Translator:
             raise TranslateError("IN subquery must project exactly one column")
         needle = ExprCompiler(ctx).compile(e.needle)
         sub_alias = f"__in{next(self._uid)}"
-        sub_df = sub_df.alias(sub_alias)
-        key = sub_df.columns[0]
+        # Rename the subquery's single output column to the generated alias
+        # BEFORE the semi-join: an outer column with the same name (the
+        # default `x IN (SELECT x ...)` shape — InConditionSubqueryTest.java
+        # :74-120) would otherwise make the join condition ambiguous.
+        sub_df = sub_df.select(F.col(sub_df.columns[0]).alias(sub_alias))
         how = "left_anti" if negated else "left_semi"
-        return df.join(sub_df, needle == F.col(f"{sub_alias}.{key}"), how), True
+        return df.join(sub_df, needle == F.col(sub_alias), how), True
 
     def _prejoin_nested_in(
         self, df: DataFrame, residual: list[ast.Expr], ctx: Ctx

@@ -362,3 +362,43 @@ def test_nested_not_in_subquery_null_semantics(db):
         for r in cust.filter(~((F.col("c_acctbal") < -900) | F.col("c_custkey").isin(list(rich)))).select("c_custkey").collect()
     }
     assert got == want
+
+
+def test_in_subquery_same_column_name(spark):
+    """``x IN (SELECT x ...)`` with colliding outer/subquery column names
+    must not raise AMBIGUOUS_REFERENCE (the default IN-subquery shape;
+    reference asserts rows: InConditionSubqueryTest.java:74-120)."""
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    db.command("CREATE DOCUMENT TYPE Person4337")
+    db.command("CREATE DOCUMENT TYPE AllowedName4337")
+    db.command("INSERT INTO Person4337 SET name = 'Alice', age = 30")
+    db.command("INSERT INTO Person4337 SET name = 'Bob', age = 25")
+    db.command("INSERT INTO Person4337 SET name = 'Charlie', age = 40")
+    db.command("INSERT INTO AllowedName4337 SET name = 'Alice'")
+    db.command("INSERT INTO AllowedName4337 SET name = 'Charlie'")
+
+    got = db.query(
+        "SELECT name FROM Person4337 WHERE name IN "
+        "(SELECT name FROM AllowedName4337) ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in got] == ["Alice", "Charlie"]
+
+    got = db.query(
+        "SELECT name FROM Person4337 WHERE name NOT IN "
+        "(SELECT name FROM AllowedName4337) ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in got] == ["Bob"]
+
+    got = db.query(
+        "SELECT name FROM Person4337 WHERE age IN (SELECT age FROM "
+        "Person4337 WHERE name = 'Alice' OR name = 'Bob') ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in got] == ["Alice", "Bob"]
+
+    n = db.query(
+        "SELECT count(*) as cnt FROM Person4337 WHERE name IN "
+        "(SELECT name FROM AllowedName4337)"
+    ).collect()[0]["cnt"]
+    assert n == 2
