@@ -2400,9 +2400,7 @@ def _apply_write(
             alias_name = node.alias or f"__c{next(_wuid)}"
             vcol = f"__vid_{alias_name}"
             df = df.withColumn(
-                vcol,
-                (F.monotonically_increasing_id() + F.lit(g.mint_vid_block()))
-                .cast("long"),
+                vcol, g.frame_vid_col(g.mint_vid_block()).cast("long")
             ).truncate_plan()
             ctx = Ctx(cypher=True, db=db, params=params or {},
                       columns=tuple(df.columns), frame_schema=df.schema)
@@ -3419,24 +3417,42 @@ def _try_frame_create(db, g, p, df, params) -> "int | None":
     ctx = Ctx(cypher=True, db=db, params=params or {},
               columns=tuple(df.columns), frame_schema=df.schema)
     comp = ExprCompiler(ctx)
+    # compile EVERY spec's property columns before persisting anything:
+    # a later pattern failing to compile must not leave earlier patterns'
+    # vertices behind (the strict fallback re-executes the whole
+    # statement, which would double-create them)
+    compiled: list[tuple[str, list]] = []
+    try:
+        for label, props in specs:
+            compiled.append(
+                (label, [comp.compile(e).alias(k) for k, e in props])
+            )
+    except Exception:
+        return None  # the strict path re-raises real errors
     total = 0
-    for label, props in specs:
-        cols = []
-        try:
-            for k, e in props:
-                cols.append(comp.compile(e).alias(k))
-        except Exception:
-            return None  # the strict path re-raises real errors
-        base_vid = g.mint_vid_block()
+    for label, cols in compiled:
         frame = df.select(
-            (F.lit(base_vid) + F.monotonically_increasing_id()).alias("vid"),
-            *cols,
+            g.frame_vid_col(g.mint_vid_block()).alias("vid"), *cols
         ).truncate_plan()
         total += g.append_vertex_frame(label, frame)
     return total
 
 
 def _execute_writes(db, p: "CypherParser", params) -> DataFrame:
+    """Write-statement wrapper: snapshot the graph state and roll back on
+    ANY failure, so a statement that errors half-way (e.g. a later CREATE
+    pattern that doesn't compile) persists nothing — the reference runs
+    each command in a transaction."""
+    g = db.graph()
+    snap = g.snapshot()
+    try:
+        return _execute_writes_inner(db, p, params)
+    except Exception:
+        g.restore(snap)
+        raise
+
+
+def _execute_writes_inner(db, p: "CypherParser", params) -> DataFrame:
     from pyspark.sql import functions as F
 
     from arcadedb_spark.graph.match import combine_paths

@@ -201,6 +201,42 @@ class GraphModel:
         self._av_full = None
         self._av = None
 
+    def snapshot(self) -> dict:
+        """Statement-level state snapshot.  Every frame is an immutable
+        DataFrame, so shallow-copying the containers is enough to roll a
+        failed write statement back (the reference wraps each command in
+        a transaction — TransactionContext.java rollback semantics)."""
+        return {
+            "vertex_dfs": dict.copy(self.vertex_dfs),
+            "label_display": dict(self.label_display),
+            "_edge_dfs": list(self._edge_dfs),
+            "_edges": self._edges,
+            "_edges_by_src": self._edges_by_src,
+            "edge_meta": dict(self.edge_meta),
+            "_pending_v": {k: list(v) for k, v in self._pending_v.items()},
+            "_pending_e": list(self._pending_e),
+            "_av_full": self._av_full,
+            "_av": self._av,
+            "_vid_counter": self._vid_counter,
+            "_eid_counter": self._eid_counter,
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Roll back to a :meth:`snapshot` (failed write statement)."""
+        dict.clear(self.vertex_dfs)
+        dict.update(self.vertex_dfs, snap["vertex_dfs"])
+        self.label_display = snap["label_display"]
+        self._edge_dfs = snap["_edge_dfs"]
+        self._edges = snap["_edges"]
+        self._edges_by_src = snap["_edges_by_src"]
+        self.edge_meta = snap["edge_meta"]
+        self._pending_v = snap["_pending_v"]
+        self._pending_e = snap["_pending_e"]
+        self._av_full = snap["_av_full"]
+        self._av = snap["_av"]
+        self._vid_counter = snap["_vid_counter"]
+        self._eid_counter = snap["_eid_counter"]
+
     def _notify_label(self, label: str) -> None:
         """One-store hook: a label written through the graph surface
         (Cypher CREATE/MERGE/SET :Label) registers as a LIVE catalog type
@@ -522,6 +558,26 @@ class GraphModel:
         partition index in its high bits — room for ~2k partitions)."""
         self._vid_counter += 1
         return (1 << 61) | (self._vid_counter << 44)
+
+    @staticmethod
+    def frame_vid_col(base: int) -> F.Column:
+        """Guarded frame-vid column: ``base + monotonically_increasing_id``.
+
+        The id embeds the partition index at bit 33, so one 2^44 block
+        holds at most 2^11 = 2048 partitions.  A wider frame (plausible
+        for LOAD CSV over a big directory at 100× scale) would silently
+        overflow into the NEXT block and collide with later writes —
+        assert per row instead (pure Column program, no extra action)."""
+        guard = F.assert_true(
+            F.spark_partition_id() < F.lit(1 << 11),
+            F.lit(
+                "vid block overflow: frame exceeds 2048 partitions — "
+                "repartition(2048) the input before the write"
+            ),
+        )
+        return F.when(
+            guard.isNull(), F.lit(base) + F.monotonically_increasing_id()
+        )
 
     def append_vertex_frame(self, label: str, frame: DataFrame) -> int:
         """Append pre-minted vertex rows (vid + property columns) — the

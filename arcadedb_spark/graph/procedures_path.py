@@ -466,12 +466,25 @@ def _p_merge_rel(db, args, frame, params):
         elif ident:
             e = e.limit(0)
     rel_props = [c for c in e.columns if c != "@eid"]
-    res = e.join(pairs, ["src", "dst"], "left_semi").select(
-        F.struct(*[F.col(c) for c in rel_props]).alias("rel")
-    )
+    hits = e.join(pairs, ["src", "dst"], "left_semi")
+    rel_struct = F.struct(*[F.col(c) for c in rel_props]).alias("rel")
     if frame is None:
-        return res, ["rel"]
-    return frame.crossJoin(res), ["rel"]
+        return hits.select(rel_struct), ["rel"]
+    if isinstance(args[0], str) and isinstance(args[4], str):
+        # Bound endpoints: each pipeline row pairs ONLY with the rel it
+        # merged — join on both endpoint vids (never a crossJoin, which
+        # would yield N×N rows with wrong row-to-rel association).
+        keyed = hits.select(
+            F.col("src").alias("__msrc"), F.col("dst").alias("__mdst"),
+            rel_struct,
+        )
+        out = frame.join(
+            keyed,
+            (F.col(f"`{args[0]}`.vid") == F.col("__msrc"))
+            & (F.col(f"`{args[4]}`.vid") == F.col("__mdst")),
+        ).drop("__msrc", "__mdst")
+        return out, ["rel"]
+    return frame.crossJoin(hits.select(rel_struct)), ["rel"]
 
 
 # --- meta.* introspection (procedures/meta/*.java) --------------------------

@@ -545,7 +545,7 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
             # frame-wise append: mint a vid block and freeze the ids
             base_vid = g.mint_vid_block()
             store = new_df.withColumn(
-                "vid", F.lit(base_vid) + F.monotonically_increasing_id()
+                "vid", g.frame_vid_col(base_vid)
             ).truncate_plan()
             n = g.append_vertex_frame(tdef.name, store)
         else:
@@ -728,6 +728,8 @@ def _update_live(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     if stmt.content is not None:
         set_items += list(stmt.content.entries)
     matched = 0
+    before = None
+    match_vids = None
     for key, frame in _graph_frames_for(db, tdef):
         cf = _with_rid(frame, tdef)
         ctx = Ctx(db=db, params=params, columns=tuple(cf.columns),
@@ -736,6 +738,14 @@ def _update_live(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
         cond = (compiler.compile(stmt.where) if stmt.where is not None
                 else F.lit(True))
         m = cf.filter(cond).select("vid")
+        if stmt.return_mode == "before":
+            # the pre-write frame object stays valid lazily
+            b = cf.filter(cond)
+            before = b if before is None else before.unionByName(
+                b, allowMissingColumns=True
+            )
+        if stmt.return_mode is not None:
+            match_vids = m if match_vids is None else match_vids.unionByName(m)
         actx = Ctx(db=db, params=params, columns=tuple(frame.columns),
                    frame_schema=frame.schema)
         acomp = ExprCompiler(actx)
@@ -750,9 +760,22 @@ def _update_live(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
         matched += g.update_vertices(key, m, assignments)
     if matched == 0 and stmt.upsert:
         row = {p: _literal_value(db, e, params) for p, e in set_items}
-        g.add_vertex_rows(tdef.name, [row])
+        vids = g.add_vertex_rows(tdef.name, [row])
         matched = 1
+        if stmt.return_mode == "after":
+            vdf = g.vertices(tdef.name).filter(F.col("vid").isin(vids))
+            ret = _with_rid(vdf, tdef).drop("vid")
+            _notify_mvs(db, tdef.name)
+            return _dml_return_frame(db, ret, stmt.return_expr, params)
     _notify_mvs(db, tdef.name)
+    if stmt.return_mode == "before" and before is not None:
+        return _dml_return_frame(
+            db, before.drop("vid"), stmt.return_expr, params
+        )
+    if stmt.return_mode == "after" and match_vids is not None:
+        vdf = g.vertices(tdef.name).join(match_vids, "vid", "left_semi")
+        ret = _with_rid(vdf, tdef).drop("vid")
+        return _dml_return_frame(db, ret, stmt.return_expr, params)
     return _result(db, matched)
 
 
@@ -846,8 +869,16 @@ def _update_live_edges(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFram
         (p, F.lit(None)) for p in stmt.remove_fields if p in frame.columns
     ]
     pairs = frame.filter(cond).select("src", "dst")
+    before = frame.filter(cond) if stmt.return_mode == "before" else None
     n = g.update_edges(tdef.name, pairs, assignments)
     _notify_mvs(db, tdef.name)
+    if stmt.return_mode == "before":
+        return _dml_return_frame(db, before, stmt.return_expr, params)
+    if stmt.return_mode == "after":
+        ret = g.edges(tdef.name).join(
+            pairs.distinct(), ["src", "dst"], "left_semi"
+        )
+        return _dml_return_frame(db, ret, stmt.return_expr, params)
     return _result(db, n)
 
 
@@ -863,10 +894,15 @@ def _delete_live(db, tdef, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
         cond = (ExprCompiler(ctx).compile(stmt.where)
                 if stmt.where is not None else F.lit(True))
         pairs = frame.filter(cond).select("src", "dst")
+        before = frame.filter(cond) if stmt.return_mode == "before" else None
         n = g.remove_edges(tdef.name, pairs)
         _notify_mvs(db, tdef.name)
+        if stmt.return_mode == "before":
+            # the pre-delete frame object stays valid lazily
+            return _dml_return_frame(db, before, stmt.return_expr, params)
         return _result(db, n)
     matched = None
+    before = None
     for _key, frame in _graph_frames_for(db, tdef):
         cf = _with_rid(frame, tdef)
         ctx = Ctx(db=db, params=params, columns=tuple(cf.columns),
@@ -875,8 +911,17 @@ def _delete_live(db, tdef, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
                 if stmt.where is not None else F.lit(True))
         m = cf.filter(cond).select("vid")
         matched = m if matched is None else matched.unionByName(m)
+        if stmt.return_mode == "before":
+            b = cf.filter(cond)
+            before = b if before is None else before.unionByName(
+                b, allowMissingColumns=True
+            )
     n = g.remove_vertices_any(matched) if matched is not None else 0
     _notify_mvs(db, tdef.name)
+    if stmt.return_mode == "before" and before is not None:
+        return _dml_return_frame(
+            db, before.drop("vid"), stmt.return_expr, params
+        )
     return _result(db, n)
 
 

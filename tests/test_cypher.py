@@ -1096,3 +1096,40 @@ def test_create_path_alias_anonymous_nodes(spark):
     r2 = cy(db, "CREATE q=(a:CP3 {n:'a'})-[:R]->(:CP4)-[:R]->"
                 "(c:CP3 {n:'c'}) RETURN length(q) AS l").collect()
     assert [x["l"] for x in r2] == [2]
+
+
+def test_frame_create_atomic_on_compile_failure(spark):
+    """A failed CREATE statement must not persist vertices from its
+    earlier patterns: all property columns compile before any frame is
+    appended (regression — the vectorized path used to append pattern 1
+    before pattern 2's compile error fell back to the strict loop)."""
+    import pytest
+
+    db = _scratch(spark)
+    with pytest.raises(Exception):
+        cy(db, "UNWIND [1, 2] AS v "
+               "CREATE (:FA {x: v}), (:FB {y: nosuchfunc(v)})").collect()
+    assert cy(db, "MATCH (n:FA) RETURN count(*) AS c").collect()[0]["c"] == 0
+
+
+def test_frame_vid_partition_guard(spark):
+    """frame_vid_col raises loudly when a minted frame exceeds 2048
+    partitions instead of silently overflowing into the next vid block
+    (model.py vid-block layout: 2^44 ids, partition index at bit 33)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from arcadedb_spark.database import Database
+
+    g = Database(spark).graph()
+    wide = spark.range(2100).repartition(2100)
+    with pytest.raises(Exception, match="vid block overflow"):
+        wide.select(
+            g.frame_vid_col(g.mint_vid_block()).alias("vid")
+        ).agg(F.max("vid")).collect()
+    ok = spark.range(100).repartition(64)
+    n = ok.select(
+        g.frame_vid_col(g.mint_vid_block()).alias("vid")
+    ).select(F.countDistinct("vid").alias("n")).collect()[0]["n"]
+    assert n == 100

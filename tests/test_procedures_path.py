@@ -207,3 +207,19 @@ def test_path_expand_arg_errors(pdb):
             "MATCH (a:P {name:'a'}) CALL path.expand(a, null, null, 3, 2) "
             "YIELD path RETURN path",
         )
+
+
+def test_merge_relationship_per_row_association(pdb):
+    """A MATCH producing N endpoint pairs yields exactly N rows, each
+    rel associated with ITS pair (MergeRelationship.java streams per
+    input row) — regression for the crossJoin N*N bug."""
+    rows = _run(
+        pdb,
+        "MATCH (a:P)-[:LINK]->(b:P) "
+        "CALL merge.relationship(a, 'MR2', {}, {}, b) "
+        "YIELD rel RETURN a.name AS s, b.name AS d ORDER BY s",
+    )
+    assert [(r["s"], r["d"]) for r in rows] == [("a", "b"), ("b", "c")]
+    # merged edges parallel the LINK edges, one each
+    cnt = _run(pdb, "MATCH (:P)-[r:MR2]->(:P) RETURN count(r) AS c")
+    assert cnt[0]["c"] == 2

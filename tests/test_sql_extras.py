@@ -226,3 +226,44 @@ def test_delete_return_before(sdb):
     assert [(r["name"], r["v"]) for r in rows] == [("a", 1)]
     assert [r["name"] for r in sdb.query("SELECT name FROM Rt3").collect()] \
         == ["b"]
+
+
+def test_dml_return_on_live_vertex_type(sdb):
+    """UPDATE/DELETE ... RETURN on graph-backed (live) vertex types:
+    the matched rows are captured around the graph write instead of
+    collapsing to a count frame (UpdateStatement.java returnBefore/
+    After on any type kind)."""
+    sdb.command("CREATE VERTEX TYPE LvR")
+    sdb.command("INSERT INTO LvR (name, v) VALUES ('a', 1), ('b', 2)")
+    rows = sdb.command(
+        "UPDATE LvR SET name = 'a2' RETURN AFTER WHERE v = 1"
+    ).collect()
+    assert [(r["name"], r["v"]) for r in rows] == [("a2", 1)]
+    assert rows[0]["@rid"].startswith("#")
+    rows = sdb.command(
+        "UPDATE LvR SET name = 'b2' RETURN BEFORE WHERE v = 2"
+    ).collect()
+    assert [r["name"] for r in rows] == ["b"]
+    rows = sdb.command(
+        "DELETE FROM LvR RETURN BEFORE WHERE v = 2"
+    ).collect()
+    assert [(r["name"], r["v"]) for r in rows] == [("b2", 2)]
+    left = sdb.query("SELECT name FROM LvR").collect()
+    assert [r["name"] for r in left] == ["a2"]
+
+
+def test_dml_return_on_live_edge_type(sdb):
+    sdb.command("CREATE VERTEX TYPE LvEv")
+    sdb.command("CREATE EDGE TYPE LvEe")
+    sdb.query(
+        "CREATE (:LvEv {name:'x'})-[:LvEe {w: 1}]->(:LvEv {name:'y'})",
+        language="cypher",
+    ).collect()
+    rows = sdb.command(
+        "UPDATE LvEe SET w = 9 RETURN AFTER WHERE w = 1"
+    ).collect()
+    assert [r["w"] for r in rows] == [9]
+    rows = sdb.command(
+        "DELETE FROM LvEe RETURN BEFORE WHERE w = 9"
+    ).collect()
+    assert [r["w"] for r in rows] == [9]
