@@ -4037,8 +4037,48 @@ def q_in_subquery_same_name(spark, sf_dir):
     return a.unionByName(b).orderBy("m")
 
 
+@query(
+    "q_cypher_rid_roundtrip",
+    oracle="""
+    SELECT n_name, CAST(n_nationkey AS BIGINT) AS k,
+           CASE WHEN n_nationkey = 3 THEN CAST(1 AS BIGINT) END AS touched
+    FROM nation WHERE n_nationkey < 5 AND n_nationkey <> 1
+    ORDER BY k
+    """,
+)
+def q_cypher_rid_roundtrip(spark, sf_dir):
+    """cypherRID() — the inverse of Cypher id() — as a SELECT/UPDATE/
+    DELETE target (SQLFunctionCypherRID.java, issue #4282): Cypher id()
+    values resolve back to live records through the one-store identity."""
+    db = _db(spark, sf_dir)
+    db.command("DROP TYPE CrrV IF EXISTS")
+    db.command("CREATE VERTEX TYPE CrrV")
+    db.command(
+        "INSERT INTO CrrV FROM SELECT n_name, n_nationkey FROM nation "
+        "WHERE n_nationkey < 5"
+    )
+    ids = {
+        r["k"]: r["i"]
+        for r in db.query(
+            "MATCH (p:CrrV) RETURN id(p) AS i, p.n_nationkey AS k",
+            language="cypher",
+        ).collect()
+    }
+    db.command(f"UPDATE cypherRID({ids[3]}) SET touched = 1")
+    db.command(f"DELETE FROM cypherRID({ids[1]})")
+    out = None
+    for k in (0, 2, 3, 4):
+        part = db.query(
+            f"SELECT n_name, n_nationkey.asLong() AS k, "
+            f"touched.asLong() AS touched FROM cypherRID({ids[k]})"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("k")
+
+
 _PRIORITY = [
     # round-8 rotation: the new operators first
+    "q_cypher_rid_roundtrip",
     "q_in_subquery_same_name",
     # round-7 rotation
     "q_cross_surface_roundtrip",

@@ -335,7 +335,15 @@ class SubqueryTarget:
     alias: Optional[str] = None
 
 
-Target = Union[TypeTarget, BucketTarget, SchemaTarget, RidTarget, SubqueryTarget, None]
+@dataclass(frozen=True)
+class FuncTarget:
+    """Function-call target — ``SELECT/UPDATE/DELETE … cypherRID(<id>)``
+    (SQLFunctionCypherRID.java, issue #4282)."""
+
+    call: FuncCall
+
+
+Target = Union[TypeTarget, BucketTarget, SchemaTarget, RidTarget, SubqueryTarget, FuncTarget, None]
 
 
 @dataclass(frozen=True)

@@ -779,7 +779,26 @@ def _update_live(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     return _result(db, matched)
 
 
+def _resolve_dml_func_target(db, stmt, params):
+    """UPDATE/DELETE cypherRID(:id) …: rewrite to the owning type with an
+    injected @rid equality (SQLFunctionCypherRID.java target forms)."""
+    import dataclasses
+
+    from arcadedb_spark.sql.translator import eval_cypher_rid
+
+    rid, label = eval_cypher_rid(db, stmt.type_name.call, params)
+    if label is None:
+        return None
+    cond = ast.Bin("=", ast.Chain(("@rid",)), ast.Lit(rid))
+    where = cond if stmt.where is None else ast.Bin("AND", stmt.where, cond)
+    return dataclasses.replace(stmt, type_name=label, where=where)
+
+
 def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
+    if isinstance(stmt.type_name, ast.FuncTarget):
+        stmt = _resolve_dml_func_target(db, stmt, params)
+        if stmt is None:
+            return _result(db, 0)
     name = stmt.type_name
     tdef = db.schema.get(name)
     if tdef.live and tdef.kind == "vertex":
@@ -926,6 +945,10 @@ def _delete_live(db, tdef, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
 
 
 def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
+    if isinstance(stmt.type_name, ast.FuncTarget):
+        stmt = _resolve_dml_func_target(db, stmt, params)
+        if stmt is None:
+            return _result(db, 0)
     name = stmt.type_name
     tdef = db.schema.get(name)
     if tdef.live:

@@ -174,6 +174,14 @@ def _as_datetime(base, args):
     return F.to_timestamp(base)
 
 
+@method("asCypherRID")
+def _as_cypher_rid(base, args):
+    """@rid.asCypherRID() → the numeric Cypher id (IdFunction.java
+    encodeRidAsLong inverse pair; our rids are '#bucket:vid', and the
+    Cypher id IS the vid)."""
+    return F.split(base.cast("string"), ":").getItem(1).cast("long")
+
+
 @method("convert")
 def _convert(base, args):
     return base.cast(_str(args[0]).lower())
@@ -367,9 +375,11 @@ def _as_sparse(base, args):
     return dense_to_sparse(base)
 
 
-@method("asRID", "asCypherRid")
+@method("asRID")
 def _as_rid(base, args):
-    """x.asRID() — normalize to the '#bucket:offset' string form."""
+    """x.asRID() — normalize to the '#bucket:offset' string form.
+    (asCypherRID is NOT an alias: it returns the numeric Cypher id —
+    CypherRIDFunctionTest.java roundTripWithAsCypherRIDMethod.)"""
     return base.cast("string")
 
 

@@ -242,9 +242,20 @@ class Parser:
         self.expect_op("=")
         return (prop, self.parse_expr())
 
+    def _maybe_func_target(self):
+        """IDENT '(' in target position → a FuncTarget (UPDATE/DELETE
+        cypherRID(:id) …); otherwise the plain type name."""
+        if self.cur.kind == "IDENT" and self.peek().kind == "OP" \
+                and self.peek().value == "(":
+            e = self.parse_primary()
+            if not isinstance(e, ast.FuncCall):
+                raise ParseError(f"Unsupported target at {self.cur!r}")
+            return ast.FuncTarget(e)
+        return self.ident()
+
     def parse_update(self) -> ast.UpdateStmt:
         self.expect_kw("UPDATE")
-        name = self.ident()
+        name = self._maybe_func_target()
         set_items: list[tuple] = []
         remove_fields: list[str] = []
         content = None
@@ -313,7 +324,7 @@ class Parser:
     def parse_delete(self) -> ast.DeleteStmt:
         self.expect_kw("DELETE")
         self.expect_kw("FROM")
-        name = self.ident()
+        name = self._maybe_func_target()
         where = None
         limit = None
         return_mode = None
@@ -1240,6 +1251,14 @@ class Parser:
             if prefix == "schema":
                 return ast.SchemaTarget(name)
             raise ParseError(f"Unsupported FROM prefix '{prefix}:'")
+        if tok.kind == "IDENT" and self.peek().kind == "OP" \
+                and self.peek().value == "(":
+            # function-call target: SELECT FROM cypherRID(:id)
+            # (SQLFunctionCypherRID.java, issue #4282)
+            e = self.parse_primary()
+            if not isinstance(e, ast.FuncCall):
+                raise ParseError(f"Unsupported FROM target at {tok!r}")
+            return ast.FuncTarget(e)
         name = self.ident()
         if self.eat_kw("AS"):
             self.ident()

@@ -462,6 +462,58 @@ def _temporal_scale_col(s: Column, factor: Column, divide: bool) -> Column:
     return _temporal_udfs[key](s, factor)
 
 
+def eval_cypher_rid(db, call: ast.FuncCall, params) -> tuple:
+    """``cypherRID(<id>)`` → ``(rid_string, owning_label)`` — the inverse
+    of Cypher ``id()`` (SQLFunctionCypherRID.java:44, issue #4282).
+
+    Our Cypher ids ARE the graph vids, so the decode is a point lookup of
+    the vid in the vertex store to recover the owning type (whose bucket
+    id composes the ``#bucket:vid`` rid).  Returns (None, None) when the
+    id resolves to no vertex."""
+    if call.name.lower() != "cypherrid":
+        raise TranslateError(
+            f"Unsupported function target '{call.name}()'"
+        )
+    if len(call.args) != 1:
+        raise TranslateError(
+            "cypherRID() requires exactly one argument: the numeric "
+            "Cypher id"
+        )
+    from arcadedb_spark.sql.litreg import value_of
+
+    arg = call.args[0]
+    col = ExprCompiler(Ctx(db=db, params=params or {})).compile(arg)
+    v = value_of(col)
+    if v is None and not (isinstance(arg, ast.Lit) and arg.value is None):
+        v = db.spark.range(1).select(col.alias("__v")).collect()[0][0]
+    if v is None:
+        return None, None
+    try:
+        encoded = int(v)
+    except (TypeError, ValueError):
+        raise TranslateError(
+            f"cypherRID() requires a numeric Cypher id, but got: {v!r}"
+        )
+    if encoded < 0:
+        raise TranslateError(
+            f"cypherRID() received a negative id ({encoded}): a valid "
+            "Cypher id is never negative"
+        )
+    g = db.graph()
+    av = g.all_vertices()
+    rows = (
+        av.filter(F.col("vid") == encoded).limit(1).collect()
+        if av is not None else []
+    )
+    if not rows:
+        return None, None
+    label = str(rows[0]["label"]).split(":")[0]
+    if not db.schema.exists(label):
+        return None, None
+    tdef = db.schema.get(label)
+    return f"#{tdef.bucket_id}:{encoded}", tdef.name
+
+
 class ExprCompiler:
     def __init__(self, ctx: Ctx) -> None:
         self.ctx = ctx
@@ -2404,6 +2456,11 @@ class ExprCompiler:
             # attach_entity_lookups)
             return pre
         name = e.name.lower()
+        if name == "cypherrid" and self.ctx.db is not None:
+            # SELECT cypherRID(:id) — inverse of Cypher id(); resolved at
+            # translate time (literal/param arg → one point lookup)
+            rid, _lbl = eval_cypher_rid(self.ctx.db, e, self.ctx.params)
+            return _lit(rid)
         if name in ("file", "linenumber") and not e.args:
             # LOAD CSV context functions (LoadCSVStep.java hidden
             # __loadCSV_* row properties; functions/
@@ -3204,6 +3261,22 @@ class Translator:
             return out, None
         if isinstance(target, ast.SubqueryTarget):
             return self.translate(target.stmt), None
+        if isinstance(target, ast.FuncTarget):
+            # SELECT FROM cypherRID(:id) — the function resolves to a
+            # record identity, scanned as a point lookup
+            # (SQLFunctionCypherRID.java, SelectExecutionPlanner.java)
+            rid, label = eval_cypher_rid(self.db, target.call, self.params)
+            if label is None:
+                return (
+                    self.db.spark.range(0).select(
+                        F.lit(None).cast("string").alias(RID_COL)
+                    ),
+                    None,
+                )
+            return (
+                self.db.schema.table(label).filter(F.col(RID_COL) == rid),
+                label,
+            )
         raise TranslateError(f"Unsupported FROM target {target}")
 
     # -- link joins ---------------------------------------------------------

@@ -267,3 +267,64 @@ def test_dml_return_on_live_edge_type(sdb):
         "DELETE FROM LvEe RETURN BEFORE WHERE w = 9"
     ).collect()
     assert [r["w"] for r in rows] == [9]
+
+
+def test_cypher_rid_function_and_targets(sdb):
+    """cypherRID() — the inverse of Cypher id() — in projection AND as a
+    SELECT/UPDATE/DELETE target (CypherRIDFunctionTest.java:69-180,
+    issue #4282)."""
+    import pytest
+
+    sdb.command("CREATE VERTEX TYPE CrPerson")
+    for n in ("Alice", "Bob", "Charlie"):
+        sdb.command(f"INSERT INTO CrPerson SET name = '{n}'")
+    cid = sdb.query(
+        "MATCH (p:CrPerson {name:'Alice'}) RETURN id(p) AS ident",
+        language="cypher",
+    ).collect()[0]["ident"]
+    rid = sdb.query(
+        "SELECT @rid AS r FROM CrPerson WHERE name = 'Alice'"
+    ).collect()[0]["r"]
+
+    # projection form returns the native rid
+    got = sdb.query(
+        "SELECT cypherRID(:id) AS rid", id=cid
+    ).collect()[0]["rid"]
+    assert got == rid
+    # SELECT FROM function target (named parameter + bare literal)
+    assert sdb.query(
+        "SELECT name FROM cypherRID(:id) LIMIT 1", id=cid
+    ).collect()[0]["name"] == "Alice"
+    assert sdb.query(
+        f"SELECT name FROM cypherRID({cid}) LIMIT 1"
+    ).collect()[0]["name"] == "Alice"
+    # UPDATE by function target with RETURN AFTER @rid
+    rows = sdb.command(
+        "UPDATE cypherRID(:id) SET tag = 'updated' RETURN AFTER @rid",
+        id=cid,
+    ).collect()
+    assert rows[0]["@rid"] == rid
+    assert sdb.query(
+        "SELECT tag FROM cypherRID(:id) LIMIT 1", id=cid
+    ).collect()[0]["tag"] == "updated"
+    # DELETE by function target
+    bob_id = sdb.query(
+        "MATCH (p:CrPerson {name:'Bob'}) RETURN id(p) AS i",
+        language="cypher",
+    ).collect()[0]["i"]
+    n = sdb.command(f"DELETE FROM cypherRID({bob_id})").collect()[0]["count"]
+    assert n == 1
+    assert sdb.query(
+        "SELECT FROM CrPerson WHERE name = 'Bob'"
+    ).count() == 0
+    # @rid.asCypherRID() round-trip
+    ident = sdb.query(
+        "SELECT @rid.asCypherRID() AS ident FROM CrPerson "
+        "WHERE name = 'Alice'"
+    ).collect()[0]["ident"]
+    assert sdb.query(
+        "SELECT name FROM cypherRID(:id) LIMIT 1", id=ident
+    ).collect()[0]["name"] == "Alice"
+    # negative id rejected
+    with pytest.raises(Exception, match="negative"):
+        sdb.query("SELECT cypherRID(-5) AS rid").collect()
