@@ -4076,8 +4076,52 @@ def q_cypher_rid_roundtrip(spark, sf_dir):
     return out.orderBy("k")
 
 
+@query(
+    "q_contains_condition",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE len(list_filter(string_split(text, ' '),
+              x -> x ILIKE 'the')) > 0
+    ORDER BY doc_id
+    """,
+)
+def q_contains_condition(spark, sf_dir):
+    """CONTAINS condition-form — ``coll CONTAINS (<cond>)`` evaluates the
+    predicate per element with @this bound (ContainsCondition.java,
+    QueryTest.java:615-630); lowered to F.exists, never a UDF."""
+    return _db(spark, sf_dir).query(
+        "SELECT doc_id FROM documents "
+        "WHERE text.split(' ') CONTAINS (@this ILIKE 'the') "
+        "ORDER BY doc_id"
+    )
+
+
+@query(
+    "q_sql_graph_nav",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(list_sort(list(o_orderkey)
+                    FILTER (WHERE o_orderkey IS NOT NULL)), []) AS keys
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE c_custkey < 20
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def q_sql_graph_nav(spark, sf_dir):
+    """SQL graph-navigation functions (function/sql/graph/
+    SQLFunctionOut.java): ``SELECT out('E').prop FROM V`` — one grouped
+    equi-join marker per distinct call, array-struct field extraction
+    downstream; sorted for deterministic comparison."""
+    return _db(spark, sf_dir).query(
+        "SELECT c_custkey, out('PLACED').o_orderkey.sort() AS keys "
+        "FROM Customer WHERE c_custkey < 20 ORDER BY c_custkey"
+    )
+
+
 _PRIORITY = [
     # round-8 rotation: the new operators first
+    "q_sql_graph_nav",
+    "q_contains_condition",
     "q_cypher_rid_roundtrip",
     "q_in_subquery_same_name",
     # round-7 rotation

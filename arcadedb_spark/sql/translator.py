@@ -1670,9 +1670,57 @@ class ExprCompiler:
             return F.lit(not defined if e.negated else defined)
         return F.lit(not e.negated)
 
+    @staticmethod
+    def _is_condition(x: ast.Expr) -> bool:
+        """Predicate-shaped expression — the CONTAINS condition-form RHS
+        (ContainsCondition.java: ``coll CONTAINS (<cond>)`` evaluates the
+        condition per element)."""
+        if isinstance(x, (ast.Like, ast.IsNull, ast.IsDefined, ast.Between,
+                          ast.Contains, ast.Matches, ast.In)):
+            return True
+        if isinstance(x, ast.Unary) and x.op == "NOT":
+            return True
+        if isinstance(x, ast.Bin) and x.op in (
+            "=", "==", "!=", "<>", "<", "<=", ">", ">=", "AND", "OR",
+        ):
+            return True
+        return False
+
     def _c_contains(self, e: ast.Contains) -> Column:
         operand = self.compile(e.operand)
+        if e.mode == "contains" and self._is_condition(e.rhs):
+            # condition-form: evaluate the predicate per element with
+            # @this bound to the element and bare fields resolving into
+            # struct elements (QueryTest.java:615-630)
+            return F.exists(
+                operand,
+                lambda x: _ElementCompiler(self.ctx, x)
+                .compile(e.rhs).cast("boolean"),
+            )
+        if e.mode in ("contains", "any", "all", "key", "value", "text") \
+                and not (self.ctx.cypher or self.ctx.cypher_order):
+            # a missing/NULL-typed list property never matches instead of
+            # failing the whole query at the Spark type checker
+            # (issue #1898, QueryTest.java:862-899)
+            missing = _void_like(self._static_dtype(e.operand)) or (
+                isinstance(e.operand, ast.Chain)
+                and self.ctx.columns is not None
+                and e.operand.parts[0] not in self.ctx.columns
+                and e.operand.parts[0].lower() not in (
+                    c.lower() for c in self.ctx.columns
+                )
+            )
+            if missing:
+                return F.lit(False)
         rhs = self.compile(e.rhs)
+        if e.mode in ("any", "all"):
+            from pyspark.sql.types import ArrayType as _AT7
+
+            rdt = self._static_dtype(e.rhs)
+            if rdt is not None and not isinstance(rdt, _AT7):
+                # scalar RHS coerces to a 1-element list (issue #3581:
+                # txt.split(' ') CONTAINSANY 'te')
+                rhs = F.array(rhs)
         if e.mode in ("substr", "startswith", "endswith") and (
             self.ctx.cypher or self.ctx.cypher_order
         ):
@@ -3556,6 +3604,10 @@ class Translator:
                     .alias("@in"),
                     F.concat(F.lit("#g:"), F.col("src").cast("string"))
                     .alias("@out"),
+                    # metadata spellings (issue #3571): inE()[0].@type is
+                    # the edge type name, @cat is 'e' for edges
+                    F.col("etype").alias("@type"),
+                    F.lit("e").alias("@cat"),
                 )
                 nbrs = (
                     pairs.groupBy(F.col("__nk").alias(kname))

@@ -328,3 +328,70 @@ def test_cypher_rid_function_and_targets(sdb):
     # negative id rejected
     with pytest.raises(Exception, match="negative"):
         sdb.query("SELECT cypherRID(-5) AS rid").collect()
+
+
+def test_contains_condition_form(sdb):
+    """coll CONTAINS (<condition>) evaluates the predicate per element,
+    with @this bound to the element and bare fields resolving into map/
+    struct elements (QueryTest.java:615-630)."""
+    r = sdb.query(
+        'SELECT (["a","b","c"] CONTAINS (@this ILIKE "C")) as coll'
+    ).collect()[0]["coll"]
+    assert r is True
+    r = sdb.query(
+        'SELECT ([{"x":"a"},{"x":"b"},{"x":"c"}] CONTAINS (x ILIKE "C")) '
+        "as coll"
+    ).collect()[0]["coll"]
+    assert r is True
+    r = sdb.query(
+        'SELECT (["a","b"] CONTAINS (@this = "z")) as coll'
+    ).collect()[0]["coll"]
+    assert r is False
+
+
+def test_containsany_scalar_rhs(sdb):
+    """CONTAINSANY with a scalar RHS coerces it to a 1-element list;
+    method-call LHS works (issue #3581, QueryTest.java:1355-1395)."""
+    sdb.command("CREATE DOCUMENT TYPE doc3581")
+    for t in ("te st", "te other", "no match here"):
+        sdb.command(f"INSERT INTO doc3581 SET txt = '{t}'")
+    rows = sdb.query(
+        "SELECT txt FROM doc3581 WHERE txt.split(' ') CONTAINSANY 'te'"
+    ).collect()
+    assert sorted(r["txt"] for r in rows) == ["te other", "te st"]
+    assert sdb.query(
+        "SELECT txt FROM doc3581 WHERE txt.split(' ') CONTAINSANY 'zz'"
+    ).count() == 0
+
+
+def test_contains_missing_list_property(sdb):
+    """CONTAINS over rows missing the list property entirely: no-match,
+    not a NULL_TYPE analysis error (issue #1898, QueryTest.java:862)."""
+    sdb.command("CREATE DOCUMENT TYPE NoListProp")
+    sdb.command("INSERT INTO NoListProp SET id = 'only'")
+    assert sdb.query(
+        "SELECT id FROM NoListProp WHERE tags CONTAINS 'x'"
+    ).count() == 0
+    assert sdb.query(
+        "SELECT id FROM NoListProp WHERE tags CONTAINSANY 'x'"
+    ).count() == 0
+
+
+def test_nav_edge_metadata_spellings(sdb):
+    """inE()[0].@type / .@rid / .`@cat` on nav-function edge records
+    (issue #3571, QueryTest.java:1185-1260)."""
+    sdb.command("CREATE VERTEX TYPE V3571")
+    sdb.command("CREATE EDGE TYPE E3571")
+    sdb.command("INSERT INTO V3571 SET k = 1")
+    sdb.command(
+        "CREATE EDGE E3571 FROM (SELECT FROM V3571) TO (SELECT FROM V3571)"
+    )
+    assert sdb.query(
+        "SELECT inE()[0].@type AS t FROM V3571"
+    ).collect()[0]["t"] == "E3571"
+    assert sdb.query(
+        "SELECT inE()[0].`@rid` AS r FROM V3571"
+    ).collect()[0]["r"].startswith("#")
+    assert sdb.query(
+        "SELECT inE()[0].`@cat` AS c FROM V3571"
+    ).collect()[0]["c"] == "e"
