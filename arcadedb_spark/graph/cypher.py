@@ -1096,9 +1096,7 @@ class CypherParser(Parser):
             # boundary (CypherASTBuilder.java:1694 absorbParenthesizedPath)
             root, step = self._parse_qpp()
             if self.at_op("(") and not self._at_qpp():
-                import dataclasses as _dc
-
-                step = _dc.replace(step, filter=self._parse_node())
+                step = self._absorb_boundary(step, self._parse_node())
             steps.append(step)
         else:
             root = self._parse_node()
@@ -1109,9 +1107,7 @@ class CypherParser(Parser):
                 # node follows (reference nextIsOuterNode rule)
                 _ir, step = self._parse_qpp()
                 if self.at_op("(") and not self._at_qpp():
-                    import dataclasses as _dc
-
-                    step = _dc.replace(step, filter=self._parse_node())
+                    step = self._absorb_boundary(step, self._parse_node())
                 steps.append(step)
                 continue
             (direction, etypes, min_h, max_h, ealias, eprops,
@@ -1198,6 +1194,44 @@ class CypherParser(Parser):
             self.i = save
             return None
         return q
+
+    @staticmethod
+    def _absorb_boundary(step: "ast.MatchStep", outer) -> "ast.MatchStep":
+        """An outer boundary node following a QPP binds to the pattern's
+        end node.  A filtered inner end node must not be silently
+        DROPPED: 1..1 patterns conjoin both filters (the nodes are the
+        same); var-length patterns with a filtered inner end node are a
+        typed Phase-A rejection (per-iteration inner-node filters are
+        not enforced by the lowering)."""
+        import dataclasses as _dc
+
+        inner = step.filter
+        if inner is None or (
+            not inner.type_name and not inner.props and inner.where is None
+        ):
+            return _dc.replace(step, filter=outer)
+        if step.var_length:
+            raise ParseError(
+                "FeatureNotImplemented: a labelled/filtered inner end "
+                "node followed by an outer boundary node in a quantified "
+                "path pattern is not yet supported"
+            )
+        tn = inner.type_name or outer.type_name
+        if inner.type_name and outer.type_name \
+                and inner.type_name.lower() != outer.type_name.lower():
+            tn = f"{inner.type_name}:{outer.type_name}"
+        where = outer.where
+        if inner.where is not None:
+            where = inner.where if where is None else ast.Bin(
+                "AND", inner.where, where
+            )
+        return _dc.replace(step, filter=_dc.replace(
+            outer,
+            type_name=tn,
+            props=tuple(inner.props or ()) + tuple(outer.props or ()),
+            where=where,
+            alias=outer.alias or inner.alias,
+        ))
 
     def _parse_qpp(self) -> "tuple[ast.MatchFilter, ast.MatchStep]":
         """Parenthesized quantified path pattern ``((a)-[:R]->(b)){m,n}``
@@ -3370,6 +3404,70 @@ def _delete_expression_target(db, g, df, expr, params, detach=True) -> int:
     return n
 
 
+def _try_frame_set(db, g, p, df, params) -> "int | None":
+    """Vectorized pure-SET fast path: a single SET clause over vertex
+    struct columns of the stage frame (e.g. ``MATCH … WITH n … SET
+    n.p = expr`` / ``UNWIND … SET``) executes as ONE per-row property
+    rewrite per alias (update_vertices_from_frame equi-join) — no driver
+    loop, no 10k row cap.  Returns the set count, or None when the shape
+    needs the strict clause-at-a-time loop."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from arcadedb_spark.sql.translator import Ctx, ExprCompiler
+
+    if getattr(p, "_write_return", None) is not None:
+        return None
+    if getattr(p, "_write_blocks", None):
+        return None
+    writes = p._writes
+    if len(writes) != 1 or writes[0].get("kind") != "set":
+        return None
+    assigns = writes[0].get("assignments") or ()
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    per_alias: dict[str, list] = {}
+    for alias, prop, expr in assigns:
+        if prop.startswith("@"):
+            return None  # label ops / entity copies → strict path
+        dt = schema.get(alias)
+        if not isinstance(dt, StructType) or "vid" not in dt.fieldNames() \
+                or "@type" not in dt.fieldNames():
+            return None
+        per_alias.setdefault(alias, []).append((prop, expr))
+    if not per_alias:
+        return None
+    ctx = Ctx(cypher=True, db=db, params=params or {},
+              columns=tuple(df.columns), frame_schema=df.schema)
+    comp = ExprCompiler(ctx)
+    # compile + stage EVERY alias's update frame before writing anything
+    # (statement atomicity — same rule as _try_frame_create)
+    staged: list[tuple[list, DataFrame, list]] = []
+    try:
+        for alias, items in per_alias.items():
+            cols = [comp.compile(e).alias(prop) for prop, e in items]
+            upd = df.select(
+                F.col(alias).getField("vid").alias("vid"),
+                F.col(alias).getField("@type").alias("__lbl"),
+                *cols,
+            ).filter(F.col("vid").isNotNull())
+            labels = [
+                r["__lbl"]
+                for r in upd.select("__lbl").distinct().collect()
+            ]
+            if any(lb is None for lb in labels):
+                return None
+            staged.append((labels, upd, [prop for prop, _ in items]))
+    except Exception:
+        return None  # the strict path re-raises real errors
+    total = 0
+    for labels, upd, props in staged:
+        for lb in labels:
+            total += g.update_vertices_from_frame(
+                lb, upd.filter(F.col("__lbl") == lb).drop("__lbl"), props
+            )
+    return total
+
+
 def _try_frame_create(db, g, p, df, params) -> "int | None":
     """Vectorized UNWIND/LOAD CSV → CREATE fast path: when every write is
     a pure single-node CREATE with frame-computable properties and no
@@ -3971,6 +4069,8 @@ def _execute_writes_inner(db, p: "CypherParser", params) -> DataFrame:
     row_binds = None
     if write_stages and df is not None and not match_paths:
         fast_n = _try_frame_create(db, g, p, df, params)
+        if fast_n is None:
+            fast_n = _try_frame_set(db, g, p, df, params)
         if fast_n is not None:
             # write query without RETURN: empty result (TCK create)
             from pyspark.sql.types import StructType as _ST9
@@ -3986,15 +4086,6 @@ def _execute_writes_inner(db, p: "CypherParser", params) -> DataFrame:
             if not isinstance(f.dataType, StructType)
             and not f.name.startswith("__")
         ]
-        rows = df.limit(10_001).collect()
-        if len(rows) > 10_000:
-            raise TranslateError(
-                "UNWIND/WITH-driven writes run per row driver-side; the "
-                "pipeline yields > 10000 rows. Use batch INSERT for bulk "
-                "loads."
-            )
-        n = 0
-        row_binds = []
         # frame-wise writes (DELETE over struct columns) run ONCE on the
         # whole frame — repeating them per row both multiplies work and
         # chains mutation plans (lineage blowup).  Clause order is
@@ -4016,6 +4107,21 @@ def _execute_writes_inner(db, p: "CypherParser", params) -> DataFrame:
             else:
                 chunk.append(w)
         segments.append((chunk, None))
+        if not any(c for c, _ in segments):
+            # every write is frame-wise (pure DELETE over struct columns):
+            # no per-row pass is needed — skip the driver-side collect
+            # entirely (no 10k cap for bulk MATCH…WITH…DELETE)
+            rows = []
+        else:
+            rows = df.limit(10_001).collect()
+            if len(rows) > 10_000:
+                raise TranslateError(
+                    "UNWIND/WITH-driven writes run per row driver-side; "
+                    "the pipeline yields > 10000 rows. Use batch INSERT "
+                    "for bulk loads."
+                )
+        n = 0
+        row_binds = []
         per_row_binds: list[list] = [[] for _ in rows]
         per_row_ebinds: list[list] = [[] for _ in rows]
         # each pass runs with the frame scoped to ITS row: a bound-endpoint

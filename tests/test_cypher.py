@@ -1133,3 +1133,21 @@ def test_frame_vid_partition_guard(spark):
         g.frame_vid_col(g.mint_vid_block()).alias("vid")
     ).select(F.countDistinct("vid").alias("n")).collect()[0]["n"]
     assert n == 100
+
+
+def test_frame_wise_set_and_delete_above_cap(spark):
+    """Pure-SET and pure-DELETE write segments execute frame-wise (one
+    equi-join rewrite), so stage-driven statements are NOT subject to the
+    10k per-row driver-loop cap (reference CreateStep/SetStep stream
+    frame-wise)."""
+    db = _scratch(spark)
+    cy(db, "UNWIND range(1, 20000) AS i CREATE (:FB {x: i})").collect()
+    assert cy(db, "MATCH (n:FB) RETURN count(*) AS c").collect()[0]["c"] \
+        == 20000
+    cy(db, "MATCH (n:FB) WITH n SET n.y = n.x * 2").collect()
+    got = cy(
+        db, "MATCH (n:FB) WHERE n.y = 30000 RETURN n.x AS x"
+    ).collect()
+    assert [r["x"] for r in got] == [15000]
+    cy(db, "MATCH (n:FB) WITH n DETACH DELETE n").collect()
+    assert cy(db, "MATCH (n:FB) RETURN count(*) AS c").collect()[0]["c"] == 0

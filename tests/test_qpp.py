@@ -121,3 +121,29 @@ def test_star_stays_arithmetic_in_expressions(chain_db):
         language="cypher",
     ).collect()
     assert rows[0]["s"] == 2
+
+
+def test_qpp_boundary_keeps_inner_filter(spark):
+    """An outer boundary node after a QPP must not drop the inner end
+    node's label: var-length + filtered inner end is a typed rejection;
+    1..1 conjoins both filters."""
+    import pytest
+
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    db.query(
+        "CREATE (:X {n:'x1'})-[:R]->(:X {n:'x2'})-[:R]->(:Q {n:'q1'})",
+        language="cypher",
+    ).collect()
+    with pytest.raises(Exception, match="FeatureNotImplemented"):
+        db.query(
+            "MATCH ((x)-[:R]->(y:Q)){1,2} (b) RETURN b.n",
+            language="cypher",
+        ).collect()
+    # 1..1 QPP: filters conjoin — the boundary must be :Q
+    rows = db.query(
+        "MATCH ((x)-[:R]->(y:Q)) (b) RETURN b.n AS n",
+        language="cypher",
+    ).collect()
+    assert [r["n"] for r in rows] == ["q1"]
