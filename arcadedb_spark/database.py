@@ -409,6 +409,14 @@ class Database:
         from arcadedb_spark.sql.commands import execute_command
         from arcadedb_spark.sql.parser import parse
 
+        head = text.lstrip()
+        kw = head[:8].upper()
+        if kw.startswith("EXPLAIN") and (len(head) == 7 or head[7].isspace()):
+            return self._explain(head[7:].lstrip(), language, params,
+                                 profile=False)
+        if kw.startswith("PROFILE") and (len(head) == 7 or head[7].isspace()):
+            return self._explain(head[7:].lstrip(), language, params,
+                                 profile=True)
         stmt = parse(text)
         if isinstance(stmt, (_ast.SelectStmt, _ast.MatchStmt, _ast.TraverseStmt)):
             from arcadedb_spark.sql.translator import Translator

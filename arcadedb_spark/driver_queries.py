@@ -4118,8 +4118,92 @@ def q_sql_graph_nav(spark, sf_dir):
     )
 
 
+@query(
+    "q_meta_stats",
+    oracle="""
+    SELECT (SELECT count(*) FROM customer) AS customers,
+           (SELECT count(*) FROM orders) AS orders_n,
+           (SELECT count(*) FROM part) AS parts,
+           (SELECT count(*) FROM supplier) AS suppliers,
+           (SELECT count(*) FROM nation) AS nations,
+           (SELECT count(*) FROM orders) AS placed
+    """,
+)
+def q_meta_stats(spark, sf_dir):
+    """CALL meta.stats() (procedures/meta/MetaStats.java): per-label node
+    counts and per-type relationship counts in one struct; pinned to the
+    fixture labels so concurrent scratch types don't perturb the hash."""
+    return _db(spark, sf_dir).query(
+        "CALL meta.stats() YIELD value "
+        "RETURN value.labels['Customer'] AS customers, "
+        "value.labels['Order'] AS orders_n, "
+        "value.labels['Part'] AS parts, "
+        "value.labels['Supplier'] AS suppliers, "
+        "value.labels['Nation'] AS nations, "
+        "value.relTypes['PLACED'] AS placed",
+        language="cypher",
+    )
+
+
+@query(
+    "q_backup_statement",
+    oracle="""
+    SELECT k, v FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(k, v)
+    ORDER BY k
+    """,
+)
+def q_backup_statement(spark, sf_dir):
+    """BACKUP DATABASE statement → IMPORT DATABASE roundtrip
+    (BackupDatabaseStatement.java / ImportDatabaseStatement.java): a
+    scratch database backs up to jsonl and a second database imports the
+    type back."""
+    import shutil
+
+    from arcadedb_spark.database import Database
+
+    shutil.rmtree("/root/repo/backups/r8_bk", ignore_errors=True)
+    src = Database(spark)
+    src.command("CREATE DOCUMENT TYPE BkR8")
+    src.command("INSERT INTO BkR8 (k, v) VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    src.command("BACKUP DATABASE 'file:///root/repo/backups/r8_bk'")
+    dst = Database(spark)
+    dst.command(
+        "IMPORT DATABASE 'file:///root/repo/backups/r8_bk/BkR8.jsonl'"
+    )
+    return dst.query("SELECT k.asInteger() AS k, v FROM BkR8 ORDER BY k")
+
+
+@query(
+    "q_kv_ops",
+    oracle="""
+    SELECT key, value FROM (VALUES
+      ('counter', '7'), ('k1', 'v1'), ('k3', 'v3b'), ('user:2', 'bob')
+    ) AS t(key, value) ORDER BY key
+    """,
+)
+def q_kv_ops(spark, sf_dir):
+    """Redis KV skin (redisw/ command surface): SET/MSET/INCR/DELETE/
+    GETDEL over a key-bucketed table; the final store state is the
+    verifiable artifact."""
+    from arcadedb_spark.database import Database
+
+    db = Database(spark)
+    kv = db.kv("kv_r8")
+    kv.set("k1", "v1")
+    kv.mset({"k2": "v2", "k3": "v3", "user:2": "bob"})
+    kv.set("k3", "v3b")
+    kv.incr("counter", 3)
+    kv.incr("counter", 4)
+    kv.delete("k2")
+    assert kv.get("k1") == "v1" and kv.exists("user:2")
+    return db.query("SELECT key, value FROM kv_r8 ORDER BY key")
+
+
 _PRIORITY = [
     # round-8 rotation: the new operators first
+    "q_meta_stats",
+    "q_backup_statement",
+    "q_kv_ops",
     "q_sql_graph_nav",
     "q_contains_condition",
     "q_cypher_rid_roundtrip",

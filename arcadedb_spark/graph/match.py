@@ -37,6 +37,31 @@ def _vertex_df(db, type_name: str | None) -> DataFrame:
         if df is None:
             return db.spark.createDataFrame([], "vid long, `@type` string")
         return df
+    alts = [
+        {p for p in a.split(":") if p}
+        for a in type_name.lower().split("|") if a
+    ]
+    in_graph = any(
+        any(w <= set(k.split(":")) for w in alts)
+        for k in list(g.vertex_dfs)
+    )
+    if not in_graph and db.schema.exists(type_name):
+        # MATCH over a catalog DOCUMENT type (MatchStatement.java works
+        # on any type): synthesize vid/@type over the table scan; such
+        # nodes have no incident edges, so only root patterns bind
+        tdef = db.schema.get(type_name)
+        base = db.schema.table(type_name)
+        if "@rid" in base.columns:
+            vid = (
+                F.lit(tdef.bucket_id * (1 << 40))
+                + F.split(F.col("@rid"), ":").getItem(1).cast("long")
+            )
+        else:
+            vid = F.monotonically_increasing_id()
+        out = base.withColumn("vid", vid)
+        if "@type" not in out.columns:
+            out = out.withColumn("@type", F.lit(tdef.name))
+        return out
     return g.vertices(type_name)
 
 

@@ -343,7 +343,15 @@ class FuncTarget:
     call: FuncCall
 
 
-Target = Union[TypeTarget, BucketTarget, SchemaTarget, RidTarget, SubqueryTarget, FuncTarget, None]
+@dataclass(frozen=True)
+class ParamTarget:
+    """``SELECT FROM :seeds`` — a bound RID / RID-collection target
+    (Issue5505BoundRidCollectionTargetTest.java)."""
+
+    name: str
+
+
+Target = Union[TypeTarget, BucketTarget, SchemaTarget, RidTarget, SubqueryTarget, FuncTarget, ParamTarget, None]
 
 
 @dataclass(frozen=True)
@@ -528,7 +536,8 @@ class InsertStmt:
     return_expr: Optional[Expr] = None  # INSERT … RETURN <expr>
     values_rows: tuple[tuple[Expr, ...], ...] = ()  # VALUES (...), (...)
     set_items: tuple[tuple[str, Expr], ...] = ()  # SET f = e, ...
-    content: Optional[MapLit] = None  # CONTENT {...}
+    content: Optional[Expr] = None  # CONTENT {...} (MapLit or Param)
+    content_rows: Optional[ArrayLit] = None  # CONTENT [{...}, ...]
     from_select: Optional["SelectStmt"] = None  # INSERT ... FROM SELECT
 
 
@@ -537,7 +546,8 @@ class UpdateStmt:
     type_name: str
     set_items: tuple[tuple[str, Expr], ...] = ()
     remove_fields: tuple[str, ...] = ()
-    content: Optional[MapLit] = None
+    content: Optional[Expr] = None  # MapLit or Param
+    content_rows: Optional[ArrayLit] = None  # CONTENT [{...}, ...]
     upsert: bool = False
     where: Optional[Expr] = None
     limit: Optional[Expr] = None
@@ -565,6 +575,7 @@ class CreateTypeStmt:
     extends: Optional[str] = None
     buckets: Optional[int] = None
     bucket_names: tuple[str, ...] = ()  # BUCKET b1,b2 association
+    custom: tuple = ()  # CUSTOM k = <literal expr> metadata pairs
 
 
 @dataclass(frozen=True)
@@ -663,6 +674,23 @@ class AlterPropertyStmt:
 
 @dataclass(frozen=True)
 class DropTypeStmt:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class DropPropertyStmt:
+    """DROP PROPERTY Type.prop (parser/DropPropertyStatement.java)."""
+
+    type_name: str
+    prop: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class DropIndexStmt:
+    """DROP INDEX <name> (parser/DropIndexStatement.java)."""
+
     name: str
     if_exists: bool = False
 

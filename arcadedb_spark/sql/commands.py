@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from arcadedb_spark.sql import ast
 from arcadedb_spark.sql.litreg import value_of
-from arcadedb_spark.sql.translator import Ctx, ExprCompiler, TranslateError, Translator
+from arcadedb_spark.sql.translator import (
+    Ctx, ExprCompiler, TranslateError, Translator, _py_spark_type,
+)
 
 
 def _literal_value(db, e: ast.Expr, params: dict) -> Any:
@@ -41,6 +43,33 @@ def _literal_value(db, e: ast.Expr, params: dict) -> Any:
 
 def _result(db, n: int) -> DataFrame:
     return db.spark.createDataFrame([(n,)], "count long")
+
+
+def _content_value(db, expr, params: dict):
+    """CONTENT value: a MapLit → dict, a Param → its bound value (dict or
+    list of dicts — UpdateContentArrayTest.java parameter shape)."""
+    if isinstance(expr, ast.MapLit):
+        return {k: _literal_value(db, v, params) for k, v in expr.entries}
+    if isinstance(expr, ast.Param):
+        v = (params or {}).get(expr.name)
+        if v is None:
+            raise TranslateError(f"Missing query parameter :{expr.name}")
+        return v
+    raise TranslateError("CONTENT requires a JSON object")
+
+
+def _content_items(stmt, db, params) -> "list[dict] | None":
+    """Array-CONTENT rows for UPDATE/INSERT, or None for the map form."""
+    if stmt.content_rows is not None:
+        return [
+            {k: _literal_value(db, v, params) for k, v in m.entries}
+            for m in stmt.content_rows.items
+        ]
+    if isinstance(stmt.content, ast.Param):
+        v = _content_value(db, stmt.content, params)
+        if isinstance(v, (list, tuple)):
+            return [dict(r) for r in v]
+    return None
 
 
 def execute_command(db, stmt, params: dict) -> DataFrame:
@@ -77,6 +106,36 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
                 "kind": (stmt.index_kind or "").lower(),
             }
         return _result(db, 0)  # execution no-op: scan+pushdown replaces it
+    if isinstance(stmt, ast.DropPropertyStmt):
+        if not db.schema.exists(stmt.type_name):
+            if stmt.if_exists:
+                return _result(db, 0)
+            raise TranslateError(f"Type '{stmt.type_name}' does not exist")
+        declared = db.schema.get(stmt.type_name).properties.get(
+            "declared", {}
+        )
+        hit = next(
+            (k for k in declared if k.lower() == stmt.prop.lower()), None
+        )
+        if hit is None:
+            if stmt.if_exists:
+                return _result(db, 0)
+            raise TranslateError(
+                f"Property '{stmt.type_name}.{stmt.prop}' does not exist"
+            )
+        del declared[hit]
+        return _result(db, 1)
+    if isinstance(stmt, ast.DropIndexStmt):
+        hit = next(
+            (k for k in db.schema.indexes
+             if k.lower() == stmt.name.lower()), None,
+        )
+        if hit is None:
+            if stmt.if_exists:
+                return _result(db, 0)
+            raise TranslateError(f"Index '{stmt.name}' does not exist")
+        del db.schema.indexes[hit]
+        return _result(db, 1)
     if isinstance(stmt, ast.TruncateTypeStmt):
         return _truncate(db, stmt)
     if isinstance(stmt, ast.BackupDatabaseStmt):
@@ -494,9 +553,18 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     elif stmt.set_items:
         rows.append({f: _literal_value(db, e, params) for f, e in stmt.set_items})
     elif stmt.content is not None:
-        rows.append(
-            {k: _literal_value(db, v, params) for k, v in stmt.content.entries}
-        )
+        cv = _content_value(db, stmt.content, params)
+        if isinstance(cv, (list, tuple)):
+            rows.extend(dict(r) for r in cv)
+        else:
+            rows.append(cv)
+    elif stmt.content_rows is not None:
+        # INSERT ... CONTENT [{...}, {...}] — one record per array
+        # element (UpdateContentArrayTest.java insert shape)
+        for m in stmt.content_rows.items:
+            rows.append(
+                {k: _literal_value(db, v, params) for k, v in m.entries}
+            )
 
     if stmt.from_select is not None:
         new_df = Translator(db, params).translate(stmt.from_select)
@@ -614,13 +682,16 @@ def _insert_bucket(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
     """INSERT INTO bucket:<name> — direct bucket insert
     (InsertStatement.java targetBucket / LocalBucket.java): rows land in
     the named bucket's slice; the owner type's scan unions them in."""
-    meta = db.schema.named_buckets.get(stmt.bucket_name.lower())
+    bname = stmt.bucket_name
+    if isinstance(bname, ast.Param):
+        bname = str(_content_value(db, bname, params))
+    meta = db.schema.named_buckets.get(bname.lower())
     if meta is None:
-        raise TranslateError(f"Bucket '{stmt.bucket_name}' does not exist")
+        raise TranslateError(f"Bucket '{bname}' does not exist")
     owner = meta.get("owner")
     if owner is None or not db.schema.exists(owner):
         raise TranslateError(
-            f"Bucket '{stmt.bucket_name}' is not associated with a type"
+            f"Bucket '{bname}' is not associated with a type"
         )
     rows: list[dict] = []
     if stmt.values_rows:
@@ -637,7 +708,7 @@ def _insert_bucket(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
         )
     elif stmt.content is not None:
         rows.append(
-            {k: _literal_value(db, v, params) for k, v in stmt.content.entries}
+            _content_value(db, stmt.content, params)
         )
     if not rows:
         raise TranslateError("bucket INSERT needs VALUES/SET/CONTENT")
@@ -726,7 +797,11 @@ def _update_live(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     g = db.graph()
     set_items = list(stmt.set_items)
     if stmt.content is not None:
-        set_items += list(stmt.content.entries)
+        if isinstance(stmt.content, ast.MapLit):
+            set_items += list(stmt.content.entries)
+        else:
+            cv = _content_value(db, stmt.content, params)
+            set_items += [(k, ast.Lit(v)) for k, v in cv.items()]
     matched = 0
     before = None
     match_vids = None
@@ -794,6 +869,74 @@ def _resolve_dml_func_target(db, stmt, params):
     return dataclasses.replace(stmt, type_name=label, where=where)
 
 
+def _update_content_array(db, tdef, stmt, rows: list, params) -> DataFrame:
+    """UPDATE <t> CONTENT [<obj>, …]: the i-th MATCHED record (storage
+    order) is REPLACED by the i-th array element; surplus matched records
+    stay untouched (UpdateContentArrayTest.java).  One positional join —
+    the single-partition ordering window is acceptable for the bounded
+    literal array that drives it."""
+    from pyspark.sql import Window
+
+    base = tdef.df()
+    ctx = Ctx(db=db, params=params, columns=tuple(base.columns),
+              frame_schema=base.schema)
+    cond = (ExprCompiler(ctx).compile(stmt.where)
+            if stmt.where is not None else F.lit(True))
+    keys: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    content = db.spark.createDataFrame(
+        [tuple([i] + [r.get(k) for k in keys]) for i, r in enumerate(rows)],
+        ", ".join(["__ci long"] + [
+            f"`{k}` {_py_spark_type(next((r[k] for r in rows if r.get(k) is not None), None))}"
+            for k in keys
+        ]),
+    ).select("__ci", *[F.col(k).alias(f"__nv_{k}") for k in keys])
+    w = Window.partitionBy(F.lit(1)).orderBy(F.monotonically_increasing_id())
+    marked = base.withColumn("__hit", cond).withColumn(
+        "__rn",
+        F.sum(F.when(F.col("__hit"), 1).otherwise(0)).over(w) - 1,
+    )
+    joined = marked.join(
+        content,
+        F.col("__hit") & (F.col("__rn") == F.col("__ci")),
+        "left",
+    )
+    paired = F.col("__ci").isNotNull()
+    out = joined
+    for c in base.columns:
+        if c in keys:
+            out = out.withColumn(
+                c, F.when(paired, F.col(f"__nv_{c}")).otherwise(F.col(c))
+            )
+        else:
+            # CONTENT replaces the whole record: absent keys null out
+            out = out.withColumn(
+                c,
+                F.when(paired, F.lit(None).cast(base.schema[c].dataType))
+                .otherwise(F.col(c)),
+            )
+    for k in keys:
+        if k not in base.columns:
+            out = out.withColumn(k, F.when(paired, F.col(f"__nv_{k}")))
+    after = out.filter(paired).drop(
+        "__hit", "__rn", "__ci", *[f"__nv_{k}" for k in keys]
+    )
+    new_df = out.drop("__hit", "__rn", "__ci", *[f"__nv_{k}" for k in keys])
+    n = after.count()
+    _replace_df(db, tdef.name, new_df)
+    _notify_mvs(db, tdef.name)
+    if stmt.return_mode in ("after", "before"):
+        if stmt.return_mode == "before":
+            return _dml_return_frame(
+                db, base.filter(cond), stmt.return_expr, params
+            )
+        return _dml_return_frame(db, after, stmt.return_expr, params)
+    return _result(db, n)
+
+
 def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     if isinstance(stmt.type_name, ast.FuncTarget):
         stmt = _resolve_dml_func_target(db, stmt, params)
@@ -801,6 +944,14 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
             return _result(db, 0)
     name = stmt.type_name
     tdef = db.schema.get(name)
+    arr = _content_items(stmt, db, params)
+    if arr is not None:
+        if tdef.live:
+            raise TranslateError(
+                "UPDATE ... CONTENT [array] is supported on document "
+                "types (vertex/edge records are graph-backed)"
+            )
+        return _update_content_array(db, tdef, stmt, arr, params)
     if tdef.live and tdef.kind == "vertex":
         return _update_live(db, tdef, stmt, params)
     if tdef.live and tdef.kind == "edge":
@@ -813,7 +964,11 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     matched = base.filter(cond).count()
     set_items = list(stmt.set_items)
     if stmt.content is not None:
-        set_items += list(stmt.content.entries)
+        if isinstance(stmt.content, ast.MapLit):
+            set_items += list(stmt.content.entries)
+        else:
+            cv = _content_value(db, stmt.content, params)
+            set_items += [(k, ast.Lit(v)) for k, v in cv.items()]
 
     # the match set is decided BEFORE assignments rewrite predicate
     # columns (UPDATE … SET title='Y' RETURN AFTER WHERE title='X' must
@@ -879,7 +1034,11 @@ def _update_live_edges(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFram
             else F.lit(True))
     set_items = list(stmt.set_items)
     if stmt.content is not None:
-        set_items += list(stmt.content.entries)
+        if isinstance(stmt.content, ast.MapLit):
+            set_items += list(stmt.content.entries)
+        else:
+            cv = _content_value(db, stmt.content, params)
+            set_items += [(k, ast.Lit(v)) for k, v in cv.items()]
     assignments = [
         (p, compiler.compile(e) if isinstance(e, ast.Expr) else F.lit(e))
         for p, e in set_items
@@ -999,6 +1158,15 @@ def _create_type(db, stmt: ast.CreateTypeStmt) -> DataFrame:
             return _result(db, 0)
         raise TranslateError(f"Type '{stmt.name}' already exists")
     parents = (stmt.extends,) if stmt.extends else ()
+
+    def _store_custom(tdef):
+        # CUSTOM k = v metadata (CreateTypeAbstractStatement custom map,
+        # readable back through schema:types / getCustom)
+        if stmt.custom:
+            tdef.properties["custom"] = {
+                k: _literal_value(db, e, {}) for k, e in stmt.custom
+            }
+
     if stmt.kind in ("vertex", "edge"):
         # vertex/edge types are LIVE graph-backed: one record store under
         # both the SQL and Cypher surfaces (QueryEngineManager.java:60) —
@@ -1007,6 +1175,7 @@ def _create_type(db, stmt: ast.CreateTypeStmt) -> DataFrame:
         tdef = db.register_graph_type(stmt.name, kind=stmt.kind)
         tdef.parents = parents
         _attach_named_buckets(db, tdef, stmt.bucket_names)
+        _store_custom(tdef)
         return _result(db, 1)
     tdef = db.schema.register(
         stmt.name,
@@ -1016,6 +1185,7 @@ def _create_type(db, stmt: ast.CreateTypeStmt) -> DataFrame:
     )
     tdef._df = None
     _attach_named_buckets(db, tdef, stmt.bucket_names)
+    _store_custom(tdef)
     return _result(db, 1)
 
 

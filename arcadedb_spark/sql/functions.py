@@ -295,6 +295,13 @@ def _statistics_agg(args, distinct=False):
 # ---------------------------------------------------------------------------
 
 
+@scalar("arrayremoveitem")
+def _array_remove_item(args):
+    """UPDATE … REMOVE coll = value (UpdateRemoveItem.java): drop the
+    matching element(s) from a collection property."""
+    return F.array_remove(args[0], args[1])
+
+
 @scalar("coalesce")
 def _coalesce(args):
     return F.coalesce(*args)

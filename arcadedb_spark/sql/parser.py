@@ -176,10 +176,17 @@ class Parser:
             # as one PARAM token
             bucket_name = str(self.advance().value)
             name = ""
+        elif name.lower() == "bucket" and self.at_op(":") \
+                and self.peek().kind == "PARAM":
+            # INSERT INTO bucket::<param> — parameterized bucket name
+            self.advance()
+            bucket_name = ast.Param(str(self.advance().value))
+            name = ""
         fields: list[str] = []
         values_rows: list[tuple] = []
         set_items: list[tuple] = []
         content = None
+        content_rows = None
         from_select = None
         if self.at_op("("):
             self.advance()
@@ -206,9 +213,16 @@ class Parser:
         elif self.at_kw("CONTENT"):
             self.advance()
             m = self.parse_primary()
-            if not isinstance(m, ast.MapLit):
+            if isinstance(m, ast.ArrayLit):
+                if not all(isinstance(i, ast.MapLit) for i in m.items):
+                    raise ParseError(
+                        "CONTENT array requires JSON objects"
+                    )
+                content_rows = m
+            elif isinstance(m, (ast.MapLit, ast.Param)):
+                content = m
+            else:
                 raise ParseError("CONTENT requires a JSON object")
-            content = m
         return_expr = None
         if self.at_kw("RETURN"):
             # INSERT … RETURN <expr> (InsertStatement.java returnStatement)
@@ -234,6 +248,7 @@ class Parser:
             values_rows=tuple(values_rows),
             set_items=tuple(set_items),
             content=content,
+            content_rows=content_rows,
             from_select=from_select,
         )
 
@@ -259,6 +274,7 @@ class Parser:
         set_items: list[tuple] = []
         remove_fields: list[str] = []
         content = None
+        content_rows = None
         upsert = False
         where = None
         limit = None
@@ -272,15 +288,38 @@ class Parser:
                     set_items.append(self._parse_set_item())
             elif self.at_kw("REMOVE"):
                 self.advance()
-                remove_fields.append(self.ident())
-                while self.eat_op(","):
-                    remove_fields.append(self.ident())
+                while True:
+                    rf = self.ident()
+                    if self.eat_op("="):
+                        # REMOVE items = 'x' — drop the matching element
+                        # from a collection property
+                        # (UpdateRemoveItem.java)
+                        set_items.append((
+                            rf,
+                            ast.FuncCall(
+                                "arrayremoveitem",
+                                (ast.Chain((rf,)), self.parse_expr()),
+                            ),
+                        ))
+                    else:
+                        remove_fields.append(rf)
+                    if not self.eat_op(","):
+                        break
             elif self.at_kw("CONTENT", "MERGE"):
                 self.advance()
                 m = self.parse_primary()
-                if not isinstance(m, ast.MapLit):
+                if isinstance(m, ast.ArrayLit):
+                    if not all(
+                        isinstance(i, ast.MapLit) for i in m.items
+                    ):
+                        raise ParseError(
+                            "CONTENT array requires JSON objects"
+                        )
+                    content_rows = m
+                elif isinstance(m, (ast.MapLit, ast.Param)):
+                    content = m
+                else:
                     raise ParseError("CONTENT/MERGE requires a JSON object")
-                content = m
             elif self.at_kw("UPSERT"):
                 self.advance()
                 upsert = True
@@ -314,6 +353,7 @@ class Parser:
             set_items=tuple(set_items),
             remove_fields=tuple(remove_fields),
             content=content,
+            content_rows=content_rows,
             upsert=upsert,
             where=where,
             limit=limit,
@@ -554,9 +594,10 @@ class Parser:
                 "readonly hidden min max default regexp)"
             )
         self.eat_op("=")  # optional '=' accepted
+        v = self.parse_expr()  # DEFAULT sysDate() — full expression form
         return ast.AlterPropertyStmt(
             type_name=tname, prop=prop, setting=setting,
-            value=self._literal_token_value(),
+            value=v.value if isinstance(v, ast.Lit) else v,
         )
 
     def _parse_import_export(self):
@@ -772,6 +813,7 @@ class Parser:
             extends = None
             buckets = None
             bucket_names: list[str] = []
+            custom: list[tuple] = []
             while True:
                 if self.at_kw("EXTENDS"):
                     self.advance()
@@ -795,12 +837,29 @@ class Parser:
                     # a (src, dst) table either way; accepted, recorded
                     # by the executor via the statement text elsewhere
                     self.advance()
+                elif self.cur.kind == "IDENT" \
+                        and self.cur.value.upper() == "PAGESIZE":
+                    # page sizing has no Spark analog (parquet blocks) —
+                    # accepted for grammar parity
+                    self.advance()
+                    self.advance()
+                elif self.cur.kind == "IDENT" \
+                        and self.cur.value.upper() == "CUSTOM":
+                    # CUSTOM k = v[, …] metadata
+                    # (CreateTypeAbstractStatement custom map)
+                    self.advance()
+                    while True:
+                        ck = self.ident()
+                        self.expect_op("=")
+                        custom.append((ck, self.parse_expr()))
+                        if not self.eat_op(","):
+                            break
                 else:
                     break
             return ast.CreateTypeStmt(
                 kind=kind, name=name, if_not_exists=if_not_exists,
                 extends=extends, buckets=buckets,
-                bucket_names=tuple(bucket_names),
+                bucket_names=tuple(bucket_names), custom=tuple(custom),
             )
         if self.at_kw("PROPERTY"):
             self.advance()
@@ -1025,6 +1084,33 @@ class Parser:
                 self.expect_kw("EXISTS")
                 if_exists = True
             return ast.DropBucketStmt(name=name, if_exists=if_exists)
+        if self.at_kw("PROPERTY"):
+            # DROP PROPERTY Type.prop (DropPropertyStatement.java)
+            self.advance()
+            tname = self.ident()
+            self.expect_op(".")
+            prop = self.ident()
+            if_exists = False
+            if self.at_kw("IF"):
+                self.advance()
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropPropertyStmt(
+                type_name=tname, prop=prop, if_exists=if_exists
+            )
+        if self.at_kw("INDEX") or (
+            self.cur.kind == "IDENT" and self.cur.value.upper() == "INDEX"
+        ):
+            # DROP INDEX <name> (DropIndexStatement.java); backticked
+            # names carry the Type[props] spelling
+            self.advance()
+            name = str(self.advance().value)
+            if_exists = False
+            if self.at_kw("IF"):
+                self.advance()
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return ast.DropIndexStmt(name=name, if_exists=if_exists)
         self.expect_kw("TYPE")
         name = self.ident()
         if_exists = False
@@ -1076,7 +1162,10 @@ class Parser:
             return ast.TruncateBucketStmt(name=self.ident())
         self.expect_kw("TYPE")
         name = self.ident()
-        while self.cur.kind == "KEYWORD":  # POLYMORPHIC / UNSAFE
+        while self.cur.kind == "KEYWORD" or (
+            self.cur.kind == "IDENT"
+            and self.cur.value.upper() in ("POLYMORPHIC", "UNSAFE")
+        ):  # POLYMORPHIC / UNSAFE modifiers
             self.advance()
         return ast.TruncateTypeStmt(name=name)
 
@@ -1218,6 +1307,11 @@ class Parser:
 
     def parse_target(self) -> ast.Target:
         tok = self.cur
+        if tok.kind == "PARAM":
+            # SELECT FROM :seeds — a bound RID / RID-collection target
+            # (Issue5505BoundRidCollectionTargetTest.java)
+            self.advance()
+            return ast.ParamTarget(str(tok.value))
         if tok.kind == "RID":
             rids = [self._rid_value(self.advance().value)]
             while self.eat_op(","):
@@ -1251,6 +1345,13 @@ class Parser:
             if prefix == "schema":
                 return ast.SchemaTarget(name)
             raise ParseError(f"Unsupported FROM prefix '{prefix}:'")
+        if tok.kind == "IDENT" and tok.value.lower() == "bucket" \
+                and self.peek().kind == "OP" and self.peek().value == ":" \
+                and self.peek(2).kind == "PARAM":
+            # bucket::<param> — parameterized bucket name
+            self.advance()
+            self.advance()
+            return ast.BucketTarget(ast.Param(str(self.advance().value)))
         if tok.kind == "IDENT" and self.peek().kind == "OP" \
                 and self.peek().value == "(":
             # function-call target: SELECT FROM cypherRID(:id)
@@ -1423,26 +1524,49 @@ class Parser:
                 key = self.advance().value.lower()
             else:
                 raise ParseError(f"Bad match filter key {tok!r}")
-            self.expect_op(":")
+            # `{type:Person}` (no space) lexes the value as a fused PARAM
+            # token — accept it as ':' + identifier
+            fused = None
+            if self.cur.kind == "PARAM" and key not in ("rid",):
+                fused = str(self.advance().value)
+            else:
+                self.expect_op(":")
             if key == "type":
-                if self.cur.kind in ("IDENT", "STRING", "KEYWORD"):
+                if fused is not None:
+                    type_name = fused
+                elif self.cur.kind in ("IDENT", "STRING", "KEYWORD"):
                     type_name = self.advance().value
                 else:
                     raise ParseError(f"Bad type value {self.cur!r}")
             elif key == "as":
-                alias = self.ident()
+                alias = fused if fused is not None else self.ident()
+            elif key == "rid":
+                # {rid: :param / #b:p} — identity filter
+                # (MatchStatement.java rid filter)
+                self.eat_op(":")
+                if self.cur.kind == "PARAM":
+                    rid_expr: ast.Expr = ast.Param(self.advance().value)
+                elif self.cur.kind == "RID":
+                    rid_expr = ast.Lit(self.advance().value)
+                else:
+                    rid_expr = self.parse_expr()
+                cond = ast.Bin("=", ast.Chain(("@rid",)), rid_expr)
+                where = cond if where is None else ast.Bin("AND", where, cond)
             elif key == "where":
                 self.expect_op("(")
-                where = self.parse_expr()
+                w = self.parse_expr()
                 self.expect_op(")")
+                where = w if where is None else ast.Bin("AND", where, w)
             elif key == "while":
                 self.expect_op("(")
                 while_ = self.parse_expr()
                 self.expect_op(")")
             elif key == "optional":
-                optional = self.advance().value.upper() == "TRUE"
+                v = fused if fused is not None else self.advance().value
+                optional = str(v).upper() == "TRUE"
             elif key == "maxdepth":
-                maxdepth = int(self.advance().value)
+                maxdepth = int(fused if fused is not None
+                               else self.advance().value)
             else:
                 raise ParseError(f"Unsupported match filter key '{key}'")
             self.eat_op(",")

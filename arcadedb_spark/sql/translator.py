@@ -3264,7 +3264,30 @@ class Translator:
             return self.db.spark.range(1).select(F.lit(1).alias("__one")), None
         if isinstance(target, ast.TypeTarget):
             return self.db.schema.table(target.name), target.name
+        if isinstance(target, ast.ParamTarget):
+            # bound RID / RID-collection target (Issue #5505): the param
+            # holds one rid string or a collection of them
+            v = (self.params or {}).get(target.name)
+            if v is None:
+                raise ParameterMissing(
+                    f"Missing query parameter :{target.name}"
+                )
+            vals = v if isinstance(v, (list, tuple, set)) else [v]
+            rids = []
+            for r in vals:
+                s = str(r).lstrip("#")
+                b, p = s.split(":")
+                rids.append(ast.RidLit(int(b), int(p)))
+            return self._resolve_target(ast.RidTarget(tuple(rids)))
         if isinstance(target, ast.BucketTarget):
+            bname = target.name
+            if isinstance(bname, ast.Param):
+                bv = (self.params or {}).get(bname.name)
+                if bv is None:
+                    raise ParameterMissing(
+                        f"Missing query parameter :{bname.name}"
+                    )
+                target = ast.BucketTarget(str(bv))
             meta = self.db.schema.named_buckets.get(target.name.lower())
             if meta is not None:
                 # named bucket (CREATE BUCKET): scan only that slice
@@ -3457,6 +3480,48 @@ class Translator:
                 )),
             )
             return out
+        if isinstance(inner, ast.Chain) and len(inner.parts) == 1 \
+                and isinstance(stmt.target, ast.SubqueryTarget):
+            # SELECT expand(col) FROM (subquery) — flatten a struct /
+            # array column back into records (ExpandStep.java over a
+            # projected field)
+            from pyspark.sql.types import ArrayType as _EA, StructType as _ES
+
+            df = self.translate(stmt.target.stmt)
+            match_c = next(
+                (c for c in df.columns
+                 if c.lower() == inner.parts[0].lower()), None,
+            )
+            if match_c is None:
+                return None
+            if stmt.where is not None:
+                ctx = Ctx(db=self.db, params=self.params,
+                          columns=tuple(df.columns),
+                          frame_schema=df.schema)
+                df = df.filter(ExprCompiler(ctx).compile(stmt.where))
+            dt = df.schema[match_c].dataType
+
+            def _fields(st):
+                return [
+                    f.name for f in st.fields
+                    if not f.name.startswith("__") and f.name != "vid"
+                ]
+
+            if isinstance(dt, _EA):
+                ex = df.select(F.explode(F.col(match_c)).alias("__x"))
+                el = dt.elementType
+                if isinstance(el, _ES):
+                    return ex.select(*[
+                        F.col("__x").getField(n).alias(n)
+                        for n in _fields(el)
+                    ])
+                return ex.select(F.col("__x").alias("value"))
+            if isinstance(dt, _ES):
+                return df.select(*[
+                    F.col(match_c).getField(n).alias(n)
+                    for n in _fields(dt)
+                ])
+            return None
         if not isinstance(stmt.target, ast.TypeTarget):
             return None
         if not (

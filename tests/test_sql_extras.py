@@ -395,3 +395,81 @@ def test_nav_edge_metadata_spellings(sdb):
     assert sdb.query(
         "SELECT inE()[0].`@cat` AS c FROM V3571"
     ).collect()[0]["c"] == "e"
+
+
+def test_match_fused_colon_and_rid_filter(sdb):
+    """SQL MATCH accepts fused `{type:X}` tokens (no space after ':')
+    and the {rid: …} identity filter (MatchStatementExecutionTest)."""
+    sdb.command("CREATE DOCUMENT TYPE MPerson")
+    for n in ("n1", "n2"):
+        sdb.command(f"INSERT INTO MPerson SET name = '{n}'")
+    rows = sdb.query(
+        "match {type:MPerson, as: person, where: (name = 'n1')} "
+        "return person.name AS n"
+    ).collect()
+    assert [r["n"] for r in rows] == ["n1"]
+
+
+def test_content_array_insert_update(sdb):
+    """INSERT/UPDATE ... CONTENT [<obj>, ...] (UpdateContentArrayTest):
+    insert = one record per element; update = positional full replace of
+    the matched records."""
+    sdb.command("CREATE DOCUMENT TYPE CaDoc")
+    sdb.command(
+        'INSERT INTO CaDoc CONTENT [{"id":1,"name":"a"},{"id":2,"name":"b"}]'
+    )
+    assert sdb.query("SELECT count(*) AS n FROM CaDoc").collect()[0]["n"] == 2
+    rows = sdb.command(
+        'UPDATE CaDoc CONTENT [{"id":2,"name":"b2","extra":"y"}] '
+        "RETURN AFTER WHERE id = 2"
+    ).collect()
+    assert [(r["name"], r["extra"]) for r in rows] == [("b2", "y")]
+    # untouched row keeps its values
+    assert sdb.query(
+        "SELECT name FROM CaDoc WHERE id = 1"
+    ).collect()[0]["name"] == "a"
+
+
+def test_param_rid_target_and_remove_item(sdb):
+    """SELECT FROM :seeds (bound rid-collection target, issue #5505) and
+    UPDATE ... REMOVE coll = value element removal."""
+    sdb.command("CREATE DOCUMENT TYPE P5505")
+    sdb.command("INSERT INTO P5505 (name) VALUES ('a'), ('b')")
+    rids = [r["r"] for r in sdb.query("SELECT @rid AS r FROM P5505").collect()]
+    got = sdb.query(
+        "SELECT name FROM :seeds ORDER BY name", seeds=rids
+    ).collect()
+    assert [r["name"] for r in got] == ["a", "b"]
+    sdb.command("UPDATE P5505 SET items = ['x', 'y'] WHERE name = 'a'")
+    sdb.command("UPDATE P5505 REMOVE items = 'x' WHERE name = 'a'")
+    assert list(sdb.query(
+        "SELECT items FROM P5505 WHERE name = 'a'"
+    ).collect()[0]["items"]) == ["y"]
+
+
+def test_create_type_custom_metadata_and_drop_ddl(sdb):
+    """CREATE TYPE ... CUSTOM k = v metadata; TRUNCATE modifiers;
+    DROP PROPERTY / DROP INDEX (grammar-parity DDL)."""
+    sdb.command("CREATE DOCUMENT TYPE CmDoc CUSTOM coolness = 10, k = 'v'")
+    assert sdb.schema.get("CmDoc").properties["custom"] == {
+        "coolness": 10, "k": "v"
+    }
+    sdb.command("INSERT INTO CmDoc SET x = 1")
+    sdb.command("TRUNCATE TYPE CmDoc POLYMORPHIC UNSAFE")
+    assert sdb.query("SELECT count(*) AS n FROM CmDoc").collect()[0]["n"] == 0
+    sdb.command("CREATE PROPERTY CmDoc.name STRING")
+    sdb.command("CREATE INDEX ON CmDoc (name) UNIQUE")
+    sdb.command("DROP INDEX `CmDoc[name]`")
+    sdb.command("DROP PROPERTY CmDoc.name")
+    assert "name" not in sdb.schema.get("CmDoc").properties["declared"]
+
+
+def test_expand_column_from_subquery(sdb):
+    """SELECT expand(col) FROM (subquery) flattens a struct/array column
+    back into records (ExpandStep.java over a projected field)."""
+    sdb.command("CREATE VERTEX TYPE ExV")
+    sdb.command("INSERT INTO ExV SET name = 'solo'")
+    rows = sdb.query(
+        "SELECT expand(u) FROM (MATCH {type:ExV, as: u} RETURN u)"
+    ).collect()
+    assert rows and rows[0]["name"] == "solo"
