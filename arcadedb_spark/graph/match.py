@@ -1884,6 +1884,41 @@ def translate_match(db, stmt: ast.MatchStmt, params: dict) -> DataFrame:
         df = db.spark.range(1).select()
     else:
         df, _ = combine_paths(db, stmt.paths, stmt.where, params)
+    if (
+        len(stmt.returns) == 1
+        and isinstance(stmt.returns[0].expr, ast.Var)
+        and stmt.returns[0].expr.name.lower() in (
+            "patterns", "paths", "elements", "pathelements",
+        )
+    ):
+        # MATCH … RETURN $patterns/$paths/$elements/$pathElements
+        # (MatchStatement.java context-variable returns): $patterns = one
+        # row per match with every alias record; $elements = the distinct
+        # matched records, one per row
+        from pyspark.sql.types import StructType as _MS
+
+        kind = stmt.returns[0].expr.name.lower()
+        acols = [c for c in df.columns if not c.startswith(("__", "@"))]
+        if kind in ("patterns", "paths"):
+            out = df.select(*acols)
+        else:
+            parts = []
+            for c in acols:
+                dt = df.schema[c].dataType
+                if isinstance(dt, _MS) and "vid" in dt.fieldNames():
+                    parts.append(df.select(F.col(f"`{c}`.*")))
+            if not parts:
+                out = df.select(*acols)
+            else:
+                out = parts[0]
+                for p_ in parts[1:]:
+                    out = out.unionByName(p_, allowMissingColumns=True)
+                out = out.dropDuplicates(["vid"]).drop("vid")
+        if stmt.skip is not None:
+            out = out.offset(int(stmt.skip.value))
+        if stmt.limit is not None:
+            out = out.limit(int(stmt.limit.value))
+        return out
     return project_stage(
         db, df, stmt.returns, params,
         distinct=stmt.distinct, group_by=stmt.group_by,

@@ -25,6 +25,14 @@ class Lit(Expr):
 
 
 @dataclass(frozen=True)
+class LongLit(Expr):
+    """Integer literal with a Java long suffix (1000000000L) — compiles
+    to a 64-bit column so arithmetic does not overflow at int width."""
+
+    value: int
+
+
+@dataclass(frozen=True)
 class Star(Expr):
     pass
 
@@ -364,7 +372,9 @@ class LetItem:
 @dataclass(frozen=True)
 class OrderItem:
     expr: Expr
-    ascending: bool = True
+    # True/False, or a Param whose bound value ('ASC'/'DESC'/bool)
+    # decides at run time (TestOrderParam: ORDER BY num :dir)
+    ascending: Any = True
 
 
 @dataclass(frozen=True)
@@ -676,6 +686,22 @@ class AlterPropertyStmt:
 class DropTypeStmt:
     name: str
     if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class AlterDatabaseStmt:
+    """ALTER DATABASE `key` <value> (AlterDatabaseStatement.java)."""
+
+    key: str
+    value: Any = None
+
+
+@dataclass(frozen=True)
+class DeleteFunctionStmt:
+    """DELETE FUNCTION lib.name (drops a DEFINE FUNCTION entry)."""
+
+    lib: str
+    name: str
 
 
 @dataclass(frozen=True)

@@ -106,6 +106,23 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
                 "kind": (stmt.index_kind or "").lower(),
             }
         return _result(db, 0)  # execution no-op: scan+pushdown replaces it
+    if isinstance(stmt, ast.AlterDatabaseStmt):
+        # recorded only: Spark has no page-size/WAL knobs (the reference
+        # applies these to GlobalConfiguration)
+        if not hasattr(db, "_db_settings"):
+            db._db_settings = {}
+        db._db_settings[stmt.key] = stmt.value
+        return _result(db, 1)
+    if isinstance(stmt, ast.DeleteFunctionStmt):
+        reg = getattr(db, "_functions", None) or {}
+        key = f"{stmt.lib}.{stmt.name}".lower()
+        hit = next((k for k in reg if k.lower() == key), None)
+        if hit is None:
+            raise TranslateError(
+                f"Function '{stmt.lib}.{stmt.name}' does not exist"
+            )
+        del reg[hit]
+        return _result(db, 1)
     if isinstance(stmt, ast.DropPropertyStmt):
         if not db.schema.exists(stmt.type_name):
             if stmt.if_exists:
@@ -586,9 +603,28 @@ def _insert(db, stmt: ast.InsertStmt, params: dict) -> DataFrame:
                     )
             rows = [{} for _ in rows]
         else:
-            new_df = db.spark.createDataFrame(
-                [tuple(r.values()) for r in rows], list(rows[0].keys())
-            )
+            # null property values are not stored (reference semantics —
+            # MutableDocument.set(null) removes); bare [] values default
+            # to array<string> so inference can't fail
+            rows = [
+                {k: v for k, v in r.items() if v is not None} for r in rows
+            ]
+            keys: list[str] = []
+            for r in rows:
+                for k in r:
+                    if k not in keys:
+                        keys.append(k)
+            if not keys:
+                new_df = db.spark.range(len(rows)).drop("id")
+                rows = [{} for _ in rows]
+            else:
+                new_df = db.spark.createDataFrame(
+                    [tuple(r.get(k) for k in keys) for r in rows],
+                    ", ".join(
+                        f"`{k}` {_py_spark_type(next((r[k] for r in rows if r.get(k) not in (None, [], ())), None))}"
+                        for k in keys
+                    ),
+                )
 
     trig_rows = _trigger_rows(db, "CREATE", name, new_df)
     if trig_rows is not None:
@@ -957,7 +993,8 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     if tdef.live and tdef.kind == "edge":
         return _update_live_edges(db, tdef, stmt, params)
     base = tdef.df()
-    ctx = Ctx(db=db, params=params, columns=tuple(base.columns))
+    ctx = Ctx(db=db, params=params, columns=tuple(base.columns),
+              frame_schema=base.schema)
     compiler = ExprCompiler(ctx)
     cond = compiler.compile(stmt.where) if stmt.where is not None else F.lit(True)
 
@@ -1127,7 +1164,8 @@ def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
 
             fire(db, "AFTER", "DELETE", name, del_rows)
         return _result(db, n)
-    ctx = Ctx(db=db, params=params, columns=tuple(base.columns))
+    ctx = Ctx(db=db, params=params, columns=tuple(base.columns),
+              frame_schema=base.schema)
     cond = ExprCompiler(ctx).compile(stmt.where)
     n = base.filter(cond).count()
     _notify_mvs(db, name)
@@ -1269,6 +1307,17 @@ def _endpoint_vids(db, ep, params: dict, side: str) -> list[int]:
     vertex frame for the type (Cypher-created and SQL-mirrored vertices
     both live there); RID literals address bucket vids."""
     g = db.graph()
+    if isinstance(ep, ast.Param):
+        # bound endpoint: a rid string or a collection of them
+        v = (params or {}).get(ep.name)
+        if v is None:
+            raise TranslateError(f"Missing query parameter :{ep.name}")
+        vals = v if isinstance(v, (list, tuple, set)) else [v]
+        out = []
+        for r in vals:
+            b, pos = str(r).lstrip("#").split(":")
+            out.append(_rid_vid(ast.RidLit(int(b), int(pos))))
+        return out
     if isinstance(ep, ast.RidLit):
         return [_rid_vid(ep)]
     if isinstance(ep, tuple):

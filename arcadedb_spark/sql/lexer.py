@@ -47,8 +47,8 @@ _TOKEN_TEMPLATE = r"""
   | (?P<RID>\#-?\d+:-?\d+)
   | (?P<HEX>0[xX][0-9a-fA-F]+)
   | (?P<OCT>0o[0-7]+)
-  | (?P<FLOAT>\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
-  | (?P<INT>\d+)
+  | (?P<FLOAT>(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)[fFdD]?|\d+[fFdD])
+  | (?P<INT>\d+[lL]?)
   | (?P<STRING>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")
   | (?P<BTICK>`(?:[^`]|``)*`)
   | (?P<PPARAM>\$\d+)
@@ -150,6 +150,15 @@ def tokenize(text: str, cypher: bool = False) -> list[Token]:
             tokens.append(Token("INT", str(int(value, 16)), pos))
         elif kind == "OCT":
             tokens.append(Token("INT", str(int(value, 8)), pos))
+        elif kind == "INT":
+            # Java-style long suffix: 1000000000L → LINT so the literal
+            # compiles as a 64-bit long (int overflow parity)
+            if value[-1] in "lL":
+                tokens.append(Token("LINT", value[:-1], pos))
+            else:
+                tokens.append(Token("INT", value, pos))
+        elif kind == "FLOAT":
+            tokens.append(Token("FLOAT", value.rstrip("fFdD"), pos))
         else:
             tokens.append(Token(kind, value, pos))
         pos = m.end()

@@ -188,6 +188,12 @@ class Parser:
         content = None
         content_rows = None
         from_select = None
+        if self.at_op("(") and self.peek().kind == "KEYWORD" \
+                and self.peek().value == "SELECT":
+            # INSERT INTO dst (SELECT ...) — subquery source without FROM
+            self.advance()
+            from_select = self.parse_statement()
+            self.expect_op(")")
         if self.at_op("("):
             self.advance()
             fields.append(self.ident())
@@ -254,6 +260,17 @@ class Parser:
 
     def _parse_set_item(self) -> tuple[str, ast.Expr]:
         prop = self.ident()
+        if self.at_op("+", "-") and self.peek().kind == "OP" \
+                and self.peek().value == "=":
+            # SET items += 'c' / n -= 1 (UpdateItem.java
+            # OPERATOR_PLUSASSIGN/MINUSASSIGN: append-to-collection /
+            # string-concat / numeric add, dispatched on the column type)
+            op = self.advance().value
+            self.advance()
+            fn = "plusassign" if op == "+" else "minusassign"
+            return (prop, ast.FuncCall(
+                fn, (ast.Chain((prop,)), self.parse_expr())
+            ))
         self.expect_op("=")
         return (prop, self.parse_expr())
 
@@ -363,6 +380,13 @@ class Parser:
 
     def parse_delete(self) -> ast.DeleteStmt:
         self.expect_kw("DELETE")
+        if self.cur.kind == "IDENT" \
+                and self.cur.value.upper() == "FUNCTION":
+            # DELETE FUNCTION lib.name (SQLScriptTest function lifecycle)
+            self.advance()
+            lib = self.ident()
+            self.expect_op(".")
+            return ast.DeleteFunctionStmt(lib=lib, name=self.ident())
         self.expect_kw("FROM")
         name = self._maybe_func_target()
         where = None
@@ -482,6 +506,16 @@ class Parser:
                 "AlterBucketStatement.executeDDL throws "
                 "UnsupportedOperationException — AlterBucketStatement."
                 "java:92); buckets here are parquet partitions"
+            )
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "DATABASE":
+            # ALTER DATABASE `setting.key` <value>
+            # (AlterDatabaseStatement.java → GlobalConfiguration): the
+            # setting is recorded; Spark has no page/WAL knobs to apply
+            self.advance()
+            key = str(self.advance().value)
+            v = self.parse_expr()
+            return ast.AlterDatabaseStmt(
+                key=key, value=v.value if isinstance(v, ast.Lit) else v
             )
         if not (self.cur.kind == "IDENT" and self.cur.value.upper() == "TIMESERIES"):
             raise ParseError(
@@ -664,6 +698,13 @@ class Parser:
             if self.cur.kind == "RID":
                 b, pos = self.advance().value.lstrip("#").split(":")
                 return ast.RidLit(int(b), int(pos))
+            if self.at_op("?") or self.cur.kind == "PARAM":
+                if self.cur.kind == "PARAM":
+                    return ast.Param(str(self.advance().value))
+                self.advance()
+                name = str(self._positional)
+                self._positional += 1
+                return ast.Param(name)
             if self.at_op("["):
                 self.advance()
                 rids = []
@@ -700,6 +741,13 @@ class Parser:
                 sets.append((prop, self.parse_expr()))
                 if not self.eat_op(","):
                     break
+        # trailing IF NOT EXISTS / UNIDIRECTIONAL (CreateEdgeStatement
+        # grammar order tolerates both positions)
+        if self.cur.kind == "IDENT" \
+                and self.cur.value.upper() == "UNIDIRECTIONAL":
+            self.advance()
+            uni = True
+        if_not_exists = self._eat_if_not_exists() or if_not_exists
         return ast.CreateEdgeStmt(
             etype=etype, src=src, dst=dst, sets=tuple(sets),
             if_not_exists=if_not_exists, unidirectional=uni,
@@ -880,14 +928,33 @@ class Parser:
             constraints: dict = {}
             if self.at_op("("):
                 # (MANDATORY true, NOTNULL true, DEFAULT x, MIN n, MAX n,
-                # REGEXP 'p') — DocumentValidator.java constraint set
+                # REGEXP 'p') — DocumentValidator.java constraint set;
+                # a bare flag (hidden) defaults to true
                 self.advance()
                 while not self.at_op(")"):
                     key = self.ident().lower()
-                    val = self.parse_expr()
-                    constraints[key] = val.value if isinstance(val, ast.Lit) else val
+                    if self.at_op(",") or self.at_op(")"):
+                        constraints[key] = True
+                    else:
+                        val = self.parse_expr()
+                        constraints[key] = (
+                            val.value if isinstance(val, ast.Lit) else val
+                        )
                     self.eat_op(",")
                 self.expect_op(")")
+            if self.cur.kind == "IDENT" \
+                    and self.cur.value.upper() == "CUSTOM":
+                # CREATE PROPERTY … CUSTOM k = v[, …] metadata
+                self.advance()
+                cust: dict = {}
+                while True:
+                    ck = self.ident()
+                    self.expect_op("=")
+                    cv = self.parse_expr()
+                    cust[ck] = cv.value if isinstance(cv, ast.Lit) else cv
+                    if not self.eat_op(","):
+                        break
+                constraints["custom"] = tuple(cust.items())
             if of_type is not None:
                 constraints.setdefault("of", of_type)
             return ast.CreatePropertyStmt(
@@ -1271,6 +1338,13 @@ class Parser:
         if self.at_op("*"):
             self.advance()
             return ast.ProjItem(ast.Star())
+        if self.at_op("!") and not self.cypher:
+            # exclusion projection: SELECT *, !secret
+            # (SQLParser.g4 exclude-projection)
+            self.advance()
+            return ast.ProjItem(
+                ast.Unary("EXCLUDE", ast.Chain((str(self.advance().value),)))
+            )
         start = self.cur.pos
         expr = self.parse_expr()
         if self.at_op(":") and self.peek().value == "{":
@@ -1312,6 +1386,11 @@ class Parser:
             # (Issue5505BoundRidCollectionTargetTest.java)
             self.advance()
             return ast.ParamTarget(str(tok.value))
+        if tok.kind == "OP" and tok.value == "?":
+            self.advance()
+            name = str(self._positional)
+            self._positional += 1
+            return ast.ParamTarget(name)
         if tok.kind == "RID":
             rids = [self._rid_value(self.advance().value)]
             while self.eat_op(","):
@@ -1347,11 +1426,17 @@ class Parser:
             raise ParseError(f"Unsupported FROM prefix '{prefix}:'")
         if tok.kind == "IDENT" and tok.value.lower() == "bucket" \
                 and self.peek().kind == "OP" and self.peek().value == ":" \
-                and self.peek(2).kind == "PARAM":
-            # bucket::<param> — parameterized bucket name
+                and (self.peek(2).kind == "PARAM"
+                     or self.peek(2).value == "?"):
+            # bucket::<param> / bucket:? — parameterized bucket name
             self.advance()
             self.advance()
-            return ast.BucketTarget(ast.Param(str(self.advance().value)))
+            if self.cur.kind == "PARAM":
+                return ast.BucketTarget(ast.Param(str(self.advance().value)))
+            self.advance()
+            name = str(self._positional)
+            self._positional += 1
+            return ast.BucketTarget(ast.Param(name))
         if tok.kind == "IDENT" and self.peek().kind == "OP" \
                 and self.peek().value == "(":
             # function-call target: SELECT FROM cypherRID(:id)
@@ -1363,6 +1448,10 @@ class Parser:
         name = self.ident()
         if self.eat_kw("AS"):
             self.ident()
+        elif self.cur.kind == "IDENT":
+            # implicit table alias: SELECT ... FROM V v2 (the alias is
+            # cosmetic — single-target dialect)
+            self.advance()
         return ast.TypeTarget(name)
 
     @staticmethod
@@ -1397,6 +1486,9 @@ class Parser:
             # ORDER BY col true/false — boolean ascending flag
             # (reference TestOrderParam forms: true = ascending)
             asc = str(self.advance().value).upper() == "TRUE"
+        elif not self.cypher and self.cur.kind == "PARAM":
+            # ORDER BY col :dir — parameterized direction (TestOrderParam)
+            asc = ast.Param(str(self.advance().value))
         return ast.OrderItem(expr, asc)
 
     def _eat_ident(self, word: str) -> bool:
@@ -1483,7 +1575,33 @@ class Parser:
     def parse_match_path(self, negated: bool) -> ast.MatchPath:
         root = self.parse_match_filter()
         steps: list[ast.MatchStep] = []
-        while self.at_op("."):
+        while self.at_op(".", "-", "<"):
+            if self.at_op("-", "<"):
+                # arrow shorthand (MatchStatement.java arrow syntax):
+                # -E->  out | <-E-  in | -E-  both | --> / <-- / --
+                if self.eat_op("<"):
+                    direction = "in"
+                    self.expect_op("-")
+                    etype = None
+                    if self.cur.kind in ("IDENT", "STRING"):
+                        etype = str(self.advance().value)
+                    self.expect_op("-")
+                else:
+                    self.advance()  # '-'
+                    etype = None
+                    if self.cur.kind in ("IDENT", "STRING"):
+                        etype = str(self.advance().value)
+                    self.expect_op("-")
+                    direction = "out" if self.eat_op(">") else "both"
+                filt = ast.MatchFilter()
+                if self.at_op("{"):
+                    filt = self.parse_match_filter()
+                steps.append(ast.MatchStep(
+                    method=direction,
+                    edge_types=(etype,) if etype else (),
+                    filter=filt,
+                ))
+                continue
             self.advance()
             method = self.ident()
             if method.lower() not in _TRAVERSE_METHODS:
@@ -1911,6 +2029,13 @@ class Parser:
                 # map projection n{.name, key: expr, .*} (Cypher-25;
                 # reference OpenCypherExpressionTest)
                 expr = self._parse_map_projection(expr)
+            elif not self.cypher and self.at_op(":") \
+                    and self.peek().kind == "OP" \
+                    and self.peek().value == "{":
+                # inline nested projection expr:{a, b} in EXPRESSION
+                # position (SQLParser.g4:322; ArrayConcatNestedProjection
+                # Test: SELECT list({'x':1}):{x} || [])
+                expr = self._parse_nested_projection(expr)
             elif self.at_op("."):
                 self.advance()
                 name = self.ident()
@@ -2005,6 +2130,9 @@ class Parser:
         if tok.kind == "INT":
             self.advance()
             return ast.Lit(int(tok.value))
+        if tok.kind == "LINT":
+            self.advance()
+            return ast.LongLit(int(tok.value))
         if tok.kind == "FLOAT":
             self.advance()
             fv = float(tok.value)

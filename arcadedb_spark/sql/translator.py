@@ -149,13 +149,31 @@ def _type_family(dt) -> "str | None":
 
 
 def _py_spark_type(v) -> str:
-    """Spark DDL type of a python literal (literal expand() rows)."""
+    """Spark DDL type of a python literal (literal expand()/INSERT rows)."""
+    import datetime as _dt
+
     if isinstance(v, bool):
         return "boolean"
     if isinstance(v, int):
         return "bigint"
     if isinstance(v, float):
         return "double"
+    if isinstance(v, _dt.datetime):
+        return "timestamp"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "binary"
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        return "decimal(38,10)"
+    if isinstance(v, (list, tuple)):
+        inner = next((x for x in v if x is not None), None)
+        return f"array<{_py_spark_type(inner)}>"
+    if isinstance(v, dict):
+        inner = next((x for x in v.values() if x is not None), None)
+        return f"map<string,{_py_spark_type(inner)}>"
     return "string"
 
 
@@ -549,6 +567,11 @@ class ExprCompiler:
         return m(e)
 
     # -- leaves -----------------------------------------------------------
+    def _c_longlit(self, e: "ast.LongLit") -> Column:
+        # Java long suffix (1000000000L): force a 64-bit column so the
+        # surrounding arithmetic is long math
+        return F.lit(e.value).cast("long")
+
     def _c_lit(self, e: ast.Lit) -> Column:
         v = e.value
         if (
@@ -2433,6 +2456,19 @@ class ExprCompiler:
         """``base[cond]`` → F.filter with the condition compiled against
         the array element (arrayConditionSelector; the reference iterates
         the collection per row — here it stays one codegen expression)."""
+        if not (self.ctx.cypher or self.ctx.cypher_order) and (
+            _void_like(self._static_dtype(e.base)) or (
+                isinstance(e.base, ast.Chain)
+                and self.ctx.columns is not None
+                and e.base.parts[0] not in getattr(self, "_bound", {})
+                and e.base.parts[0].lower() not in (
+                    c.lower() for c in self.ctx.columns
+                )
+            )
+        ):
+            # missing / NULL-typed collection: selector yields null, not
+            # an analysis error (same rule as CONTAINS, issue #1898)
+            return F.lit(None).cast("array<string>")
         base = self.compile(e.base)
 
         def cond_fn(x: Column) -> Column:
@@ -2442,8 +2478,24 @@ class ExprCompiler:
 
     def _c_nestedproj(self, e: ast.NestedProj) -> Column:
         """``expr:{a,b}`` / ``expr:{*, !x}`` → struct rebuild
-        (parser/NestedProjection.java semantics on embedded documents)."""
+        (parser/NestedProjection.java semantics on embedded documents).
+        Over a LIST base the projection maps per element
+        (ArrayConcatNestedProjectionTest: list({'x':1}):{x})."""
+        from pyspark.sql.types import ArrayType as _NA
+
         base = self.compile(e.base)
+        if isinstance(self._static_dtype(e.base), _NA):
+            def _elem(x):
+                if "*" in e.include or (e.exclude and not e.include):
+                    out = x
+                    for name in e.exclude:
+                        out = out.dropFields(name)
+                    return out
+                return F.struct(
+                    *[x[name].alias(name) for name in e.include]
+                )
+
+            return F.transform(base, _elem)
         if "*" in e.include:
             out = base
             for name in e.exclude:
@@ -2504,6 +2556,27 @@ class ExprCompiler:
             # attach_entity_lookups)
             return pre
         name = e.name.lower()
+        if name in ("plusassign", "minusassign") and len(e.args) == 2:
+            # SET col += v / -= v (UpdateItem.java): collection append /
+            # element remove, string concat, or numeric add/sub —
+            # dispatched on the target column's static type
+            from pyspark.sql.types import ArrayType as _PA, StringType as _PS
+
+            tgt, val = e.args
+            dt = self._static_dtype(tgt)
+            cur = self.compile(tgt)
+            v = self.compile(val)
+            if isinstance(dt, _PA):
+                vdt = self._static_dtype(val)
+                item = v if isinstance(vdt, _PA) else F.array(v)
+                if name == "plusassign":
+                    return F.concat(cur, item)
+                return F.array_remove(cur, v)
+            if isinstance(dt, _PS):
+                if name == "plusassign":
+                    return F.concat(cur, v.cast("string"))
+                raise TranslateError("-= is not defined on strings")
+            return cur + v if name == "plusassign" else cur - v
         if name == "cypherrid" and self.ctx.db is not None:
             # SELECT cypherRID(:id) — inverse of Cypher id(); resolved at
             # translate time (literal/param arg → one point lookup)
@@ -2997,6 +3070,11 @@ class ExprCompiler:
         return F.col(name)
 
     def _c_method(self, e: ast.Method) -> Column:
+        pre = self.ctx.precompiled.get(id(e))
+        if pre is not None:
+            # pre-joined nav-chain marker (out('A').in('B') — see
+            # _attach_nav_markers)
+            return pre
         # Namespaced function call: ts.lag(...) / vector.cosine(...) parse as
         # Method(base=Chain(('ts',)), name='lag').
         if isinstance(e.base, ast.Chain) and len(e.base.parts) <= 2 and all(
@@ -3256,6 +3334,19 @@ class Translator:
 
             return translate_traverse(self.db, stmt, self.params)
         raise TranslateError(f"Unsupported statement {type(stmt).__name__}")
+
+    def _asc_of(self, oi: ast.OrderItem) -> bool:
+        """ORDER BY direction, resolving a :param direction at run time
+        ('ASC'/'DESC'/boolean — TestOrderParam)."""
+        a = oi.ascending
+        if isinstance(a, ast.Param):
+            v = (self.params or {}).get(a.name)
+            if v is None:
+                raise ParameterMissing(f"Missing query parameter :{a.name}")
+            if isinstance(v, bool):
+                return v
+            return str(v).strip().upper() != "DESC"
+        return bool(a)
 
     # -- target resolution -------------------------------------------------
     def _resolve_target(self, target: ast.Target) -> tuple[DataFrame, Optional[str]]:
@@ -3579,6 +3670,25 @@ class Translator:
         "oute": ("out", "e"), "ine": ("in", "e"), "bothe": ("both", "e"),
     }
 
+    @classmethod
+    def _nav_chain(cls, node) -> "list[tuple[str, tuple]] | None":
+        """``out('A').in('B')`` → [('out', ('A',)), ('in', ('B',))];
+        None when ``node`` isn't a literal-arg navigation chain."""
+        if isinstance(node, ast.FuncCall) \
+                and node.name.lower() in cls._NAV_FNS \
+                and all(isinstance(a, ast.Lit) for a in node.args):
+            return [(node.name.lower(), tuple(a.value for a in node.args))]
+        if isinstance(node, ast.Method) \
+                and node.name.lower() in cls._NAV_FNS \
+                and all(isinstance(a, ast.Lit) for a in node.args):
+            base = cls._nav_chain(node.base)
+            if base is None:
+                return None
+            return base + [
+                (node.name.lower(), tuple(a.value for a in node.args))
+            ]
+        return None
+
     def _attach_nav_markers(self, df: DataFrame, stmt: ast.SelectStmt,
                             type_name: Optional[str], ctx: Ctx) -> DataFrame:
         """SQL graph-navigation functions over a vertex scan
@@ -3601,18 +3711,26 @@ class Translator:
         for e in exprs:
             for node in walk(e):
                 if (
-                    isinstance(node, ast.FuncCall)
-                    and node.name.lower() in self._NAV_FNS
-                    and all(isinstance(a, ast.Lit) for a in node.args)
+                    self._nav_chain(node) is not None
                     and id(node) not in ctx.precompiled
                     and all(node is not t for t in targets)
                 ):
                     targets.append(node)
+        # keep only MAXIMAL chains: out('A').in('B') registers once, not
+        # also for its out('A') prefix
+        bases = set()
+        for t in targets:
+            b = t
+            while isinstance(b, ast.Method):
+                b = b.base
+                bases.add(id(b))
+        targets = [t for t in targets if id(t) not in bases]
         if not targets:
             return df
         g = self.db.graph()
         tdef = self.db.schema.get(type_name)
-        if type_name.lower() not in g.vertex_dfs:
+        if type_name.lower() not in g.vertex_dfs \
+                and tdef.kind != "vertex":
             raise TranslateError(
                 f"graph navigation from '{type_name}' needs a vertex type"
             )
@@ -3625,9 +3743,9 @@ class Translator:
             F.lit(tdef.bucket_id * (1 << 40)) + offset
         )
         av = None
-        for i, t in enumerate(targets):
-            direction, kind = self._NAV_FNS[t.name.lower()]
-            etypes = [a.value for a in t.args]
+
+        def _hop_pairs(name: str, etypes):
+            direction, _k = self._NAV_FNS[name]
             e = g.edges(*etypes) if etypes else g.edges()
             frames = []
             if direction in ("out", "both"):
@@ -3636,13 +3754,51 @@ class Translator:
             if direction in ("in", "both"):
                 frames.append(e.withColumn("__nk", F.col("dst"))
                               .withColumn("__nv", F.col("src")))
-            pairs = frames[0]
+            p_ = frames[0]
             for fr in frames[1:]:
-                pairs = pairs.unionByName(fr)
+                p_ = p_.unionByName(fr)
+            return p_
+
+        for i, t in enumerate(targets):
+            chain = self._nav_chain(t)
+            kind = self._NAV_FNS[chain[-1][0]][1]
+            pairs = _hop_pairs(*chain[0])
+            if len(chain) > 1:
+                # multi-hop chain (out('A').in('B')…): walk hop by hop,
+                # keeping the ORIGINAL source key — one equi-join per hop
+                if self._NAV_FNS[chain[0][0]][1] != "v":
+                    raise TranslateError(
+                        "edge-valued navigation can only end a chain"
+                    )
+                cur = pairs.select(
+                    F.col("__nk").alias("__k0"),
+                    F.col("__nv").alias("__cur"),
+                )
+                for name_h, etypes_h in chain[1:-1]:
+                    if self._NAV_FNS[name_h][1] != "v":
+                        raise TranslateError(
+                            "edge-valued navigation can only end a chain"
+                        )
+                    nh = _hop_pairs(name_h, etypes_h).select(
+                        F.col("__nk").alias("__hk"),
+                        F.col("__nv").alias("__hv"),
+                    )
+                    cur = cur.join(
+                        nh, F.col("__cur") == F.col("__hk")
+                    ).select("__k0", F.col("__hv").alias("__cur"))
+                last = _hop_pairs(*chain[-1])
+                pairs = cur.join(
+                    last.withColumnRenamed("__nk", "__lk"),
+                    F.col("__cur") == F.col("__lk"),
+                ).drop("__cur", "__lk").withColumnRenamed("__k0", "__nk")
             kname, cname = f"__navk{i}", f"__nav{i}"
             if kind == "v":
                 if av is None:
                     av = g.all_vertices_full()
+                if av is None:  # empty graph: typed empty frame
+                    av = self.db.spark.createDataFrame(
+                        [], "vid long, `@type` string"
+                    )
                 ent = F.struct(*[
                     F.col(c) for c in av.columns if not c.startswith("__")
                 ])
@@ -4052,6 +4208,25 @@ class Translator:
 
     def _translate_plain(self, df: DataFrame, stmt: ast.SelectStmt, ctx: Ctx) -> DataFrame:
         projections = list(stmt.projections)
+        excluded = {
+            p.expr.operand.parts[0].lower()
+            for p in projections
+            if isinstance(p.expr, ast.Unary) and p.expr.op == "EXCLUDE"
+        }
+        if excluded:
+            # SELECT *, !secret — drop the excluded columns from the
+            # star expansion (metadata spellings like !@rid are already
+            # hidden by the star rule)
+            projections = [
+                p for p in projections
+                if not (isinstance(p.expr, ast.Unary)
+                        and p.expr.op == "EXCLUDE")
+            ]
+            df = df.drop(*[
+                c for c in df.columns if c.lower() in excluded
+            ])
+            ctx.columns = tuple(df.columns)
+            ctx.frame_schema = df.schema
         star_only = not projections or (
             len(projections) == 1 and isinstance(projections[0].expr, ast.Star)
         )
@@ -4127,7 +4302,7 @@ class Translator:
                         # stored temporal values are strings: add an
                         # instant key, tie-broken by the string itself
                         temporal = True
-                sort_plan.append((name, oi.ascending, temporal))
+                sort_plan.append((name, self._asc_of(oi), temporal))
             else:
                 if ctx.cypher_order:
                     # ORDER BY rel.id where rel is a RETURN alias:
@@ -4151,7 +4326,7 @@ class Translator:
                     temporal = isinstance(
                         compiler._static_dtype(expr), StringType
                     )
-                sort_plan.append((hname, oi.ascending, temporal))
+                sort_plan.append((hname, self._asc_of(oi), temporal))
 
         if hidden and stmt.distinct:
             # Cypher: DISTINCT then ORDER BY over expressions of the
@@ -4314,7 +4489,7 @@ class Translator:
                     expr = _subst_alias_refs(expr, alias_map)
                     _validate_agg_mixed(expr, stmt)
                 c = compiler.compile(expr)  # agg-mode: resolves via maps
-            sort_cols.append(c.asc() if oi.ascending else c.desc())
+            sort_cols.append(c.asc() if self._asc_of(oi) else c.desc())
 
         if sort_cols:
             agged = agged.orderBy(*sort_cols)

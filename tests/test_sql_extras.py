@@ -473,3 +473,132 @@ def test_expand_column_from_subquery(sdb):
         "SELECT expand(u) FROM (MATCH {type:ExV, as: u} RETURN u)"
     ).collect()
     assert rows and rows[0]["name"] == "solo"
+
+
+def test_match_arrow_syntax(sdb):
+    """SQL MATCH arrow shorthand -E-> / <-E- / -E-
+    (MatchStatementExecutionTest arrow forms)."""
+    sdb.command("CREATE VERTEX TYPE MPav")
+    sdb.command("CREATE EDGE TYPE MFriend")
+    sdb.query(
+        "CREATE (:MPav {name:'n1'})-[:MFriend]->(:MPav {name:'n2'})",
+        language="cypher",
+    ).collect()
+    out = sdb.query(
+        "MATCH {type:MPav, as: a, where: (name='n1')}-MFriend->{as: x} "
+        "RETURN x.name AS name"
+    ).collect()
+    assert [r["name"] for r in out] == ["n2"]
+    inn = sdb.query(
+        "MATCH {type:MPav, as: a, where: (name='n2')}<-MFriend-{as: x} "
+        "RETURN x.name AS name"
+    ).collect()
+    assert [r["name"] for r in inn] == ["n1"]
+    both = sdb.query(
+        "MATCH {type:MPav, as: a, where: (name='n1')}-MFriend-{as: x} "
+        "RETURN x.name AS name"
+    ).collect()
+    assert [r["name"] for r in both] == ["n2"]
+
+
+def test_order_by_param_direction_and_long_suffix(sdb):
+    """ORDER BY col :dir (TestOrderParam) and Java long literals."""
+    sdb.command("CREATE DOCUMENT TYPE Op8")
+    sdb.command("INSERT INTO Op8 (num) VALUES (2), (1), (3)")
+    assert [r["num"] for r in sdb.query(
+        "SELECT num FROM Op8 ORDER BY num :dir", dir="DESC"
+    ).collect()] == [3, 2, 1]
+    assert [r["num"] for r in sdb.query(
+        "SELECT num FROM Op8 ORDER BY num :dir", dir="ASC"
+    ).collect()] == [1, 2, 3]
+    assert sdb.query(
+        "SELECT 1000 * 1000000000L as value"
+    ).collect()[0]["value"] == 1_000_000_000_000
+
+
+def test_nested_projection_expression_position(sdb):
+    """SELECT list({'x':1}):{x} || [] — inline nested projection over a
+    list value in expression position (ArrayConcatNestedProjectionTest)."""
+    rows = sdb.query("SELECT list({'x':1}):{x} || [] AS r").collect()
+    assert [dict(x.asDict()) for x in rows[0]["r"]] == [{"x": 1}]
+
+
+def test_alter_database_and_delete_function(sdb):
+    sdb.command("ALTER DATABASE `arcadedb.dateTimeFormat` 'yyyy-MM-dd'")
+    assert sdb._db_settings["arcadedb.dateTimeFormat"] == "yyyy-MM-dd"
+    sdb.command('DEFINE FUNCTION m8.double "x * 2" PARAMETERS [x]')
+    sdb.command("DELETE FUNCTION m8.double")
+    import pytest
+
+    with pytest.raises(Exception, match="does not exist"):
+        sdb.command("DELETE FUNCTION m8.double")
+
+
+def test_nav_from_empty_vertex_type(sdb):
+    """Navigation functions over a registered-but-empty vertex type
+    return empty, not an error."""
+    sdb.command("CREATE VERTEX TYPE EmptyAuthor")
+    assert sdb.query(
+        "SELECT out('Published') AS o FROM EmptyAuthor"
+    ).count() == 0
+
+
+def test_chained_nav_and_match_context_vars(sdb):
+    """out('A').in('B') chains one equi-join per hop; MATCH RETURN
+    $elements/$patterns context-variable results."""
+    sdb.command("CREATE VERTEX TYPE CnAuthor")
+    sdb.command("CREATE VERTEX TYPE CnNews")
+    sdb.command("CREATE VERTEX TYPE CnReader")
+    sdb.command("CREATE EDGE TYPE CnPub")
+    sdb.command("CREATE EDGE TYPE CnRead")
+    sdb.query(
+        "CREATE (:CnAuthor {name:'au'})-[:CnPub]->(:CnNews {t:'n1'})",
+        language="cypher",
+    ).collect()
+    sdb.query(
+        "MATCH (n:CnNews) CREATE (:CnReader {name:'r1'})-[:CnRead]->(n)",
+        language="cypher",
+    ).collect()
+    rows = sdb.query(
+        'SELECT out("CnPub").in("CnRead").size() AS n FROM CnAuthor'
+    ).collect()
+    assert [r["n"] for r in rows] == [1]
+    rows = sdb.query(
+        'SELECT out("CnPub").in("CnRead") AS o FROM CnAuthor'
+    ).collect()
+    assert [x["name"] for x in rows[0]["o"]] == ["r1"]
+    els = sdb.query(
+        "MATCH {type: CnAuthor, as: a}-CnPub->{type: CnNews, as: b} "
+        "RETURN $elements"
+    ).collect()
+    assert len(els) == 2
+    pats = sdb.query(
+        "MATCH {type: CnAuthor, as: a}-CnPub->{type: CnNews, as: b} "
+        "RETURN $patterns"
+    ).collect()
+    assert len(pats) == 1 and pats[0]["a"]["name"] == "au"
+
+
+def test_set_plusminus_and_exclusion_projection(sdb):
+    sdb.command("CREATE DOCUMENT TYPE PmDoc")
+    sdb.command(
+        "INSERT INTO PmDoc SET name = 'd', items = ['a','b'], n = 5, "
+        "secret = 'x'"
+    )
+    sdb.command("UPDATE PmDoc SET items += 'c', n += 2")
+    sdb.command("UPDATE PmDoc SET items -= 'a', n -= 1")
+    r = sdb.query("SELECT items, n FROM PmDoc").collect()[0]
+    assert list(r["items"]) == ["b", "c"] and r["n"] == 6
+    cols = sdb.query("SELECT *, !secret FROM PmDoc").columns
+    assert "secret" not in cols and "items" in cols
+
+
+def test_insert_null_and_subquery_source(sdb):
+    sdb.command("CREATE DOCUMENT TYPE NvDoc")
+    sdb.command("INSERT INTO NvDoc SET name = 'Doc1', description = null")
+    assert sdb.query("SELECT name FROM NvDoc").collect()[0]["name"] == "Doc1"
+    sdb.command("CREATE DOCUMENT TYPE NvDst")
+    sdb.command("INSERT INTO NvDst (SELECT name FROM NvDoc)")
+    assert sdb.query(
+        "SELECT count(*) AS n FROM NvDst"
+    ).collect()[0]["n"] == 1
