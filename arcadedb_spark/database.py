@@ -369,10 +369,29 @@ class Database:
             raise ValueError("EXPLAIN/PROFILE requires a statement")
         head = inner.split(None, 1)[0].upper()
         if head in self._WRITE_HEADS:
-            raise ValueError(
-                "EXPLAIN/PROFILE of write statements is not supported — "
-                "writes here execute eagerly (documented deviation); "
-                "EXPLAIN covers SELECT/MATCH/TRAVERSE reads"
+            if profile:
+                # PROFILE executes the write once and reports its result
+                t0w = _t.perf_counter()
+                wdf = self.command(inner, language=language, **params)
+                nw = wdf.count()
+                ew = (_t.perf_counter() - t0w) * 1000.0
+                return self.spark.createDataFrame(
+                    [(inner, language, "write (executed eagerly)", nw,
+                      float(ew))],
+                    "statement string, language string, plan string, "
+                    "rows bigint, elapsed_ms double",
+                )
+            # EXPLAIN of a write: parse/validate only, report the
+            # statement shape WITHOUT executing (ExplainStatement.java
+            # never mutates)
+            from arcadedb_spark.sql.parser import parse as _parse
+
+            stmt_w = _parse(inner)
+            return self.spark.createDataFrame(
+                [(inner, language,
+                  f"write statement {type(stmt_w).__name__} "
+                  "(executes eagerly; no cost-based plan)")],
+                "statement string, language string, plan string",
             )
         df = self.query(inner, language=language, **params)
         buf = io.StringIO()

@@ -37,6 +37,23 @@ def _vertex_df(db, type_name: str | None) -> DataFrame:
         if df is None:
             return db.spark.createDataFrame([], "vid long, `@type` string")
         return df
+    if type_name.lower().startswith("bucket:"):
+        # {bucket: <name|id>}: resolve the owning type (default bucket
+        # names equal the type name; named buckets know their owner)
+        bval = type_name.split(":", 1)[1]
+        meta = db.schema.named_buckets.get(bval.lower())
+        if meta is not None and meta.get("owner"):
+            type_name = meta["owner"]
+        elif bval.isdigit():
+            tdef = next(
+                (t for t in db.schema._types.values()
+                 if t.bucket_id == int(bval)), None,
+            )
+            if tdef is None:
+                raise TranslateError(f"No bucket {bval}")
+            type_name = tdef.name
+        else:
+            type_name = bval
     alts = [
         {p for p in a.split(":") if p}
         for a in type_name.lower().split("|") if a

@@ -559,6 +559,10 @@ class UpdateStmt:
     content: Optional[Expr] = None  # MapLit or Param
     content_rows: Optional[ArrayLit] = None  # CONTENT [{...}, ...]
     upsert: bool = False
+    apply_defaults: bool = False  # APPLY DEFAULTS (issue #1814)
+    # 'content' = full record replace, 'merge' = per-key merge
+    # (UpdateStatement.java CONTENT vs MERGE)
+    content_mode: str = "merge"
     where: Optional[Expr] = None
     limit: Optional[Expr] = None
     # RETURN AFTER/BEFORE [expr] — yield the matched records' state
@@ -686,6 +690,14 @@ class AlterPropertyStmt:
 class DropTypeStmt:
     name: str
     if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class TruncateRecordStmt:
+    """TRUNCATE RECORD #b:p (TruncateRecordStatement.java) — drop the
+    addressed records."""
+
+    rids: tuple  # ((bucket, position), ...)
 
 
 @dataclass(frozen=True)

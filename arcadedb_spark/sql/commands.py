@@ -153,6 +153,29 @@ def execute_command(db, stmt, params: dict) -> DataFrame:
             raise TranslateError(f"Index '{stmt.name}' does not exist")
         del db.schema.indexes[hit]
         return _result(db, 1)
+    if isinstance(stmt, ast.TruncateRecordStmt):
+        from arcadedb_spark.sql.translator import RID_COL
+
+        n = 0
+        for b, pos in stmt.rids:
+            tdef = next(
+                (t for t in db.schema._types.values()
+                 if t.bucket_id == b), None,
+            )
+            if tdef is None:
+                raise TranslateError(f"No bucket {b}")
+            if tdef.live:
+                m = db.spark.createDataFrame([(int(pos),)], "vid long")
+                n += db.graph().remove_vertices_any(m)
+            else:
+                tab = db.schema.table(tdef.name, polymorphic=False)
+                keep = tab.filter(F.col(RID_COL) != f"#{b}:{pos}")
+                n += tab.count() - keep.count()
+                _replace_df(
+                    db, tdef.name,
+                    keep.drop(RID_COL, "@type"),
+                )
+        return _result(db, n)
     if isinstance(stmt, ast.TruncateTypeStmt):
         return _truncate(db, stmt)
     if isinstance(stmt, ast.BackupDatabaseStmt):
@@ -868,6 +891,18 @@ def _update_live(db, tdef, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
             (p, F.lit(None)) for p in stmt.remove_fields
             if p in frame.columns
         ]
+        if stmt.apply_defaults:
+            declared = tdef.properties.get("declared", {})
+            for p, spec in declared.items():
+                if isinstance(spec, dict) and "default" in spec:
+                    prev = (F.col(p) if p in frame.columns
+                            else F.lit(None))
+                    over = dict(assignments).get(p)
+                    cur = over if over is not None else prev
+                    assignments = [a for a in assignments if a[0] != p]
+                    assignments.append(
+                        (p, F.coalesce(cur, F.lit(spec["default"])))
+                    )
         matched += g.update_vertices(key, m, assignments)
     if matched == 0 and stmt.upsert:
         row = {p: _literal_value(db, e, params) for p, e in set_items}
@@ -1014,6 +1049,29 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     new_df = base.withColumn("__upd_hit", cond)
     for prop, e in set_items:
         val = compiler.compile(e) if isinstance(e, ast.Expr) else F.lit(e)
+        if "." in prop and prop.split(".", 1)[0] in base.columns:
+            # SET props.key = v — nested map/struct entry rewrite
+            from pyspark.sql.types import MapType as _MT9, StructType as _ST9b
+
+            root, key = prop.split(".", 1)
+            dt = base.schema[root].dataType
+            if isinstance(dt, _MT9):
+                nv = F.map_concat(
+                    F.map_filter(
+                        F.col(root), lambda k, _v: k != F.lit(key)
+                    ),
+                    F.create_map(F.lit(key), val.cast(dt.valueType)),
+                )
+            elif isinstance(dt, _ST9b):
+                nv = F.col(root).withField(key, val)
+            else:
+                raise TranslateError(
+                    f"SET {prop}: '{root}' is not a map/embedded value"
+                )
+            new_df = new_df.withColumn(
+                root, F.when(hit, nv).otherwise(F.col(root))
+            )
+            continue
         if prop in base.columns:
             new_df = new_df.withColumn(prop, F.when(hit, val).otherwise(F.col(prop)))
         else:
@@ -1025,6 +1083,33 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
                 prop, F.when(hit, F.lit(None)).otherwise(F.col(prop))
             )
 
+    if stmt.content is not None and stmt.content_mode == "content":
+        # CONTENT (vs MERGE) REPLACES the record: columns not present in
+        # the content map null out for matched rows
+        ckeys = {k.lower() for k, _ in set_items}
+        for c_ in base.columns:
+            if c_.lower() in ckeys or c_.startswith(("@", "__")):
+                continue
+            new_df = new_df.withColumn(
+                c_,
+                F.when(hit, F.lit(None).cast(base.schema[c_].dataType))
+                .otherwise(F.col(c_)),
+            )
+    if stmt.apply_defaults:
+        # APPLY DEFAULTS (issue #1814): null declared properties of the
+        # matched rows reset to their schema default AFTER the rewrite
+        declared = tdef.properties.get("declared", {})
+        for prop, spec in declared.items():
+            if isinstance(spec, dict) and "default" in spec:
+                dv = F.lit(spec["default"])
+                if prop in new_df.columns:
+                    new_df = new_df.withColumn(
+                        prop,
+                        F.when(hit & F.col(prop).isNull(), dv)
+                        .otherwise(F.col(prop)),
+                    )
+                else:
+                    new_df = new_df.withColumn(prop, F.when(hit, dv))
     ret_after = new_df.filter(hit).drop("__upd_hit")
     new_df = new_df.drop("__upd_hit")
     if matched == 0 and stmt.upsert:

@@ -2125,3 +2125,100 @@ def _util_sleep(args):
     if ms > 0:
         _t.sleep(ms / 1000.0)
     return F.lit(None)
+
+
+# -- text.* string metrics (function/text/*.java) ----------------------------
+
+
+@scalar("text.hammingdistance")
+def _text_hamming(args):
+    """text.hammingDistance(a, b): differing positions of equal-length
+    strings (Column program — zip characters, sum mismatches)."""
+    a = F.split(args[0].cast("string"), "")
+    b = F.split(args[1].cast("string"), "")
+    return F.when(
+        F.length(args[0]) != F.length(args[1]), F.lit(None).cast("int")
+    ).otherwise(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x != y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _bigrams(c):
+    s = c.cast("string")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 1, F.lit(0))),
+            lambda i: s.substr(i, F.lit(2)),
+        )
+    )
+
+
+@scalar("text.sorensendicesimilarity", "text.sorensendicecoefficient")
+def _text_dice(args):
+    """text.sorensenDiceSimilarity(a, b): 2·|bigrams∩| / (|A|+|B|)."""
+    d1, d2 = _bigrams(args[0]), _bigrams(args[1])
+    denom = F.size(d1) + F.size(d2)
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        2.0 * F.size(F.array_intersect(d1, d2)) / denom
+    )
+
+
+@scalar("text.jarowinklerdistance", "text.jarowinklersimilarity")
+def _text_jaro_winkler(args):
+    """text.jaroWinklerDistance(a, b) — Jaro-Winkler similarity in
+    [0, 1] (arrow-batched pandas UDF; per-row python is fine for a
+    scalar string metric outside the hot path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def jw(s1: str, s2: str) -> float:
+        if s1 is None or s2 is None:
+            return None
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        if not l1 or not l2:
+            return 0.0
+        window = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        matches = 0
+        for i, ch in enumerate(s1):
+            lo = max(0, i - window)
+            hi = min(i + window + 1, l2)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == ch:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if not matches:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        jaro = (
+            matches / l1 + matches / l2 + (matches - t / 2) / matches
+        ) / 3
+        prefix = 0
+        for a, b in zip(s1, s2):
+            if a != b or prefix == 4:
+                break
+            prefix += 1
+        return jaro + prefix * 0.1 * (1 - jaro)
+
+    @pandas_udf("double")
+    def _jw(a, b):
+        import pandas as pd
+
+        return pd.Series([jw(x, y) for x, y in zip(a, b)])
+
+    return _jw(args[0].cast("string"), args[1].cast("string"))

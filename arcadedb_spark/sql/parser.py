@@ -260,6 +260,10 @@ class Parser:
 
     def _parse_set_item(self) -> tuple[str, ast.Expr]:
         prop = self.ident()
+        while self.at_op(".") and self.peek().kind in ("IDENT", "KEYWORD"):
+            # dotted path: SET props.key2 = v (nested map/struct entry)
+            self.advance()
+            prop += "." + str(self.advance().value)
         if self.at_op("+", "-") and self.peek().kind == "OP" \
                 and self.peek().value == "=":
             # SET items += 'c' / n -= 1 (UpdateItem.java
@@ -293,6 +297,8 @@ class Parser:
         content = None
         content_rows = None
         upsert = False
+        apply_defaults = False
+        content_mode = "merge"
         where = None
         limit = None
         return_mode = None
@@ -323,7 +329,7 @@ class Parser:
                     if not self.eat_op(","):
                         break
             elif self.at_kw("CONTENT", "MERGE"):
-                self.advance()
+                content_mode = str(self.advance().value).lower()
                 m = self.parse_primary()
                 if isinstance(m, ast.ArrayLit):
                     if not all(
@@ -340,6 +346,15 @@ class Parser:
             elif self.at_kw("UPSERT"):
                 self.advance()
                 upsert = True
+            elif self.cur.kind == "IDENT" \
+                    and self.cur.value.upper() == "APPLY":
+                # APPLY DEFAULTS (issue #1814): null/removed declared
+                # properties reset to their schema default
+                self.advance()
+                nxt = self.advance()
+                if str(nxt.value).upper() != "DEFAULTS":
+                    raise ParseError("Expected DEFAULTS after APPLY")
+                apply_defaults = True
             elif self.at_kw("WHERE"):
                 self.advance()
                 where = self.parse_expr()
@@ -372,6 +387,8 @@ class Parser:
             content=content,
             content_rows=content_rows,
             upsert=upsert,
+            apply_defaults=apply_defaults,
+            content_mode=content_mode,
             where=where,
             limit=limit,
             return_mode=return_mode,
@@ -1224,9 +1241,22 @@ class Parser:
     def parse_truncate(self) -> ast.TruncateTypeStmt:
         self.advance()  # TRUNCATE
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKET":
-            # TRUNCATE BUCKET <name> (parser/TruncateBucketStatement.java)
+            # TRUNCATE BUCKET <name|id> (parser/TruncateBucketStatement)
             self.advance()
+            if self.cur.kind == "INT":
+                return ast.TruncateBucketStmt(name=str(self.advance().value))
             return ast.TruncateBucketStmt(name=self.ident())
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "RECORD":
+            # TRUNCATE RECORD #b:p[, #b:p…] (TruncateRecordStatement.java)
+            self.advance()
+            rids = []
+            while self.cur.kind == "RID":
+                b, pos = self.advance().value.lstrip("#").split(":")
+                rids.append((int(b), int(pos)))
+                self.eat_op(",")
+            if not rids:
+                raise ParseError("TRUNCATE RECORD expects a RID")
+            return ast.TruncateRecordStmt(rids=tuple(rids))
         self.expect_kw("TYPE")
         name = self.ident()
         while self.cur.kind == "KEYWORD" or (
@@ -1360,10 +1390,12 @@ class Parser:
         return ast.ProjItem(expr, alias, text)
 
     def _parse_nested_projection(self, base: ast.Expr) -> ast.NestedProj:
-        """``expr:{a, b}`` / ``expr:{*, !x}`` (SQLParser.g4:322-327)."""
+        """``expr:{a, b}`` / ``expr:{*, !x}`` / nested ``a:{b:{*}}``
+        (SQLParser.g4:322-327).  An include item is a name or a
+        (name, NestedProj-over-that-field) pair."""
         self.expect_op(":")
         self.expect_op("{")
-        include: list[str] = []
+        include: list = []
         exclude: list[str] = []
         while True:
             if self.at_op("*"):
@@ -1373,7 +1405,14 @@ class Parser:
                 self.advance()
                 exclude.append(self.ident())
             else:
-                include.append(self.ident())
+                nm = self.ident()
+                if self.at_op(":") and self.peek().kind == "OP" \
+                        and self.peek().value == "{":
+                    include.append(
+                        (nm, self._parse_nested_projection(ast.Chain((nm,))))
+                    )
+                else:
+                    include.append(nm)
             if not self.eat_op(","):
                 break
         self.expect_op("}")
@@ -1658,6 +1697,17 @@ class Parser:
                     raise ParseError(f"Bad type value {self.cur!r}")
             elif key == "as":
                 alias = fused if fused is not None else self.ident()
+            elif key == "bucket":
+                # {bucket: <name|id>} — scan that bucket's owner type
+                # (MatchStatement.java bucket filter); resolution is
+                # deferred to the vertex-frame lookup
+                if fused is not None:
+                    bval = fused
+                elif self.cur.kind in ("IDENT", "STRING", "INT"):
+                    bval = str(self.advance().value)
+                else:
+                    raise ParseError(f"Bad bucket value {self.cur!r}")
+                type_name = f"bucket:{bval}"
             elif key == "rid":
                 # {rid: :param / #b:p} — identity filter
                 # (MatchStatement.java rid filter)

@@ -168,6 +168,11 @@ def _py_spark_type(v) -> str:
 
     if isinstance(v, _dec.Decimal):
         return "decimal(38,10)"
+    if hasattr(v, "__fields__") and isinstance(v, tuple):
+        # pyspark Row (an embedded document literal)
+        return "struct<" + ",".join(
+            f"`{k}`:{_py_spark_type(x)}" for k, x in zip(v.__fields__, v)
+        ) + ">"
     if isinstance(v, (list, tuple)):
         inner = next((x for x in v if x is not None), None)
         return f"array<{_py_spark_type(inner)}>"
@@ -2484,31 +2489,24 @@ class ExprCompiler:
         from pyspark.sql.types import ArrayType as _NA
 
         base = self.compile(e.base)
-        if isinstance(self._static_dtype(e.base), _NA):
-            def _elem(x):
-                if "*" in e.include or (e.exclude and not e.include):
-                    out = x
-                    for name in e.exclude:
-                        out = out.dropFields(name)
-                    return out
-                return F.struct(
-                    *[x[name].alias(name) for name in e.include]
-                )
 
-            return F.transform(base, _elem)
-        if "*" in e.include:
-            out = base
-            for name in e.exclude:
-                out = out.dropFields(name)
-            return out
-        if e.exclude and not e.include:
-            out = base
-            for name in e.exclude:
-                out = out.dropFields(name)
-            return out
-        return F.struct(
-            *[base.getField(name).alias(name) for name in e.include]
-        )
+        def _rebuild(col, proj):
+            def field(x, item):
+                if isinstance(item, tuple):
+                    nm, sub = item
+                    return _rebuild(x[nm], sub).alias(nm)
+                return x[item].alias(item)
+
+            if "*" in proj.include or (proj.exclude and not proj.include):
+                out = col
+                for name in proj.exclude:
+                    out = out.dropFields(name)
+                return out
+            return F.struct(*[field(col, it) for it in proj.include])
+
+        if isinstance(self._static_dtype(e.base), _NA):
+            return F.transform(base, lambda x: _rebuild(x, e))
+        return _rebuild(base, e)
 
     def _c_subquery(self, e: ast.Subquery) -> Column:
         # Scalar subquery: evaluated once, driver-side (global-LET semantics).
@@ -3536,6 +3534,24 @@ class Translator:
         if not (isinstance(e, ast.FuncCall) and e.name.lower() == "expand" and e.args):
             return None
         inner = e.args[0]
+        if stmt.target is None and isinstance(inner, (ast.Lit, ast.ArrayLit)):
+            # SELECT expand(1) / expand([1,2,3]) — non-map scalars land
+            # in a 'value' column, one row per element (ExpandStep.java
+            # scalar passthrough)
+            if isinstance(inner, ast.Lit):
+                vals = [inner.value]
+            elif all(isinstance(i, ast.Lit) for i in inner.items):
+                vals = [i.value for i in inner.items]
+            else:
+                vals = None
+            if vals is not None and not any(isinstance(v, dict) for v in vals):
+                from arcadedb_spark.graph.model import local_df
+
+                nn = next((v for v in vals if v is not None), None)
+                return local_df(
+                    self.db.spark, [(v,) for v in vals],
+                    f"value {_py_spark_type(nn)}",
+                )
         if stmt.target is None and isinstance(inner, ast.ArrayLit):
             # SELECT expand([{…}, …])[:{a,b}] — expand a literal list of
             # maps into rows (ExpandParseTest.java literal forms)
@@ -3572,13 +3588,17 @@ class Translator:
             )
             return out
         if isinstance(inner, ast.Chain) and len(inner.parts) == 1 \
-                and isinstance(stmt.target, ast.SubqueryTarget):
+                and isinstance(stmt.target, (ast.SubqueryTarget,
+                                             ast.TypeTarget)):
             # SELECT expand(col) FROM (subquery) — flatten a struct /
             # array column back into records (ExpandStep.java over a
             # projected field)
             from pyspark.sql.types import ArrayType as _EA, StructType as _ES
 
-            df = self.translate(stmt.target.stmt)
+            if isinstance(stmt.target, ast.TypeTarget):
+                df, _tn = self._resolve_target(stmt.target)
+            else:
+                df = self.translate(stmt.target.stmt)
             match_c = next(
                 (c for c in df.columns
                  if c.lower() == inner.parts[0].lower()), None,
@@ -3612,7 +3632,8 @@ class Translator:
                     F.col(match_c).getField(n).alias(n)
                     for n in _fields(dt)
                 ])
-            return None
+            # scalar column: one row per value (ExpandStep passthrough)
+            return df.select(F.col(match_c).alias("value"))
         if not isinstance(stmt.target, ast.TypeTarget):
             return None
         if not (

@@ -45,9 +45,14 @@ def test_profile_runs_and_reports(db):
     assert "Physical Plan" in r["plan"]
 
 
-def test_explain_write_rejected_and_empty(db):
-    with pytest.raises(ValueError):
-        db.query("EXPLAIN INSERT INTO customer SET c_name = 'x'")
+def test_explain_write_plans_without_executing(db):
+    """EXPLAIN of a write parses/validates WITHOUT executing
+    (ExplainStatement.java never mutates)."""
+    before = db.query("SELECT count(*) AS n FROM customer").collect()[0]["n"]
+    r = db.query("EXPLAIN INSERT INTO customer SET c_name = 'x'").collect()[0]
+    assert "write statement" in r["plan"]
+    after = db.query("SELECT count(*) AS n FROM customer").collect()[0]["n"]
+    assert after == before
     with pytest.raises(ValueError):
         db.query("EXPLAIN")
     # identifiers starting with the keyword are untouched

@@ -602,3 +602,50 @@ def test_insert_null_and_subquery_source(sdb):
     assert sdb.query(
         "SELECT count(*) AS n FROM NvDst"
     ).collect()[0]["n"] == 1
+
+
+def test_apply_defaults_and_content_replace(sdb):
+    """UPDATE CONTENT replaces the record (MERGE merges); APPLY DEFAULTS
+    resets null declared properties to their schema default
+    (issue #1814, UpdateStatementExecutionTest.java:991-1060)."""
+    sdb.command("CREATE DOCUMENT TYPE AdDoc")
+    sdb.command(
+        "CREATE PROPERTY AdDoc.prop STRING "
+        "(mandatory true, notnull true, default 'Hi')"
+    )
+    sdb.command('INSERT INTO AdDoc CONTENT { "prop": "Ho", "other": "v" }')
+    sdb.command(
+        'UPDATE AdDoc CONTENT { "other": "new" } APPLY DEFAULTS '
+        "WHERE prop = 'Ho'"
+    )
+    r = sdb.query("SELECT prop, other FROM AdDoc").collect()[0]
+    assert (r["prop"], r["other"]) == ("Hi", "new")
+    sdb.command("UPDATE AdDoc SET prop = null APPLY DEFAULTS")
+    assert sdb.query(
+        "SELECT prop FROM AdDoc"
+    ).collect()[0]["prop"] == "Hi"
+
+
+def test_truncate_record_and_expand_scalars(sdb):
+    sdb.command("CREATE DOCUMENT TYPE TrDoc")
+    sdb.command("INSERT INTO TrDoc (k) VALUES (1), (2)")
+    rid = sdb.query("SELECT @rid AS r FROM TrDoc WHERE k = 1").collect()[0]["r"]
+    sdb.command(f"TRUNCATE RECORD {rid}")
+    assert [r["k"] for r in sdb.query("SELECT k FROM TrDoc").collect()] == [2]
+    assert [r["value"] for r in sdb.query(
+        "select expand([1,2,3,4])"
+    ).collect()] == [1, 2, 3, 4]
+
+
+def test_set_map_key_and_text_metrics(sdb):
+    sdb.command("CREATE DOCUMENT TYPE MkDoc")
+    sdb.command("INSERT INTO MkDoc SET name = 'd', props = {'k1': 'v1'}")
+    sdb.command("UPDATE MkDoc SET props.k2 = 'v2' WHERE name = 'd'")
+    props = sdb.query("SELECT props FROM MkDoc").collect()[0]["props"]
+    assert props == {"k1": "v1", "k2": "v2"}
+    r = sdb.query(
+        "SELECT text.jaroWinklerDistance('John', 'Jon') AS jw, "
+        "text.hammingDistance('karolin', 'kathrin') AS h, "
+        "text.sorensenDiceSimilarity('night', 'nacht') AS d"
+    ).collect()[0]
+    assert abs(r["jw"] - 0.9333333) < 1e-5 and r["h"] == 3 and r["d"] == 0.25

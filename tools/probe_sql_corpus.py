@@ -72,7 +72,7 @@ _FIXTURE_PAT = re.compile(
     r"Bucket '[^']*' does not exist|Unknown index|No bucket |"
     # mined statements replay out of their in-class order: re-CREATEs and
     # reads of rows the Java fixture inserted via the API
-    r"already exists|UNRESOLVED_COLUMN",
+    r"already exists|UNRESOLVED_COLUMN|Index '[^']*' does not exist",
     re.IGNORECASE,
 )
 
@@ -128,7 +128,10 @@ def main():
                     continue
                 if "EOF(" in msg or q != q.rstrip() or re.search(
                     r"\b(should|must) \w", q
-                ):
+                ) or (
+                    msg.startswith("LexError")
+                    and any(q.count(ch) % 2 for ch in "'`")
+                ) or q.rstrip()[-1:] in "#[(":
                     # truncated mining fragment (Java string-building
                     # prefix) or a test display-name sentence
                     artifact += 1
