@@ -344,6 +344,14 @@ class SubqueryTarget:
 
 
 @dataclass(frozen=True)
+class IndexTarget:
+    """``SELECT FROM index:<name>`` — index-entry scan
+    (FetchFromIndexStep analog: (key, rid) rows)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class FuncTarget:
     """Function-call target — ``SELECT/UPDATE/DELETE … cypherRID(<id>)``
     (SQLFunctionCypherRID.java, issue #4282)."""

@@ -194,6 +194,9 @@ class Parser:
             self.advance()
             from_select = self.parse_statement()
             self.expect_op(")")
+        elif self.at_kw("SELECT"):
+            # INSERT INTO dst SELECT ... (bare subquery source)
+            from_select = self.parse_statement()
         if self.at_op("("):
             self.advance()
             fields.append(self.ident())
@@ -851,13 +854,47 @@ class Parser:
         if self.at_kw("VERTEX", "DOCUMENT") and not (
             self.peek().kind == "KEYWORD" and self.peek().value == "TYPE"
         ):
-            # CREATE VERTEX <type> [SET k = v, …] — sugar for INSERT
+            # CREATE VERTEX <type|bucket:b> [SET k = v, …] / (f,…) VALUES
+            # / CONTENT {…}|[…] — sugar for INSERT
             # (parser/CreateVertexStatement.java; same executor, so the
             # vertex lands in BOTH the catalog table and the graph)
             self.advance()
             tname = self.ident()
+            bucket_name = None
+            if tname.lower() == "bucket" and self.cur.kind == "PARAM":
+                bucket_name = str(self.advance().value)
+                tname = ""
             sets: list = []
-            if self.at_kw("SET"):
+            fields: list[str] = []
+            values_rows: list[tuple] = []
+            content = None
+            content_rows = None
+            if self.at_op("("):
+                self.advance()
+                while not self.at_op(")"):
+                    fields.append(self.ident())
+                    self.eat_op(",")
+                self.expect_op(")")
+                self.expect_kw("VALUES")
+                while self.at_op("("):
+                    self.advance()
+                    row = [self.parse_expr()]
+                    while self.eat_op(","):
+                        row.append(self.parse_expr())
+                    self.expect_op(")")
+                    values_rows.append(tuple(row))
+                    if not self.eat_op(","):
+                        break
+            elif self.at_kw("CONTENT"):
+                self.advance()
+                m = self.parse_primary()
+                if isinstance(m, ast.ArrayLit):
+                    content_rows = m
+                elif isinstance(m, (ast.MapLit, ast.Param)):
+                    content = m
+                else:
+                    raise ParseError("CONTENT requires a JSON object")
+            elif self.at_kw("SET"):
                 self.advance()
                 while True:
                     prop = self.ident()
@@ -866,7 +903,10 @@ class Parser:
                     if not self.eat_op(","):
                         break
             return ast.InsertStmt(
-                type_name=tname, set_items=tuple(sets),
+                type_name=tname, bucket_name=bucket_name,
+                fields=tuple(fields), values_rows=tuple(values_rows),
+                set_items=tuple(sets), content=content,
+                content_rows=content_rows,
             )
         if self.at_kw("DOCUMENT", "VERTEX", "EDGE", "TYPE"):
             kind = "document"
@@ -1250,10 +1290,13 @@ class Parser:
             # TRUNCATE RECORD #b:p[, #b:p…] (TruncateRecordStatement.java)
             self.advance()
             rids = []
+            bracket = self.eat_op("[")
             while self.cur.kind == "RID":
                 b, pos = self.advance().value.lstrip("#").split(":")
                 rids.append((int(b), int(pos)))
                 self.eat_op(",")
+            if bracket:
+                self.expect_op("]")
             if not rids:
                 raise ParseError("TRUNCATE RECORD expects a RID")
             return ast.TruncateRecordStmt(rids=tuple(rids))
@@ -1453,16 +1496,33 @@ class Parser:
             elif self.cur.kind == "IDENT":
                 alias = self.ident()
             return ast.SubqueryTarget(stmt, alias)
-        if tok.kind == "IDENT" and self.peek().kind == "PARAM":
+        if tok.kind in ("IDENT", "KEYWORD") and str(tok.value).lower() in (
+            "bucket", "schema", "index",
+        ) and self.peek().kind == "PARAM":
             # `bucket:name` / `schema:types` / `index:name` lex as
             # IDENT PARAM — recombine (grammar tokens BUCKET_IDENTIFIER etc.)
-            prefix = self.advance().value.lower()
+            prefix = str(self.advance().value).lower()
             name = self.advance().value
             if prefix == "bucket":
                 return ast.BucketTarget(name)
             if prefix == "schema":
                 return ast.SchemaTarget(name)
+            if prefix == "index":
+                return ast.IndexTarget(str(name))
             raise ParseError(f"Unsupported FROM prefix '{prefix}:'")
+        if tok.kind in ("IDENT", "KEYWORD") \
+                and str(tok.value).lower() in ("bucket", "index", "schema") \
+                and self.peek().kind == "OP" and self.peek().value == ":" \
+                and self.peek(2).kind in ("IDENT", "STRING"):
+            # backtick/quoted names split the prefix: index:`T1[k]`
+            prefix = self.advance().value.lower()
+            self.advance()
+            name = str(self.advance().value)
+            if prefix == "bucket":
+                return ast.BucketTarget(name)
+            if prefix == "schema":
+                return ast.SchemaTarget(name)
+            return ast.IndexTarget(name)
         if tok.kind == "IDENT" and tok.value.lower() == "bucket" \
                 and self.peek().kind == "OP" and self.peek().value == ":" \
                 and (self.peek(2).kind == "PARAM"
@@ -1515,6 +1575,23 @@ class Parser:
         return ast.LetItem(name, expr=self.parse_expr())
 
     def parse_order_item(self) -> ast.OrderItem:
+        if self.at_op("("):
+            # parenthesized item with the direction inside:
+            # ORDER BY (something desc)
+            save = self.i
+            try:
+                self.advance()
+                expr = self.parse_expr()
+                if self.eat_kw("DESC"):
+                    asc = False
+                elif self.eat_kw("ASC"):
+                    asc = True
+                else:
+                    raise ParseError("no direction")
+                self.expect_op(")")
+                return ast.OrderItem(expr, asc)
+            except ParseError:
+                self.i = save
         expr = self.parse_expr()
         asc = True
         if self.eat_kw("DESC") or self._eat_ident("DESCENDING"):

@@ -2554,6 +2554,19 @@ class ExprCompiler:
             # attach_entity_lookups)
             return pre
         name = e.name.lower()
+        if name == "arrayremoveitem" and len(e.args) == 2 and not (
+            self.ctx.cypher or self.ctx.cypher_order
+        ):
+            dt0 = self._static_dtype(e.args[0])
+            if _void_like(dt0) or (
+                isinstance(e.args[0], ast.Chain)
+                and self.ctx.columns is not None
+                and e.args[0].parts[0].lower() not in (
+                    c.lower() for c in self.ctx.columns
+                )
+            ):
+                # REMOVE coll = v on a missing collection: no-op null
+                return F.lit(None).cast("array<string>")
         if name in ("plusassign", "minusassign") and len(e.args) == 2:
             # SET col += v / -= v (UpdateItem.java): collection append /
             # element remove, string concat, or numeric add/sub —
@@ -3419,6 +3432,29 @@ class Translator:
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out, None
+        if isinstance(target, ast.IndexTarget):
+            # SELECT FROM index:<name> — (key, rid) entries scanned off
+            # the indexed type (the LSM index itself is replaced by
+            # scan-time pushdown)
+            idx = None
+            for k, meta in self.db.schema.indexes.items():
+                if k.lower() == target.name.lower():
+                    idx = meta
+                    break
+            if idx is None:
+                raise TranslateError(f"Unknown index '{target.name}'")
+            tab = self.db.schema.table(idx["type"], polymorphic=False)
+            props = list(idx["props"])
+            key_col = (
+                F.col(props[0]) if len(props) == 1
+                else F.array(*[F.col(p_).cast("string") for p_ in props])
+            )
+            return (
+                tab.select(
+                    key_col.alias("key"), F.col(RID_COL).alias("rid")
+                ),
+                None,
+            )
         if isinstance(target, ast.SubqueryTarget):
             return self.translate(target.stmt), None
         if isinstance(target, ast.FuncTarget):

@@ -72,7 +72,8 @@ _FIXTURE_PAT = re.compile(
     r"Bucket '[^']*' does not exist|Unknown index|No bucket |"
     # mined statements replay out of their in-class order: re-CREATEs and
     # reads of rows the Java fixture inserted via the API
-    r"already exists|UNRESOLVED_COLUMN|Index '[^']*' does not exist",
+    r"already exists|UNRESOLVED_COLUMN|Index '[^']*' does not exist|"
+    r"Unknown index|needs a vertex type",
     re.IGNORECASE,
 )
 
