@@ -27,6 +27,7 @@ from arcadedb_spark.sql import ast
 from arcadedb_spark.sql.litreg import value_of
 from arcadedb_spark.sql.translator import (
     Ctx, ExprCompiler, TranslateError, Translator, _py_spark_type,
+    walk as _walk_t,
 )
 
 
@@ -1008,7 +1009,29 @@ def _update_content_array(db, tdef, stmt, rows: list, params) -> DataFrame:
     return _result(db, n)
 
 
+def _resolve_dml_rid_target(db, stmt, params):
+    """UPDATE/DELETE [#b:p, …]: rewrite to the owning type with an
+    injected @rid-membership condition."""
+    import dataclasses
+
+    rids = stmt.type_name.rids
+    b = rids[0].bucket
+    tdef = next(
+        (t for t in db.schema._types.values() if t.bucket_id == b), None
+    )
+    if tdef is None:
+        raise TranslateError(f"No bucket {b}")
+    items = tuple(
+        ast.Lit(f"#{r.bucket}:{r.position}") for r in rids
+    )
+    cond = ast.In(needle=ast.Chain(("@rid",)), items=items)
+    where = cond if stmt.where is None else ast.Bin("AND", stmt.where, cond)
+    return dataclasses.replace(stmt, type_name=tdef.name, where=where)
+
+
 def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
+    if isinstance(stmt.type_name, ast.RidTarget):
+        stmt = _resolve_dml_rid_target(db, stmt, params)
     if isinstance(stmt.type_name, ast.FuncTarget):
         stmt = _resolve_dml_func_target(db, stmt, params)
         if stmt is None:
@@ -1028,6 +1051,21 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
     if tdef.live and tdef.kind == "edge":
         return _update_live_edges(db, tdef, stmt, params)
     base = tdef.df()
+    had_rid = "@rid" in base.columns
+    if not had_rid and stmt.where is not None and any(
+        isinstance(n_, ast.Chain) and n_.parts
+        and n_.parts[0].lower() == "@rid"
+        for n_ in _walk_t(stmt.where)
+    ):
+        # WHERE references @rid: synthesize it the same way the type
+        # scan does (positional rid — FetchFromRids parity)
+        base = base.withColumn(
+            "@rid",
+            F.concat(
+                F.lit(f"#{tdef.bucket_id}:"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
+        )
     ctx = Ctx(db=db, params=params, columns=tuple(base.columns),
               frame_schema=base.schema)
     compiler = ExprCompiler(ctx)
@@ -1112,6 +1150,8 @@ def _update(db, stmt: ast.UpdateStmt, params: dict) -> DataFrame:
                     new_df = new_df.withColumn(prop, F.when(hit, dv))
     ret_after = new_df.filter(hit).drop("__upd_hit")
     new_df = new_df.drop("__upd_hit")
+    if not had_rid:
+        new_df = new_df.drop("@rid")
     if matched == 0 and stmt.upsert:
         # UPSERT: no match → insert one document from the SET items
         # (UpsertStep.java:37)
@@ -1226,6 +1266,8 @@ def _delete_live(db, tdef, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
 
 
 def _delete(db, stmt: ast.DeleteStmt, params: dict) -> DataFrame:
+    if isinstance(stmt.type_name, ast.RidTarget):
+        stmt = _resolve_dml_rid_target(db, stmt, params)
     if isinstance(stmt.type_name, ast.FuncTarget):
         stmt = _resolve_dml_func_target(db, stmt, params)
         if stmt is None:
@@ -1692,6 +1734,18 @@ def _alter_property(db, stmt: ast.AlterPropertyStmt) -> DataFrame:
             operation="alter property custom",
             customAttribute=stmt.custom_key, oldValue=old,
             newValue=stmt.custom_value,
+        )
+    if stmt.setting == "name":
+        # rename the property (AlterPropertyStatement NAME attribute)
+        new_name = str(stmt.value)
+        declared[new_name] = declared.pop(stmt.prop)
+        if tdef._df is not None and stmt.prop in tdef._df.columns:
+            tdef._df = tdef._df.withColumnRenamed(stmt.prop, new_name)
+            db._plan_cache.clear()
+        return _op_result(
+            db, type=stmt.type_name, property=stmt.prop,
+            operation="alter property", attribute="name",
+            oldValue=stmt.prop, newValue=new_name,
         )
     old = spec.get(stmt.setting)
     if stmt.value is None and stmt.setting in ("min", "max", "default",

@@ -283,13 +283,25 @@ class Parser:
 
     def _maybe_func_target(self):
         """IDENT '(' in target position → a FuncTarget (UPDATE/DELETE
-        cypherRID(:id) …); otherwise the plain type name."""
+        cypherRID(:id) …); RID / [RID, …] → RidTarget; otherwise the
+        plain type name."""
         if self.cur.kind == "IDENT" and self.peek().kind == "OP" \
                 and self.peek().value == "(":
             e = self.parse_primary()
             if not isinstance(e, ast.FuncCall):
                 raise ParseError(f"Unsupported target at {self.cur!r}")
             return ast.FuncTarget(e)
+        if self.cur.kind == "RID" or (
+            self.at_op("[") and self.peek().kind == "RID"
+        ):
+            rids = []
+            bracket = self.eat_op("[")
+            while self.cur.kind == "RID":
+                rids.append(self._rid_value(self.advance().value))
+                self.eat_op(",")
+            if bracket:
+                self.expect_op("]")
+            return ast.RidTarget(tuple(rids))
         return self.ident()
 
     def parse_update(self) -> ast.UpdateStmt:
@@ -364,6 +376,30 @@ class Parser:
             elif self.at_kw("LIMIT"):
                 self.advance()
                 limit = self.parse_expr()
+            elif self.cur.kind == "IDENT" \
+                    and self.cur.value.upper() == "BATCH":
+                self.advance()
+                self.parse_expr()  # tx batch size — atomicity no-op here
+            elif self.cur.kind == "IDENT" and self.cur.value.upper() in (
+                "ADD", "PUT", "INCREMENT",
+            ):
+                # legacy update operators (UpdateStatement.java):
+                # ADD coll = v (append), INCREMENT n = v, PUT map = k, v
+                op_u = self.advance().value.upper()
+                prop_u = self.ident()
+                self.expect_op("=")
+                if op_u == "PUT":
+                    k_e = self.parse_expr()
+                    self.expect_op(",")
+                    v_e = self.parse_expr()
+                    set_items.append((prop_u, ast.FuncCall(
+                        "mapput", (ast.Chain((prop_u,)), k_e, v_e)
+                    )))
+                else:
+                    fn_u = "plusassign"
+                    set_items.append((prop_u, ast.FuncCall(
+                        fn_u, (ast.Chain((prop_u,)), self.parse_expr())
+                    )))
             elif self.at_kw("RETURN"):
                 # RETURN AFTER/BEFORE [proj] / RETURN COUNT — the WHERE
                 # may follow (UpdateStatement.java grammar order)
@@ -420,6 +456,10 @@ class Parser:
             elif self.at_kw("LIMIT"):
                 self.advance()
                 limit = self.parse_expr()
+            elif self.cur.kind == "IDENT" \
+                    and self.cur.value.upper() == "BATCH":
+                self.advance()
+                self.parse_expr()  # tx batch size — no-op
             elif self.at_kw("RETURN"):
                 # RETURN BEFORE [proj] / RETURN COUNT
                 # (DeleteStatement.java returnBefore)
@@ -640,7 +680,7 @@ class Parser:
             if self.cur.kind in ("IDENT", "KEYWORD") else ""
         if setting not in (
             "mandatory", "notnull", "readonly", "hidden", "min", "max",
-            "default", "regexp",
+            "default", "regexp", "name",
         ):
             raise ParseError(
                 f"ALTER PROPERTY setting '{setting}' not supported "
@@ -923,6 +963,8 @@ class Parser:
                 if self.at_kw("EXTENDS"):
                     self.advance()
                     extends = self.ident()
+                    while self.eat_op(","):
+                        self.ident()  # extra supertypes accepted
                 elif self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKETS":
                     self.advance()
                     buckets = int(self.advance().value)
@@ -1199,9 +1241,9 @@ class Parser:
                 if_exists = True
             return ast.DropTriggerStmt(name=name, if_exists=if_exists)
         if self.cur.kind == "IDENT" and self.cur.value.upper() == "BUCKET":
-            # DROP BUCKET <name> (parser/DropBucketStatement.java)
+            # DROP BUCKET <name|id> (parser/DropBucketStatement.java)
             self.advance()
-            name = str(self.advance().value)
+            name = str(self.advance().value)  # IDENT or INT id
             if_exists = False
             if self.at_kw("IF"):
                 self.advance()
@@ -1219,6 +1261,9 @@ class Parser:
                 self.advance()
                 self.expect_kw("EXISTS")
                 if_exists = True
+            if self.cur.kind == "IDENT" \
+                    and self.cur.value.upper() == "FORCE":
+                self.advance()  # FORCE drops dependent indexes — no-op
             return ast.DropPropertyStmt(
                 type_name=tname, prop=prop, if_exists=if_exists
             )
@@ -1242,7 +1287,9 @@ class Parser:
             self.advance()
             self.expect_kw("EXISTS")
             if_exists = True
-        while self.cur.kind == "KEYWORD":  # UNSAFE etc.
+        while self.cur.kind == "KEYWORD" or (
+            self.cur.kind == "IDENT" and self.cur.value.upper() == "UNSAFE"
+        ):  # UNSAFE etc.
             self.advance()
         return ast.DropTypeStmt(name=name, if_exists=if_exists)
 
@@ -1446,7 +1493,11 @@ class Parser:
                 include.append("*")
             elif self.at_op("!"):
                 self.advance()
-                exclude.append(self.ident())
+                ex = self.ident()
+                if self.at_op("*"):
+                    self.advance()
+                    ex += "*"  # prefix pattern: !out_*
+                exclude.append(ex)
             else:
                 nm = self.ident()
                 if self.at_op(":") and self.peek().kind == "OP" \
@@ -1463,6 +1514,9 @@ class Parser:
 
     def parse_target(self) -> ast.Target:
         tok = self.cur
+        if self.at_kw("SELECT", "MATCH", "TRAVERSE"):
+            # unparenthesized subquery target: select from select from t
+            return ast.SubqueryTarget(self.parse_statement())
         if tok.kind == "PARAM":
             # SELECT FROM :seeds — a bound RID / RID-collection target
             # (Issue5505BoundRidCollectionTargetTest.java)
@@ -1523,6 +1577,26 @@ class Parser:
             if prefix == "schema":
                 return ast.SchemaTarget(name)
             return ast.IndexTarget(name)
+        if tok.kind in ("IDENT", "KEYWORD") \
+                and str(tok.value).lower() == "bucket" \
+                and self.peek().kind == "OP" and self.peek().value == ":" \
+                and self.peek(2).kind == "OP" \
+                and self.peek(2).value == "[":
+            # bucket:[a, b] — multi-bucket union scan
+            self.advance(); self.advance(); self.advance()
+            names = []
+            while not self.at_op("]"):
+                names.append(str(self.advance().value))
+                self.eat_op(",")
+            self.expect_op("]")
+            return ast.BucketTarget(tuple(names))
+        if tok.kind in ("IDENT", "KEYWORD") \
+                and str(tok.value).lower() == "bucket" \
+                and self.peek().kind == "OP" and self.peek().value == ":" \
+                and self.peek(2).kind == "INT":
+            # bucket:<id> — numeric bucket id
+            self.advance(); self.advance()
+            return ast.BucketTarget(str(self.advance().value))
         if tok.kind == "IDENT" and tok.value.lower() == "bucket" \
                 and self.peek().kind == "OP" and self.peek().value == ":" \
                 and (self.peek(2).kind == "PARAM"
@@ -1547,7 +1621,13 @@ class Parser:
         name = self.ident()
         if self.eat_kw("AS"):
             self.ident()
-        elif self.cur.kind == "IDENT":
+        elif self.cur.kind == "IDENT" and self.cur.value.upper() not in (
+            # statement-continuation words that lex as IDENT must not be
+            # eaten as an implicit alias
+            "REFRESH", "BATCH", "TIMEOUT", "UNSAFE", "POLYMORPHIC",
+            "APPLY", "EXCEPTION", "NOCACHE", "FETCHPLAN", "LOCK",
+            "BUCKET", "MAXDEPTH",
+        ):
             # implicit table alias: SELECT ... FROM V v2 (the alias is
             # cosmetic — single-target dialect)
             self.advance()

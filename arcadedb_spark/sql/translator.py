@@ -2567,6 +2567,34 @@ class ExprCompiler:
             ):
                 # REMOVE coll = v on a missing collection: no-op null
                 return F.lit(None).cast("array<string>")
+        if name == "mapput" and len(e.args) == 3:
+            # UPDATE ... PUT map = k, v (UpdateItem.java PUT operator):
+            # insert/overwrite one entry; a missing property starts a
+            # fresh single-entry map
+            from pyspark.sql.types import MapType as _MT10
+
+            tgt, k_e, v_e = e.args
+            dt = self._static_dtype(tgt)
+            k_c = self.compile(k_e).cast("string")
+            v_c = self.compile(v_e)
+            missing = _void_like(dt) or (
+                isinstance(tgt, ast.Chain)
+                and self.ctx.columns is not None
+                and tgt.parts[0].lower() not in (
+                    c.lower() for c in self.ctx.columns
+                )
+            )
+            if missing:
+                return F.create_map(k_c, v_c)
+            cur = self.compile(tgt)
+            if isinstance(dt, _MT10):
+                return F.map_concat(
+                    F.map_filter(cur, lambda k, _v: k != k_c),
+                    F.create_map(k_c, v_c.cast(dt.valueType)),
+                )
+            if isinstance(k_e, ast.Lit):
+                return cur.withField(str(k_e.value), v_c)
+            raise TranslateError("PUT requires a map property")
         if name in ("plusassign", "minusassign") and len(e.args) == 2:
             # SET col += v / -= v (UpdateItem.java): collection append /
             # element remove, string concat, or numeric add/sub —
@@ -2575,6 +2603,21 @@ class ExprCompiler:
 
             tgt, val = e.args
             dt = self._static_dtype(tgt)
+            if not (self.ctx.cypher or self.ctx.cypher_order) and (
+                _void_like(dt) or (
+                    isinstance(tgt, ast.Chain)
+                    and self.ctx.columns is not None
+                    and tgt.parts[0].lower() not in (
+                        c.lower() for c in self.ctx.columns
+                    )
+                )
+            ):
+                # ADD/+= on a missing property starts a new collection;
+                # -= on nothing stays null
+                v0 = self.compile(val)
+                if name == "plusassign":
+                    return F.array(v0)
+                return F.lit(None).cast("array<string>")
             cur = self.compile(tgt)
             v = self.compile(val)
             if isinstance(dt, _PA):
@@ -3383,6 +3426,27 @@ class Translator:
             return self._resolve_target(ast.RidTarget(tuple(rids)))
         if isinstance(target, ast.BucketTarget):
             bname = target.name
+            if isinstance(bname, tuple):
+                # bucket:[a, b] — union the slices
+                frames = [
+                    self._resolve_target(ast.BucketTarget(b))[0]
+                    for b in bname
+                ]
+                out_b = frames[0]
+                for fr in frames[1:]:
+                    out_b = out_b.unionByName(fr, allowMissingColumns=True)
+                return out_b, None
+            if isinstance(bname, str) and bname.isdigit():
+                tdef_b = next(
+                    (t for t in self.db.schema._types.values()
+                     if t.bucket_id == int(bname)), None,
+                )
+                if tdef_b is None:
+                    raise TranslateError(f"No bucket {bname}")
+                return (
+                    self.db.schema.table(tdef_b.name, polymorphic=False),
+                    tdef_b.name,
+                )
             if isinstance(bname, ast.Param):
                 bv = (self.params or {}).get(bname.name)
                 if bv is None:
