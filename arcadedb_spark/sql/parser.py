@@ -1536,6 +1536,8 @@ class Parser:
             self.advance()
             rids = []
             while not self.at_op("]"):
+                if self.cur.kind == "EOF":
+                    raise ParseError("Unterminated RID list")
                 rids.append(self._rid_value(self.advance().value))
                 self.eat_op(",")
             self.expect_op("]")
@@ -1586,6 +1588,8 @@ class Parser:
             self.advance(); self.advance(); self.advance()
             names = []
             while not self.at_op("]"):
+                if self.cur.kind == "EOF":
+                    raise ParseError("Unterminated bucket list")
                 names.append(str(self.advance().value))
                 self.eat_op(",")
             self.expect_op("]")
@@ -1805,6 +1809,8 @@ class Parser:
             edge_types: list[str] = []
             self.expect_op("(")
             while not self.at_op(")"):
+                if self.cur.kind == "EOF":
+                    raise ParseError("Unterminated edge-type list")
                 tok = self.advance()
                 if tok.kind in ("STRING", "IDENT"):
                     edge_types.append(tok.value)
