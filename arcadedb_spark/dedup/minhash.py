@@ -46,26 +46,21 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 32,
-    shingle_size: int = 3,
-    seed: int = 42,
+def _signatures_from_sets(
+    sets: DataFrame, num_hashes: int, seed: int
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]).
+    """(id, sig) from a materialized (id, grams) frame.
 
-    Shape: explode shingle hashes to rows, then ONE groupBy computing all
-    ``num_hashes`` permutation minima (map-side combinable — each shingle
-    hash is materialized once, not re-derived per permutation).  Docs with
-    zero shingles produce no signature (can't be near-dup candidates).
-    """
+    Shape: explode the (already materialized) shingle-hash arrays to
+    rows, then ONE groupBy computing all ``num_hashes`` permutation
+    minima (map-side combinable).  Docs with zero shingles produce no
+    signature (can't be near-dup candidates)."""
     params = _hash_params(num_hashes, seed)
-    src = ensure_min_partitions(docs.select(id_col, text_col))
-    ex = src.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingle_hashes(F.col(text_col), shingle_size)).alias("h"),
+    ex = sets.select(
+        "id",
+        F.explode(
+            F.transform("grams", lambda h: F.pmod(h, F.lit(_MERSENNE)))
+        ).alias("h"),
     )
     aggs = [
         F.min(F.pmod(a * F.col("h") + b, F.lit(_MERSENNE))).alias(f"__m{i}")
@@ -79,6 +74,29 @@ def minhash_signatures(
             F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
         )
     )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]).
+
+    The shingle-hash arrays are materialized (cached) before the explode:
+    Generate inlines its child expression and evaluates it interpreted
+    without subexpression elimination, so exploding the raw shingle
+    expression would re-tokenize each doc many times over (see
+    ngram.ngram_jaccard_pairs).
+    """
+    from arcadedb_spark.dedup.ngram import ngram_sets
+
+    src = ensure_min_partitions(docs.select(id_col, text_col))
+    sets = ngram_sets(src, id_col, text_col, shingle_size).cache()
+    return _signatures_from_sets(sets, num_hashes, seed)
 
 
 def minhash_duplicate_pairs(
@@ -100,11 +118,21 @@ def minhash_duplicate_pairs(
     generates candidates; the decision is exact) and the driver-oracle
     shape (true Jaccard is re-derivable in DuckDB; minhash estimates are
     not)."""
+    from arcadedb_spark.dedup.ngram import ngram_sets
+
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        docs, id_col, text_col, num_hashes, shingle_size, seed
-    ).cache()
+    # ONE tokenize+shingle pass serves the whole pipeline: signatures,
+    # banding, and the exact-verify gram arrays all derive from this
+    # cached (id, grams) frame — the previous shape re-tokenized the
+    # corpus three times (signature build + one per verify join side).
+    src = ensure_min_partitions(docs.select(id_col, text_col))
+    sets = ngram_sets(src, id_col, text_col, shingle_size).cache()
+    sigs = _signatures_from_sets(sets, num_hashes, seed)
+    if verify != "exact":
+        # the estimate path probes sigs twice (per pair side) — keep the
+        # signature frame itself materialized
+        sigs = sigs.cache()
     banded = sigs.select(
         "id",
         F.explode(
@@ -140,9 +168,6 @@ def minhash_duplicate_pairs(
         .distinct()
     )
     if verify == "exact":
-        from arcadedb_spark.dedup.ngram import ngram_sets
-
-        sets = ngram_sets(docs, id_col, text_col, shingle_size)
         ga = sets.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
         gb = sets.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
         return (
