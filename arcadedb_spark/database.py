@@ -220,15 +220,22 @@ class Database:
             def _warm_tables(d=db):
                 # First touch of a type pays parquet footer reads + the
                 # @eid metadata column wiring (catalog._with_metadata) —
-                # ~0.2 s of driver-side JVM round trips per table.  Warm
+                # ~0.1 s of driver-side JVM round trips per table.  Warm
                 # every registered type's cached DataFrame off the
                 # critical path; TypeDef.df() memoizes so the first real
-                # query finds it ready.
-                for nm in list(d.schema.names()):
+                # query finds it ready.  A small pool: the py4j calls
+                # block on the JVM with the GIL released, so four tables
+                # warm concurrently (serial: ~1 s; pooled: ~0.3 s).
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _one(nm):
                     try:
                         d.schema.get(nm).df()
                     except Exception:
                         pass
+
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    list(pool.map(_one, list(d.schema.names())))
 
             threading.Thread(
                 target=_warm_tables, name="arcadedb-prewarm-tables",

@@ -1168,13 +1168,20 @@ def q_knn_cosine(spark, sf_dir):
     from arcadedb_spark.vector import cosine_similarity
 
     emb = _db(spark, sf_dir).table("embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    qcol = F.array(*[F.lit(v) for v in qv])
+    # query vector rides the plan as a 1-row broadcast instead of a
+    # separate driver collect — the whole search is ONE action, and the
+    # lookup stays executor-side at cluster scale
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("__qv"))
+        .limit(1)
+    )
     return (
-        emb.select(
+        emb.crossJoin(q)
+        .select(
             "vec_id",
             cosine_similarity(
-                F.col("embedding").cast("array<double>"), qcol
+                F.col("embedding").cast("array<double>"), F.col("__qv")
             ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
@@ -1199,12 +1206,19 @@ def q_knn_l2(spark, sf_dir):
     from arcadedb_spark.vector import l2_distance
 
     emb = _db(spark, sf_dir).table("embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    qcol = F.array(*[F.lit(v) for v in qv])
+    # 1-row broadcast query vector — one action, no driver collect
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("__qv"))
+        .limit(1)
+    )
     return (
-        emb.select(
+        emb.crossJoin(q)
+        .select(
             "vec_id",
-            l2_distance(F.col("embedding").cast("array<double>"), qcol).alias("dist"),
+            l2_distance(
+                F.col("embedding").cast("array<double>"), F.col("__qv")
+            ).alias("dist"),
         )
         .orderBy(F.asc("dist"), F.asc("vec_id"))
         .limit(10)

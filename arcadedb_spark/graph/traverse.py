@@ -54,6 +54,28 @@ _DRIVER_FRONTIER_MAX = 200_000
 # source and recompile per hop.  Above it, the per-row linear array scan
 # loses to a broadcast semi-join on an Arrow-built frame.
 _ARRAY_FILTER_MAX = 256
+# edge sets at or below this row count are collected once (Arrow) and
+# walked entirely driver-side — zero jobs per hop instead of one
+# collect_set job each.  Bounded exactly like _DRIVER_FRONTIER_MAX
+# (200k × 16 B ≈ 3 MB of longs); the probe is a limit() count, which
+# short-circuits after a couple of partitions on a 100-TB edge set, and
+# any overflow falls back to the per-hop frontier loop unchanged.
+_DRIVER_EDGES_MAX = 200_000
+
+
+def _try_collect_adjacency(edges: DataFrame) -> "dict[int, list[int]] | None":
+    """Adjacency dict of a small edge frame, or ``None`` if it exceeds
+    ``_DRIVER_EDGES_MAX`` (one bounded limit+collect job either way)."""
+    try:
+        pdf = edges.limit(_DRIVER_EDGES_MAX + 1).toPandas()
+    except Exception:
+        return None
+    if len(pdf) > _DRIVER_EDGES_MAX:
+        return None
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(pdf["__from"], pdf["__to"]):
+        adj.setdefault(int(s), []).append(int(d))
+    return adj
 
 
 def _direction_edges(db, projections) -> DataFrame:
@@ -156,8 +178,35 @@ def traverse(
     # a pre-collect distinct() would cost a shuffle just to count)
     root_rows = roots.select("vid").limit(_DRIVER_FRONTIER_MAX + 1).collect()
     if len(root_rows) <= _DRIVER_FRONTIER_MAX:
+        root_vids = [r["vid"] for r in root_rows]
+        if while_ is None:
+            # small-graph fast path: one bounded collect, then the whole
+            # walk runs in driver memory — no per-hop jobs at all.  WHILE
+            # predicates keep the per-hop path (they are compiled by the
+            # expression compiler against a frame per hop).
+            adj = _try_collect_adjacency(edges)
+            if adj is not None:
+                visited: dict[int, int] = {int(v): 0 for v in root_vids}
+                frontier = set(visited)
+                for depth in range(1, max_depth + 1):
+                    if not frontier:
+                        break
+                    nxt = {
+                        int(n)
+                        for v in frontier
+                        for n in adj.get(v, ())
+                        if int(n) not in visited
+                    }
+                    for v in nxt:
+                        visited[v] = depth
+                    frontier = nxt
+                from arcadedb_spark.graph.model import local_df
+
+                return local_df(
+                    db.spark, list(visited.items()), "struct<vid:bigint,depth:int>"
+                )
         result = _traverse_driver(
-            db, [r["vid"] for r in root_rows], edges, max_depth, while_, params
+            db, root_vids, edges, max_depth, while_, params
         )
         if result is not None:
             return result

@@ -602,3 +602,29 @@ def test_gremlin_fold_unfold_simplepath_aggregates(db):
         "g.V('Nation').values('n_nationkey').max()", language="gremlin"
     ).collect()[0][0]
     assert m == 24
+
+
+def test_traverse_adjacency_fast_path_matches_per_hop(db, monkeypatch):
+    """The small-graph adjacency fast path (one bounded collect, walk in
+    driver memory) must produce identical (vid, depth) sets as the
+    per-hop frontier loop it short-circuits."""
+    from pyspark.sql import functions as F
+
+    import arcadedb_spark.graph.traverse as tv
+
+    g = db.graph()
+    roots = g.vertices("Customer").filter(F.col("c_custkey") < 5).select("vid")
+    edges = g.edges("PLACED", "CONTAINS").select(
+        F.col("src").alias("__from"), F.col("dst").alias("__to")
+    )
+    fast = {
+        (r["vid"], r["depth"])
+        for r in tv.traverse(db, roots, edges, max_depth=2).collect()
+    }
+    # force the probe to overflow: the per-hop driver-frontier loop runs
+    monkeypatch.setattr(tv, "_DRIVER_EDGES_MAX", 1)
+    slow = {
+        (r["vid"], r["depth"])
+        for r in tv.traverse(db, roots, edges, max_depth=2).collect()
+    }
+    assert fast == slow and len(fast) > 4
