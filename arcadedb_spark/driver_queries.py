@@ -504,7 +504,7 @@ def q_traverse_bfs(spark, sf_dir):
     db = _db(spark, sf_dir)
     g = db.graph()
     roots = g.vertices("Customer").filter(F.col("c_custkey") < 5).select("vid")
-    edges = g.edges("PLACED", "CONTAINS").select(
+    edges = g.edges("PLACED", "CONTAINS", with_identity=False).select(
         F.col("src").alias("__from"), F.col("dst").alias("__to")
     )
     visited = traverse(db, roots, edges, max_depth=2)

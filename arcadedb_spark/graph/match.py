@@ -108,7 +108,24 @@ def _expand(
     """Join one traversal step; returns (df, new_alias)."""
     g = db.graph()
     method = step.method
-    e = g.edges(*step.edge_types) if step.edge_types else g.edges()
+    # fetch the @eid-free edge frames unless something in this step reads
+    # edge identity: relationship uniqueness / undirected dedup / a bound
+    # relationship variable / var-length paths / edge-record steps.  The
+    # identity column drags a parquet-metadata struct through every scan
+    # (model.add_edges), so plain directed SQL-MATCH hops skip it.
+    _needs_identity = (
+        rel_unique
+        or method in ("oute", "ine", "bothe", "both", "bothv")
+        or bool(getattr(step, "edge_alias", None))
+        or bool(getattr(step, "var_length", False))
+        or step.min_hops != 1
+        or step.max_hops != 1
+    )
+    e = (
+        g.edges(*step.edge_types, with_identity=_needs_identity)
+        if step.edge_types
+        else g.edges(with_identity=_needs_identity)
+    )
     if step.edge_props:
         # inline relationship property map -[r:T {k: v}]- is an equality
         # predicate on the edge (TCK clauses/match Match2)

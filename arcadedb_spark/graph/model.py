@@ -184,6 +184,12 @@ class GraphModel:
         self._edge_dfs: list[DataFrame] = []
         self._edges: DataFrame | None = None
         self._edges_by_src: DataFrame | None = None
+        # full frame → @eid-free twin (built in add_edges; frames minted
+        # by write paths fall back to their full form — their @eid is a
+        # literal column, not a parquet-metadata reference)
+        self._edge_slim: dict[DataFrame, DataFrame] = {}
+        self._edges_slim: DataFrame | None = None
+        self._edges_slim_key: tuple | None = None
         # etype → (src_label, dst_label); None entries = heterogeneous
         self.edge_meta: dict[str, tuple[str | None, str | None]] = {}
         # buffered literal rows, materialized lazily (see _VertexFrames)
@@ -390,6 +396,14 @@ class GraphModel:
                 out = None
         if out is None:
             out = df.select(*cols)
+        # slim twin: same edge rows WITHOUT the @eid projection.  The
+        # parquet `_metadata` reference behind @eid is sticky — once the
+        # frame projects it, Spark materializes the 7-field metadata
+        # struct per row in every downstream plan even when @eid is dead
+        # (drop()/select() cannot un-reference it).  Consumers that never
+        # read edge identity (algorithms, TRAVERSE, plain SQL-MATCH hops)
+        # fetch edges(with_identity=False) and skip that per-row cost.
+        self._edge_slim[out] = df.select(*cols)
         self._edge_dfs.append(out)
         self._edges = None
         self._edges_by_src = None
@@ -486,14 +500,29 @@ class GraphModel:
         self._av_full = out
         return out
 
-    def edges(self, *etypes: str) -> DataFrame:
+    def edges(self, *etypes: str, with_identity: bool = True) -> DataFrame:
         self._flush_edges()
-        if self._edges is None:
-            out = None
-            for df in self._edge_dfs:
-                out = df if out is None else out.unionByName(df, allowMissingColumns=True)
-            self._edges = out
-        df = self._edges
+        if with_identity:
+            if self._edges is None:
+                out = None
+                for df in self._edge_dfs:
+                    out = df if out is None else out.unionByName(
+                        df, allowMissingColumns=True
+                    )
+                self._edges = out
+            df = self._edges
+        else:
+            key = tuple(id(f) for f in self._edge_dfs)
+            if self._edges_slim is None or self._edges_slim_key != key:
+                out = None
+                for full in self._edge_dfs:
+                    part = self._edge_slim.get(full, full)
+                    out = part if out is None else out.unionByName(
+                        part, allowMissingColumns=True
+                    )
+                self._edges_slim = out
+                self._edges_slim_key = key
+            df = self._edges_slim
         if df is None:
             # no edges in the graph: canonical empty frame (Cypher
             # relationship matches yield empty, not an error)
@@ -514,7 +543,7 @@ class GraphModel:
         return self._edges_by_src
 
     def degrees(self, direction: str = "out") -> DataFrame:
-        e = self.edges()
+        e = self.edges(with_identity=False)
         if direction == "out":
             return e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("degree"))
         if direction == "in":

@@ -101,7 +101,13 @@ def _direction_edges(db, projections) -> DataFrame:
     if not specs:
         specs = [("both", ())]
     for method, etypes in specs:
-        e = g.edges(*etypes) if etypes else g.edges()
+        # TRAVERSE never reads edge identity — skip the @eid metadata
+        # wiring so the scan stays narrow (model.add_edges)
+        e = (
+            g.edges(*etypes, with_identity=False)
+            if etypes
+            else g.edges(with_identity=False)
+        )
         if method in ("out", "both"):
             frames.append(
                 e.select(F.col("src").alias("__from"), F.col("dst").alias("__to"))

@@ -27,7 +27,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _synthetic_docs(spark: SparkSession, n: int = 200):
+def _synthetic_docs(spark: SparkSession, n: int = 500):
     """(doc_id, text) corpus with enough token variety to exercise the
     tokenizer/shingler, built from literals (no files)."""
     words = F.array(*[F.lit(w) for w in (
@@ -51,9 +51,205 @@ def _synthetic_docs(spark: SparkSession, n: int = 200):
     )
 
 
+def _parquet_backed(df, name: str):
+    """Round-trip a tiny synthetic frame through a throwaway parquet file
+    so warmed plans start from a FileSourceScan like real queries do —
+    whole-stage-codegen classes are keyed on the generated source, and a
+    stage rooted at an in-memory Range node compiles to a different class
+    than the same stage rooted at a parquet scan.  The file lives in a
+    temp dir and is deleted by ``warm_engine``; nothing derived from user
+    data is ever written."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="arcadedb_warm_")
+    path = os.path.join(d, f"{name}.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path), d
+
+
 def warm_engine(spark: SparkSession) -> None:
     """Run one tiny query through each operator family (see module doc)."""
-    docs = _synthetic_docs(spark)
+    import shutil
+
+    docs, tmpdir = _parquet_backed(_synthetic_docs(spark), "docs")
+    try:
+        _warm_ops(spark, docs)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    # parse-layer warm: the recursive-descent parsers compile their
+    # token regexes and build per-module state on first use
+    try:
+        from arcadedb_spark.sql.parser import parse
+
+        parse("SELECT a, count(*) AS n FROM t WHERE b > 1 GROUP BY a ORDER BY a LIMIT 5")
+    except Exception:
+        pass
+    try:
+        _warm_database(spark)
+    except Exception:
+        pass  # warm-up must never fail a real run
+
+
+def _warm_database(spark: SparkSession) -> None:
+    """Open a throwaway Database over tiny GENERATED tables (same names
+    and schemas as the driver testdata star schema, ~200 synthetic rows
+    each) and push one query through each engine surface — SQL relational,
+    LINK navigation, SQL MATCH, Cypher, TRAVERSE, ts windows.  This
+    compiles the translator's real plan shapes (vid arithmetic, broadcast
+    dim chains, decimal aggregation, window specs) exactly once, so the
+    first user query of each shape doesn't pay Janino+JIT.  Zero rows of
+    user data are read: every table is synthesized from spark.range and
+    deleted afterwards."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="arcadedb_warmdb_")
+    try:
+        r = spark.range(0, 200, 1, 2)
+        seg = F.element_at(
+            F.array(F.lit("AUTO"), F.lit("HOUSE"), F.lit("TOY")),
+            (F.col("id") % 3 + 1).cast("int"),
+        )
+        tables = {
+            "region": spark.range(0, 5).select(
+                F.col("id").cast("int").alias("r_regionkey"),
+                F.concat(F.lit("R"), F.col("id")).alias("r_name"),
+            ),
+            "nation": spark.range(0, 10).select(
+                F.col("id").cast("int").alias("n_nationkey"),
+                F.concat(F.lit("N"), F.col("id")).alias("n_name"),
+                (F.col("id") % 5).cast("int").alias("n_regionkey"),
+            ),
+            "customer": r.select(
+                F.col("id").alias("c_custkey"),
+                F.concat(F.lit("C"), F.col("id")).alias("c_name"),
+                (F.col("id") % 10).cast("int").alias("c_nationkey"),
+                (F.col("id") % 97).cast("double").alias("c_acctbal"),
+                seg.alias("c_mktsegment"),
+            ),
+            "supplier": spark.range(0, 20).select(
+                F.col("id").alias("s_suppkey"),
+                F.concat(F.lit("S"), F.col("id")).alias("s_name"),
+                (F.col("id") % 10).cast("int").alias("s_nationkey"),
+                (F.col("id") % 53).cast("double").alias("s_acctbal"),
+            ),
+            "part": spark.range(0, 50).select(
+                F.col("id").alias("p_partkey"),
+                F.concat(F.lit("P"), F.col("id")).alias("p_name"),
+                F.concat(F.lit("B"), F.col("id") % 5).alias("p_brand"),
+                F.concat(F.lit("T"), F.col("id") % 7).alias("p_type"),
+                (F.col("id") % 50).cast("int").alias("p_size"),
+                (F.col("id") % 89).cast("double").alias("p_retailprice"),
+            ),
+            "orders": r.select(
+                F.col("id").alias("o_orderkey"),
+                (F.col("id") % 200).alias("o_custkey"),
+                F.element_at(
+                    F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+                    (F.col("id") % 3 + 1).cast("int"),
+                ).alias("o_orderstatus"),
+                (F.col("id") * 37 % 1000).cast("double").alias("o_totalprice"),
+                F.timestamp_millis(F.lit(800000000000) + F.col("id") * 86400000).alias(
+                    "o_orderdate"
+                ),
+                F.lit("1-URGENT").alias("o_orderpriority"),
+            ),
+            "lineitem": spark.range(0, 600, 1, 2).select(
+                (F.col("id") % 200).alias("l_orderkey"),
+                (F.col("id") % 50).alias("l_partkey"),
+                (F.col("id") % 20).alias("l_suppkey"),
+                (F.col("id") % 7).cast("int").alias("l_linenumber"),
+                (F.col("id") % 50).cast("double").alias("l_quantity"),
+                (F.col("id") * 13 % 900).cast("double").alias("l_extendedprice"),
+                ((F.col("id") % 10) / 100.0).alias("l_discount"),
+                ((F.col("id") % 8) / 100.0).alias("l_tax"),
+                F.element_at(
+                    F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                    (F.col("id") % 3 + 1).cast("int"),
+                ).alias("l_returnflag"),
+                F.element_at(
+                    F.array(F.lit("F"), F.lit("O")),
+                    (F.col("id") % 2 + 1).cast("int"),
+                ).alias("l_linestatus"),
+                F.timestamp_millis(F.lit(800000000000) + F.col("id") * 43200000).alias(
+                    "l_shipdate"
+                ),
+            ),
+            "events": spark.range(0, 500, 1, 2).select(
+                F.col("id").alias("event_id"),
+                F.timestamp_millis(F.lit(1600000000000) + F.col("id") * 60000).alias(
+                    "ts"
+                ),
+                (F.col("id") % 40).alias("user_id"),
+                F.element_at(
+                    F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+                    (F.col("id") % 3 + 1).cast("int"),
+                ).alias("event_type"),
+                (F.col("id") % 71).cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            ),
+        }
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+        from arcadedb_spark.database import Database
+
+        db = Database.open(spark, d)
+        statements = [
+            ("SELECT l_returnflag, l_linestatus, "
+             "sum(l_quantity.convert('decimal(25,6)')).asDouble() AS sq, "
+             "sum((l_extendedprice * (1 - l_discount)).convert('decimal(25,6)')).asDouble() AS sd, "
+             "round(avg(l_discount), 4) AS ad, count(*) AS n "
+             "FROM lineitem WHERE l_shipdate <= date('1998-09-02') "
+             "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus", "sql"),
+            ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+             "FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05", "sql"),
+            ("SELECT count(*) AS n FROM customer WHERE c_custkey IN "
+             "(SELECT o_custkey FROM orders WHERE o_totalprice > 100)", "sql"),
+            ("SELECT c_nationkey.n_regionkey.r_name AS region, count(*) AS n "
+             "FROM customer GROUP BY region", "sql"),
+            ("MATCH {type: Customer, as: c}.out('PLACED'){as: o}"
+             ".out('CONTAINS'){as: p, where: (p_size > 1)} "
+             "RETURN c.c_mktsegment AS seg, count(*) AS n GROUP BY seg", "sql"),
+            ("MATCH (c:Customer)-[:PLACED]->(o:`Order`) WHERE o.o_totalprice > 100 "
+             "RETURN c.c_mktsegment AS seg, count(*) AS n", "cypher"),
+            ("TRAVERSE out('PLACED'), out('CONTAINS') FROM "
+             "(SELECT FROM Customer WHERE c_custkey < 3) MAXDEPTH 2", "sql"),
+        ]
+        for text, lang in statements:
+            try:
+                db.query(text, language=lang).count()
+            except Exception:
+                pass
+        # ts window / sessionize / bucket shapes over a parquet-backed
+        # events table (scan-rooted codegen classes)
+        try:
+            from arcadedb_spark.timeseries import delta, time_bucket
+            from arcadedb_spark.timeseries.functions import sessionize
+
+            ev = db.table("events")
+            ev.select(
+                "event_id",
+                F.round(delta("value", "user_id", ["ts", "event_id"]), 4).alias("d"),
+            ).write.format("noop").mode("overwrite").save()
+            ev.groupBy(
+                F.unix_millis(time_bucket("ts", 3600000)).alias("b"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("t"),
+            ).count()
+            sessionize(ev, "ts", "user_id", gap_ms=1800000).groupBy("user_id").agg(
+                F.max("session_id").cast("long").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).count()
+        except Exception:
+            pass
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _warm_ops(spark: SparkSession, docs) -> None:
 
     # --- text / dedup / fulltext ---------------------------------------
     from arcadedb_spark.text.fulltext import bm25_search
