@@ -177,6 +177,14 @@ def _warm_database(spark: SparkSession) -> None:
                     "l_shipdate"
                 ),
             ),
+            "embeddings": spark.range(0, 200, 1, 2).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(15)),
+                    lambda i: ((F.col("id") + i) % 17).cast("float"),
+                ).alias("embedding"),
+                (F.col("id") % 5).cast("int").alias("label"),
+            ),
             "events": spark.range(0, 500, 1, 2).select(
                 F.col("id").alias("event_id"),
                 F.timestamp_millis(F.lit(1600000000000) + F.col("id") * 60000).alias(
@@ -243,6 +251,46 @@ def _warm_database(spark: SparkSession) -> None:
                 F.max("session_id").cast("long").alias("s"),
                 F.count(F.lit(1)).alias("n"),
             ).count()
+        except Exception:
+            pass
+        # frontier BFS over the derived INTERACTED graph: warms the
+        # window-derived edge cache registration, the bounded adjacency
+        # collect (Arrow), and the literal-frame result path
+        try:
+            from arcadedb_spark.graph.model import local_df
+            from arcadedb_spark.graph.traverse import traverse
+
+            g = db.graph()
+            base = db.schema.get("customer").bucket_id << 40
+            roots = local_df(spark, [(base + 1,)], "struct<vid:bigint>")
+            bedges = g.edges("INTERACTED").select(
+                F.col("src").alias("__from"), F.col("dst").alias("__to")
+            )
+            traverse(db, roots, bedges, max_depth=3).groupBy("depth").agg(
+                F.count(F.lit(1)).alias("n")
+            ).count()
+        except Exception:
+            pass
+        # brute-force knn shape: 1-row broadcast query vector over a
+        # float-array parquet column
+        try:
+            from arcadedb_spark.vector import cosine_similarity
+
+            emb = db.table("embeddings")
+            q = F.broadcast(
+                emb.filter(F.col("vec_id") == 0)
+                .select(F.col("embedding").cast("array<double>").alias("__qv"))
+                .limit(1)
+            )
+            emb.crossJoin(q).select(
+                "vec_id",
+                F.round(
+                    cosine_similarity(
+                        F.col("embedding").cast("array<double>"), F.col("__qv")
+                    ),
+                    6,
+                ).alias("score"),
+            ).orderBy(F.desc("score"), F.asc("vec_id")).limit(10).count()
         except Exception:
             pass
     finally:
