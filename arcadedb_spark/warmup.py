@@ -72,11 +72,14 @@ def warm_engine(spark: SparkSession) -> None:
     """Run one tiny query through each operator family (see module doc)."""
     import shutil
 
-    docs, tmpdir = _parquet_backed(_synthetic_docs(spark), "docs")
     try:
-        _warm_ops(spark, docs)
-    finally:
-        shutil.rmtree(tmpdir, ignore_errors=True)
+        docs, tmpdir = _parquet_backed(_synthetic_docs(spark), "docs")
+        try:
+            _warm_ops(spark, docs)
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+    except Exception:
+        pass  # warm-up must never fail a real run
     # parse-layer warm: the recursive-descent parsers compile their
     # token regexes and build per-module state on first use
     try:

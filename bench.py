@@ -88,9 +88,12 @@ def warmup(spark) -> None:
     # plan shapes once over a tiny synthetic literal corpus (see
     # arcadedb_spark/warmup.py — no benchmark data touched, no results
     # precomputed; pure codegen/JIT warm-up)
-    from arcadedb_spark.warmup import warm_engine
+    try:
+        from arcadedb_spark.warmup import warm_engine
 
-    warm_engine(spark)
+        warm_engine(spark)
+    except Exception:
+        pass  # warm-up must never fail the bench
 
 
 def main() -> None:
@@ -105,7 +108,10 @@ def main() -> None:
     # not query work; per-query timings should measure the engine.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.sparkContext.parallelize([1], 1).count()
-    warmup(spark)
+    try:
+        warmup(spark)
+    except Exception:
+        pass  # session warm-up is best-effort; the bench must always run
 
     sf = None
     try:
