@@ -4114,8 +4114,8 @@ def q_contains_condition(spark, sf_dir):
     "q_sql_graph_nav",
     oracle="""
     SELECT c_custkey,
-           COALESCE(list_sort(list(o_orderkey)
-                    FILTER (WHERE o_orderkey IS NOT NULL)), []) AS keys
+           CAST(to_json(COALESCE(list_sort(list(o_orderkey)
+                    FILTER (WHERE o_orderkey IS NOT NULL)), [])) AS VARCHAR) AS keys
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     WHERE c_custkey < 20
     GROUP BY c_custkey ORDER BY c_custkey
@@ -4125,11 +4125,13 @@ def q_sql_graph_nav(spark, sf_dir):
     """SQL graph-navigation functions (function/sql/graph/
     SQLFunctionOut.java): ``SELECT out('E').prop FROM V`` — one grouped
     equi-join marker per distinct call, array-struct field extraction
-    downstream; sorted for deterministic comparison."""
-    return _db(spark, sf_dir).query(
+    downstream; sorted for deterministic comparison.  List-valued output
+    is JSON-serialized (round-6 canon rule: no array/map output columns)."""
+    df = _db(spark, sf_dir).query(
         "SELECT c_custkey, out('PLACED').o_orderkey.sort() AS keys "
         "FROM Customer WHERE c_custkey < 20 ORDER BY c_custkey"
     )
+    return df.select("c_custkey", F.to_json("keys").alias("keys"))
 
 
 @query(
@@ -4171,19 +4173,22 @@ def q_backup_statement(spark, sf_dir):
     (BackupDatabaseStatement.java / ImportDatabaseStatement.java): a
     scratch database backs up to jsonl and a second database imports the
     type back."""
+    import os
     import shutil
+    import tempfile
 
     from arcadedb_spark.database import Database
 
-    shutil.rmtree("/root/repo/backups/r8_bk", ignore_errors=True)
+    # scratch fixture lives under the system temp dir, not the repo tree
+    # (a verify run must leave `git status` clean)
+    bk = os.path.join(tempfile.gettempdir(), "arcade_q_backup_stmt")
+    shutil.rmtree(bk, ignore_errors=True)
     src = Database(spark)
     src.command("CREATE DOCUMENT TYPE BkR8")
     src.command("INSERT INTO BkR8 (k, v) VALUES (1, 'a'), (2, 'b'), (3, 'c')")
-    src.command("BACKUP DATABASE 'file:///root/repo/backups/r8_bk'")
+    src.command(f"BACKUP DATABASE 'file://{bk}'")
     dst = Database(spark)
-    dst.command(
-        "IMPORT DATABASE 'file:///root/repo/backups/r8_bk/BkR8.jsonl'"
-    )
+    dst.command(f"IMPORT DATABASE 'file://{bk}/BkR8.jsonl'")
     return dst.query("SELECT k.asInteger() AS k, v FROM BkR8 ORDER BY k")
 
 
