@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from arcadedb_spark.caching import bounded_cache
 from arcadedb_spark.parallel import ensure_min_partitions
 
 # 31-bit Mersenne prime: keeps a·x+b < 2^62 (no long overflow in codegen)
@@ -100,7 +101,7 @@ def minhash_signatures(
     from arcadedb_spark.dedup.ngram import ngram_sets
 
     src = ensure_min_partitions(docs.select(id_col, text_col))
-    sets = ngram_sets(src, id_col, text_col, shingle_size).cache()
+    sets = bounded_cache(ngram_sets(src, id_col, text_col, shingle_size))
     return _signatures_from_sets(sets, num_hashes, seed)
 
 
@@ -132,12 +133,12 @@ def minhash_duplicate_pairs(
     # cached (id, grams) frame — the previous shape re-tokenized the
     # corpus three times (signature build + one per verify join side).
     src = ensure_min_partitions(docs.select(id_col, text_col))
-    sets = ngram_sets(src, id_col, text_col, shingle_size).cache()
+    sets = bounded_cache(ngram_sets(src, id_col, text_col, shingle_size))
     sigs = _signatures_from_sets(sets, num_hashes, seed)
     if verify != "exact":
         # the estimate path probes sigs twice (per pair side) — keep the
         # signature frame itself materialized
-        sigs = sigs.cache()
+        sigs = bounded_cache(sigs)
     banded = sigs.select(
         "id",
         F.explode(

@@ -12,10 +12,13 @@ Execution shape (100 TB-ready):
   ``arrays_zip`` of shifted slices, so no outer expression is referenced
   inside a higher-order-function lambda — Catalyst re-evaluates such
   references per element, measured 9× slower for the regex tokenizer);
-- ONE cached exploded inverted index; document-frequency and set-size
-  side tables are broadcast;
+- the per-doc rare-set size rides on the inverted-index rows (window
+  over id) — no corpus-sized side-table broadcast anywhere; only the
+  tiny stop-gram set is broadcast (anti-join);
 - intersection sizes come from ``groupBy(pair).count()`` on the
-  inverted-index self-join — no wide gram arrays ever shuffle.
+  inverted-index self-join — no wide gram arrays ever shuffle;
+- operator-internal caches go through ``caching.bounded_cache`` (plan
+  dedup + bounded registry with eviction), not bare ``.cache()``.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from arcadedb_spark.caching import bounded_cache
 from arcadedb_spark.parallel import ensure_min_partitions
 from arcadedb_spark.text.fulltext import tokenize
 
@@ -93,8 +97,11 @@ def ngram_jaccard_pairs(
     # inverted index is cached on top because three consumers read it
     # (document frequency, candidate join left/right); its fill is a
     # cheap Generate over the cached arrays.
-    sets = ngram_sets(src, id_col, text_col, n).cache()
-    inv = sets.select("id", F.explode("grams").alias("g")).cache()
+    sets = bounded_cache(ngram_sets(src, id_col, text_col, n))
+    # the exploded inverted index is NOT cached: each consumer's Generate
+    # over the cached gram arrays is cheap, and the frame that IS worth
+    # keeping (below) already carries the per-doc size folded in
+    inv = sets.select("id", F.explode("grams").alias("g"))
     # skew guard: stop-shingles (df > max_df) leave the similarity space.
     # Only the HOT grams are materialized driver-side — the stop set is
     # tiny by construction, so the anti-join broadcast is a few KB where
@@ -103,18 +110,25 @@ def ngram_jaccard_pairs(
     dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
     stop = F.broadcast(dfreq.filter(F.col("df") > max_df).select("g"))
     inv2 = inv.join(stop, "g", "left_anti")
-    sizes = F.broadcast(inv2.groupBy("id").agg(F.count("*").alias("sz")))
+    # per-doc rare-set size rides ON the index rows (one width-1 window
+    # keyed by id) instead of a separate (id, sz) side table: the old
+    # shape broadcast a CORPUS-sized aggregate to every executor (a scale
+    # hazard, guide §3.1) and re-joined it twice after the pair
+    # aggregation — two whole join operators and one broadcast gone.
+    sz_w = F.count("*").over(Window.partitionBy("id"))
 
     if not prefix_filter:
-        l, r = inv2.alias("l"), inv2.alias("r")
-        inter = (
+        inv2_sz = bounded_cache(inv2.withColumn("sz", sz_w))
+        l, r = inv2_sz.alias("l"), inv2_sz.alias("r")
+        return (
             l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
             .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .agg(F.count("*").alias("inter"))
-        )
-        return (
-            inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "__sa"}), "id_a")
-            .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "__sb"}), "id_b")
+            .agg(
+                F.count("*").alias("inter"),
+                # sz is functionally determined by the group key
+                F.min(F.col("l.sz")).alias("__sa"),
+                F.min(F.col("r.sz")).alias("__sb"),
+            )
             .withColumn(
                 "jaccard",
                 F.col("inter") / (F.col("__sa") + F.col("__sb") - F.col("inter")),
@@ -127,13 +141,14 @@ def ngram_jaccard_pairs(
     # for every doc, so the prefix principle applies.  dfreq is keyed by
     # g like inv2, so this is a co-keyed equi-join (AQE broadcasts it
     # when small; at scale it shuffle-joins without any giant broadcast).
+    inv2 = bounded_cache(inv2)  # two consumers: ranked chain + arrays
     with_df = inv2.join(dfreq, "g")
     ranked = with_df.withColumn(
         "__rn",
         F.row_number().over(
             Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
         ),
-    ).join(sizes, "id")
+    ).withColumn("sz", sz_w)
     prefix = ranked.filter(
         F.col("__rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select("id", "g")
