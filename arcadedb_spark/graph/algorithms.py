@@ -63,6 +63,7 @@ def pagerank(
     e.count()  # materialize once
 
     ranks = verts.withColumn("rank", F.lit(1.0))
+    prev = None
     for i in range(1, iterations + 1):
         contribs = (
             e.join(ranks, e["src"] == ranks["vid"], "inner")
@@ -70,10 +71,18 @@ def pagerank(
             .groupBy("vid")
             .agg(F.sum("c").alias("c"))
         )
+        # One action per superstep: persist the aggregated contributions and
+        # read the flowed-mass scalar off the materialized blocks, so the
+        # next iteration's lineage starts at this cache instead of replaying
+        # every superstep since the last truncation.
+        contribs = contribs.persist()
         # dangling mass = total rank − mass that flowed through edges
         flowed = contribs.agg(F.sum("c")).collect()[0][0] or 0.0
+        if prev is not None:
+            prev.unpersist()
+        prev = contribs
         dangling = n - flowed  # total rank is kept at n
-        new_ranks = (
+        ranks = (
             verts.join(contribs, "vid", "left")
             .select(
                 "vid",
@@ -84,9 +93,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = new_ranks
         if i % _CHECKPOINT_EVERY == 0:
             ranks = ranks.truncate_plan()
+            prev.unpersist()
+            prev = None
+    if prev is not None:
+        ranks = ranks.truncate_plan()
+        prev.unpersist()
+    e.unpersist()
+    verts.unpersist()
     return ranks
 
 
@@ -103,6 +118,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().repartition("src").cache()
     comp = _vertices_of(edges).withColumn("component", F.col("vid"))
+    prev = None
     for i in range(1, max_iterations + 1):
         neigh_min = (
             und.join(comp, und["src"] == comp["vid"], "inner")
@@ -110,27 +126,35 @@ def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFram
             .groupBy("vid")
             .agg(F.min("component").alias("nc"))
         )
-        new_comp = (
+        # Carry the change flag in the frame (nc < component ⟺ least() picks
+        # nc) so convergence needs no extra self-join, and materialize each
+        # superstep once via persist + the flag aggregate.
+        stepped = (
             comp.join(neigh_min, "vid", "left")
             .select(
                 "vid",
                 F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias(
                     "component"
                 ),
+                (F.col("nc") < F.col("component")).alias("__chg"),
             )
+            .persist()
         )
+        changed = stepped.agg(F.max("__chg")).collect()[0][0]
+        if prev is not None:
+            prev.unpersist()
+        prev = stepped
+        comp = stepped.select("vid", "component")
         if i % _CHECKPOINT_EVERY == 0:
-            new_comp = new_comp.truncate_plan()
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "vid")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
+            comp = comp.truncate_plan()
+            prev.unpersist()
+            prev = None
+        if not changed:
             break
+    if prev is not None:
+        comp = comp.truncate_plan()
+        prev.unpersist()
+    und.unpersist()
     return comp
 
 
@@ -147,7 +171,8 @@ def shortest_paths(
     )
     frontier = dist
     # traverse edges BACKWARD so distance is vid→landmark
-    back = edges.select(F.col("dst").alias("from"), F.col("src").alias("to")).distinct()
+    back = edges.select(F.col("dst").alias("from"), F.col("src").alias("to")).distinct().cache()
+    frontiers = []
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(back, frontier["vid"] == back["from"], "inner")
@@ -162,13 +187,25 @@ def shortest_paths(
             seen,
             (nxt["vid"] == seen["__v2"]) & (nxt["landmark"] == seen["__l2"]),
             "left_anti",
-        )
-        if depth % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.truncate_plan()
-        if nxt.limit(1).count() == 0:
+        ).persist()
+        # the emptiness probe doubles as the materializing action: one BFS
+        # level of work per level, every later level reads this cache
+        if nxt.count() == 0:
+            nxt.unpersist()
             break
+        frontiers.append(nxt)
         dist = dist.unionByName(nxt)
         frontier = nxt
+        if depth % _CHECKPOINT_EVERY == 0:
+            dist = dist.truncate_plan()
+            for f in frontiers[:-1]:
+                f.unpersist()
+            frontiers = frontiers[-1:]
+    if frontiers:
+        dist = dist.truncate_plan()
+        for f in frontiers:
+            f.unpersist()
+    back.unpersist()
     return dist
 
 
@@ -188,31 +225,44 @@ def dijkstra_sssp(
     e = e.cache()
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0.0)], "vid long, distance double")
+    prev = None
     for i in range(1, max_iterations + 1):
         relaxed = (
             e.join(dist, e["src"] == dist["vid"], "inner")
-            .select(F.col("dst").alias("vid"), (F.col("distance") + F.col("w")).alias("distance"))
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min(F.col("distance") + F.col("w")).alias("__rd"))
         )
-        new_dist = (
-            dist.unionByName(relaxed)
-            .groupBy("vid")
-            .agg(F.min("distance").alias("distance"))
-        )
-        if i % _CHECKPOINT_EVERY == 0:
-            new_dist = new_dist.truncate_plan()
-        improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), "vid", "left")
-            .filter(
-                F.col("o.distance").isNull()
-                | (F.col("n.distance") < F.col("o.distance"))
+        # full-outer merge carries the improvement flag, so convergence
+        # needs no second join and the superstep materializes exactly once
+        stepped = (
+            dist.join(relaxed, "vid", "full")
+            .select(
+                "vid",
+                F.least(
+                    F.coalesce(F.col("distance"), F.col("__rd")),
+                    F.coalesce(F.col("__rd"), F.col("distance")),
+                ).alias("distance"),
+                (
+                    F.col("distance").isNull() | (F.col("__rd") < F.col("distance"))
+                ).alias("__chg"),
             )
-            .limit(1)
-            .count()
+            .persist()
         )
-        dist = new_dist
-        if improved == 0:
+        improved = stepped.agg(F.max("__chg")).collect()[0][0]
+        if prev is not None:
+            prev.unpersist()
+        prev = stepped
+        dist = stepped.select("vid", "distance")
+        if i % _CHECKPOINT_EVERY == 0:
+            dist = dist.truncate_plan()
+            prev.unpersist()
+            prev = None
+        if not improved:
             break
+    if prev is not None:
+        dist = dist.truncate_plan()
+        prev.unpersist()
+    e.unpersist()
     return dist
 
 
@@ -285,11 +335,19 @@ def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
             .groupBy("vid", "label")
             .agg(F.count("*").alias("n"))
         )
-        w = Window.partitionBy("vid").orderBy(F.desc("n"), F.asc("label"))
+        # most-frequent label per vertex via max(struct(n, −label)) — hash
+        # aggregate with map-side combine instead of a window sort; ties
+        # break to the smaller label exactly as (desc n, asc label) did
         best = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vid", F.col("label").alias("new_label"))
+            counts.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n"), (-F.col("label")).alias("__neg"), F.col("label")
+                    )
+                ).alias("__m")
+            )
+            .select("vid", F.col("__m.label").alias("new_label"))
         )
         labels = (
             labels.join(best, "vid", "left")
@@ -380,6 +438,10 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     vertices with degree < k until fixpoint.  Returns (vid,)."""
     adj = _undirected_adj(edges).cache()
     alive = adj.select("v").distinct()
+    # one count up front; per iteration only the NEW frame is counted (the
+    # previous count is remembered), halving the actions per peel round
+    n_alive = alive.count()
+    prev = None
     for i in range(max_iterations):
         cur = adj.join(alive.withColumnRenamed("v", "n"), "n", "left_semi").join(
             alive, "v", "left_semi"
@@ -388,10 +450,25 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
         nxt = deg.filter(F.col("d") >= k).select("v")
         if i % _CHECKPOINT_EVERY == 0:
             nxt = nxt.truncate_plan()
-        removed = alive.count() - nxt.count()
+            n_next = nxt.count()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+        else:
+            nxt = nxt.persist()
+            n_next = nxt.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = nxt
+        removed = n_alive - n_next
         alive = nxt
+        n_alive = n_next
         if removed == 0:
             break
+    if prev is not None:
+        alive = alive.truncate_plan()
+        prev.unpersist()
+    adj.unpersist()
     return alive.select(F.col("v").alias("vid"))
 
 
@@ -401,17 +478,30 @@ def eigenvector_centrality(edges: DataFrame, iterations: int = 20) -> DataFrame:
     verts = _vertices_of(edges).cache()
     e = edges.select("src", "dst").distinct().repartition("dst").cache()
     x = verts.withColumn("x", F.lit(1.0))
+    prev = None
     for i in range(1, iterations + 1):
         nxt = (
             e.join(x, e["src"] == x["vid"], "inner")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("x").alias("x"))
         )
-        nxt = verts.join(nxt, "vid", "left").fillna(0.0, ["x"])
+        # persist the superstep and reuse the norm aggregate (the loop's own
+        # action) as its materializer — one superstep of work per iteration
+        nxt = verts.join(nxt, "vid", "left").fillna(0.0, ["x"]).persist()
         norm = nxt.agg(F.max("x")).collect()[0][0] or 1.0
+        if prev is not None:
+            prev.unpersist()
+        prev = nxt
         x = nxt.select("vid", (F.col("x") / F.lit(norm)).alias("x"))
         if i % _CHECKPOINT_EVERY == 0:
             x = x.truncate_plan()
+            prev.unpersist()
+            prev = None
+    if prev is not None:
+        x = x.truncate_plan()
+        prev.unpersist()
+    e.unpersist()
+    verts.unpersist()
     return x.select("vid", F.col("x").alias("centrality"))
 
 
@@ -438,6 +528,10 @@ def katz_centrality(
         )
         if i % _CHECKPOINT_EVERY == 0:
             x = x.truncate_plan()
+    if iterations % _CHECKPOINT_EVERY != 0:
+        x = x.truncate_plan()  # detach from the caches before releasing them
+    e.unpersist()
+    verts.unpersist()
     return x.select("vid", F.col("x").alias("centrality"))
 
 
@@ -497,46 +591,57 @@ def strongly_connected_components(
     stack walk in the reference).
     Returns (vid, component)."""
     e_all = edges.select("src", "dst").distinct().cache()
-    remaining = _vertices_of(edges).cache()
+    remaining = _vertices_of(edges).persist()
+    n_remaining = remaining.count()
     spark = edges.sparkSession
     assigned = spark.createDataFrame([], "vid long, component long")
     for _ in range(max_outer):
-        if remaining.limit(1).count() == 0:
+        if n_remaining == 0:
             break
         e = (
             e_all.join(remaining.withColumnRenamed("vid", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-            .cache()
+            .persist()
         )
-        # 1) forward max-color propagation to fixpoint
+        # 1) forward max-color propagation to fixpoint.  Each superstep is
+        # persisted and materialized by the change-flag aggregate itself, so
+        # one action = one superstep of work; the flag (nc > color) replaces
+        # the former new-vs-old convergence self-join.
         color = remaining.withColumn("color", F.col("vid"))
+        color_prev = None
         for i in range(max_inner):
             prop = (
                 e.join(color, e["src"] == color["vid"], "inner")
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.max("color").alias("nc"))
             )
-            new_color = (
+            stepped = (
                 color.join(prop, "vid", "left")
                 .select(
                     "vid",
                     F.greatest(
                         F.col("color"), F.coalesce(F.col("nc"), F.col("color"))
                     ).alias("color"),
+                    (F.col("nc") > F.col("color")).alias("__chg"),
                 )
+                .persist()
             )
-            if i % _CHECKPOINT_EVERY == 0:
-                new_color = new_color.truncate_plan()
-            changed = (
-                new_color.alias("n")
-                .join(color.alias("o"), "vid")
-                .filter(F.col("n.color") != F.col("o.color"))
-                .limit(1)
-                .count()
-            )
-            color = new_color
-            if changed == 0:
+            changed = stepped.agg(F.max("__chg")).collect()[0][0]
+            if color_prev is not None:
+                color_prev.unpersist()
+            color_prev = stepped
+            color = stepped.select("vid", "color")
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                color = color.truncate_plan()
+                color_prev.unpersist()
+                color_prev = None
+            if not changed:
                 break
+        if color_prev is not None:
+            # the backward phase probes `color` every level — pin it as a
+            # truncated frame and release the superstep cache
+            color = color.truncate_plan()
+            color_prev.unpersist()
         # 2) backward reachability from each color root, within the color
         roots = color.filter(F.col("vid") == F.col("color")).select(
             "vid", "color"
@@ -544,6 +649,7 @@ def strongly_connected_components(
         scc = roots
         frontier = roots
         back = e.select(F.col("dst").alias("from"), F.col("src").alias("to"))
+        frontiers = []
         for i in range(max_inner):
             nxt = (
                 frontier.join(back, frontier["vid"] == back["from"], "inner")
@@ -554,17 +660,37 @@ def strongly_connected_components(
             nxt = nxt.join(
                 color.withColumnRenamed("color", "c2"), "vid"
             ).filter(F.col("color") == F.col("c2")).select("vid", "color")
-            nxt = nxt.join(scc.select("vid"), "vid", "left_anti")
-            if i % _CHECKPOINT_EVERY == 0:
-                nxt = nxt.truncate_plan()
-            if nxt.limit(1).count() == 0:
+            nxt = nxt.join(scc.select("vid"), "vid", "left_anti").persist()
+            if nxt.count() == 0:
+                nxt.unpersist()
                 break
+            frontiers.append(nxt)
             scc = scc.unionByName(nxt)
             frontier = nxt
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                scc = scc.truncate_plan()
+                for f in frontiers[:-1]:
+                    f.unpersist()
+                frontiers = frontiers[-1:]
+        # accumulate lazily: per-round results are truncated frames already,
+        # so the union stays a cheap scan-union (the old per-round
+        # truncate_plan of `assigned` rewrote the full accumulated set
+        # every round)
+        scc = scc.truncate_plan()
+        for f in frontiers:
+            f.unpersist()
         assigned = assigned.unionByName(
             scc.select("vid", F.col("color").alias("component"))
-        ).truncate_plan()
-        remaining = remaining.join(scc.select("vid"), "vid", "left_anti").cache()
+        )
+        remaining_next = remaining.join(
+            scc.select("vid"), "vid", "left_anti"
+        ).persist()
+        n_remaining = remaining_next.count()
+        remaining.unpersist()
+        remaining = remaining_next
+        e.unpersist()
+    remaining.unpersist()
+    e_all.unpersist()
     return assigned
 
 
@@ -887,6 +1013,7 @@ def louvain(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
         edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .cache()
     )
     adj = (
         und.select(F.col("a").alias("v"), F.col("b").alias("n"))
@@ -920,35 +1047,49 @@ def louvain(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
                 F.col("w") / F.lit(m2) - F.col("k") * F.col("tot") / F.lit(m2 * m2),
             )
         )
-        w_best = Window.partitionBy("v").orderBy(F.desc("gain"), F.asc("nc"))
+        # best candidate per vertex via max(struct(gain, −nc)) — a hash
+        # aggregate with map-side partial aggregation instead of the
+        # row_number() window's extra shuffle + sort; (gain desc, nc asc)
+        # tie-breaking is preserved by the lexicographic struct order
         best = (
-            cand.withColumn("__rn", F.row_number().over(w_best))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("v").alias("vid"), F.col("nc").alias("new_c"), "gain")
+            cand.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"), (-F.col("nc")).alias("__negnc"), F.col("nc")
+                    )
+                ).alias("__m")
+            )
+            .select(
+                F.col("v").alias("vid"),
+                F.col("__m.nc").alias("new_c"),
+                F.col("__m.gain").alias("gain"),
+            )
         )
-        new_comm = (
+        # Hard-truncate EVERY superstep: ``comm`` feeds this plan 3-4 times
+        # (cmap, ctot, the final join), so a lazy chain grows the Catalyst
+        # tree ~4^k per superstep — 5 deferred supersteps OOM the driver
+        # (measured).  The carried moved-flag still removes the old
+        # convergence self-join: `moved` is one aggregate over the freshly
+        # truncated frame instead of a second join of two parquet scans.
+        stepped = (
             comm.join(best, "vid", "left")
             .select(
                 "vid",
                 F.when(
                     F.col("gain") > 0, F.col("new_c")
                 ).otherwise(F.col("community")).alias("community"),
+                (
+                    (F.col("gain") > 0) & (F.col("new_c") != F.col("community"))
+                ).alias("__chg"),
             )
+            .truncate_plan()
         )
-        # Checkpoint EVERY superstep: the per-iteration `moved` action would
-        # otherwise re-execute the whole growing lineage (measured 27 s per
-        # superstep by iteration 10 on a 150-vertex graph — pure plan cost).
-        # Eager materialization keeps each superstep flat in both plan size
-        # and recompute, which is also the 1000-executor behaviour we want.
-        new_comm = new_comm.truncate_plan()
-        moved = (
-            new_comm.alias("n")
-            .join(comm.alias("o"), "vid")
-            .filter(F.col("n.community") != F.col("o.community"))
-            .limit(1)
-            .count()
-        )
-        comm = new_comm
-        if moved == 0:
+        moved = stepped.agg(F.max("__chg")).collect()[0][0]
+        comm = stepped.select("vid", "community")
+        if not moved:
             break
+    adj.unpersist()
+    deg.unpersist()
+    und.unpersist()
     return comm

@@ -181,33 +181,39 @@ def longest_path_dag(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
     verts = _vertices_of(edges)
     e = edges.select("src", "dst").distinct().cache()
     dist = verts.withColumn("length", F.lit(0))
+    prev = None
     for i in range(1, max_iterations + 1):
         relaxed = (
             e.join(dist, e["src"] == dist["vid"], "inner")
             .groupBy(F.col("dst").alias("vid"))
             .agg((F.max("length") + 1).alias("nl"))
         )
-        new_dist = (
+        stepped = (
             dist.join(relaxed, "vid", "left")
             .select(
                 "vid",
                 F.greatest(
                     F.col("length"), F.coalesce(F.col("nl"), F.col("length"))
                 ).alias("length"),
+                (F.col("nl") > F.col("length")).alias("__chg"),
             )
+            .persist()
         )
+        changed = stepped.agg(F.max("__chg")).collect()[0][0]
+        if prev is not None:
+            prev.unpersist()
+        prev = stepped
+        dist = stepped.select("vid", "length")
         if i % _CHECKPOINT_EVERY == 0:
-            new_dist = new_dist.truncate_plan()
-        changed = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), "vid")
-            .filter(F.col("n.length") != F.col("o.length"))
-            .limit(1)
-            .count()
-        )
-        dist = new_dist
-        if changed == 0:
+            dist = dist.truncate_plan()
+            prev.unpersist()
+            prev = None
+        if not changed:
             break
+    if prev is not None:
+        dist = dist.truncate_plan()
+        prev.unpersist()
+    e.unpersist()
     return dist
 
 
@@ -468,14 +474,19 @@ def personalized_pagerank(
     )
     ranks = teleport.select("vid", F.col("t").alias("rank"))
     ranks = verts.join(ranks, "vid", "left").fillna(0.0, ["rank"])
+    prev = None
     for i in range(1, iterations + 1):
         contribs = (
             e.join(ranks, e["src"] == ranks["vid"], "inner")
             .select(F.col("dst").alias("vid"), (F.col("rank") * F.col("__share")).alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("c"))
+            .persist()
         )
         flowed = contribs.agg(F.sum("c")).collect()[0][0] or 0.0
+        if prev is not None:
+            prev.unpersist()
+        prev = contribs
         dangling = 1.0 - flowed  # total rank mass is 1
         ranks = (
             verts.join(contribs, "vid", "left")
@@ -494,6 +505,13 @@ def personalized_pagerank(
         )
         if i % _CHECKPOINT_EVERY == 0:
             ranks = ranks.truncate_plan()
+            prev.unpersist()
+            prev = None
+    if prev is not None:
+        ranks = ranks.truncate_plan()
+        prev.unpersist()
+    e.unpersist()
+    verts.unpersist()
     return ranks
 
 
@@ -511,20 +529,35 @@ def article_rank(
         "src", "dst",
         (F.lit(1.0) / (F.col("__outd") + F.lit(avg_out))).alias("__share"),
     ).cache()
+    # the dangling set is static — compute it once instead of re-deriving
+    # it through an anti-join against the full rank frame every iteration
+    dangling_verts = verts.join(
+        outd.withColumnRenamed("src", "vid"), "vid", "left_anti"
+    ).cache()
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    prev = None
     for i in range(1, iterations + 1):
+        # both per-iteration actions now touch at most one superstep of
+        # work: the dangling sum reads the (cached) previous contributions
+        # through one cheap join, and the contribution aggregate below is
+        # persisted before its scalar is read
+        dangling = (
+            ranks.join(dangling_verts, "vid", "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
         contribs = (
             e.join(ranks, e["src"] == ranks["vid"], "inner")
             .select(F.col("dst").alias("vid"), (F.col("rank") * F.col("__share")).alias("c"))
             .groupBy("vid")
             .agg(F.sum("c").alias("c"))
+            .persist()
         )
-        dangling = (
-            ranks.join(outd.withColumnRenamed("src", "vid"), "vid", "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
+        contribs.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = contribs
         ranks = verts.join(contribs, "vid", "left").select(
             "vid",
             (
@@ -535,6 +568,14 @@ def article_rank(
         )
         if i % _CHECKPOINT_EVERY == 0:
             ranks = ranks.truncate_plan()
+            prev.unpersist()
+            prev = None
+    if prev is not None:
+        ranks = ranks.truncate_plan()
+        prev.unpersist()
+    dangling_verts.unpersist()
+    e.unpersist()
+    verts.unpersist()
     return ranks
 
 
@@ -545,15 +586,25 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
     e = edges.select("src", "dst").distinct().cache()
     hub = verts.withColumn("hub", F.lit(1.0))
     auth = verts.withColumn("authority", F.lit(1.0))
+    prev_auth = None
+    prev_hub = None
     for i in range(1, iterations + 1):
+        # each half-step is persisted and materialized by its own max-norm
+        # aggregate, so the two per-iteration collects each perform exactly
+        # one half-superstep instead of replaying the chain
         # authority(v) = Σ hub(u) over u→v
         new_auth = (
             e.join(hub, e["src"] == hub["vid"], "inner")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("hub").alias("authority"))
         )
-        new_auth = verts.join(new_auth, "vid", "left").fillna(0.0, ["authority"])
+        new_auth = (
+            verts.join(new_auth, "vid", "left").fillna(0.0, ["authority"]).persist()
+        )
         amax = new_auth.agg(F.max("authority")).collect()[0][0] or 1.0
+        if prev_auth is not None:
+            prev_auth.unpersist()
+        prev_auth = new_auth
         auth = new_auth.select(
             "vid", (F.col("authority") / F.lit(amax)).alias("authority")
         )
@@ -563,13 +614,29 @@ def hits(edges: DataFrame, iterations: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("vid"))
             .agg(F.sum("authority").alias("hub"))
         )
-        new_hub = verts.join(new_hub, "vid", "left").fillna(0.0, ["hub"])
+        new_hub = verts.join(new_hub, "vid", "left").fillna(0.0, ["hub"]).persist()
         hmax = new_hub.agg(F.max("hub")).collect()[0][0] or 1.0
+        if prev_hub is not None:
+            prev_hub.unpersist()
+        prev_hub = new_hub
         hub = new_hub.select("vid", (F.col("hub") / F.lit(hmax)).alias("hub"))
         if i % _CHECKPOINT_EVERY == 0:
             hub = hub.truncate_plan()
             auth = auth.truncate_plan()
-    return hub.join(auth, "vid")
+            prev_auth.unpersist()
+            prev_auth = None
+            prev_hub.unpersist()
+            prev_hub = None
+    out = hub.join(auth, "vid")
+    if prev_auth is not None or prev_hub is not None:
+        out = out.truncate_plan()
+        if prev_auth is not None:
+            prev_auth.unpersist()
+        if prev_hub is not None:
+            prev_hub.unpersist()
+    e.unpersist()
+    verts.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
