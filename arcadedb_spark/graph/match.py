@@ -456,6 +456,26 @@ def translate_path(
     # the hop's edge identity (differs from the hop alias on cyclic
     # back-edges, where the expansion uses a fresh name)
     eid_hops: list[str] = []
+    # Vacuous relationship-uniqueness: a pattern with exactly ONE
+    # single-hop relationship cannot bind the same relationship twice, so
+    # the all-distinct filter never fires and the edge identity it feeds
+    # is dead — unless something else reads it (a path variable carries
+    # eids as part of path identity, clause-wide isomorphism defers them,
+    # shortestPath re-ranks on them).  Dropping rel_unique here lets
+    # _expand fetch the @eid-free slim edge frames (no per-row
+    # parquet-metadata struct on the scan).
+    step0 = path.steps[0] if path.steps else None
+    vacuous_unique = (
+        path.rel_unique
+        and not keep_rel_ids
+        and not getattr(path, "path_alias", None)
+        and not getattr(path, "shortest", None)
+        and len(path.steps) == 1
+        and step0.min_hops == 1
+        and step0.max_hops == 1
+        and not getattr(step0, "var_length", False)
+    )
+    rel_unique = path.rel_unique and not vacuous_unique
     cur = root_alias
     prev = None
     for step in path.steps:
@@ -467,7 +487,7 @@ def translate_path(
             # back-edge handling; TCK Match3 cyclic scenarios)
             fresh = f"__cyc{next(_uid)}"
             df, _ = _expand(db, df, cur, step, params, fresh,
-                            prev_step=prev, rel_unique=path.rel_unique)
+                            prev_step=prev, rel_unique=rel_unique)
             df = df.filter(
                 F.col(f"{fresh}.vid") == F.col(f"{want}.vid")
             ).drop(fresh)
@@ -475,7 +495,7 @@ def translate_path(
             eid_hops.append(fresh)
         else:
             df, cur = _expand(db, df, cur, step, params, want,
-                              prev_step=prev, rel_unique=path.rel_unique)
+                              prev_step=prev, rel_unique=rel_unique)
             aliases.append(cur)
             eid_hops.append(want)
         hops.append(want)

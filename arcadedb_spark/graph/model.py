@@ -184,10 +184,13 @@ class GraphModel:
         self._edge_dfs: list[DataFrame] = []
         self._edges: DataFrame | None = None
         self._edges_by_src: DataFrame | None = None
-        # full frame → @eid-free twin (built in add_edges; frames minted
-        # by write paths fall back to their full form — their @eid is a
-        # literal column, not a parquet-metadata reference)
-        self._edge_slim: dict[DataFrame, DataFrame] = {}
+        # id(full frame) → @eid-free twin (built in add_edges; frames
+        # minted by write paths fall back to their full form — their @eid
+        # is a literal column, not a parquet-metadata reference).  Keyed
+        # by id() rather than the DataFrame itself (no reliance on frame
+        # hashing) and pruned whenever _edge_dfs is rewritten, so dropped
+        # edge frames are not retained for the model's lifetime.
+        self._edge_slim: dict[int, DataFrame] = {}
         self._edges_slim: DataFrame | None = None
         self._edges_slim_key: tuple | None = None
         # etype → (src_label, dst_label); None entries = heterogeneous
@@ -203,6 +206,15 @@ class GraphModel:
         self._vid_counter = 0  # creation vids: (1 << 62) | counter
         self._eid_counter = 0  # hidden @eid for written edges
 
+    def _prune_edge_slim(self) -> None:
+        """Drop slim twins whose full frame left ``_edge_dfs`` (write
+        paths rewrite frames via localCheckpoint) — keeps the map from
+        pinning every historical edge frame in memory."""
+        live = {id(f) for f in self._edge_dfs}
+        self._edge_slim = {
+            k: v for k, v in self._edge_slim.items() if k in live
+        }
+
     def _invalidate_vertex_unions(self) -> None:
         self._av_full = None
         self._av = None
@@ -216,6 +228,7 @@ class GraphModel:
             "vertex_dfs": dict.copy(self.vertex_dfs),
             "label_display": dict(self.label_display),
             "_edge_dfs": list(self._edge_dfs),
+            "_edge_slim": dict(self._edge_slim),
             "_edges": self._edges,
             "_edges_by_src": self._edges_by_src,
             "edge_meta": dict(self.edge_meta),
@@ -233,6 +246,7 @@ class GraphModel:
         dict.update(self.vertex_dfs, snap["vertex_dfs"])
         self.label_display = snap["label_display"]
         self._edge_dfs = snap["_edge_dfs"]
+        self._edge_slim = snap["_edge_slim"]
         self._edges = snap["_edges"]
         self._edges_by_src = snap["_edges_by_src"]
         self.edge_meta = snap["edge_meta"]
@@ -403,7 +417,7 @@ class GraphModel:
         # (drop()/select() cannot un-reference it).  Consumers that never
         # read edge identity (algorithms, TRAVERSE, plain SQL-MATCH hops)
         # fetch edges(with_identity=False) and skip that per-row cost.
-        self._edge_slim[out] = df.select(*cols)
+        self._edge_slim[id(out)] = df.select(*cols)
         self._edge_dfs.append(out)
         self._edges = None
         self._edges_by_src = None
@@ -516,7 +530,7 @@ class GraphModel:
             if self._edges_slim is None or self._edges_slim_key != key:
                 out = None
                 for full in self._edge_dfs:
-                    part = self._edge_slim.get(full, full)
+                    part = self._edge_slim.get(id(full), full)
                     out = part if out is None else out.unionByName(
                         part, allowMissingColumns=True
                     )
@@ -813,6 +827,7 @@ class GraphModel:
                 *[f"__nv_{c}" for c in copy_cols],
             ).localCheckpoint(eager=True)
         ]
+        self._prune_edge_slim()
         self._edges = None
         self._edges_by_src = None
         return n
@@ -882,6 +897,7 @@ class GraphModel:
             else:
                 joined = joined.withColumn(prop, F.when(cond, val))
         self._edge_dfs = [joined.drop("__ms", "__md").localCheckpoint(eager=True)]
+        self._prune_edge_slim()
         self._edges = None
         self._edges_by_src = None
         return n
@@ -941,6 +957,7 @@ class GraphModel:
                 e.join(m, cond_of(e), "left_anti").localCheckpoint(eager=True)
             )
         self._edge_dfs = new_frames
+        self._prune_edge_slim()
         self._edges = None
         self._edges_by_src = None
         return n
@@ -999,6 +1016,7 @@ class GraphModel:
                 .localCheckpoint(eager=True)
             )
         self._edge_dfs = self._drop_incident_edges(m)
+        self._prune_edge_slim()
         self._edges = None
         self._edges_by_src = None
         return n
@@ -1044,6 +1062,7 @@ class GraphModel:
         n = m.count()
         self.vertex_dfs[label.lower()] = vdf.join(m, "vid", "left_anti").localCheckpoint(eager=True)
         self._edge_dfs = self._drop_incident_edges(m)
+        self._prune_edge_slim()
         self._edges = None
         self._edges_by_src = None
         return n

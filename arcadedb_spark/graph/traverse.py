@@ -63,19 +63,47 @@ _ARRAY_FILTER_MAX = 256
 _DRIVER_EDGES_MAX = 200_000
 
 
+# input-file bytes above which the edge frame cannot plausibly hold
+# ≤ _DRIVER_EDGES_MAX rows (200k (long,long) pairs are a few MB of
+# parquet even inside a wide table) — past it the probe job is skipped
+# outright, so a 100-TB edge set never ships 200k rows just to learn it
+# must fall back
+_DRIVER_EDGES_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _edges_obviously_large(edges: DataFrame) -> bool:
+    """File-listing-only size gate (no Spark job)."""
+    from arcadedb_spark.parallel import _input_file_info
+
+    try:
+        files, sizes = _input_file_info(edges)
+    except Exception:
+        return False
+    if sizes is not None:
+        return sum(sizes) > _DRIVER_EDGES_MAX_BYTES
+    # non-stat-able storage: many files ⇒ certainly not a 200k-row frame
+    return len(files) > 64
+
+
 def _try_collect_adjacency(edges: DataFrame) -> "dict[int, list[int]] | None":
     """Adjacency dict of a small edge frame, or ``None`` if it exceeds
-    ``_DRIVER_EDGES_MAX`` (one bounded limit+collect job either way)."""
+    ``_DRIVER_EDGES_MAX`` (a file-size pre-gate skips the probe job
+    entirely on clearly-large inputs)."""
+    if _edges_obviously_large(edges):
+        return None
     try:
         pdf = edges.limit(_DRIVER_EDGES_MAX + 1).toPandas()
+        if len(pdf) > _DRIVER_EDGES_MAX:
+            return None
+        # null endpoints join to nothing in the distributed loop — drop
+        # them here so both paths agree (and int() can't throw on NaN)
+        pdf = pdf.dropna(subset=["__from", "__to"])
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(pdf["__from"], pdf["__to"]):
+            adj.setdefault(int(s), []).append(int(d))
+        return adj
     except Exception:
         return None
-    if len(pdf) > _DRIVER_EDGES_MAX:
-        return None
-    adj: dict[int, list[int]] = {}
-    for s, d in zip(pdf["__from"], pdf["__to"]):
-        adj.setdefault(int(s), []).append(int(d))
-    return adj
 
 
 def _direction_edges(db, projections) -> DataFrame:

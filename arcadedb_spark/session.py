@@ -46,6 +46,23 @@ def get_spark(app_name: str = "arcadedb-spark", master: str | None = None) -> Sp
         # the catalog loader — Spark has no nanos timestamp type.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime Bloom-filter injection (guide §3.2) fires only on
+        # shuffle joins whose application-side scan exceeds
+        # applicationSideScanSizeThreshold (10 GB default — never at
+        # bench SF, always on a 100-TB fact scan), but the default
+        # creationSideThreshold of 10 MB is cluster-hostile: a
+        # selectively-filtered build side of a multi-hop MATCH is
+        # routinely hundreds of MB at scale and the bloom build (one
+        # extra aggregate over it) is still ~free next to the fact-side
+        # shuffle it prunes.  Raise it; both knobs stay env-overridable.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_CREATION_MAX", "512MB"),
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_APP_MIN", "10GB"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

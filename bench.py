@@ -108,10 +108,14 @@ def main() -> None:
     # not query work; per-query timings should measure the engine.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     spark.sparkContext.parallelize([1], 1).count()
-    try:
-        warmup(spark)
-    except Exception:
-        pass  # session warm-up is best-effort; the bench must always run
+    # SPARK_GRAFT_WARMUP=0 skips the untimed session warm-up so warm and
+    # cold totals can be measured separately (default unchanged: warm,
+    # matching the r8 methodology)
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        try:
+            warmup(spark)
+        except Exception:
+            pass  # session warm-up is best-effort; the bench must always run
 
     sf = None
     try:

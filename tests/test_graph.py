@@ -628,3 +628,24 @@ def test_traverse_adjacency_fast_path_matches_per_hop(db, monkeypatch):
         for r in tv.traverse(db, roots, edges, max_depth=2).collect()
     }
     assert fast == slow and len(fast) > 4
+
+
+def test_traverse_adjacency_probe_skipped_on_large_input(db, monkeypatch):
+    """A frame whose input files already exceed the driver-edge byte
+    bound must skip the 200k-row probe collect entirely (no job)."""
+    from pyspark.sql import functions as F
+
+    import arcadedb_spark.graph.traverse as tv
+
+    g = db.graph()
+    edges = g.edges("PLACED").select(
+        F.col("src").alias("__from"), F.col("dst").alias("__to")
+    )
+    # flag the input as huge and make any collect attempt an error
+    monkeypatch.setattr(tv, "_DRIVER_EDGES_MAX_BYTES", 0)
+    monkeypatch.setattr(
+        type(edges),
+        "toPandas",
+        lambda self: (_ for _ in ()).throw(AssertionError("probe job ran")),
+    )
+    assert tv._try_collect_adjacency(edges) is None

@@ -44,14 +44,16 @@ def main() -> None:
     results = {}
     for name in names:
         fn = qs[name]
-        sc.setJobDescription(name)
-        jobs_before = len(tracker.getJobIdsForGroup() or [])
+        # a real job GROUP (not just a description): getJobIdsForGroup
+        # then counts only this query's jobs, not concurrent daemon work
+        sc.setJobGroup(name, name)
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         t1 = time.perf_counter()
         n = df.count()
         t2 = time.perf_counter()
-        jobs_after = len(tracker.getJobIdsForGroup() or [])
+        jobs_n = len(tracker.getJobIdsForGroup(name) or [])
+        sc.setJobGroup("", "")
         # capture the formatted plan (post-run: includes AQE final info on
         # re-explain for executed frames)
         try:
@@ -73,7 +75,7 @@ def main() -> None:
             "exec_s": round(t2 - t1, 3),
             "total_s": round(t2 - t0, 3),
             "rows": n,
-            "jobs": jobs_after - jobs_before,
+            "jobs": jobs_n,
             "exchanges": plan.count("Exchange"),
         }
         print(json.dumps({name: results[name]}), flush=True)
