@@ -134,11 +134,15 @@ def minhash_duplicate_pairs(
     # corpus three times (signature build + one per verify join side).
     src = ensure_min_partitions(docs.select(id_col, text_col))
     sets = bounded_cache(ngram_sets(src, id_col, text_col, shingle_size))
-    sigs = _signatures_from_sets(sets, num_hashes, seed)
-    if verify != "exact":
-        # the estimate path probes sigs twice (per pair side) — keep the
-        # signature frame itself materialized
-        sigs = bounded_cache(sigs)
+    # sigs is read twice on EVERY path — the band self-join probes it for
+    # its left side and builds its right side from it — and the 32
+    # permutation-minima transforms are the pipeline's dominant per-row
+    # compute, so materialize it once (the cached rows are just
+    # (id, 32×long), far narrower than the shingle arrays).  Without this
+    # the exact path re-ran the full signature projection per join side
+    # (plan-verified: two identical 32×array_min Projects over the sets
+    # cache).
+    sigs = bounded_cache(_signatures_from_sets(sets, num_hashes, seed))
     banded = sigs.select(
         "id",
         F.explode(
