@@ -180,6 +180,13 @@ def astar(
     )
     frontier = best
     h = heuristic.select("vid", "h") if heuristic is not None else None
+    # fused supersteps (same shape as algorithms.py): persist the new
+    # label frame + frontier, let the emptiness probe (a FULL count, not
+    # limit(1)) materialize both, and release the previous iteration's
+    # caches — one superstep of work per iteration instead of replaying
+    # the lineage since the last truncation for the bound collect, the
+    # probe, and the next expansion separately (guide §2.1/§5)
+    prev_best = prev_frontier = None
     for i in range(1, max_iterations + 1):
         # current best-known target distance (pruning bound) — 1-row action
         t_row = best.filter(F.col("vid") == target).agg(F.min("distance")).collect()
@@ -214,6 +221,8 @@ def astar(
         )
         if i % _CHECKPOINT_EVERY == 0:
             new_best = new_best.truncate_plan()
+        else:
+            new_best = new_best.persist()
         frontier = (
             new_best.alias("n")
             .join(best.alias("o"), "vid", "left")
@@ -222,13 +231,30 @@ def astar(
                 | (F.col("n.distance") < F.col("o.distance"))
             )
             .select("vid", F.col("n.distance").alias("distance"), F.col("n.path").alias("path"))
-        )
+        ).persist()
+        # full count (not limit(1)): materializes every partition of both
+        # caches, so the next iteration reads them instead of recomputing
+        empty = frontier.count() == 0
+        if prev_best is not None:
+            prev_best.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_best = None if i % _CHECKPOINT_EVERY == 0 else new_best
+        prev_frontier = frontier
         best = new_best
-        if frontier.limit(1).count() == 0:
+        if empty:
             break
-    return best.filter(F.col("vid") == target).select(
+    out = best.filter(F.col("vid") == target).select(
         "path", F.col("distance").alias("weight")
     )
+    if prev_best is not None or prev_frontier is not None:
+        out = out.truncate_plan()  # detach before releasing the caches
+        if prev_best is not None:
+            prev_best.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+    e.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +285,7 @@ def k_shortest_paths(
         [(source, 0.0, [source])], "vid long, weight double, path array<long>"
     )
     frontier = state
+    prev_state = prev_frontier = None
     for depth in range(1, max_depth + 1):
         exp = (
             frontier.join(e, frontier["vid"] == e["src"], "inner")
@@ -278,18 +305,37 @@ def k_shortest_paths(
         )
         if depth % _CHECKPOINT_EVERY == 0:
             kept = kept.truncate_plan()
-        frontier = kept.join(state, ["vid", "path"], "left_anti")
+        else:
+            kept = kept.persist()
+        frontier = kept.join(state, ["vid", "path"], "left_anti").persist()
+        # full-count probe doubles as the materializing action for both
+        # caches (fused superstep, guide §2.1/§5)
+        empty = frontier.count() == 0
+        if prev_state is not None:
+            prev_state.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_state = None if depth % _CHECKPOINT_EVERY == 0 else kept
+        prev_frontier = frontier
         state = kept
-        if frontier.limit(1).count() == 0:
+        if empty:
             break
     # bounded-window ok: at most k candidate paths reach the target
     w_rank = Window.orderBy(F.asc("weight"), F.asc("path"))
-    return (
+    out = (
         state.filter(F.col("vid") == target)
         .select("path", "weight")
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
+    if prev_state is not None or prev_frontier is not None:
+        out = out.truncate_plan()
+        if prev_state is not None:
+            prev_state.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+    e.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

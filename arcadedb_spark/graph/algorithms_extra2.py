@@ -35,6 +35,12 @@ def all_simple_paths(
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(source, [source])], "vid long, path array<long>")
     out = frontier.filter(F.col("vid") == target).select("path")
+    # fused supersteps: each frontier has THREE consumers (hits, the
+    # emptiness probe, the next expansion) — persist it and let a full
+    # count() materialize the cache once per depth (guide §2.1/§5); the
+    # accumulated `out` references every frontier, so frontiers are kept
+    # until `out` is pinned as a truncated frame at exit
+    frontiers = []
     for depth in range(1, max_depth + 1):
         frontier = (
             frontier.filter(F.col("vid") != target)
@@ -44,10 +50,18 @@ def all_simple_paths(
         )
         if depth % _CHECKPOINT_EVERY == 0:
             frontier = frontier.truncate_plan()
+        else:
+            frontier = frontier.persist()
+            frontiers.append(frontier)
         hits = frontier.filter(F.col("vid") == target).select("path")
         out = out.unionByName(hits)
-        if frontier.limit(1).count() == 0:
+        if frontier.count() == 0:
             break
+    if frontiers:
+        out = out.truncate_plan()
+        for f in frontiers:
+            f.unpersist()
+    e.unpersist()
     return out
 
 

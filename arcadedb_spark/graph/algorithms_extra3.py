@@ -93,6 +93,9 @@ def bellman_ford_path(
         [(source, 0.0, [source])], "vid long, distance double, path array<long>"
     )
     frontier = best
+    # fused supersteps: persist labels + frontier, full-count probe as the
+    # materializing action, release previous caches (guide §2.1/§5)
+    prev_best = prev_frontier = None
     for i in range(1, max_iterations + 1):
         exp = (
             frontier.join(e, frontier["vid"] == e["src"], "inner")
@@ -112,6 +115,8 @@ def bellman_ford_path(
         )
         if i % _CHECKPOINT_EVERY == 0:
             new_best = new_best.truncate_plan()
+        else:
+            new_best = new_best.persist()
         frontier = (
             new_best.alias("n")
             .join(best.alias("o"), "vid", "left")
@@ -124,10 +129,25 @@ def bellman_ford_path(
                 F.col("n.distance").alias("distance"),
                 F.col("n.path").alias("path"),
             )
-        )
+        ).persist()
+        empty = frontier.count() == 0
+        if prev_best is not None:
+            prev_best.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_best = None if i % _CHECKPOINT_EVERY == 0 else new_best
+        prev_frontier = frontier
         best = new_best
-        if frontier.limit(1).count() == 0:
+        if empty:
             break
+    if prev_best is not None or prev_frontier is not None:
+        # `best` feeds the V-th-round test and the hit below — pin it as a
+        # truncated frame before releasing the superstep caches
+        best = best.truncate_plan()
+        if prev_best is not None:
+            prev_best.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
     # V-th-round improvement test (unrestricted by the simple-path filter)
     improved = (
         best.join(e, best["vid"] == e["src"], "inner")
@@ -145,6 +165,7 @@ def bellman_ford_path(
         .count()
     )
     neg = improved > 0
+    e.unpersist()  # the lazy `hit` below reads only the truncated `best`
     hit = best.filter(F.col("vid") == target)
     if neg:
         return spark.createDataFrame(

@@ -267,6 +267,9 @@ def _sssp_parents(
         [(source, 0.0, None)], "vid long, distance double, parent long"
     )
     frontier = best
+    # fused supersteps: persist labels + frontier, full-count probe as the
+    # materializing action, release previous caches (guide §2.1/§5)
+    prev_best = prev_frontier = None
     for i in range(1, max_iterations + 1):
         relaxed = (
             frontier.join(und, frontier["vid"] == und["src"], "inner")
@@ -285,6 +288,8 @@ def _sssp_parents(
         )
         if i % _CHECKPOINT_EVERY == 0:
             new_best = new_best.truncate_plan()
+        else:
+            new_best = new_best.persist()
         frontier = (
             new_best.alias("n")
             .join(best.alias("o"), "vid", "left")
@@ -294,10 +299,24 @@ def _sssp_parents(
             )
             .select("vid", F.col("n.distance").alias("distance"),
                     F.col("n.parent").alias("parent"))
-        )
+        ).persist()
+        empty = frontier.count() == 0
+        if prev_best is not None:
+            prev_best.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+        prev_best = None if i % _CHECKPOINT_EVERY == 0 else new_best
+        prev_frontier = frontier
         best = new_best
-        if frontier.limit(1).count() == 0:
+        if empty:
             break
+    if prev_best is not None or prev_frontier is not None:
+        best = best.truncate_plan()  # detach before releasing the caches
+        if prev_best is not None:
+            prev_best.unpersist()
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+    und.unpersist()
     return best
 
 

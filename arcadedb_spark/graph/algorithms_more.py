@@ -114,16 +114,26 @@ def topological_layers(edges: DataFrame, max_iterations: int = 100) -> DataFrame
     out = spark.createDataFrame([], "vid long, layer int")
     for layer in range(max_iterations):
         with_in = remaining_e.select(F.col("dst").alias("vid")).distinct()
-        ready = remaining_v.join(with_in, "vid", "left_anti").cache()
-        if ready.limit(1).count() == 0:
+        # ready has three consumers (probe, out union, the two peels) —
+        # persist it, materialize with a full count, and release it once
+        # the peeled v/e frames are pinned.  The peeled frames themselves
+        # are truncated (they shrink every layer), so the lineage stays
+        # flat and NO cache outlives its round — the old shape .cache()d
+        # every round's v/e/ready and never unpersisted any of them
+        # (unbounded CacheManager growth per call, guide §5).
+        ready = remaining_v.join(with_in, "vid", "left_anti").persist()
+        if ready.count() == 0:
+            ready.unpersist()
             break
         out = out.unionByName(
             ready.withColumn("layer", F.lit(layer))
         ).truncate_plan()
-        remaining_v = remaining_v.join(ready, "vid", "left_anti").cache()
+        remaining_v = remaining_v.join(ready, "vid", "left_anti").truncate_plan()
         remaining_e = remaining_e.join(
             ready.withColumnRenamed("vid", "src"), "src", "left_anti"
-        ).cache()
+        ).truncate_plan()
+        ready.unpersist()
+    e.unpersist()
     return out
 
 
@@ -370,6 +380,10 @@ def bipartite_check(edges: DataFrame, max_depth: int = 20) -> bool:
         "vid", F.lit(0).alias("color")
     )
     frontier = color
+    # fused supersteps: nxt has three consumers (probe, color union, next
+    # expansion) — persist it and let a full count() materialize the cache
+    # once per level (guide §2.1/§5)
+    prev = None
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(adj, frontier["vid"] == adj["v"], "inner")
@@ -379,10 +393,19 @@ def bipartite_check(edges: DataFrame, max_depth: int = 20) -> bool:
         )
         if depth % _CHECKPOINT_EVERY == 0:
             nxt = nxt.truncate_plan()
-        if nxt.limit(1).count() == 0:
+        else:
+            nxt = nxt.persist()
+        empty = nxt.count() == 0
+        if prev is not None:
+            prev.unpersist()
+        prev = None if depth % _CHECKPOINT_EVERY == 0 else nxt
+        if empty:
             break
         color = color.unionByName(nxt).truncate_plan()
         frontier = nxt
+    if prev is not None:
+        prev.unpersist()  # `color` is truncated; nothing reads nxt now
+    adj.unpersist()
     e = edges.select("src", "dst")
     bad = (
         e.join(color.withColumnRenamed("vid", "src").withColumnRenamed("color", "cs"), "src")
@@ -715,8 +738,11 @@ def mst(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
         cb = comp.select(F.col("vid").alias("b"), F.col("component").alias("__cb"))
         cross = (
             und.join(ca, "a").join(cb, "b").filter(F.col("__ca") != F.col("__cb"))
-        )
-        if cross.limit(1).count() == 0:
+        ).persist()
+        # full-count probe materializes the cache its second consumer
+        # (per_comp below) reads — one cross-edge scan per round, not two
+        if cross.count() == 0:
+            cross.unpersist()
             break
         # lightest outgoing edge per component (either endpoint side)
         per_comp = cross.select(
@@ -733,6 +759,7 @@ def mst(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
             .truncate_plan()
         )
         chosen = chosen.unionByName(picks).dropDuplicates(["a", "b"]).truncate_plan()
+        cross.unpersist()  # picks is truncated; nothing reads cross now
         # merge components connected by picked edges (hash-min rounds)
         merge_edges = picks.select("a", "b")
         for _inner in range(max_iterations):
@@ -753,8 +780,11 @@ def mst(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
                 .groupBy("component")
                 .agg(F.min("nc").alias("nc"))
                 .filter(F.col("component") != F.col("nc"))
-            )
-            if updates.limit(1).count() == 0:
+            ).persist()
+            # full-count probe materializes the cache the comp rewrite
+            # below reads — the hash-min join runs once per round, not twice
+            if updates.count() == 0:
+                updates.unpersist()
                 break
             comp = (
                 comp.join(updates, "component", "left")
@@ -763,6 +793,8 @@ def mst(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
                 )
                 .truncate_plan()
             )
+            updates.unpersist()
+    und.unpersist()
     return chosen
 
 

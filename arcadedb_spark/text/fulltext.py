@@ -93,7 +93,9 @@ def bm25_search(
 
         for i, t in enumerate(terms):
             toks = toks.withColumn(f"__tf{i}", F.size(F.filter("__t", _eq(t))))
-        toks = toks.withColumn("__dl", F.size("__t")).drop("__t").cache()
+        from arcadedb_spark.caching import bounded_cache
+
+        toks = bounded_cache(toks.withColumn("__dl", F.size("__t")).drop("__t"))
         # Corpus stats ride a 1-row broadcast join instead of a driver
         # collect(): the whole search is ONE action / one DAG (the
         # broadcast exchange materializes the cached token frame, the
