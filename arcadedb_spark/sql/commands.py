@@ -339,6 +339,22 @@ def _define_function(db, stmt: ast.DefineFunctionStmt) -> DataFrame:
 # arcadedb_spark.streaming.ContinuousAggregate)
 
 
+def _release_replaced(old) -> None:
+    """Unpersist a replaced backing frame — ONLY safe when the replacement
+    was just fully materialized from a lineage that does not read ``old``
+    (MV full recomputes translate straight off the base tables).  Mutation
+    swaps (_replace_df, insert unions) must NOT do this: each new state's
+    lineage reads the previous one, so dropping un-superseded caches would
+    make later materializations replay the whole mutation chain."""
+    try:
+        if old is not None and (
+            old.storageLevel.useMemory or old.storageLevel.useDisk
+        ):
+            old.unpersist()
+    except Exception:
+        pass
+
+
 def _create_mv(db, stmt: ast.CreateMaterializedViewStmt, params: dict) -> DataFrame:
     if db.schema.exists(stmt.name):
         if stmt.if_not_exists:
@@ -360,9 +376,12 @@ def _refresh_mv(db, stmt: ast.RefreshMaterializedViewStmt, params: dict) -> Data
     if mode.startswith("INCREMENTAL"):
         return _result(db, _incremental_refresh(db, tdef, select, params))
     df = Translator(db, params).translate(select).cache()
+    old = tdef._df
     tdef._df = df
     db._plan_cache.clear()
-    return _result(db, df.count())
+    n = df.count()  # materializes the fresh cache (lineage reads only base tables)
+    _release_replaced(old)
+    return _result(db, n)
 
 
 def _incremental_refresh(db, tdef, select, params: dict) -> int:
@@ -411,9 +430,12 @@ def _incremental_refresh(db, tdef, select, params: dict) -> int:
             return n
     if dirty or aggregated or src_name is None or select.lets:
         df = Translator(db, params).translate(select).cache()
+        old = tdef._df
         tdef._df = df
         db._plan_cache.clear()
-        return df.count()
+        n = df.count()  # fresh full recompute — safe to drop the old cache
+        _release_replaced(old)
+        return n
     # delta-only path: run the view query against just the new rows
     src = db.schema.get(src_name)
     delta = pending[0]
