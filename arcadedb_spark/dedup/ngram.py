@@ -108,17 +108,26 @@ def ngram_jaccard_pairs(
     # broadcasting the rare (kept) side would ship the whole gram
     # vocabulary.
     dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
-    stop = F.broadcast(dfreq.filter(F.col("df") > max_df).select("g"))
-    inv2 = inv.join(stop, "g", "left_anti")
-    # per-doc rare-set size rides ON the index rows (one width-1 window
-    # keyed by id) instead of a separate (id, sz) side table: the old
-    # shape broadcast a CORPUS-sized aggregate to every executor (a scale
-    # hazard, guide §3.1) and re-joined it twice after the pair
-    # aggregation — two whole join operators and one broadcast gone.
-    sz_w = F.count("*").over(Window.partitionBy("id"))
+    hot = dfreq.filter(F.col("df") > max_df)
 
     if not prefix_filter:
-        inv2_sz = bounded_cache(inv2.withColumn("sz", sz_w))
+        # per-doc rare-set size comes straight off the CACHED gram arrays:
+        # gram arrays are distinct by construction, so the kept set is
+        # array_except(grams, stop) and sz its size — computed row-local
+        # during the one-time cache fill.  The former shape shuffled the
+        # whole index by id (count-over-Window) only for the pair join to
+        # re-shuffle it by g (§2.1); the stop list rides as a single-row
+        # broadcast (it is tiny by construction — broadcasting the KEPT
+        # vocabulary would be the scale hazard, §3.1).
+        stop_arr = F.broadcast(hot.agg(F.collect_list("g").alias("__stop")))
+        kept = sets.crossJoin(stop_arr).select(
+            "id", F.array_except("grams", "__stop").alias("__keep")
+        )
+        inv2_sz = bounded_cache(
+            kept.select(
+                "id", F.size("__keep").alias("sz"), F.explode("__keep").alias("g")
+            )
+        )
         l, r = inv2_sz.alias("l"), inv2_sz.alias("r")
         return (
             l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
@@ -141,6 +150,11 @@ def ngram_jaccard_pairs(
     # for every doc, so the prefix principle applies.  dfreq is keyed by
     # g like inv2, so this is a co-keyed equi-join (AQE broadcasts it
     # when small; at scale it shuffle-joins without any giant broadcast).
+    stop = F.broadcast(hot.select("g"))
+    inv2 = inv.join(stop, "g", "left_anti")
+    # the ranking window below is keyed by id anyway, so sz shares its
+    # shuffle here — only the non-prefix path had a dedicated sz exchange
+    sz_w = F.count("*").over(Window.partitionBy("id"))
     inv2 = bounded_cache(inv2)  # two consumers: ranked chain + arrays
     with_df = inv2.join(dfreq, "g")
     ranked = with_df.withColumn(
